@@ -1,13 +1,309 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.Cdc
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry implements one operator from SURVEY.md §2; the
+  * matching `oracleSql` entry is DuckDB-dialect SQL over the same parquet
+  * tables producing identical column names and values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** The engine's change-feed view of the `events` table: user_id is the
+    * changed key, event_id the transaction id (monotone by generation).
+    */
+  private def changeFeed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id").alias(Cdc.TransactionId))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the CDC delta
+    * fold (SURVEY.md §3.1 / §7.1) on the events change feed vs. the customer
+    * master table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_cdc_delta_fold")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── CDC core (J1 + A1 + P2 + P3 + P4 + ST4/ST5) ────────────────────────
+    // Delta fold: window → latest-per-key → LEFT OUTER JOIN master →
+    // delete-vs-upsert (S4HanaTableMapping.java:444-471 re-expressed).
+    "q_cdc_delta_fold" -> ((s, dir) => {
+      Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
+        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
+    }),
+
+    // A1: last-change-wins dedup — GROUP BY key / MAX(txid)
+    // (S4HanaTableMapping.java:454-461).
+    "q_a1_latest_per_key" -> ((s, dir) => {
+      Cdc.latestPerKey(
+        Cdc.windowFilter(changeFeed(s, dir), Cdc.TransactionId, 100L, 1000000000L),
+        Seq("user_id"))
+    }),
+
+    // ST5: PK-update emits TWO change rows (old + new key)
+    // (S4HanaTableMapping.java:207-215).
+    "q_st5_pk_change_split" -> ((s, dir) => {
+      val updates = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").alias("old_pk"),
+          (col("user_id") + 100).alias("new_pk"),
+          col("event_id").alias(Cdc.TransactionId))
+      Cdc.splitPkChange(updates, Seq(("old_pk", "new_pk", "pk")))
+    }),
+
+    // P6: change-view positional→named PK rename
+    // (S4HanaTableMapping.java:428-442).
+    "q_p6_changeview_rename" -> ((s, dir) => {
+      val pklog = t(s, dir, "events").select(
+        col("user_id").cast(StringType).alias("PK1"),
+        lit(null).cast(StringType).alias("PK2"),
+        lit(null).cast(StringType).alias("PK3"),
+        lit(null).cast(StringType).alias("PK4"),
+        lit(null).cast(StringType).alias("PK5"),
+        lit(null).cast(StringType).alias("PK6"),
+        col("event_id").alias("TRANSACTIONID"),
+        lit("customer").alias("TABLE_NAME"))
+      Cdc.changeView(pklog, "customer", Seq("c_custkey"))
+    }),
+
+    // S2 + P1 + P3 + P5: initial-load scan with envelope constants and a
+    // residual predicate (S4HanaTableMapping.java:740-761).
+    "q_s2_initial_load" -> ((s, dir) => {
+      Cdc.initialLoad(t(s, dir, "customer"), Some("c_acctbal > 0"))
+    }),
+
+    // ── Relational operators ──────────────────────────────────────────────
+    // A1-shape wide aggregation (TPC-H Q1 pricing summary): sums run in
+    // exact decimal (order-independent), final cast to DOUBLE — one
+    // well-defined conversion that is bit-identical in Spark and DuckDB.
+    "q1_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).alias("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).alias("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).alias("sum_disc_price"),
+          count(lit(1)).alias("count_order"))
+    }),
+
+    // J2: left outer join with a constant conjunct in the condition
+    // (S4HanaBrowse.java:86-88 — DD02L ⟕ DD02T ON … AND ddlanguage='E').
+    "q_j2_outer_const_conjunct" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r),
+          n("n_regionkey") === r("r_regionkey") && r("r_name") === "ASIA",
+          "left_outer")
+        .select(n("n_nationkey"), n("n_name"), r("r_name").alias("region_name"))
+    }),
+
+    // J5: left-semi "impacted tables" lookup (S4HanaProducer.java:400-420).
+    "q_j5_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // A2: scalar watermark aggregate — least(ifnull(max…)) shape
+    // (S4HanaProducer.java:326-331).
+    "q_a2_watermark_agg" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        least(coalesce(max(col("event_id")), lit(0L)), lit(999999999L))
+          .alias("watermark"),
+        min(col("event_id")).alias("min_txid"),
+        count(lit(1)).alias("n_changes"))
+    }),
+
+    // A3: DISTINCT (S4HanaProducer.java:400).
+    "q_a3_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_type")).distinct()),
+
+    // W1: rank() over (order by key desc) + rank=1 filter
+    // (src/test/resources/VBAK_change.sql:1). Top-1 over a global window —
+    // fine for k=1; at scale the orderBy/limit form below (W2) is the
+    // shuffle-free plan.
+    "q_w1_rank_top1" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+
+    // W2: TOP 1 … ORDER BY … DESC (S4HanaProducer.java:123).
+    "q_w2_top1_orderby" -> ((s, dir) => {
+      t(s, dir, "events")
+        .orderBy(col("event_id").desc)
+        .limit(1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // §2.7 scalar functions: least / ifnull / concat(||) / right / like.
+    "q_f_scalar_funcs" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.select(
+        col("n_nationkey"),
+        least(col("n_nationkey"), col("n_regionkey")).alias("least_key"),
+        coalesce(lit(null).cast(StringType), col("n_name")).alias("ifnull_name"),
+        concat(col("n_name"), lit("_"), col("n_regionkey").cast(StringType))
+          .alias("concat_name"),
+        expr("right(n_name, 3)").alias("right3"),
+        col("n_name").like("A%").alias("like_a"))
+    }),
+
+    // to_alphanum zero-padded increment (VBAK_change.sql:1 semantics).
+    "q_f_alphanum_increment" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        lpad((col("o_orderkey") + 1).cast(StringType), 10, "0")
+          .alias("next_key_alphanum"))
+    }),
+
+    // J4: hierarchical parent-child join → nested item array
+    // (SO.Header.json relations; rows-only check — nested output).
+    "q_j4_nested_object" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+        .groupBy(o("o_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_partkey"), col("l_quantity"))))
+          .alias("items"))
+    }),
+
+    // ── Training-data pipeline: dedup + text analysis ─────────────────────
+    // Exact dedup: hash-groupBy on content (documents table).
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_copies"))
+        .select(md5(col("text").cast(BinaryType)).alias("text_hash"),
+          col("keep_id"), col("n_copies"))
+    }),
+
+    // Text stats: token / char / punctuation counts (integer-exact for the
+    // oracle hash).
+    "q_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        length(col("text")).alias("n_chars_calc"),
+        size(split(trim(col("text")), "\\s+")).alias("n_tokens"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).alias("n_punct"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_cdc_delta_fold" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS _transactionid
+        |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
+        |  GROUP BY user_id)
+        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+        |       l._transactionid, l.user_id,
+        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
+
+    "q_a1_latest_per_key" ->
+      """SELECT user_id, max(event_id) AS _transactionid
+        |FROM events WHERE event_id > 100 AND event_id <= 1000000000
+        |GROUP BY user_id""".stripMargin,
+
+    "q_st5_pk_change_split" ->
+      """SELECT user_id AS pk, event_id AS _transactionid
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT user_id + 100 AS pk, event_id AS _transactionid
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_p6_changeview_rename" ->
+      """SELECT CAST(user_id AS VARCHAR) AS c_custkey,
+        |       event_id AS _transactionid
+        |FROM events""".stripMargin,
+
+    "q_s2_initial_load" ->
+      """SELECT 'I' AS _change_type, CAST(NULL AS BIGINT) AS _transactionid,
+        |       c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_j2_outer_const_conjunct" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+        |FROM nation n LEFT OUTER JOIN region r
+        |  ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'""".stripMargin,
+
+    "q_j5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_a2_watermark_agg" ->
+      """SELECT least(ifnull(max(event_id), 0), 999999999) AS watermark,
+        |       min(event_id) AS min_txid, count(*) AS n_changes
+        |FROM events""".stripMargin,
+
+    "q_a3_distinct" -> "SELECT DISTINCT event_type FROM events",
+
+    "q_w1_rank_top1" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+        |  SELECT *, rank() OVER (ORDER BY o_orderkey DESC) AS rnk FROM orders)
+        |WHERE rnk = 1""".stripMargin,
+
+    "q_w2_top1_orderby" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id DESC LIMIT 1""".stripMargin,
+
+    "q_f_scalar_funcs" ->
+      """SELECT n_nationkey,
+        |  least(n_nationkey, n_regionkey) AS least_key,
+        |  ifnull(NULL, n_name) AS ifnull_name,
+        |  n_name || '_' || CAST(n_regionkey AS VARCHAR) AS concat_name,
+        |  right(n_name, 3) AS right3,
+        |  (n_name LIKE 'A%') AS like_a
+        |FROM nation""".stripMargin,
+
+    "q_f_alphanum_increment" ->
+      """SELECT o_orderkey,
+        |  lpad(CAST(o_orderkey + 1 AS VARCHAR), 10, '0') AS next_key_alphanum
+        |FROM orders""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+        |FROM documents""".stripMargin
+  )
 }

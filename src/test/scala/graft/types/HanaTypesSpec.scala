@@ -1,0 +1,72 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+import org.scalacheck.{Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+class HanaTypesSpec extends AnyFunSuite {
+
+  test("scalar type mapping") {
+    assert(HanaTypes.toSparkType("TINYINT") == ShortType)
+    assert(HanaTypes.toSparkType("SMALLINT") == ShortType)
+    assert(HanaTypes.toSparkType("INTEGER") == IntegerType)
+    assert(HanaTypes.toSparkType("BIGINT") == LongType)
+    assert(HanaTypes.toSparkType("REAL") == FloatType)
+    assert(HanaTypes.toSparkType("DOUBLE") == DoubleType)
+    assert(HanaTypes.toSparkType("BOOLEAN") == BooleanType)
+    assert(HanaTypes.toSparkType("DATE") == DateType)
+    assert(HanaTypes.toSparkType("TIMESTAMP") == TimestampType)
+    assert(HanaTypes.toSparkType("SECONDDATE") == TimestampType)
+  }
+
+  test("parameterized types parse NAME(len[,scale])") {
+    assert(HanaTypes.toSparkType("DECIMAL(15,2)") == DecimalType(15, 2))
+    assert(HanaTypes.toSparkType("DECIMAL(7, 4)") == DecimalType(7, 4))
+    assert(HanaTypes.toSparkType("DECIMAL(38)") == DecimalType(38, 0))
+    assert(HanaTypes.toSparkType("NVARCHAR(10)") == StringType)
+    assert(HanaTypes.toSparkType("VARCHAR(256)") == StringType)
+    assert(HanaTypes.toSparkType("ALPHANUM(10)") == StringType)
+    assert(HanaTypes.toSparkType("VARBINARY(2000)") == BinaryType)
+  }
+
+  test("string/lob/geo mapping") {
+    for (s <- Seq("CHAR", "NCHAR", "CLOB", "NCLOB", "TEXT", "SHORTTEXT"))
+      assert(HanaTypes.toSparkType(s) == StringType, s)
+    for (b <- Seq("BINARY", "BLOB", "BINTEXT", "ST_POINT", "ST_GEOMETRY"))
+      assert(HanaTypes.toSparkType(b) == BinaryType, b)
+  }
+
+  test("unknown type fails fast like the reference") {
+    assertThrows[IllegalArgumentException](HanaTypes.toSparkType("FANCYTYPE"))
+    assertThrows[IllegalArgumentException](HanaTypes.toSparkType("(3)"))
+  }
+
+  test("SAP name sanitization") {
+    assert(HanaTypes.sanitizeName("/BIC/FIELD") == "_BIC_FIELD")
+    assert(HanaTypes.sanitizeName("HISTORY.CREATEDBY.EMPLOYEEID") ==
+      "HISTORY_CREATEDBY_EMPLOYEEID")
+    assert(HanaTypes.sanitizeName("MANDT") == "MANDT")
+    assert(HanaTypes.sanitizeName("0FIELD") == "_0FIELD")
+    assert(HanaTypes.sanitizeName("") == "_")
+  }
+
+  test("sanitized names are always legal identifiers (property)") {
+    val prop = Prop.forAll { (raw: String) =>
+      val s = HanaTypes.sanitizeName(raw)
+      s.nonEmpty && !s.head.isDigit &&
+        s.forall(c => c == '_' || (c.isLetterOrDigit && c < 128))
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("structFor: all-nullable, PK + original-name metadata") {
+    val st = HanaTypes.structFor(
+      Seq("MANDT" -> "NVARCHAR(3)", "VBELN" -> "NVARCHAR(10)",
+        "NETWR" -> "DECIMAL(15,2)", "/BIC/X" -> "INTEGER"),
+      pkColumns = Seq("MANDT", "VBELN"))
+    assert(st.fields.forall(_.nullable))
+    assert(st("NETWR").dataType == DecimalType(15, 2))
+    assert(HanaTypes.pkColumns(st) == Seq("MANDT", "VBELN"))
+    assert(st("_BIC_X").metadata.getString(HanaTypes.OriginalNameKey) == "/BIC/X")
+  }
+}
