@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
+import graft.functions.{GraftExpressions, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -206,6 +208,115 @@ object SparkEntry {
         length(col("text")).alias("n_chars_calc"),
         size(split(trim(col("text")), "\\s+")).alias("n_tokens"),
         length(regexp_replace(col("text"), "[^.,;:!?]", "")).alias("n_punct"))
+    }),
+
+    // ── Headline join aggregates (Q3/Q5 shapes; bench workload) ──────────
+    // Q3: shipping-priority revenue — two shuffle joins + agg + top-k.
+    "q3_order_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .where(c("c_mktsegment") === "BUILDING" &&
+          o("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          l("l_shipdate") > to_timestamp(lit("1996-01-01 00:00:00")))
+        .groupBy(o("o_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).alias("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5: local-supplier volume — broadcast the dim chain, shuffle only
+    // the two fact tables.
+    "q5_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).alias("revenue"))
+    }),
+
+    // ST7: periodic state GC — retention filter (keep rows younger than the
+    // cutoff; `ts` is a nanos long under nanosAsLong).
+    "q_st7_retention" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(col("ts") >= lit(1705276800000000000L)) // 2024-01-15 UTC
+        .select(col("event_id"))
+    }),
+
+    // ── Text analysis (training-data pipeline) ────────────────────────────
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).alias("n_bpeish_tokens"),
+        round(TextAnalysis.qualityScore(col("text")), 6).alias("quality_r"))
+    }),
+
+    // Language ID over the documents table (heuristic; deterministic).
+    "q_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.languageId(col("text")).alias("detected_lang"))
+    }),
+
+    // Rolling-hash document fingerprint + SimHash (native expressions).
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text"), 5).alias("fingerprint"),
+        TextAnalysis.simhash(col("text")).alias("simhash"))
+    }),
+
+    // ── Dedup / similarity (training-data pipeline) ───────────────────────
+    // MinHash-LSH near-dup pairs with exact-Jaccard verification.
+    "q_dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard_r"))
+    }),
+
+    // SimHash near-dup pairs (pigeonhole banding; loose radius so the
+    // synthetic corpus yields rows).
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+    }),
+
+    // Embedding near-dup pairs via hyperplane LSH + exact cosine.
+    "q_dedup_embedding_pairs" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.35, numPlanes = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).alias("cosine_r"))
+    }),
+
+    // Brute-force cosine top-10 for the first 5 query vectors (the exact
+    // ANN baseline; DuckDB oracle via list_cosine_similarity).
+    "q_sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "query_id", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).alias("cosine_r"))
+    }),
+
+    // LSH-bucketed ANN (the 100 TB path; rows-only — approximate by design).
+    "q_sim_topk_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        "query_id", k = 10, dim = 64, numPlanes = 8)
     })
   )
 
@@ -304,6 +415,66 @@ object SparkEntry {
         |  length(text) AS n_chars_calc,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q3_order_revenue" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_st7_retention" ->
+      """SELECT event_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS ntoks,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS en_score
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish_tokens,
+        |  round(
+        |    0.4 * (CASE WHEN ntoks >= 20 THEN 1.0 ELSE ntoks / 20.0 END)
+        |  + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 1.0 - punct_ratio END)
+        |  + 0.2 * (CASE WHEN nchars / greatest(ntoks, 1.0) >= 3
+        |                 AND nchars / greatest(ntoks, 1.0) <= 10 THEN 1.0 ELSE 0.5 END)
+        |  + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END), 6) AS quality_r
+        |FROM t""".stripMargin,
+
+    "q_sim_topk_bruteforce" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+        |  FROM embeddings d, embeddings q
+        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
+        |WHERE rank <= 10""".stripMargin
   )
 }

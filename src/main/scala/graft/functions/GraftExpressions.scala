@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's sketch/text kernels.
+  *
+  * Each generates code that calls the matching [[SketchOps]] kernel — a
+  * single static call per row inside whole-stage codegen (no interpreted
+  * expression-tree overhead, no UDF serialization). Kernels are
+  * deterministic: fixed hash constants, fixed accumulation order.
+  */
+object GraftExpressions {
+
+  /** `to_alphanum(s, len)` — HANA ALPHANUM conversion semantics
+    * (reference workload `src/test/resources/VBAK_change.sql:1`):
+    * digit-only strings are zero-padded to `len`, everything else passes
+    * through unchanged.
+    */
+  case class ToAlphanum(child: Expression, length: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.alphanumPad(v.asInstanceOf[UTF8String], length)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.alphanumPad($c, $length)")
+    override protected def withNewChildInternal(c: Expression): ToAlphanum = copy(child = c)
+  }
+
+  /** `minhash_signature(array<long>, k)` — k-minima universal-hash signature
+    * of an element set (MinHash). One pass per row.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k > 0 && k <= 1024, "k in 1..1024")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.minhash(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.minhash($c, $k)")
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  /** `simhash64(array<long>)` — 64-bit SimHash of pre-hashed tokens. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.simhash(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simhash($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** `cosine_sim(array<float>, array<float>)` — cosine similarity, double
+    * accumulation in fixed order (bit-deterministic).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.cosineFloat($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** `hamming64(long, long)` — Hamming distance of two 64-bit fingerprints. */
+  case class Hamming64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+      copy(left = l, right = r)
+  }
+
+  /** `shingle_hashes(string, n)` — distinct FNV-hashed character n-grams. */
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, "n > 0")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.shingleHashes(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.shingleHashes($c, $n)")
+    override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  }
+
+  /** `rolling_fingerprint(array<long>, window)` — winnowing-style min rolling
+    * polynomial hash over token-hash windows.
+    */
+  case class RollingFingerprint(child: Expression, window: Int)
+      extends UnaryExpression {
+    require(window > 0, "window > 0")
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.rollingMinFingerprint(v.asInstanceOf[ArrayData], window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.rollingMinFingerprint($c, $window)")
+    override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+      copy(child = c)
+  }
+
+  /** `projection_bits(array<float>)` — packed sign bits of deterministic
+    * random-hyperplane projections (the bucket id for embedding LSH).
+    * Planes are generated once on the driver and embedded in the plan.
+    */
+  case class ProjectionBits(child: Expression, numPlanes: Int, dim: Int, seed: Long)
+      extends UnaryExpression {
+    require(numPlanes > 0 && numPlanes <= 30, "numPlanes in 1..30")
+    @transient private lazy val planes = SketchOps.hyperplanes(numPlanes, dim, seed)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.projectionBits(v.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.projectionBits($c, $planesRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): ProjectionBits =
+      copy(child = c)
+  }
+
+  // ── Column-API wrappers ─────────────────────────────────────────────────
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def to_alphanum(col: Column, length: Int = 10): Column = c(ToAlphanum(e(col), length))
+  def minhash_signature(col: Column, k: Int): Column = c(MinHashSignature(e(col), k))
+  def simhash64(col: Column): Column = c(SimHash64(e(col)))
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
+  def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
+  def rolling_fingerprint(col: Column, window: Int): Column =
+    c(RollingFingerprint(e(col), window))
+  def projection_bits(col: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    c(ProjectionBits(e(col), numPlanes, dim, seed))
+}

@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic sketch kernels shared by the interpreted `eval` path and the
+  * generated (whole-stage codegen) path of the custom expressions in
+  * [[GraftExpressions]]. Scala-object static forwarders make these callable
+  * from generated Java code as `graft.functions.SketchOps.xxx(...)`.
+  *
+  * All constants are fixed so results are reproducible across runs and
+  * cluster sizes (no RNG at execution time).
+  */
+object SketchOps {
+
+  /** Mersenne prime 2^61-1: modulus for the universal hash family. */
+  val Prime: Long = (1L << 61) - 1
+
+  /** Deterministic (a, b) parameters for the k-th universal hash
+    * `h_k(x) = (a_k * x + b_k) mod p`. SplitMix64 over the index gives
+    * well-distributed, reproducible parameters.
+    */
+  def hashParamA(i: Int): Long = (splitmix64(2L * i + 1) % (Prime - 1)) .abs + 1
+  def hashParamB(i: Int): Long = splitmix64(2L * i + 2).abs % Prime
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: k minima of universal hashes over the element set.
+    * One pass over the array per row: O(n*k) multiplies, no allocation
+    * beyond the signature.
+    */
+  def minhash(elements: ArrayData, k: Int): ArrayData = {
+    val n = elements.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = elements.getLong(i) & Long.MaxValue // non-negative
+      var j = 0
+      while (j < k) {
+        // (a*x+b) mod p with unsigned-ish folding; values < 2^61 so the
+        // 128-bit product is emulated via Math.multiplyHigh
+        val a = hashParamA(j)
+        val b = hashParamB(j)
+        val hi = Math.multiplyHigh(a, x)
+        val lo = a * x
+        // fold 2^64*hi + lo mod (2^61-1): 2^64 ≡ 8 (mod p)
+        var h = (lo & Prime) + ((lo >>> 61) + hi * 8) + b
+        h = (h & Prime) + (h >>> 61)
+        if (h >= Prime) h -= Prime
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens: majority vote per bit. */
+  def simhash(tokenHashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokenHashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = tokenHashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two float vectors (double accumulation, fixed
+    * left-to-right order → bit-deterministic).
+    */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Dot product of a float vector with one of `planes`' rows (used by the
+    * random-hyperplane LSH): returns the h sign bits packed into an int.
+    */
+  def projectionBits(vec: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bits = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(vec.numElements(), plane.length)
+      while (i < n) { dot += vec.getFloat(i) * plane(i); i += 1 }
+      if (dot >= 0) bits |= (1 << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Deterministic pseudo-random hyperplanes (unit-free gaussian-ish via
+    * splitmix64 → [-1,1)) for [[projectionBits]]. Generated once per plan on
+    * the driver; tiny (h × dim doubles).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val u = splitmix64(seed + p * 1315423911L + i)
+        (u.toDouble / Long.MaxValue.toDouble) // in [-1, 1)
+      }
+    }
+
+  /** Rolling polynomial hash fingerprint (winnowing-style document
+    * fingerprint): min of the rolling hashes over `window`-grams of the
+    * token-hash sequence. Returns 0 for documents shorter than the window.
+    */
+  def rollingMinFingerprint(tokenHashes: ArrayData, window: Int): Long = {
+    val n = tokenHashes.numElements()
+    if (n < window) return 0L
+    val Base = 1099511628211L // FNV prime as polynomial base
+    var basePow = 1L
+    var i = 0
+    while (i < window - 1) { basePow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * Base + tokenHashes.getLong(i); i += 1 }
+    var min = h
+    i = window
+    while (i < n) {
+      h = (h - tokenHashes.getLong(i - window) * basePow) * Base + tokenHashes.getLong(i)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** HANA ALPHANUM padding: digit-only strings zero-pad to `len`, everything
+    * else passes through (reference workload `VBAK_change.sql:1`).
+    */
+  def alphanumPad(s: UTF8String, len: Int): UTF8String = {
+    val str = s.toString
+    var allDigits = str.nonEmpty
+    var i = 0
+    while (allDigits && i < str.length) {
+      if (!Character.isDigit(str.charAt(i))) allDigits = false
+      i += 1
+    }
+    if (allDigits && str.length <= len)
+      UTF8String.fromString(("0" * (len - str.length)) + str)
+    else s
+  }
+
+  /** UTF8String character n-grams → xxhash-style longs, distinct, one pass.
+    * Kernel for the shingle stage of MinHash dedup.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](s.length - n + 1)
+    var i = 0
+    while (i + n <= s.length) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 over the n chars
+      var j = i
+      while (j < i + n) { h ^= s.charAt(j); h *= 1099511628211L; j += 1 }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. Composed from codegen'd
+  * built-ins (plus [[GraftExpressions]] kernels) — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish tokens: word pieces plus standalone punctuation — the unit a
+    * byte-pair tokenizer would start from.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Stopword sets for the n-gram/stopword language-ID heuristic. Tiny,
+    * high-frequency function words per language.
+    */
+  val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
+
+  /** Per-language overlap score: |tokens ∩ stopwords| / |tokens|. */
+  def langScore(text: Column, lang: String): Column = {
+    val toks = array_distinct(tokens(text))
+    size(array_intersect(toks, array(StopwordSets(lang).map(lit): _*)))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** CJK-character ratio (the zh detector). */
+  def cjkRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Heuristic language ID: highest stopword-overlap wins; CJK ratio > 0.2
+    * short-circuits to zh; ties resolve in fixed en>de>fr>es order.
+    */
+  def languageId(text: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scores = langs.map(l => l -> langScore(text, l))
+    val best = scores.tail.foldLeft(lit("en") -> scores.head._2) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    when(cjkRatio(text) > 0.2, lit("zh"))
+      .when(best._2 > 0, best._1)
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: long-enough, low punctuation noise, healthy
+    * mean word length, some stopwords (prose-ness). Fixed double arithmetic
+    * (IEEE, same in any engine).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = tokenCount(text).cast("double")
+    val punctRatio = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val meanWordLen = nChars / greatest(nToks, lit(1.0))
+    val lengthOk = when(nToks >= 20, lit(1.0)).otherwise(nToks / lit(20.0))
+    val punctOk = when(punctRatio <= 0.1, lit(1.0)).otherwise(lit(1.0) - punctRatio)
+    val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    val stopOk = when(langScore(text, "en") > 0, lit(1.0)).otherwise(lit(0.5))
+    lit(0.4) * lengthOk + lit(0.2) * punctOk + lit(0.2) * wordLenOk + lit(0.2) * stopOk
+  }
+
+  /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the
+    * rolling fingerprint.
+    */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t))
+
+  /** Winnowing-style document fingerprint over `window`-token shingles. */
+  def fingerprint(text: Column, window: Int = 5): Column =
+    GraftExpressions.rolling_fingerprint(tokenHashes(text), window)
+
+  /** 64-bit SimHash of the document's token set. */
+  def simhash(text: Column): Column =
+    GraftExpressions.simhash64(tokenHashes(text))
+}

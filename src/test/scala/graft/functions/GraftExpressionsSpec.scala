@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.GraftExpressions._
+
+class GraftExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("to_alphanum pads digit strings, passes others through") {
+    val df = Seq("1", "12345", "ABC1", "", "12345678901").toDF("s")
+      .select(to_alphanum($"s", 10).as("a"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("0000000001", "0000012345", "ABC1", "", "12345678901"))
+  }
+
+  test("to_alphanum survives whole-stage codegen over many rows") {
+    val n = 1000
+    val got = spark.range(n).select(to_alphanum($"id".cast("string"), 10).as("a"))
+      .agg(count(when(length($"a") === 10, 1))).as[Long].head()
+    assert(got == n)
+  }
+
+  test("cosine_sim: known values, deterministic") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),   // identical → 1
+      (Array(1f, 0f), Array(0f, 1f)),   // orthogonal → 0
+      (Array(1f, 2f), Array(2f, 3f))
+    ).toDF("a", "b").select(cosine_sim($"a", $"b").as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - 0.9922778767136677) < 1e-12)
+  }
+
+  test("hamming64") {
+    val df = Seq((0L, 0L), (0L, 1L), (-1L, 0L), (0xF0L, 0x0FL))
+      .toDF("a", "b").select(hamming64($"a", $"b").as("h"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 1, 64, 8))
+  }
+
+  test("shingle_hashes: distinct n-grams, deterministic across calls") {
+    val df = Seq("abcabc").toDF("s").select(shingle_hashes($"s", 3).as("h"))
+    val got = df.as[Seq[Long]].head()
+    // "abcabc" has 4 trigrams: abc, bca, cab, abc → 3 distinct
+    assert(got.length == 3)
+    assert(got.distinct.length == 3)
+    val again = Seq("abcabc").toDF("s").select(shingle_hashes($"s", 3).as("h"))
+      .as[Seq[Long]].head()
+    assert(got == again)
+  }
+
+  test("minhash_signature: similar sets → similar signatures") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and agaim"), // 1 char off
+      ("c", "completely different content about spark catalyst expressions")
+    ).toDF("id", "text")
+      .select($"id", minhash_signature(shingle_hashes($"text", 5), 64).as("sig"))
+    val sigs = df.as[(String, Seq[Long])].collect().toMap
+    def overlap(x: Seq[Long], y: Seq[Long]) =
+      x.zip(y).count { case (a, b) => a == b }.toDouble / x.length
+    assert(overlap(sigs("a"), sigs("b")) > 0.5)
+    assert(overlap(sigs("a"), sigs("c")) < 0.2)
+  }
+
+  test("simhash64: near-identical texts → small hamming distance") {
+    val df = Seq(
+      ("a", "spark streaming join aggregate filter window shuffle partition"),
+      ("b", "spark streaming join aggregate filter window shuffle partitions"),
+      ("c", "entirely unrelated words banana apple orange grape melon kiwi")
+    ).toDF("id", "text")
+      .select($"id", TextAnalysis.simhash($"text").as("fp"))
+    val fps = df.as[(String, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(fps("a"), fps("b")) < 12)
+    assert(ham(fps("a"), fps("c")) > 16)
+  }
+
+  test("rolling_fingerprint: equal docs equal, shifted prefix still matches window min") {
+    val base = "one two three four five six seven eight nine ten"
+    val df = Seq(("a", base), ("b", base), ("c", "x y " + base))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.fingerprint($"text", 5).as("fp"))
+    val fps = df.as[(String, Long)].collect().toMap
+    assert(fps("a") == fps("b"))
+    // prefix-shifted doc still contains all original windows → same min or lower
+    assert(fps("c") <= fps("a"))
+  }
+
+  test("projection_bits: deterministic, close vectors same bucket more often") {
+    val df = Seq(
+      ("a", Array.fill(8)(1.0f)),
+      ("b", Array.fill(8)(1.01f)),
+      ("c", Array.fill(8)(-1.0f))
+    ).toDF("id", "v").select($"id", projection_bits($"v", 10, 8).as("bits"))
+    val bits = df.as[(String, Int)].collect().toMap
+    assert(bits("a") == bits("b")) // nearly identical vectors
+    assert(bits("a") != bits("c")) // opposite vectors
+  }
+
+  test("expressions run inside WholeStageCodegen (plan check)") {
+    // the "*(n)" stage prefix marks operators fused into whole-stage codegen
+    val plan = spark.range(10)
+      .select(to_alphanum($"id".cast("string"), 10).as("a"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [toalphanum"), plan)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 0/1 exact dups; 2/3 near-dups (1 word changed);
+  // 4 unique; 5/6 near-dup pair with small edit
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (2L, "spark executes queries with catalyst optimizer and tungsten engine for speed"),
+    (3L, "spark executes queries with catalyst optimizer and tungsten engine for speedy"),
+    (4L, "completely unrelated document about cooking recipes and kitchen equipment lists"),
+    (5L, "large language models train on deduplicated web corpora for better quality"),
+    (6L, "large language models train on deduplicated web corpora for better qualities")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+    assert(got.count() == 6) // 7 docs, one exact pair
+    val dup = got.where($"n_copies" === 2).select("keep_id").as[Long].collect()
+    assert(dup.toSeq == Seq(0L))
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 5, k = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(pairs.contains((5L, 6L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard verify: exact pair has jaccard 1.0") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val cands = Dedup.minhashCandidates(sigs, "doc_id")
+    val j = Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.0)
+      .where($"id_a" === 0 && $"id_b" === 1).select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash near-dup finds planted pairs via pigeonhole banding") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("embedding near-dup finds near-identical vectors only") {
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => math.sin(i.toDouble).toFloat)),
+      (1L, Array.tabulate(16)(i => math.sin(i.toDouble).toFloat * 1.001f)),
+      (2L, Array.tabulate(16)(i => math.cos(i * 2.0 + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+        dim = 16, threshold = 0.999, numPlanes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("minhash candidates: no quadratic blowup — bucket cap filters degenerate buckets") {
+    // 50 identical docs would form a 50-wide bucket in every band
+    val many = (0L until 50L).map(i => (i, "same same same same same text"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(many, "doc_id", "text")
+    val capped = Dedup.minhashCandidates(sigs, "doc_id", maxBucket = 10)
+    assert(capped.count() == 0) // all buckets over cap → dropped
+    val uncapped = Dedup.minhashCandidates(sigs, "doc_id", maxBucket = 1000)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+
+  test("near-dup scan over real documents table runs and is plausible") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.8)
+    val n = pairs.count()
+    assert(n >= 0 && n < 500) // sanity: not everything is a near-dup
+  }
+}

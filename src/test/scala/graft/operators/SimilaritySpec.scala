@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.where($"vec_id" < 5)
+    .select($"vec_id".alias("query_id"), $"embedding")
+
+  test("bruteForceTopK returns k ranked neighbors per query, no self-match") {
+    val got = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 10)
+    val counts = got.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 5 && counts.values.forall(_ == 10))
+    assert(got.where($"neighbor_id" === $"query_id").count() == 0)
+    // ranks are 1..10 with descending cosine
+    val r = got.where($"query_id" === 0).orderBy("rank")
+      .select("cosine").as[Double].collect()
+    assert(r.length == 10 && r.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("bruteForceTopK matches a window-rank reference implementation") {
+    import graft.functions.GraftExpressions.cosine_sim
+    val q = broadcast(queries.select($"query_id", $"embedding".alias("_qv")))
+    val ref = emb.join(q, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".alias("neighbor_id"),
+        cosine_sim($"embedding", $"_qv").alias("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id")))
+      .where($"rank" <= 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "query_id", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("lshTopK recall vs exact baseline is reasonable at small plane count") {
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5)
+    val approx = Similarity.lshTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, dim = 64, numPlanes = 4)
+    val recall = Similarity.recallAtK(exact, approx)
+    // 4 planes → 16 buckets over 500 vecs; multi-probe widens to 5 buckets
+    // per query. Must beat random chance (1%) by a wide margin.
+    assert(recall > 0.3, s"recall=$recall")
+    val singleProbe = Similarity.lshTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, dim = 64, numPlanes = 4,
+      multiProbe = false)
+    assert(recall >= Similarity.recallAtK(exact, singleProbe))
+  }
+
+  test("brute force plan broadcasts queries (no full shuffle of corpus)") {
+    val plan = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}
