@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.Cdc
+
+/** Durable last-committed-transaction ledger (ST6) — the checkpoint analog
+  * of the reference's watermark storage (Kafka transaction topic; formerly
+  * the DELTAINFO table, `S4HanaProducer.java:118-144`). Atomic via
+  * write-temp + move.
+  */
+class TxidLedger(path: String) {
+  def read(): Long = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+    else -1L
+  }
+  def commit(txid: Long): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, txid.toString.getBytes("UTF-8"))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** The streaming delta-poll loop (§3.1 of SURVEY.md) as a Structured
+  * Streaming job: each micro-batch applies the commit-order watermark,
+  * folds the window's changed KEYS against the current SOURCE table (the
+  * reference's model: triggers log keys into PKLOG, payloads come from the
+  * master, `S4HanaTableMapping.java:444-471`), and merges the folded
+  * envelope into the replica store — advancing the durable watermark ONLY
+  * after the sink commit, so a crash replays the window and the idempotent
+  * merge converges (at-least-once upstream, exactly-once effect, ST4).
+  *
+  * @param source    supplier of the current master/source table state
+  * @param store     the replica being maintained
+  * @param ledger    durable last-committed txid
+  * @param keyJoin   (changeFeedKeyCol, sourceKeyCol) pairs
+  * @param openTxns  supplier of currently in-flight transactions (the HANA
+  *                  m_transactions analog; empty when unused)
+  */
+class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
+    store: UpsertStore, ledger: TxidLedger,
+    keyJoin: Seq[(String, String)],
+    openTxns: () => Seq[Watermark.OpenTxn] = () => Nil,
+    nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000) {
+
+  /** Process one change-feed micro-batch (also usable un-streamed for
+    * batch backfills and tests). The feed needs only key + txid columns.
+    */
+  def processBatch(changeFeed: DataFrame, batchId: Long): Unit = {
+    val from = ledger.read()
+    val safe = Watermark.maxSafeTransactionId(
+      changeFeed, Cdc.TransactionId, openTxns(), from, nowEpochSec())
+    if (safe <= from) return // watermark unchanged → skip (early-exit)
+    Watermark.latencyAlert(openTxns(), nowEpochSec())
+      .foreach(msg => spark.sparkContext.setJobDescription(msg))
+    val folded = Cdc.delta(changeFeed, source(), keyJoin, lo = from, hi = safe)
+    store.merge(folded)
+    ledger.commit(safe) // watermark advances only after the sink commit
+  }
+
+  /** Run as a Structured Streaming query over a streaming change feed. */
+  def start(changeFeedStream: DataFrame, checkpointDir: String,
+      intervalMs: Long = 1000): StreamingQuery =
+    changeFeedStream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+}
+
+/** Consumer-side CDC apply: the change feed already carries the envelope
+  * (`_change_type`, `_transactionid`) and the full row payload — the shape
+  * the reference's producer publishes to Kafka. Collapse to the latest
+  * change per key (last-write-wins by txid) and merge into the replica.
+  */
+object CdcApply {
+  def applyChanges(store: UpsertStore, batch: DataFrame, pkCols: Seq[String]): Unit = {
+    val payload = batch.columns.toSeq.filterNot(pkCols.contains)
+    val latest = batch
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(Cdc.TransactionId)).alias("_p"))
+      .select(pkCols.map(col) ++ payload.map(c => col(s"_p.$c").alias(c)): _*)
+    store.merge(latest)
+  }
+}
+
+/** Windowed / sessionized event aggregation (ST8 — the extension the
+  * reference lacks): event-time tumbling windows and session windows with
+  * watermark-bounded state, Structured-Streaming-native.
+  */
+object EventWindows {
+
+  /** Tumbling event-time counts per key. `tsCol` must be a TimestampType
+    * column; late data beyond `lateness` is dropped from state.
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).alias("n"), sum(col("value")).alias("sum_value"))
+
+  /** Session windows (gap-based) per key. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).alias("n"))
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+
+/** A bucket-partitioned, idempotent keyed store — the engine's upsert sink
+  * (the reference's downstream compacted-topic / replica-table analog,
+  * ST4/ST6).
+  *
+  * Layout: parquet files under `dir/_bucket=N/`, with bucket =
+  * `pmod(hash(pk), numBuckets)`.
+  * A merge rewrites ONLY the buckets that contain changed keys — at 100 TB
+  * with a poll window touching few keys, that is a handful of buckets, not
+  * the table. The write uses dynamic partition overwrite, so untouched
+  * buckets are never read or written. In production the same merge maps to
+  * Delta/Iceberg MERGE INTO; this parquet implementation keeps the engine
+  * dependency-free and the semantics identical (last-write-wins by PK,
+  * delete removes the row).
+  *
+  * Idempotence: applying the same folded batch twice yields the same store
+  * (upserts overwrite by PK, deletes of absent keys are no-ops) — the
+  * replay guarantee the reference gets from UPSERT row types
+  * (`S4HanaProducer.java:434-441`).
+  */
+class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
+    numBuckets: Int = 16) {
+
+  private val bucketCol = "_bucket"
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn(bucketCol, pmod(hash(pkCols.map(col): _*), lit(numBuckets)))
+
+  def exists: Boolean = new java.io.File(dir).exists()
+
+  private def schemaFile = new java.io.File(dir, "_graft_schema.json")
+
+  private def savedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(new String(
+      java.nio.file.Files.readAllBytes(schemaFile.toPath), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Current snapshot (no envelope columns). Reads with the persisted
+    * schema so a store whose rows were all deleted stays readable.
+    */
+  def snapshot(): DataFrame = {
+    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
+    spark.read.schema(savedSchema).parquet(dir).drop(bucketCol)
+  }
+
+  /** Initialize from an initial-load frame (envelope columns are dropped;
+    * every row is an insert).
+    */
+  def initialize(initialLoad: DataFrame): Unit = {
+    val data = withBucket(initialLoad.drop(Cdc.ChangeType, Cdc.TransactionId))
+    data.write.partitionBy(bucketCol).mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(schemaFile.toPath,
+      data.schema.json.getBytes("UTF-8"))
+  }
+
+  /** Apply one folded CDC batch (`_change_type` 'A'/'D' + `_transactionid` +
+    * full row). Rewrites only the buckets containing batch keys.
+    */
+  def merge(folded: DataFrame): Unit = {
+    val batch = withBucket(folded).cache()
+    try {
+      val changedBuckets = batch.select(bucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (changedBuckets.isEmpty) return
+      val existing = spark.read.parquet(dir)
+        .where(col(bucketCol).isin(changedBuckets.toSeq: _*))
+      val batchKeys = batch.select(pkCols.map(col): _*).distinct()
+      val kept = existing.join(broadcast(batchKeys), pkCols, "left_anti")
+      val upserts = withBucket(batch
+        .where(col(Cdc.ChangeType) === Cdc.Upsert)
+        .drop(Cdc.ChangeType, Cdc.TransactionId, bucketCol))
+      // materialize BEFORE the overwrite: the merged plan reads the very
+      // files the write below replaces (localCheckpoint cuts the lineage)
+      val merged = kept.unionByName(upserts).localCheckpoint(true)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.write.partitionBy(bucketCol).mode("overwrite").parquet(dir)
+      // a bucket whose rows were ALL deleted is absent from `merged` and
+      // dynamic overwrite leaves its old files — drop such buckets directly
+      val survivors = merged.select(bucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      (changedBuckets -- survivors).foreach { b =>
+        val d = new java.io.File(dir, s"$bucketCol=$b")
+        if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      }
+    } finally batch.unpersist()
+  }
+}

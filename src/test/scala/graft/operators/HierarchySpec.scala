@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.catalog.{ColumnMapping, JoinCondition, Relation, TableMapping}
+
+class HierarchySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val header = Seq(
+    ("SO1", "alice"), ("SO2", "bob"), ("SO3", "carol") // SO3 has no items
+  ).toDF("SALESORDERID", "PARTNER")
+
+  private lazy val items = Seq(
+    ("SO1", 1, "widget"), ("SO1", 2, "gadget"), ("SO2", 1, "gizmo")
+  ).toDF("SALESORDERID", "LINE", "PRODUCT")
+
+  test("nest: child rows become a sorted array-of-structs field") {
+    val got = Hierarchy.nest(header, items,
+      Seq(("SALESORDERID", "SALESORDERID")), "items")
+    val byId = got.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](2)).toMap
+    assert(byId("SO1").map(_.getInt(0)) == Seq(1, 2))
+    assert(byId("SO1").map(_.getString(1)) == Seq("widget", "gadget"))
+    assert(byId("SO2").length == 1)
+    assert(byId("SO3").isEmpty) // left outer: parent kept, empty array
+  }
+
+  test("build from a TableMapping with relations (SO.Header shape)") {
+    val mapping = TableMapping(
+      name = "SO.Header", mastertable = "SO_HEADER",
+      columnmappings = Seq(
+        ColumnMapping("SALESORDERID", "SALESORDERID", "NVARCHAR(10)"),
+        ColumnMapping("PARTNER", "PARTNER", "NVARCHAR(10)")),
+      pkcolumns = Seq("SALESORDERID"),
+      relations = Seq(Relation("SO.Item", "items",
+        Seq(JoinCondition("SALESORDERID", "SALESORDERID")))))
+    val got = Hierarchy.build(mapping, header, Map("SO.Item" -> items))
+    assert(got.columns.toSeq == Seq("SALESORDERID", "PARTNER", "items"))
+    assert(got.count() == 3)
+  }
+
+  test("impactedParents: child change marks only its parent for rebuild") {
+    val changed = Seq(("SO2", 1, "gizmo2")).toDF("SALESORDERID", "LINE", "PRODUCT")
+    val got = Hierarchy.impactedParents(header, changed,
+      Seq(("SALESORDERID", "SALESORDERID")))
+      .select("SALESORDERID").as[String].collect().toSeq
+    assert(got == Seq("SO2"))
+  }
+}

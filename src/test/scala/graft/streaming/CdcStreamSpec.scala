@@ -1,0 +1,209 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Cdc
+
+/** End-to-end streaming CDC: MemoryStream change feed → commit-order
+  * watermark → delta fold → bucket-merge store → ledger advance; plus
+  * replay idempotence and stuck-transaction semantics (ST1-ST7).
+  */
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+
+  // change-feed rows: (id, payload, txid)
+  private def feed(rows: (Long, String, Long)*) =
+    rows.toDF("id", "payload", Cdc.TransactionId)
+
+  private def newStore(dir: String): UpsertStore = {
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "payload")))
+    store
+  }
+
+  test("upsert store: initialize + snapshot round-trip") {
+    val store = newStore(tmp("store"))
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "two"), (3L, "three")))
+  }
+
+  test("merge applies upserts and deletes, only touched buckets rewritten") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val folded = Seq(
+      (Cdc.Upsert, 10L, 2L, "TWO"),     // update
+      (Cdc.Upsert, 11L, 9L, "nine"),    // insert
+      (Cdc.Delete, 12L, 3L, null.asInstanceOf[String]) // delete
+    ).toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    store.merge(folded)
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (9L, "nine")))
+  }
+
+  test("merge is idempotent (replay-safe, ST4)") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val folded = Seq(
+      (Cdc.Upsert, 10L, 2L, "TWO"),
+      (Cdc.Delete, 11L, 1L, null.asInstanceOf[String])
+    ).toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    store.merge(folded)
+    val first = store.snapshot().as[(Long, String)].collect().toSet
+    store.merge(folded) // replay the exact same batch
+    assert(store.snapshot().as[(Long, String)].collect().toSet == first)
+    assert(first == Set((2L, "TWO"), (3L, "three")))
+  }
+
+  test("delete of a whole bucket leaves no stale rows") {
+    val dir = tmp("store")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 2)
+    store.initialize(Cdc.initialLoad(Seq((1L, "a")).toDF("id", "payload")))
+    val folded = Seq((Cdc.Delete, 5L, 1L, null.asInstanceOf[String]))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    store.merge(folded)
+    assert(store.snapshot().count() == 0)
+  }
+
+  test("commit-order watermark: blocked by oldest in-flight txn, 2h horizon") {
+    val log = feed((1L, "x", 100L), (2L, "y", 105L), (3L, "z", 110L))
+    val now = 10000L
+    // no open txns → max logged
+    assert(Watermark.maxSafeTransactionId(log, Cdc.TransactionId, Nil, 0L, now) == 110L)
+    // open txn at 106 → 105
+    assert(Watermark.maxSafeTransactionId(log, Cdc.TransactionId,
+      Seq(Watermark.OpenTxn(106L, now - 30)), 0L, now) == 105L)
+    // stuck txn older than 2h is ignored
+    assert(Watermark.maxSafeTransactionId(log, Cdc.TransactionId,
+      Seq(Watermark.OpenTxn(106L, now - 7300)), 0L, now) == 110L)
+    // watermark never regresses below `from`
+    assert(Watermark.maxSafeTransactionId(log, Cdc.TransactionId,
+      Seq(Watermark.OpenTxn(1L, now)), 50L, now) == 50L)
+  }
+
+  test("latency alerts mirror the 60s/5s thresholds") {
+    val now = 1000L
+    assert(Watermark.latencyAlert(Nil, now).isEmpty)
+    assert(Watermark.latencyAlert(Seq(Watermark.OpenTxn(1, now - 3)), now).isEmpty)
+    assert(Watermark.latencyAlert(Seq(Watermark.OpenTxn(1, now - 30)), now)
+      .exists(_.startsWith("INFO")))
+    assert(Watermark.latencyAlert(Seq(Watermark.OpenTxn(1, now - 90)), now)
+      .exists(_.startsWith("WARN")))
+  }
+
+  // key-only change log (the PKLOG model): (id, txid)
+  private def keyFeed(rows: (Long, Long)*) =
+    rows.toDF("id", Cdc.TransactionId)
+
+  test("processBatch: fold + merge + ledger advance; skip when no new txid") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    // source table has moved ahead of the replica: 2 updated, 4 inserted
+    val source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (4L, "four"))
+      .toDF("id", "payload")
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")))
+    job.processBatch(keyFeed((2L, 10L), (4L, 11L)), 0)
+    assert(ledger.read() == 11L)
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (3L, "three"), (4L, "four")))
+    // replay the same feed: window (11, 11] is empty → no-op
+    job.processBatch(keyFeed((2L, 10L), (4L, 11L)), 1)
+    assert(ledger.read() == 11L)
+  }
+
+  test("deleted source row folds to D and leaves the replica") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    val source = Seq((1L, "one"), (2L, "two")).toDF("id", "payload") // 3 gone
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")))
+    job.processBatch(keyFeed((3L, 20L)), 0)
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "two")))
+  }
+
+  test("fold window honors the watermark: uncommitted txns stay invisible") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    var source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"))
+      .toDF("id", "payload")
+    var open: Seq[Watermark.OpenTxn] = Seq(Watermark.OpenTxn(11L, 9990L))
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")), openTxns = () => open, nowEpochSec = () => 10000L)
+    // txid 12 is logged but txn 11 is still open → only ≤10 visible
+    job.processBatch(keyFeed((2L, 10L), (5L, 12L)), 0)
+    assert(ledger.read() == 10L)
+    assert(!store.snapshot().as[(Long, String)].collect().toMap.contains(5L))
+    // txn 11 commits (and key 5's row is now in the source) → poll reads 12
+    open = Nil
+    source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (5L, "five"))
+      .toDF("id", "payload")
+    job.processBatch(keyFeed((2L, 10L), (5L, 12L)), 1)
+    assert(ledger.read() == 12L)
+    assert(store.snapshot().as[(Long, String)].collect().toMap.get(5L)
+      .contains("five"))
+  }
+
+  test("end-to-end via Structured Streaming MemoryStream") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    @volatile var source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"),
+      (9L, "nine")).toDF("id", "payload")
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = job.start(ms.toDF().toDF("id", Cdc.TransactionId), tmp("ckpt"))
+    ms.addData((2L, 20L), (9L, 21L))
+    q.processAllAvailable()
+    source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (9L, "NINE"))
+      .toDF("id", "payload")
+    ms.addData((9L, 22L))
+    q.processAllAvailable()
+    q.stop()
+    val got = store.snapshot().as[(Long, String)].collect().toMap
+    assert(ledger.read() == 22L)
+    assert(got(2L) == "TWO" && got(9L) == "NINE")
+  }
+
+  test("consumer-side apply: envelope feed folds last-write-wins into store") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val batch = Seq(
+      (Cdc.Upsert, 30L, 2L, "v30"),
+      (Cdc.Upsert, 31L, 2L, "v31"),   // later change to same key wins
+      (Cdc.Delete, 32L, 3L, null.asInstanceOf[String]),
+      (Cdc.Upsert, 33L, 7L, "seven")
+    ).toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    CdcApply.applyChanges(store, batch, Seq("id"))
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "v31"), (7L, "seven")))
+  }
+
+  test("event-time windows: tumbling + session (ST8 extension)") {
+    val ev = Seq(
+      ("2024-01-01 00:00:10", "a", 1.0),
+      ("2024-01-01 00:00:50", "a", 2.0),
+      ("2024-01-01 00:05:10", "a", 3.0),
+      ("2024-01-01 00:00:30", "b", 4.0)
+    ).toDF("ts_s", "k", "value")
+      .select(to_timestamp($"ts_s").alias("ts"), $"k", $"value")
+    val tumbling = EventWindows.tumblingCounts(ev, "ts", "k", "1 minute", "10 minutes")
+    val rows = tumbling.select($"k", $"n", $"sum_value").as[(String, Long, Double)]
+      .collect().toSet
+    assert(rows == Set(("a", 2L, 3.0), ("a", 1L, 3.0), ("b", 1L, 4.0)))
+    val sessions = EventWindows.sessionCounts(ev, "ts", "k", "2 minutes", "10 minutes")
+    val s = sessions.select($"k", $"n").as[(String, Long)].collect().toSet
+    assert(s == Set(("a", 2L), ("a", 1L), ("b", 1L)))
+  }
+}
