@@ -317,6 +317,26 @@ object SparkEntry {
         .select(col("vec_id").alias("query_id"), col("embedding"))
       Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         "query_id", k = 10, dim = 64, numPlanes = 8)
+    }),
+
+    // ── Multimodal columns (binary payload + typed metadata) ──────────────
+    "q_mm_metadata" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .assetsFromDocuments(s, t(s, dir, "documents")).toDF()
+        .select(col("asset_id"), length(col("media")).alias("n_bytes"),
+          col("mime"))
+    }),
+
+    // Stub decode + batched feature extraction (rows-only: stub outputs).
+    "q_mm_decode_features" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal
+        .assetsFromDocuments(s, t(s, dir, "documents"))
+      val meta = graft.multimodal.Multimodal.decode(assets).toDF()
+        .select(col("asset_id"), col("mime"), col("width"), col("height"),
+          col("n_frames"))
+      val feats = graft.multimodal.Multimodal.extractFeatures(assets, dim = 16)
+        .toDF().select(col("asset_id"), col("features"))
+      meta.join(feats, "asset_id")
     })
   )
 
@@ -475,6 +495,14 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
         |  FROM embeddings d, embeddings q
         |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_mm_metadata" ->
+      """SELECT doc_id AS asset_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image/png'
+        |                    WHEN 1 THEN 'audio/wav'
+        |                    ELSE 'video/mp4' END AS mime
+        |FROM documents""".stripMargin
   )
 }

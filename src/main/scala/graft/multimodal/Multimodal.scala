@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, processed by batched `mapPartitions` stages (the Scala
+  * analog of arrow-batched pandas UDFs — one decoder/model invocation per
+  * batch, not per row).
+  *
+  * The actual codec/model calls are STUBS (this container has no image or
+  * audio libraries): `StubCodecs` produces deterministic fake outputs from
+  * the bytes alone. Everything Spark-side — schemas, encoders, batch
+  * shapes, partition sizing, the explode for frame sampling — is real and
+  * tested; swapping a stub for a JNI/ONNX call changes one function body.
+  */
+object Multimodal {
+
+  /** A media asset row: opaque payload + mime + source metadata. */
+  case class Asset(asset_id: Long, media: Array[Byte], mime: String)
+
+  /** Decoded metadata (what a real codec would return). */
+  case class DecodedAsset(asset_id: Long, media: Array[Byte], mime: String,
+      width: Int, height: Int, n_frames: Int, duration_ms: Long)
+
+  /** Extracted feature row. */
+  case class AssetFeatures(asset_id: Long, features: Array[Float])
+
+  /** A sampled frame. */
+  case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Deterministic fake codecs — STUB layer. A real deployment implements
+    * these against image/audio libraries; signatures and batch shapes are
+    * the contract.
+    */
+  object StubCodecs {
+    private def h(bytes: Array[Byte], salt: Long): Long = {
+      var acc = salt
+      var i = 0
+      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
+      graft.functions.SketchOps.splitmix64(acc)
+    }
+
+    /** STUB decode: a real implementation parses the container header. */
+    def decode(a: Asset): DecodedAsset = {
+      val x = h(a.media, 1)
+      DecodedAsset(a.asset_id, a.media, a.mime,
+        width = 64 + (x & 0x3ff).toInt,
+        height = 64 + ((x >>> 10) & 0x3ff).toInt,
+        n_frames = if (a.mime.startsWith("video")) 1 + ((x >>> 20) & 0xff).toInt else 1,
+        duration_ms = if (a.mime.startsWith("image")) 0 else ((x >>> 28) & 0xffff).toLong)
+    }
+
+    /** STUB feature extraction: a real implementation batches through an
+      * embedding model. Deterministic unit-normalized vector from bytes.
+      */
+    def features(a: Asset, dim: Int): Array[Float] = {
+      val raw = Array.tabulate(dim)(i => {
+        val v = h(a.media, 1000 + i)
+        (v.toDouble / Long.MaxValue).toFloat
+      })
+      val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      if (norm == 0) raw else raw.map(_ / norm)
+    }
+
+    /** STUB resize: a real implementation re-encodes pixels. Here: tag the
+      * payload with the target size (keeps bytes opaque, changes metadata).
+      */
+    def resize(d: DecodedAsset, w: Int, hgt: Int): DecodedAsset =
+      d.copy(width = w, height = hgt,
+        media = d.media.take(math.max(1, d.media.length / 2)))
+
+    /** STUB frame extraction: a real implementation seeks + decodes. */
+    def frame(a: Asset, idx: Int): Array[Byte] = {
+      val x = h(a.media, 2000 + idx)
+      Array.tabulate(8)(i => ((x >>> (8 * i)) & 0xff).toByte)
+    }
+  }
+
+  /** Decode metadata for every asset. Batched per partition; one iterator
+    * pass, no per-row task overhead.
+    */
+  def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(StubCodecs.decode))
+  }
+
+  /** Feature extraction with an explicit model batch size: rows are grouped
+    * into `batchSize` chunks per partition — the shape a vectorized model
+    * call needs (the arrow-batch analog).
+    */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 64,
+      batchSize: Int = 32): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(batchSize).flatMap { batch =>
+      // a real model runs ONE forward pass over `batch` here
+      batch.map(a => AssetFeatures(a.asset_id, StubCodecs.features(a, dim)))
+    })
+  }
+
+  /** Sample up to `n` evenly spaced frames per video asset (images yield
+    * frame 0 only). Output is one row per frame — downstream ops fan out.
+    */
+  def sampleFrames(assets: Dataset[Asset], n: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val total = StubCodecs.decode(a).n_frames
+      val take = math.min(n, total)
+      val step = math.max(1, total / math.max(take, 1))
+      (0 until take).map(i => Frame(a.asset_id, i * step, StubCodecs.frame(a, i * step)))
+    })
+  }
+
+  /** Build an asset table from the documents fixture (text bytes stand in
+    * for media payloads; mime rotates deterministically).
+    */
+  def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").alias("asset_id"),
+      col("text").cast("binary").alias("media"),
+      element_at(
+        array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).alias("mime"))
+      .as[Asset]
+  }
+}
