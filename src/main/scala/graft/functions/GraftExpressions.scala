@@ -101,6 +101,22 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   }
 
+  /** `jaccard_sorted(array<long>, array<long>)` — exact Jaccard of two
+    * sorted distinct arrays (merge pass; pairs with [[ShingleHashes]]).
+    */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.jaccardSorted($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+      copy(left = l, right = r)
+  }
+
   /** `rolling_fingerprint(array<long>, window)` — winnowing-style min rolling
     * polynomial hash over token-hash windows.
     */
@@ -148,6 +164,7 @@ object GraftExpressions {
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
+  def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
   def rolling_fingerprint(col: Column, window: Int): Column =
     c(RollingFingerprint(e(col), window))

@@ -20,8 +20,17 @@ object SketchOps {
     * `h_k(x) = (a_k * x + b_k) mod p`. SplitMix64 over the index gives
     * well-distributed, reproducible parameters.
     */
-  def hashParamA(i: Int): Long = (splitmix64(2L * i + 1) % (Prime - 1)) .abs + 1
+  def hashParamA(i: Int): Long = (splitmix64(2L * i + 1) % (Prime - 1)).abs + 1
   def hashParamB(i: Int): Long = splitmix64(2L * i + 2).abs % Prime
+
+  /** Parameter tables per k, computed once per JVM — the minhash inner loop
+    * must not recompute splitmix64 per (element × hash function).
+    */
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def params(k: Int): (Array[Long], Array[Long]) =
+    paramCache.computeIfAbsent(k,
+      _ => (Array.tabulate(k)(hashParamA), Array.tabulate(k)(hashParamB)))
 
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -36,6 +45,7 @@ object SketchOps {
     */
   def minhash(elements: ArrayData, k: Int): ArrayData = {
     val n = elements.numElements()
+    val (pa, pb) = params(k)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
@@ -45,8 +55,8 @@ object SketchOps {
       while (j < k) {
         // (a*x+b) mod p with unsigned-ish folding; values < 2^61 so the
         // 128-bit product is emulated via Math.multiplyHigh
-        val a = hashParamA(j)
-        val b = hashParamB(j)
+        val a = pa(j)
+        val b = pb(j)
         val hi = Math.multiplyHigh(a, x)
         val lo = a * x
         // fold 2^64*hi + lo mod (2^61-1): 2^64 ≡ 8 (mod p)
@@ -171,22 +181,46 @@ object SketchOps {
     else s
   }
 
-  /** UTF8String character n-grams → xxhash-style longs, distinct, one pass.
-    * Kernel for the shingle stage of MinHash dedup.
+  /** UTF8String character n-grams → FNV-hashed longs, distinct and SORTED
+    * (sortedness lets [[jaccardSorted]] merge-count in O(n+m)). Kernel for
+    * the shingle stage of MinHash dedup.
     */
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
     if (s.length < n) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.HashSet[Long]()
-    val out = new scala.collection.mutable.ArrayBuffer[Long](s.length - n + 1)
+    val buf = new Array[Long](s.length - n + 1)
     var i = 0
     while (i + n <= s.length) {
       var h = 0xcbf29ce484222325L // FNV-1a 64 over the n chars
       var j = i
       while (j < i + n) { h ^= s.charAt(j); h *= 1099511628211L; j += 1 }
-      if (seen.add(h)) out += h
+      buf(i) = h
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    java.util.Arrays.sort(buf)
+    // dedupe in place (sorted)
+    var w = 0
+    i = 0
+    while (i < buf.length) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, w))
+  }
+
+  /** Exact Jaccard similarity of two SORTED distinct long arrays via a
+    * single merge pass — no per-row hash-set allocation.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
   }
 }

@@ -44,29 +44,35 @@ object Dedup {
     df.select(col(idCol),
       minhash_signature(shingle_hashes(col(textCol), shingleN), k).alias("sig"))
 
-  /** LSH candidate pairs: band the signature, bucket-join, emit (id_a, id_b)
-    * with id_a < id_b. `maxBucket` caps degenerate buckets (e.g. empty or
-    * boilerplate documents all sharing a band): a bucket with b rows emits
-    * b² pairs, so unbounded buckets are the scale killer. Dropped buckets
-    * are counted in the `_dropped_buckets` accumulator-free way: callers
-    * can observe them via [[lshBuckets]] directly.
+  /** LSH candidate pairs: band the signature, group per bucket, expand
+    * in-bucket id combinations, emit (id_a, id_b) with id_a < id_b.
+    *
+    * One shuffle (the bucket groupBy); pair expansion happens map-side from
+    * each bucket's sorted id array — no self-join, no second exchange.
+    * `maxBucket` caps degenerate buckets (boilerplate documents all sharing
+    * a band): a bucket with b rows emits b²/2 pairs, so unbounded buckets
+    * are the scale killer; oversized buckets are dropped.
     */
   def minhashCandidates(signatures: DataFrame, idCol: String,
-      bands: Int = 32, maxBucket: Int = 1000): DataFrame = {
-    val banded = lshBuckets(signatures, idCol, bands)
-    val capped = banded
-      .withColumn("_bucket_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .where(col("_bucket_size") <= maxBucket)
-      .drop("_bucket_size")
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"))
+      bands: Int = 32, maxBucket: Int = 1000): DataFrame =
+    pairsWithinGroups(lshBuckets(signatures, idCol, bands),
+      Seq("band", "band_hash"), idCol, maxBucket)
+
+  /** Shared LSH pair expansion: for every group, emit all id pairs
+    * (a < b) from the group's sorted id list, capped at `maxBucket` members.
+    */
+  private[operators] def pairsWithinGroups(rows: DataFrame, groupCols: Seq[String],
+      idCol: String, maxBucket: Int): DataFrame = {
+    val grouped = rows
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_set(col(idCol))).alias("_ids"))
+      .where(size(col("_ids")) >= 2 && size(col("_ids")) <= maxBucket)
+    val pairs = flatten(transform(col("_ids"), (x, i) =>
+      transform(slice(col("_ids"), i + lit(2), greatest(size(col("_ids")) - i - 1, lit(0))),
+        y => struct(x.alias("id_a"), y.alias("id_b")))))
+    grouped
+      .select(explode(pairs).alias("_p"))
+      .select(col("_p.id_a").alias("id_a"), col("_p.id_b").alias("id_b"))
       .distinct()
   }
 
@@ -86,16 +92,21 @@ object Dedup {
   /** Exact n-gram Jaccard similarity on candidate pairs only (the verify
     * stage after LSH): J = |A∩B| / |A∪B| over distinct shingle hashes.
     */
+  /** @param broadcastSketches true (default) broadcasts the per-doc shingle
+    *   table so candidate pairs never shuffle — right up to ~10M docs of
+    *   sketches; false shuffles the candidate table by id instead (two
+    *   exchanges of the post-LSH pair set) — the 100 TB-corpus plan.
+    */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val shingles = df.select(col(idCol).alias("_sid"),
+      textCol: String, shingleN: Int = 5, threshold: Double = 0.8,
+      broadcastSketches: Boolean = true): DataFrame = {
+    val sh = df.select(col(idCol).alias("_sid"),
       shingle_hashes(col(textCol), shingleN).alias("_sh"))
+    val shingles = if (broadcastSketches) broadcast(sh) else sh
     candidates
       .join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(shingles.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+      .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -116,25 +127,24 @@ object Dedup {
     * must agree on ≥1 chunk), then exact Hamming verify.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      broadcastSketches: Boolean = true): DataFrame = {
     val fp = df.select(col(idCol), TextAnalysis.simhash(col(textCol)).alias("fp"))
     val chunkStructs = (0 until 4).map(i => struct(
       lit(i).alias("chunk"),
       shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("chunk_val")))
     val chunked = fp
-      .select(col(idCol), col("fp"), explode(array(chunkStructs: _*)).alias("_c"))
-      .select(col(idCol), col("fp"), col("_c.chunk").alias("chunk"),
+      .select(col(idCol), explode(array(chunkStructs: _*)).alias("_c"))
+      .select(col(idCol), col("_c.chunk").alias("chunk"),
         col("_c.chunk_val").alias("chunk_val"))
-    val a = chunked.alias("a")
-    val b = chunked.alias("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
-        hamming64(col("a.fp"), col("b.fp")).alias("hamming"))
+    val pairs = pairsWithinGroups(chunked, Seq("chunk", "chunk_val"), idCol, maxBucket)
+    val fpT = if (broadcastSketches) broadcast(fp) else fp
+    pairs
+      .join(fpT.withColumnRenamed(idCol, "id_a").withColumnRenamed("fp", "fp_a"), "id_a")
+      .join(fpT.withColumnRenamed(idCol, "id_b").withColumnRenamed("fp", "fp_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).alias("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Embedding near-dup: same-bucket candidates via random-hyperplane LSH,
