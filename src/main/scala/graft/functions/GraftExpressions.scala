@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeBridge}
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractType
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +24,8 @@ object GraftExpressions {
     * through unchanged.
     */
   case class ToAlphanum(child: Expression, length: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -38,8 +40,9 @@ object GraftExpressions {
     * of an element set (MinHash). One pass per row.
     */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     require(k > 0 && k <= 1024, "k in 1..1024")
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -50,7 +53,9 @@ object GraftExpressions {
   }
 
   /** `simhash64(array<long>)` — 64-bit SimHash of pre-hashed tokens. */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -64,7 +69,9 @@ object GraftExpressions {
     * accumulation in fixed order (bit-deterministic).
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -78,7 +85,8 @@ object GraftExpressions {
 
   /** `hamming64(long, long)` — Hamming distance of two 64-bit fingerprints. */
   case class Hamming64(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(LongType, LongType)
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -90,8 +98,10 @@ object GraftExpressions {
   }
 
   /** `shingle_hashes(string, n)` — distinct FNV-hashed character n-grams. */
-  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
     require(n > 0, "n > 0")
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -105,7 +115,9 @@ object GraftExpressions {
     * sorted distinct arrays (merge pass; pairs with [[ShingleHashes]]).
     */
   case class JaccardSorted(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -121,8 +133,9 @@ object GraftExpressions {
     * polynomial hash over token-hash windows.
     */
   case class RollingFingerprint(child: Expression, window: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     require(window > 0, "window > 0")
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -139,8 +152,9 @@ object GraftExpressions {
     * Planes are generated once on the driver and embedded in the plan.
     */
   case class ProjectionBits(child: Expression, numPlanes: Int, dim: Int, seed: Long)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     require(numPlanes > 0 && numPlanes <= 30, "numPlanes in 1..30")
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
     @transient private lazy val planes = SketchOps.hyperplanes(numPlanes, dim, seed)
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
@@ -170,4 +184,29 @@ object GraftExpressions {
     c(RollingFingerprint(e(col), window))
   def projection_bits(col: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
     c(ProjectionBits(e(col), numPlanes, dim, seed))
+
+  /** Register every kernel as a SQL function (int literals become the
+    * static parameters), so `spark.sql("SELECT simhash64(...)")` works.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def intArg(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("to_alphanum",
+      xs => ToAlphanum(xs.head, if (xs.size > 1) intArg(xs(1)) else 10), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      xs => MinHashSignature(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      xs => SimHash64(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      xs => CosineSim(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming64",
+      xs => Hamming64(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sorted",
+      xs => JaccardSorted(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      xs => ShingleHashes(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_fingerprint",
+      xs => RollingFingerprint(xs.head, intArg(xs(1))), "scala_udf")
+  }
 }

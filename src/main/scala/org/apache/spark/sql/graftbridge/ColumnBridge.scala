@@ -14,3 +14,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Re-export of the `private[sql]` [[org.apache.spark.sql.types.AbstractDataType]]
+  * so custom expressions outside Spark's package can declare `inputTypes`
+  * (required for implicit input casts via `ExpectsInputTypes`).
+  */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}

@@ -99,6 +99,19 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(bits("a") != bits("c")) // opposite vectors
   }
 
+  test("registerAll exposes kernels to SQL") {
+    GraftExpressions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT to_alphanum('42', 6) AS a,
+        |       hamming64(240, 15) AS h,
+        |       jaccard_sorted(array(1L,2L,3L), array(2L,3L,4L)) AS j,
+        |       simhash64(array(7L)) AS s""".stripMargin).head()
+    assert(r.getString(0) == "000042")
+    assert(r.getInt(1) == 8)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getLong(3) == 7L)
+  }
+
   test("expressions run inside WholeStageCodegen (plan check)") {
     // the "*(n)" stage prefix marks operators fused into whole-stage codegen
     val plan = spark.range(10)
