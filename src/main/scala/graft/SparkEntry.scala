@@ -319,6 +319,39 @@ object SparkEntry {
         "query_id", k = 10, dim = 64, numPlanes = 8)
     }),
 
+    // ST8: event-time tumbling window aggregation (ts arrives as a nanos
+    // long under nanosAsLong; derive the µs timestamp).
+    "q_window_tumbling_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_t",
+        timestamp_micros((col("ts") / 1000).cast(LongType)))
+      ev.groupBy(window(col("ts_t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).alias("n"),
+          sum(dec(col("value"))).cast(DoubleType).alias("sum_value"))
+        .select(col("window.start").alias("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // Skew-salted join: hot keys spread across salt buckets; results must
+    // equal the plain join (the oracle IS the plain join).
+    "q_skew_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(
+        ev, c.withColumnRenamed("c_custkey", "user_id"), Seq("user_id"),
+        saltFactor = 4)
+    }),
+
+    // Transitive dedup groups over verified near-dup pairs (rows-only:
+    // pairs come from the custom MinHash kernels).
+    "q_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.2)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).alias("group_size"), min(col("id")).alias("keep_id"))
+    }),
+
     // ── Multimodal columns (binary payload + typed metadata) ──────────────
     "q_mm_metadata" -> ((s, dir) => {
       graft.multimodal.Multimodal
@@ -496,6 +529,44 @@ object SparkEntry {
         |  FROM embeddings d, embeddings q
         |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+
+    "q_window_tumbling_agg" ->
+      """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_en,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |      ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_de,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |      ['le','la','les','et','est','un','une','des','que','pour'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_fr,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |      ['el','la','los','las','y','es','un','una','que','por'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_es,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0.2 THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+        |         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |              WHEN s_fr >= s_es THEN 'fr'
+        |              ELSE 'es' END
+        |       ELSE 'und' END AS detected_lang
+        |FROM s""".stripMargin,
 
     "q_mm_metadata" ->
       """SELECT doc_id AS asset_id,

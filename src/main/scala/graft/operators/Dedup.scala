@@ -147,6 +147,47 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list: groups of transitively
+    * connected documents, labeled by the smallest member id — what a
+    * keep-one-per-group dedup actually consumes (pairs alone under-count
+    * duplicates: {a~b, b~c} is ONE group of three).
+    *
+    * Iterative min-label propagation: each round joins every node's current
+    * label with its neighbors' and keeps the minimum, until no label
+    * changes (or `maxIterations`). Rounds = O(graph diameter); near-dup
+    * graphs are shallow (clusters of mutual similarity), so convergence is
+    * fast. Each round shuffles O(edges) — never materializes anything
+    * quadratic.
+    *
+    * @param pairs (id_a, id_b) undirected edges
+    * @return (id, component) — every node that appears in any pair
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      // neighbor labels: for every edge, the dst's current label flows to src
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").alias("id"), col("component"))
+      val updated = labels.unionByName(neighborLabels)
+        .groupBy("id").agg(min("component").alias("component"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("component", "_old"), "id")
+        .where(col("component") =!= col("_old")).count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: same-bucket candidates via random-hyperplane LSH,
     * exact cosine verify. Bucket width `numPlanes` trades recall for pair
     * count (16 planes ⇒ 65536 buckets).

@@ -73,6 +73,26 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("connectedComponents: transitive groups labeled by min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain {1,2,3}
+      (10L, 11L),                   // pair {10,11}
+      (20L, 21L), (21L, 22L), (20L, 22L) // triangle {20,21,22}
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter test)") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, maxIterations = 50)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 0L))
+    assert(got.length == 31)
+  }
+
   test("near-dup scan over real documents table runs and is plausible") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.8)
