@@ -319,6 +319,21 @@ object SparkEntry {
         "query_id", k = 10, dim = 64, numPlanes = 8)
     }),
 
+    // §3.2 + §3.1 composed: the full change stream a consumer sees —
+    // initial-load INSERT envelope unioned with the delta fold.
+    "q_cdc_stream_union" -> ((s, dir) => {
+      val initial = Cdc.initialLoad(
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_name"), col("c_acctbal")),
+        Some("c_acctbal > 5000"))
+      val delta = Cdc.delta(changeFeed(s, dir),
+          t(s, dir, "customer"), Seq(("user_id", "c_custkey")),
+          lo = 100L, hi = 1000000000L)
+        .select(col(Cdc.ChangeType), col(Cdc.TransactionId),
+          col("user_id").alias("c_custkey"), col("c_name"), col("c_acctbal"))
+      initial.unionByName(delta)
+    }),
+
     // ST8: event-time tumbling window aggregation (ts arrives as a nanos
     // long under nanosAsLong; derive the µs timestamp).
     "q_window_tumbling_agg" -> ((s, dir) => {
@@ -529,6 +544,18 @@ object SparkEntry {
         |  FROM embeddings d, embeddings q
         |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+
+    "q_cdc_stream_union" ->
+      """SELECT 'I' AS _change_type, CAST(NULL AS BIGINT) AS _transactionid,
+        |       c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_acctbal > 5000
+        |UNION ALL
+        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END,
+        |       l._transactionid, l.user_id, c.c_name, c.c_acctbal
+        |FROM (SELECT user_id, max(event_id) AS _transactionid
+        |      FROM events WHERE event_id > 100 AND event_id <= 1000000000
+        |      GROUP BY user_id) l
+        |LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
 
     "q_window_tumbling_agg" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
