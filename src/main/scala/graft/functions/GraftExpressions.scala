@@ -169,6 +169,34 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `st_point(x, y)` — WKB point constructor (ST_POINT carrier, §1.2). */
+  case class StPoint(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(DoubleType, DoubleType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.wkbPoint(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.wkbPoint($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StPoint =
+      copy(left = l, right = r)
+  }
+
+  /** `st_x(wkb)` / `st_y(wkb)` — WKB point coordinate accessors. */
+  case class StCoord(child: Expression, idx: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(idx == 0 || idx == 1, "idx 0=x 1=y")
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wkbPointCoord(v.asInstanceOf[Array[Byte]], idx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.wkbPointCoord($c, $idx)")
+    override protected def withNewChildInternal(c: Expression): StCoord = copy(child = c)
+  }
+
   // ── Column-API wrappers ─────────────────────────────────────────────────
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -185,11 +213,21 @@ object GraftExpressions {
   def projection_bits(col: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
     c(ProjectionBits(e(col), numPlanes, dim, seed))
 
+  def st_point(x: Column, y: Column): Column = c(StPoint(e(x), e(y)))
+  def st_x(wkb: Column): Column = c(StCoord(e(wkb), 0))
+  def st_y(wkb: Column): Column = c(StCoord(e(wkb), 1))
+
   /** Register every kernel as a SQL function (int literals become the
     * static parameters), so `spark.sql("SELECT simhash64(...)")` works.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("st_point",
+      xs => StPoint(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_x",
+      xs => StCoord(xs.head, 0), "scala_udf")
+    reg.createOrReplaceTempFunction("st_y",
+      xs => StCoord(xs.head, 1), "scala_udf")
     def intArg(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("to_alphanum",

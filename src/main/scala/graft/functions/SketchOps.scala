@@ -165,6 +165,31 @@ object SketchOps {
     min
   }
 
+  /** Little-endian WKB encoding of a 2-D point — the engine's carrier for
+    * HANA ST_POINT values (§1.2: geometry maps to BinaryType/WKB).
+    */
+  def wkbPoint(x: Double, y: Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte) // little-endian marker
+    bb.putInt(1)     // geometry type 1 = Point
+    bb.putDouble(x)
+    bb.putDouble(y)
+    bb.array()
+  }
+
+  /** Coordinate (0 = x, 1 = y) of a WKB point, honoring the byte-order
+    * marker; NaN for non-point geometries.
+    */
+  def wkbPointCoord(wkb: Array[Byte], idx: Int): Double = {
+    if (wkb.length < 21) return Double.NaN
+    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
+    if (bb.getInt(1) != 1) return Double.NaN
+    bb.getDouble(5 + idx * 8)
+  }
+
   /** HANA ALPHANUM padding: digit-only strings zero-pad to `len`, everything
     * else passes through (reference workload `VBAK_change.sql:1`).
     */

@@ -152,12 +152,11 @@ object Dedup {
     * keep-one-per-group dedup actually consumes (pairs alone under-count
     * duplicates: {a~b, b~c} is ONE group of three).
     *
-    * Iterative min-label propagation: each round joins every node's current
-    * label with its neighbors' and keeps the minimum, until no label
-    * changes (or `maxIterations`). Rounds = O(graph diameter); near-dup
-    * graphs are shallow (clusters of mutual similarity), so convergence is
-    * fast. Each round shuffles O(edges) — never materializes anything
-    * quadratic.
+    * Iterative min-label propagation with pointer jumping: each round every
+    * node takes the minimum of its own, its neighbors', and its current
+    * label's label (the shortcut step doubles propagation distance, so
+    * convergence is O(log diameter) rounds, not O(diameter)). Each round
+    * shuffles O(edges) — never materializes anything quadratic.
     *
     * @param pairs (id_a, id_b) undirected edges
     * @return (id, component) — every node that appears in any pair
@@ -177,12 +176,19 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").alias("id"), col("component"))
-      val updated = labels.unionByName(neighborLabels)
+      val propagated = labels.unionByName(neighborLabels)
         .groupBy("id").agg(min("component").alias("component"))
+      // pointer jump: follow the label one hop (component ← label(component))
+      val jumped = propagated
+        .join(propagated.select(col("id").alias("component"),
+          col("component").alias("_cc")), Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_cc"), col("component")))
+            .alias("component"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("component", "_old"), "id")
+      changed = jumped.join(labels.withColumnRenamed("component", "_old"), "id")
         .where(col("component") =!= col("_old")).count()
-      labels = updated
+      labels = jumped
       i += 1
     }
     labels

@@ -99,6 +99,21 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(bits("a") != bits("c")) // opposite vectors
   }
 
+  test("st_point/st_x/st_y: WKB round-trip, big-endian tolerated, non-point NaN") {
+    val df = Seq((8.5, -3.25)).toDF("x", "y")
+      .select(st_point($"x", $"y").as("p"))
+      .select(st_x($"p").as("x2"), st_y($"p").as("y2"))
+    assert(df.as[(Double, Double)].head() == ((8.5, -3.25)))
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte); be.putInt(1); be.putDouble(1.5); be.putDouble(2.5)
+    val got = Seq(be.array()).toDF("p").select(st_x($"p"), st_y($"p"))
+      .as[(Double, Double)].head()
+    assert(got == ((1.5, 2.5)))
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("p").select(st_x($"p"))
+      .as[Double].head()
+    assert(bad.isNaN)
+  }
+
   test("registerAll exposes kernels to SQL") {
     GraftExpressions.registerAll(spark)
     val r = spark.sql(
