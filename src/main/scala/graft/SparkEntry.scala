@@ -177,6 +177,25 @@ object SparkEntry {
           .alias("next_key_alphanum"))
     }),
 
+    // §2.7 date/time arithmetic: add_days / add_seconds analogs
+    // (S4HanaProducer.java:331, :475) on a fixed base column.
+    "q_f_datetime" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 7).cast(TimestampType).alias("plus7d"),
+        (col("o_orderdate") + expr("INTERVAL 2 HOURS")).alias("plus2h"),
+        year(col("o_orderdate")).alias("o_year"),
+        date_trunc("month", col("o_orderdate")).alias("o_month"))
+    }),
+
+    // Semi-structured payloads: JSON property extraction from the events
+    // stream (the props column every pipeline has).
+    "q_json_props" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).alias("k_val"))
+    }),
+
     // J4: hierarchical parent-child join → nested item array
     // (SO.Header.json relations; rows-only check — nested output).
     "q_j4_nested_object" -> ((s, dir) => {
@@ -472,6 +491,19 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  lpad(CAST(o_orderkey + 1 AS VARCHAR), 10, '0') AS next_key_alphanum
         |FROM orders""".stripMargin,
+
+    "q_f_datetime" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 7 DAY AS plus7d,
+        |  o_orderdate + INTERVAL 2 HOUR AS plus2h,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  date_trunc('month', o_orderdate) AS o_month
+        |FROM orders""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
