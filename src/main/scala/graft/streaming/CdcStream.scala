@@ -30,7 +30,9 @@ class TxidLedger(path: String) {
 }
 
 /** The streaming delta-poll loop (§3.1 of SURVEY.md) as a Structured
-  * Streaming job: each micro-batch applies the commit-order watermark,
+  * Streaming job (micro-batch model per "Structured Streaming: A
+  * Declarative API for Real-Time Applications in Apache Spark",
+  * SIGMOD 2018): each micro-batch applies the commit-order watermark,
   * folds the window's changed KEYS against the current SOURCE table (the
   * reference's model: triggers log keys into PKLOG, payloads come from the
   * master, `S4HanaTableMapping.java:444-471`), and merges the folded
