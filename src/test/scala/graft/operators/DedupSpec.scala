@@ -73,6 +73,21 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("estimated Jaccard tracks exact Jaccard on candidates") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val cands = Dedup.minhashCandidates(sigs, "doc_id")
+    val exact = Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.0)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val est = Dedup.estimatedJaccardVerify(cands, sigs, "doc_id", threshold = 0.0)
+      .select($"id_a", $"id_b", $"jaccard_est").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (pair, e) =>
+      assert(math.abs(e - exact(pair)) < 0.15, s"$pair est=$e exact=${exact(pair)}")
+    }
+  }
+
   test("connectedComponents: transitive groups labeled by min id") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain {1,2,3}
