@@ -197,15 +197,25 @@ object SparkEntry {
     }),
 
     // J4: hierarchical parent-child join → nested item array
-    // (SO.Header.json relations; rows-only check — nested output).
+    // (SO.Header.json relations). The nested ArrayType(StructType) column is
+    // built exactly as a consumer would use it, then flattened back to
+    // scalars (posexplode) purely for the oracle hash — array columns can't
+    // be sorted/hashed by the driver compare.
     "q_j4_nested_object" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+      // childless parents must nest an EMPTY array: a bare struct() of an
+      // unmatched outer row is non-null, so gate it on the child key
+      val nested = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
         .groupBy(o("o_orderkey"))
-        .agg(sort_array(collect_list(struct(
-          col("l_linenumber"), col("l_partkey"), col("l_quantity"))))
+        .agg(sort_array(collect_list(when(l("l_orderkey").isNotNull, struct(
+          col("l_linenumber"), col("l_partkey"), col("l_quantity")))))
           .alias("items"))
+      nested.select(col("o_orderkey"), posexplode_outer(col("items")))
+        .select(col("o_orderkey"), col("pos").cast(LongType).alias("pos"),
+          col("col.l_linenumber").alias("l_linenumber"),
+          col("col.l_partkey").alias("l_partkey"),
+          col("col.l_quantity").alias("l_quantity"))
     }),
 
     // ── Training-data pipeline: dedup + text analysis ─────────────────────
@@ -395,6 +405,8 @@ object SparkEntry {
     }),
 
     // Stub decode + batched feature extraction (rows-only: stub outputs).
+    // The embedding array is folded to scalar summaries (dim + L2-norm² +
+    // first component) for the driver compare — arrays can't be hashed.
     "q_mm_decode_features" -> ((s, dir) => {
       val assets = graft.multimodal.Multimodal
         .assetsFromDocuments(s, t(s, dir, "documents"))
@@ -402,7 +414,13 @@ object SparkEntry {
         .select(col("asset_id"), col("mime"), col("width"), col("height"),
           col("n_frames"))
       val feats = graft.multimodal.Multimodal.extractFeatures(assets, dim = 16)
-        .toDF().select(col("asset_id"), col("features"))
+        .toDF().select(col("asset_id"),
+          size(col("features")).cast(LongType).alias("feat_dim"),
+          round(aggregate(transform(col("features"),
+            x => x.cast(DoubleType) * x.cast(DoubleType)),
+            lit(0.0), (acc, x) => acc + x), 4).alias("feat_norm2_r"),
+          round(element_at(col("features"), 1).cast(DoubleType), 6)
+            .alias("feat0_r"))
       meta.join(feats, "asset_id")
     })
   )
@@ -504,6 +522,15 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events""".stripMargin,
+
+    "q_j4_nested_object" ->
+      """SELECT o.o_orderkey,
+        |  CASE WHEN l.l_orderkey IS NULL THEN NULL
+        |       ELSE row_number() OVER (PARTITION BY o.o_orderkey
+        |         ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity) - 1
+        |  END AS pos,
+        |  l.l_linenumber, l.l_partkey, l.l_quantity
+        |FROM orders o LEFT OUTER JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -50,16 +50,20 @@ object SketchOps {
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val x = elements.getLong(i) & Long.MaxValue // non-negative
+      // reduce x into [0, Prime) FIRST so a*x < 2^61 * 2^61 = 2^122 and every
+      // partial sum below provably fits in 63 bits (no silent wrap)
+      var x = elements.getLong(i) & Long.MaxValue // non-negative
+      x = (x & Prime) + (x >>> 61)
+      if (x >= Prime) x -= Prime
       var j = 0
       while (j < k) {
-        // (a*x+b) mod p with unsigned-ish folding; values < 2^61 so the
-        // 128-bit product is emulated via Math.multiplyHigh
+        // (a*x+b) mod p; the 128-bit product is emulated via Math.multiplyHigh
         val a = pa(j)
         val b = pb(j)
-        val hi = Math.multiplyHigh(a, x)
+        val hi = Math.multiplyHigh(a, x) // < 2^58 since a,x < 2^61
         val lo = a * x
-        // fold 2^64*hi + lo mod (2^61-1): 2^64 ≡ 8 (mod p)
+        // fold 2^64*hi + lo mod (2^61-1): 2^64 ≡ 8 (mod p);
+        // (lo&Prime) < 2^61, (lo>>>61) ≤ 7, hi*8 < 2^61, b < 2^61 → sum < 2^63
         var h = (lo & Prime) + ((lo >>> 61) + hi * 8) + b
         h = (h & Prime) + (h >>> 61)
         if (h >= Prime) h -= Prime

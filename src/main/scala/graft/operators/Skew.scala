@@ -15,13 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which replicating the small side is correct: every
+    * small-side row appears once per salt value, so any join that can emit
+    * an UNMATCHED small-side row ("right"/"full_outer") would duplicate it
+    * saltFactor times.
+    */
+  private val BigSidePreserving =
+    Set("inner", "cross", "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+
   /** Equi-join `big ⋈ small` on `keys`, salted `saltFactor` ways.
     * `small` grows ×saltFactor (it must be the replicable side); the big
-    * side is scanned once with a map-side salt column.
+    * side is scanned once with a map-side salt column. Only big-side-
+    * preserving join types are accepted (see [[BigSidePreserving]]).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 1, "saltFactor > 1")
+    require(BigSidePreserving.contains(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would emit unmatched small-side rows " +
+        s"once per salt replica; use one of $BigSidePreserving")
     val salt = "_salt"
     val bigSalted = big.withColumn(salt,
       pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))

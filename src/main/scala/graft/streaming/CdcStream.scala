@@ -53,13 +53,39 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     openTxns: () => Seq[Watermark.OpenTxn] = () => Nil,
     nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[CdcStreamJob])
+
+  /** Rows observed at or below the committed watermark, cumulatively. The
+    * commit-order guarantee (a txid ≤ the committed watermark never arrives
+    * later) holds only when `openTxns` reports every in-flight transaction
+    * (the reference caps the watermark by the live open-transaction list,
+    * `S4HanaProducer.java:317-368`) OR the feed is a re-readable log. With
+    * the default `openTxns = () => Nil` and an out-of-order push feed, late
+    * rows would otherwise vanish silently — so they are counted and logged.
+    */
+  @volatile var staleRowsSeen: Long = 0L
+
   /** Process one change-feed micro-batch (also usable un-streamed for
     * batch backfills and tests). The feed needs only key + txid columns.
     */
   def processBatch(changeFeed: DataFrame, batchId: Long): Unit = {
     val from = ledger.read()
-    val safe = Watermark.maxSafeTransactionId(
-      changeFeed, Cdc.TransactionId, openTxns(), from, nowEpochSec())
+    // one aggregate pass: max txid beyond the watermark + count of stale
+    // rows (txid ≤ from) that the window filter below would silently drop
+    val stats = changeFeed.agg(
+      max(when(col(Cdc.TransactionId) > from, col(Cdc.TransactionId)))
+        .alias("_max_tx"),
+      count(when(col(Cdc.TransactionId) <= from, lit(1))).alias("_stale"))
+      .head()
+    val stale = stats.getLong(1)
+    if (stale > 0) {
+      staleRowsSeen += stale
+      log.warn(s"batch $batchId: $stale change rows with txid <= committed " +
+        s"watermark $from — EXCLUDED from the fold. Wire a complete openTxns " +
+        "supplier (or make the feed a re-readable log) for at-least-once.")
+    }
+    val maxLogged = if (stats.isNullAt(0)) from else stats.getLong(0)
+    val safe = Watermark.maxSafe(maxLogged, openTxns(), from, nowEpochSec())
     if (safe <= from) return // watermark unchanged → skip (early-exit)
     Watermark.latencyAlert(openTxns(), nowEpochSec())
       .foreach(msg => spark.sparkContext.setJobDescription(msg))

@@ -68,7 +68,9 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       val changedBuckets = batch.select(bucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
       if (changedBuckets.isEmpty) return
-      val existing = spark.read.parquet(dir)
+      // read with the persisted schema: after a batch deletes every remaining
+      // row the store holds no data files, and schema inference would fail
+      val existing = spark.read.schema(savedSchema).parquet(dir)
         .where(col(bucketCol).isin(changedBuckets.toSeq: _*))
       val batchKeys = batch.select(pkCols.map(col): _*).distinct()
       val kept = existing.join(broadcast(batchKeys), pkCols, "left_anti")
@@ -78,8 +80,9 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       // materialize BEFORE the overwrite: the merged plan reads the very
       // files the write below replaces (localCheckpoint cuts the lineage)
       val merged = kept.unionByName(upserts).localCheckpoint(true)
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      merged.write.partitionBy(bucketCol).mode("overwrite").parquet(dir)
+      merged.write.partitionBy(bucketCol)
+        .option("partitionOverwriteMode", "dynamic") // per-write, not session
+        .mode("overwrite").parquet(dir)
       // a bucket whose rows were ALL deleted is absent from `merged` and
       // dynamic overwrite leaves its old files — drop such buckets directly
       val survivors = merged.select(bucketCol).distinct()

@@ -39,6 +39,14 @@ object Watermark {
       .where(col(txidCol) > from)
       .agg(max(col(txidCol)))
       .head().let(r => if (r.isNullAt(0)) from else r.getLong(0))
+    maxSafe(maxLogged, openTxns, from, nowEpochSec, horizonSeconds)
+  }
+
+  /** Pure core of the commit-order watermark, for callers that already hold
+    * the max logged txid.
+    */
+  def maxSafe(maxLogged: Long, openTxns: Seq[OpenTxn], from: Long,
+      nowEpochSec: Long, horizonSeconds: Long = DefaultHorizonSeconds): Long = {
     val blocking = openTxns
       .filter(t => t.startEpochSec > nowEpochSec - horizonSeconds)
     val minOpenMinus1 = blocking.map(_.txid - 1).minOption.getOrElse(Long.MaxValue)

@@ -49,7 +49,14 @@ object HanaTypes {
         case "BIGINT"   => LongType // :625
         case "DECIMAL" | "DEC" => // :627 — 1<=p<=38 matches Spark's max
           DecimalType(p.getOrElse(38), s.getOrElse(if (p.isEmpty) 18 else 0))
-        case "SMALLDECIMAL" => DecimalType(16, 6) // :633 — floating 16-digit
+        case "SMALLDECIMAL" => // :633 — 16-digit FLOATING-scale decimal
+          // (scale range -369..368): honor a declared (p,s) when present
+          // (the reference uses AvroDecimal(length, scale)); otherwise map to
+          // DoubleType — a fixed DecimalType would truncate floating scales
+          (p, s) match {
+            case (Some(pp), _) => DecimalType(math.min(pp, 38), s.getOrElse(0))
+            case _             => DoubleType
+          }
         case "REAL"     => FloatType // :629
         case "DOUBLE" | "FLOAT" => DoubleType // :631
         case "CHAR" | "VARCHAR" | "ALPHANUM" => StringType // :635-637, :656

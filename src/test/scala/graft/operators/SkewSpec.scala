@@ -30,6 +30,17 @@ class SkewSpec extends SparkSpec {
       Set(2L, 7L))
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched small rows") {
+    val big = Seq((1L, "x")).toDF("k", "payload")
+    val small = Seq((1L, "dim1"), (9L, "lonely")).toDF("k", "dim")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer"))
+      assertThrows[IllegalArgumentException](
+        Skew.saltedJoin(big, small, Seq("k"), 4, jt))
+    // left_semi stays correct: each big row emitted at most once
+    val semi = Skew.saltedJoin(big, small, Seq("k"), 4, "left_semi")
+    assert(semi.count() == 1)
+  }
+
   test("keyHistogram surfaces the hot key first") {
     val df = ((1 to 500).map(_ => 42L) ++ Seq(1L, 2L, 3L)).toDF("k")
     val top = Skew.keyHistogram(df, Seq("k"), topN = 1)

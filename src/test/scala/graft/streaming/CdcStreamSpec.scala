@@ -60,6 +60,48 @@ class CdcStreamSpec extends SparkSpec {
     assert(first == Set((2L, "TWO"), (3L, "three")))
   }
 
+  test("merge after every row was deleted still works (schema persisted)") {
+    val dir = tmp("store")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 2)
+    store.initialize(Cdc.initialLoad(Seq((1L, "a"), (2L, "b")).toDF("id", "payload")))
+    val wipe = Seq(
+      (Cdc.Delete, 5L, 1L, null.asInstanceOf[String]),
+      (Cdc.Delete, 5L, 2L, null.asInstanceOf[String]))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    store.merge(wipe)
+    assert(store.snapshot().count() == 0)
+    // the store dir now holds only the schema file — the next merge must
+    // not fall over on schema inference (ADVICE r1)
+    val revive = Seq((Cdc.Upsert, 6L, 7L, "seven"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    store.merge(revive)
+    assert(store.snapshot().as[(Long, String)].collect().toSet == Set((7L, "seven")))
+  }
+
+  test("merge leaves the session partitionOverwriteMode untouched") {
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val store = newStore(tmp("store"))
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") == before)
+  }
+
+  test("stale rows at/below the committed watermark are detected, not silent") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    val source = Seq((1L, "one"), (2L, "TWO")).toDF("id", "payload")
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")))
+    job.processBatch(keyFeed((2L, 10L)), 0)
+    assert(ledger.read() == 10L && job.staleRowsSeen == 0L)
+    // a late row with txid 9 <= committed 10 arrives in the NEXT batch:
+    // excluded from the fold but counted (ADVICE r1)
+    job.processBatch(keyFeed((1L, 9L), (2L, 11L)), 1)
+    assert(job.staleRowsSeen == 1L)
+    assert(ledger.read() == 11L)
+  }
+
   test("delete of a whole bucket leaves no stale rows") {
     val dir = tmp("store")
     val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 2)

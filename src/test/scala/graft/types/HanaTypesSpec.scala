@@ -29,6 +29,15 @@ class HanaTypesSpec extends AnyFunSuite {
     assert(HanaTypes.toSparkType("VARBINARY(2000)") == BinaryType)
   }
 
+  test("SMALLDECIMAL: floating-scale semantics (ADVICE r1)") {
+    // no declared (p,s) → DoubleType (scale floats in -369..368; a fixed
+    // DecimalType would truncate)
+    assert(HanaTypes.toSparkType("SMALLDECIMAL") == DoubleType)
+    // declared (p,s) honored, like the reference's AvroDecimal(length, scale)
+    assert(HanaTypes.toSparkType("SMALLDECIMAL(16,8)") == DecimalType(16, 8))
+    assert(HanaTypes.toSparkType("SMALLDECIMAL(10)") == DecimalType(10, 0))
+  }
+
   test("string/lob/geo mapping") {
     for (s <- Seq("CHAR", "NCHAR", "CLOB", "NCLOB", "TEXT", "SHORTTEXT"))
       assert(HanaTypes.toSparkType(s) == StringType, s)
