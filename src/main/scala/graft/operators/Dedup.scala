@@ -142,17 +142,74 @@ object Dedup {
     jaccardVerify(cands, df, idCol, textCol, shingleN, threshold)
   }
 
-  /** SimHash near-dup: 64-bit fingerprints; pairs within `maxHamming` ≤ 3
-    * found via pigeonhole on 4 × 16-bit chunks (a pair differing in ≤3 bits
-    * must agree on ≥1 chunk), then exact Hamming verify.
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * PPJoin-family algorithm): guaranteed 100% recall at `threshold`,
+    * without LSH's probabilistic misses — the verification-grade similarity
+    * join.
+    *
+    * Tokens are globally ordered by (document frequency asc, hash): a pair
+    * with J ≥ t MUST share a token within each side's first
+    * `n - ceil(t·n) + 1` tokens of that order (if all common tokens sat in
+    * both suffixes, |A∩B| ≤ ceil(t·min(n)) - 1 < t·min(n) ≤ the t·max(n)
+    * lower bound J ≥ t implies). Rarest-first ordering makes prefix buckets
+    * small, so the candidate join stays near-linear at scale:
+    * shuffle₁ document frequencies, shuffle₂ per-doc rank window, shuffle₃
+    * the prefix-token self-join — each O(tokens), never O(docs²).
+    */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, threshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    // maxBucket < MaxValue trades the 100%-recall guarantee for bounded
+    // candidate buckets — an explicit opt-in, never a silent default
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).alias("_id"),
+      shingle_hashes(col(textCol), shingleN).alias("_sh"))
+      .where(size(col("_sh")) > 0)
+    val tokens = sh.select(col("_id"), size(col("_sh")).alias("_n"),
+      explode(col("_sh")).alias("_tok"))
+    val dfreq = tokens.groupBy("_tok").agg(count(lit(1)).alias("_df"))
+    val ranked = tokens.join(dfreq, "_tok")
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))))
+    val prefix = ranked
+      .where(col("_rank") <= col("_n") - ceil(col("_n") * lit(threshold)) + 1)
+    val cands = pairsWithinGroups(prefix, Seq("_tok"), "_id", maxBucket)
+    jaccardVerifyPrepared(cands, sh, threshold)
+  }
+
+  /** Verify candidate pairs against pre-computed sorted shingle arrays. */
+  private def jaccardVerifyPrepared(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = broadcast(sh)
+    candidates
+      .join(s.select(col("_id").alias("id_a"), col("_sh").alias("sh_a")), "id_a")
+      .join(s.select(col("_id").alias("id_b"), col("_sh").alias("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints; COMPLETE pair recovery within
+    * `maxHamming` via pigeonhole banding on `maxHamming + 1` disjoint bit
+    * chunks (a pair differing in ≤ maxHamming bits cannot differ in every
+    * one of maxHamming+1 chunks, so it shares ≥1 bucket), then exact
+    * Hamming verify. Wider radii mean narrower chunks and so bigger
+    * buckets — the candidate count, not recall, is the scale cost.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000,
       broadcastSketches: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming $maxHamming: need 0..31 (chunks must hold ≥2 bits)")
+    val numChunks = maxHamming + 1
+    val widths = Array.tabulate(numChunks)(i =>
+      64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val fp = df.select(col(idCol), TextAnalysis.simhash(col(textCol)).alias("fp"))
-    val chunkStructs = (0 until 4).map(i => struct(
+    val chunkStructs = (0 until numChunks).map(i => struct(
       lit(i).alias("chunk"),
-      shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("chunk_val")))
+      shiftright(col("fp"), starts(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1)).alias("chunk_val")))
     val chunked = fp
       .select(col(idCol), explode(array(chunkStructs: _*)).alias("_c"))
       .select(col(idCol), col("_c.chunk").alias("chunk"),
@@ -212,6 +269,24 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** EXACT embedding near-dup pairs: block-distributed all-pairs cosine.
+    * O(n²/2) comparisons spread across the cluster (Spark plans the `<`
+    * condition join as a broadcast-nested-loop over partition blocks) — the
+    * exact baseline the LSH variant trades recall against. At corpus sizes
+    * where n² is prohibitive, use [[embeddingNearDups]]; below ~10⁶ vectors
+    * the exact join is often cheaper than tuning recall.
+    */
+  def embeddingExactPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val side = df.select(col(idCol), col(vecCol))
+    val a = side.alias("a")
+    val b = side.alias("b")
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
+        cosine_sim(col(s"a.$vecCol"), col(s"b.$vecCol")).alias("cosine"))
+      .where(col("cosine") >= threshold)
   }
 
   /** Embedding near-dup: same-bucket candidates via random-hyperplane LSH,

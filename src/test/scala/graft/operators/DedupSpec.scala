@@ -108,6 +108,50 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 31)
   }
 
+  test("ngramJaccardJoin: prefix filtering equals brute-force all-pairs (exact)") {
+    import graft.functions.GraftExpressions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.3, 0.8)) {
+      val got = Dedup.ngramJaccardJoin(real, "doc_id", "text", 5, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sh = real.select($"doc_id", shingle_hashes($"text", 5).as("sh"))
+      val want = sh.alias("a").join(sh.alias("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          jaccard_sorted($"a.sh", $"b.sh").as("j"))
+        .where($"j" >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"threshold $t: prefix filter missed or added pairs")
+    }
+  }
+
+  test("embeddingExactPairs: matches manual cosine on all pairs") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingExactPairs(vecs, "vec_id", "embedding", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L))) // cos(0,1)=0.994; all others ≤ 0.11
+  }
+
+  test("simhash banding is complete: equals brute-force hamming pairs") {
+    import graft.functions.GraftExpressions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = real.select($"doc_id",
+      graft.functions.TextAnalysis.simhash($"text").as("fp"))
+    val brute = fp.alias("a").join(fp.alias("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        hamming64($"a.fp", $"b.fp").as("h"))
+    // pigeonhole guarantee holds only for maxHamming ≤ chunks-1 = 3
+    val got = Dedup.simhashNearDups(real, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = brute.where($"h" <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("near-dup scan over real documents table runs and is plausible") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.8)
