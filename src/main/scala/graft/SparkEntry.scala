@@ -319,10 +319,13 @@ object SparkEntry {
 
     // EXACT n-gram Jaccard similarity join: prefix filtering (rarest-first
     // global token order) guarantees 100% recall — no LSH probability in
-    // the loop, so the oracle is the plain all-pairs join.
+    // the loop, so the oracle is the plain all-pairs join. Word trigrams,
+    // not char-grams: this corpus's char-5-gram vocabulary is ~2k tokens
+    // (every bucket huge), while word trigrams give ~30k mostly-rare
+    // tokens — prefix buckets stay small and the join near-linear.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardJoin(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 5, threshold = 0.3)
+          shingleN = 3, threshold = 0.8, wordGrams = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard_r"))
     }),
 
@@ -335,11 +338,11 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs: pigeonhole banding is COMPLETE within the
-    // radius (8 chunks for maxHamming 7), exact Hamming verify after.
-    // Rows-only check: the simhash kernel has no SQL equivalent.
+    // radius (4 chunks of 16 bits for maxHamming 3), exact Hamming verify
+    // after. Rows-only check: the simhash kernel has no SQL equivalent.
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 7)
+        maxHamming = 3)
     }),
 
     // Embedding near-dup pairs via hyperplane LSH + exact cosine.
@@ -631,17 +634,21 @@ object SparkEntry {
         |FROM p WHERE jaccard >= 0.5""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM w),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
-        |FROM p WHERE jaccard >= 0.3""".stripMargin,
+        |FROM p WHERE jaccard >= 0.8""".stripMargin,
 
     "q_dedup_groups" ->
       """WITH RECURSIVE sh AS (

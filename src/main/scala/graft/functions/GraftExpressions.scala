@@ -111,6 +111,22 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   }
 
+  /** `word_ngram_hashes(string, n)` — distinct FNV-hashed word n-grams
+    * (whitespace-tokenized, single-space normalized).
+    */
+  case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(n > 0, "n > 0")
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wordNgramHashes(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.wordNgramHashes($c, $n)")
+    override protected def withNewChildInternal(c: Expression): WordNgramHashes = copy(child = c)
+  }
+
   /** `jaccard_sorted(array<long>, array<long>)` — exact Jaccard of two
     * sorted distinct arrays (merge pass; pairs with [[ShingleHashes]]).
     */
@@ -208,6 +224,7 @@ object GraftExpressions {
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
+  def word_ngram_hashes(col: Column, n: Int): Column = c(WordNgramHashes(e(col), n))
   def rolling_fingerprint(col: Column, window: Int): Column =
     c(RollingFingerprint(e(col), window))
   def projection_bits(col: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
@@ -244,6 +261,8 @@ object GraftExpressions {
       xs => JaccardSorted(xs.head, xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
       xs => ShingleHashes(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngram_hashes",
+      xs => WordNgramHashes(xs.head, intArg(xs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_fingerprint",
       xs => RollingFingerprint(xs.head, intArg(xs(1))), "scala_udf")
   }

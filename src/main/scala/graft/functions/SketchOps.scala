@@ -226,10 +226,42 @@ object SketchOps {
       buf(i) = h
       i += 1
     }
+    sortedDistinct(buf)
+  }
+
+  /** Whitespace-token word n-grams → FNV-hashed longs, distinct and SORTED
+    * (the hash equals FNV-1a over the n words joined by single spaces, so
+    * it is tokenization-normalized: runs of whitespace collapse). The
+    * word-level counterpart of [[shingleHashes]] — word n-grams have a far
+    * larger vocabulary than character n-grams, which keeps prefix-filter
+    * buckets small on repetitive corpora.
+    */
+  def wordNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val buf = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64
+      var j = i
+      while (j < i + n) {
+        if (j > i) { h ^= ' '.toInt; h *= 1099511628211L }
+        val w = toks(j)
+        var k = 0
+        while (k < w.length) { h ^= w.charAt(k); h *= 1099511628211L; k += 1 }
+        j += 1
+      }
+      buf(i) = h
+      i += 1
+    }
+    sortedDistinct(buf)
+  }
+
+  /** Sort + in-place dedupe, shared by the shingle kernels. */
+  private def sortedDistinct(buf: Array[Long]): ArrayData = {
     java.util.Arrays.sort(buf)
-    // dedupe in place (sorted)
     var w = 0
-    i = 0
+    var i = 0
     while (i < buf.length) {
       if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
       i += 1

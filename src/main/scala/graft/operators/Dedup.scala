@@ -156,14 +156,21 @@ object Dedup {
     * shuffle₁ document frequencies, shuffle₂ per-doc rank window, shuffle₃
     * the prefix-token self-join — each O(tokens), never O(docs²).
     */
+  /** @param wordGrams true tokenizes into word n-grams (large vocabulary,
+    *   rare-token prefixes — the right choice for repetitive corpora whose
+    *   character-n-gram vocabulary is tiny and every bucket huge); false
+    *   uses character n-grams.
+    */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, threshold: Double = 0.8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue, wordGrams: Boolean = false): DataFrame = {
     // maxBucket < MaxValue trades the 100%-recall guarantee for bounded
     // candidate buckets — an explicit opt-in, never a silent default
     import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(idCol).alias("_id"),
-      shingle_hashes(col(textCol), shingleN).alias("_sh"))
+    val shingler =
+      if (wordGrams) word_ngram_hashes(col(textCol), shingleN)
+      else shingle_hashes(col(textCol), shingleN)
+    val sh = df.select(col(idCol).alias("_id"), shingler.alias("_sh"))
       .where(size(col("_sh")) > 0)
     val tokens = sh.select(col("_id"), size(col("_sh")).alias("_n"),
       explode(col("_sh")).alias("_tok"))
@@ -238,11 +245,19 @@ object Dedup {
     * @param pairs (id_a, id_b) undirected edges
     * @return (id, component) — every node that appears in any pair
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
+      driverEdgeLimit: Long = 4_000_000L): DataFrame = {
     val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .distinct()
       .localCheckpoint(true)
+    // near-dup edge lists are tiny relative to the corpus (a 100 TB corpus
+    // with 1% dup rate yields millions of edges, not billions): below
+    // `driverEdgeLimit` undirected edges, a driver-side union-find replaces
+    // O(log d) distributed rounds with one collect — the iterative
+    // pointer-jumping below remains the arbitrarily-large-graph path
+    val edgeCount = edges.count()
+    if (edgeCount <= driverEdgeLimit) return unionFindLocal(edges)
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -269,6 +284,37 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Driver-side union-find with path halving + union by min label; input
+    * already holds both edge directions, output matches the distributed
+    * path exactly: (id, component = min member id).
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.putIfAbsent(x, x)
+      while (parent.get(x) != x) {
+        val g = parent.get(parent.get(x))
+        parent.put(x, g) // path halving
+        x = g
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union under the smaller label so roots stay minimal
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(id => (id.toLong, find(id)))
+    spark.createDataset(out.toSeq).toDF("id", "component")
   }
 
   /** EXACT embedding near-dup pairs: block-distributed all-pairs cosine.

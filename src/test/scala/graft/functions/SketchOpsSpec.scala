@@ -25,6 +25,19 @@ class SketchOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("wordNgramHashes: whitespace-normalized, distinct, sorted") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def grams(s: String) = SketchOps.wordNgramHashes(UTF8String.fromString(s), 3)
+      .toLongArray().toSeq
+    val a = grams("the quick brown fox jumps")
+    assert(a.length == 3) // 5 words → 3 trigrams
+    assert(a == a.sorted && a.distinct == a)
+    // whitespace runs and padding don't change the grams
+    assert(grams("  the\tquick  brown fox   jumps ") == a)
+    // fewer words than n → empty
+    assert(grams("one two").isEmpty)
+  }
+
   test("minhash signature agreement estimates jaccard (statistical)") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 5) {

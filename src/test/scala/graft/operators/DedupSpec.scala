@@ -88,24 +88,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("connectedComponents: transitive groups labeled by min id") {
+  test("connectedComponents: transitive groups labeled by min id (both paths)") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain {1,2,3}
       (10L, 11L),                   // pair {10,11}
       (20L, 21L), (21L, 22L), (20L, 22L) // triangle {20,21,22}
     ).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find fast path
+    assert(Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap == want)
+    // distributed pointer-jumping path (forced)
+    assert(Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap == want)
   }
 
-  test("connectedComponents converges on a long chain (diameter test)") {
+  test("connectedComponents converges on a long chain (diameter test, both paths)") {
     val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(chain, maxIterations = 50)
-      .as[(Long, Long)].collect()
-    assert(got.forall(_._2 == 0L))
-    assert(got.length == 31)
+    for (limit <- Seq(0L, Long.MaxValue)) {
+      val got = Dedup.connectedComponents(chain, maxIterations = 50,
+        driverEdgeLimit = limit)
+        .as[(Long, Long)].collect()
+      assert(got.forall(_._2 == 0L), s"limit=$limit")
+      assert(got.length == 31, s"limit=$limit")
+    }
   }
 
   test("ngramJaccardJoin: prefix filtering equals brute-force all-pairs (exact)") {
