@@ -87,6 +87,49 @@ object SparkEntry {
       Cdc.initialLoad(t(s, dir, "customer"), Some("c_acctbal > 0"))
     }),
 
+    // P1: arbitrary-SQL column mappings through the TableMapping catalog
+    // path (S4HanaTableMapping.java:683-738 — any scalar SQL per column).
+    "q_p1_expr_projection" -> ((s, dir) => {
+      val m = graft.catalog.TableMapping(
+        name = "cust_proj", mastertable = "customer",
+        columnmappings = Seq(
+          graft.catalog.ColumnMapping("c_custkey", "c_custkey", "BIGINT"),
+          graft.catalog.ColumnMapping("name_up", "upper(c_name)", "NVARCHAR(30)"),
+          graft.catalog.ColumnMapping("bal_x2",
+            "CAST(c_acctbal AS DOUBLE) * 2", "DOUBLE"),
+          graft.catalog.ColumnMapping("seg3",
+            "substring(c_mktsegment, 1, 3)", "NVARCHAR(3)")),
+        pkcolumns = Seq("c_custkey")).validated
+      m.project(t(s, dir, "customer"))
+    }),
+
+    // S7/S8: metadata catalog scan — table/column inventory with ordinals
+    // (the DD02L/table_columns analog; schemas come from the table store).
+    "q_s7_catalog_columns" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.names.flatMap { n =>
+        t(s, dir, n).schema.fields.zipWithIndex.map { case (f, i) =>
+          (n, f.name, i + 1)
+        }
+      }
+      rows.toDF("table_name", "column_name", "ordinal")
+    }),
+
+    // ST2: commit-order watermark as a query — least(max logged, min open
+    // txn - 1) (S4HanaProducer.java:317-368; 'cart' events simulate the
+    // in-flight transaction list).
+    "q_st2_commit_watermark" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val logged = ev.agg(max(col("event_id")).alias("max_logged"))
+      val open = ev.where(col("event_type") === "cart")
+        .agg(min(col("event_id")).alias("min_open"))
+      logged.crossJoin(open).select(
+        least(col("max_logged"),
+          coalesce(col("min_open") - 1, lit(Long.MaxValue)))
+          .alias("safe_watermark"),
+        col("max_logged"), col("min_open"))
+    }),
+
     // ── Relational operators ──────────────────────────────────────────────
     // A1-shape wide aggregation (TPC-H Q1 pricing summary): sums run in
     // exact decimal (order-independent), final cast to DOUBLE — one
@@ -112,6 +155,41 @@ object SparkEntry {
           n("n_regionkey") === r("r_regionkey") && r("r_name") === "ASIA",
           "left_outer")
         .select(n("n_nationkey"), n("n_name"), r("r_name").alias("region_name"))
+    }),
+
+    // J3: metadata-style inner join with a constant conjunct in the
+    // condition + aggregation (S4HanaTableMapping.java:273-276 shape).
+    "q_j3_meta_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderstatus") === "O")
+        .groupBy(c("c_custkey"))
+        .agg(count(lit(1)).alias("n_open"))
+    }),
+
+    // A4: row-count accumulation (per-partition counts summed natively —
+    // S4HanaProducer.java:541-551).
+    "q_a4_rowcount" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).alias("n_rows"))),
+
+    // W3: deterministic ORDER BY projection (metadata ordering,
+    // S4HanaTableMapping.java:277).
+    "q_w3_orderby" -> ((s, dir) =>
+      t(s, dir, "supplier").orderBy(col("s_name")).limit(20)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+
+    // §1.2 geometry: WKB ST_POINT carrier round-trip via native
+    // expressions (build → coordinate extract; 21-byte little-endian WKB).
+    "q_f_geometry" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val pt = GraftExpressions.st_point(
+        col("s_suppkey").cast(DoubleType),
+        col("s_nationkey").cast(DoubleType))
+      su.select(col("s_suppkey"),
+        GraftExpressions.st_x(pt).alias("x"),
+        GraftExpressions.st_y(pt).alias("y"),
+        length(pt).alias("wkb_len"))
     }),
 
     // J5: left-semi "impacted tables" lookup (S4HanaProducer.java:400-420).
@@ -448,6 +526,16 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast(DoubleType), 6)
             .alias("feat0_r"))
       meta.join(feats, "asset_id")
+    }),
+
+    // Frame sampling: one row per sampled frame, evenly spaced — the fan-out
+    // shape video pipelines need (rows-only: stub frame payloads).
+    "q_mm_frame_sample" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal
+        .assetsFromDocuments(s, t(s, dir, "documents"))
+      graft.multimodal.Multimodal.sampleFrames(assets, n = 4).toDF()
+        .select(col("asset_id"), col("frame_idx"),
+          length(col("frame")).alias("n_bytes"))
     })
   )
 
@@ -496,6 +584,42 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_p1_expr_projection" ->
+      """SELECT c_custkey, upper(c_name) AS name_up,
+        |  CAST(c_acctbal AS DOUBLE) * 2 AS bal_x2,
+        |  substring(c_mktsegment, 1, 3) AS seg3
+        |FROM customer""".stripMargin,
+
+    "q_s7_catalog_columns" ->
+      """SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region','nation','customer','supplier','part',
+        |  'orders','lineitem','events','documents','embeddings')""".stripMargin,
+
+    "q_st2_commit_watermark" ->
+      """SELECT least((SELECT max(event_id) FROM events),
+        |  ifnull((SELECT min(event_id) FROM events WHERE event_type = 'cart') - 1,
+        |         9223372036854775807)) AS safe_watermark,
+        |  (SELECT max(event_id) FROM events) AS max_logged,
+        |  (SELECT min(event_id) FROM events WHERE event_type = 'cart') AS min_open""".stripMargin,
+
+    "q_j3_meta_join" ->
+      """SELECT c_custkey, count(*) AS n_open
+        |FROM customer JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderstatus = 'O'
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q_a4_rowcount" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_w3_orderby" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |ORDER BY s_name LIMIT 20""".stripMargin,
+
+    "q_f_geometry" ->
+      """SELECT s_suppkey, CAST(s_suppkey AS DOUBLE) AS x,
+        |  CAST(s_nationkey AS DOUBLE) AS y, 21 AS wkb_len
+        |FROM supplier""".stripMargin,
 
     "q_j2_outer_const_conjunct" ->
       """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
