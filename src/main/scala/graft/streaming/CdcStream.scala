@@ -104,6 +104,36 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
       .start()
 }
 
+/** Replication-latency alerting (ST3) as a [[org.apache.spark.sql.streaming
+  * .StreamingQueryListener]] — the reference warns at >60 s and notes at
+  * >5 s of open-transaction / batch lag (`S4HanaProducer.java:346-357`).
+  * Batch-duration lag stands in for open-txn age on the consumer side.
+  */
+class LatencyListener(onAlert: String => Unit = msg =>
+    org.slf4j.LoggerFactory.getLogger(classOf[LatencyListener]).warn(msg))
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  @volatile var lastBatchMs: Long = -1L
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val ms = e.progress.batchDuration
+    lastBatchMs = ms
+    LatencyListener.alertLevel(ms / 1000).foreach(level =>
+      onAlert(s"$level: micro-batch ${e.progress.batchId} took ${ms} ms"))
+  }
+}
+
+object LatencyListener {
+  /** Pure threshold logic, mirroring Watermark's 60 s / 5 s levels. */
+  def alertLevel(seconds: Long): Option[String] =
+    if (seconds > Watermark.WarnAfterSeconds) Some("WARN")
+    else if (seconds > Watermark.InfoAfterSeconds) Some("INFO")
+    else None
+}
+
 /** Consumer-side CDC apply: the change feed already carries the envelope
   * (`_change_type`, `_transactionid`) and the full row payload — the shape
   * the reference's producer publishes to Kafka. Collapse to the latest

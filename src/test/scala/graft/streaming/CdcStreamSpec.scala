@@ -232,6 +232,38 @@ class CdcStreamSpec extends SparkSpec {
       Set((1L, "one"), (2L, "v31"), (7L, "seven")))
   }
 
+  test("statefulDedup: streaming latest-per-key suppresses replays and stale rows") {
+    import StatefulDedup.KeyedChange
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedChange]
+    val out = StatefulDedup.latestPerKey(ms.toDS(), stateTtl = "")
+    val q = out.writeStream.format("memory").queryName("sd_out")
+      .outputMode("update").start(tmp("sd_ckpt"))
+    // batch 1: two changes to k1 (only txid 12 survives the in-batch fold)
+    ms.addData(KeyedChange("k1", 11, "A", "v11"), KeyedChange("k1", 12, "A", "v12"),
+      KeyedChange("k2", 5, "A", "w5"))
+    q.processAllAvailable()
+    // batch 2: replay of txid 12 (suppressed), stale txid 3 (suppressed),
+    // genuine advance on k2
+    ms.addData(KeyedChange("k1", 12, "A", "v12"), KeyedChange("k2", 3, "A", "stale"),
+      KeyedChange("k2", 9, "D", "w9"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sd_out").as[KeyedChange].collect()
+      .map(r => (r.key, r.txid, r.payload)).toSet
+    assert(got == Set(("k1", 12L, "v12"), ("k2", 5L, "w5"), ("k2", 9L, "w9")))
+  }
+
+  test("latency listener thresholds mirror ST3 (60s warn / 5s info)") {
+    assert(LatencyListener.alertLevel(2).isEmpty)
+    assert(LatencyListener.alertLevel(30).contains("INFO"))
+    assert(LatencyListener.alertLevel(90).contains("WARN"))
+    // listener wiring: alerts flow through the callback on slow batches
+    var alerts = List.empty[String]
+    val l = new LatencyListener(msg => alerts ::= msg)
+    assert(l.lastBatchMs == -1L)
+  }
+
   test("event-time windows: tumbling + session (ST8 extension)") {
     val ev = Seq(
       ("2024-01-01 00:00:10", "a", 1.0),
