@@ -59,6 +59,29 @@ class EngineSpec extends SparkSpec {
     assert(plan.split("BroadcastHashJoin").length >= 4, plan) // 3 dim joins
   }
 
+  test("plan guard: semi-join stays a semi-join (no dedup-then-inner rewrite)") {
+    val plan = SparkEntry.queries("q_j5_semi_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("plan guard: initial-load residual predicate reaches the scan") {
+    val plan = SparkEntry.queries("q_s2_initial_load")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"), plan)
+  }
+
+  test("plan guard: whole-stage codegen covers the custom-kernel pipeline") {
+    // the sketch expressions are codegen'd (doGenCode), so the shingle →
+    // minhash stage must sit inside a WholeStageCodegen span
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text")
+    // the leading "*(n)" marks operators fused into a WholeStageCodegen span
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

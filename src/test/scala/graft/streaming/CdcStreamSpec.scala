@@ -232,6 +232,31 @@ class CdcStreamSpec extends SparkSpec {
       Set((1L, "one"), (2L, "v31"), (7L, "seven")))
   }
 
+  test("crash between sink commit and ledger advance: replay converges (ST4)") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledgerPath = tmp("ledger") + "/txid"
+    val ledger = new TxidLedger(ledgerPath)
+    val source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (7L, "seven"))
+      .toDF("id", "payload")
+    // simulate the crash: the fold + merge land, but the process dies
+    // BEFORE ledger.commit — exactly what processBatch orders guarantee
+    val folded = graft.cdc.Cdc.delta(keyFeed((2L, 10L), (7L, 11L)),
+      source, Seq(("id", "id")), lo = -1L, hi = 11L)
+    store.merge(folded)
+    assert(ledger.read() == -1L) // watermark did NOT advance
+    val afterCrash = store.snapshot().as[(Long, String)].collect().toSet
+    // restart: a fresh job re-reads the same window and replays the merge
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")))
+    job.processBatch(keyFeed((2L, 10L), (7L, 11L)), 0)
+    assert(ledger.read() == 11L)
+    // idempotent merge → no divergence vs the pre-crash state
+    assert(store.snapshot().as[(Long, String)].collect().toSet == afterCrash)
+    assert(afterCrash ==
+      Set((1L, "one"), (2L, "TWO"), (3L, "three"), (7L, "seven")))
+  }
+
   test("statefulDedup: streaming latest-per-key suppresses replays and stale rows") {
     import StatefulDedup.KeyedChange
     implicit val sqlCtx = spark.sqlContext
