@@ -470,12 +470,28 @@ object SparkEntry {
     // long under nanosAsLong; derive the µs timestamp).
     "q_window_tumbling_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("ts_t",
-        timestamp_micros((col("ts") / 1000).cast(LongType)))
+        timestamp_micros(expr("ts div 1000"))) // integer div: see q_window_session
       ev.groupBy(window(col("ts_t"), "1 day"), col("event_type"))
         .agg(count(lit(1)).alias("n"),
           sum(dec(col("value"))).cast(DoubleType).alias("sum_value"))
         .select(col("window.start").alias("window_start"),
           col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // ST8: gap-based session windows per user (the extension the reference
+    // lacks). Oracle = gaps-and-islands SQL: a new session starts when the
+    // µs-truncated gap to the previous event is >= the window gap, exactly
+    // Spark's [first, last+gap) semantics.
+    "q_window_session" -> ((s, dir) => {
+      // integer `div`, NOT `/`: double division loses ~256 ns at ns-epoch
+      // magnitude and shifts some session starts by 1 µs
+      val ev = t(s, dir, "events").withColumn("ts_t",
+        timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(session_window(col("ts_t"), "101 minutes"), col("user_id"))
+        .agg(count(lit(1)).alias("n"),
+          sum(dec(col("value"))).cast(DoubleType).alias("sum_value"))
+        .select(col("session_window.start").alias("session_start"),
+          col("user_id"), col("n"), col("sum_value"))
     }),
 
     // Skew-salted join: hot keys spread across salt buckets; results must
@@ -828,6 +844,24 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_window_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |x AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w >= INTERVAL 101 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT min(t) AS session_start, user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
