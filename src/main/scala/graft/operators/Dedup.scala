@@ -25,6 +25,17 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** Spread a too-narrow input across the cluster before a CPU-bound kernel
+    * stage. Compressed text expands 10-100× in kernel compute, so a tiny
+    * parquet file (one scan split) would otherwise pin the whole sketch
+    * pipeline to a single core. At scale inputs already carry enough
+    * partitions and this is a no-op.
+    */
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: group identical content, keep the smallest id.
     * O(n) map + one shuffle on md5(text); at 100 TB this is the plain
     * hash-aggregate Spark already does well. Output: one row per distinct
@@ -41,7 +52,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 128): DataFrame =
-    df.select(col(idCol),
+    widen(df).select(col(idCol),
       minhash_signature(shingle_hashes(col(textCol), shingleN), k).alias("sig"))
 
   /** LSH candidate pairs: band the signature, group per bucket, expand
@@ -170,6 +181,8 @@ object Dedup {
     val shingler =
       if (wordGrams) word_ngram_hashes(col(textCol), shingleN)
       else shingle_hashes(col(textCol), shingleN)
+    // no widen() here: a single shingle pass is cheap relative to the extra
+    // exchange it would add ahead of the df-rank window (measured slower)
     val sh = df.select(col(idCol).alias("_id"), shingler.alias("_sh"))
       .where(size(col("_sh")) > 0)
     val tokens = sh.select(col("_id"), size(col("_sh")).alias("_n"),
@@ -327,7 +340,7 @@ object Dedup {
   def embeddingExactPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val side = df.select(col(idCol), col(vecCol))
-    val a = side.alias("a")
+    val a = widen(side).alias("a") // streamed side: spread the n² cosine work
     val b = side.alias("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),

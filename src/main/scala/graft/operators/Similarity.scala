@@ -45,7 +45,7 @@ object Similarity {
       vecCol: String, queryIdCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
       col(vecCol).alias("_qvec")))
-    val scored = data.join(q, col(idCol) =!= col("query_id"))
+    val scored = Dedup.widen(data).join(q, col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).alias("neighbor_id"),
         cosine_sim(col(vecCol), col("_qvec")).alias("cosine"))
     topKPerQuery(scored, k)
@@ -60,7 +60,7 @@ object Similarity {
   def lshTopK(data: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, dim: Int,
       numPlanes: Int = 10, multiProbe: Boolean = true): DataFrame = {
-    val d = data.select(col(idCol), col(vecCol),
+    val d = Dedup.widen(data).select(col(idCol), col(vecCol),
       projection_bits(col(vecCol), numPlanes, dim).alias("_bucket"))
     val qbucket = projection_bits(col(vecCol), numPlanes, dim)
     val probes =
