@@ -516,6 +516,23 @@ object SparkEntry {
         .agg(count(lit(1)).alias("group_size"), min(col("id")).alias("keep_id"))
     }),
 
+    // The training-data pipeline COMPOSED: language gate → length gate →
+    // exact dedup → token accounting, one declarative plan end-to-end
+    // (filters push into the scan, dedup is one shuffle on text).
+    "q_pipeline_compose" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        TextAnalysis.langScore(col("text"), "en").alias("s_en"),
+        TextAnalysis.tokenCount(col("text")).cast(DoubleType).alias("ntoks"),
+        TextAnalysis.bpeishTokenCount(col("text")).alias("n_bpeish"))
+      scored.where(col("s_en") > 0.05 && col("ntoks") >= 20)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).alias("keep_id"),
+          count(lit(1)).alias("n_copies"),
+          min(col("n_bpeish")).alias("n_tokens_kept"))
+        .select(col("keep_id"), col("n_copies"), col("n_tokens_kept"))
+    }),
+
     // ── Multimodal columns (binary payload + typed metadata) ──────────────
     "q_mm_metadata" -> ((s, dir) => {
       graft.multimodal.Multimodal
@@ -894,6 +911,20 @@ object SparkEntry {
         |              ELSE 'es' END
         |       ELSE 'und' END AS detected_lang
         |FROM s""".stripMargin,
+
+    "q_pipeline_compose" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_en,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS ntoks,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       min(n_bpeish) AS n_tokens_kept
+        |FROM s WHERE s_en > 0.05 AND ntoks >= 20
+        |GROUP BY text""".stripMargin,
 
     "q_mm_metadata" ->
       """SELECT doc_id AS asset_id,
