@@ -174,7 +174,8 @@ object Dedup {
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, threshold: Double = 0.8,
-      maxBucket: Int = Int.MaxValue, wordGrams: Boolean = false): DataFrame = {
+      maxBucket: Int = Int.MaxValue, wordGrams: Boolean = false,
+      broadcastSketches: Boolean = true): DataFrame = {
     // maxBucket < MaxValue trades the 100%-recall guarantee for bounded
     // candidate buckets — an explicit opt-in, never a silent default
     import org.apache.spark.sql.expressions.Window
@@ -194,13 +195,17 @@ object Dedup {
     val prefix = ranked
       .where(col("_rank") <= col("_n") - ceil(col("_n") * lit(threshold)) + 1)
     val cands = pairsWithinGroups(prefix, Seq("_tok"), "_id", maxBucket)
-    jaccardVerifyPrepared(cands, sh, threshold)
+    jaccardVerifyPrepared(cands, sh, threshold, broadcastSketches)
   }
 
-  /** Verify candidate pairs against pre-computed sorted shingle arrays. */
+  /** Verify candidate pairs against pre-computed sorted shingle arrays.
+    * `broadcastShingles` false = shuffle the candidate table by id instead
+    * (two exchanges of the post-filter pair set) — the beyond-10M-docs plan
+    * where the shingle table no longer fits in a broadcast.
+    */
   private def jaccardVerifyPrepared(candidates: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
-    val s = broadcast(sh)
+      threshold: Double, broadcastShingles: Boolean = true): DataFrame = {
+    val s = if (broadcastShingles) broadcast(sh) else sh
     candidates
       .join(s.select(col("_id").alias("id_a"), col("_sh").alias("sh_a")), "id_a")
       .join(s.select(col("_id").alias("id_b"), col("_sh").alias("sh_b")), "id_b")

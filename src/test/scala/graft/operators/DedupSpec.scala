@@ -159,6 +159,24 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ngramJaccardJoin plan: no cartesian/SMJ — candidates come from buckets") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.ngramJaccardJoin(real, "doc_id", "text", 3, 0.8,
+      wordGrams = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // verify joins broadcast
+  }
+
+  test("ngramJaccardJoin non-broadcast verify path matches broadcast path") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = Dedup.ngramJaccardJoin(real, "doc_id", "text", 3, 0.8,
+      wordGrams = true).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val nb = Dedup.ngramJaccardJoin(real, "doc_id", "text", 3, 0.8,
+      wordGrams = true, broadcastSketches = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(b == nb)
+  }
+
   test("near-dup scan over real documents table runs and is plausible") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.8)
