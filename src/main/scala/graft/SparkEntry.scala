@@ -451,6 +451,16 @@ object SparkEntry {
         "query_id", k = 10, dim = 64, numPlanes = 8)
     }),
 
+    // IVF ANN (the centroid-partitioned scale path; rows-only —
+    // approximate by design at partial probe).
+    "q_sim_topk_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        "query_id", k = 10, numCells = 16, nprobe = 4)
+    }),
+
     // §3.2 + §3.1 composed: the full change stream a consumer sees —
     // initial-load INSERT envelope unioned with the delta fold.
     "q_cdc_stream_union" -> ((s, dir) => {

@@ -94,6 +94,59 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the centroid-partitioned scale path:
+    * k-means cells over the corpus, each vector indexed under its nearest
+    * centroid; a query scores only vectors in its `nprobe` nearest cells.
+    * Candidate volume is ~ nprobe/k of the corpus (vs. LSH's bucket-
+    * collision volume), and the cell assignment is a plain column, so the
+    * index join is an equi-join Spark shuffles/broadcasts like any other.
+    *
+    * Centroids are fit once (seeded k-means on a sample — deterministic for
+    * a fixed input), broadcast everywhere; at 100 TB the fit runs on a
+    * sample and assignment stays a map-side pass.
+    */
+  def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, numCells: Int,
+      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = data.sparkSession
+    val feats = Dedup.widen(data)
+      .select(col(idCol), col(vecCol),
+        array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
+    // fit on a bounded seeded sample with few iterations: centroid quality
+    // saturates fast and the 100 TB plan can only ever fit on a sample —
+    // assignment below stays a full map-side pass either way
+    val n = feats.count()
+    val sampleFraction = math.min(1.0, 20000.0 / math.max(n, 1))
+    val fitOn = if (sampleFraction < 1.0) feats.sample(sampleFraction, seed) else feats
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("_features").setPredictionCol("_cell")
+      .fit(fitOn)
+    val indexed = model.transform(feats).drop("_features")
+    // centroids back to float arrays for the cosine kernel
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    import spark.implicits._
+    val cellDf = broadcast(centroids.toDF("_cell", "_centroid"))
+    // each query probes its nprobe nearest cells (tiny cross join)
+    val q = queries.select(col(queryIdCol).alias("query_id"),
+      col(vecCol).alias("_qvec"))
+    val probes = q.crossJoin(cellDf)
+      .withColumn("_csim", cosine_sim(col("_qvec"), col("_centroid")))
+      .withColumn("_rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("_csim").desc, col("_cell"))))
+      .where(col("_rnk") <= nprobe)
+      .select(col("query_id"), col("_qvec"), col("_cell"))
+    val scored = indexed.join(broadcast(probes),
+        indexed("_cell") === probes("_cell") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).alias("neighbor_id"),
+        cosine_sim(col(vecCol), col("_qvec")).alias("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Recall@k of an ANN result against the exact baseline (test metric). */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
     val e = exact.select("query_id", "neighbor_id")

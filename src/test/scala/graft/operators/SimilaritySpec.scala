@@ -61,4 +61,20 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("ivfTopK: full probe equals exact; partial probe keeps most recall") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q3 = real.where(col("vec_id") < 3)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(real, q3, "vec_id", "embedding",
+      "query_id", k = 10)
+    // probing EVERY cell must reproduce the exact result
+    val full = Similarity.ivfTopK(real, q3, "vec_id", "embedding",
+      "query_id", k = 10, numCells = 8, nprobe = 8)
+    assert(Similarity.recallAtK(exact, full) == 1.0)
+    // a partial probe keeps useful recall at ~3/8 of the scan volume
+    val partial = Similarity.ivfTopK(real, q3, "vec_id", "embedding",
+      "query_id", k = 10, numCells = 8, nprobe = 3)
+    assert(Similarity.recallAtK(exact, partial) >= 0.4)
+  }
 }
