@@ -526,6 +526,27 @@ object SparkEntry {
         .agg(count(lit(1)).alias("group_size"), min(col("id")).alias("keep_id"))
     }),
 
+    // Corpus vocabulary statistics: token explode → count → top-k — the
+    // explode-then-aggregate shape every corpus-analysis job needs.
+    "q_text_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).alias("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).alias("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` = DuckDB
+    // quantile_cont) over the fact table.
+    "q_a5_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        round(expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"))
+    }),
+
     // The training-data pipeline COMPOSED: language gate → length gate →
     // exact dedup → token accounting, one declarative plan end-to-end
     // (filters push into the scan, dedup is one shuffle on text).
@@ -921,6 +942,19 @@ object SparkEntry {
         |              ELSE 'es' END
         |       ELSE 'und' END AS detected_lang
         |FROM s""".stripMargin,
+
+    "q_text_vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_a5_percentile" ->
+      """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+        |FROM lineitem""".stripMargin,
 
     "q_pipeline_compose" ->
       """WITH s AS (
