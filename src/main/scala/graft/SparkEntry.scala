@@ -526,6 +526,37 @@ object SparkEntry {
         .agg(count(lit(1)).alias("group_size"), min(col("id")).alias("keep_id"))
     }),
 
+    // Hierarchical totals: ROLLUP over (year, status) with decimal-exact
+    // sums — subtotal/grand-total rows carry SQL-standard nulls.
+    "q_a6_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).alias("o_year"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).alias("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).alias("sum_total"))
+    }),
+
+    // Multi-column distinct aggregation (cardinality accounting).
+    "q_a7_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_returnflag")).alias("n_flags"),
+        countDistinct(col("l_partkey")).alias("n_parts"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).alias("n_supp_part"))
+    }),
+
+    // Set operations: INTERSECT / EXCEPT of key sets (beyond the
+    // reference's in-memory Set.addAll).
+    "q_set_ops" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").alias("c_custkey"))
+      val richCustomers = t(s, dir, "customer")
+        .where(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val both = richCustomers.intersect(withOrders)
+        .withColumn("set_kind", lit("rich_with_orders"))
+      val richOnly = richCustomers.except(withOrders)
+        .withColumn("set_kind", lit("rich_no_orders"))
+      both.unionByName(richOnly)
+    }),
+
     // Corpus vocabulary statistics: token explode → count → top-k — the
     // explode-then-aggregate shape every corpus-analysis job needs.
     "q_text_vocab_topk" -> ((s, dir) => {
@@ -942,6 +973,30 @@ object SparkEntry {
         |              ELSE 'es' END
         |       ELSE 'und' END AS detected_lang
         |FROM s""".stripMargin,
+
+    "q_a6_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    "q_a7_count_distinct" ->
+      """SELECT count(DISTINCT l_returnflag) AS n_flags,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+        |FROM lineitem""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey, 'rich_with_orders' AS set_kind FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'rich_no_orders' AS set_kind FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders)""".stripMargin,
 
     "q_text_vocab_topk" ->
       """SELECT token, count(*) AS n FROM (
