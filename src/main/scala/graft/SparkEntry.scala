@@ -461,6 +461,26 @@ object SparkEntry {
         "query_id", k = 10, numCells = 16, nprobe = 4)
     }),
 
+    // S5 wire format: the delta fold serialized to Kafka (key,value)
+    // records and parsed back — the round-trip must be the identity, so
+    // the oracle is the delta fold itself.
+    "q_kafka_roundtrip" -> ((s, dir) => {
+      val folded = Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
+        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
+      graft.sources.KafkaIO.roundTrip(folded, Seq("user_id"))
+    }),
+
+    // J4/J5 composed: parents whose nested object must be rebuilt because
+    // a child row changed (the reference's table-directory semantics,
+    // S4HanaProducer.java:56-61, :407-410).
+    "q_hier_impacted" -> ((s, dir) => {
+      val changedItems = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > to_timestamp(lit("1998-05-01 00:00:00")))
+      graft.operators.Hierarchy.impactedParents(
+          t(s, dir, "orders"), changedItems, Seq(("o_orderkey", "l_orderkey")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+
     // §3.2 + §3.1 composed: the full change stream a consumer sees —
     // initial-load INSERT envelope unioned with the delta fold.
     "q_cdc_stream_union" -> ((s, dir) => {
@@ -647,6 +667,22 @@ object SparkEntry {
         |       l._transactionid, l.user_id,
         |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
         |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
+
+    "q_kafka_roundtrip" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS _transactionid
+        |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
+        |  GROUP BY user_id)
+        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+        |       l._transactionid, l.user_id,
+        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
+
+    "q_hier_impacted" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > TIMESTAMP '1998-05-01 00:00:00')""".stripMargin,
 
     "q_a1_latest_per_key" ->
       """SELECT user_id, max(event_id) AS _transactionid
