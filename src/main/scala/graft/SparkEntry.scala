@@ -362,7 +362,7 @@ object SparkEntry {
 
     // ── Text analysis (training-data pipeline) ────────────────────────────
     "q_text_quality" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      Dedup.widen(t(s, dir, "documents")).select(
         col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).alias("n_bpeish_tokens"),
         round(TextAnalysis.qualityScore(col("text")), 6).alias("quality_r"))
@@ -370,7 +370,7 @@ object SparkEntry {
 
     // Language ID over the documents table (heuristic; deterministic).
     "q_text_langid" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      Dedup.widen(t(s, dir, "documents")).select(
         col("doc_id"),
         TextAnalysis.languageId(col("text")).alias("detected_lang"))
     }),
@@ -602,7 +602,7 @@ object SparkEntry {
     // exact dedup → token accounting, one declarative plan end-to-end
     // (filters push into the scan, dedup is one shuffle on text).
     "q_pipeline_compose" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(
+      val scored = Dedup.widen(t(s, dir, "documents")).select(
         col("doc_id"), col("text"),
         TextAnalysis.langScore(col("text"), "en").alias("s_en"),
         TextAnalysis.tokenCount(col("text")).cast(DoubleType).alias("ntoks"),

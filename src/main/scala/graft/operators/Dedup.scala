@@ -31,7 +31,7 @@ object Dedup {
     * pipeline to a single core. At scale inputs already carry enough
     * partitions and this is a no-op.
     */
-  private[operators] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
