@@ -643,6 +643,20 @@ object SparkEntry {
       meta.join(feats, "asset_id")
     }),
 
+    // Resize stage: decode → resize(224×224) → measure. The stub halves the
+    // payload and stamps the target dims, so the whole pipeline is
+    // oracle-checkable even though the codec is fake.
+    "q_mm_resize" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal
+        .assetsFromDocuments(s, t(s, dir, "documents"))
+      val decoded = graft.multimodal.Multimodal.decode(assets)
+      import s.implicits._
+      decoded.map(d => graft.multimodal.Multimodal.StubCodecs.resize(d, 224, 224))
+        .toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          length(col("media")).alias("n_bytes"))
+    }),
+
     // Frame sampling: one row per sampled frame, evenly spaced — the fan-out
     // shape video pipelines need (rows-only: stub frame payloads).
     "q_mm_frame_sample" -> ((s, dir) => {
@@ -1060,6 +1074,11 @@ object SparkEntry {
         |       min(n_bpeish) AS n_tokens_kept
         |FROM s WHERE s_en > 0.05 AND ntoks >= 20
         |GROUP BY text""".stripMargin,
+
+    "q_mm_resize" ->
+      """SELECT doc_id AS asset_id, 224 AS width, 224 AS height,
+        |  CAST(greatest(1, octet_length(encode(text)) // 2) AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "q_mm_metadata" ->
       """SELECT doc_id AS asset_id,
