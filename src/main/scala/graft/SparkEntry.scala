@@ -234,6 +234,31 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
 
+    // W4 (beyond reference): the analytic-window toolkit — lag, running
+    // sum, row_number over a keyed, ordered partition.
+    "q_w4_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).alias("rn"),
+          lag(col("o_orderkey"), 1).over(w).alias("prev_key"),
+          sum(dec(col("o_totalprice"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).alias("running_total"))
+    }),
+
+    // The delta fold's NON-broadcast path (backfill windows touching most
+    // keys, where shuffling both sides beats a giant broadcast). Same
+    // semantics, same oracle as the broadcast fold.
+    "q_cdc_backfill_fold" -> ((s, dir) => {
+      val windowed = Cdc.windowFilter(changeFeed(s, dir), Cdc.TransactionId,
+        100L, 1000000000L)
+      val latest = Cdc.latestPerKey(windowed, Seq("user_id"))
+      Cdc.foldChanges(latest, t(s, dir, "customer"),
+        Seq(("user_id", "c_custkey")), broadcastKeys = false)
+    }),
+
     // §2.7 scalar functions: least / ifnull / concat(||) / right / like.
     "q_f_scalar_funcs" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -790,6 +815,26 @@ object SparkEntry {
     "q_w2_top1_orderby" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id DESC LIMIT 1""".stripMargin,
+
+    "q_w4_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+
+    "q_cdc_backfill_fold" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS _transactionid
+        |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
+        |  GROUP BY user_id)
+        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+        |       l._transactionid, l.user_id,
+        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
 
     "q_f_scalar_funcs" ->
       """SELECT n_nationkey,
