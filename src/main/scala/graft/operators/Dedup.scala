@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 import graft.functions.GraftExpressions._
 import graft.functions.TextAnalysis
@@ -110,17 +110,11 @@ object Dedup {
     */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 5, threshold: Double = 0.8,
-      broadcastSketches: Boolean = true): DataFrame = {
-    val sh = df.select(col(idCol).alias("_sid"),
-      shingle_hashes(col(textCol), shingleN).alias("_sh"))
-    val shingles = if (broadcastSketches) broadcast(sh) else sh
-    candidates
-      .join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-      .join(shingles.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      broadcastSketches: Boolean = true): DataFrame =
+    jaccardVerifyPrepared(candidates,
+      df.select(col(idCol).alias("_id"),
+        shingle_hashes(col(textCol), shingleN).alias("_sh")),
+      threshold, broadcastSketches)
 
   /** Estimated Jaccard from signature agreement (the MinHash property:
     * P[h_min equal] = J). No shingle arrays touched — candidates join only
@@ -204,7 +198,7 @@ object Dedup {
     * where the shingle table no longer fits in a broadcast.
     */
   private def jaccardVerifyPrepared(candidates: DataFrame, sh: DataFrame,
-      threshold: Double, broadcastShingles: Boolean = true): DataFrame = {
+      threshold: Double, broadcastShingles: Boolean): DataFrame = {
     val s = if (broadcastShingles) broadcast(sh) else sh
     candidates
       .join(s.select(col("_id").alias("id_a"), col("_sh").alias("sh_a")), "id_a")
@@ -220,9 +214,12 @@ object Dedup {
     * one of maxHamming+1 chunks, so it shares ≥1 bucket), then exact
     * Hamming verify. Wider radii mean narrower chunks and so bigger
     * buckets — the candidate count, not recall, is the scale cost.
+    * `maxBucket` below Int.MaxValue bounds degenerate buckets at the cost
+    * of the completeness guarantee — an explicit opt-in, like
+    * [[ngramJaccardJoin]]'s cap.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000,
+      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
       broadcastSketches: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming $maxHamming: need 0..31 (chunks must hold ≥2 bits)")
@@ -230,11 +227,14 @@ object Dedup {
     val widths = Array.tabulate(numChunks)(i =>
       64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
+    // width 64 (maxHamming=0, one chunk = the whole fingerprint): 1L<<64
+    // wraps to 1L in the JVM, so the mask must special-case to all-ones
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val fp = df.select(col(idCol), TextAnalysis.simhash(col(textCol)).alias("fp"))
     val chunkStructs = (0 until numChunks).map(i => struct(
       lit(i).alias("chunk"),
       shiftright(col("fp"), starts(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1)).alias("chunk_val")))
+        .bitwiseAND(lit(mask(widths(i)))).alias("chunk_val")))
     val chunked = fp
       .select(col(idCol), explode(array(chunkStructs: _*)).alias("_c"))
       .select(col(idCol), col("_c.chunk").alias("chunk"),
@@ -271,11 +271,15 @@ object Dedup {
       .localCheckpoint(true)
     // near-dup edge lists are tiny relative to the corpus (a 100 TB corpus
     // with 1% dup rate yields millions of edges, not billions): below
-    // `driverEdgeLimit` undirected edges, a driver-side union-find replaces
-    // O(log d) distributed rounds with one collect — the iterative
-    // pointer-jumping below remains the arbitrarily-large-graph path
-    val edgeCount = edges.count()
-    if (edgeCount <= driverEdgeLimit) return unionFindLocal(edges)
+    // `driverEdgeLimit` DIRECTED edges (≈ 2× the undirected pair count), a
+    // driver-side union-find replaces O(log d) distributed rounds with one
+    // collect — the iterative pointer-jumping below remains the
+    // arbitrarily-large-graph path, and the only path for non-integral ids
+    // LongType only: the collect casts to long, which would null string ids
+    // and silently retype narrower integrals
+    val longIds = edges.schema.fields.forall(_.dataType == LongType)
+    if (longIds && edges.count() <= driverEdgeLimit)
+      return unionFindLocal(edges)
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -305,8 +309,9 @@ object Dedup {
   }
 
   /** Driver-side union-find with path halving + union by min label; input
-    * already holds both edge directions, output matches the distributed
-    * path exactly: (id, component = min member id).
+    * already holds both edge directions and INTEGRAL ids (guarded by the
+    * caller — the long cast would null out string ids), output matches the
+    * distributed path exactly: (id, component = min member id).
     */
   private def unionFindLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -114,12 +114,13 @@ object Similarity {
     val feats = Dedup.widen(data)
       .select(col(idCol), col(vecCol),
         array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
-    // fit on a bounded seeded sample with few iterations: centroid quality
+    // fit on a bounded prefix with few iterations: centroid quality
     // saturates fast and the 100 TB plan can only ever fit on a sample —
-    // assignment below stays a full map-side pass either way
-    val n = feats.count()
-    val sampleFraction = math.min(1.0, 20000.0 / math.max(n, 1))
-    val fitOn = if (sampleFraction < 1.0) feats.sample(sampleFraction, seed) else feats
+    // limit() stops the scan after 20k rows with no prior count/shuffle
+    // pass (assignment below is a full map-side pass either way)
+    val fitOn = data
+      .select(array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
+      .limit(20000)
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(fitOn)

@@ -50,12 +50,13 @@ object HanaTypes {
         case "DECIMAL" | "DEC" => // :627 — 1<=p<=38 matches Spark's max
           DecimalType(p.getOrElse(38), s.getOrElse(if (p.isEmpty) 18 else 0))
         case "SMALLDECIMAL" => // :633 — 16-digit FLOATING-scale decimal
-          // (scale range -369..368): honor a declared (p,s) when present
-          // (the reference uses AvroDecimal(length, scale)); otherwise map to
-          // DoubleType — a fixed DecimalType would truncate floating scales
+          // (scale range -369..368): only a full (p,s) declaration pins the
+          // scale (the reference uses AvroDecimal(length, scale)); with no
+          // scale — declared or at all — the scale floats, and any fixed
+          // DecimalType would truncate, so map to DoubleType
           (p, s) match {
-            case (Some(pp), _) => DecimalType(math.min(pp, 38), s.getOrElse(0))
-            case _             => DoubleType
+            case (Some(pp), Some(ss)) => DecimalType(math.min(pp, 38), ss)
+            case _                    => DoubleType
           }
         case "REAL"     => FloatType // :629
         case "DOUBLE" | "FLOAT" => DoubleType // :631

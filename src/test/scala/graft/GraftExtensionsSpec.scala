@@ -8,13 +8,31 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** Suites share one JVM, so a SparkContext usually already exists — and
+    * the `spark.sql.extensions` STRING is only honored when the builder
+    * creates the context itself (it is read from the context conf, not
+    * from builder options). `withExtensions` applies the same injector
+    * unconditionally, so this exercises GraftExtensions either way. The
+    * session is isolated (cleared then restored default/active) so other
+    * suites keep their own session state.
+    */
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    s
+  }
 
   test("kernels resolve as SQL functions via spark.sql.extensions") {
     val r = spark.sql(

@@ -115,6 +115,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents handles string ids (distributed path, no long cast)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("simhash maxHamming=0: exact-fingerprint pairs (64-bit mask edge)") {
+    val df = Seq(
+      (0L, "same text here exactly"), (1L, "same text here exactly"),
+      (2L, "totally different words altogether")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("ngramJaccardJoin: prefix filtering equals brute-force all-pairs (exact)") {
     import graft.functions.GraftExpressions._
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -33,9 +33,11 @@ class HanaTypesSpec extends AnyFunSuite {
     // no declared (p,s) → DoubleType (scale floats in -369..368; a fixed
     // DecimalType would truncate)
     assert(HanaTypes.toSparkType("SMALLDECIMAL") == DoubleType)
-    // declared (p,s) honored, like the reference's AvroDecimal(length, scale)
+    // a full declared (p,s) pins the scale, like AvroDecimal(length, scale)
     assert(HanaTypes.toSparkType("SMALLDECIMAL(16,8)") == DecimalType(16, 8))
-    assert(HanaTypes.toSparkType("SMALLDECIMAL(10)") == DecimalType(10, 0))
+    // precision-only declaration: scale still floats → DoubleType (a
+    // DecimalType(p, 0) would truncate fractional values)
+    assert(HanaTypes.toSparkType("SMALLDECIMAL(10)") == DoubleType)
   }
 
   test("string/lob/geo mapping") {
