@@ -589,6 +589,19 @@ object SparkEntry {
         countDistinct(col("l_suppkey"), col("l_partkey")).alias("n_supp_part"))
     }),
 
+    // Pivot: per-user event counts spread across event-type columns (an
+    // explicit value list keeps the schema static and plannable).
+    "q_a8_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "cart", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("view"), lit(0L)).alias("n_view"),
+          coalesce(col("cart"), lit(0L)).alias("n_cart"),
+          coalesce(col("purchase"), lit(0L)).alias("n_purchase"))
+    }),
+
     // Set operations: INTERSECT / EXCEPT of key sets (beyond the
     // reference's in-memory Set.addAll).
     "q_set_ops" -> ((s, dir) => {
@@ -1081,6 +1094,13 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
         |FROM lineitem""".stripMargin,
+
+    "q_a8_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'cart') AS n_cart,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_set_ops" ->
       """SELECT c_custkey, 'rich_with_orders' AS set_kind FROM (
