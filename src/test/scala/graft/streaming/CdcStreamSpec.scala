@@ -218,6 +218,22 @@ class CdcStreamSpec extends SparkSpec {
     assert(got(2L) == "TWO" && got(9L) == "NINE")
   }
 
+  test("producer → Kafka wire → consumer: full CDC pipeline converges") {
+    // §3.1 end-to-end: delta fold (producer) → (key,value) records (wire)
+    // → parse (consumer) → last-write-wins apply into the replica
+    val store = newStore(tmp("store"))
+    val source = Seq((1L, "one"), (2L, "TWO"), (4L, "four"))
+      .toDF("id", "payload") // 3 deleted, 2 updated, 4 inserted
+    val folded = graft.cdc.Cdc.delta(
+      keyFeed((2L, 10L), (3L, 11L), (4L, 12L)),
+      source, Seq(("id", "id")), lo = 0L, hi = 100L)
+    val records = graft.sources.KafkaIO.toRecords(folded, Seq("id"))
+    val received = graft.sources.KafkaIO.fromRecords(records, folded.schema)
+    CdcApply.applyChanges(store, received, Seq("id"))
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (4L, "four")))
+  }
+
   test("consumer-side apply: envelope feed folds last-write-wins into store") {
     val dir = tmp("store")
     val store = newStore(dir)
