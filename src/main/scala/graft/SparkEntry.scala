@@ -285,7 +285,9 @@ object SparkEntry {
     "q_f_datetime" -> ((s, dir) => {
       t(s, dir, "orders").select(
         col("o_orderkey"),
-        date_add(col("o_orderdate"), 7).cast(TimestampType).alias("plus7d"),
+        // interval add, not date_add+cast: the latter truncates any
+        // time-of-day to midnight, diverging from add_days semantics
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).alias("plus7d"),
         (col("o_orderdate") + expr("INTERVAL 2 HOURS")).alias("plus2h"),
         year(col("o_orderdate")).alias("o_year"),
         date_trunc("month", col("o_orderdate")).alias("o_month"))
@@ -322,13 +324,12 @@ object SparkEntry {
     }),
 
     // ── Training-data pipeline: dedup + text analysis ─────────────────────
-    // Exact dedup: hash-groupBy on content (documents table).
+    // Exact dedup: hash-groupBy on content (documents table) — the shipped
+    // operator, not an inline copy, so the gate tests what users run.
     "q_dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_copies"))
-        .select(md5(col("text").cast(BinaryType)).alias("text_hash"),
-          col("keep_id"), col("n_copies"))
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("content_hash", "text_hash")
+        .select(col("text_hash"), col("keep_id"), col("n_copies"))
     }),
 
     // Text stats: token / char / punctuation counts (integer-exact for the
@@ -1142,7 +1143,8 @@ object SparkEntry {
 
     "q_mm_resize" ->
       """SELECT doc_id AS asset_id, 224 AS width, 224 AS height,
-        |  CAST(greatest(1, octet_length(encode(text)) // 2) AS INT) AS n_bytes
+        |  CAST(least(octet_length(encode(text)),
+        |             greatest(1, octet_length(encode(text)) // 2)) AS INT) AS n_bytes
         |FROM documents""".stripMargin,
 
     "q_mm_metadata" ->

@@ -234,36 +234,45 @@ object GraftExpressions {
   def st_x(wkb: Column): Column = c(StCoord(e(wkb), 0))
   def st_y(wkb: Column): Column = c(StCoord(e(wkb), 1))
 
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  /** (name, usage, builder) for every SQL-exposed kernel — the ONE
+    * registry behind both [[registerAll]] (per-session temp functions) and
+    * [[graft.GraftExtensions]] (spark.sql.extensions injection), so the
+    * two registration paths cannot drift.
+    */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("to_alphanum", "HANA ALPHANUM zero-pad semantics",
+      xs => ToAlphanum(xs.head, if (xs.size > 1) intArg(xs(1)) else 10)),
+    ("minhash_signature", "k-minima MinHash signature of a hash set",
+      xs => MinHashSignature(xs.head, intArg(xs(1)))),
+    ("simhash64", "64-bit SimHash of pre-hashed tokens",
+      xs => SimHash64(xs.head)),
+    ("cosine_sim", "cosine similarity of two float vectors",
+      xs => CosineSim(xs.head, xs(1))),
+    ("hamming64", "Hamming distance of two 64-bit fingerprints",
+      xs => Hamming64(xs.head, xs(1))),
+    ("jaccard_sorted", "exact Jaccard of two sorted distinct arrays",
+      xs => JaccardSorted(xs.head, xs(1))),
+    ("shingle_hashes", "distinct hashed character n-grams",
+      xs => ShingleHashes(xs.head, intArg(xs(1)))),
+    ("word_ngram_hashes", "distinct hashed word n-grams",
+      xs => WordNgramHashes(xs.head, intArg(xs(1)))),
+    ("rolling_fingerprint", "winnowing min rolling hash fingerprint",
+      xs => RollingFingerprint(xs.head, intArg(xs(1)))),
+    ("st_point", "little-endian WKB 2-D point",
+      xs => StPoint(xs.head, xs(1))),
+    ("st_x", "x coordinate of a WKB point", xs => StCoord(xs.head, 0)),
+    ("st_y", "y coordinate of a WKB point", xs => StCoord(xs.head, 1)))
+
   /** Register every kernel as a SQL function (int literals become the
     * static parameters), so `spark.sql("SELECT simhash64(...)")` works.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("st_point",
-      xs => StPoint(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("st_x",
-      xs => StCoord(xs.head, 0), "scala_udf")
-    reg.createOrReplaceTempFunction("st_y",
-      xs => StCoord(xs.head, 1), "scala_udf")
-    def intArg(e: Expression): Int =
-      e.eval(null).asInstanceOf[Number].intValue()
-    reg.createOrReplaceTempFunction("to_alphanum",
-      xs => ToAlphanum(xs.head, if (xs.size > 1) intArg(xs(1)) else 10), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      xs => MinHashSignature(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      xs => SimHash64(xs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      xs => CosineSim(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("hamming64",
-      xs => Hamming64(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("jaccard_sorted",
-      xs => JaccardSorted(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_hashes",
-      xs => ShingleHashes(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("word_ngram_hashes",
-      xs => WordNgramHashes(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_fingerprint",
-      xs => RollingFingerprint(xs.head, intArg(xs(1))), "scala_udf")
+    sqlFunctions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -25,8 +25,16 @@ object Similarity {
     private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
       s.sortBy { case (id, score) => (-score, id) }.take(k)
     override def zero: Seq[(Long, Double)] = Seq.empty
-    override def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
+    override def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] = {
+      // the buffer is kept sorted (trim's invariant): once full, the common
+      // case — a row worse than the current k-th — is an O(1) reject with
+      // no allocation, instead of a per-row re-sort
+      if (b.size >= k) {
+        val (wid, wscore) = b.last
+        if (a._2 < wscore || (a._2 == wscore && a._1 > wid)) return b
+      }
       trim(b :+ a)
+    }
     override def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
       trim(b1 ++ b2)
     override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r

@@ -67,9 +67,26 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
 
   /** Process one change-feed micro-batch (also usable un-streamed for
     * batch backfills and tests). The feed needs only key + txid columns.
+    *
+    * Delivered-row handling vs. the watermark: EVERY delivered row beyond
+    * the committed watermark is folded and applied — a delivered row's
+    * transaction has committed, and in the streaming (push) model the
+    * micro-batch is never re-delivered, so excluding rows above the capped
+    * watermark would lose them permanently. The LEDGER still advances only
+    * to the commit-order-safe txid (`least(max logged, oldest open - 1)`):
+    * if an open transaction later lands rows with smaller txids, they are
+    * still above the ledger and fold normally; rows between `safe` and the
+    * batch max may be re-folded by a later pull-mode poll, which the
+    * idempotent merge absorbs.
     */
   def processBatch(changeFeed: DataFrame, batchId: Long): Unit = {
     val from = ledger.read()
+    val open = openTxns() // one snapshot for watermark + alert consistency
+    val now = nowEpochSec()
+    // a stuck open transaction is precisely when the alert matters, so it
+    // fires before any early-exit
+    Watermark.latencyAlert(open, now)
+      .foreach(msg => spark.sparkContext.setJobDescription(msg))
     // one aggregate pass: max txid beyond the watermark + count of stale
     // rows (txid ≤ from) that the window filter below would silently drop
     val stats = changeFeed.agg(
@@ -84,14 +101,12 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
         s"watermark $from — EXCLUDED from the fold. Wire a complete openTxns " +
         "supplier (or make the feed a re-readable log) for at-least-once.")
     }
-    val maxLogged = if (stats.isNullAt(0)) from else stats.getLong(0)
-    val safe = Watermark.maxSafe(maxLogged, openTxns(), from, nowEpochSec())
-    if (safe <= from) return // watermark unchanged → skip (early-exit)
-    Watermark.latencyAlert(openTxns(), nowEpochSec())
-      .foreach(msg => spark.sparkContext.setJobDescription(msg))
-    val folded = Cdc.delta(changeFeed, source(), keyJoin, lo = from, hi = safe)
+    if (stats.isNullAt(0)) return // nothing beyond the watermark → skip
+    val maxLogged = stats.getLong(0)
+    val safe = Watermark.maxSafe(maxLogged, open, from, now)
+    val folded = Cdc.delta(changeFeed, source(), keyJoin, lo = from, hi = maxLogged)
     store.merge(folded)
-    ledger.commit(safe) // watermark advances only after the sink commit
+    if (safe > from) ledger.commit(safe) // advances only after sink commit
   }
 
   /** Run as a Structured Streaming query over a streaming change feed. */
@@ -158,13 +173,19 @@ object EventWindows {
 
   /** Tumbling event-time counts per key. `tsCol` must be a TimestampType
     * column; late data beyond `lateness` is dropped from state.
+    *
+    * @param sumCol optional numeric column to sum alongside the count
     */
   def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowDuration: String, lateness: String): DataFrame =
+      windowDuration: String, lateness: String,
+      sumCol: Option[String] = None): DataFrame = {
+    val aggs = count(lit(1)).alias("n") +:
+      sumCol.map(c => sum(col(c)).alias(s"sum_$c")).toSeq
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
-      .agg(count(lit(1)).alias("n"), sum(col("value")).alias("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Session windows (gap-based) per key. */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,

@@ -59,10 +59,12 @@ object StatefulDedup {
             // fold the batch to its own latest first (A1), then gate on state
             val latest = rows.reduceOption((a, b) => if (a.txid >= b.txid) a else b)
             val out = latest.filter(_.txid > seen)
-            out.foreach { r =>
-              state.update(SeenTxid(r.txid))
-              if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
-            }
+            out.foreach(r => state.update(SeenTxid(r.txid)))
+            // re-arm on EVERY invocation with live state: an invocation
+            // clears the pending timeout, so arming only on emission would
+            // let a trickle of stale duplicates pin state forever
+            if (stateTtl.nonEmpty && state.exists)
+              state.setTimeoutDuration(stateTtl)
             out.iterator
           }
       }

@@ -172,7 +172,7 @@ class CdcStreamSpec extends SparkSpec {
       Set((1L, "one"), (2L, "two")))
   }
 
-  test("fold window honors the watermark: uncommitted txns stay invisible") {
+  test("open txn caps the LEDGER, not the fold: delivered rows apply, watermark waits") {
     val dir = tmp("store")
     val store = newStore(dir)
     val ledger = new TxidLedger(tmp("ledger") + "/txid")
@@ -181,11 +181,14 @@ class CdcStreamSpec extends SparkSpec {
     var open: Seq[Watermark.OpenTxn] = Seq(Watermark.OpenTxn(11L, 9990L))
     val job = new CdcStreamJob(spark, () => source, store, ledger,
       Seq(("id", "id")), openTxns = () => open, nowEpochSec = () => 10000L)
-    // txid 12 is logged but txn 11 is still open → only ≤10 visible
+    // txid 12 was DELIVERED (its txn committed) while txn 11 is still open:
+    // the row folds now (source has no key 5 yet → delete no-op) but the
+    // ledger stops at 10 — never past the oldest open transaction
     job.processBatch(keyFeed((2L, 10L), (5L, 12L)), 0)
     assert(ledger.read() == 10L)
     assert(!store.snapshot().as[(Long, String)].collect().toMap.contains(5L))
-    // txn 11 commits (and key 5's row is now in the source) → poll reads 12
+    // txn 11 commits (and key 5's row is now in the source): the re-poll
+    // re-reads the window above the conservative ledger and converges
     open = Nil
     source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (5L, "five"))
       .toDF("id", "payload")
@@ -313,7 +316,8 @@ class CdcStreamSpec extends SparkSpec {
       ("2024-01-01 00:00:30", "b", 4.0)
     ).toDF("ts_s", "k", "value")
       .select(to_timestamp($"ts_s").alias("ts"), $"k", $"value")
-    val tumbling = EventWindows.tumblingCounts(ev, "ts", "k", "1 minute", "10 minutes")
+    val tumbling = EventWindows.tumblingCounts(ev, "ts", "k", "1 minute",
+      "10 minutes", sumCol = Some("value"))
     val rows = tumbling.select($"k", $"n", $"sum_value").as[(String, Long, Double)]
       .collect().toSet
     assert(rows == Set(("a", 2L, 3.0), ("a", 1L, 3.0), ("b", 1L, 4.0)))
