@@ -590,6 +590,28 @@ object SparkEntry {
         countDistinct(col("l_suppkey"), col("l_partkey")).alias("n_supp_part"))
     }),
 
+    // A9: max_by/min_by — the argmax aggregation behind the CDC
+    // last-write-wins apply (CdcApply), exposed directly.
+    "q_a9_max_by" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).alias("last_type"),
+          min_by(col("event_type"), col("event_id")).alias("first_type"),
+          max(col("event_id")).alias("last_txid"))
+    }),
+
+    // §2.7 extended string functions over supplier names.
+    "q_f_string_funcs" -> ((s, dir) => {
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        upper(col("s_name")).alias("up"),
+        lower(col("s_name")).alias("lo"),
+        regexp_replace(col("s_name"), "#", "-").alias("dashed"),
+        substring(col("s_name"), 1, 8).alias("first8"),
+        length(trim(col("s_name"))).alias("trim_len"),
+        reverse(col("s_name")).alias("rev"))
+    }),
+
     // Pivot: per-user event counts spread across event-type columns (an
     // explicit value list keeps the schema static and plannable).
     "q_a8_pivot" -> ((s, dir) => {
@@ -1095,6 +1117,22 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
         |FROM lineitem""".stripMargin,
+
+    "q_a9_max_by" ->
+      """SELECT user_id,
+        |  arg_max(event_type, event_id) AS last_type,
+        |  arg_min(event_type, event_id) AS first_type,
+        |  max(event_id) AS last_txid
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_f_string_funcs" ->
+      """SELECT s_suppkey,
+        |  upper(s_name) AS up, lower(s_name) AS lo,
+        |  regexp_replace(s_name, '#', '-', 'g') AS dashed,
+        |  substring(s_name, 1, 8) AS first8,
+        |  CAST(length(trim(s_name)) AS INT) AS trim_len,
+        |  reverse(s_name) AS rev
+        |FROM supplier""".stripMargin,
 
     "q_a8_pivot" ->
       """SELECT user_id,
