@@ -29,7 +29,7 @@ object Similarity {
       // the buffer is kept sorted (trim's invariant): once full, the common
       // case — a row worse than the current k-th — is an O(1) reject with
       // no allocation, instead of a per-row re-sort
-      if (b.size >= k) {
+      if (k > 0 && b.size >= k) { // k>0 guard: b.last on empty would throw
         val (wid, wscore) = b.last
         if (a._2 < wscore || (a._2 == wscore && a._1 > wid)) return b
       }

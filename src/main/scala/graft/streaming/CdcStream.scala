@@ -65,6 +65,14 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     */
   @volatile var staleRowsSeen: Long = 0L
 
+  /** Highest txid already folded into the store by THIS job instance —
+    * lets pull-mode polling (which re-reads the same rows above the ledger
+    * every trigger while an open transaction pins the watermark) skip
+    * redundant re-folds. Resets on restart; one redundant idempotent fold
+    * after a crash is harmless.
+    */
+  @volatile private var appliedHi: Long = Long.MinValue
+
   /** Process one change-feed micro-batch (also usable un-streamed for
     * batch backfills and tests). The feed needs only key + txid columns.
     *
@@ -104,8 +112,14 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     if (stats.isNullAt(0)) return // nothing beyond the watermark → skip
     val maxLogged = stats.getLong(0)
     val safe = Watermark.maxSafe(maxLogged, open, from, now)
+    // early-exit when the watermark is pinned AND everything delivered has
+    // already been folded by this instance (pull mode re-reads the same
+    // window each trigger; without this a 2h-stuck txn means 7200 no-op
+    // bucket rewrites at a 1s trigger)
+    if (maxLogged <= appliedHi && safe <= from) return
     val folded = Cdc.delta(changeFeed, source(), keyJoin, lo = from, hi = maxLogged)
     store.merge(folded)
+    appliedHi = math.max(appliedHi, maxLogged)
     if (safe > from) ledger.commit(safe) // advances only after sink commit
   }
 
