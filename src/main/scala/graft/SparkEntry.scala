@@ -103,6 +103,21 @@ object SparkEntry {
       m.project(t(s, dir, "customer"))
     }),
 
+    // §3.3 control plane in one query: a TableMapping registered through
+    // GraftCatalog and consumed via spark.sql — the reference's
+    // createSchema/business-object path end-to-end.
+    "q_catalog_view" -> ((s, dir) => {
+      val m = graft.catalog.TableMapping(
+        name = "nation_view", mastertable = "nation",
+        columnmappings = Seq(
+          graft.catalog.ColumnMapping("n_nationkey", "n_nationkey", "INTEGER"),
+          graft.catalog.ColumnMapping("name_region",
+            "concat(n_name, '-', CAST(n_regionkey AS STRING))", "NVARCHAR(40)")),
+        pkcolumns = Seq("n_nationkey"))
+      graft.catalog.GraftCatalog.register(s, Seq(m), _ => t(s, dir, "nation"))
+      s.sql("SELECT n_nationkey, name_region FROM nation_view")
+    }),
+
     // S7/S8: metadata catalog scan — table/column inventory with ordinals
     // (the DD02L/table_columns analog; schemas come from the table store).
     "q_s7_catalog_columns" -> ((s, dir) => {
@@ -309,13 +324,12 @@ object SparkEntry {
     "q_j4_nested_object" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      // childless parents must nest an EMPTY array: a bare struct() of an
-      // unmatched outer row is non-null, so gate it on the child key
-      val nested = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
-        .groupBy(o("o_orderkey"))
-        .agg(sort_array(collect_list(when(l("l_orderkey").isNotNull, struct(
-          col("l_linenumber"), col("l_partkey"), col("l_quantity")))))
-          .alias("items"))
+      // the shipped Hierarchy operator builds the nested array (childless
+      // parents nest an EMPTY array, child structs sorted)
+      val nested = graft.operators.Hierarchy.nest(
+        o.select("o_orderkey"), l,
+        Seq(("o_orderkey", "l_orderkey")), field = "items",
+        childCols = Seq("l_linenumber", "l_partkey", "l_quantity"))
       nested.select(col("o_orderkey"), posexplode_outer(col("items")))
         .select(col("o_orderkey"), col("pos").cast(LongType).alias("pos"),
           col("col.l_linenumber").alias("l_linenumber"),
@@ -796,6 +810,11 @@ object SparkEntry {
         |  CAST(c_acctbal AS DOUBLE) * 2 AS bal_x2,
         |  substring(c_mktsegment, 1, 3) AS seg3
         |FROM customer""".stripMargin,
+
+    "q_catalog_view" ->
+      """SELECT n_nationkey,
+        |  n_name || '-' || CAST(n_regionkey AS VARCHAR) AS name_region
+        |FROM nation""".stripMargin,
 
     "q_s7_catalog_columns" ->
       """SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal
