@@ -690,6 +690,19 @@ object SparkEntry {
         .select(col("keep_id"), col("n_copies"), col("n_tokens_kept"))
     }),
 
+    // The dedup END PRODUCT: the corpus with one survivor per near-dup
+    // group (docs outside any group pass through; each group keeps its
+    // minimum id). What a training-data pipeline actually ships.
+    "q_dedup_keep_one" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs)
+      val losers = comps.where(col("id") =!= col("component"))
+        .select(col("id").alias("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).alias("n_chars"))
+    }),
+
     // ── Multimodal columns (binary payload + typed metadata) ──────────────
     "q_mm_metadata" -> ((s, dir) => {
       graft.multimodal.Multimodal
@@ -1039,6 +1052,28 @@ object SparkEntry {
         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
         |SELECT component, count(*) AS group_size, min(id) AS keep_id
         |FROM comp GROUP BY component""".stripMargin,
+
+    "q_dedup_keep_one" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+        |SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "q_dedup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
