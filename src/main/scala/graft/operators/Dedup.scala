@@ -30,10 +30,27 @@ object Dedup {
     * parquet file (one scan split) would otherwise pin the whole sketch
     * pipeline to a single core. At scale inputs already carry enough
     * partitions and this is a no-op.
+    *
+    * The split estimate comes from the file-source metadata already cached
+    * on the logical relation (bytes / maxPartitionBytes) — NOT from
+    * `df.rdd.getNumPartitions`, which would compile the plan to RDDs and
+    * re-list input files on every call (ADVICE r2). Non-file inputs
+    * (local/in-memory relations) pass through: Spark already spreads them
+    * across `defaultParallelism` slices.
     */
   private[graft] def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val fileBytes = df.queryExecution.analyzed.collectLeaves().collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+    }
+    if (fileBytes.isEmpty) return df
+    val maxSplit = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = fileBytes.map(b => (b + maxSplit - 1) / maxSplit).sum
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** Exact dedup: group identical content, keep the smallest id.
@@ -186,8 +203,14 @@ object Dedup {
     val ranked = tokens.join(dfreq, "_tok")
       .withColumn("_rank", row_number().over(
         Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))))
+    // prefix length n - ceil(t·n) + 1: the t·n product is computed in
+    // binary floating point, where e.g. 10 * 0.8 can land a hair ABOVE the
+    // exact integer 8 and ceil would overshoot to 9, shrinking the prefix
+    // by one token and silently breaking the 100%-recall guarantee — nudge
+    // below the exact value before ceil (ADVICE r2)
     val prefix = ranked
-      .where(col("_rank") <= col("_n") - ceil(col("_n") * lit(threshold)) + 1)
+      .where(col("_rank") <=
+        col("_n") - ceil(col("_n") * lit(threshold) - lit(1e-9)) + 1)
     val cands = pairsWithinGroups(prefix, Seq("_tok"), "_id", maxBucket)
     jaccardVerifyPrepared(cands, sh, threshold, broadcastSketches)
   }

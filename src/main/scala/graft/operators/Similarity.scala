@@ -115,20 +115,28 @@ object Similarity {
     */
   def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, numCells: Int,
-      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      nprobe: Int = 4, seed: Long = 42L, fitSampleSize: Int = 20000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = data.sparkSession
     val feats = Dedup.widen(data)
       .select(col(idCol), col(vecCol),
         array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
-    // fit on a bounded prefix with few iterations: centroid quality
-    // saturates fast and the 100 TB plan can only ever fit on a sample —
-    // limit() stops the scan after 20k rows with no prior count/shuffle
-    // pass (assignment below is a full map-side pass either way)
+    // fit on a bounded sample with few iterations: centroid quality
+    // saturates fast and the 100 TB plan can only ever fit on a sample.
+    // The sample is the first `fitSampleSize` rows in id-HASH order
+    // (TakeOrderedAndProject: per-partition bounded heap + tiny merge, no
+    // count or extra shuffle pass): hash order is a fixed pseudo-random
+    // permutation of the corpus, so the fit is DETERMINISTIC regardless of
+    // partition/file-listing order and unbiased even on sorted or
+    // partition-clustered corpora — a bare limit() would take whatever
+    // scan splits finish first (ADVICE r2)
     val fitOn = data
-      .select(array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
-      .limit(20000)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).alias("_features"),
+        xxhash64(col(idCol)).alias("_h"))
+      .orderBy(col("_h"))
+      .limit(fitSampleSize)
+      .drop("_h")
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(fitOn)

@@ -46,12 +46,23 @@ class TxidLedger(path: String) {
   * @param keyJoin   (changeFeedKeyCol, sourceKeyCol) pairs
   * @param openTxns  supplier of currently in-flight transactions (the HANA
   *                  m_transactions analog; empty when unused)
+  * @param pullMode  true when each trigger RE-READS the full window above
+  *                  the ledger (the reference's poll model, `S4HanaProducer
+  *                  .java:392-469`) — enables the no-op skip while an open
+  *                  transaction pins the watermark, safe only because the
+  *                  next poll re-delivers everything. Leave false for push
+  *                  feeds (Kafka/MemoryStream micro-batches), where a
+  *                  skipped batch is gone forever: txids are assigned at
+  *                  transaction START but delivered at COMMIT, so a batch
+  *                  can carry a late-committing txn with txid ≤ a
+  *                  previously-seen maximum.
   */
 class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     store: UpsertStore, ledger: TxidLedger,
     keyJoin: Seq[(String, String)],
     openTxns: () => Seq[Watermark.OpenTxn] = () => Nil,
-    nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000) {
+    nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000,
+    pullMode: Boolean = false) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[CdcStreamJob])
 
@@ -68,8 +79,10 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
   /** Highest txid already folded into the store by THIS job instance —
     * lets pull-mode polling (which re-reads the same rows above the ledger
     * every trigger while an open transaction pins the watermark) skip
-    * redundant re-folds. Resets on restart; one redundant idempotent fold
-    * after a crash is harmless.
+    * redundant re-folds. Consulted only when `pullMode` is set: on a push
+    * feed "max already seen" says nothing about whether the BATCH was seen.
+    * Resets on restart; one redundant idempotent fold after a crash is
+    * harmless.
     */
   @volatile private var appliedHi: Long = Long.MinValue
 
@@ -112,11 +125,14 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     if (stats.isNullAt(0)) return // nothing beyond the watermark → skip
     val maxLogged = stats.getLong(0)
     val safe = Watermark.maxSafe(maxLogged, open, from, now)
-    // early-exit when the watermark is pinned AND everything delivered has
-    // already been folded by this instance (pull mode re-reads the same
-    // window each trigger; without this a 2h-stuck txn means 7200 no-op
-    // bucket rewrites at a 1s trigger)
-    if (maxLogged <= appliedHi && safe <= from) return
+    // PULL MODE ONLY: early-exit when the watermark is pinned AND everything
+    // delivered has already been folded by this instance (each trigger
+    // re-reads the same window; without this a 2h-stuck txn means 7200
+    // no-op bucket rewrites at a 1s trigger). NEVER valid on a push feed:
+    // maxLogged ≤ appliedHi does not imply "no unseen rows" there — a
+    // late-committing transaction delivers txids below the seen maximum,
+    // and push micro-batches are not re-delivered.
+    if (pullMode && maxLogged <= appliedHi && safe <= from) return
     val folded = Cdc.delta(changeFeed, source(), keyJoin, lo = from, hi = maxLogged)
     store.merge(folded)
     appliedHi = math.max(appliedHi, maxLogged)

@@ -50,12 +50,17 @@ object HanaTypes {
         case "DECIMAL" | "DEC" => // :627 — 1<=p<=38 matches Spark's max
           DecimalType(p.getOrElse(38), s.getOrElse(if (p.isEmpty) 18 else 0))
         case "SMALLDECIMAL" => // :633 — 16-digit FLOATING-scale decimal
-          // (scale range -369..368): only a full (p,s) declaration pins the
-          // scale (the reference uses AvroDecimal(length, scale)); with no
-          // scale — declared or at all — the scale floats, and any fixed
-          // DecimalType would truncate, so map to DoubleType
+          // (scale range -369..368). The reference always emits an exact
+          // AvroDecimal(length, scale) with missing scale defaulting to 0
+          // (`S4HanaTableMapping.java:609-617`, `:633-634`) — matched here
+          // for any declared precision so monetary values stay exact. Bare
+          // `SMALLDECIMAL` (no declaration at all) is a DELIBERATE lossy
+          // divergence to DoubleType: the true scale floats per value, a
+          // fixed DecimalType(16, s) would truncate, and the reference's
+          // own AvroDecimal(0, 0) is degenerate there.
           (p, s) match {
             case (Some(pp), Some(ss)) => DecimalType(math.min(pp, 38), ss)
+            case (Some(pp), None)     => DecimalType(math.min(pp, 38), 0)
             case _                    => DoubleType
           }
         case "REAL"     => FloatType // :629

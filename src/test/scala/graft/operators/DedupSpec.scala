@@ -147,6 +147,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardJoin boundary: t·n an exact integer keeps full recall (ADVICE r2)") {
+    // J(A,B) = 40/50 = 0.8 exactly, with t·n landing on exact integers
+    // (0.8·40 = 32, 0.8·50 = 40): a float-ceil overshoot would shrink the
+    // prefix by one token and can drop the pair
+    val wordsA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val wordsB = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardJoin(df, "doc_id", "text", shingleN = 1,
+      threshold = 0.8, wordGrams = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+    // and a pair just BELOW the threshold stays excluded (39/50 = 0.78)
+    val wordsC = ((1 to 39).map(i => s"tok$i") ++ Seq("zzz")).mkString(" ")
+    val df2 = Seq((1L, wordsC), (2L, wordsB)).toDF("doc_id", "text")
+    val got2 = Dedup.ngramJaccardJoin(df2, "doc_id", "text", shingleN = 1,
+      threshold = 0.8, wordGrams = true).count()
+    assert(got2 == 0L)
+  }
+
   test("embeddingExactPairs: matches manual cosine on all pairs") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

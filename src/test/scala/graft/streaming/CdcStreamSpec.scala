@@ -198,6 +198,49 @@ class CdcStreamSpec extends SparkSpec {
       .contains("five"))
   }
 
+  test("push feed: late-committing txn below the seen max still folds (ADVICE r2)") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    var source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"))
+      .toDF("id", "payload")
+    // txn 6 stays open throughout, pinning the safe watermark at 5
+    val open = Seq(Watermark.OpenTxn(6L, 9990L))
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")), openTxns = () => open, nowEpochSec = () => 10000L)
+    // batch 0: txn 10 committed → folds, ledger capped at 5, appliedHi = 10
+    job.processBatch(keyFeed((2L, 10L)), 0)
+    assert(ledger.read() == 5L)
+    // batch 1: txn 8 commits LATE (txid assigned at start, delivered at
+    // commit) — txid 8 ≤ appliedHi 10 and safe 5 ≤ from 5, the exact shape
+    // the old no-op guard skipped. Push batches are never re-delivered, so
+    // the row must fold NOW.
+    source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (5L, "five"))
+      .toDF("id", "payload")
+    job.processBatch(keyFeed((5L, 8L)), 1)
+    assert(store.snapshot().as[(Long, String)].collect().toMap.get(5L)
+      .contains("five"))
+    assert(ledger.read() == 5L) // still capped by the open txn
+  }
+
+  test("pull mode: pinned-watermark re-poll skips the redundant re-fold") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    var sourceReads = 0
+    val source = Seq((1L, "one"), (2L, "TWO")).toDF("id", "payload")
+    val open = Seq(Watermark.OpenTxn(6L, 9990L))
+    val job = new CdcStreamJob(spark, () => { sourceReads += 1; source }, store,
+      ledger, Seq(("id", "id")), openTxns = () => open,
+      nowEpochSec = () => 10000L, pullMode = true)
+    job.processBatch(keyFeed((2L, 10L)), 0)
+    assert(sourceReads == 1 && ledger.read() == 5L)
+    // pull mode re-reads the same window while txn 6 pins the watermark:
+    // nothing new → the fold (and its bucket rewrite) is skipped entirely
+    job.processBatch(keyFeed((2L, 10L)), 1)
+    assert(sourceReads == 1 && ledger.read() == 5L)
+  }
+
   test("end-to-end via Structured Streaming MemoryStream") {
     val dir = tmp("store")
     val store = newStore(dir)

@@ -29,15 +29,17 @@ class HanaTypesSpec extends AnyFunSuite {
     assert(HanaTypes.toSparkType("VARBINARY(2000)") == BinaryType)
   }
 
-  test("SMALLDECIMAL: floating-scale semantics (ADVICE r1)") {
-    // no declared (p,s) → DoubleType (scale floats in -369..368; a fixed
-    // DecimalType would truncate)
+  test("SMALLDECIMAL: exact decimal when declared, documented double otherwise (ADVICE r2)") {
+    // bare SMALLDECIMAL → DoubleType: deliberate lossy divergence (scale
+    // floats in -369..368; any fixed DecimalType would truncate, and the
+    // reference's AvroDecimal(0,0) is degenerate here)
     assert(HanaTypes.toSparkType("SMALLDECIMAL") == DoubleType)
     // a full declared (p,s) pins the scale, like AvroDecimal(length, scale)
     assert(HanaTypes.toSparkType("SMALLDECIMAL(16,8)") == DecimalType(16, 8))
-    // precision-only declaration: scale still floats → DoubleType (a
-    // DecimalType(p, 0) would truncate fractional values)
-    assert(HanaTypes.toSparkType("SMALLDECIMAL(10)") == DoubleType)
+    // precision-only declaration: the reference defaults missing scale to 0
+    // and still emits an EXACT decimal (S4HanaTableMapping.java:609-617,
+    // :633-634) — matched, so monetary values never ride binary doubles
+    assert(HanaTypes.toSparkType("SMALLDECIMAL(10)") == DecimalType(10, 0))
   }
 
   test("string/lob/geo mapping") {
