@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, RangeJoin, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -753,6 +753,116 @@ object SparkEntry {
       graft.multimodal.Multimodal.sampleFrames(assets, n = 4).toDF()
         .select(col("asset_id"), col("frame_idx"),
           length(col("frame")).alias("n_bytes"))
+    }),
+
+    // ── Round-3 operator extensions ───────────────────────────────────────
+    // As-of join: every event enriched with the same user's most recent
+    // purchase at-or-before it — ONE window shuffle, no range-pair blowup
+    // (AsofJoin union-window form; oracle = DuckDB's native ASOF JOIN).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000")) // ns→µs, integer div
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").alias("p_ts_us"),
+          col("event_id").alias("purchase_event_id"),
+          col("value").alias("purchase_value"))
+      AsofJoin.backward(
+          ev.select(col("event_id"), col("user_id"), col("ts_us")),
+          purchases, Seq("user_id"), "ts_us", "p_ts_us",
+          payload = Seq("purchase_event_id", "purchase_value"), outPrefix = "")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_event_id"), col("purchase_value"))
+    }),
+
+    // Range join via binning: events scored against OVERLAPPING value
+    // bands — an equi-join on bin id instead of the cartesian a BETWEEN
+    // predicate would plan. Bands are a derived 26-row table, broadcast.
+    "q_range_binned" -> ((s, dir) => {
+      val bands = s.range(26).select(
+        col("id").alias("band_id"),
+        (col("id") * 20.0).alias("lo"),
+        (col("id") * 20.0 + 30.0).alias("hi"))
+      RangeJoin.binned(
+          t(s, dir, "events").select(col("event_id"), col("value")),
+          "value", bands, "lo", "hi", binWidth = 25.0,
+          broadcastRanges = true)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).alias("n_events"),
+          sum(dec(col("value"))).cast(DoubleType).alias("sum_value"))
+    }),
+
+    // Benchmark decontamination: corpus documents sharing any 13-gram
+    // with the held-out benchmark slice (doc_id % 10 == 0). The benchmark
+    // gram set broadcasts; the corpus is read once.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlap(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 13)
+    }),
+
+    // PII scrub: placeholder redaction + match accounting over a string
+    // column, all codegen'd regexp — the scrub pass a corpus pipeline runs
+    // before anything else ships.
+    "q_pii_scrub" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"),
+        TextAnalysis.redactPii(col("c_name")).alias("name_redacted"),
+        TextAnalysis.piiCount(col("c_name")).cast(LongType).alias("n_pii"))
+    }),
+
+    // CUBE: all grouping-set combinations over (year, priority) — the
+    // companion to q_a6_rollup completing the grouping-sets family.
+    "q_a10_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(year(col("o_orderdate")).alias("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).alias("sum_total"))
+    }),
+
+    // Exact per-group interpolated quantiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont), the grouped companion to q_a5_percentile.
+    "q_a11_group_quantiles" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.25)"), 6).alias("p25"),
+        round(expr("percentile(value, 0.5)"), 6).alias("p50"),
+        round(expr("percentile(value, 0.75)"), 6).alias("p75"))
+    }),
+
+    // Correlation/covariance per group with DETERMINISTIC floating-point:
+    // the five moment sums run in exact DECIMAL (order-independent), and
+    // only the final closed-form expressions touch doubles — so the
+    // distributed partial aggregation hashes identically to any serial
+    // engine, unlike a naive corr() whose double sums vary by plan.
+    "q_a12_corr_stats" -> ((s, dir) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val moments = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).alias("n"),
+        sum(x).alias("sx"), sum(y).alias("sy"),
+        sum(x * y).alias("sxy"),
+        sum(x * x).alias("sxx"), sum(y * y).alias("syy"))
+      val nD = col("n").cast(DoubleType)
+      val (sx, sy, sxy, sxx, syy) =
+        (col("sx").cast(DoubleType), col("sy").cast(DoubleType),
+          col("sxy").cast(DoubleType), col("sxx").cast(DoubleType),
+          col("syy").cast(DoubleType))
+      moments.select(col("l_returnflag"), col("n"),
+        round((nD * sxy - sx * sy) /
+          sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)), 6).alias("corr_qty_price"),
+        round((sxy - sx * sy / nD) / (nD - 1.0), 6).alias("covar_samp_qty_price"))
+    }),
+
+    // W5: top-k per group — deterministic row_number (price desc, key asc)
+    // capped at 3 per order priority.
+    "q_w5_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
     })
   )
 
@@ -1245,6 +1355,89 @@ object SparkEntry {
         |  CASE (doc_id % 3) WHEN 0 THEN 'image/png'
         |                    WHEN 1 THEN 'audio/wav'
         |                    ELSE 'video/mp4' END AS mime
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ── Round-3 operator extensions ───────────────────────────────────────
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  r.event_id AS purchase_event_id, r.value AS purchase_value
+        |FROM events l ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id, value FROM events
+        |   WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_range_binned" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+        |  FROM range(26) t(i))
+        |SELECT band_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value <= hi
+        |GROUP BY band_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(ws[i:i+12], ' ')
+        |                          for i in range(1, len(ws) - 11)])) AS g
+        |  FROM toks WHERE len(ws) >= 13),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM corpus c JOIN bench USING (g)
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?', '<PHONE>', 'g'),
+        |    '[0-9]{6,}', '<ID>', 'g') AS name_redacted,
+        |  len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(c_name, '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?'))
+        |  + len(regexp_extract_all(c_name, '[0-9]{6,}')) AS n_pii
+        |FROM customer""".stripMargin,
+
+    "q_a10_cube" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin,
+
+    "q_a11_group_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_a12_corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr_qty_price,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_samp_qty_price
+        |FROM m""".stripMargin,
+
+    "q_w5_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin
   )
 }

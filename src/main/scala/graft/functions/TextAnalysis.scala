@@ -76,6 +76,32 @@ object TextAnalysis {
     lit(0.4) * lengthOk + lit(0.2) * punctOk + lit(0.2) * wordLenOk + lit(0.2) * stopOk
   }
 
+  /** PII scrubbing patterns: (placeholder, Java-regex). Deliberately plain
+    * regex constructs (no lookaround, no named classes) so the same pattern
+    * strings run identically under RE2-family engines — the patterns ARE
+    * the contract, reusable verbatim in an external validator.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("<EMAIL>", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("<PHONE>", "[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?"),
+    ("<ID>", "[0-9]{6,}"))
+
+  /** Redact PII in place: each pattern's matches collapse to its
+    * placeholder, applied in [[PiiPatterns]] order (email before phone
+    * before bare id-runs, so a phone inside an email is never
+    * double-redacted). Pure codegen'd `regexp_replace` chain — linear
+    * scans, no UDF, safe to run over a 100 TB text column.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (placeholder, re)) =>
+      regexp_replace(c, re, placeholder)
+    }
+
+  /** Count of PII matches per pattern family, for scrub-rate accounting. */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (_, re) => regexp_count(text, lit(re)) }
+      .reduce(_ + _)
+
   /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the
     * rolling fingerprint.
     */

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed as-of join: for every left row, the single most recent right row
+  * whose timestamp is at-or-before (backward, the default) the left row's
+  * timestamp. The canonical point-in-time enrichment of an event stream
+  * against a slowly-changing feed (prices, dimensions, prior activity) —
+  * an operator the reference lacks and Spark has no built-in for.
+  *
+  * Implementation is the UNION-WINDOW form, not a range join: tag each
+  * side, union, then one window pass per key ordered by time carries the
+  * latest right payload forward onto every left row. Exactly ONE shuffle
+  * (the window's hash partition on the key) and a per-partition sort —
+  * no candidate-pair blowup, no range-condition nested loop, so the plan
+  * survives arbitrarily dense right sides at 100 TB. Skew follows the key
+  * distribution like any windowed aggregation (salt upstream if one key
+  * dominates).
+  */
+object AsofJoin {
+
+  /** Backward as-of join (`left.ts >= right.ts`, or `>` when `strict`).
+    *
+    * @param left     probe side; ALL its columns pass through
+    * @param right    reference side
+    * @param keyCols  equi-key column names present on both sides
+    * @param leftTs   left ordering column (numeric or timestamp)
+    * @param rightTs  right ordering column (same type)
+    * @param payload  right columns to carry onto matching left rows
+    * @param outPrefix prefix for the emitted payload columns (collision
+    *                  guard when right and left share payload names)
+    * @param strict   true = strictly-before (`>`): a right row AT the left
+    *                 timestamp no longer matches
+    * @return left columns + prefixed payload columns (null when no right
+    *         row precedes the left row)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      outPrefix: String = "asof_", strict: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one equi-key")
+    val lCols = left.columns.toSeq
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).alias("_ts"),
+        lit(1).alias("_is_r"),
+        struct(payload.map(col): _*).alias("_rp")): _*)
+    val l = left.select(
+      lCols.map(col) ++ Seq(
+        col(leftTs).alias("_ts"),
+        lit(0).alias("_is_r"),
+        lit(null).cast(r.schema("_rp").dataType).alias("_rp")): _*)
+    // allowMissingColumns fills left-only columns with null on right rows
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // tie-break ordering encodes the inequality: for `>=`, a right row at
+    // the same ts sorts BEFORE the left row (and is visible to it); for
+    // strict `>`, it sorts after and is excluded
+    val tieOrder = if (strict) col("_is_r").asc else col("_is_r").desc
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts").asc, tieOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
+      .where(col("_is_r") === 0)
+      .select(lCols.map(col) ++
+        payload.map(p => col(s"_match.$p").alias(outPrefix + p)): _*)
+  }
+}

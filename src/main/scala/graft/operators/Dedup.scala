@@ -155,13 +155,24 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     * exact Jaccard verification. The only joins are bucket-local.
+    *
+    * The shingle table feeds BOTH the signature path and the verify path:
+    * it is lazily local-checkpointed so the text kernel (the dominant CPU
+    * cost — shingling expands compressed text 10-100×) runs ONCE and both
+    * branches read the materialized blocks; the blocks are reclaimed by the
+    * ContextCleaner when the plan is garbage-collected.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
+      threshold: Double = 0.8, broadcastSketches: Boolean = true): DataFrame = {
+    val sh = widen(df)
+      .select(col(idCol).alias("_id"),
+        shingle_hashes(col(textCol), shingleN).alias("_sh"))
+      .localCheckpoint(false)
+    val sigs = sh.select(col("_id").alias(idCol),
+      minhash_signature(col("_sh"), k).alias("sig"))
     val cands = minhashCandidates(sigs, idCol, bands)
-    jaccardVerify(cands, df, idCol, textCol, shingleN, threshold)
+    jaccardVerifyPrepared(cands, sh, threshold, broadcastSketches)
   }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
@@ -194,9 +205,12 @@ object Dedup {
       if (wordGrams) word_ngram_hashes(col(textCol), shingleN)
       else shingle_hashes(col(textCol), shingleN)
     // no widen() here: a single shingle pass is cheap relative to the extra
-    // exchange it would add ahead of the df-rank window (measured slower)
+    // exchange it would add ahead of the df-rank window (measured slower).
+    // Lazy localCheckpoint: the shingle kernel feeds both the token-explode
+    // path and the verify path — materialize once, share the blocks.
     val sh = df.select(col(idCol).alias("_id"), shingler.alias("_sh"))
       .where(size(col("_sh")) > 0)
+      .localCheckpoint(false)
     val tokens = sh.select(col("_id"), size(col("_sh")).alias("_n"),
       explode(col("_sh")).alias("_tok"))
     val dfreq = tokens.groupBy("_tok").agg(count(lit(1)).alias("_df"))
@@ -253,7 +267,10 @@ object Dedup {
     // width 64 (maxHamming=0, one chunk = the whole fingerprint): 1L<<64
     // wraps to 1L in the JVM, so the mask must special-case to all-ones
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    // fingerprints feed both the banding path and the Hamming verify —
+    // lazy localCheckpoint shares the one simhash kernel pass
     val fp = df.select(col(idCol), TextAnalysis.simhash(col(textCol)).alias("fp"))
+      .localCheckpoint(false)
     val chunkStructs = (0 until numChunks).map(i => struct(
       lit(i).alias("chunk"),
       shiftright(col("fp"), starts(i))
@@ -288,21 +305,27 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
       driverEdgeLimit: Long = 4_000_000L): DataFrame = {
-    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+    val spark = pairs.sparkSession
+    val edgesPlan = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .distinct()
-      .localCheckpoint(true)
     // near-dup edge lists are tiny relative to the corpus (a 100 TB corpus
     // with 1% dup rate yields millions of edges, not billions): below
     // `driverEdgeLimit` DIRECTED edges (≈ 2× the undirected pair count), a
     // driver-side union-find replaces O(log d) distributed rounds with one
-    // collect — the iterative pointer-jumping below remains the
-    // arbitrarily-large-graph path, and the only path for non-integral ids
-    // LongType only: the collect casts to long, which would null string ids
-    // and silently retype narrower integrals
-    val longIds = edges.schema.fields.forall(_.dataType == LongType)
-    if (longIds && edges.count() <= driverEdgeLimit)
-      return unionFindLocal(edges)
+    // collect. The size probe is the collect itself — limit(cap+1) in ONE
+    // job, no separate count pass — spilling to the distributed path only
+    // when the cap overflows. The iterative pointer-jumping below remains
+    // the arbitrarily-large-graph path, and the only path for non-integral
+    // ids: the collect casts to long, which would null string ids and
+    // silently retype narrower integrals (LongType-only guard).
+    val longIds = edgesPlan.schema.fields.forall(_.dataType == LongType)
+    if (longIds && driverEdgeLimit < Int.MaxValue) {
+      val probe = edgesPlan.limit(driverEdgeLimit.toInt + 1).collect()
+      if (probe.length <= driverEdgeLimit)
+        return unionFindLocal(spark, probe.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    val edges = edgesPlan.localCheckpoint(true)
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -336,11 +359,9 @@ object Dedup {
     * caller — the long cast would null out string ids), output matches the
     * distributed path exactly: (id, component = min member id).
     */
-  private def unionFindLocal(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0

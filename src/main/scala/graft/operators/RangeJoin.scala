@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without a cartesian product.
+  *
+  * A naive `points JOIN ranges ON p BETWEEN lo AND hi` has no equi-key, so
+  * Spark plans a broadcast-nested-loop (or cartesian) — O(points × ranges)
+  * comparisons, the classic 100 TB killer. Binning converts it to an
+  * equi-join: every range is replicated to each fixed-width bin it
+  * overlaps, every point hashes to exactly one bin, and the join key is
+  * the bin id. Comparisons drop to O(points × avg ranges-per-bin); both
+  * sides shuffle-partition on the bin id like any other equi-join (or the
+  * binned range side broadcasts when small).
+  *
+  * Each (point, range) match is produced exactly once — the pair can only
+  * meet in the point's single bin — so no post-join dedup is needed.
+  *
+  * `binWidth` trades replication against selectivity: ranges spanning k
+  * bins appear k times. Pick it near the median range span so most ranges
+  * land in 1-2 bins.
+  */
+object RangeJoin {
+
+  /** Inner range join: `points.pointCol` ∈ `[ranges.loCol, ranges.hiCol]`
+    * (inclusive both ends). Output = point columns + range columns.
+    */
+  def binned(points: DataFrame, pointCol: String, ranges: DataFrame,
+      loCol: String, hiCol: String, binWidth: Double,
+      broadcastRanges: Boolean = false): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val rBinned = ranges.where(col(loCol) <= col(hiCol)).withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val r = if (broadcastRanges) broadcast(rBinned) else rBinned
+    p.join(r, Seq("_bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+}

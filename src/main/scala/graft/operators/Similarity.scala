@@ -137,7 +137,12 @@ object Similarity {
       .orderBy(col("_h"))
       .limit(fitSampleSize)
       .drop("_h")
+    // random init (seeded, deterministic) over k-means||: the parallel init
+    // is itself several distributed passes, and a coarse IVF quantizer
+    // needs cells of roughly even mass, not optimal centers — 5 Lloyd
+    // iterations from a random seed get there at a fraction of the cost
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(fitOn)
     val indexed = model.transform(feats).drop("_features")

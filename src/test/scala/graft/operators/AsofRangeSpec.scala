@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis
+
+/** Round-3 operators: as-of join, binned range join, decontamination,
+  * PII scrubbing.
+  */
+class AsofRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── AsofJoin ───────────────────────────────────────────────────────────
+
+  private def quotes =
+    Seq((1L, 10L, "q10"), (1L, 20L, "q20"), (2L, 15L, "q15"))
+      .toDF("k", "ts", "quote")
+
+  test("asof backward: latest at-or-before per key; null when none precedes") {
+    val trades = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 14L), (3L, 99L))
+      .toDF("k", "ts")
+    val got = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "ts",
+        payload = Seq("quote"))
+      .select($"k", $"ts", $"asof_quote").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 5L, None),          // nothing at-or-before 5
+      (1L, 10L, Some("q10")),  // equal ts matches (>= semantics)
+      (1L, 25L, Some("q20")),  // latest of the two
+      (2L, 14L, None),         // q15 is after
+      (3L, 99L, None)))        // key absent on the right
+  }
+
+  test("asof strict: equal-ts right row is excluded") {
+    val trades = Seq((1L, 10L)).toDF("k", "ts")
+    val got = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "ts",
+        payload = Seq("quote"), strict = true)
+      .select($"asof_quote").as[Option[String]].collect().toSet
+    assert(got == Set(None))
+  }
+
+  test("asof plan: exactly one exchange — no range join, no cartesian") {
+    val trades = Seq((1L, 5L)).toDF("k", "ts")
+    val plan = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "ts",
+      payload = Seq("quote")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    // the union-window form shuffles ONCE on the key
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("asof matches the window-free definition on real events (sf0.001)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts_us".as("p_ts"), $"event_id".as("p_id"))
+    val got = AsofJoin.backward(
+      ev.select($"event_id", $"user_id", $"ts_us"), purchases,
+      Seq("user_id"), "ts_us", "p_ts", payload = Seq("p_id"), outPrefix = "")
+    // oracle: max_by over the qualifying right rows, per left row
+    val want = ev.select($"event_id", $"user_id", $"ts_us").as("l")
+      .join(purchases.as("r"),
+        $"l.user_id" === $"r.user_id" && $"l.ts_us" >= $"r.p_ts", "left")
+      .groupBy($"l.event_id".as("event_id"))
+      .agg(max($"r.p_ts").as("_"), max_by($"r.p_id", $"r.p_ts").as("p_id"))
+    val mismatches = got.select($"event_id", $"p_id")
+      .except(want.select($"event_id", $"p_id")).count()
+    assert(mismatches == 0)
+  }
+
+  // ── RangeJoin ──────────────────────────────────────────────────────────
+
+  private def ranges =
+    Seq((10L, 0.0, 10.0), (11L, 5.0, 7.0), (12L, 50.0, 51.0), (13L, -3.0, 1.0))
+      .toDF("range_id", "lo", "hi")
+
+  test("binned range join equals the naive BETWEEN join, no duplicates") {
+    val points = Seq((1L, 5.0), (2L, 6.5), (3L, 10.0), (4L, 49.99),
+      (5L, -1.0), (6L, 100.0)).toDF("point_id", "v")
+    for (w <- Seq(0.5, 3.0, 100.0)) {
+      val got = RangeJoin.binned(points, "v", ranges, "lo", "hi", binWidth = w)
+        .select($"point_id", $"range_id").as[(Long, Long)].collect().toList
+      val want = points.join(ranges, $"v" >= $"lo" && $"v" <= $"hi")
+        .select($"point_id", $"range_id").as[(Long, Long)].collect().toList
+      // list (not set) compare: binning must not double-emit a match
+      assert(got.sorted == want.sorted, s"binWidth=$w")
+    }
+  }
+
+  test("binned range join: empty/inverted ranges drop out; plan is equi-join") {
+    val points = Seq((1L, 5.0)).toDF("point_id", "v")
+    val bad = Seq((1L, 9.0, 2.0)).toDF("range_id", "lo", "hi") // lo > hi
+    assert(RangeJoin.binned(points, "v", bad, "lo", "hi", 1.0).count() == 0)
+    val plan = RangeJoin.binned(points, "v", ranges, "lo", "hi", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  // ── Decontaminate ──────────────────────────────────────────────────────
+
+  test("decontaminate: shared-gram counts, bench-only grams don't flag") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shares trigrams "a b c","b c d","c d e" with bench
+      (2L, "x y z w q"),   // clean
+      (3L, "c d e f g")    // shares "c d e"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 3L -> 2L)) // doc 3: "c d e","d e f"
+    // minShared raises the bar
+    val strict = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 3,
+      minShared = 3).as[(Long, Long)].collect().toMap
+    assert(strict == Map(1L -> 3L))
+  }
+
+  test("decontaminate plan: benchmark side broadcasts") {
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bench = Seq((2L, "a b c")).toDF("doc_id", "text")
+    val plan = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // ── PII scrub ──────────────────────────────────────────────────────────
+
+  test("redactPii: email, phone, id-run — order prevents double redaction") {
+    val df = Seq(
+      ("reach me at jane.doe+x@corp.example.org or 25-989-741-2988"),
+      ("order 123456789 shipped"),
+      ("no pii here"),
+      ("short 12345 stays")).toDF("text")
+      .select(TextAnalysis.redactPii($"text").as("red"),
+        TextAnalysis.piiCount($"text").as("n"))
+    val got = df.as[(String, Int)].collect().toList
+    assert(got == List(
+      ("reach me at <EMAIL> or <PHONE>", 2),
+      ("order <ID> shipped", 1),
+      ("no pii here", 0),
+      ("short 12345 stays", 0)))
+  }
+}
