@@ -41,7 +41,10 @@ object AsofJoin {
       outPrefix: String = "asof_", strict: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one equi-key")
     val lCols = left.columns.toSeq
-    val r = right.select(
+    // a null right timestamp would sort FIRST in the window order and read
+    // as "at-or-before everything" — but `l.ts >= null` is never true in
+    // SQL as-of semantics, so such rows must not match anything
+    val r = right.where(col(rightTs).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTs).alias("_ts"),
         lit(1).alias("_is_r"),

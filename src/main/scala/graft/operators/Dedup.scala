@@ -34,9 +34,10 @@ object Dedup {
     * The split estimate comes from the file-source metadata already cached
     * on the logical relation (bytes / maxPartitionBytes) — NOT from
     * `df.rdd.getNumPartitions`, which would compile the plan to RDDs and
-    * re-list input files on every call (ADVICE r2). Non-file inputs
-    * (local/in-memory relations) pass through: Spark already spreads them
-    * across `defaultParallelism` slices.
+    * re-list input files on every call (ADVICE r2). Plans with no file
+    * leaf (JDBC — numPartitions often 1 — RDD-backed, checkpointed) fall
+    * back to the RDD partition probe: those sources carry a real narrow-
+    * input risk and no cheap metadata to estimate from.
     */
   private[graft] def widen(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -46,7 +47,8 @@ object Dedup {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
         l.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
     }
-    if (fileBytes.isEmpty) return df
+    if (fileBytes.isEmpty)
+      return if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     val maxSplit = math.max(1L,
       spark.sessionState.conf.filesMaxPartitionBytes)
     val estSplits = fileBytes.map(b => (b + maxSplit - 1) / maxSplit).sum
@@ -306,26 +308,39 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
       driverEdgeLimit: Long = 4_000_000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edgesPlan = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .distinct()
-    // near-dup edge lists are tiny relative to the corpus (a 100 TB corpus
-    // with 1% dup rate yields millions of edges, not billions): below
-    // `driverEdgeLimit` DIRECTED edges (≈ 2× the undirected pair count), a
-    // driver-side union-find replaces O(log d) distributed rounds with one
-    // collect. The size probe is the collect itself — limit(cap+1) in ONE
-    // job, no separate count pass — spilling to the distributed path only
-    // when the cap overflows. The iterative pointer-jumping below remains
-    // the arbitrarily-large-graph path, and the only path for non-integral
-    // ids: the collect casts to long, which would null string ids and
-    // silently retype narrower integrals (LongType-only guard).
-    val longIds = edgesPlan.schema.fields.forall(_.dataType == LongType)
-    if (longIds && driverEdgeLimit < Int.MaxValue) {
-      val probe = edgesPlan.limit(driverEdgeLimit.toInt + 1).collect()
-      if (probe.length <= driverEdgeLimit)
-        return unionFindLocal(spark, probe.map(r => (r.getLong(0), r.getLong(1))))
-    }
-    val edges = edgesPlan.localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // near-dup edge lists are tiny relative to the corpus (a 100 TB
+      // corpus with 1% dup rate yields millions of edges, not billions):
+      // below `driverEdgeLimit` DIRECTED edges (≈ 2× the undirected pair
+      // count), a driver-side union-find replaces O(log d) distributed
+      // rounds with one collect. The size probe is the collect itself —
+      // limit(cap+1) in ONE job, no separate count pass — and the persist
+      // means an overflowing probe's shuffle is not thrown away: the
+      // distributed path below reuses the cached edge partitions. The
+      // iterative pointer-jumping remains the arbitrarily-large-graph
+      // path, and the only path for non-integral ids: the collect casts to
+      // long, which would null string ids and silently retype narrower
+      // integrals (LongType-only guard).
+      val longIds = edges.schema.fields.forall(_.dataType == LongType)
+      if (longIds && driverEdgeLimit < Int.MaxValue) {
+        val probe = edges.limit(driverEdgeLimit.toInt + 1).collect()
+        if (probe.length <= driverEdgeLimit)
+          return unionFindLocal(spark, probe.map(r => (r.getLong(0), r.getLong(1))))
+      }
+      connectedComponentsDistributed(edges, maxIterations)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Iterative min-label propagation with pointer jumping over a persisted
+    * directed edge table (both directions present). Every intermediate
+    * label table is localCheckpoint'd, so the loop's lineage stays flat.
+    */
+  private def connectedComponentsDistributed(edges: DataFrame,
+      maxIterations: Int): DataFrame = {
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

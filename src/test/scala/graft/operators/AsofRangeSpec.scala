@@ -32,6 +32,17 @@ class AsofRangeSpec extends SparkSpec {
       (3L, 99L, None)))        // key absent on the right
   }
 
+  test("asof: null right timestamp never matches (code-review r3)") {
+    val trades = Seq((1L, 5L)).toDF("k", "ts")
+    val nullQuotes = Seq((1L, Option.empty[Long], "qNull"), (1L, Some(3L), "q3"))
+      .toDF("k", "ts", "quote")
+    val got = AsofJoin.backward(trades, nullQuotes, Seq("k"), "ts", "ts",
+        payload = Seq("quote"))
+      .select($"asof_quote").as[Option[String]].collect().toSet
+    // l.ts >= null is never true: the null-ts quote must not win over q3
+    assert(got == Set(Some("q3")))
+  }
+
   test("asof strict: equal-ts right row is excluded") {
     val trades = Seq((1L, 10L)).toDF("k", "ts")
     val got = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "ts",
