@@ -853,6 +853,56 @@ object SparkEntry {
         round((sxy - sx * sy / nD) / (nD - 1.0), 6).alias("covar_samp_qty_price"))
     }),
 
+    // Incremental aggregate maintenance: a per-segment count/sum aggregate
+    // over a STALE replica is brought current by retracting the changed
+    // keys' old contributions and adding their new ones — never rescanning
+    // the base. The oracle recomputes the aggregate from the fully-folded
+    // final state: maintenance ≡ recompute.
+    "q_cdc_agg_maintain" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      // stale replica: balances drifted for every 7th key
+      val bal = when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+        .otherwise(col("c_acctbal"))
+      val replica = cust.select(col("c_custkey"), col("c_mktsegment"),
+        dec(bal).alias("bal"))
+      val oldAgg = replica.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).alias("n"), sum(col("bal")).alias("s"))
+      val folded = Cdc.delta(changeFeed(s, dir), cust,
+        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
+      val oldRows = replica.join(folded.select(col("user_id")),
+        replica("c_custkey") === col("user_id"), "left_semi")
+      val newRows = folded.where(col(Cdc.ChangeType) === Cdc.Upsert)
+        .select(col("c_mktsegment"), dec(col("c_acctbal")).alias("bal"))
+      graft.operators.IncrementalAgg
+        .maintainCountSum(oldAgg, oldRows, newRows, "c_mktsegment", "bal")
+        .select(col("c_mktsegment"), col("n"),
+          col("s").cast(DoubleType).alias("sum_bal"))
+    }),
+
+    // TF-IDF: per-document most-distinctive token (tf · ln(N/df), ties to
+    // the lexicographically first token) — the classic corpus-relevance
+    // scoring pass, all shuffles on (doc, token) / token.
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).alias("token"))
+        .where(length(col("token")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).alias("tf"))
+      val idf = toks.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).alias("df"))
+      val nDocs = docs.agg(count(lit(1)).alias("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(idf, "token").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("token").alias("top_token"),
+          col("tf"), col("df"), round(col("tfidf"), 6).alias("tfidf_r"))
+    }),
+
     // W5: top-k per group — deterministic row_number (price desc, key asc)
     // capped at 3 per order priority.
     "q_w5_topk_per_group" -> ((s, dir) => {
@@ -1438,6 +1488,45 @@ object SparkEntry {
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders) WHERE rn <= 3""".stripMargin
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_cdc_agg_maintain" ->
+      """WITH changed AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_id > 100 AND event_id <= 1000000000),
+        |replica AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer),
+        |final AS (
+        |  SELECT r.c_mktsegment, CAST(r.bal AS DECIMAL(18,2)) AS bal
+        |  FROM replica r
+        |  WHERE r.c_custkey NOT IN (SELECT user_id FROM changed)
+        |  UNION ALL
+        |  SELECT c.c_mktsegment, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer c JOIN changed ON c.c_custkey = changed.user_id)
+        |SELECT c_mktsegment, count(*) AS n, CAST(sum(bal) AS DOUBLE) AS sum_bal
+        |FROM final GROUP BY c_mktsegment""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE len(token) > 0 GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |  WHERE len(token) > 0 GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(idf.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN idf USING (token) CROSS JOIN n)
+        |SELECT doc_id, token AS top_token, tf, df, round(tfidf, 6) AS tfidf_r
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin
   )
 }

@@ -133,6 +133,26 @@ class AsofRangeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  // ── IncrementalAgg ─────────────────────────────────────────────────────
+
+  test("maintainCountSum ≡ full recompute, including group birth and death") {
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val old = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      .toDF("k", "g", "v").select($"k", $"g", dec($"v").as("v"))
+    // changes: k=2 moves a→c (group birth), k=3 deleted (b dies),
+    // k=1 value update in place
+    val oldRows = old.where($"k".isin(1L, 2L, 3L))
+    val newRows = Seq((1L, "a", 11.0), (2L, "c", 20.0))
+      .toDF("k", "g", "v").select($"g", dec($"v").as("v"))
+    val oldAgg = old.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val got = IncrementalAgg.maintainCountSum(oldAgg, oldRows, newRows, "g", "v")
+      .select($"g", $"n", $"s".cast("double")).as[(String, Long, Double)]
+      .collect().toSet
+    assert(got == Set(("a", 1L, 11.0), ("c", 1L, 20.0))) // b removed at n=0
+  }
+
   // ── PII scrub ──────────────────────────────────────────────────────────
 
   test("redactPii: email, phone, id-run — order prevents double redaction") {

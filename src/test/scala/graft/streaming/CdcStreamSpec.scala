@@ -351,6 +351,30 @@ class CdcStreamSpec extends SparkSpec {
     assert(l.lastBatchMs == -1L)
   }
 
+  test("stream-stream interval join with watermarks (ST8 extension)") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)]   // (ad_id, epoch sec)
+    val clicks = MemoryStream[(Long, Long)]
+    val impDf = imps.toDF().toDF("ad_id", "sec")
+      .select($"ad_id", timestamp_seconds($"sec").as("imp_ts"))
+      .withWatermark("imp_ts", "10 seconds")
+    val clickDf = clicks.toDF().toDF("ad_id", "sec")
+      .select($"ad_id".as("c_ad_id"), timestamp_seconds($"sec").as("click_ts"))
+      .withWatermark("click_ts", "10 seconds")
+    // attribute a click to an impression within [imp_ts, imp_ts + 30s]
+    val joined = impDf.join(clickDf,
+      $"ad_id" === $"c_ad_id" &&
+        $"click_ts" >= $"imp_ts" && $"click_ts" <= $"imp_ts" + expr("INTERVAL 30 SECONDS"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start(tmp("ssj_ckpt"))
+    imps.addData((1L, 100L), (2L, 100L))
+    clicks.addData((1L, 120L), (2L, 140L), (1L, 95L)) // 2@140 outside, 1@95 before
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").select($"ad_id").as[Long].collect().toList
+    assert(got == List(1L)) // only ad 1's click lands in its window
+  }
+
   test("event-time windows: tumbling + session (ST8 extension)") {
     val ev = Seq(
       ("2024-01-01 00:00:10", "a", 1.0),
