@@ -510,6 +510,15 @@ object SparkEntry {
       graft.sources.KafkaIO.roundTrip(folded, Seq("user_id"))
     }),
 
+    // The reference's NATIVE wire format: the same fold encoded to Avro
+    // binary records (schema derived like S4HanaTableMapping.getAvroSchema)
+    // and decoded back — identity, so the oracle is the fold again.
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val folded = Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
+        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
+      graft.sources.AvroWire.roundTrip(folded)
+    }),
+
     // J4/J5 composed: parents whose nested object must be rebuilt because
     // a child row changed (the reference's table-directory semantics,
     // S4HanaProducer.java:56-61, :407-410).
@@ -931,6 +940,16 @@ object SparkEntry {
         |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
 
     "q_kafka_roundtrip" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS _transactionid
+        |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
+        |  GROUP BY user_id)
+        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+        |       l._transactionid, l.user_id,
+        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
+
+    "q_avro_roundtrip" ->
       """WITH latest AS (
         |  SELECT user_id, max(event_id) AS _transactionid
         |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
