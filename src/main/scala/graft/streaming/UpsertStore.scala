@@ -61,6 +61,15 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
 
   /** Apply one folded CDC batch (`_change_type` 'A'/'D' + `_transactionid` +
     * full row). Rewrites only the buckets containing batch keys.
+    *
+    * ADDITIVE SCHEMA EVOLUTION: a batch may carry columns the store has
+    * never seen (the reference recreates its objects when a source table
+    * changes shape, `S4HanaProducer.java:57-61`) or omit columns the store
+    * has. Both directions fill with null — the engine's all-nullable
+    * contract (`S4HanaTableMapping.java:583`) — and new columns persist
+    * into the store schema; untouched buckets simply read the new column
+    * as null (parquet projection of an absent column). Columns are never
+    * dropped by omission: deletion of a column is a rewrite, not a merge.
     */
   def merge(folded: DataFrame): Unit = {
     val batch = withBucket(folded).cache()
@@ -78,11 +87,20 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
         .where(col(Cdc.ChangeType) === Cdc.Upsert)
         .drop(Cdc.ChangeType, Cdc.TransactionId, bucketCol))
       // materialize BEFORE the overwrite: the merged plan reads the very
-      // files the write below replaces (localCheckpoint cuts the lineage)
-      val merged = kept.unionByName(upserts).localCheckpoint(true)
+      // files the write below replaces (localCheckpoint cuts the lineage).
+      // allowMissingColumns handles both evolution directions; keep the
+      // bucket column last so the persisted schema stays stable.
+      val unioned = kept.unionByName(upserts, allowMissingColumns = true)
+      val merged = unioned
+        .select(unioned.columns.filterNot(_ == bucketCol).map(col)
+          :+ col(bucketCol): _*)
+        .localCheckpoint(true)
       merged.write.partitionBy(bucketCol)
         .option("partitionOverwriteMode", "dynamic") // per-write, not session
         .mode("overwrite").parquet(dir)
+      if (merged.schema != savedSchema)
+        java.nio.file.Files.write(schemaFile.toPath,
+          merged.schema.json.getBytes("UTF-8"))
       // a bucket whose rows were ALL deleted is absent from `merged` and
       // dynamic overwrite leaves its old files — drop such buckets directly
       val survivors = merged.select(bucketCol).distinct()

@@ -78,6 +78,32 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.snapshot().as[(Long, String)].collect().toSet == Set((7L, "seven")))
   }
 
+  test("merge evolves the schema additively; missing batch columns fill null") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    // batch carries a NEW column the store has never seen
+    val widened = Seq(
+      (Cdc.Upsert, 10L, 2L, "TWO", Some("extra2")),
+      (Cdc.Upsert, 11L, 9L, "nine", Option.empty[String]))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload", "note")
+    store.merge(widened)
+    val snap1 = store.snapshot()
+    assert(snap1.columns.toSeq == Seq("id", "payload", "note"))
+    val m1 = snap1.as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // untouched rows read the new column as null; merged rows carry it
+    assert(m1(1L) == (("one", None)) && m1(2L) == (("TWO", Some("extra2"))))
+    assert(m1(9L) == (("nine", None)))
+    // a later batch in the OLD shape (no `note`) still merges; note -> null
+    val narrow = Seq((Cdc.Upsert, 12L, 3L, "THREE"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    store.merge(narrow)
+    val m2 = store.snapshot().as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m2(3L) == (("THREE", None)) && m2(2L) == (("TWO", Some("extra2"))))
+    assert(m2.keySet == Set(1L, 2L, 3L, 9L))
+  }
+
   test("merge leaves the session partitionOverwriteMode untouched") {
     val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     val store = newStore(tmp("store"))
