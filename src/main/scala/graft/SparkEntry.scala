@@ -925,39 +925,28 @@ object SparkEntry {
     })
   )
 
+  /** The delta-fold oracle, shared by the fold itself and the wire-format
+    * round-trips (identity transforms over the same fold).
+    */
+  private val DeltaFoldOracle =
+    """WITH latest AS (
+      |  SELECT user_id, max(event_id) AS _transactionid
+      |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
+      |  GROUP BY user_id)
+      |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+      |       l._transactionid, l.user_id,
+      |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+      |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "q_cdc_delta_fold" ->
-      """WITH latest AS (
-        |  SELECT user_id, max(event_id) AS _transactionid
-        |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
-        |  GROUP BY user_id)
-        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
-        |       l._transactionid, l.user_id,
-        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
-        |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
+    "q_cdc_delta_fold" -> DeltaFoldOracle,
 
-    "q_kafka_roundtrip" ->
-      """WITH latest AS (
-        |  SELECT user_id, max(event_id) AS _transactionid
-        |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
-        |  GROUP BY user_id)
-        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
-        |       l._transactionid, l.user_id,
-        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
-        |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
+    "q_kafka_roundtrip" -> DeltaFoldOracle,
 
-    "q_avro_roundtrip" ->
-      """WITH latest AS (
-        |  SELECT user_id, max(event_id) AS _transactionid
-        |  FROM events WHERE event_id > 100 AND event_id <= 1000000000
-        |  GROUP BY user_id)
-        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
-        |       l._transactionid, l.user_id,
-        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
-        |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin,
+    "q_avro_roundtrip" -> DeltaFoldOracle,
 
     "q_hier_impacted" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o

@@ -74,9 +74,10 @@ object AvroWire {
       val avroSchema = new Schema.Parser().parse(avroJson)
       val writer = new GenericDatumWriter[GenericRecord](avroSchema)
       val out = new ByteArrayOutputStream()
+      var encoder: org.apache.avro.io.BinaryEncoder = null
       rows.map { row =>
         out.reset()
-        val encoder = EncoderFactory.get().binaryEncoder(out, null)
+        encoder = EncoderFactory.get().binaryEncoder(out, encoder) // reuse
         writer.write(rowToRecord(row, sparkSchema, avroSchema), encoder)
         encoder.flush()
         out.toByteArray
@@ -92,9 +93,10 @@ object AvroWire {
     records.select(col("value").cast(BinaryType)).mapPartitions { rows =>
       val avroSchema = new Schema.Parser().parse(avroJson)
       val reader = new GenericDatumReader[GenericRecord](avroSchema)
+      var decoder: org.apache.avro.io.BinaryDecoder = null
       rows.map { r =>
-        val decoder = DecoderFactory.get()
-          .binaryDecoder(r.getAs[Array[Byte]](0), null)
+        decoder = DecoderFactory.get()
+          .binaryDecoder(r.getAs[Array[Byte]](0), decoder) // reuse
         recordToRow(reader.read(null, decoder), schema)
       }
     }(enc)

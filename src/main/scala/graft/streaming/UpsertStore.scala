@@ -90,6 +90,15 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       // files the write below replaces (localCheckpoint cuts the lineage).
       // allowMissingColumns handles both evolution directions; keep the
       // bucket column last so the persisted schema stays stable.
+      // evolution is silent null-filling, so make it OBSERVABLE: a renamed
+      // upstream column looks exactly like one dropped + one added
+      val added = upserts.columns.toSet -- existing.columns.toSet
+      val omitted = existing.columns.toSet -- upserts.columns.toSet
+      if (added.nonEmpty || omitted.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(classOf[UpsertStore]).warn(
+          s"schema evolution in $dir: batch adds ${added.toSeq.sorted} / " +
+            s"omits ${omitted.toSeq.sorted} vs the store schema — " +
+            "omitted columns null-fill; verify this is not a renamed column")
       val unioned = kept.unionByName(upserts, allowMissingColumns = true)
       val merged = unioned
         .select(unioned.columns.filterNot(_ == bucketCol).map(col)
