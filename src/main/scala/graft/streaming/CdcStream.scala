@@ -142,10 +142,24 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
   /** Run as a Structured Streaming query over a streaming change feed. */
   def start(changeFeedStream: DataFrame, checkpointDir: String,
       intervalMs: Long = 1000): StreamingQuery =
+    startWith(changeFeedStream, checkpointDir, Trigger.ProcessingTime(intervalMs))
+
+  /** Backfill mode: drain everything currently available in the feed with
+    * the SAME fold/merge/ledger code, then terminate — `Trigger
+    * .AvailableNow` batches the drain by the source's limits instead of
+    * loading one giant micro-batch (the modern replacement for
+    * `Trigger.Once`, and the Spark analog of the reference's initial-load
+    * catch-up, `S4HanaProducer.java:501-576`).
+    */
+  def startBackfill(changeFeedStream: DataFrame, checkpointDir: String): StreamingQuery =
+    startWith(changeFeedStream, checkpointDir, Trigger.AvailableNow())
+
+  private def startWith(changeFeedStream: DataFrame, checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
     changeFeedStream.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id))
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(intervalMs))
+      .trigger(trigger)
       .start()
 }
 

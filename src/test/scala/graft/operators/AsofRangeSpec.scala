@@ -153,6 +153,25 @@ class AsofRangeSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 11.0), ("c", 1L, 20.0))) // b removed at n=0
   }
 
+  // ── Approximate sketches ───────────────────────────────────────────────
+
+  test("approx_count_distinct (HLL++) lands within its error bound on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val row = li.agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey", 0.05).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    // rsd 0.05 → generous 3x tolerance; the point is sketch-vs-exact wiring
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"exact=$exact approx=$approx")
+    // percentile_approx stays within 2% of the exact interpolated quantile
+    val r2 = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_p50"))
+      .head()
+    assert(math.abs(r2.getDouble(0) - r2.getDouble(1)) / r2.getDouble(0) < 0.02)
+  }
+
   // ── PII scrub ──────────────────────────────────────────────────────────
 
   test("redactPii: email, phone, id-run — order prevents double redaction") {

@@ -290,6 +290,25 @@ class CdcStreamSpec extends SparkSpec {
     assert(got(2L) == "TWO" && got(9L) == "NINE")
   }
 
+  test("backfill via Trigger.AvailableNow drains the feed and terminates") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    val source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (9L, "nine"))
+      .toDF("id", "payload")
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    ms.addData((2L, 20L), (9L, 21L)) // data queued BEFORE the query starts
+    val q = job.startBackfill(ms.toDF().toDF("id", Cdc.TransactionId), tmp("ckpt"))
+    q.awaitTermination(60000) // AvailableNow terminates after the drain
+    assert(!q.isActive)
+    assert(ledger.read() == 21L)
+    assert(store.snapshot().as[(Long, String)].collect().toMap ==
+      Map(1L -> "one", 2L -> "TWO", 3L -> "three", 9L -> "nine"))
+  }
+
   test("producer → Kafka wire → consumer: full CDC pipeline converges") {
     // §3.1 end-to-end: delta fold (producer) → (key,value) records (wire)
     // → parse (consumer) → last-write-wins apply into the replica
