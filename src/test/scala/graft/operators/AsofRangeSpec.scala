@@ -79,6 +79,36 @@ class AsofRangeSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("asof property: equals the declarative definition on random data") {
+    // randomized cross-check (fixed seeds): duplicate keys, clustered ts,
+    // ties between left and right, keys on one side only
+    for (seed <- Seq(1, 42, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.tabulate(60)(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+        .toDF("lid", "k", "ts")
+      val right = Seq.tabulate(30)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, i.toLong))
+        .toDF("k", "ts", "payload")
+        // one right row per (k, ts): duplicate right timestamps make the
+        // as-of winner ill-defined in ANY engine — exclude, like real feeds
+        .groupBy("k", "ts").agg(max("payload").as("payload"))
+      for (strict <- Seq(false, true)) {
+        val got = AsofJoin.backward(left, right, Seq("k"), "ts", "ts",
+          payload = Seq("payload"), strict = strict)
+          .select($"lid", $"asof_payload")
+          .as[(Long, Option[Long])].collect().toMap
+        val cond = if (strict) $"l.ts" > $"r.ts" else $"l.ts" >= $"r.ts"
+        val want = left.as("l")
+          .join(right.as("r"), $"l.k" === $"r.k" && cond, "left")
+          .groupBy($"l.lid")
+          .agg(max_by($"r.payload", $"r.ts").as("p"))
+          .as[(Long, Option[Long])].collect().toMap
+        assert(got == want, s"seed=$seed strict=$strict")
+      }
+    }
+  }
+
   // ── RangeJoin ──────────────────────────────────────────────────────────
 
   private def ranges =
