@@ -912,6 +912,27 @@ object SparkEntry {
           col("tf"), col("df"), round(col("tfidf"), 6).alias("tfidf_r"))
     }),
 
+    // Token-bounded document chunking with overlap (50-token chunks,
+    // 10-token overlap) — the pre-tokenization split before sequence
+    // packing; pure map-side array ops, exploded for the compare.
+    "q_text_chunks" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(TextAnalysis.chunkByTokens(col("text"), 50, 10)))
+        .select(col("doc_id"), col("pos").cast(LongType).alias("chunk_idx"),
+          col("col.start_tok").alias("start_tok"),
+          col("col.chunk").alias("chunk"), col("col.n_tok").alias("n_tok"))
+    }),
+
+    // Shard packing: cut the doc_id-ordered corpus into ~2000-token
+    // training shards via the DISTRIBUTED two-pass prefix sum (no
+    // single-partition global window).
+    "q_pack_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tok"))
+      graft.operators.Shards.assignByTokenBudget(d, "doc_id", "n_tok", 2000L)
+        .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
+    }),
+
     // W5: top-k per group — deterministic row_number (price desc, key asc)
     // capped at 3 per order priority.
     "q_w5_topk_per_group" -> ((s, dir) => {
@@ -1490,6 +1511,34 @@ object SparkEntry {
         |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
         |    / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_samp_qty_price
         |FROM m""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    greatest(CAST(ceil((len(ws) - 10) / 40.0) AS BIGINT), 1) AS nc
+        |  FROM toks),
+        |ex AS (SELECT doc_id, ws, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx, CAST(i * 40 AS INT) AS start_tok,
+        |  array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk,
+        |  CAST(len(ws[i*40+1 : i*40+50]) AS INT) AS n_tok
+        |FROM ex""".stripMargin,
+
+    "q_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
+        |    AS shard
+        |FROM d""".stripMargin,
 
     "q_w5_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (

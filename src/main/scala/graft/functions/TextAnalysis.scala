@@ -102,6 +102,32 @@ object TextAnalysis {
     PiiPatterns.map { case (_, re) => regexp_count(text, lit(re)) }
       .reduce(_ + _)
 
+  /** Token-bounded document chunks with overlap — the pre-tokenization
+    * split every training pipeline runs before packing sequences. Chunk i
+    * covers tokens `[i·(maxTokens−overlap), …]`, `maxTokens` long (the
+    * last chunk may be shorter); a doc at or under `maxTokens` yields one
+    * chunk. Pure codegen'd array ops (`sequence`/`transform`/`slice`) —
+    * no UDF, map-side only; callers `posexplode` the result.
+    *
+    * @return array<struct<start_tok int, chunk string, n_tok int>>
+    */
+  def chunkByTokens(text: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val step = maxTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(ceil((n - overlap).cast("double") / step)
+      .cast("int") - 1, lit(0)), lit(1))
+    transform(starts, i => {
+      val s = i * step
+      val piece = slice(toks, s + 1, lit(maxTokens))
+      struct(s.cast("int").alias("start_tok"),
+        array_join(piece, " ").alias("chunk"),
+        size(piece).alias("n_tok"))
+    })
+  }
+
   /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the
     * rolling fingerprint.
     */

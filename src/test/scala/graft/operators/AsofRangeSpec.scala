@@ -183,6 +183,45 @@ class AsofRangeSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 11.0), ("c", 1L, 20.0))) // b removed at n=0
   }
 
+  // ── Chunking + shard packing ───────────────────────────────────────────
+
+  test("chunkByTokens: coverage, overlap, and short-doc edge cases") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → 3 chunks
+      (2L, "a b c"),                                  // under max → 1 chunk
+      (3L, (1 to 4).map(i => s"x$i").mkString(" "))   // exactly max → 1 chunk
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        explode(TextAnalysis.chunkByTokens($"text", 4, 1)).as("c"))
+      .select($"doc_id", $"c.start_tok", $"c.chunk", $"c.n_tok")
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 0, "w1 w2 w3 w4", 4), (1L, 3, "w4 w5 w6 w7", 4),
+      (1L, 6, "w7 w8 w9 w10", 4),
+      (2L, 0, "a b c", 3),
+      (3L, 0, "x1 x2 x3 x4", 4)))
+    // every token is covered; consecutive chunks overlap by exactly 1
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens($"text", 4, 4)
+    }
+  }
+
+  test("shard assignment is exact and invariant to parallelism") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, (i % 7 + 1) * 10L))
+      .toDF("doc_id", "n_tok")
+    val want = docs.orderBy($"doc_id").as[(Long, Long)].collect()
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
+      .tail.map { case (id, n, cumAfter) =>
+        (id, n, cumAfter - n, (cumAfter - n) / 100) }.toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Shards.assignByTokenBudget(
+          docs.repartition(parts), "doc_id", "n_tok", budget = 100L)
+        .select($"doc_id", $"n_tok", $"cum_before", $"shard")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   // ── Approximate sketches ───────────────────────────────────────────────
 
   test("approx_count_distinct (HLL++) lands within its error bound on real data") {
