@@ -337,6 +337,43 @@ object SparkEntry {
           col("col.l_quantity").alias("l_quantity"))
     }),
 
+    // J4 DEEP: two-level nesting — customer → orders[] → items[] — built
+    // by composing the same nest operator, then flattened through two
+    // posexplodes for the hash compare (positions = sorted-array ordinals).
+    "q_j4b_two_level_nest" -> ((s, dir) => {
+      val ordersNested = graft.operators.Hierarchy.nest(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        t(s, dir, "lineitem"), Seq(("o_orderkey", "l_orderkey")),
+        field = "items", childCols = Seq("l_linenumber", "l_quantity"))
+      val custNested = graft.operators.Hierarchy.nest(
+        t(s, dir, "customer").select(col("c_custkey")),
+        ordersNested, Seq(("c_custkey", "o_custkey")),
+        field = "orders", childCols = Seq("o_orderkey", "items"))
+      custNested.select(col("c_custkey"), posexplode_outer(col("orders")))
+        .select(col("c_custkey"), col("pos").cast(LongType).alias("o_pos"),
+          col("col.o_orderkey").alias("o_orderkey"), col("col.items").alias("items"))
+        .select(col("c_custkey"), col("o_pos"), col("o_orderkey"),
+          posexplode_outer(col("items")))
+        .select(col("c_custkey"), col("o_pos"), col("o_orderkey"),
+          col("pos").cast(LongType).alias("l_pos"),
+          col("col.l_linenumber").alias("l_linenumber"),
+          col("col.l_quantity").alias("l_quantity"))
+    }),
+
+    // J6: FULL OUTER join of two partially-overlapping key sets (rich
+    // customers vs high-volume order counts) — completes the outer-join
+    // family beyond the reference's left-outer-only surface.
+    "q_j6_full_outer" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val busy = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).alias("n_orders"))
+        .where(col("n_orders") >= 20)
+      rich.join(busy, rich("c_custkey") === busy("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).alias("custkey"),
+          col("c_acctbal"), col("n_orders"))
+    }),
+
     // ── Training-data pipeline: dedup + text analysis ─────────────────────
     // Exact dedup: hash-groupBy on content (documents table) — the shipped
     // operator, not an inline copy, so the gate tests what users run.
@@ -1511,6 +1548,32 @@ object SparkEntry {
         |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
         |    / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_samp_qty_price
         |FROM m""".stripMargin,
+
+    "q_j4b_two_level_nest" ->
+      """WITH lvl1 AS (
+        |  SELECT c.c_custkey, o.o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN NULL
+        |         ELSE row_number() OVER (PARTITION BY c.c_custkey
+        |                ORDER BY o.o_orderkey) - 1 END AS o_pos
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey),
+        |lvl2 AS (
+        |  SELECT v.c_custkey, v.o_pos, v.o_orderkey,
+        |    l.l_linenumber, l.l_quantity,
+        |    CASE WHEN l.l_orderkey IS NULL THEN NULL
+        |         ELSE row_number() OVER (PARTITION BY v.c_custkey, v.o_orderkey
+        |                ORDER BY l.l_linenumber, l.l_quantity) - 1 END AS l_pos
+        |  FROM lvl1 v LEFT JOIN lineitem l ON l.l_orderkey = v.o_orderkey)
+        |SELECT c_custkey, o_pos, o_orderkey, l_pos, l_linenumber, l_quantity
+        |FROM lvl2""".stripMargin,
+
+    "q_j6_full_outer" ->
+      """SELECT coalesce(c.c_custkey, b.o_custkey) AS custkey,
+        |       c.c_acctbal, b.n_orders
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  GROUP BY o_custkey HAVING count(*) >= 20) b
+        |ON c.c_custkey = b.o_custkey""".stripMargin,
 
     "q_text_chunks" ->
       """WITH toks AS (
