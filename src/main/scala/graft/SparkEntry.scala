@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, Decontaminate, Dedup, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, RangeJoin, Shards, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,14 @@ object SparkEntry {
     t(s, dir, "events").select(
       col("user_id"), col("event_id").alias(Cdc.TransactionId))
 
+  /** The canonical delta fold of the events change feed against the
+    * customer master (window (100, 1e9]) — the CDC hot path, reused by the
+    * wire-format round-trips and the aggregate-maintenance query.
+    */
+  private def customerDeltaFold(s: SparkSession, dir: String): DataFrame =
+    Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
+      Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the CDC delta
     * fold (SURVEY.md §3.1 / §7.1) on the events change feed vs. the customer
     * master table.
@@ -42,10 +50,7 @@ object SparkEntry {
     // ── CDC core (J1 + A1 + P2 + P3 + P4 + ST4/ST5) ────────────────────────
     // Delta fold: window → latest-per-key → LEFT OUTER JOIN master →
     // delete-vs-upsert (S4HanaTableMapping.java:444-471 re-expressed).
-    "q_cdc_delta_fold" -> ((s, dir) => {
-      Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
-        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
-    }),
+    "q_cdc_delta_fold" -> ((s, dir) => customerDeltaFold(s, dir)),
 
     // A1: last-change-wins dedup — GROUP BY key / MAX(txid)
     // (S4HanaTableMapping.java:454-461).
@@ -326,7 +331,7 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
       // the shipped Hierarchy operator builds the nested array (childless
       // parents nest an EMPTY array, child structs sorted)
-      val nested = graft.operators.Hierarchy.nest(
+      val nested = Hierarchy.nest(
         o.select("o_orderkey"), l,
         Seq(("o_orderkey", "l_orderkey")), field = "items",
         childCols = Seq("l_linenumber", "l_partkey", "l_quantity"))
@@ -341,11 +346,11 @@ object SparkEntry {
     // by composing the same nest operator, then flattened through two
     // posexplodes for the hash compare (positions = sorted-array ordinals).
     "q_j4b_two_level_nest" -> ((s, dir) => {
-      val ordersNested = graft.operators.Hierarchy.nest(
+      val ordersNested = Hierarchy.nest(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         t(s, dir, "lineitem"), Seq(("o_orderkey", "l_orderkey")),
         field = "items", childCols = Seq("l_linenumber", "l_quantity"))
-      val custNested = graft.operators.Hierarchy.nest(
+      val custNested = Hierarchy.nest(
         t(s, dir, "customer").select(col("c_custkey")),
         ordersNested, Seq(("c_custkey", "o_custkey")),
         field = "orders", childCols = Seq("o_orderkey", "items"))
@@ -541,20 +546,14 @@ object SparkEntry {
     // S5 wire format: the delta fold serialized to Kafka (key,value)
     // records and parsed back — the round-trip must be the identity, so
     // the oracle is the delta fold itself.
-    "q_kafka_roundtrip" -> ((s, dir) => {
-      val folded = Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
-        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
-      graft.sources.KafkaIO.roundTrip(folded, Seq("user_id"))
-    }),
+    "q_kafka_roundtrip" -> ((s, dir) =>
+      graft.sources.KafkaIO.roundTrip(customerDeltaFold(s, dir), Seq("user_id"))),
 
     // The reference's NATIVE wire format: the same fold encoded to Avro
     // binary records (schema derived like S4HanaTableMapping.getAvroSchema)
     // and decoded back — identity, so the oracle is the fold again.
-    "q_avro_roundtrip" -> ((s, dir) => {
-      val folded = Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
-        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
-      graft.sources.AvroWire.roundTrip(folded)
-    }),
+    "q_avro_roundtrip" -> ((s, dir) =>
+      graft.sources.AvroWire.roundTrip(customerDeltaFold(s, dir))),
 
     // J4/J5 composed: parents whose nested object must be rebuilt because
     // a child row changed (the reference's table-directory semantics,
@@ -562,7 +561,7 @@ object SparkEntry {
     "q_hier_impacted" -> ((s, dir) => {
       val changedItems = t(s, dir, "lineitem")
         .where(col("l_shipdate") > to_timestamp(lit("1998-05-01 00:00:00")))
-      graft.operators.Hierarchy.impactedParents(
+      Hierarchy.impactedParents(
           t(s, dir, "orders"), changedItems, Seq(("o_orderkey", "l_orderkey")))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     }),
@@ -574,9 +573,7 @@ object SparkEntry {
         t(s, dir, "customer").select(
           col("c_custkey"), col("c_name"), col("c_acctbal")),
         Some("c_acctbal > 5000"))
-      val delta = Cdc.delta(changeFeed(s, dir),
-          t(s, dir, "customer"), Seq(("user_id", "c_custkey")),
-          lo = 100L, hi = 1000000000L)
+      val delta = customerDeltaFold(s, dir)
         .select(col(Cdc.ChangeType), col(Cdc.TransactionId),
           col("user_id").alias("c_custkey"), col("c_name"), col("c_acctbal"))
       initial.unionByName(delta)
@@ -913,14 +910,14 @@ object SparkEntry {
         dec(bal).alias("bal"))
       val oldAgg = replica.groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).alias("n"), sum(col("bal")).alias("s"))
-      val folded = Cdc.delta(changeFeed(s, dir), cust,
-        Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
+      // the fold feeds both the retract-key lookup and the new-row side:
+      // lazy localCheckpoint computes the delta subtree once
+      val folded = customerDeltaFold(s, dir).localCheckpoint(false)
       val oldRows = replica.join(folded.select(col("user_id")),
         replica("c_custkey") === col("user_id"), "left_semi")
       val newRows = folded.where(col(Cdc.ChangeType) === Cdc.Upsert)
         .select(col("c_mktsegment"), dec(col("c_acctbal")).alias("bal"))
-      graft.operators.IncrementalAgg
-        .maintainCountSum(oldAgg, oldRows, newRows, "c_mktsegment", "bal")
+      IncrementalAgg.maintainCountSum(oldAgg, oldRows, newRows, "c_mktsegment", "bal")
         .select(col("c_mktsegment"), col("n"),
           col("s").cast(DoubleType).alias("sum_bal"))
     }),
@@ -966,7 +963,7 @@ object SparkEntry {
     "q_pack_shards" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tok"))
-      graft.operators.Shards.assignByTokenBudget(d, "doc_id", "n_tok", 2000L)
+      Shards.assignByTokenBudget(d, "doc_id", "n_tok", 2000L)
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
