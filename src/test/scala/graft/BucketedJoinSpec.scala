@@ -47,4 +47,22 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_b_ord")
     }
   }
+
+  test("hive-style partitioned write prunes partitions under a filter") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.partitionBy("event_type").mode("overwrite").parquet(tmpDir)
+    val scan = spark.read.parquet(tmpDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"))
+    val physical = scan.queryExecution.executedPlan
+    val fileScan = physical.collectLeaves().map(_.toString).mkString("\n")
+    // the filter must land in PartitionFilters (directory pruning), not as
+    // a post-scan row filter over every partition
+    assert(fileScan.contains("PartitionFilters") &&
+      fileScan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("purchase"), fileScan)
+    // and ReadSchema is pruned to the projected column
+    assert(fileScan.contains("ReadSchema: struct<event_id:bigint>"), fileScan)
+  }
 }

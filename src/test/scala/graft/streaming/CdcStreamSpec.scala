@@ -290,6 +290,38 @@ class CdcStreamSpec extends SparkSpec {
     assert(got(2L) == "TWO" && got(9L) == "NINE")
   }
 
+  test("streaming restart from checkpoint resumes without reprocessing (ST6)") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val ledger = new TxidLedger(tmp("ledger") + "/txid")
+    val ckpt = tmp("ckpt")
+    @volatile var source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"))
+      .toDF("id", "payload")
+    var batches = 0
+    val job = new CdcStreamJob(spark, () => { batches += 1; source }, store,
+      ledger, Seq(("id", "id")))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q1 = job.start(ms.toDF().toDF("id", Cdc.TransactionId), ckpt)
+    ms.addData((2L, 20L))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(ledger.read() == 20L)
+    val afterFirst = batches
+    // restart: SAME checkpoint + stream; the committed batch is not redone
+    source = Seq((1L, "one"), (2L, "TWO"), (3L, "THREE")).toDF("id", "payload")
+    val q2 = job.start(ms.toDF().toDF("id", Cdc.TransactionId), ckpt)
+    ms.addData((3L, 21L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ledger.read() == 21L)
+    assert(store.snapshot().as[(Long, String)].collect().toMap ==
+      Map(1L -> "one", 2L -> "TWO", 3L -> "THREE"))
+    // only the new data triggered folds after restart (empty-batch skips
+    // don't call source())
+    assert(batches == afterFirst + 1)
+  }
+
   test("backfill via Trigger.AvailableNow drains the feed and terminates") {
     val dir = tmp("store")
     val store = newStore(dir)
