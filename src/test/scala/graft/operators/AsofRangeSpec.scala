@@ -213,13 +213,26 @@ class AsofRangeSpec extends SparkSpec {
       .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
       .tail.map { case (id, n, cumAfter) =>
         (id, n, cumAfter - n, (cumAfter - n) / 100) }.toSet
-    for (parts <- Seq(1, 3, 8)) {
-      val got = Shards.assignByTokenBudget(
-          docs.repartition(parts), "doc_id", "n_tok", budget = 100L)
-        .select($"doc_id", $"n_tok", $"cum_before", $"shard")
-        .as[(Long, Long, Long, Long)].collect().toSet
-      assert(got == want, s"parts=$parts")
-    }
+    // exchange reuse OFF: code-review r3 found the original implementation
+    // was only correct because Spark happened to reuse the (sampled, hence
+    // nondeterministic) range exchange between its two subtrees — the
+    // rewrite must not depend on that optimization
+    val prev = spark.conf.get("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      for (parts <- Seq(1, 3, 8)) {
+        val got = Shards.assignByTokenBudget(
+            docs.repartition(parts), "doc_id", "n_tok", budget = 100L)
+          .select($"doc_id", $"n_tok", $"cum_before", $"shard")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got == want, s"parts=$parts")
+      }
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+    // and the materialized frame is read map-side: no exchange after it
+    val plan = Shards.assignByTokenBudget(docs, "doc_id", "n_tok", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // the range shuffle is inside
+                                             // the checkpointed subtree
   }
 
   // ── Approximate sketches ───────────────────────────────────────────────
