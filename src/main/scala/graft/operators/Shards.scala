@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -11,60 +11,67 @@ import org.apache.spark.sql.types.LongType
   * simple, deterministic, and what sequence-packing pipelines actually do
   * before intra-shard shuffling).
   *
-  * The running token count is a DISTRIBUTED two-pass prefix sum over ONE
-  * pinned partitioning (vs. the naive `Window.orderBy(id)`, which plans a
-  * single task holding the entire corpus — the 100 TB killer):
-  *   1. range-partition by the order key, sort within partitions, and
-  *      MATERIALIZE (lazy localCheckpoint) — pinning the partition
-  *      boundaries, which are produced by sampling and would otherwise be
-  *      free to differ between two executions of the same subtree;
-  *   2. per-partition token totals (a P-row pass over the materialized
-  *      blocks) prefix-sum on the driver into per-partition offsets;
-  *   3. a map-side cumsum adds each row's offset — no further exchange.
-  * Total exchange volume: exactly one range shuffle of the rows. The
-  * assignment depends only on the global id order, so the result is
-  * identical at any parallelism.
+  * The running token count is a distributed prefix sum built on LITERAL
+  * partition boundaries: P−1 approximate id-quantiles are computed once
+  * (an EAGER narrow scan at call time — the one side effect of this
+  * otherwise-lazy API) and baked into the plan as constants. Every
+  * downstream pass is then a pure function of (row, cuts):
+  *   1. per-bucket token totals (narrow scan + P-row shuffle) prefix-sum
+  *      into per-bucket offsets via a tiny window;
+  *   2. a per-bucket running sum (ordinary partitioned window — ONE full
+  *      hash exchange) plus the broadcast offset yields the global count.
+  * Because the bucket id is monotone in the order key and identical in
+  * both passes BY CONSTRUCTION (same literals), correctness cannot depend
+  * on exchange reuse, checkpoint survival, or resampling — any stage can
+  * recompute freely, and the result is identical at any parallelism (the
+  * cuts only shape partition sizes, never the assignment). Contrast both
+  * rejected designs: a global `Window.orderBy(id)` funnels the corpus
+  * through one task; deriving bucket ids from `repartitionByRange` +
+  * `spark_partition_id()` re-executes a SAMPLED shuffle whose boundaries
+  * may legally differ between subtrees.
+  *
+  * Quantile skew caveat: cut accuracy only affects bucket balance; at
+  * extreme id skew raise the quantile precision or pre-scale P.
   */
 object Shards {
 
   /** @param df       one row per document
-    * @param idCol    unique, totally-ordered key (the layout order)
-    * @param tokenCol per-document token count (integral; null counts as 0)
+    * @param idCol    unique, totally-ordered NUMERIC key (the layout
+    *                 order; compared through double cast — monotone, so
+    *                 boundary precision never affects correctness)
+    * @param tokenCol per-document token count (integral; null counts 0)
     * @param budget   tokens per shard (> 0)
     * @return df + (cum_before = tokens laid out before this doc,
-    *         shard = floor(cum_before / budget))
+    *         shard = floor(cum_before / budget)); input columns untouched
     */
   def assignByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val spark = df.sparkSession
-    val parted = df
-      .withColumn(tokenCol, col(tokenCol).cast(LongType))
-      .repartitionByRange(col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .localCheckpoint(false) // pin the sampled range boundaries: both
-                              // passes below MUST see the same partitioning
-    val tokIdx = parted.schema.fieldIndex(tokenCol)
-    val totals = parted.mapPartitions { rows =>
-      var sum = 0L
-      rows.foreach(r => if (!r.isNullAt(tokIdx)) sum += r.getLong(tokIdx))
-      Iterator.single((TaskContext.getPartitionId(), sum))
-    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)).collect()
-    val offsets = totals.sortBy(_._1)
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid + 1, acc + tot) }
-      .map { case (pid, acc) => pid -> acc }.toMap
-    val offB = spark.sparkContext.broadcast(offsets)
-    val outSchema = parted.schema
-      .add("cum_before", LongType, nullable = false)
-      .add("shard", LongType, nullable = false)
-    parted.mapPartitions { rows =>
-      var cum = offB.value.getOrElse(TaskContext.getPartitionId(), 0L)
-      rows.map { r =>
-        val n = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
-        val before = cum
-        cum += n
-        Row.fromSeq(r.toSeq :+ before :+ before / budget)
-      }
-    }(Encoders.row(outSchema))
+    val p = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val cuts =
+      if (p <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(idCol,
+        (1 until p).map(_.toDouble / p).toArray, 0.01).distinct.sorted
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit): _*),
+        c => col(idCol).cast("double") > c))
+    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
+    val totals = df
+      .select(bucket.alias("_pid"), tok.alias("_tok"))
+      .groupBy(col("_pid")).agg(sum(col("_tok")).alias("_ptotal"))
+    val offsets = totals // ≤P rows: the single-partition window is trivial
+      .withColumn("_offset", coalesce(
+        sum(col("_ptotal")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val runW = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_pid", bucket)
+      .withColumn("_run", sum(tok).over(runW))
+      .join(broadcast(offsets), "_pid")
+      .withColumn("cum_before", (col("_offset") + col("_run") - tok).cast(LongType))
+      .withColumn("shard", floor(col("cum_before") / budget))
+      .drop("_pid", "_run", "_offset")
   }
 }

@@ -228,11 +228,13 @@ class AsofRangeSpec extends SparkSpec {
         assert(got == want, s"parts=$parts")
       }
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
-    // and the materialized frame is read map-side: no exchange after it
+    // bucket ids come from literal cut points — the plan must contain no
+    // sampled range exchange (whose boundaries could differ between
+    // subtrees) and no global single-partition sort of the corpus
     val plan = Shards.assignByTokenBudget(docs, "doc_id", "n_tok", 100L)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan) // the range shuffle is inside
-                                             // the checkpointed subtree
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   // ── Approximate sketches ───────────────────────────────────────────────
