@@ -379,6 +379,16 @@ object SparkEntry {
           col("c_acctbal"), col("n_orders"))
     }),
 
+    // J7: LEFT ANTI join — customers with no finished ('F') order (the
+    // NOT EXISTS dual of the J5 semi-join; completes the join family).
+    "q_j7_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
     // ── Training-data pipeline: dedup + text analysis ─────────────────────
     // Exact dedup: hash-groupBy on content (documents table) — the shipped
     // operator, not an inline copy, so the gate tests what users run.
@@ -1090,6 +1100,11 @@ object SparkEntry {
     "q_j5_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_j7_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
 
     "q_a2_watermark_agg" ->
       """SELECT least(ifnull(max(event_id), 0), 999999999) AS watermark,
