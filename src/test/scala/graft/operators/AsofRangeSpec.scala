@@ -237,6 +237,29 @@ class AsofRangeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  // ── Split assignment ───────────────────────────────────────────────────
+
+  test("splits: deterministic, partition-invariant, exhaustive, near-weights") {
+    val ids = spark.range(20000).toDF("id")
+    val w = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)
+    val a = Splits.assign(ids, "id", w).groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    // exhaustive + proportions within 2% absolute
+    assert(a.values.sum == 20000 && a.keySet == Set("train", "val", "test"))
+    assert(math.abs(a("train") / 20000.0 - 0.8) < 0.02, a)
+    assert(math.abs(a("val") / 20000.0 - 0.1) < 0.02, a)
+    // identical assignment regardless of partitioning (unlike randomSplit)
+    val flat = Splits.assign(ids, "id", w).select($"id", $"split")
+      .as[(Long, String)].collect().toSet
+    val reparted = Splits.assign(ids.repartition(7), "id", w)
+      .select($"id", $"split").as[(Long, String)].collect().toSet
+    assert(flat == reparted)
+    // a different seed is a genuinely different deal
+    val reseeded = Splits.assign(ids, "id", w, seed = 7L)
+      .select($"id", $"split").as[(Long, String)].collect().toSet
+    assert(flat != reseeded)
+  }
+
   // ── Approximate sketches ───────────────────────────────────────────────
 
   test("approx_count_distinct (HLL++) lands within its error bound on real data") {
