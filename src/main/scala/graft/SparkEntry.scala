@@ -977,6 +977,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
+    // Deterministic train/val/test deal over the corpus (rows-only: the
+    // assignment hash has no SQL equivalent; determinism, proportions,
+    // and partition-invariance are spec-tested).
+    "q_split_assign" -> ((s, dir) => {
+      graft.operators.Splits.assign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+        .groupBy(col("split")).agg(count(lit(1)).alias("n_docs"))
+    }),
+
     // W5: top-k per group — deterministic row_number (price desc, key asc)
     // capped at 3 per order priority.
     "q_w5_topk_per_group" -> ((s, dir) => {
