@@ -55,4 +55,35 @@ class SkewSpec extends SparkSpec {
     val spread = salted.groupBy("_salt").count().count()
     assert(spread >= 6) // hot key lands in ≥6 of 8 salt buckets
   }
+
+  test("AQE splits a skewed sort-merge-join partition (SCALING.md claim)") {
+    // one hot key dominating a shuffle partition; thresholds lowered so
+    // the tiny test dataset crosses AQE's skew bar
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = ((1 to 60000).map(i => (1L, s"payload_$i")) ++
+        (1 to 200).map(i => (i.toLong + 1, s"tail_$i"))).toDF("k", "payload")
+      val right = (1 to 300).map(i => (i.toLong, s"dim_$i")).toDF("k", "dim")
+      val joined = big.join(right, Seq("k"))
+      // execute THIS DataFrame (count() would plan a separate query and
+      // leave this one's adaptive plan unfinalized)
+      assert(joined.collect().length == 60200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      // the adaptive final plan must have split the hot partition
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
