@@ -977,6 +977,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
+    // CROSS-MODAL fused dedup: a pair is a near-dup if its TEXT matches
+    // (exact prefix-filter n-gram Jaccard) OR its EMBEDDING matches (exact
+    // cosine) — the documents and embeddings tables share ids, so the two
+    // operators compose into one labeled pair list, the fusion a real
+    // multimodal pipeline ships.
+    "q_fused_dedup_pairs" -> ((s, dir) => {
+      val textPairs = Dedup.ngramJaccardJoin(t(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, threshold = 0.8, wordGrams = true)
+        .select(col("id_a"), col("id_b"), lit("text").alias("modality"))
+      val embPairs = Dedup.embeddingExactPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), lit("embedding").alias("modality"))
+      textPairs.unionByName(embPairs)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(array_join(array_sort(collect_set(col("modality"))), "+")
+          .alias("modalities"))
+    }),
+
     // Deterministic train/val/test deal over the corpus (rows-only: the
     // assignment hash has no SQL equivalent; determinism, proportions,
     // and partition-invariance are spec-tested).
@@ -1595,6 +1613,30 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders FROM orders
         |  GROUP BY o_custkey HAVING count(*) >= 20) b
         |ON c.c_custkey = b.o_custkey""".stripMargin,
+
+    "q_fused_dedup_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM w),
+        |tp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'text' AS modality
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        >= 0.8),
+        |ep AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, 'embedding' AS modality
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4)
+        |SELECT id_a, id_b,
+        |  string_agg(modality, '+' ORDER BY modality) AS modalities
+        |FROM (SELECT * FROM tp UNION ALL SELECT * FROM ep)
+        |GROUP BY id_a, id_b""".stripMargin,
 
     "q_text_chunks" ->
       """WITH toks AS (
