@@ -977,6 +977,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
+    // Normalization-exact dedup: case/punctuation/whitespace-insensitive
+    // grouping — the standard first pass before near-dup machinery.
+    "q_dedup_exact_normalized" -> ((s, dir) => {
+      Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("content_hash"), col("keep_id"), col("n_copies"))
+    }),
+
+    // Corpus length profile: fixed-width token-count histogram — the
+    // profiling pass that sizes chunking/filter thresholds.
+    "q_text_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10)
+          .cast(LongType).alias("bin_lo"))
+        .groupBy(col("bin_lo"))
+        .agg(count(lit(1)).alias("n_docs"))
+    }),
+
     // CROSS-MODAL fused dedup: a pair is a near-dup if its TEXT matches
     // (exact prefix-filter n-gram Jaccard) OR its EMBEDDING matches (exact
     // cosine) — the documents and embeddings tables share ids, so the two
@@ -1613,6 +1630,22 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders FROM orders
         |  GROUP BY o_custkey HAVING count(*) >= 20) b
         |ON c.c_custkey = b.o_custkey""".stripMargin,
+
+    "q_dedup_exact_normalized" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |                        '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM n GROUP BY norm""".stripMargin,
+
+    "q_text_length_histogram" ->
+      """SELECT CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 10) * 10
+        |       AS BIGINT) AS bin_lo,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_fused_dedup_pairs" ->
       """WITH w AS (

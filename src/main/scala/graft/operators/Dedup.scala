@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType}
 
@@ -64,6 +64,25 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("n_copies"))
       .select(md5(col(textCol).cast(BinaryType)).alias("content_hash"),
+        col("keep_id"), col("n_copies"))
+
+  /** The canonical form used by [[exactNormalized]]: lowercase, punctuation
+    * stripped, whitespace runs collapsed, trimmed — a pure codegen'd
+    * expression, exposed so callers (and oracles) share one definition.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup under whitespace/case/punctuation normalization — catches
+    * the trivially-reformatted copies byte-exact dedup misses (the standard
+    * first pass before any near-dup machinery). Same single-shuffle shape
+    * as [[exact]]; the normalization is map-side.
+    */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(normalizedText(col(textCol)).alias("_norm"))
+      .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("n_copies"))
+      .select(md5(col("_norm").cast(BinaryType)).alias("content_hash"),
         col("keep_id"), col("n_copies"))
 
   /** MinHash signatures: distinct character-`shingleN`-gram hashes → k
