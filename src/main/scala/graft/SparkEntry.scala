@@ -1634,8 +1634,9 @@ object SparkEntry {
     "q_dedup_exact_normalized" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-        |                        '\s+', ' ', 'g')) AS norm
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^\p{L}\p{N} \t\n\r\f]', '', 'g'),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies

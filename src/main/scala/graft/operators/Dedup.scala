@@ -69,10 +69,17 @@ object Dedup {
   /** The canonical form used by [[exactNormalized]]: lowercase, punctuation
     * stripped, whitespace runs collapsed, trimmed — a pure codegen'd
     * expression, exposed so callers (and oracles) share one definition.
+    * Unicode letter/number classes (`\p{L}\p{N}`) keep non-Latin text
+    * intact — an ASCII-only class would normalize every CJK document to
+    * the empty string and "dedup" unrelated documents together. The
+    * whitespace class is EXPLICIT (` \t\n\r\f`) because Java's `\s`
+    * includes vertical tab while RE2-family engines' does not — the one
+    * place the shared-regex contract would silently fork.
     */
   def normalizedText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} \\t\\n\\r\\f]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
 
   /** Exact dedup under whitespace/case/punctuation normalization — catches
     * the trivially-reformatted copies byte-exact dedup misses (the standard

@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
   * split is a pure function of (id, seed) — stable across runs, cluster
   * sizes, partitionings, and re-reads, unlike `randomSplit`, whose
   * assignment shifts whenever partitioning does. Map-side only (a hash
-  * and a comparison chain per row); changing the seed re-deals every row,
-  * adding a new split label only re-labels the tail fraction.
+  * and a comparison chain per row). Assignment depends on the NORMALIZED
+  * cumulative weights: changing the seed OR the weight vector (including
+  * appending a split, which shifts every normalized boundary) re-deals
+  * rows across splits — to carve a new split without touching train,
+  * subdivide an existing split's fraction explicitly (e.g. (8,1,1) →
+  * (8, 1, 0.5, 0.5)) so the earlier boundaries stay fixed.
   */
 object Splits {
 

@@ -166,6 +166,23 @@ class DedupSpec extends SparkSpec {
     assert(got2 == 0L)
   }
 
+  test("exactNormalized: reformatted copies group; distinct CJK docs do NOT (review r3)") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),          // same after normalization
+      (3L, "你好世界"),              // distinct CJK documents must keep
+      (4L, "完全不同的文字"),        // their letters — not collapse to ""
+      (5L, "ab")              // vertical tab = punctuation, both engines
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactNormalized(df, "doc_id", "text")
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    // the explicit whitespace class strips  as punctuation: "ab"
+    val norm = df.where($"doc_id" === 5L)
+      .select(Dedup.normalizedText($"text")).as[String].head()
+    assert(norm == "ab")
+  }
+
   test("embeddingExactPairs: matches manual cosine on all pairs") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
