@@ -418,6 +418,27 @@ class CdcStreamSpec extends SparkSpec {
     assert(got == Set(("k1", 12L, "v12"), ("k2", 5L, "w5"), ("k2", 9L, "w9")))
   }
 
+  test("built-in dropDuplicatesWithinWatermark suppresses replays (ST4)") {
+    // the native companion to StatefulDedup: replayed (id, txid) pairs
+    // within the watermark horizon are emitted once
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (id, txid, epoch sec)
+    val deduped = ms.toDF().toDF("id", "txid", "sec")
+      .select($"id", $"txid", timestamp_seconds($"sec").as("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id", "txid")
+    val q = deduped.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start(tmp("ddw_ckpt"))
+    ms.addData((1L, 10L, 100L), (1L, 10L, 100L), (2L, 11L, 100L))
+    q.processAllAvailable()
+    ms.addData((1L, 10L, 101L), (1L, 12L, 102L)) // replay + genuine advance
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ddw_out").select($"id", $"txid")
+      .as[(Long, Long)].collect().toList.sorted
+    assert(got == List((1L, 10L), (1L, 12L), (2L, 11L)))
+  }
+
   test("latency listener thresholds mirror ST3 (60s warn / 5s info)") {
     assert(LatencyListener.alertLevel(2).isEmpty)
     assert(LatencyListener.alertLevel(30).contains("INFO"))
