@@ -977,6 +977,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
+    // Corpus bigram frequencies (n-gram language-model counts): top-20
+    // by count with lexicographic tie-break — the companion statistic to
+    // the unigram vocabulary top-k.
+    "q_text_bigram_topk" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val bigrams = transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      t(s, dir, "documents")
+        .where(size(toks) >= 2)
+        .select(explode(bigrams).alias("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).alias("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // Normalization-exact dedup: case/punctuation/whitespace-insensitive
     // grouping — the standard first pass before near-dup machinery.
     "q_dedup_exact_normalized" -> ((s, dir) => {
@@ -1630,6 +1645,17 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders FROM orders
         |  GROUP BY o_custkey HAVING count(*) >= 20) b
         |ON c.c_custkey = b.o_custkey""".stripMargin,
+
+    "q_text_bigram_topk" ->
+      """WITH w AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i+1]
+        |                 for i in range(1, len(ws))]) AS bigram
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     "q_dedup_exact_normalized" ->
       """WITH n AS (
