@@ -1583,9 +1583,14 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?', '<PHONE>', 'g'),
         |    '[0-9]{6,}', '<ID>', 'g') AS name_redacted,
-        |  len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |  + len(regexp_extract_all(c_name, '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?'))
-        |  + len(regexp_extract_all(c_name, '[0-9]{6,}')) AS n_pii
+  len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(regexp_replace(c_name,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?'))
+        |  + len(regexp_extract_all(regexp_replace(regexp_replace(c_name,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?', '<PHONE>', 'g'),
+        |      '[0-9]{6,}')) AS n_pii
         |FROM customer""".stripMargin,
 
     "q_a10_cube" ->

@@ -97,10 +97,19 @@ object TextAnalysis {
       regexp_replace(c, re, placeholder)
     }
 
-  /** Count of PII matches per pattern family, for scrub-rate accounting. */
+  /** Count of PII matches, for scrub-rate accounting. Each pattern is
+    * counted over the text with all PRIOR patterns already redacted —
+    * exactly mirroring [[redactPii]]'s replacement order — so a digit run
+    * inside an email counts once as <EMAIL>, never again as <ID>, and the
+    * count equals the number of placeholder substitutions redactPii makes
+    * (ADVICE r3: counting every pattern over the raw text overcounted).
+    */
   def piiCount(text: Column): Column =
-    PiiPatterns.map { case (_, re) => regexp_count(text, lit(re)) }
-      .reduce(_ + _)
+    PiiPatterns.foldLeft((lit(0), text)) {
+      case ((cnt, cur), (placeholder, re)) =>
+        (cnt + regexp_count(cur, lit(re)),
+          regexp_replace(cur, re, placeholder))
+    }._1
 
   /** Token-bounded document chunks with overlap — the pre-tokenization
     * split every training pipeline runs before packing sequences. Chunk i

@@ -35,38 +35,52 @@ object AsofJoin {
     *                 timestamp no longer matches
     * @return left columns + prefixed payload columns (null when no right
     *         row precedes the left row)
+    *
+    * TIES ON THE RIGHT SIDE: when several right rows share one (key, ts),
+    * the window order among them is unspecified, so WHICH payload wins is
+    * nondeterministic — same as HANA/DuckDB `ASOF JOIN` and pandas
+    * `merge_asof` on an ambiguous right side. Dedup the right side first
+    * (e.g. `max_by` per (key, ts)) if the payload must be deterministic.
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       outPrefix: String = "asof_", strict: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one equi-key")
     val lCols = left.columns.toSeq
+    // internal columns must not collide with caller columns: suffix the
+    // base names until they are fresh on BOTH sides (ADVICE r3 — a left
+    // frame already containing `_ts` used to fail with ambiguous refs)
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+    val (tsC, isRC, rpC, matchC) =
+      (fresh("_ts"), fresh("_is_r"), fresh("_rp"), fresh("_match"))
     // a null right timestamp would sort FIRST in the window order and read
     // as "at-or-before everything" — but `l.ts >= null` is never true in
     // SQL as-of semantics, so such rows must not match anything
     val r = right.where(col(rightTs).isNotNull).select(
       keyCols.map(col) ++ Seq(
-        col(rightTs).alias("_ts"),
-        lit(1).alias("_is_r"),
-        struct(payload.map(col): _*).alias("_rp")): _*)
+        col(rightTs).alias(tsC),
+        lit(1).alias(isRC),
+        struct(payload.map(col): _*).alias(rpC)): _*)
     val l = left.select(
       lCols.map(col) ++ Seq(
-        col(leftTs).alias("_ts"),
-        lit(0).alias("_is_r"),
-        lit(null).cast(r.schema("_rp").dataType).alias("_rp")): _*)
+        col(leftTs).alias(tsC),
+        lit(0).alias(isRC),
+        lit(null).cast(r.schema(rpC).dataType).alias(rpC)): _*)
     // allowMissingColumns fills left-only columns with null on right rows
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // tie-break ordering encodes the inequality: for `>=`, a right row at
     // the same ts sorts BEFORE the left row (and is visible to it); for
     // strict `>`, it sorts after and is excluded
-    val tieOrder = if (strict) col("_is_r").asc else col("_is_r").desc
+    val tieOrder = if (strict) col(isRC).asc else col(isRC).desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts").asc, tieOrder)
+      .orderBy(col(tsC).asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
-      .where(col("_is_r") === 0)
+      .withColumn(matchC, last(col(rpC), ignoreNulls = true).over(w))
+      .where(col(isRC) === 0)
       .select(lCols.map(col) ++
-        payload.map(p => col(s"_match.$p").alias(outPrefix + p)): _*)
+        payload.map(p => col(s"$matchC.$p").alias(outPrefix + p)): _*)
   }
 }

@@ -25,16 +25,35 @@ object RangeJoin {
 
   /** Inner range join: `points.pointCol` ∈ `[ranges.loCol, ranges.hiCol]`
     * (inclusive both ends). Output = point columns + range columns.
+    *
+    * @param maxBinsPerRange replication guard: a range spanning more than
+    *   this many bins fails the job with an actionable message instead of
+    *   silently building a huge per-row array (Spark's `sequence` cap /
+    *   executor OOM with an opaque error, ADVICE r3). The check is a
+    *   codegen'd conditional evaluated only on the failing branch — zero
+    *   cost on healthy rows.
     */
   def binned(points: DataFrame, pointCol: String, ranges: DataFrame,
       loCol: String, hiCol: String, binWidth: Double,
-      broadcastRanges: Boolean = false): DataFrame = {
+      broadcastRanges: Boolean = false,
+      maxBinsPerRange: Int = 10000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerRange > 0, "maxBinsPerRange must be positive")
     val p = points.withColumn("_bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    val rBinned = ranges.where(col(loCol) <= col(hiCol)).withColumn("_bin",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    val nBins = hiBin - loBin + lit(1L)
+    // generators can't nest under `when`, so guard the ARRAY and explode it
+    val guarded = when(nBins > maxBinsPerRange,
+      raise_error(concat(
+        lit(s"RangeJoin.binned: a range [$loCol,$hiCol] spans "),
+        nBins.cast("string"),
+        lit(s" bins (> $maxBinsPerRange) at binWidth=$binWidth — " +
+          "use a larger binWidth or raise maxBinsPerRange")))
+      ).otherwise(sequence(loBin, hiBin))
+    val rBinned = ranges.where(col(loCol) <= col(hiCol))
+      .withColumn("_bin", explode(guarded))
     val r = if (broadcastRanges) broadcast(rBinned) else rBinned
     p.join(r, Seq("_bin"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))

@@ -36,6 +36,21 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
 
   private def schemaFile = new java.io.File(dir, "_graft_schema.json")
 
+  /** Persist the store schema ATOMICALLY: write to a temp file in the same
+    * directory, then rename over the live file (an atomic move on POSIX, and
+    * on object stores this maps to the metastore swap a Delta/Iceberg commit
+    * does). A crash mid-write can therefore never leave a torn or stale
+    * schema file next to newer data (ADVICE r3).
+    */
+  private def writeSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      schemaFile.getParentFile.toPath, "_graft_schema", ".tmp")
+    java.nio.file.Files.write(tmp, schema.json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, schemaFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def savedSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(new String(
       java.nio.file.Files.readAllBytes(schemaFile.toPath), "UTF-8"))
@@ -55,8 +70,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   def initialize(initialLoad: DataFrame): Unit = {
     val data = withBucket(initialLoad.drop(Cdc.ChangeType, Cdc.TransactionId))
     data.write.partitionBy(bucketCol).mode("overwrite").parquet(dir)
-    java.nio.file.Files.write(schemaFile.toPath,
-      data.schema.json.getBytes("UTF-8"))
+    writeSchema(data.schema)
   }
 
   /** Apply one folded CDC batch (`_change_type` 'A'/'D' + `_transactionid` +
@@ -104,12 +118,14 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
         .select(unioned.columns.filterNot(_ == bucketCol).map(col)
           :+ col(bucketCol): _*)
         .localCheckpoint(true)
+      // persist a WIDENED schema BEFORE the data overwrite: reading old
+      // data with the new schema just null-fills the added column, whereas
+      // a crash after the data write but before the schema write would
+      // make snapshot() silently hide the new column (ADVICE r3)
+      if (merged.schema != savedSchema) writeSchema(merged.schema)
       merged.write.partitionBy(bucketCol)
         .option("partitionOverwriteMode", "dynamic") // per-write, not session
         .mode("overwrite").parquet(dir)
-      if (merged.schema != savedSchema)
-        java.nio.file.Files.write(schemaFile.toPath,
-          merged.schema.json.getBytes("UTF-8"))
       // a bucket whose rows were ALL deleted is absent from `merged` and
       // dynamic overwrite leaves its old files — drop such buckets directly
       val survivors = merged.select(bucketCol).distinct()
