@@ -981,12 +981,18 @@ object SparkEntry {
     // by count with lexicographic tie-break — the companion statistic to
     // the unigram vocabulary top-k.
     "q_text_bigram_topk" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val bigrams = transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      // Tokenize ONCE into a materialized array column, then pair adjacent
+      // tokens via zip_with over two slices. The previous form captured the
+      // tokenizer expression inside a transform() lambda, where higher-order
+      // functions re-evaluate captured expressions per ELEMENT — an O(len²)
+      // regex split per document that dominated the whole bench sweep.
+      val tk = col("toks")
       t(s, dir, "documents")
-        .where(size(toks) >= 2)
-        .select(explode(bigrams).alias("bigram"))
+        .select(TextAnalysis.tokens(col("text")).alias("toks"))
+        .where(size(tk) >= 2)
+        .select(explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat_ws(" ", a, b))).alias("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).alias("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
@@ -1583,7 +1589,7 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?', '<PHONE>', 'g'),
         |    '[0-9]{6,}', '<ID>', 'g') AS name_redacted,
-  len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |  + len(regexp_extract_all(regexp_replace(c_name,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '[0-9]{2,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?'))

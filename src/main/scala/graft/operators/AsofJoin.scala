@@ -50,9 +50,11 @@ object AsofJoin {
     // internal columns must not collide with caller columns: suffix the
     // base names until they are fresh on BOTH sides (ADVICE r3 — a left
     // frame already containing `_ts` used to fail with ambiguous refs)
-    val taken = (left.columns ++ right.columns).toSet
+    // lowercased: Spark resolves names case-insensitively by default, so a
+    // caller column `_TS` collides with internal `_ts` (ADVICE r4)
+    val taken = (left.columns ++ right.columns).map(_.toLowerCase).toSet
     def fresh(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+      Iterator.iterate(base)(_ + "_").dropWhile(c => taken(c.toLowerCase)).next()
     val (tsC, isRC, rpC, matchC) =
       (fresh("_ts"), fresh("_is_r"), fresh("_rp"), fresh("_match"))
     // a null right timestamp would sort FIRST in the window order and read

@@ -29,14 +29,19 @@ object RangeJoin {
     * @param maxBinsPerRange replication guard: a range spanning more than
     *   this many bins fails the job with an actionable message instead of
     *   silently building a huge per-row array (Spark's `sequence` cap /
-    *   executor OOM with an opaque error, ADVICE r3). The check is a
+    *   executor OOM with an opaque error, ADVICE r3). The DEFAULT is
+    *   Spark's own array-length ceiling, so no job that worked before the
+    *   guard existed fails under it — the default only converts the opaque
+    *   `sequence` crash into an actionable message (ADVICE r4: a 10000
+    *   default silently broke previously-working wide-range jobs). Pass a
+    *   smaller cap to opt in to a replication budget. The check is a
     *   codegen'd conditional evaluated only on the failing branch — zero
     *   cost on healthy rows.
     */
   def binned(points: DataFrame, pointCol: String, ranges: DataFrame,
       loCol: String, hiCol: String, binWidth: Double,
       broadcastRanges: Boolean = false,
-      maxBinsPerRange: Int = 10000): DataFrame = {
+      maxBinsPerRange: Int = Int.MaxValue - 15): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerRange > 0, "maxBinsPerRange must be positive")
     val p = points.withColumn("_bin",

@@ -36,15 +36,23 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
 
   private def schemaFile = new java.io.File(dir, "_graft_schema.json")
 
-  /** Persist the store schema ATOMICALLY: write to a temp file in the same
-    * directory, then rename over the live file (an atomic move on POSIX, and
-    * on object stores this maps to the metastore swap a Delta/Iceberg commit
-    * does). A crash mid-write can therefore never leave a torn or stale
-    * schema file next to newer data (ADVICE r3).
+  /** Persist the store schema via write-temp-then-rename: an atomic move on
+    * POSIX filesystems, so a crash mid-write never leaves a torn schema file
+    * (ADVICE r3). NOTE: this atomicity is a LOCAL-filesystem property — an
+    * object store renames by copy+delete, so a store dir on S3-like storage
+    * needs a real table-format commit (Delta/Iceberg metastore swap) for the
+    * same guarantee; this class targets HDFS/local paths (ADVICE r4).
+    * Stale `_graft_schema*.tmp` orphans from a crash between create and move
+    * are swept here before writing (Spark reads ignore `_`-prefixed files,
+    * but they would otherwise accumulate forever).
     */
   private def writeSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
+    val parent = schemaFile.getParentFile
+    Option(parent.listFiles((_, n) =>
+      n.startsWith("_graft_schema") && n.endsWith(".tmp")))
+      .foreach(_.foreach(_.delete()))
     val tmp = java.nio.file.Files.createTempFile(
-      schemaFile.getParentFile.toPath, "_graft_schema", ".tmp")
+      parent.toPath, "_graft_schema", ".tmp")
     java.nio.file.Files.write(tmp, schema.json.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, schemaFile.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
