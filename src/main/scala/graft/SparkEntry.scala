@@ -37,6 +37,25 @@ object SparkEntry {
     Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
       Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
 
+  /** The J4 nested business object (orders → items[]) — shared by the nest
+    * gate and the nested-Avro wire round-trip.
+    */
+  private def nestedOrderItems(s: SparkSession, dir: String): DataFrame =
+    Hierarchy.nest(
+      t(s, dir, "orders").select("o_orderkey"), t(s, dir, "lineitem"),
+      Seq(("o_orderkey", "l_orderkey")), field = "items",
+      childCols = Seq("l_linenumber", "l_partkey", "l_quantity"))
+
+  /** Flatten the nested object back to rows for the hash compare
+    * (positions = sorted-array ordinals).
+    */
+  private def flattenOrderItems(nested: DataFrame): DataFrame =
+    nested.select(col("o_orderkey"), posexplode_outer(col("items")))
+      .select(col("o_orderkey"), col("pos").cast(LongType).alias("pos"),
+        col("col.l_linenumber").alias("l_linenumber"),
+        col("col.l_partkey").alias("l_partkey"),
+        col("col.l_quantity").alias("l_quantity"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the CDC delta
     * fold (SURVEY.md §3.1 / §7.1) on the events change feed vs. the customer
     * master table.
@@ -326,21 +345,18 @@ object SparkEntry {
     // built exactly as a consumer would use it, then flattened back to
     // scalars (posexplode) purely for the oracle hash — array columns can't
     // be sorted/hashed by the driver compare.
-    "q_j4_nested_object" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      // the shipped Hierarchy operator builds the nested array (childless
-      // parents nest an EMPTY array, child structs sorted)
-      val nested = Hierarchy.nest(
-        o.select("o_orderkey"), l,
-        Seq(("o_orderkey", "l_orderkey")), field = "items",
-        childCols = Seq("l_linenumber", "l_partkey", "l_quantity"))
-      nested.select(col("o_orderkey"), posexplode_outer(col("items")))
-        .select(col("o_orderkey"), col("pos").cast(LongType).alias("pos"),
-          col("col.l_linenumber").alias("l_linenumber"),
-          col("col.l_partkey").alias("l_partkey"),
-          col("col.l_quantity").alias("l_quantity"))
-    }),
+    // the shipped Hierarchy operator builds the nested array (childless
+    // parents nest an EMPTY array, child structs sorted)
+    "q_j4_nested_object" -> ((s, dir) =>
+      flattenOrderItems(nestedOrderItems(s, dir))),
+
+    // The nested object SHIPPED ON THE WIRE: record-with-array-of-records
+    // Avro encode/decode (the reference's hierarchical value schemas,
+    // S4HanaTableMapping.java:577-597) — round-trip then flatten; identity,
+    // so the oracle is the J4 flatten itself.
+    "q_avro_nested_roundtrip" -> ((s, dir) =>
+      flattenOrderItems(
+        graft.sources.AvroWire.roundTrip(nestedOrderItems(s, dir)))),
 
     // J4 DEEP: two-level nesting — customer → orders[] → items[] — built
     // by composing the same nest operator, then flattened through two
@@ -1024,8 +1040,14 @@ object SparkEntry {
       val textPairs = Dedup.ngramJaccardJoin(t(s, dir, "documents"),
           "doc_id", "text", shingleN = 3, threshold = 0.8, wordGrams = true)
         .select(col("id_a"), col("id_b"), lit("text").alias("modality"))
-      val embPairs = Dedup.embeddingExactPairs(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4)
+      // the LSH scale path, NOT the exact block join: 64 banded hyperplane
+      // tables at 4 planes give measured recall 1.0 on this corpus (every
+      // true pair lands in >=3 tables at sf0.01 AND sf0.1 — deterministic
+      // seeded planes, so the gate result is reproducible, and
+      // DedupSpec pins recall == 1.0 vs the embeddingExactPairs baseline)
+      val embPairs = Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.4,
+          numPlanes = 4, tables = 64)
         .select(col("id_a"), col("id_b"), lit("embedding").alias("modality"))
       textPairs.unionByName(embPairs)
         .groupBy(col("id_a"), col("id_b"))
@@ -1067,6 +1089,18 @@ object SparkEntry {
       |       l._transactionid, l.user_id,
       |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
       |FROM latest l LEFT OUTER JOIN customer c ON l.user_id = c.c_custkey""".stripMargin
+
+  /** The J4 nested-object oracle (flattened form), shared by the nest gate
+    * and the nested-Avro wire round-trip (identity transform over it).
+    */
+  private val NestedObjectOracle =
+    """SELECT o.o_orderkey,
+      |  CASE WHEN l.l_orderkey IS NULL THEN NULL
+      |       ELSE row_number() OVER (PARTITION BY o.o_orderkey
+      |         ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity) - 1
+      |  END AS pos,
+      |  l.l_linenumber, l.l_partkey, l.l_quantity
+      |FROM orders o LEFT OUTER JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1234,14 +1268,9 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events""".stripMargin,
 
-    "q_j4_nested_object" ->
-      """SELECT o.o_orderkey,
-        |  CASE WHEN l.l_orderkey IS NULL THEN NULL
-        |       ELSE row_number() OVER (PARTITION BY o.o_orderkey
-        |         ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity) - 1
-        |  END AS pos,
-        |  l.l_linenumber, l.l_partkey, l.l_quantity
-        |FROM orders o LEFT OUTER JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    "q_j4_nested_object" -> NestedObjectOracle,
+
+    "q_avro_nested_roundtrip" -> NestedObjectOracle,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -117,8 +117,15 @@ object Dedup {
   /** Shared LSH pair expansion: for every group, emit all id pairs
     * (a < b) from the group's sorted id list, capped at `maxBucket` members.
     */
+  /** @param dedup distinct the expanded pairs before returning. Leave on
+    *   when the downstream verify is expensive per candidate (text array
+    *   intersection); turn OFF when verify is cheap (a 64-dim cosine) and
+    *   the caller dedups the small post-filter survivor set instead — the
+    *   multi-table LSH path would otherwise shuffle millions of candidate
+    *   rows just to avoid re-scoring a handful.
+    */
   private[operators] def pairsWithinGroups(rows: DataFrame, groupCols: Seq[String],
-      idCol: String, maxBucket: Int): DataFrame = {
+      idCol: String, maxBucket: Int, dedup: Boolean = true): DataFrame = {
     val grouped = rows
       .groupBy(groupCols.map(col): _*)
       .agg(array_sort(collect_set(col(idCol))).alias("_ids"))
@@ -126,10 +133,10 @@ object Dedup {
     val pairs = flatten(transform(col("_ids"), (x, i) =>
       transform(slice(col("_ids"), i + lit(2), greatest(size(col("_ids")) - i - 1, lit(0))),
         y => struct(x.alias("id_a"), y.alias("id_b")))))
-    grouped
+    val expanded = grouped
       .select(explode(pairs).alias("_p"))
       .select(col("_p.id_a").alias("id_a"), col("_p.id_b").alias("id_b"))
-      .distinct()
+    if (dedup) expanded.distinct() else expanded
   }
 
   /** Explode a signature into (id, band, band_hash) rows — the LSH bucket
@@ -334,8 +341,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
       driverEdgeLimit: Long = 4_000_000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
-      .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+    // Materialize the pair list ONCE before mirroring it: `pairs` is the
+    // output of an expensive similarity pipeline and appears in BOTH union
+    // branches below — without the checkpoint each branch re-executes the
+    // whole upstream candidate+verify plan (measured ~2x q_dedup_groups
+    // runtime at sf0.1). The edge list is small by contract (near-dup
+    // edges, not the corpus), so an eager local checkpoint is one cheap job.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .unionByName(p.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -444,19 +458,60 @@ object Dedup {
   }
 
   /** Embedding near-dup: same-bucket candidates via random-hyperplane LSH,
-    * exact cosine verify. Bucket width `numPlanes` trades recall for pair
-    * count (16 planes ⇒ 65536 buckets).
+    * exact cosine verify. Bucket width `numPlanes` trades candidate volume
+    * against per-table recall; `tables` independent hyperplane sets (seeds
+    * spaced by the 64-bit golden ratio so plane components never collide
+    * across tables) multiply recall: a pair agreeing on any one table's
+    * band becomes a candidate, so miss probability decays as
+    * (1 - p^planes)^tables with p = 1 - θ/π.
+    *
+    * Scale shape: one narrow projection pass, one shuffle on (table,
+    * bucket), map-side pair expansion from sorted bucket arrays, candidate
+    * `distinct` BEFORE the cosine verify (each surviving pair scores once
+    * no matter how many tables found it). Nothing quadratic in the corpus —
+    * the asymptotic n^(1+ρ) LSH trade (ρ = ln p₁ / ln p₂, "Similarity
+    * Search in High Dimensions via Hashing", VLDB 1999). Honest caveat:
+    * at LOW thresholds (≈0.4) ρ approaches 1 and the crossover vs. the
+    * exact block join sits at corpus sizes ≥10⁷ — below that, or when 100%
+    * recall must be GUARANTEED rather than measured, use
+    * [[embeddingExactPairs]].
+    *
+    * @param maxBucket cap on bucket membership; the default keeps every
+    *   bucket (capping silently trades recall — explicit opt-in only)
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol),
-      projection_bits(col(vecCol), numPlanes, dim).alias("bucket"))
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
-        cosine_sim(col(s"a.$vecCol"), col(s"b.$vecCol")).alias("cosine"))
-      .where(col("cosine") >= threshold)
+      dim: Int, threshold: Double = 0.95, numPlanes: Int = 12,
+      tables: Int = 1, seed: Long = 42L, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val buckets = df.select(col(idCol), col(vecCol), posexplode(array(
+      (0 until tables).map(t => projection_bits(col(vecCol), numPlanes, dim,
+        seed + t * 0x9E3779B97F4A7C15L)): _*)))
+      .withColumnRenamed("pos", "_table")
+      .withColumnRenamed("col", "_bucket")
+    // Vectors travel WITH their bucket rows and the cosine verify runs
+    // INSIDE the per-bucket pair lambda, filtered before anything becomes a
+    // row — so candidate pairs (tables × b²/2 per bucket, the multi-table
+    // volume driver) never hit a shuffle, a join, or even an explode; only
+    // ≥threshold survivors materialize, and the final distinct touches that
+    // tiny set. (The join-back formulation measured 5-6x slower on the
+    // fused gate at sf0.1: 8M candidate rows through two joins.) Shuffle
+    // cost is `tables` copies of the corpus through the bucket groupBy —
+    // linear in corpus × tables, never quadratic.
+    val grouped = buckets
+      .groupBy(col("_table"), col("_bucket"))
+      .agg(array_sort(collect_list(
+        struct(col(idCol).alias("id"), col(vecCol).alias("vec")))).alias("_m"))
+      .where(size(col("_m")) >= 2 && size(col("_m")) <= maxBucket)
+    val pairs = flatten(transform(col("_m"), (x, i) =>
+      filter(
+        transform(slice(col("_m"), i + lit(2),
+            greatest(size(col("_m")) - i - 1, lit(0))),
+          y => struct(x.getField("id").alias("id_a"),
+            y.getField("id").alias("id_b"),
+            cosine_sim(x.getField("vec"), y.getField("vec")).alias("cosine"))),
+        p => p.getField("cosine") >= threshold)))
+    grouped.select(explode(pairs).alias("_p"))
+      .select(col("_p.id_a").alias("id_a"), col("_p.id_b").alias("id_b"),
+        col("_p.cosine").alias("cosine"))
+      .distinct()
   }
 }

@@ -32,7 +32,7 @@ object AvroWire {
     */
   def avroSchemaFor(schema: StructType, recordName: String = "graft_record"): Schema = {
     val fields = schema.fields.map { f =>
-      val base = avroTypeFor(f.dataType)
+      val base = avroTypeFor(f.dataType, s"${recordName}_${f.name}")
       // all-nullable union, null first (Avro default-value convention)
       val union = Schema.createUnion(
         List(Schema.create(Schema.Type.NULL), base).asJava)
@@ -43,7 +43,14 @@ object AvroWire {
     rec
   }
 
-  private def avroTypeFor(dt: DataType): Schema = dt match {
+  /** `path` seeds nested record names (Avro record names must be unique
+    * within a schema, so nested structs are named by their field path).
+    * Nested records and arrays carry the reference's hierarchical
+    * business-object shape (`S4HanaTableMapping.java:577-597`; nested
+    * `relations` fixture `…SO.Header.json`): a J4 nested object ships on
+    * this wire as record-with-array-of-records.
+    */
+  private def avroTypeFor(dt: DataType, path: String): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
     case LongType => Schema.create(Schema.Type.LONG)
@@ -58,9 +65,18 @@ object AvroWire {
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType =>
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case s: StructType => avroSchemaFor(s, path)
+    case ArrayType(et, _) =>
+      // element carries the same all-nullable union convention as fields
+      Schema.createArray(Schema.createUnion(List(
+        Schema.create(Schema.Type.NULL), avroTypeFor(et, s"${path}_item")).asJava))
     case other =>
       throw new IllegalArgumentException(s"AvroWire: unsupported type $other")
   }
+
+  /** The non-null branch of an all-nullable union. */
+  private def nonNull(union: Schema): Schema =
+    union.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
 
   /** Encode every row to one Avro binary record in a `value` column.
     * Schema travels as JSON text (captured by the closure, parsed once per
@@ -111,58 +127,81 @@ object AvroWire {
     while (i < st.length) {
       val v =
         if (row.isNullAt(i)) null
-        else st.fields(i).dataType match {
-          case ByteType => row.getByte(i).toInt
-          case ShortType => row.getShort(i).toInt
-          case _: DecimalType =>
-            ByteBuffer.wrap(row.getDecimal(i).unscaledValue().toByteArray)
-          case TimestampType =>
-            // java.sql.Timestamp → epoch micros (AvroTimestampMicros);
-            // floorDiv so pre-1970 instants round toward -∞, not zero
-            val ts = row.getTimestamp(i)
-            Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
-              ts.getNanos / 1000L
-          case DateType => row.getDate(i).toLocalDate.toEpochDay.toInt
-          case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-          case _ => row.get(i)
-        }
+        else toAvroValue(row.get(i), st.fields(i).dataType,
+          nonNull(avro.getFields.get(i).schema()))
       rec.put(i, v)
       i += 1
     }
     rec
   }
 
+  /** Spark external value → Avro runtime value; `branch` is the value's
+    * non-null Avro schema (needed to construct nested records/arrays).
+    */
+  private def toAvroValue(v: Any, dt: DataType, branch: Schema): Any =
+    if (v == null) null
+    else dt match {
+      case ByteType => v.asInstanceOf[Byte].toInt
+      case ShortType => v.asInstanceOf[Short].toInt
+      case _: DecimalType =>
+        ByteBuffer.wrap(
+          v.asInstanceOf[java.math.BigDecimal].unscaledValue().toByteArray)
+      case TimestampType =>
+        // java.sql.Timestamp → epoch micros (AvroTimestampMicros);
+        // floorDiv so pre-1970 instants round toward -∞, not zero
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+          ts.getNanos / 1000L
+      case DateType =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case s: StructType => rowToRecord(v.asInstanceOf[Row], s, branch)
+      case ArrayType(et, _) =>
+        val elemBranch = nonNull(branch.getElementType)
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        val out = new java.util.ArrayList[Any](seq.size)
+        seq.foreach(e => out.add(toAvroValue(e, et, elemBranch)))
+        out
+      case _ => v
+    }
+
   private def recordToRow(rec: GenericRecord, st: StructType): Row = {
     val vals = new Array[Any](st.length)
     var i = 0
     while (i < st.length) {
-      val raw = rec.get(i)
-      vals(i) =
-        if (raw == null) null
-        else st.fields(i).dataType match {
-          case ByteType => raw.asInstanceOf[Int].toByte
-          case ShortType => raw.asInstanceOf[Int].toShort
-          case StringType => raw.toString // Avro Utf8 → String
-          case d: DecimalType =>
-            val bb = raw.asInstanceOf[ByteBuffer]
-            val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
-            new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
-          case TimestampType =>
-            val micros = raw.asInstanceOf[Long]
-            val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-            ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-            ts
-          case DateType =>
-            java.sql.Date.valueOf(
-              java.time.LocalDate.ofEpochDay(raw.asInstanceOf[Int].toLong))
-          case BinaryType =>
-            val bb = raw.asInstanceOf[ByteBuffer]
-            val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
-            bytes
-          case _ => raw
-        }
+      vals(i) = fromAvroValue(rec.get(i), st.fields(i).dataType)
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, st)
   }
+
+  /** Avro runtime value → Spark external value (Row / Seq for nesting). */
+  private def fromAvroValue(raw: Any, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case ByteType => raw.asInstanceOf[Int].toByte
+      case ShortType => raw.asInstanceOf[Int].toShort
+      case StringType => raw.toString // Avro Utf8 → String
+      case d: DecimalType =>
+        val bb = raw.asInstanceOf[ByteBuffer]
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
+      case TimestampType =>
+        val micros = raw.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case DateType =>
+        java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(raw.asInstanceOf[Int].toLong))
+      case BinaryType =>
+        val bb = raw.asInstanceOf[ByteBuffer]
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        bytes
+      case s: StructType => recordToRow(raw.asInstanceOf[GenericRecord], s)
+      case ArrayType(et, _) =>
+        raw.asInstanceOf[java.util.List[Any]].asScala
+          .map(e => fromAvroValue(e, et)).toSeq
+      case _ => raw
+    }
 }

@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("banded LSH near-dup: recall 1.0 vs the exact baseline on the real corpus") {
+    // the fused-dedup gate runs this LSH parameterization (4 planes × 64
+    // seeded tables); embeddingExactPairs is the ground-truth baseline —
+    // measured recall MUST be 1.0 or the oracle-gated fused query goes red
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingExactPairs(real, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(real, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numPlanes = 4, tables = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "baseline found no pairs — corpus changed?")
+    assert(lsh == exact,
+      s"LSH missed ${(exact -- lsh).size} / found ${lsh.size} vs exact ${exact.size}")
+  }
+
   test("minhash candidates: no quadratic blowup — bucket cap filters degenerate buckets") {
     // 50 identical docs would form a 50-wide bucket in every band
     val many = (0L until 50L).map(i => (i, "same same same same same text"))

@@ -60,6 +60,42 @@ class AvroWireSpec extends SparkSpec {
     assert(s.contains("[\"null\",\"boolean\"]"), s)
   }
 
+  // ── Nested records/arrays: the hierarchical business-object wire shape
+  //    (S4HanaTableMapping.java:577-597; nested `relations` fixture
+  //    …SO.Header.json) ────────────────────────────────────────────────────
+  private val nestedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("hdr", StructType(Seq(
+      StructField("name", StringType), StructField("qty", IntegerType)))),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("line", IntegerType), StructField("amt", DecimalType(10, 2)),
+      StructField("tags", ArrayType(StringType))))))))
+
+  private def nestedSample = {
+    val rows = Seq(
+      Row(1L, Row("so-1", 3), Seq(
+        Row(1, new java.math.BigDecimal("10.50"), Seq("a", "b")),
+        Row(2, new java.math.BigDecimal("-0.25"), Seq.empty[String]))),
+      Row(2L, Row(null, null), Seq.empty[Row]), // empty child array survives
+      Row(3L, null, null)) // null struct and null array survive
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), nestedSchema)
+  }
+
+  test("nested record/array round-trip is the identity") {
+    val got = AvroWire.roundTrip(nestedSample)
+    assert(got.schema == nestedSchema)
+    val a = nestedSample.collect().map(_.toSeq.map(norm)).toSet
+    val b = got.collect().map(_.toSeq.map(norm)).toSet
+    assert(a == b)
+  }
+
+  test("nested schema names records by field path (Avro name uniqueness)") {
+    val s = AvroWire.avroSchemaFor(nestedSchema, "so").toString
+    assert(s.contains("\"name\":\"so_hdr\""), s)
+    assert(s.contains("\"name\":\"so_items_item\""), s)
+    assert(s.contains("\"type\":\"array\""), s)
+  }
+
   test("bytes decode with the plain Avro runtime (wire compatibility)") {
     import scala.jdk.CollectionConverters._
     val bytes = AvroWire.toRecords(sample.select("s", "l"))
