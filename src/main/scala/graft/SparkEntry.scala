@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
 import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, RangeJoin, Shards, Similarity}
+import graft.sources.MetadataCatalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -183,6 +184,37 @@ object SparkEntry {
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast(DoubleType).alias("sum_disc_price"),
           count(lit(1)).alias("count_order"))
+    }),
+
+    // S8: ABAP-dictionary browse — DD02L/DD02T-shaped frames derived
+    // deterministically from nation (both engines derive the same frames),
+    // run through the shipped MetadataCatalog.browseTables operator
+    // (S4HanaBrowse.java:85-102).
+    "q_s8_browse_tables" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val dd02l = n.select(
+        concat(lit("T_"), col("n_name")).alias("tabname"),
+        when(col("n_regionkey") % 2 === 0, "TRANSP").otherwise("INTTAB")
+          .alias("tabclass"))
+      val dd02t = n.select(
+        concat(lit("T_"), col("n_name")).alias("tabname"),
+        when(col("n_nationkey") % 2 === 0, "E").otherwise("D")
+          .alias("ddlanguage"),
+        concat(lit("Description of "), col("n_name")).alias("ddtext"))
+      MetadataCatalog.browseTables(dd02l, dd02t)
+    }),
+
+    // S8: ABAP-dictionary PK fallback — a DD03L-shaped frame from part,
+    // through MetadataCatalog.pkFallback (keyflag='X', as4local='A',
+    // ORDER BY position; S4HanaTableMapping.java:308-321).
+    "q_s8_pk_fallback" -> ((s, dir) => {
+      val dd03l = t(s, dir, "part").select(
+        concat(lit("T_PART"), col("p_partkey") % 5).alias("tabname"),
+        concat(lit("F_"), col("p_partkey")).alias("fieldname"),
+        when(col("p_partkey") % 3 === 0, "X").otherwise("").alias("keyflag"),
+        when(col("p_partkey") % 7 === 0, "N").otherwise("A").alias("as4local"),
+        col("p_partkey").alias("position"))
+      MetadataCatalog.pkFallback(dd03l, "T_PART2")
     }),
 
     // J2: left outer join with a constant conjunct in the condition
@@ -1166,6 +1198,27 @@ object SparkEntry {
         |FROM information_schema.columns
         |WHERE table_name IN ('region','nation','customer','supplier','part',
         |  'orders','lineitem','events','documents','embeddings')""".stripMargin,
+
+    "q_s8_browse_tables" ->
+      """WITH dd02l AS (
+        |  SELECT 'T_' || n_name AS tabname,
+        |    CASE WHEN n_regionkey % 2 = 0 THEN 'TRANSP' ELSE 'INTTAB' END AS tabclass
+        |  FROM nation),
+        |dd02t AS (
+        |  SELECT 'T_' || n_name AS tabname,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN 'E' ELSE 'D' END AS ddlanguage,
+        |    'Description of ' || n_name AS ddtext
+        |  FROM nation)
+        |SELECT t.tabname, x.ddtext
+        |FROM dd02l t LEFT OUTER JOIN dd02t x
+        |  ON x.tabname = t.tabname AND x.ddlanguage = 'E'
+        |WHERE t.tabclass = 'TRANSP'""".stripMargin,
+
+    "q_s8_pk_fallback" ->
+      """SELECT 'F_' || p_partkey AS fieldname, p_partkey AS position
+        |FROM part
+        |WHERE 'T_PART' || (p_partkey % 5) = 'T_PART2'
+        |  AND p_partkey % 3 = 0 AND p_partkey % 7 <> 0""".stripMargin,
 
     "q_st2_commit_watermark" ->
       """SELECT least((SELECT max(event_id) FROM events),

@@ -19,27 +19,37 @@ object Hierarchy {
 
   /** Nest `child` rows under `field` on the parent.
     *
-    * @param joinCond (parentCol, childCol) equality pairs
-    * @param childCols child columns to carry into the nested struct
-    *                  (defaults to all non-join columns)
+    * The child is aggregated to one array per join key FIRST, then joined
+    * to the parent on the parent's key columns — so the grouping key is
+    * only the (declared or join-derived) PK, never the whole parent row.
+    * Against a real 180-column parent (VBAK-shaped) the old
+    * join-then-groupBy-every-parent-column formulation shuffled full
+    * parent×child rows keyed by the entire row; this shape shuffles the
+    * child once by its key and the parent once by its narrow PK (and the
+    * aggregated child side is broadcast-able when small). Childless
+    * parents nest `[]`; arrays are sorted for deterministic output.
+    *
+    * @param joinCond   (parentCol, childCol) equality pairs — the parent
+    *                   side must be unique per key (the mapping's PK
+    *                   contract, `S4HanaTableMapping.java:134-139`)
+    * @param childCols  child columns to carry into the nested struct
+    *                   (defaults to all non-join columns)
     */
   def nest(parent: DataFrame, child: DataFrame,
       joinCond: Seq[(String, String)], field: String,
       childCols: Seq[String] = Nil): DataFrame = {
-    val p = parent.alias("p")
-    val c = child.alias("c")
-    val cond = joinCond.map { case (pk, ck) => col(s"p.$pk") === col(s"c.$ck") }
-      .reduce(_ && _)
     val carried = if (childCols.nonEmpty) childCols
       else child.columns.toSeq.filterNot(joinCond.map(_._2).contains)
-    val childStruct = struct(carried.map(n => col(s"c.$n").alias(n)): _*)
-    val parentCols = parent.columns.toSeq.map(n => col(s"p.$n").alias(n))
-    // collect_list skips nulls → a parent with no children gets [] rather
-    // than [null-struct] from the unmatched outer row
-    val childOrNull = when(col(s"c.${joinCond.head._2}").isNotNull, childStruct)
-    p.join(c, cond, "left_outer")
-      .groupBy(parentCols: _*)
-      .agg(sort_array(collect_list(childOrNull)).alias(field))
+    val childStruct = struct(carried.map(n => col(n).alias(n)): _*)
+    // rename child keys to the parent's names so the equi-join below is a
+    // plain USING join (no duplicate output columns to drop)
+    val nested = child
+      .groupBy(joinCond.map { case (pk, ck) => col(ck).alias(pk) }: _*)
+      .agg(sort_array(collect_list(childStruct)).alias(field))
+    val elemType = nested.schema(field).dataType
+    parent.join(nested, joinCond.map(_._1), "left_outer")
+      .withColumn(field,
+        coalesce(col(field), array().cast(elemType)))
   }
 
   /** Build the nested object a [[TableMapping]] with relations describes:

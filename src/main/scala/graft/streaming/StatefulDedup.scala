@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 
 /** Streaming-native last-write-wins dedup (A1/ST4 as a stateful streaming
   * operator): one state entry per key holding the highest transaction id
@@ -68,5 +69,49 @@ object StatefulDedup {
             out.iterator
           }
       }
+  }
+
+  /** [[latestPerKey]] for FULL typed rows: the change stream keeps its
+    * entire envelope + payload schema (the shape the reference's producer
+    * actually publishes — one Avro record per row,
+    * `S4HanaProducer.java:216-315`) instead of a pre-serialized string.
+    * Keys may be composite and of any data type; the emitted rows are the
+    * winning input rows, schema unchanged.
+    *
+    * Same state contract as the string form: one `SeenTxid` per key,
+    * replays and out-of-order duplicates suppressed, optional TTL expiry.
+    */
+  def latestPerKeyRows(changes: DataFrame, keyCols: Seq[String],
+      txidCol: String = graft.cdc.Cdc.TransactionId,
+      stateTtl: String = ""): DataFrame = {
+    val schema = changes.schema
+    val txIdx = schema.fieldIndex(txidCol)
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val keySchema = StructType(keyIdx.map(schema.fields(_)))
+    val keyEnc = Encoders.row(keySchema)
+    val outEnc = Encoders.row(schema)
+    val stateEnc = Encoders.product[SeenTxid]
+    val timeoutConf =
+      if (stateTtl.nonEmpty) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val ds = changes.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[SeenTxid, Row](
+        OutputMode.Update(), timeoutConf) {
+        (_: Row, rows: Iterator[Row], state: GroupState[SeenTxid]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.map(_.txid).getOrElse(Long.MinValue)
+            val latest = rows.reduceOption((a, b) =>
+              if (a.getLong(txIdx) >= b.getLong(txIdx)) a else b)
+            val out = latest.filter(_.getLong(txIdx) > seen)
+            out.foreach(r => state.update(SeenTxid(r.getLong(txIdx))))
+            if (stateTtl.nonEmpty && state.exists)
+              state.setTimeoutDuration(stateTtl)
+            out.iterator
+          }
+      }(stateEnc, outEnc)
+    ds.toDF()
   }
 }

@@ -25,6 +25,26 @@ class HierarchySpec extends SparkSpec {
     assert(byId("SO3").isEmpty) // left outer: parent kept, empty array
   }
 
+  test("nest groups only by the join key, never the whole parent row") {
+    import org.apache.spark.sql.functions.{col, lit, size}
+    // a wide parent (payload columns beyond the PK) must NOT widen the
+    // aggregation key — the child aggregates by its join key alone and the
+    // payload re-attaches via the PK join
+    val wide = header.withColumn("payload_a", lit("x"))
+      .withColumn("payload_b", lit(1.5))
+    val got = Hierarchy.nest(wide, items,
+      Seq(("SALESORDERID", "SALESORDERID")), "items")
+    val groupings = got.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions
+    }
+    assert(groupings.nonEmpty)
+    assert(groupings.forall(_.size == 1), groupings.toString)
+    val so3 = got.where(col("SALESORDERID") === "SO3")
+      .select(size(col("items"))).as[Int].head()
+    assert(so3 == 0) // childless parent still nests []
+  }
+
   test("build from a TableMapping with relations (SO.Header shape)") {
     val mapping = TableMapping(
       name = "SO.Header", mastertable = "SO_HEADER",

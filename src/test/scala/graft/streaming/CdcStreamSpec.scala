@@ -418,6 +418,32 @@ class CdcStreamSpec extends SparkSpec {
     assert(got == Set(("k1", 12L, "v12"), ("k2", 5L, "w5"), ("k2", 9L, "w9")))
   }
 
+  test("statefulDedup rows: full envelope rows with a composite typed key") {
+    implicit val sqlCtx = spark.sqlContext
+    // the full-row form: composite (string, long) key, envelope + payload
+    // columns survive to the output unchanged
+    val ms = MemoryStream[(String, Long, Long, String, Double)]
+    val feed = ms.toDF().toDF("mandt", "id", "_transactionid", "_change_type", "amount")
+    val out = StatefulDedup.latestPerKeyRows(feed, Seq("mandt", "id"))
+    val q = out.writeStream.format("memory").queryName("sdr_out")
+      .outputMode("update").start(tmp("sdr_ckpt"))
+    ms.addData(("100", 1L, 11L, "A", 1.5), ("100", 1L, 12L, "A", 2.5),
+      ("200", 1L, 5L, "A", 9.0))
+    q.processAllAvailable()
+    // replay of (100,1,12) suppressed; stale txid on (200,1) suppressed;
+    // genuine delete advance on (200,1)
+    ms.addData(("100", 1L, 12L, "A", 2.5), ("200", 1L, 3L, "A", -1.0),
+      ("200", 1L, 9L, "D", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdr_out")
+      .as[(String, Long, Long, String, Double)].collect().toSet
+    assert(got == Set(("100", 1L, 12L, "A", 2.5),
+      ("200", 1L, 5L, "A", 9.0), ("200", 1L, 9L, "D", 0.0)))
+    assert(spark.table("sdr_out").schema.fieldNames.toSeq ==
+      Seq("mandt", "id", "_transactionid", "_change_type", "amount"))
+  }
+
   test("built-in dropDuplicatesWithinWatermark suppresses replays (ST4)") {
     // the native companion to StatefulDedup: replayed (id, txid) pairs
     // within the watermark horizon are emitted once
