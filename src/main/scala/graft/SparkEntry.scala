@@ -263,6 +263,28 @@ object SparkEntry {
         length(pt).alias("wkb_len"))
     }),
 
+    // §1.2 ST_GEOMETRY beyond points: a WKB LineString BUILT per order from
+    // its lineitem sequence, then introspected (type / vertex count /
+    // envelope) — the oracle recomputes every value arithmetically, so the
+    // whole binary construct-and-parse path is hash-gated.
+    "q_f_geometry_lines" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").cast(DoubleType).alias("x"),
+          col("l_quantity").cast(DoubleType).alias("y")))).alias("pts"))
+      val geom = GraftExpressions.st_linestring(
+        expr("transform(pts, p -> p.x)"), expr("transform(pts, p -> p.y)"))
+      pts.select(col("l_orderkey"),
+        GraftExpressions.st_geomtype(geom).alias("geom_type"),
+        GraftExpressions.st_npoints(geom).alias("n_points"),
+        GraftExpressions.st_xmin(geom).alias("xmin"),
+        GraftExpressions.st_xmax(geom).alias("xmax"),
+        GraftExpressions.st_ymin(geom).alias("ymin"),
+        GraftExpressions.st_ymax(geom).alias("ymax"))
+    }),
+
     // J5: left-semi "impacted tables" lookup (S4HanaProducer.java:400-420).
     "q_j5_semi_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1243,6 +1265,16 @@ object SparkEntry {
       """SELECT s_suppkey, CAST(s_suppkey AS DOUBLE) AS x,
         |  CAST(s_nationkey AS DOUBLE) AS y, 21 AS wkb_len
         |FROM supplier""".stripMargin,
+
+    "q_f_geometry_lines" ->
+      """SELECT l_orderkey, 'LINESTRING' AS geom_type,
+        |  CAST(count(*) AS INT) AS n_points,
+        |  CAST(min(l_linenumber) AS DOUBLE) AS xmin,
+        |  CAST(max(l_linenumber) AS DOUBLE) AS xmax,
+        |  CAST(min(l_quantity) AS DOUBLE) AS ymin,
+        |  CAST(max(l_quantity) AS DOUBLE) AS ymax
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |GROUP BY l_orderkey""".stripMargin,
 
     "q_j2_outer_const_conjunct" ->
       """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name

@@ -213,6 +213,64 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): StCoord = copy(child = c)
   }
 
+  /** `st_linestring(xs, ys)` — WKB LineString constructor from parallel
+    * coordinate arrays (ST_GEOMETRY beyond points, §1.2).
+    */
+  case class StLineString(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.wkbLineString(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.wkbLineString($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StLineString =
+      copy(left = l, right = r)
+  }
+
+  /** `st_geomtype(wkb)` — geometry-type name of any WKB value. */
+  case class StGeomType(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(SketchOps.wkbGeomType(v.asInstanceOf[Array[Byte]]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString(graft.functions.SketchOps.wkbGeomType($c))")
+    override protected def withNewChildInternal(c: Expression): StGeomType = copy(child = c)
+  }
+
+  /** `st_npoints(wkb)` — vertex count of point/linestring/polygon WKB. */
+  case class StNumPoints(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wkbNumPoints(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.wkbNumPoints($c)")
+    override protected def withNewChildInternal(c: Expression): StNumPoints = copy(child = c)
+  }
+
+  /** `st_xmin/ymin/xmax/ymax(wkb)` — envelope accessors (which: 0..3). */
+  case class StExtent(child: Expression, which: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(which >= 0 && which <= 3, "which 0=xmin 1=ymin 2=xmax 3=ymax")
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wkbExtent(v.asInstanceOf[Array[Byte]], which)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.wkbExtent($c, $which)")
+    override protected def withNewChildInternal(c: Expression): StExtent = copy(child = c)
+  }
+
   // ── Column-API wrappers ─────────────────────────────────────────────────
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -233,6 +291,13 @@ object GraftExpressions {
   def st_point(x: Column, y: Column): Column = c(StPoint(e(x), e(y)))
   def st_x(wkb: Column): Column = c(StCoord(e(wkb), 0))
   def st_y(wkb: Column): Column = c(StCoord(e(wkb), 1))
+  def st_linestring(xs: Column, ys: Column): Column = c(StLineString(e(xs), e(ys)))
+  def st_geomtype(wkb: Column): Column = c(StGeomType(e(wkb)))
+  def st_npoints(wkb: Column): Column = c(StNumPoints(e(wkb)))
+  def st_xmin(wkb: Column): Column = c(StExtent(e(wkb), 0))
+  def st_ymin(wkb: Column): Column = c(StExtent(e(wkb), 1))
+  def st_xmax(wkb: Column): Column = c(StExtent(e(wkb), 2))
+  def st_ymax(wkb: Column): Column = c(StExtent(e(wkb), 3))
 
   private def intArg(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
@@ -264,7 +329,17 @@ object GraftExpressions {
     ("st_point", "little-endian WKB 2-D point",
       xs => StPoint(xs.head, xs(1))),
     ("st_x", "x coordinate of a WKB point", xs => StCoord(xs.head, 0)),
-    ("st_y", "y coordinate of a WKB point", xs => StCoord(xs.head, 1)))
+    ("st_y", "y coordinate of a WKB point", xs => StCoord(xs.head, 1)),
+    ("st_linestring", "little-endian WKB LineString from coordinate arrays",
+      xs => StLineString(xs.head, xs(1))),
+    ("st_geomtype", "geometry-type name of a WKB value",
+      xs => StGeomType(xs.head)),
+    ("st_npoints", "vertex count of a WKB geometry",
+      xs => StNumPoints(xs.head)),
+    ("st_xmin", "envelope min x of a WKB geometry", xs => StExtent(xs.head, 0)),
+    ("st_ymin", "envelope min y of a WKB geometry", xs => StExtent(xs.head, 1)),
+    ("st_xmax", "envelope max x of a WKB geometry", xs => StExtent(xs.head, 2)),
+    ("st_ymax", "envelope max y of a WKB geometry", xs => StExtent(xs.head, 3)))
 
   /** Register every kernel as a SQL function (int literals become the
     * static parameters), so `spark.sql("SELECT simhash64(...)")` works.

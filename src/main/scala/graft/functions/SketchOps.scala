@@ -194,6 +194,112 @@ object SketchOps {
     bb.getDouble(5 + idx * 8)
   }
 
+  /** Little-endian WKB LineString from parallel coordinate arrays — takes
+    * ST_GEOMETRY (§1.2) beyond the carrier: linework can be BUILT on the
+    * engine, not just ferried (`S4HanaTableMapping.java:670` ships opaque
+    * WKB; here the binary becomes constructible and introspectable).
+    */
+  def wkbLineString(xs: ArrayData, ys: ArrayData): Array[Byte] = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    val bb = java.nio.ByteBuffer.allocate(9 + 16 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte) // little-endian marker
+    bb.putInt(2)     // geometry type 2 = LineString
+    bb.putInt(n)
+    var i = 0
+    while (i < n) {
+      bb.putDouble(xs.getDouble(i)); bb.putDouble(ys.getDouble(i)); i += 1
+    }
+    bb.array()
+  }
+
+  /** WKB geometry-type name (POINT / LINESTRING / POLYGON / …), honoring
+    * the byte-order marker; UNKNOWN for anything unparsable. Z/M/SRID
+    * variants (type code mod 1000) resolve to their base type.
+    */
+  def wkbGeomType(wkb: Array[Byte]): String = {
+    if (wkb == null || wkb.length < 5) return "UNKNOWN"
+    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    java.nio.ByteBuffer.wrap(wkb).order(order).getInt(1) % 1000 match {
+      case 1 => "POINT"
+      case 2 => "LINESTRING"
+      case 3 => "POLYGON"
+      case 4 => "MULTIPOINT"
+      case 5 => "MULTILINESTRING"
+      case 6 => "MULTIPOLYGON"
+      case 7 => "GEOMETRYCOLLECTION"
+      case _ => "UNKNOWN"
+    }
+  }
+
+  /** Vertex count of a WKB point/linestring/polygon (polygons sum their
+    * rings); -1 for malformed or unsupported input.
+    */
+  def wkbNumPoints(wkb: Array[Byte]): Int = {
+    if (wkb == null || wkb.length < 5) return -1
+    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
+    bb.getInt(1) % 1000 match {
+      case 1 => 1
+      case 2 => bb.getInt(5)
+      case 3 =>
+        val rings = bb.getInt(5)
+        var total = 0
+        var off = 9
+        var r = 0
+        while (r < rings) {
+          val k = bb.getInt(off); total += k; off += 4 + 16 * k; r += 1
+        }
+        total
+      case _ => -1
+    }
+  }
+
+  /** Envelope coordinate of a WKB point/linestring/polygon:
+    * which = 0 → xmin, 1 → ymin, 2 → xmax, 3 → ymax; NaN when malformed.
+    */
+  def wkbExtent(wkb: Array[Byte], which: Int): Double = {
+    if (wkb == null || wkb.length < 5) return Double.NaN
+    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
+    var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+    var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+    var count = 0
+    def scan(off0: Int, k: Int): Unit = {
+      var off = off0
+      var i = 0
+      while (i < k) {
+        val x = bb.getDouble(off); val y = bb.getDouble(off + 8)
+        if (x < xmin) xmin = x; if (x > xmax) xmax = x
+        if (y < ymin) ymin = y; if (y > ymax) ymax = y
+        count += 1; off += 16; i += 1
+      }
+    }
+    bb.getInt(1) % 1000 match {
+      case 1 => scan(5, 1)
+      case 2 => scan(9, bb.getInt(5))
+      case 3 =>
+        val rings = bb.getInt(5)
+        var off = 9
+        var r = 0
+        while (r < rings) {
+          val k = bb.getInt(off); scan(off + 4, k); off += 4 + 16 * k; r += 1
+        }
+      case _ => return Double.NaN
+    }
+    if (count == 0) return Double.NaN
+    which match {
+      case 0 => xmin
+      case 1 => ymin
+      case 2 => xmax
+      case 3 => ymax
+      case _ => Double.NaN
+    }
+  }
+
   /** HANA ALPHANUM padding: digit-only strings zero-pad to `len`, everything
     * else passes through (reference workload `VBAK_change.sql:1`).
     */

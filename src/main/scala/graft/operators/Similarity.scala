@@ -33,7 +33,12 @@ object Similarity {
         val (wid, wscore) = b.last
         if (a._2 < wscore || (a._2 == wscore && a._1 > wid)) return b
       }
-      trim(b :+ a)
+      // accepted row: O(k) ordered splice into the sorted buffer instead of
+      // an O(k log k) re-sort per insert
+      val idx = b.indexWhere { case (id, score) =>
+        score < a._2 || (score == a._2 && id > a._1) }
+      val ins = if (idx < 0) b :+ a else (b.take(idx) :+ a) ++ b.drop(idx)
+      if (ins.size > k) ins.take(k) else ins
     }
     override def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
       trim(b1 ++ b2)

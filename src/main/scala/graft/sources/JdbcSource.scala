@@ -55,4 +55,52 @@ object JdbcSource {
     opts.foldLeft(spark.read.format("jdbc")) {
       case (r: DataFrameReader, (k, v)) => r.option(k, v)
     }.load()
+
+  // ── HANA physical-partition addressing (S3/S4) ────────────────────────────
+  // The reference discovers a column table's physical partitions from
+  // m_cs_partitions and scans each with an explicit `PARTITION (n)` clause,
+  // one pooled connection per partition (`S4HanaProducer.java:511-533`,
+  // `S4HanaTableMapping.java:751-755`) — partition-aligned parallelism
+  // without inventing a numeric split column.
+
+  /** The partition-discovery SQL (the m_cs_partitions probe). Run it over
+    * JDBC (or a dictionary-shaped frame in tests) to get the part ids fed
+    * to [[partitionedTables]].
+    */
+  def partitionDiscoverySql(schema: String, table: String): String =
+    "SELECT DISTINCT PART_ID FROM M_CS_PARTITIONS " +
+      s"WHERE SCHEMA_NAME = '$schema' AND TABLE_NAME = '$table' ORDER BY PART_ID"
+
+  /** One pushed-down select per PHYSICAL partition: the initial select with
+    * `PARTITION (n)` appended to the master table (the reference's
+    * per-partition scan text, `S4HanaTableMapping.java:740-761` + `:751-755`).
+    * part id 0 means "the table is unpartitioned" → plain scan.
+    */
+  def partitionedTables(mapping: TableMapping, partIds: Seq[Int]): Seq[String] = {
+    require(partIds.nonEmpty, "at least one physical partition")
+    partIds.map { id =>
+      val from =
+        if (id <= 0) mapping.mastertable
+        else s"${mapping.mastertable} PARTITION ($id)"
+      val proj =
+        if (mapping.columnmappings.isEmpty) "*"
+        else mapping.columnmappings
+          .map(cm => s"""${cm.sql} AS "${cm.alias}"""").mkString(", ")
+      val where = mapping.initialloadwhere.filter(_.trim.nonEmpty)
+        .map(w => s" WHERE $w").getOrElse("")
+      s"(SELECT $proj FROM $from$where) AS ${mapping.alias}"
+    }
+  }
+
+  /** Read every physical partition in parallel and union the scans — each
+    * partition select is one Spark task/connection, exactly the reference's
+    * partition pool, with Spark's scheduler as the pool.
+    */
+  def readPartitioned(spark: SparkSession, url: String, user: String,
+      password: String, mapping: TableMapping, partIds: Seq[Int]): DataFrame =
+    partitionedTables(mapping, partIds)
+      .map(tbl => read(spark, Map(
+        "url" -> url, "user" -> user, "password" -> password,
+        "dbtable" -> tbl, "fetchsize" -> "10000")))
+      .reduce(_ unionAll _)
 }

@@ -69,7 +69,9 @@ object HanaTypes {
         case "NCHAR" | "NVARCHAR" => StringType // :652-655
         case "BINARY" | "VARBINARY" | "BLOB" | "BINTEXT" => BinaryType // :638-641, :650, :662
         case "DATE"     => DateType // :642
-        case "TIME"     => StringType // :644 — Spark has no TimeType; ref reads rs.getTime
+        case "TIME"     => TimeType(0) // :644 — HANA TIME is hh:mm:ss (second
+          // precision, read via rs.getTime in the reference); Spark 4.1's
+          // native TIME-without-time-zone type carries it losslessly
         case "TIMESTAMP" => TimestampType // :646 — µs precision matches AvroTimestampMicros
         case "SECONDDATE" => TimestampType // :666 — second precision fits µs
         case "CLOB" | "NCLOB" | "TEXT" | "SHORTTEXT" => StringType // :648, :658-665

@@ -114,6 +114,32 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(bad.isNaN)
   }
 
+  test("st_linestring/st_geomtype/st_npoints/extent: non-point WKB introspection") {
+    val df = Seq((Seq(1.0, 4.0, 2.0), Seq(10.0, -5.0, 7.0))).toDF("xs", "ys")
+      .select(st_linestring($"xs", $"ys").as("g"))
+      .select(st_geomtype($"g"), st_npoints($"g"),
+        st_xmin($"g"), st_xmax($"g"), st_ymin($"g"), st_ymax($"g"))
+    assert(df.as[(String, Int, Double, Double, Double, Double)].head() ==
+      (("LINESTRING", 3, 1.0, 4.0, -5.0, 10.0)))
+    // a hand-built big-endian WKB POLYGON (1 ring, 4 vertices incl. closure)
+    val ring = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 0.0))
+    val bb = java.nio.ByteBuffer.allocate(9 + 4 + 16 * ring.size)
+    bb.put(0.toByte); bb.putInt(3); bb.putInt(1); bb.putInt(ring.size)
+    ring.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+    val poly = Seq(bb.array()).toDF("g")
+      .select(st_geomtype($"g"), st_npoints($"g"), st_xmax($"g"), st_ymax($"g"))
+      .as[(String, Int, Double, Double)].head()
+    assert(poly == (("POLYGON", 4, 4.0, 3.0)))
+    // point works through the generic accessors too; garbage is UNKNOWN/-1
+    val pt = Seq((2.0, 9.0)).toDF("x", "y").select(st_point($"x", $"y").as("g"))
+      .select(st_geomtype($"g"), st_npoints($"g"), st_ymax($"g"))
+      .as[(String, Int, Double)].head()
+    assert(pt == (("POINT", 1, 9.0)))
+    val bad = Seq(Array[Byte](9)).toDF("g")
+      .select(st_geomtype($"g"), st_npoints($"g")).as[(String, Int)].head()
+    assert(bad == (("UNKNOWN", -1)))
+  }
+
   test("registerAll exposes kernels to SQL") {
     GraftExpressions.registerAll(spark)
     val r = spark.sql(

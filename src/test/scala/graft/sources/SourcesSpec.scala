@@ -65,6 +65,23 @@ class SourcesSpec extends SparkSpec {
     assert(opts("partitionColumn") == "ROWID")
   }
 
+  test("S3/S4: physical-partition clause scan (PARTITION (n) + m_cs_partitions)") {
+    val m = TableMapping("SO", "SCHEMA.VBAK", "L1",
+      Seq(ColumnMapping("MANDT", """"L1"."MANDT"""", "NVARCHAR(3)")),
+      Seq("MANDT"), Some("MANDT = '800'"))
+    assert(JdbcSource.partitionDiscoverySql("SCHEMA", "VBAK") ==
+      "SELECT DISTINCT PART_ID FROM M_CS_PARTITIONS " +
+        "WHERE SCHEMA_NAME = 'SCHEMA' AND TABLE_NAME = 'VBAK' ORDER BY PART_ID")
+    val tbls = JdbcSource.partitionedTables(m, Seq(1, 2, 3))
+    assert(tbls.size == 3)
+    assert(tbls(1) ==
+      """(SELECT "L1"."MANDT" AS "MANDT" FROM SCHEMA.VBAK PARTITION (2) WHERE MANDT = '800') AS L1""")
+    // part id 0 = unpartitioned table → plain scan, no PARTITION clause
+    assert(JdbcSource.partitionedTables(m, Seq(0)).head ==
+      """(SELECT "L1"."MANDT" AS "MANDT" FROM SCHEMA.VBAK WHERE MANDT = '800') AS L1""")
+    assertThrows[IllegalArgumentException](JdbcSource.partitionedTables(m, Nil))
+  }
+
   test("S5: Kafka record serde round-trips envelope + payload; key is PK") {
     val folded = Seq(
       (Cdc.Upsert, 7L, 1L, "800", "alice"),

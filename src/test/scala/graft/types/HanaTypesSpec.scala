@@ -17,6 +17,8 @@ class HanaTypesSpec extends AnyFunSuite {
     assert(HanaTypes.toSparkType("DATE") == DateType)
     assert(HanaTypes.toSparkType("TIMESTAMP") == TimestampType)
     assert(HanaTypes.toSparkType("SECONDDATE") == TimestampType)
+    // HANA TIME (hh:mm:ss, second precision) → native TIME(0), not a string
+    assert(HanaTypes.toSparkType("TIME") == TimeType(0))
   }
 
   test("parameterized types parse NAME(len[,scale])") {
