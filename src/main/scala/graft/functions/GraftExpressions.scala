@@ -185,6 +185,30 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `bucket_near_pairs(members, threshold)` — in-bucket near-dup pair
+    * scan over array<struct<id,vec>> sorted by id; returns
+    * array<struct<id_a,id_b,cosine>> of the ≥threshold pairs. The kernel
+    * behind [[graft.operators.Dedup.embeddingNearDups]]'s verify stage.
+    */
+  case class BucketNearPairs(child: Expression, threshold: Double)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(StructType(Seq(
+        StructField("id", LongType),
+        StructField("vec", ArrayType(FloatType))))))
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType),
+      StructField("cosine", DoubleType))))
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.bucketNearPairs(v.asInstanceOf[ArrayData], threshold)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.bucketNearPairs($c, ${threshold}D)")
+    override protected def withNewChildInternal(c: Expression): BucketNearPairs =
+      copy(child = c)
+  }
+
   /** `st_point(x, y)` — WKB point constructor (ST_POINT carrier, §1.2). */
   case class StPoint(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -287,6 +311,8 @@ object GraftExpressions {
     c(RollingFingerprint(e(col), window))
   def projection_bits(col: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
     c(ProjectionBits(e(col), numPlanes, dim, seed))
+  def bucket_near_pairs(col: Column, threshold: Double): Column =
+    c(BucketNearPairs(e(col), threshold))
 
   def st_point(x: Column, y: Column): Column = c(StPoint(e(x), e(y)))
   def st_x(wkb: Column): Column = c(StCoord(e(wkb), 0))

@@ -115,6 +115,36 @@ object SketchOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** In-bucket near-dup pair scan: one tight loop over an LSH bucket's
+    * members (array of struct(id, vec), SORTED by id) emitting only the
+    * (id_a, id_b, cosine) triples at or above `threshold`. One kernel call
+    * replaces a transform/filter/flatten lambda stack whose per-candidate
+    * interpreted evaluation dominated the multi-table LSH verify (the
+    * bucket's b²/2 candidates never exist as expression-tree values here,
+    * only as loop iterations).
+    */
+  def bucketNearPairs(members: ArrayData, threshold: Double): ArrayData = {
+    val n = members.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n - 1) {
+      val ri = members.getStruct(i, 2)
+      val idA = ri.getLong(0)
+      val va = ri.getArray(1)
+      var j = i + 1
+      while (j < n) {
+        val rj = members.getStruct(j, 2)
+        val cos = cosineFloat(va, rj.getArray(1))
+        if (cos >= threshold)
+          out += org.apache.spark.sql.catalyst.InternalRow(idA, rj.getLong(0), cos)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Dot product of a float vector with one of `planes`' rows (used by the
     * random-hyperplane LSH): returns the h sign bits packed into an int.
     */

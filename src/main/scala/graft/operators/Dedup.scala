@@ -488,28 +488,23 @@ object Dedup {
       .withColumnRenamed("pos", "_table")
       .withColumnRenamed("col", "_bucket")
     // Vectors travel WITH their bucket rows and the cosine verify runs
-    // INSIDE the per-bucket pair lambda, filtered before anything becomes a
+    // INSIDE the per-bucket kernel, filtered before anything becomes a
     // row — so candidate pairs (tables × b²/2 per bucket, the multi-table
     // volume driver) never hit a shuffle, a join, or even an explode; only
     // ≥threshold survivors materialize, and the final distinct touches that
     // tiny set. (The join-back formulation measured 5-6x slower on the
-    // fused gate at sf0.1: 8M candidate rows through two joins.) Shuffle
-    // cost is `tables` copies of the corpus through the bucket groupBy —
-    // linear in corpus × tables, never quadratic.
+    // fused gate at sf0.1: 8M candidate rows through two joins; a
+    // transform/filter lambda stack another ~2x over the kernel — the
+    // candidates exist only as loop iterations inside bucket_near_pairs.)
+    // Shuffle cost is `tables` copies of the corpus through the bucket
+    // groupBy — linear in corpus × tables, never quadratic.
     val grouped = buckets
       .groupBy(col("_table"), col("_bucket"))
       .agg(array_sort(collect_list(
         struct(col(idCol).alias("id"), col(vecCol).alias("vec")))).alias("_m"))
       .where(size(col("_m")) >= 2 && size(col("_m")) <= maxBucket)
-    val pairs = flatten(transform(col("_m"), (x, i) =>
-      filter(
-        transform(slice(col("_m"), i + lit(2),
-            greatest(size(col("_m")) - i - 1, lit(0))),
-          y => struct(x.getField("id").alias("id_a"),
-            y.getField("id").alias("id_b"),
-            cosine_sim(x.getField("vec"), y.getField("vec")).alias("cosine"))),
-        p => p.getField("cosine") >= threshold)))
-    grouped.select(explode(pairs).alias("_p"))
+    grouped
+      .select(explode(bucket_near_pairs(col("_m"), threshold)).alias("_p"))
       .select(col("_p.id_a").alias("id_a"), col("_p.id_b").alias("id_b"),
         col("_p.cosine").alias("cosine"))
       .distinct()

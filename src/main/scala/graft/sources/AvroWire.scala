@@ -70,6 +70,9 @@ object AvroWire {
       // element carries the same all-nullable union convention as fields
       Schema.createArray(Schema.createUnion(List(
         Schema.create(Schema.Type.NULL), avroTypeFor(et, s"${path}_item")).asJava))
+    case MapType(StringType, vt, _) => // Avro maps are string-keyed
+      Schema.createMap(Schema.createUnion(List(
+        Schema.create(Schema.Type.NULL), avroTypeFor(vt, s"${path}_value")).asJava))
     case other =>
       throw new IllegalArgumentException(s"AvroWire: unsupported type $other")
   }
@@ -162,6 +165,12 @@ object AvroWire {
         val out = new java.util.ArrayList[Any](seq.size)
         seq.foreach(e => out.add(toAvroValue(e, et, elemBranch)))
         out
+      case MapType(StringType, vt, _) =>
+        val valBranch = nonNull(branch.getValueType)
+        val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+        val out = new java.util.HashMap[String, Any](m.size)
+        m.foreach { case (k, mv) => out.put(k, toAvroValue(mv, vt, valBranch)) }
+        out
       case _ => v
     }
 
@@ -202,6 +211,10 @@ object AvroWire {
       case ArrayType(et, _) =>
         raw.asInstanceOf[java.util.List[Any]].asScala
           .map(e => fromAvroValue(e, et)).toSeq
+      case MapType(StringType, vt, _) =>
+        raw.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, mv) => k.toString -> fromAvroValue(mv, vt) // Utf8 keys
+        }.toMap
       case _ => raw
     }
 }

@@ -89,6 +89,22 @@ class AvroWireSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("string-keyed map round-trip (Avro map)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("props", MapType(StringType, StringType))))
+    val rows = Seq(
+      Row(1L, Map("a" -> "x", "b" -> null)),
+      Row(2L, Map.empty[String, String]),
+      Row(3L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = AvroWire.roundTrip(df)
+    assert(got.schema == schema)
+    assert(got.collect().map(r => (r.getLong(0), r.getMap[String, String](1))).toSet ==
+      Set((1L, Map("a" -> "x", "b" -> null)), (2L, Map.empty), (3L, null)))
+  }
+
   test("nested schema names records by field path (Avro name uniqueness)") {
     val s = AvroWire.avroSchemaFor(nestedSchema, "so").toString
     assert(s.contains("\"name\":\"so_hdr\""), s)
