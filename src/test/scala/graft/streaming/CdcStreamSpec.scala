@@ -104,6 +104,28 @@ class CdcStreamSpec extends SparkSpec {
     assert(m2.keySet == Set(1L, 2L, 3L, 9L))
   }
 
+  test("compact(): consolidates bucket files, snapshot unchanged") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    // several small merges fragment the buckets (one file per upstream
+    // partition per bucket is the worst case)
+    (10L to 14L).foreach { tx =>
+      store.merge(Seq((Cdc.Upsert, tx, tx, s"v$tx"))
+        .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    }
+    val before = store.snapshot().as[(Long, String)].collect().toSet
+    def filesPerBucket: Map[String, Int] =
+      new java.io.File(dir).listFiles((f: java.io.File) =>
+          f.getName.startsWith("_bucket=")).map { d =>
+        d.getName -> d.listFiles((f: java.io.File) =>
+          f.getName.endsWith(".parquet")).length
+      }.toMap
+    assert(filesPerBucket.values.sum > filesPerBucket.size) // fragmented
+    store.compact()
+    assert(store.snapshot().as[(Long, String)].collect().toSet == before)
+    assert(filesPerBucket.values.forall(_ == 1), filesPerBucket.toString)
+  }
+
   test("merge leaves the session partitionOverwriteMode untouched") {
     val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     val store = newStore(tmp("store"))
