@@ -77,6 +77,20 @@ class DedupSpec extends SparkSpec {
       s"LSH missed ${(exact -- lsh).size} / found ${lsh.size} vs exact ${exact.size}")
   }
 
+  test("banded LSH plan guard: no nested-loop join anywhere in the pipeline") {
+    // the quadratic marker: embeddingExactPairs plans a
+    // BroadcastNestedLoopJoin (documented O(n²) baseline); the LSH path
+    // must never contain one — its pairing is bucket-local by construction
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Dedup.embeddingNearDups(real, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, numPlanes = 4, tables = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val exactPlan = Dedup.embeddingExactPairs(real, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("BroadcastNestedLoop")) // the baseline IS the block join
+  }
+
   test("minhash candidates: no quadratic blowup — bucket cap filters degenerate buckets") {
     // 50 identical docs would form a 50-wide bucket in every band
     val many = (0L until 50L).map(i => (i, "same same same same same text"))
