@@ -32,6 +32,22 @@ object Bench {
     // warmup: JIT + codegen + filesystem metadata
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+
+    /** Drop every block a query left cached (dataset cache entries plus the
+      * lazy `localCheckpoint` RDDs the dedup kernels materialize). Without
+      * this the 80-query sweep accumulates block-manager state that the
+      * ContextCleaner only reclaims on GC, taxing late-alphabet queries with
+      * eviction/GC pressure: the round-6 sweep reported q_w1-q_w4 at 9x
+      * their isolated times. Blocking unpersist so the memory is actually
+      * free before the next query's first run starts.
+      */
+    def sweepState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc() // let the ContextCleaner reap shuffle/broadcast refs too
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
@@ -45,9 +61,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      // a failed query reports -1 for itself and the run continues
-      name -> (if (first < 0) first
-               else Seq(first, once(), once()).sorted.apply(1)) // median of 3
+      // A failed FIRST run reports -1; a transient failure on a repeat is
+      // dropped and the median is taken over the successful runs only
+      // (Seq(t,-1,-1).sorted(1) used to report -1 for a query that ran).
+      val t = if (first < 0) first else {
+        val ok = Seq(first, once(), once()).filter(_ >= 0).sorted
+        if (ok.size % 2 == 1) ok(ok.size / 2)
+        else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+      }
+      sweepState()
+      name -> t
     }
     val streamed: Seq[(String, Double)] =
       if (only.isEmpty || only.contains(StreamQueryName))

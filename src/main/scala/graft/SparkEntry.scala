@@ -307,15 +307,17 @@ object SparkEntry {
     "q_a3_distinct" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_type")).distinct()),
 
-    // W1: rank() over (order by key desc) + rank=1 filter
-    // (src/test/resources/VBAK_change.sql:1). Top-1 over a global window —
-    // fine for k=1; at scale the orderBy/limit form below (W2) is the
-    // shuffle-free plan.
+    // W1: rank()=1 over (order by key desc), i.e. all rows carrying the
+    // global max key (src/test/resources/VBAK_change.sql:1). rank()===1 on
+    // an UNPARTITIONED window is tie-exact but funnels the whole table
+    // through one task's sort — the textbook scale-killer — so the plan is
+    // max-aggregate (map-side partial) broadcast back as an equality filter:
+    // identical rows incl. ties, no single-partition exchange anywhere.
+    // WindowGuardSpec pins the executed plan.
     "q_w1_rank_top1" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_orderkey").desc)
-      t(s, dir, "orders")
-        .withColumn("rnk", rank().over(w))
-        .where(col("rnk") === 1)
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(col("o_orderkey")).alias("max_key"))
+      o.join(broadcast(mx), col("o_orderkey") === col("max_key"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     }),
 
