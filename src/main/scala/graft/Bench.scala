@@ -92,10 +92,15 @@ object Bench {
   * `numBatches` micro-batch windows (window → latest-per-key fold against
   * the master → bucket-partitioned idempotent merge → ledger advance).
   * Reported seconds cover the full replay, not per-batch bests: throughput
-  * of a stateful loop only means anything measured across its whole run.
+  * of a stateful loop only means anything measured across its whole run —
+  * INCLUDING maintenance: merges skip the bucket-aligning exchange to stay
+  * low-latency and delegate file health to `compact()`, so the loop runs a
+  * compaction every `compactEvery` batches. A number that excluded it would
+  * flatter a design whose maintenance bill comes due at 100 TB.
   */
 object StreamBench {
-  def run(spark: SparkSession, sfDir: String, numBatches: Int = 10): Double = {
+  def run(spark: SparkSession, sfDir: String, numBatches: Int = 10,
+      compactEvery: Int = 5): Double = {
     import org.apache.spark.sql.functions._
     import graft.cdc.Cdc
     import graft.streaming.{CdcStreamJob, TxidLedger, UpsertStore}
@@ -127,6 +132,7 @@ object StreamBench {
           col(Cdc.TransactionId) <= hi), batch.toLong)
         lo = hi
         batch += 1
+        if (batch % compactEvery == 0) store.compact()
       }
       store.snapshot().count() // force final state visible before stopping
       (System.nanoTime() - t0) / 1e9

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
 import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, RangeJoin, Shards, Similarity}
-import graft.sources.MetadataCatalog
+import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -217,6 +217,74 @@ object SparkEntry {
       MetadataCatalog.pkFallback(dd03l, "T_PART2")
     }),
 
+    // S3: partition discovery — the reference's EXACT m_cs_partitions probe
+    // text (S4HanaProducer.java:511) executed via spark.sql against an
+    // m_cs_partitions-shaped frame, then the row→task mapping
+    // (partition 0 / NULL / no-rows → one plain scan; 1..n → one task per
+    // physical part, S4HanaProducer.java:516-533). Covers all four shapes
+    // the reference tolerates.
+    "q_s3_partition_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val mcs = n.where(col("n_nationkey").between(1, 4))
+        .select(lit("S4").alias("schema_name"),
+          lit("T_PART").alias("table_name"),
+          col("n_nationkey").cast("int").alias("partition"))
+        .unionByName(n.where(col("n_nationkey") === 0).select(
+          lit("S4").alias("schema_name"), lit("T_FLAT").alias("table_name"),
+          lit(0).alias("partition")))
+        .unionByName(n.where(col("n_nationkey") === 0).select(
+          lit("S4").alias("schema_name"), lit("T_NULLP").alias("table_name"),
+          lit(null).cast("int").alias("partition")))
+      mcs.createOrReplaceTempView("m_cs_partitions")
+      Seq("T_PART", "T_FLAT", "T_NULLP", "T_ABSENT").map { tn =>
+        val discovered = s.sql(JdbcSource.partitionDiscoverySql("S4", tn))
+        JdbcSource.partitionTasks(discovered)
+          .map(id => (tn, if (id == 0) None else Some(id)))
+          .toDF("table_name", "part_id")
+      }.reduce(_ unionByName _)
+    }),
+
+    // S4: parallel partition load — union of per-physical-partition scans
+    // must equal the plain scan (the readPartitioned plan shape,
+    // S4HanaTableMapping.java:751-755; each branch = one PARTITION (n)
+    // select/connection over JDBC).
+    "q_s4_partition_union" -> ((s, dir) =>
+      JdbcSource.unionPartitionScans(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")),
+        col("o_orderkey"), parts = 4)),
+
+    // S9: existence probe — `select 1 from tables where table_name = ?`
+    // (S4HanaTableMapping.java:491-505) over a tables-shaped frame; a
+    // present and an absent table probed through the shipped operator.
+    "q_s9_existence_probe" -> ((s, dir) => {
+      val tables = t(s, dir, "nation").select(
+        lit("S4").alias("schema_name"),
+        concat(lit("T_"), col("n_name")).alias("table_name"))
+      Seq("T_CHINA", "T_NOWHERE").map { probe =>
+        MetadataCatalog.existenceProbe(tables, "S4", probe)
+          .select(lit(probe).alias("probe"), col("one"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // S10: validation probe — the reference's validate() top-1 dictionary
+    // read (S4HanaBrowse.java:154-177) over the same DD02L/DD02T frames as
+    // q_s8_browse_tables; healthy iff one row comes back.
+    "q_s10_validation_probe" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val dd02l = n.select(
+        concat(lit("T_"), col("n_name")).alias("tabname"),
+        when(col("n_regionkey") % 2 === 0, "TRANSP").otherwise("INTTAB")
+          .alias("tabclass"))
+      val dd02t = n.select(
+        concat(lit("T_"), col("n_name")).alias("tabname"),
+        when(col("n_nationkey") % 2 === 0, "E").otherwise("D")
+          .alias("ddlanguage"),
+        concat(lit("Description of "), col("n_name")).alias("ddtext"))
+      MetadataCatalog.validationProbe(dd02l, dd02t)
+    }),
+
     // J2: left outer join with a constant conjunct in the condition
     // (S4HanaBrowse.java:86-88 — DD02L ⟕ DD02T ON … AND ddlanguage='E').
     "q_j2_outer_const_conjunct" -> ((s, dir) => {
@@ -283,6 +351,36 @@ object SparkEntry {
         GraftExpressions.st_xmax(geom).alias("xmax"),
         GraftExpressions.st_ymin(geom).alias("ymin"),
         GraftExpressions.st_ymax(geom).alias("ymax"))
+    }),
+
+    // §1.2 Multi-geometry + SRID: per-order LineStrings st_collect'ed into
+    // MULTILINESTRING values, stamped with an EWKB SRID, then introspected
+    // — type, summed vertex count, SRID, merged envelope (completes the
+    // ST_GEOMETRY surface the reference ferries opaquely,
+    // S4HanaTableMapping.java:670). All outputs are order-invariant
+    // aggregates, so the collect_list member order cannot flake the hash.
+    "q_f_geometry_multi" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").cast(DoubleType).alias("x"),
+          col("l_quantity").cast(DoubleType).alias("y")))).alias("pts"))
+      val line = GraftExpressions.st_linestring(
+        expr("transform(pts, p -> p.x)"), expr("transform(pts, p -> p.y)"))
+      val multi = pts
+        .select((col("l_orderkey") % 1000).alias("grp"), line.alias("geom"))
+        .groupBy(col("grp"))
+        .agg(GraftExpressions.st_collect(collect_list(col("geom"))).alias("m"))
+      val g = GraftExpressions.st_set_srid(col("m"), lit(4326))
+      multi.select(col("grp"),
+        GraftExpressions.st_geomtype(g).alias("geom_type"),
+        GraftExpressions.st_npoints(g).alias("n_points"),
+        GraftExpressions.st_srid(g).alias("srid"),
+        GraftExpressions.st_xmin(g).alias("xmin"),
+        GraftExpressions.st_xmax(g).alias("xmax"),
+        GraftExpressions.st_ymin(g).alias("ymin"),
+        GraftExpressions.st_ymax(g).alias("ymax"))
     }),
 
     // J5: left-semi "impacted tables" lookup (S4HanaProducer.java:400-420).
@@ -1096,14 +1194,16 @@ object SparkEntry {
       val textPairs = Dedup.ngramJaccardJoin(t(s, dir, "documents"),
           "doc_id", "text", shingleN = 3, threshold = 0.8, wordGrams = true)
         .select(col("id_a"), col("id_b"), lit("text").alias("modality"))
-      // the LSH scale path, NOT the exact block join: 64 banded hyperplane
-      // tables at 4 planes give measured recall 1.0 on this corpus (every
-      // true pair lands in >=3 tables at sf0.01 AND sf0.1 — deterministic
-      // seeded planes, so the gate result is reproducible, and
-      // DedupSpec pins recall == 1.0 vs the embeddingExactPairs baseline)
+      // the LSH scale path, NOT the exact block join: 48 banded hyperplane
+      // tables at 4 planes — the r7 (tables × planes) sweep's cheapest
+      // recall-1.0 point at BOTH sf0.01 and sf0.1 (25% less bucket shuffle
+      // than r6's 64×4; 40×4 and every >=5-plane config already miss
+      // pairs — tools/LshSweep, SCALING.md). Deterministic seeded planes
+      // keep the gate reproducible; DedupSpec pins recall == 1.0 vs the
+      // embeddingExactPairs baseline.
       val embPairs = Dedup.embeddingNearDups(t(s, dir, "embeddings"),
           "vec_id", "embedding", dim = 64, threshold = 0.4,
-          numPlanes = 4, tables = 64)
+          numPlanes = 4, tables = 48)
         .select(col("id_a"), col("id_b"), lit("embedding").alias("modality"))
       textPairs.unionByName(embPairs)
         .groupBy(col("id_a"), col("id_b"))
@@ -1244,6 +1344,48 @@ object SparkEntry {
         |WHERE 'T_PART' || (p_partkey % 5) = 'T_PART2'
         |  AND p_partkey % 3 = 0 AND p_partkey % 7 <> 0""".stripMargin,
 
+    // The reference's discovery semantics re-derived relationally: a task
+    // list per table, part_id NULL for plain scans (rows with partition
+    // 0/NULL and tables absent from m_cs_partitions), 1..n otherwise.
+    "q_s3_partition_discovery" ->
+      """WITH mcs AS (
+        |  SELECT 'T_PART' AS table_name, CAST(n_nationkey AS INT) AS part
+        |  FROM nation WHERE n_nationkey BETWEEN 1 AND 4
+        |  UNION ALL SELECT 'T_FLAT', 0 FROM nation WHERE n_nationkey = 0
+        |  UNION ALL SELECT 'T_NULLP', NULL FROM nation WHERE n_nationkey = 0),
+        |tabs(table_name) AS (
+        |  VALUES ('T_PART'),('T_FLAT'),('T_NULLP'),('T_ABSENT'))
+        |SELECT tabs.table_name AS table_name,
+        |  CAST(CASE WHEN COALESCE(mcs.part, 0) = 0 THEN NULL ELSE mcs.part END
+        |       AS INT) AS part_id
+        |FROM tabs LEFT JOIN mcs ON mcs.table_name = tabs.table_name""".stripMargin,
+
+    // union of per-partition scans ≡ plain scan, independent of the hash
+    "q_s4_partition_union" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+
+    "q_s9_existence_probe" ->
+      """WITH tabs AS (SELECT 'T_' || n_name AS table_name FROM nation),
+        |probes(probe) AS (VALUES ('T_CHINA'),('T_NOWHERE'))
+        |SELECT probe, 1 AS one FROM probes
+        |WHERE EXISTS (SELECT 1 FROM tabs WHERE tabs.table_name = probes.probe)""".stripMargin,
+
+    "q_s10_validation_probe" ->
+      """WITH dd02l AS (
+        |  SELECT 'T_' || n_name AS tabname,
+        |    CASE WHEN n_regionkey % 2 = 0 THEN 'TRANSP' ELSE 'INTTAB' END AS tabclass
+        |  FROM nation),
+        |dd02t AS (
+        |  SELECT 'T_' || n_name AS tabname,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN 'E' ELSE 'D' END AS ddlanguage,
+        |    'Description of ' || n_name AS ddtext
+        |  FROM nation)
+        |SELECT t.tabname, x.ddtext
+        |FROM dd02l t LEFT OUTER JOIN dd02t x
+        |  ON x.tabname = t.tabname AND x.ddlanguage = 'E'
+        |WHERE t.tabclass = 'TRANSP'
+        |ORDER BY t.tabname LIMIT 1""".stripMargin,
+
     "q_st2_commit_watermark" ->
       """SELECT least((SELECT max(event_id) FROM events),
         |  ifnull((SELECT min(event_id) FROM events WHERE event_type = 'cart') - 1,
@@ -1277,6 +1419,19 @@ object SparkEntry {
         |  CAST(max(l_quantity) AS DOUBLE) AS ymax
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |GROUP BY l_orderkey""".stripMargin,
+
+    "q_f_geometry_multi" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, count(*) AS np,
+        |    min(l_linenumber) AS xmn, max(l_linenumber) AS xmx,
+        |    min(l_quantity) AS ymn, max(l_quantity) AS ymx
+        |  FROM lineitem WHERE l_orderkey % 100 = 0
+        |  GROUP BY l_orderkey)
+        |SELECT l_orderkey % 1000 AS grp, 'MULTILINESTRING' AS geom_type,
+        |  CAST(sum(np) AS INT) AS n_points, 4326 AS srid,
+        |  CAST(min(xmn) AS DOUBLE) AS xmin, CAST(max(xmx) AS DOUBLE) AS xmax,
+        |  CAST(min(ymn) AS DOUBLE) AS ymin, CAST(max(ymx) AS DOUBLE) AS ymax
+        |FROM lines GROUP BY l_orderkey % 1000""".stripMargin,
 
     "q_j2_outer_const_conjunct" ->
       """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name

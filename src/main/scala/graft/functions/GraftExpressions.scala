@@ -295,6 +295,50 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): StExtent = copy(child = c)
   }
 
+  /** `st_collect(array<wkb>)` — Multi* / GeometryCollection constructor:
+    * homogeneous members yield MULTIPOINT/MULTILINESTRING/MULTIPOLYGON,
+    * mixed yield GEOMETRYCOLLECTION (completes ST_GEOMETRY's surface,
+    * `S4HanaTableMapping.java:670`).
+    */
+  case class StCollect(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(BinaryType))
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wkbCollect(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.wkbCollect($c)")
+    override protected def withNewChildInternal(c: Expression): StCollect = copy(child = c)
+  }
+
+  /** `st_srid(wkb)` — spatial reference id (EWKB header; 0 when absent). */
+  case class StSrid(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wkbSrid(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.wkbSrid($c)")
+    override protected def withNewChildInternal(c: Expression): StSrid = copy(child = c)
+  }
+
+  /** `st_set_srid(wkb, srid)` — stamp/replace the EWKB SRID header. */
+  case class StSetSrid(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType, IntegerType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.wkbSetSrid(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.wkbSetSrid($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StSetSrid =
+      copy(left = l, right = r)
+  }
+
   // ── Column-API wrappers ─────────────────────────────────────────────────
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -324,6 +368,9 @@ object GraftExpressions {
   def st_ymin(wkb: Column): Column = c(StExtent(e(wkb), 1))
   def st_xmax(wkb: Column): Column = c(StExtent(e(wkb), 2))
   def st_ymax(wkb: Column): Column = c(StExtent(e(wkb), 3))
+  def st_collect(geoms: Column): Column = c(StCollect(e(geoms)))
+  def st_srid(wkb: Column): Column = c(StSrid(e(wkb)))
+  def st_set_srid(wkb: Column, srid: Column): Column = c(StSetSrid(e(wkb), e(srid)))
 
   private def intArg(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
@@ -365,7 +412,13 @@ object GraftExpressions {
     ("st_xmin", "envelope min x of a WKB geometry", xs => StExtent(xs.head, 0)),
     ("st_ymin", "envelope min y of a WKB geometry", xs => StExtent(xs.head, 1)),
     ("st_xmax", "envelope max x of a WKB geometry", xs => StExtent(xs.head, 2)),
-    ("st_ymax", "envelope max y of a WKB geometry", xs => StExtent(xs.head, 3)))
+    ("st_ymax", "envelope max y of a WKB geometry", xs => StExtent(xs.head, 3)),
+    ("st_collect", "Multi* / GeometryCollection from an array of WKB values",
+      xs => StCollect(xs.head)),
+    ("st_srid", "EWKB spatial reference id (0 when absent)",
+      xs => StSrid(xs.head)),
+    ("st_set_srid", "stamp/replace the EWKB SRID header",
+      xs => StSetSrid(xs.head, xs(1))))
 
   /** Register every kernel as a SQL function (int literals become the
     * static parameters), so `spark.sql("SELECT simhash64(...)")` works.

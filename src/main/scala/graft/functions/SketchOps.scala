@@ -213,15 +213,19 @@ object SketchOps {
   }
 
   /** Coordinate (0 = x, 1 = y) of a WKB point, honoring the byte-order
-    * marker; NaN for non-point geometries.
+    * marker and the EWKB SRID/Z/M header variants; NaN for non-point
+    * geometries.
     */
   def wkbPointCoord(wkb: Array[Byte], idx: Int): Double = {
-    if (wkb.length < 21) return Double.NaN
+    if (wkb == null || wkb.length < 21) return Double.NaN
     val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
       else java.nio.ByteOrder.BIG_ENDIAN
     val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
-    if (bb.getInt(1) != 1) return Double.NaN
-    bb.getDouble(5 + idx * 8)
+    val raw = bb.getInt(1)
+    if ((raw & 0x0FFFFFFF) % 1000 != 1) return Double.NaN
+    val off = if ((raw & EwkbSrid) != 0) 9 else 5
+    if (wkb.length < off + 16) return Double.NaN
+    bb.getDouble(off + idx * 8)
   }
 
   /** Little-endian WKB LineString from parallel coordinate arrays — takes
@@ -243,15 +247,64 @@ object SketchOps {
     bb.array()
   }
 
-  /** WKB geometry-type name (POINT / LINESTRING / POLYGON / …), honoring
-    * the byte-order marker; UNKNOWN for anything unparsable. Z/M/SRID
-    * variants (type code mod 1000) resolve to their base type.
+  // EWKB flag bits in the geometry-type word (PostGIS extended WKB; HANA
+  // emits the SRID variant for ST_GEOMETRY columns with a spatial ref).
+  private val EwkbZ = 0x80000000
+  private val EwkbM = 0x40000000
+  private val EwkbSrid = 0x20000000
+
+  /** Recursive WKB coordinate walker: calls `f(x, y)` for every vertex of
+    * the geometry starting at `off0` and returns the offset just past it.
+    * Handles nested Multi* / GeometryCollection members (each with its OWN
+    * byte-order marker, per spec), the EWKB SRID header, and Z/M
+    * coordinates in both encodings (EWKB flag bits and ISO type+1000/2000/
+    * 3000) — extra ordinates are skipped, the walk stays 2-D.
+    * Throws on malformed input; public entry points map that to their
+    * sentinel (-1 / NaN / UNKNOWN).
+    */
+  private def walkWkb(wkb: Array[Byte], off0: Int)(f: (Double, Double) => Unit): Int = {
+    val order = if (wkb(off0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
+    val raw = bb.getInt(off0 + 1)
+    var off = off0 + 5
+    if ((raw & EwkbSrid) != 0) off += 4 // skip the EWKB SRID word
+    val isoCode = raw & 0x0FFFFFFF
+    val dims = 2 + (if ((raw & EwkbZ) != 0 || isoCode / 1000 == 1 || isoCode / 1000 == 3) 1 else 0) +
+      (if ((raw & EwkbM) != 0 || isoCode / 1000 >= 2) 1 else 0)
+    val stride = 8 * dims
+    def scan(k: Int): Unit = {
+      var i = 0
+      while (i < k) {
+        f(bb.getDouble(off), bb.getDouble(off + 8)); off += stride; i += 1
+      }
+    }
+    isoCode % 1000 match {
+      case 1 => scan(1)
+      case 2 => val n = bb.getInt(off); off += 4; scan(n)
+      case 3 =>
+        val rings = bb.getInt(off); off += 4
+        var r = 0
+        while (r < rings) { val k = bb.getInt(off); off += 4; scan(k); r += 1 }
+      case 4 | 5 | 6 | 7 =>
+        val n = bb.getInt(off); off += 4
+        var i = 0
+        while (i < n) { off = walkWkb(wkb, off)(f); i += 1 }
+      case _ => throw new IllegalArgumentException(s"WKB type $raw")
+    }
+    off
+  }
+
+  /** WKB geometry-type name (POINT / LINESTRING / POLYGON / MULTI* /
+    * GEOMETRYCOLLECTION), honoring the byte-order marker; UNKNOWN for
+    * anything unparsable. Z/M/SRID variants (ISO type+1000s and EWKB flag
+    * bits) resolve to their base type.
     */
   def wkbGeomType(wkb: Array[Byte]): String = {
     if (wkb == null || wkb.length < 5) return "UNKNOWN"
     val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
       else java.nio.ByteOrder.BIG_ENDIAN
-    java.nio.ByteBuffer.wrap(wkb).order(order).getInt(1) % 1000 match {
+    (java.nio.ByteBuffer.wrap(wkb).order(order).getInt(1) & 0x0FFFFFFF) % 1000 match {
       case 1 => "POINT"
       case 2 => "LINESTRING"
       case 3 => "POLYGON"
@@ -263,63 +316,29 @@ object SketchOps {
     }
   }
 
-  /** Vertex count of a WKB point/linestring/polygon (polygons sum their
-    * rings); -1 for malformed or unsupported input.
+  /** Vertex count of any supported WKB geometry (polygons sum their rings,
+    * collections sum their members); -1 for malformed input.
     */
   def wkbNumPoints(wkb: Array[Byte]): Int = {
     if (wkb == null || wkb.length < 5) return -1
-    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
-      else java.nio.ByteOrder.BIG_ENDIAN
-    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
-    bb.getInt(1) % 1000 match {
-      case 1 => 1
-      case 2 => bb.getInt(5)
-      case 3 =>
-        val rings = bb.getInt(5)
-        var total = 0
-        var off = 9
-        var r = 0
-        while (r < rings) {
-          val k = bb.getInt(off); total += k; off += 4 + 16 * k; r += 1
-        }
-        total
-      case _ => -1
-    }
+    var total = 0
+    try { walkWkb(wkb, 0)((_, _) => total += 1); total }
+    catch { case _: RuntimeException => -1 }
   }
 
-  /** Envelope coordinate of a WKB point/linestring/polygon:
+  /** Envelope coordinate of any supported WKB geometry:
     * which = 0 → xmin, 1 → ymin, 2 → xmax, 3 → ymax; NaN when malformed.
     */
   def wkbExtent(wkb: Array[Byte], which: Int): Double = {
     if (wkb == null || wkb.length < 5) return Double.NaN
-    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
-      else java.nio.ByteOrder.BIG_ENDIAN
-    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
     var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
     var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
     var count = 0
-    def scan(off0: Int, k: Int): Unit = {
-      var off = off0
-      var i = 0
-      while (i < k) {
-        val x = bb.getDouble(off); val y = bb.getDouble(off + 8)
-        if (x < xmin) xmin = x; if (x > xmax) xmax = x
-        if (y < ymin) ymin = y; if (y > ymax) ymax = y
-        count += 1; off += 16; i += 1
-      }
-    }
-    bb.getInt(1) % 1000 match {
-      case 1 => scan(5, 1)
-      case 2 => scan(9, bb.getInt(5))
-      case 3 =>
-        val rings = bb.getInt(5)
-        var off = 9
-        var r = 0
-        while (r < rings) {
-          val k = bb.getInt(off); scan(off + 4, k); off += 4 + 16 * k; r += 1
-        }
-      case _ => return Double.NaN
-    }
+    try walkWkb(wkb, 0) { (x, y) =>
+      if (x < xmin) xmin = x; if (x > xmax) xmax = x
+      if (y < ymin) ymin = y; if (y > ymax) ymax = y
+      count += 1
+    } catch { case _: RuntimeException => return Double.NaN }
     if (count == 0) return Double.NaN
     which match {
       case 0 => xmin
@@ -328,6 +347,79 @@ object SketchOps {
       case 3 => ymax
       case _ => Double.NaN
     }
+  }
+
+  /** SRID of a WKB value: the EWKB SRID word when the flag is set, else 0
+    * ("no spatial reference") — HANA's ST_SRID contract for unqualified
+    * geometries.
+    */
+  def wkbSrid(wkb: Array[Byte]): Int = {
+    if (wkb == null || wkb.length < 9) return 0
+    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
+    if ((bb.getInt(1) & EwkbSrid) != 0) bb.getInt(5) else 0
+  }
+
+  /** Stamp an SRID onto a WKB value (EWKB encoding: SRID flag bit + SRID
+    * word after the type), replacing any existing one. Preserves the
+    * value's byte order; only the top-level header changes, the body is
+    * carried verbatim — so this is cheap and lossless on any geometry the
+    * walker understands or not.
+    */
+  def wkbSetSrid(wkb: Array[Byte], srid: Int): Array[Byte] = {
+    if (wkb == null || wkb.length < 5) return wkb
+    val order = if (wkb(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(wkb).order(order)
+    val raw = bb.getInt(1)
+    val hadSrid = (raw & EwkbSrid) != 0
+    val bodyOff = if (hadSrid) 9 else 5
+    val out = java.nio.ByteBuffer.allocate(9 + wkb.length - bodyOff).order(order)
+    out.put(wkb(0))
+    out.putInt(raw | EwkbSrid)
+    out.putInt(srid)
+    out.put(wkb, bodyOff, wkb.length - bodyOff)
+    out.array()
+  }
+
+  /** Collect an array of WKB geometries into one collection value:
+    * homogeneous point/linestring/polygon members yield MULTIPOINT /
+    * MULTILINESTRING / MULTIPOLYGON, anything mixed yields
+    * GEOMETRYCOLLECTION (ST_GEOMETRY's Multi* surface,
+    * `S4HanaTableMapping.java:670` ferries these opaquely; here they are
+    * constructible). Members are embedded verbatim — full WKB values with
+    * their own byte-order markers, per spec.
+    */
+  def wkbCollect(geoms: ArrayData): Array[Byte] = {
+    val n = geoms.numElements()
+    val members = new Array[Array[Byte]](n)
+    var size = 0
+    var kind = -1 // common base type so far; -2 = mixed
+    var i = 0
+    while (i < n) {
+      val g = geoms.getBinary(i)
+      members(i) = g
+      size += g.length
+      val order = if (g(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN
+      val base = (java.nio.ByteBuffer.wrap(g).order(order).getInt(1) & 0x0FFFFFFF) % 1000
+      kind = if (i == 0) base else if (kind == base) kind else -2
+      i += 1
+    }
+    val collType = kind match {
+      case 1 => 4 // MultiPoint
+      case 2 => 5 // MultiLineString
+      case 3 => 6 // MultiPolygon
+      case _ => 7 // GeometryCollection (mixed, nested multis, or empty)
+    }
+    val bb = java.nio.ByteBuffer.allocate(9 + size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte)
+    bb.putInt(collType)
+    bb.putInt(n)
+    members.foreach(bb.put)
+    bb.array()
   }
 
   /** HANA ALPHANUM padding: digit-only strings zero-pad to `len`, everything

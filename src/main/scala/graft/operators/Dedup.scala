@@ -115,17 +115,13 @@ object Dedup {
       Seq("band", "band_hash"), idCol, maxBucket)
 
   /** Shared LSH pair expansion: for every group, emit all id pairs
-    * (a < b) from the group's sorted id list, capped at `maxBucket` members.
-    */
-  /** @param dedup distinct the expanded pairs before returning. Leave on
-    *   when the downstream verify is expensive per candidate (text array
-    *   intersection); turn OFF when verify is cheap (a 64-dim cosine) and
-    *   the caller dedups the small post-filter survivor set instead — the
-    *   multi-table LSH path would otherwise shuffle millions of candidate
-    *   rows just to avoid re-scoring a handful.
+    * (a < b) from the group's sorted id list, capped at `maxBucket`
+    * members, distinct'd across groups (every caller's verify stage is
+    * expensive per candidate; the embedding LSH path bypasses this entirely
+    * via `bucket_near_pairs`, which filters in-kernel and dedups survivors).
     */
   private[operators] def pairsWithinGroups(rows: DataFrame, groupCols: Seq[String],
-      idCol: String, maxBucket: Int, dedup: Boolean = true): DataFrame = {
+      idCol: String, maxBucket: Int): DataFrame = {
     val grouped = rows
       .groupBy(groupCols.map(col): _*)
       .agg(array_sort(collect_set(col(idCol))).alias("_ids"))
@@ -133,10 +129,10 @@ object Dedup {
     val pairs = flatten(transform(col("_ids"), (x, i) =>
       transform(slice(col("_ids"), i + lit(2), greatest(size(col("_ids")) - i - 1, lit(0))),
         y => struct(x.alias("id_a"), y.alias("id_b")))))
-    val expanded = grouped
+    grouped
       .select(explode(pairs).alias("_p"))
       .select(col("_p.id_a").alias("id_a"), col("_p.id_b").alias("id_b"))
-    if (dedup) expanded.distinct() else expanded
+      .distinct()
   }
 
   /** Explode a signature into (id, band, band_hash) rows — the LSH bucket
@@ -466,9 +462,11 @@ object Dedup {
     * (1 - p^planes)^tables with p = 1 - θ/π.
     *
     * Scale shape: one narrow projection pass, one shuffle on (table,
-    * bucket), map-side pair expansion from sorted bucket arrays, candidate
-    * `distinct` BEFORE the cosine verify (each surviving pair scores once
-    * no matter how many tables found it). Nothing quadratic in the corpus —
+    * bucket), and the cosine verify runs INSIDE each bucket's kernel; the
+    * small ≥threshold survivor set is distinct'd AFTER the verify, so a
+    * pair found by k tables is scored k times — k cheap dot products in
+    * exchange for never shuffling the (tables × b²/2) candidate volume.
+    * Nothing quadratic in the corpus —
     * the asymptotic n^(1+ρ) LSH trade (ρ = ln p₁ / ln p₂, "Similarity
     * Search in High Dimensions via Hashing", VLDB 1999). Honest caveat:
     * at LOW thresholds (≈0.4) ρ approaches 1 and the crossover vs. the

@@ -68,12 +68,19 @@ object Hierarchy {
     * a change in the item table forces the order object to be recreated,
     * `S4HanaProducer.java:56-61`, `:407-410`): the parent keys whose nested
     * object must be rebuilt for a batch of changed child rows.
+    *
+    * @param broadcastKeys poll windows touch few keys, so the changed-key
+    *   set broadcasts by default (the parent side never shuffles); a
+    *   BACKFILL window touching most keys would OOM that broadcast — pass
+    *   false there and the semi-join shuffles both sides instead (same
+    *   escape hatch as `Cdc.foldChanges`).
     */
   def impactedParents(parent: DataFrame, changedChildRows: DataFrame,
-      joinCond: Seq[(String, String)]): DataFrame = {
+      joinCond: Seq[(String, String)], broadcastKeys: Boolean = true): DataFrame = {
     val keys = changedChildRows
       .select(joinCond.map { case (pk, ck) => col(ck).alias(pk) }: _*)
       .distinct()
-    parent.join(broadcast(keys), joinCond.map(_._1), "left_semi")
+    val keySide = if (broadcastKeys) broadcast(keys) else keys
+    parent.join(keySide, joinCond.map(_._1), "left_semi")
   }
 }

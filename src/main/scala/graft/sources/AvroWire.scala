@@ -65,6 +65,8 @@ object AvroWire {
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType =>
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case _: TimeType => // HANA TIME ships as AvroTime (S4HanaTableMapping.java:644-645)
+      LogicalTypes.timeMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case s: StructType => avroSchemaFor(s, path)
     case ArrayType(et, _) =>
       // element carries the same all-nullable union convention as fields
@@ -157,6 +159,8 @@ object AvroWire {
           ts.getNanos / 1000L
       case DateType =>
         v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case _: TimeType => // LocalTime → micros of day (Avro time-micros)
+        v.asInstanceOf[java.time.LocalTime].toNanoOfDay / 1000L
       case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case s: StructType => rowToRecord(v.asInstanceOf[Row], s, branch)
       case ArrayType(et, _) =>
@@ -203,6 +207,8 @@ object AvroWire {
       case DateType =>
         java.sql.Date.valueOf(
           java.time.LocalDate.ofEpochDay(raw.asInstanceOf[Int].toLong))
+      case _: TimeType =>
+        java.time.LocalTime.ofNanoOfDay(raw.asInstanceOf[Long] * 1000L)
       case BinaryType =>
         val bb = raw.asInstanceOf[ByteBuffer]
         val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)

@@ -63,13 +63,30 @@ object JdbcSource {
   // `S4HanaTableMapping.java:751-755`) — partition-aligned parallelism
   // without inventing a numeric split column.
 
-  /** The partition-discovery SQL (the m_cs_partitions probe). Run it over
-    * JDBC (or a dictionary-shaped frame in tests) to get the part ids fed
-    * to [[partitionedTables]].
+  /** The partition-discovery SQL — the reference's exact m_cs_partitions
+    * probe text (`S4HanaProducer.java:511`), with the bind markers filled:
+    * unquoted `partition` resolves to HANA's PARTITION column. Run it over
+    * JDBC (or an m_cs_partitions-shaped frame: `q_s3_partition_discovery`)
+    * and feed the result to [[partitionTasks]].
     */
   def partitionDiscoverySql(schema: String, table: String): String =
-    "SELECT DISTINCT PART_ID FROM M_CS_PARTITIONS " +
-      s"WHERE SCHEMA_NAME = '$schema' AND TABLE_NAME = '$table' ORDER BY PART_ID"
+    "select partition from m_cs_partitions " +
+      s"where schema_name = '$schema' and table_name = '$table'"
+
+  /** The reference's row→task mapping (`S4HanaProducer.java:516-533`):
+    * m_cs_partitions has either one row with partition 0 (or NULL — JDBC
+    * getInt reads both as 0) for an unpartitioned table, or rows 1..n for a
+    * hash-partitioned one; no rows at all also means one plain scan. 0/NULL
+    * → a single full-table task (id 0); 1..n → one task per physical part.
+    * The collect is bounded by the table's physical partition count (a few
+    * hundred at most on any real system).
+    */
+  def partitionTasks(discovered: DataFrame): Seq[Int] = {
+    val ids = discovered.collect().toSeq
+      .map(r => if (r.isNullAt(0)) 0 else r.get(0).asInstanceOf[Number].intValue)
+      .map(v => if (v == 0) 0 else v)
+    if (ids.isEmpty) Seq(0) else ids
+  }
 
   /** One pushed-down select per PHYSICAL partition: the initial select with
     * `PARTITION (n)` appended to the master table (the reference's
@@ -103,4 +120,20 @@ object JdbcSource {
         "url" -> url, "user" -> user, "password" -> password,
         "dbtable" -> tbl, "fetchsize" -> "10000")))
       .reduce(_ unionAll _)
+
+  /** The [[readPartitioned]] plan shape over an already-loaded frame: one
+    * scan per physical partition (membership by key hash — HANA's default
+    * HASH partitioning), unioned. Gates the S4 invariant that the union of
+    * per-partition scans is exactly the plain scan
+    * (`q_s4_partition_union`) without a live database; each branch maps to
+    * one `PARTITION (n)` select/connection in the JDBC path.
+    */
+  def unionPartitionScans(df: DataFrame,
+      partKey: org.apache.spark.sql.Column, parts: Int): DataFrame = {
+    require(parts > 0, "at least one physical partition")
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    (0 until parts)
+      .map(i => df.where(pmod(hash(partKey), lit(parts)) === i))
+      .reduce(_ unionAll _)
+  }
 }

@@ -67,8 +67,29 @@ object MetadataCatalog {
   def tableExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
 
+  /** S9 (frame form): the reference's probe `select 1 from tables where
+    * table_name = ? and schema_name = current_user`
+    * (`S4HanaTableMapping.java:491-505`) over a tables-shaped frame — one
+    * row of literal 1 when present, zero rows when not. Gated by
+    * `q_s9_existence_probe`.
+    */
+  def existenceProbe(tables: DataFrame, schemaName: String,
+      tableName: String): DataFrame =
+    tables.where(col("schema_name") === schemaName &&
+        col("table_name") === tableName)
+      .select(lit(1).alias("one")).limit(1)
+
   /** S10: connection/validity probe — cheapest possible scan
     * (`S4HanaBrowse.java:154-177`).
     */
   def validate(df: DataFrame): Boolean = df.limit(1).count() >= 0
+
+  /** S10 (frame form): the reference's validate() statement — `select top 1
+    * tabname, ddtext from DD02L ⟕ DD02T (ddlanguage='E') where
+    * tabclass='TRANSP' order by 1` (`S4HanaBrowse.java:154-177`); healthy
+    * iff it returns a row. TakeOrderedAndProject plan — no global sort.
+    * Gated by `q_s10_validation_probe`.
+    */
+  def validationProbe(dd02l: DataFrame, dd02t: DataFrame): DataFrame =
+    browseTables(dd02l, dd02t).orderBy(col("tabname")).limit(1)
 }

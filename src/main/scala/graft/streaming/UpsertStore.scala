@@ -24,8 +24,15 @@ import graft.cdc.Cdc
   * replay guarantee the reference gets from UPSERT row types
   * (`S4HanaProducer.java:434-441`).
   */
+/** @param broadcastBatchKeys the merge anti-joins the store's changed
+  *   buckets against the batch's key set, broadcast by default (poll
+  *   windows are small by contract — the store side never shuffles). A
+  *   backfill batch touching most keys would OOM that broadcast: pass
+  *   false and the anti-join shuffles both sides instead (same escape
+  *   hatch as `Cdc.foldChanges`).
+  */
 class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
-    numBuckets: Int = 16) {
+    numBuckets: Int = 16, broadcastBatchKeys: Boolean = true) {
 
   private val bucketCol = "_bucket"
 
@@ -69,7 +76,69 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     */
   def snapshot(): DataFrame = {
     if (!exists) throw new IllegalStateException(s"store $dir not initialized")
+    recoverSwap()
     spark.read.schema(savedSchema).parquet(dir).drop(bucketCol)
+  }
+
+  private def stagingDir = new java.io.File(dir, "_staging")
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  private def stagedBuckets(staging: java.io.File): Array[java.io.File] =
+    Option(staging.listFiles((f: java.io.File) =>
+      f.getName.startsWith(s"$bucketCol="))).getOrElse(Array.empty)
+
+  /** Crash recovery for an interrupted [[swapStaged]]. The swap retires the
+    * old bucket dir with an atomic rename before promoting the staged one,
+    * so at every instant a complete copy of each bucket exists on disk:
+    * a missing live bucket dir with a staged sibling means the crash hit
+    * between retire and promote (or the bucket was brand-new) and the staged
+    * copy is the current one — promote it. A live bucket with staging/retired
+    * debris means the old copy is intact (replay re-derives the batch), so
+    * the debris is simply dropped. Runs before anything reads the store or
+    * overwrites `_staging`; idempotent, so a crash during recovery re-runs
+    * it. Without this, the previous delete-then-move swap could lose a
+    * bucket's unchanged rows permanently (ADVICE r6).
+    */
+  private def recoverSwap(): Unit = {
+    val staging = stagingDir
+    if (staging.exists()) {
+      stagedBuckets(staging).foreach { d =>
+        val target = new java.io.File(dir, d.getName)
+        if (!target.exists())
+          java.nio.file.Files.move(d.toPath, target.toPath)
+      }
+      rmTree(staging)
+    }
+    Option(new java.io.File(dir).listFiles((_, n) => n.startsWith("_retired_")))
+      .foreach(_.foreach(rmTree))
+  }
+
+  /** Swap every staged bucket dir into place via renames only — old dir
+    * retired aside (atomic move), staged dir promoted (atomic move), retired
+    * copy dropped last — so no crash point leaves a bucket without one
+    * complete on-disk copy ([[recoverSwap]] picks the right one). Names
+    * without '=' (`_staging`, `_retired_N`) are invisible to Spark's file
+    * listing, so readers never see intermediate state. Returns the bucket
+    * ids that had staged data.
+    */
+  private def swapStaged(staging: java.io.File): Set[Int] = {
+    val staged = stagedBuckets(staging)
+    staged.foreach { d =>
+      val n = d.getName.stripPrefix(s"$bucketCol=").toInt
+      val target = new java.io.File(dir, d.getName)
+      val retired = new java.io.File(dir, s"_retired_$n")
+      if (target.exists())
+        java.nio.file.Files.move(target.toPath, retired.toPath)
+      java.nio.file.Files.move(d.toPath, target.toPath)
+      rmTree(retired)
+    }
+    val survivors =
+      staged.map(_.getName.stripPrefix(s"$bucketCol=").toInt).toSet
+    rmTree(staging) // _SUCCESS marker etc.
+    survivors
   }
 
   /** Initialize from an initial-load frame (envelope columns are dropped;
@@ -95,6 +164,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * dropped by omission: deletion of a column is a rewrite, not a merge.
     */
   def merge(folded: DataFrame): Unit = {
+    recoverSwap() // a crashed prior swap must heal before we read `existing`
     val batch = withBucket(folded).cache()
     try {
       val changedBuckets = batch.select(bucketCol).distinct()
@@ -105,7 +175,8 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       val existing = spark.read.schema(savedSchema).parquet(dir)
         .where(col(bucketCol).isin(changedBuckets.toSeq: _*))
       val batchKeys = batch.select(pkCols.map(col): _*).distinct()
-      val kept = existing.join(broadcast(batchKeys), pkCols, "left_anti")
+      val keySide = if (broadcastBatchKeys) broadcast(batchKeys) else batchKeys
+      val kept = existing.join(keySide, pkCols, "left_anti")
       val upserts = withBucket(batch
         .where(col(Cdc.ChangeType) === Cdc.Upsert)
         .drop(Cdc.ChangeType, Cdc.TransactionId, bucketCol))
@@ -141,31 +212,23 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       // reads the very files it replaces, so it is written to an
       // underscore-prefixed staging dir (invisible to Spark reads) while
       // the old buckets stay intact, then each staged bucket dir swaps into
-      // place. One materialization of the merged data instead of two
-      // (localCheckpoint + rewrite). A crash mid-swap leaves a mix of old
-      // and new buckets — the ledger has not advanced, so the window
-      // replays and the idempotent merge converges (same contract as the
-      // previous dynamic-overwrite commit).
-      val staging = new java.io.File(dir, "_staging")
+      // place via renames ([[swapStaged]]). One materialization of the
+      // merged data instead of two (localCheckpoint + rewrite). Any crash
+      // point leaves each bucket with one complete copy — old or staged —
+      // and [[recoverSwap]] promotes the right one on the next operation;
+      // the ledger has not advanced, so the window replays and the
+      // idempotent merge converges.
+      val staging = stagingDir
       merged.write.partitionBy(bucketCol).mode("overwrite")
         .parquet(staging.getPath)
-      val staged = Option(staging.listFiles((f: java.io.File) =>
-        f.getName.startsWith(s"$bucketCol="))).getOrElse(Array.empty)
-      val survivors = staged.map(_.getName.stripPrefix(s"$bucketCol=").toInt).toSet
-      staged.foreach { d =>
-        val target = new java.io.File(dir, d.getName)
-        if (target.exists()) { target.listFiles().foreach(_.delete()); target.delete() }
-        java.nio.file.Files.move(d.toPath, target.toPath)
-      }
+      val survivors = swapStaged(staging)
       // a bucket whose rows were ALL deleted has no staged dir — drop it
+      // (a crash mid-delete leaves partial rows; the replayed deletes
+      // remove them again)
       (changedBuckets -- survivors).foreach { b =>
         val d = new java.io.File(dir, s"$bucketCol=$b")
-        if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+        if (d.exists()) rmTree(d)
       }
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(staging) // _SUCCESS marker etc.
     } finally batch.unpersist()
   }
 
@@ -178,20 +241,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * pattern). Same stage-then-swap commit as merge.
     */
   def compact(): Unit = {
+    recoverSwap()
     val data = spark.read.schema(savedSchema).parquet(dir)
       .repartition(col(bucketCol))
-    val staging = new java.io.File(dir, "_staging")
+    val staging = stagingDir
     data.write.partitionBy(bucketCol).mode("overwrite").parquet(staging.getPath)
-    val staged = Option(staging.listFiles((f: java.io.File) =>
-      f.getName.startsWith(s"$bucketCol="))).getOrElse(Array.empty)
-    staged.foreach { d =>
-      val target = new java.io.File(dir, d.getName)
-      if (target.exists()) { target.listFiles().foreach(_.delete()); target.delete() }
-      java.nio.file.Files.move(d.toPath, target.toPath)
-    }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(staging)
+    swapStaged(staging)
   }
 }

@@ -12,5 +12,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // HANA TIME maps to native TimeType (Spark 4.1 gates it off by default)
+    .config("spark.sql.timeType.enabled", "true")
     .getOrCreate()
 }

@@ -140,6 +140,70 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(bad == (("UNKNOWN", -1)))
   }
 
+  test("st_collect: homogeneous members yield Multi*, mixed a collection") {
+    // two linestrings → MULTILINESTRING; vertex count and envelope span
+    // the members (recursive walker, VERDICT r6 #7)
+    val two = Seq((Seq(1.0, 4.0), Seq(10.0, -5.0), Seq(6.0, 8.0), Seq(0.0, 2.0)))
+      .toDF("xs1", "ys1", "xs2", "ys2")
+      .select(st_collect(array(
+        st_linestring($"xs1", $"ys1"), st_linestring($"xs2", $"ys2"))).as("m"))
+      .select(st_geomtype($"m"), st_npoints($"m"), st_xmax($"m"), st_ymin($"m"))
+      .as[(String, Int, Double, Double)].head()
+    assert(two == (("MULTILINESTRING", 4, 8.0, -5.0)))
+    // points → MULTIPOINT; point + linestring → GEOMETRYCOLLECTION
+    val pts = Seq((1.0, 2.0, 3.0, 4.0)).toDF("x1", "y1", "x2", "y2")
+    assert(pts.select(st_geomtype(st_collect(array(
+        st_point($"x1", $"y1"), st_point($"x2", $"y2")))))
+      .as[String].head() == "MULTIPOINT")
+    val mixed = pts
+      .select(st_collect(array(st_point($"x1", $"y1"),
+        st_linestring(array($"x1", $"x2"), array($"y1", $"y2")))).as("m"))
+      .select(st_geomtype($"m"), st_npoints($"m"), st_xmax($"m"))
+      .as[(String, Int, Double)].head()
+    assert(mixed == (("GEOMETRYCOLLECTION", 3, 3.0)))
+  }
+
+  test("st_collect walks members with their own byte order") {
+    // a big-endian point embedded in a little-endian collection: the spec
+    // says every member carries its own marker, so the walker must re-read
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte); be.putInt(1); be.putDouble(7.0); be.putDouble(-2.0)
+    val got = Seq((be.array(), 1.0, 1.0)).toDF("g", "x", "y")
+      .select(st_collect(array($"g", st_point($"x", $"y"))).as("m"))
+      .select(st_geomtype($"m"), st_npoints($"m"), st_xmax($"m"), st_ymin($"m"))
+      .as[(String, Int, Double, Double)].head()
+    assert(got == (("MULTIPOINT", 2, 7.0, -2.0)))
+  }
+
+  test("st_srid/st_set_srid: EWKB header round-trip, introspection unchanged") {
+    val g = Seq((3.0, 4.0)).toDF("x", "y").select(st_point($"x", $"y").as("g"))
+    // no SRID → 0; stamped → readable; restamp replaces, body untouched
+    // NB: Spark 4.1 ships its own functions.st_srid (for its GEOMETRY type);
+    // qualify ours, which operates on the engine's plain-binary WKB carrier
+    val r = g.select(
+      GraftExpressions.st_srid($"g").as("s0"),
+      GraftExpressions.st_srid(st_set_srid($"g", lit(4326))).as("s1"),
+      GraftExpressions.st_srid(
+        st_set_srid(st_set_srid($"g", lit(4326)), lit(3857))).as("s2"),
+      st_x(st_set_srid($"g", lit(4326))).as("x"),
+      st_geomtype(st_set_srid($"g", lit(4326))).as("t"),
+      st_npoints(st_set_srid($"g", lit(4326))).as("n"))
+      .as[(Int, Int, Int, Double, String, Int)].head()
+    assert(r == ((0, 4326, 3857, 3.0, "POINT", 1)))
+  }
+
+  test("walker skips Z/M ordinates (ISO type codes): 2-D introspection holds") {
+    // hand-built ISO WKB POINT Z (type 1001): x, y, z
+    val bb = java.nio.ByteBuffer.allocate(29)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(1001)
+    bb.putDouble(5.0); bb.putDouble(6.0); bb.putDouble(99.0)
+    val got = Seq(bb.array()).toDF("g")
+      .select(st_geomtype($"g"), st_npoints($"g"), st_xmax($"g"), st_ymax($"g"))
+      .as[(String, Int, Double, Double)].head()
+    assert(got == (("POINT", 1, 5.0, 6.0)))
+  }
+
   test("registerAll exposes kernels to SQL") {
     GraftExpressions.registerAll(spark)
     val r = spark.sql(

@@ -63,14 +63,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("banded LSH near-dup: recall 1.0 vs the exact baseline on the real corpus") {
-    // the fused-dedup gate runs this LSH parameterization (4 planes × 64
-    // seeded tables); embeddingExactPairs is the ground-truth baseline —
-    // measured recall MUST be 1.0 or the oracle-gated fused query goes red
+    // the fused-dedup gate runs this LSH parameterization (4 planes × 48
+    // seeded tables — the r7 sweep's cheapest recall-1.0 point at BOTH
+    // sf0.01 and sf0.1; see tools/LshSweep + SCALING.md); embeddingExactPairs
+    // is the ground-truth baseline — measured recall MUST be 1.0 or the
+    // oracle-gated fused query goes red
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingExactPairs(real, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embeddingNearDups(real, "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numPlanes = 4, tables = 64)
+        dim = 64, threshold = 0.4, numPlanes = 4, tables = 48)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "baseline found no pairs — corpus changed?")
     assert(lsh == exact,
@@ -83,7 +85,7 @@ class DedupSpec extends SparkSpec {
     // must never contain one — its pairing is bucket-local by construction
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = Dedup.embeddingNearDups(real, "vec_id", "embedding",
-      dim = 64, threshold = 0.4, numPlanes = 4, tables = 64)
+      dim = 64, threshold = 0.4, numPlanes = 4, tables = 48)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     val exactPlan = Dedup.embeddingExactPairs(real, "vec_id", "embedding", 0.4)

@@ -50,6 +50,29 @@ class AvroWireSpec extends SparkSpec {
     case x => x
   }
 
+  test("TIME column round-trips on the wire as Avro time-micros (ADVICE r6)") {
+    // HANA TIME maps to native TimeType since r6; the wire must carry it
+    // (the reference ships TIME as AvroTime, S4HanaTableMapping.java:644-645).
+    // Spark's Row encoder normalizes TIME to micros precision, so the frame
+    // carries TimeType(6); time-micros loses nothing at any precision.
+    val tSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("t", TimeType(6))))
+    val rows = Seq(
+      Row(1, java.time.LocalTime.of(12, 34, 56)),
+      Row(2, java.time.LocalTime.of(0, 0, 0)),
+      Row(3, java.time.LocalTime.of(23, 59, 59)),
+      Row(4, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), tSchema)
+    val got = AvroWire.roundTrip(df)
+    assert(got.schema == tSchema)
+    assert(got.collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    assert(AvroWire.avroSchemaFor(tSchema).toString.contains("time-micros"))
+    // the catalog-facing TimeType(0) derives the same wire type
+    assert(AvroWire.avroSchemaFor(StructType(Seq(StructField("t", TimeType(0)))))
+      .toString.contains("time-micros"))
+  }
+
   test("derived Avro schema carries the reference's logical types") {
     val s = AvroWire.avroSchemaFor(schema).toString
     assert(s.contains("\"logicalType\":\"decimal\"") &&

@@ -69,9 +69,11 @@ class SourcesSpec extends SparkSpec {
     val m = TableMapping("SO", "SCHEMA.VBAK", "L1",
       Seq(ColumnMapping("MANDT", """"L1"."MANDT"""", "NVARCHAR(3)")),
       Seq("MANDT"), Some("MANDT = '800'"))
+    // the reference's exact probe text (S4HanaProducer.java:511): column is
+    // `partition`, and unpartitioned tables report 0/NULL rows (ADVICE r6)
     assert(JdbcSource.partitionDiscoverySql("SCHEMA", "VBAK") ==
-      "SELECT DISTINCT PART_ID FROM M_CS_PARTITIONS " +
-        "WHERE SCHEMA_NAME = 'SCHEMA' AND TABLE_NAME = 'VBAK' ORDER BY PART_ID")
+      "select partition from m_cs_partitions " +
+        "where schema_name = 'SCHEMA' and table_name = 'VBAK'")
     val tbls = JdbcSource.partitionedTables(m, Seq(1, 2, 3))
     assert(tbls.size == 3)
     assert(tbls(1) ==
@@ -80,6 +82,30 @@ class SourcesSpec extends SparkSpec {
     assert(JdbcSource.partitionedTables(m, Seq(0)).head ==
       """(SELECT "L1"."MANDT" AS "MANDT" FROM SCHEMA.VBAK WHERE MANDT = '800') AS L1""")
     assertThrows[IllegalArgumentException](JdbcSource.partitionedTables(m, Nil))
+  }
+
+  test("S3: partitionTasks maps 0/NULL/no-rows to one plain scan (ref :516-533)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    def frame(vals: Seq[Option[Int]]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vals.map(v => Row(v.map(Int.box).orNull)), 1),
+      StructType(Seq(StructField("partition", IntegerType))))
+    // hash-partitioned table: one task per physical part
+    assert(JdbcSource.partitionTasks(frame(Seq(Some(1), Some(2), Some(3))))
+      == Seq(1, 2, 3))
+    // single row partition=0 and NULL both mean "unpartitioned"
+    assert(JdbcSource.partitionTasks(frame(Seq(Some(0)))) == Seq(0))
+    assert(JdbcSource.partitionTasks(frame(Seq(None))) == Seq(0))
+    // no rows at all → still one full-table task
+    assert(JdbcSource.partitionTasks(frame(Nil)) == Seq(0))
+  }
+
+  test("S4: union of hash-partition scans covers each row exactly once") {
+    val df = (1L to 100L).toDF("k")
+    val unioned = JdbcSource.unionPartitionScans(df, col("k"), 4)
+    assert(unioned.select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 100L))
   }
 
   test("S5: Kafka record serde round-trips envelope + payload; key is PK") {

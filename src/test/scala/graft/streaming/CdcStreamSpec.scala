@@ -126,6 +126,96 @@ class CdcStreamSpec extends SparkSpec {
     assert(filesPerBucket.values.forall(_ == 1), filesPerBucket.toString)
   }
 
+  test("merge backfill path (broadcastBatchKeys=false) converges identically") {
+    // a backfill batch touching most keys must not broadcast its key set;
+    // the shuffled anti-join produces the same store state (VERDICT r6 #6)
+    val dir = tmp("store")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4,
+      broadcastBatchKeys = false)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "payload")))
+    val folded = Seq(
+      (Cdc.Upsert, 10L, 1L, "ONE"), (Cdc.Upsert, 11L, 2L, "TWO"),
+      (Cdc.Delete, 12L, 3L, null.asInstanceOf[String]),
+      (Cdc.Upsert, 13L, 9L, "nine")
+    ).toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    store.merge(folded)
+    val first = store.snapshot().as[(Long, String)].collect().toSet
+    assert(first == Set((1L, "ONE"), (2L, "TWO"), (9L, "nine")))
+    store.merge(folded) // replay stays idempotent on the shuffled path
+    assert(store.snapshot().as[(Long, String)].collect().toSet == first)
+  }
+
+  test("crash between retire and promote: staged copy is recovered (ADVICE r6)") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val before = store.snapshot().as[(Long, String)].collect().toSet
+    // reconstruct the exact mid-swap crash window: a bucket's staged
+    // replacement is fully written and the live dir was already retired
+    // (renamed aside) when the process died
+    val root = new java.io.File(dir)
+    val bucket = root.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_bucket=")).head
+    val n = bucket.getName.stripPrefix("_bucket=")
+    val stagedCopy = new java.io.File(new java.io.File(root, "_staging"), bucket.getName)
+    stagedCopy.mkdirs()
+    bucket.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(stagedCopy, f.getName).toPath)
+    }
+    java.nio.file.Files.move(bucket.toPath,
+      new java.io.File(root, s"_retired_$n").toPath)
+    // live bucket dir is now missing — the old code's crash window would
+    // have lost its rows permanently; recovery must promote the staged copy
+    assert(store.snapshot().as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(root, "_staging").exists())
+    assert(!new java.io.File(root, s"_retired_$n").exists())
+    // and a subsequent merge over the healed store behaves normally
+    store.merge(Seq((Cdc.Upsert, 50L, 2L, "TWO"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (3L, "three")))
+  }
+
+  test("crash before any swap: leftover staging is discarded, old buckets win") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val before = store.snapshot().as[(Long, String)].collect().toSet
+    // staging fully written but the process died before the first rename:
+    // every live bucket is intact, so the staged (uncommitted) data must be
+    // dropped — the ledger never advanced and the window will replay
+    val root = new java.io.File(dir)
+    val bucket = root.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_bucket=")).head
+    val stagedCopy = new java.io.File(new java.io.File(root, "_staging"), bucket.getName)
+    stagedCopy.mkdirs()
+    bucket.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(stagedCopy, f.getName).toPath)
+    }
+    assert(store.snapshot().as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(root, "_staging").exists())
+  }
+
+  test("crash between promote and retired-delete: debris dropped, new data kept") {
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val before = store.snapshot().as[(Long, String)].collect().toSet
+    // staged dir already promoted; the retired old copy was not yet deleted
+    val root = new java.io.File(dir)
+    val bucket = root.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_bucket=")).head
+    val n = bucket.getName.stripPrefix("_bucket=")
+    val retired = new java.io.File(root, s"_retired_$n")
+    retired.mkdirs()
+    bucket.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(retired, f.getName).toPath)
+    }
+    assert(store.snapshot().as[(Long, String)].collect().toSet == before)
+    assert(!retired.exists())
+  }
+
   test("merge leaves the session partitionOverwriteMode untouched") {
     val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     val store = newStore(tmp("store"))
