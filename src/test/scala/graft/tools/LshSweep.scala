@@ -17,11 +17,12 @@ object LshSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf = if (args.nonEmpty) args(0) else "sf0.1"
+    val threshold = if (args.length > 1) args(1).toDouble else 0.4
     val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet").cache()
     emb.count()
-    val exact = Dedup.embeddingExactPairs(emb, "vec_id", "embedding", 0.4)
+    val exact = Dedup.embeddingExactPairs(emb, "vec_id", "embedding", threshold)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"exact pairs: ${exact.size}")
+    println(s"exact pairs: ${exact.size} (threshold $threshold)")
     for ((tables, planes) <- Seq((64, 4), (56, 4), (48, 4), (40, 4), (32, 4),
         (48, 5), (32, 5), (24, 6), (16, 6), (8, 8))) {
       // run twice, report the second (steady-state)
@@ -30,7 +31,7 @@ object LshSweep {
       for (_ <- 1 to 2) {
         val t0 = System.nanoTime()
         got = Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
-          threshold = 0.4, numPlanes = planes, tables = tables)
+          threshold = threshold, numPlanes = planes, tables = tables)
           .select("id_a", "id_b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         secs = (System.nanoTime() - t0) / 1e9
