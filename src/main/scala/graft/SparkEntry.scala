@@ -630,6 +630,19 @@ object SparkEntry {
         round(TextAnalysis.qualityScore(col("text")), 6).alias("quality_r"))
     }),
 
+    // Gopher-style repetition filter: fraction of tokens covered by the
+    // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
+    // paragraph siblings are spec-pinned — the synthetic corpus is
+    // single-line, so their gate column would be vacuously 0).
+    "q_text_repetition" -> ((s, dir) => {
+      Dedup.widen(t(s, dir, "documents")).select(
+        col("doc_id"),
+        round(TextAnalysis.topNgramFraction(col("text"), 2), 6)
+          .alias("top2gram_frac"),
+        round(TextAnalysis.topNgramFraction(col("text"), 3), 6)
+          .alias("top3gram_frac"))
+    }),
+
     // Language ID over the documents table (heuristic; deterministic).
     "q_text_langid" -> ((s, dir) => {
       Dedup.widen(t(s, dir, "documents")).select(
@@ -1553,6 +1566,32 @@ object SparkEntry {
     "q_st7_retention" ->
       """SELECT event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |    for i in range(1, len(ws))]) AS g, len(ws) AS n
+        |  FROM toks WHERE len(ws) >= 2),
+        |g3 AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |    for i in range(1, len(ws) - 1)]) AS g, len(ws) AS n
+        |  FROM toks WHERE len(ws) >= 3),
+        |t2 AS (
+        |  SELECT doc_id, round(2.0 * max(cnt) / any_value(n), 6) AS f FROM (
+        |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
+        |    FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+        |t3 AS (
+        |  SELECT doc_id, round(3.0 * max(cnt) / any_value(n), 6) AS f FROM (
+        |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
+        |    FROM g3 GROUP BY doc_id, g) GROUP BY doc_id)
+        |SELECT toks.doc_id,
+        |  COALESCE(t2.f, 0.0) AS top2gram_frac,
+        |  COALESCE(t3.f, 0.0) AS top3gram_frac
+        |FROM toks LEFT JOIN t2 ON toks.doc_id = t2.doc_id
+        |LEFT JOIN t3 ON toks.doc_id = t3.doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (

@@ -137,6 +137,54 @@ object TextAnalysis {
     })
   }
 
+  // ── Repetition metrics (Gopher-style quality filters, "Scaling Language
+  // Models: Methods, Analysis & Insights from Training Gopher", Rae et al.
+  // 2021 §A1.1: repetitious documents correlate with low quality) ──────────
+
+  /** Trimmed, non-empty segments of the document under a separator regex. */
+  private def segments(text: Column, sepRegex: String): Column =
+    filter(transform(split(text, sepRegex), s => trim(s)), s => s =!= "")
+
+  private def dupFraction(items: Column): Column =
+    when(size(items) === 0, lit(0.0)).otherwise(
+      (size(items) - size(array_distinct(items))).cast("double") /
+        size(items).cast("double"))
+
+  /** Fraction of segments that repeat an earlier segment (0 when empty).
+    * Map-side array ops only — one pass over the text, no shuffle.
+    */
+  def duplicateSegmentFraction(text: Column, sepRegex: String): Column =
+    dupFraction(segments(text, sepRegex))
+
+  /** Duplicate-line fraction (Gopher's `duplicate_line_fraction`). */
+  def duplicateLineFraction(text: Column): Column =
+    duplicateSegmentFraction(text, "\n")
+
+  /** Duplicate-paragraph fraction (blank-line separated). */
+  def duplicateParagraphFraction(text: Column): Column =
+    duplicateSegmentFraction(text, "\n{2,}")
+
+  /** Fraction of tokens covered by the single most frequent word n-gram
+    * (Gopher's `top_n_gram_fraction`): boilerplate and template text score
+    * high. Per-document cost is O(distinct-grams × grams) inside one
+    * codegen'd projection — quadratic in DOCUMENT length, linear in the
+    * corpus; for book-length documents chunk first, or explode the grams
+    * into a groupBy when a whole column regularly exceeds ~10⁴ tokens.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = tokens(text)
+    val cnt = size(toks)
+    val grams = transform(sequence(lit(1), cnt - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    val maxFreq = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    // the guard also keeps sequence() from generating a descending range
+    // (and element_at from index 0) when the doc is shorter than n tokens
+    when(cnt < n, lit(0.0)).otherwise(
+      (maxFreq * n).cast("double") / cnt.cast("double"))
+  }
+
   /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the
     * rolling fingerprint.
     */

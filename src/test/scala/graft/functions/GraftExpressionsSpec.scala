@@ -204,6 +204,35 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got == (("POINT", 1, 5.0, 6.0)))
   }
 
+  test("repetition metrics: duplicate lines/paragraphs and top n-gram fractions") {
+    // Gopher-style quality filters; the synthetic corpus is single-line so
+    // the segment metrics are pinned here on crafted repetitive documents
+    val docs = Seq(
+      (1L, "alpha beta\ngamma delta\nalpha beta\n  \nalpha beta"), // 4 lines, 2 dups
+      (2L, "p one\n\np two\n\np one"),                             // 3 paras, 1 dup
+      (3L, "only one line"),
+      (4L, "")
+    ).toDF("id", "text")
+    val got = docs.select($"id",
+        TextAnalysis.duplicateLineFraction($"text").as("dl"),
+        TextAnalysis.duplicateParagraphFraction($"text").as("dp"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 0.5)      // 2 of 4 non-empty lines repeat
+    assert(got(2L)._2 == 1.0 / 3)  // 1 of 3 paragraphs repeats
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+    // "a b a b a b": 5 bigrams, "a b" occurs 3x → 3*2/6 tokens = 1.0 is
+    // wrong — fraction is capped by construction at maxFreq*n/cnt = 6/6
+    val rep = Seq((1L, "a b a b a b"), (2L, "w x y z"), (3L, "solo"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.topNgramFraction($"text", 2).as("f2"),
+        TextAnalysis.topNgramFraction($"text", 5).as("f5"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep(1L)._1 == 1.0)          // "a b" 3x * 2 / 6 tokens
+    assert(rep(2L)._1 == 2.0 / 4)      // every bigram unique
+    assert(rep(3L) == ((0.0, 0.0)))    // shorter than n → 0
+  }
+
   test("registerAll exposes kernels to SQL") {
     GraftExpressions.registerAll(spark)
     val r = spark.sql(
