@@ -643,6 +643,22 @@ object SparkEntry {
           .alias("top3gram_frac"))
     }),
 
+    // Deterministic stratified sample: 30 docs per language by smallest
+    // id-hash (engine/parallelism-independent, unlike rand(seed)) — the
+    // per-source quota step of corpus curation.
+    "q_sample_quota" -> ((s, dir) =>
+      graft.operators.Sampling.quotaPerStratum(t(s, dir, "documents"),
+          "doc_id", "lang", quota = 30, seed = 7L)
+        .select(col("doc_id"), col("lang"))),
+
+    // Weighted corpus mixing: per-language keep rates folded into one
+    // map-side CASE filter (downsample en, keep zh, default 60%).
+    "q_sample_mix" -> ((s, dir) =>
+      graft.operators.Sampling.mix(t(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.3, "zh" -> 1.0), defaultRate = 0.6,
+          seed = 11L)
+        .select(col("doc_id"), col("lang"))),
+
     // Language ID over the documents table (heuristic; deterministic).
     "q_text_langid" -> ((s, dir) => {
       Dedup.widen(t(s, dir, "documents")).select(
@@ -1566,6 +1582,18 @@ object SparkEntry {
     "q_st7_retention" ->
       """SELECT event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+
+    // the Sampling hash, verbatim: ((id + seed) % 1000003) * 2654435761 % 2^32
+    "q_sample_quota" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ((doc_id + 7) % 1000003) * 2654435761 % 4294967296, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 30""".stripMargin,
+
+    "q_sample_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (((doc_id + 11) % 1000003) * 2654435761 % 4294967296) / 4294967296.0
+        |  < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0 ELSE 0.6 END""".stripMargin,
 
     "q_text_repetition" ->
       """WITH toks AS (
