@@ -643,6 +643,20 @@ object SparkEntry {
           .alias("top3gram_frac"))
     }),
 
+    // Per-language embedding centroids (mean pooling): documents⋈embeddings
+    // on the shared id, explode dims, EXACT decimal accumulation per
+    // (lang, dim) — order-independent, so cluster and local runs agree
+    // bit-for-bit (a raw double sum over a shuffle is not).
+    "q_emb_centroid_by_lang" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val joined = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(col("lang"), col("embedding"))
+      Similarity.centroids(joined, "embedding", Seq("lang"))
+        .select(col("lang"), col("dim"),
+          round(col("centroid_v"), 6).alias("centroid_r"))
+    }),
+
     // Deterministic stratified sample: 30 docs per language by smallest
     // id-hash (engine/parallelism-independent, unlike rand(seed)) — the
     // per-source quota step of corpus curation.
@@ -1582,6 +1596,16 @@ object SparkEntry {
     "q_st7_retention" ->
       """SELECT event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+
+    "q_emb_centroid_by_lang" ->
+      """SELECT lang, CAST(i - 1 AS INT) AS dim,
+        |  round(CAST(sum(CAST(e AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+        |    AS centroid_r
+        |FROM (
+        |  SELECT d.lang, unnest(em.embedding) AS e,
+        |         unnest(range(1, len(em.embedding) + 1)) AS i
+        |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id)
+        |GROUP BY lang, i""".stripMargin,
 
     // the Sampling hash, verbatim: ((id + seed) % 1000003) * 2654435761 % 2^32
     "q_sample_quota" ->

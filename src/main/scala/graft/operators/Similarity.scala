@@ -174,6 +174,23 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-group embedding centroids (mean pooling) — one row per (group,
+    * dimension). Elements accumulate in EXACT decimal, so the sum is
+    * order-independent and a cluster run reproduces local results bit-for-
+    * bit (a double sum over a shuffled groupBy is not associative-stable);
+    * the single division back to double is well-defined. One shuffle on
+    * (group, dim): at 100 TB that is |groups| × dim keys with map-side
+    * partial aggregation — never a vector-count-shaped exchange. Re-pack
+    * rows into vectors with `collect_list` over a dim-sorted window only
+    * when the consumer needs arrays; most do not.
+    */
+  def centroids(df: DataFrame, vecCol: String, byCols: Seq[String]): DataFrame =
+    df.select(byCols.map(col) :+ posexplode(col(vecCol)): _*)
+      .groupBy(byCols.map(col) :+ col("pos"): _*)
+      .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+        .cast("double") / count(lit(1))).alias("centroid_v"))
+      .withColumnRenamed("pos", "dim")
+
   /** Recall@k of an ANN result against the exact baseline (test metric). */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
     val e = exact.select("query_id", "neighbor_id")

@@ -77,4 +77,22 @@ class SimilaritySpec extends SparkSpec {
       "query_id", k = 10, numCells = 8, nprobe = 3)
     assert(Similarity.recallAtK(exact, partial) >= 0.4)
   }
+
+  test("centroids: exact per-group mean, order-independent under repartition") {
+    val vecs = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 0.0f))
+    ).toDF("grp", "vec")
+    val got = Similarity.centroids(vecs, "vec", Seq("grp"))
+      .as[(String, Int, Double)].collect().toSet
+    assert(got == Set(("a", 0, 2.0), ("a", 1, 4.0), ("b", 0, 10.0), ("b", 1, 0.0)))
+    // the decimal accumulation makes the sum independent of partitioning
+    val shuffled = Similarity.centroids(vecs.repartition(5), "vec", Seq("grp"))
+      .as[(String, Int, Double)].collect().toSet
+    assert(shuffled == got)
+    // partial aggregation: the explode never reaches the exchange unreduced
+    val plan = Similarity.centroids(vecs, "vec", Seq("grp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+  }
 }
