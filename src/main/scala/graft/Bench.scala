@@ -53,7 +53,13 @@ object Bench {
       .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        // noop sink, NOT count(): count() lets the optimizer prune every
+        // projected column, so a query whose cost lives in its projections
+        // measures near-zero (q_text_repetition benched 0.22 s while its
+        // materialization took 100 s pre-fix). The noop write computes every
+        // output column exactly like the driver's Verify dump does.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             return -1.0

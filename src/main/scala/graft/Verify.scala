@@ -32,6 +32,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same cross-query hygiene as Bench: drop cached blocks (dedup
+      // localCheckpoints etc.) so a ~100-query dump doesn't accumulate
+      // block-manager/GC pressure onto later queries
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
