@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and corpus mixing — the curation step every
@@ -38,19 +38,61 @@ object Sampling {
       seed: Long = 0L): DataFrame =
     df.where(uniform(col(idCol), seed) < rate)
 
+  /** Bounded smallest-k accumulator over (hash, id) pairs — kept sorted so
+    * the common full-buffer reject is O(1); merged associatively, so Spark
+    * runs it as a partial aggregation (same pattern as `Similarity.TopK`).
+    */
+  private class SmallestK(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] = s.sorted.take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      if (b.size >= k && implicitly[Ordering[(Double, Long)]].gt(a, b.last)) return b
+      val idx = b.indexWhere(x => implicitly[Ordering[(Double, Long)]].gt(x, a))
+      val ins = if (idx < 0) b :+ a else (b.take(idx) :+ a) ++ b.drop(idx)
+      if (ins.size > k) ins.take(k) else ins
+    }
+    override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
   /** Deterministic stratified sample: the `quota` rows with the smallest
-    * hash in each stratum. One shuffle (window PARTITIONED by stratum —
-    * never global); the id in the order key makes ties impossible, so the
-    * selection is exact and stable. At 100 TB a hot stratum is one
-    * partition's sort of that stratum only, not the corpus.
+    * hash in each stratum; ids in the selection key make ties impossible,
+    * so the pick is exact and stable. Implemented as a bounded-heap PARTIAL
+    * aggregation — each task keeps at most `quota` (hash, id) pairs per
+    * stratum and only those tiny buffers shuffle — then a broadcast
+    * semi-join recovers the full rows. A per-stratum window would funnel a
+    * hot stratum (half a 100 TB corpus can be one language) through a
+    * single task's sort; this never moves more than
+    * quota × strata × partitions pairs.
+    *
+    * @param broadcastPicked the picked-id set is quota × |strata| rows —
+    *   broadcast by default; pass false for huge quotas and the semi-join
+    *   shuffles instead (house escape hatch, as `Cdc.foldChanges`).
     */
   def quotaPerStratum(df: DataFrame, idCol: String, stratumCol: String,
-      quota: Int, seed: Long = 0L): DataFrame = {
+      quota: Int, seed: Long = 0L, broadcastPicked: Boolean = true): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(uniform(col(idCol), seed), col(idCol))
-    df.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= quota).drop("_rk")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val smallestK = new SmallestK(quota).toColumn
+    val picked = df
+      .select(col(stratumCol).cast("string").alias("_s"),
+        uniform(col(idCol), seed).alias("_u"), col(idCol).cast("long").alias("_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(smallestK.name("_picked"))
+      .flatMap { case (s, items) => items.map { case (_, id) => (s, id) } }
+      .toDF("_s", "_id")
+    val pickedSide = if (broadcastPicked) broadcast(picked) else picked
+    df.join(pickedSide,
+      col(stratumCol).cast("string") === col("_s") &&
+        col(idCol).cast("long") === col("_id"), "left_semi")
   }
 
   /** Weighted corpus mixing: per-stratum keep rates (downsample web,

@@ -38,6 +38,11 @@ class SamplingSpec extends SparkSpec {
     // a stratum smaller than the quota survives whole
     val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "stratum")
     assert(Sampling.quotaPerStratum(tiny, "id", "stratum", 50).count() == 2)
+    // the non-broadcast escape hatch picks the identical rows
+    val noBc = Sampling.quotaPerStratum(docs, "id", "stratum", 50, seed = 1L,
+      broadcastPicked = false)
+    assert(noBc.select("id").as[Long].collect().toSet ==
+      got.select("id").as[Long].collect().toSet)
   }
 
   test("mix: per-stratum rates hold; absent strata use the default") {
@@ -51,17 +56,18 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
-  test("plan shape: bernoulli/mix are map-side filters, quota windows partitioned") {
+  test("plan shape: bernoulli/mix are map-side filters, quota is a bounded partial agg") {
     val bPlan = Sampling.bernoulli(docs, "id", 0.5).queryExecution
       .executedPlan.toString
     assert(!bPlan.contains("Exchange"), bPlan)
     val mPlan = Sampling.mix(docs, "id", "stratum", Map("s1" -> 0.9), 0.5)
       .queryExecution.executedPlan.toString
     assert(!mPlan.contains("Exchange"), mPlan)
-    val qWindows = Sampling.quotaPerStratum(docs, "id", "stratum", 10)
-      .queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      }
-    assert(qWindows.nonEmpty && qWindows.forall(_.partitionSpec.nonEmpty))
+    // the quota pick must be a heap aggregation, never a per-stratum sort
+    // (a hot stratum through one task's window sort is the q_w1 bug again)
+    val qPlan = Sampling.quotaPerStratum(docs, "id", "stratum", 10)
+      .queryExecution.executedPlan.toString
+    assert(!qPlan.contains("Window"), qPlan)
+    assert(qPlan.contains("ObjectHashAggregate") || qPlan.contains("SortAggregate"), qPlan)
   }
 }
