@@ -1607,16 +1607,21 @@ object SparkEntry {
         |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id)
         |GROUP BY lang, i""".stripMargin,
 
-    // the Sampling hash, verbatim: ((id + seed) % 1000003) * 2654435761 % 2^32
+    // the Sampling hash, verbatim: two ~2^31-prime residues of (id+seed),
+    // each spread by a mix constant mod 2^32, summed mod 2^32
     "q_sample_quota" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY ((doc_id + 7) % 1000003) * 2654435761 % 4294967296, doc_id) AS rk
+        |    ORDER BY (((doc_id + 7) % 2147483629) * 2654435761 % 4294967296
+        |            + ((doc_id + 7) % 2147483587) * 2246822519 % 4294967296)
+        |            % 4294967296, doc_id) AS rk
         |  FROM documents) WHERE rk <= 30""".stripMargin,
 
     "q_sample_mix" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (((doc_id + 11) % 1000003) * 2654435761 % 4294967296) / 4294967296.0
+        |WHERE ((((doc_id + 11) % 2147483629) * 2654435761 % 4294967296
+        |      + ((doc_id + 11) % 2147483587) * 2246822519 % 4294967296)
+        |      % 4294967296) / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0 ELSE 0.6 END""".stripMargin,
 
     "q_text_repetition" ->
@@ -1632,11 +1637,11 @@ object SparkEntry {
         |    for i in range(1, len(ws) - 1)]) AS g, len(ws) AS n
         |  FROM toks WHERE len(ws) >= 3),
         |t2 AS (
-        |  SELECT doc_id, round(2.0 * max(cnt) / any_value(n), 6) AS f FROM (
+        |  SELECT doc_id, round(least(1.0, 2.0 * max(cnt) / any_value(n)), 6) AS f FROM (
         |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
         |    FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
         |t3 AS (
-        |  SELECT doc_id, round(3.0 * max(cnt) / any_value(n), 6) AS f FROM (
+        |  SELECT doc_id, round(least(1.0, 3.0 * max(cnt) / any_value(n)), 6) AS f FROM (
         |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
         |    FROM g3 GROUP BY doc_id, g) GROUP BY doc_id)
         |SELECT toks.doc_id,

@@ -393,13 +393,20 @@ object SketchOps {
     */
   def wkbCollect(geoms: ArrayData): Array[Byte] = {
     val n = geoms.numElements()
-    val members = new Array[Array[Byte]](n)
+    // NULL members are skipped (PostGIS ST_Collect semantics); a member too
+    // short to carry a WKB header would make the whole value unwalkable, so
+    // it is skipped too rather than crashing the task — every other st_*
+    // kernel degrades to a sentinel instead of throwing
+    val members = (0 until n).iterator
+      .filterNot(geoms.isNullAt)
+      .map(geoms.getBinary)
+      .filter(g => g != null && g.length >= 5)
+      .toArray
     var size = 0
     var kind = -1 // common base type so far; -2 = mixed
     var i = 0
-    while (i < n) {
-      val g = geoms.getBinary(i)
-      members(i) = g
+    while (i < members.length) {
+      val g = members(i)
       size += g.length
       val order = if (g(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
         else java.nio.ByteOrder.BIG_ENDIAN
@@ -417,7 +424,7 @@ object SketchOps {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put(1.toByte)
     bb.putInt(collType)
-    bb.putInt(n)
+    bb.putInt(members.length)
     members.foreach(bb.put)
     bb.array()
   }

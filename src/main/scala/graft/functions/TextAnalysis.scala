@@ -189,9 +189,12 @@ object TextAnalysis {
       },
       acc => acc.getField("best"))
     // the guard also keeps sequence() from generating a descending range
-    // (and element_at from index 0) when the doc is shorter than n tokens
+    // (and element_at from index 0) when the doc is shorter than n tokens.
+    // least(1): overlapping self-repeats ("a a a a", n=2 → 3 occurrences ×
+    // 2 tokens over 4) would otherwise credit shared tokens twice and push
+    // a "fraction" past 1 — degenerate boilerplate clamps to exactly 1.
     when(cnt < n, lit(0.0)).otherwise(
-      (maxFreq * n).cast("double") / cnt.cast("double"))
+      least(lit(1.0), (maxFreq * n).cast("double") / cnt.cast("double")))
   }
 
   /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the

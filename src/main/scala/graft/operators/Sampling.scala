@@ -18,20 +18,29 @@ import org.apache.spark.sql.functions._
   * byte-reproducible.
   */
 object Sampling {
-  private val Knuth = 2654435761L  // floor(2^32 / golden ratio), Knuth §6.4
-  private val IdMod = 1000003L     // prime; keeps the int64 product overflow-free
-  private val Bucket = 4294967296L // 2^32
+  private val Knuth = 2654435761L   // floor(2^32 / golden ratio), Knuth §6.4
+  private val Knuth2 = 2246822519L  // second mix constant (xxHash PRIME32_2)
+  private val P1 = 2147483629L      // largest prime < 2^31
+  private val P2 = 2147483587L      // next prime down
+  private val Bucket = 4294967296L  // 2^32
 
-  /** Reproducible per-row uniform in [0,1): `((id + seed) % p) * K % 2^32
-    * / 2^32` — identical in any engine (no overflow, no float ambiguity).
-    * The seed enters BEFORE the multiplicative mix: added after, it would
-    * only rotate every hash by seed/2^32 and "reseeding" would barely move
-    * the sample. Ample mixing for rate/quota sampling; NOT a cryptographic
-    * source.
+  /** Reproducible per-row uniform in [0,1): two residues of the id (mod
+    * two ~2^31 primes), each spread by a multiplicative constant and
+    * folded mod 2^32 — identical in any engine (every intermediate fits
+    * int64: (2^31)·K < 2^63, so no overflow and no float ambiguity, which
+    * is what DuckDB-oracle reproducibility requires). Combining TWO
+    * residues matters: one `(id % p) * K` hash repeats with period p, so a
+    * corpus beyond p ids would sample in arithmetic progressions; the pair
+    * has period p1·p2 ≈ 4.6e18 — the full practical id space. The seed
+    * enters BEFORE the multiplies: added after, it would only rotate every
+    * hash by seed/2^32 and "reseeding" would barely move the sample.
+    * Ample mixing for rate/quota sampling; NOT a cryptographic source.
     */
   def uniform(idCol: Column, seed: Long): Column =
-    pmod(pmod(idCol + lit(seed), lit(IdMod)) * lit(Knuth), lit(Bucket))
-      .cast("double") / lit(Bucket.toDouble)
+    pmod(
+      pmod(pmod(idCol + lit(seed), lit(P1)) * lit(Knuth), lit(Bucket)) +
+        pmod(pmod(idCol + lit(seed), lit(P2)) * lit(Knuth2), lit(Bucket)),
+      lit(Bucket)).cast("double") / lit(Bucket.toDouble)
 
   /** Bernoulli sample at `rate` — a map-side filter, no shuffle. */
   def bernoulli(df: DataFrame, idCol: String, rate: Double,
@@ -90,8 +99,11 @@ object Sampling {
       .flatMap { case (s, items) => items.map { case (_, id) => (s, id) } }
       .toDF("_s", "_id")
     val pickedSide = if (broadcastPicked) broadcast(picked) else picked
+    // null-SAFE stratum equality: a NULL stratum is a legitimate stratum
+    // (mix() samples it at defaultRate) — a plain === would null-kill the
+    // join and silently zero that stratum's quota
     df.join(pickedSide,
-      col(stratumCol).cast("string") === col("_s") &&
+      col(stratumCol).cast("string") <=> col("_s") &&
         col(idCol).cast("long") === col("_id"), "left_semi")
   }
 

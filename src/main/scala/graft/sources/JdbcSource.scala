@@ -78,13 +78,17 @@ object JdbcSource {
     * getInt reads both as 0) for an unpartitioned table, or rows 1..n for a
     * hash-partitioned one; no rows at all also means one plain scan. 0/NULL
     * → a single full-table task (id 0); 1..n → one task per physical part.
-    * The collect is bounded by the table's physical partition count (a few
-    * hundred at most on any real system).
+    * Part ids are DEDUPLICATED (first-seen order): a view returning one row
+    * per host per partition (scale-out HANA) would otherwise yield two
+    * `PARTITION (n)` scans and silently double that partition's rows — the
+    * reference would create duplicate InitialLoadTasks here, a bug not
+    * worth reproducing. The collect is bounded by the table's physical
+    * partition count (a few hundred at most on any real system).
     */
   def partitionTasks(discovered: DataFrame): Seq[Int] = {
     val ids = discovered.collect().toSeq
       .map(r => if (r.isNullAt(0)) 0 else r.get(0).asInstanceOf[Number].intValue)
-      .map(v => if (v == 0) 0 else v)
+      .distinct
     if (ids.isEmpty) Seq(0) else ids
   }
 

@@ -90,30 +90,46 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     Option(staging.listFiles((f: java.io.File) =>
       f.getName.startsWith(s"$bucketCol="))).getOrElse(Array.empty)
 
-  /** Crash recovery for an interrupted [[swapStaged]]. The swap retires the
-    * old bucket dir with an atomic rename before promoting the staged one,
-    * so at every instant a complete copy of each bucket exists on disk:
-    * a missing live bucket dir with a staged sibling means the crash hit
-    * between retire and promote (or the bucket was brand-new) and the staged
-    * copy is the current one — promote it. A live bucket with staging/retired
-    * debris means the old copy is intact (replay re-derives the batch), so
-    * the debris is simply dropped. Runs before anything reads the store or
-    * overwrites `_staging`; idempotent, so a crash during recovery re-runs
-    * it. Without this, the previous delete-then-move swap could lose a
-    * bucket's unchanged rows permanently (ADVICE r6).
+  private def swapMarker = new java.io.File(dir, "_swap_started")
+
+  /** Crash recovery for an interrupted [[swapStaged]]. The swap drops a
+    * `_swap_started` marker, then retires each old bucket dir with an
+    * atomic rename before promoting its staged replacement, so at every
+    * instant a complete copy of each bucket exists on disk. Recovery
+    * branches on the marker:
+    *
+    *  - marker ABSENT: the crash hit after the staging write but before
+    *    any rename — every live bucket is intact and nothing from the
+    *    batch is visible, so the staged (uncommitted) data is discarded
+    *    wholesale. Promoting here would leak a never-committed batch into
+    *    `snapshot()` via brand-new buckets that have no live target.
+    *  - marker PRESENT: mid-swap — a missing live bucket means its old dir
+    *    was already retired (or the bucket is new in a partially-applied
+    *    batch) and the staged copy is the only/current one: promote it.
+    *    Partial visibility here is inherent to a multi-bucket swap and
+    *    converges when the un-advanced ledger replays the window.
+    *
+    * A live bucket with staging/retired debris keeps its old copy and the
+    * debris is dropped. Runs before anything reads the store or overwrites
+    * `_staging`; idempotent, so a crash during recovery re-runs it. Without
+    * this, the previous delete-then-move swap could lose a bucket's
+    * unchanged rows permanently (ADVICE r6).
     */
   private def recoverSwap(): Unit = {
     val staging = stagingDir
     if (staging.exists()) {
-      stagedBuckets(staging).foreach { d =>
-        val target = new java.io.File(dir, d.getName)
-        if (!target.exists())
-          java.nio.file.Files.move(d.toPath, target.toPath)
+      if (swapMarker.exists()) {
+        stagedBuckets(staging).foreach { d =>
+          val target = new java.io.File(dir, d.getName)
+          if (!target.exists())
+            java.nio.file.Files.move(d.toPath, target.toPath)
+        }
       }
       rmTree(staging)
     }
     Option(new java.io.File(dir).listFiles((_, n) => n.startsWith("_retired_")))
       .foreach(_.foreach(rmTree))
+    swapMarker.delete()
   }
 
   /** Swap every staged bucket dir into place via renames only — old dir
@@ -126,6 +142,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     */
   private def swapStaged(staging: java.io.File): Set[Int] = {
     val staged = stagedBuckets(staging)
+    swapMarker.createNewFile() // commit point: recovery now promotes, not discards
     staged.foreach { d =>
       val n = d.getName.stripPrefix(s"$bucketCol=").toInt
       val target = new java.io.File(dir, d.getName)
@@ -138,6 +155,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     val survivors =
       staged.map(_.getName.stripPrefix(s"$bucketCol=").toInt).toSet
     rmTree(staging) // _SUCCESS marker etc.
+    swapMarker.delete()
     survivors
   }
 

@@ -163,6 +163,15 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(mixed == (("GEOMETRYCOLLECTION", 3, 3.0)))
   }
 
+  test("st_collect skips NULL and malformed members instead of crashing") {
+    val got = Seq((1.0, 2.0)).toDF("x", "y")
+      .select(st_collect(array(st_point($"x", $"y"),
+        lit(null).cast("binary"), lit(Array[Byte](9)))).as("m"))
+      .select(st_geomtype($"m"), st_npoints($"m"), st_xmax($"m"))
+      .as[(String, Int, Double)].head()
+    assert(got == (("MULTIPOINT", 1, 1.0)))
+  }
+
   test("st_collect walks members with their own byte order") {
     // a big-endian point embedded in a little-endian collection: the spec
     // says every member carries its own marker, so the walker must re-read
@@ -223,7 +232,8 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got(4L) == ((0.0, 0.0)))
     // "a b a b a b": 5 bigrams, "a b" occurs 3x → 3*2/6 tokens = 1.0 is
     // wrong — fraction is capped by construction at maxFreq*n/cnt = 6/6
-    val rep = Seq((1L, "a b a b a b"), (2L, "w x y z"), (3L, "solo"))
+    val rep = Seq((1L, "a b a b a b"), (2L, "w x y z"), (3L, "solo"),
+        (4L, "a a a a"))
       .toDF("id", "text")
       .select($"id", TextAnalysis.topNgramFraction($"text", 2).as("f2"),
         TextAnalysis.topNgramFraction($"text", 5).as("f5"))
@@ -231,6 +241,7 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(rep(1L)._1 == 1.0)          // "a b" 3x * 2 / 6 tokens
     assert(rep(2L)._1 == 2.0 / 4)      // every bigram unique
     assert(rep(3L) == ((0.0, 0.0)))    // shorter than n → 0
+    assert(rep(4L)._1 == 1.0)          // overlapping self-repeat clamps to 1
   }
 
   test("registerAll exposes kernels to SQL") {

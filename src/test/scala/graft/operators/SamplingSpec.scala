@@ -45,6 +45,22 @@ class SamplingSpec extends SparkSpec {
       got.select("id").as[Long].collect().toSet)
   }
 
+  test("uniform: no small-period aliasing; NULL stratum keeps its quota") {
+    // ids congruent mod one prime must still differ via the second residue
+    // (a single (id % p) * K hash would alias them — review finding r7)
+    val p1 = 2147483629L
+    val ids = (0L until 8L).map(k => 123L + k * p1).toDF("id")
+    val hashes = ids.select(Sampling.uniform(col("id"), 0L).as("u"))
+      .as[Double].collect().toSet
+    assert(hashes.size == 8, s"aliased hashes: $hashes")
+    // NULL is a legitimate stratum: quota must not null-kill the semi-join
+    val withNull = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None))
+      .toDF("id", "stratum")
+    val got = Sampling.quotaPerStratum(withNull, "id", "stratum", 1, seed = 2L)
+    assert(got.count() == 2) // one pick for "a", one for NULL
+    assert(got.where(col("stratum").isNull).count() == 1)
+  }
+
   test("mix: per-stratum rates hold; absent strata use the default") {
     val got = Sampling.mix(docs, "id", "stratum",
       Map("s0" -> 0.0, "s1" -> 1.0), defaultRate = 0.5, seed = 9L)

@@ -99,6 +99,10 @@ class SourcesSpec extends SparkSpec {
     assert(JdbcSource.partitionTasks(frame(Seq(None))) == Seq(0))
     // no rows at all → still one full-table task
     assert(JdbcSource.partitionTasks(frame(Nil)) == Seq(0))
+    // duplicate rows (per-host rows on scale-out HANA) must NOT become
+    // duplicate PARTITION(n) scans — that would double the partition's rows
+    assert(JdbcSource.partitionTasks(frame(Seq(Some(1), Some(1), Some(2))))
+      == Seq(1, 2))
   }
 
   test("S4: union of hash-partition scans covers each row exactly once") {

@@ -165,6 +165,8 @@ class CdcStreamSpec extends SparkSpec {
     }
     java.nio.file.Files.move(bucket.toPath,
       new java.io.File(root, s"_retired_$n").toPath)
+    // mid-swap crashes happen after the commit marker is dropped
+    new java.io.File(root, "_swap_started").createNewFile()
     // live bucket dir is now missing — the old code's crash window would
     // have lost its rows permanently; recovery must promote the staged copy
     assert(store.snapshot().as[(Long, String)].collect().toSet == before)
@@ -195,6 +197,34 @@ class CdcStreamSpec extends SparkSpec {
     }
     assert(store.snapshot().as[(Long, String)].collect().toSet == before)
     assert(!new java.io.File(root, "_staging").exists())
+  }
+
+  test("pre-swap crash with a NEW bucket staged: uncommitted batch never leaks") {
+    // the staging write completed (including a bucket the store never had)
+    // but the process died before the commit marker / first rename: the
+    // batch was never committed and the ledger never advanced — recovery
+    // must DISCARD the staged new bucket, not promote it into snapshot()
+    val dir = tmp("store")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    store.initialize(Cdc.initialLoad(Seq((1L, "one")).toDF("id", "payload")))
+    val before = store.snapshot().as[(Long, String)].collect().toSet
+    val root = new java.io.File(dir)
+    val live = root.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_bucket=")).map(_.getName).toSet
+    val newBucket = (0 until 4).map(b => s"_bucket=$b").find(!live.contains(_)).get
+    // stage a parquet dir for the never-existing bucket (copy a live one)
+    val src = root.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_bucket=")).head
+    val stagedCopy = new java.io.File(new java.io.File(root, "_staging"), newBucket)
+    stagedCopy.mkdirs()
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(stagedCopy, f.getName).toPath)
+    }
+    // NO _swap_started marker: this is the pre-commit window
+    assert(store.snapshot().as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(root, "_staging").exists())
+    assert(!new java.io.File(root, newBucket).exists())
   }
 
   test("crash between promote and retired-delete: debris dropped, new data kept") {
