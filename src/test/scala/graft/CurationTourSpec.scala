@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Decontaminate, Dedup, Sampling, Shards, Splits}
+
+/** The LLM-data-curation surface in one flowing scenario over the real
+  * corpus: quality/repetition filter → near-dup keep-one → benchmark
+  * decontamination → per-language mixing → train/val/test split → token-
+  * budget sharding. Each stage is unit- and oracle-tested elsewhere; this
+  * pins that they COMPOSE — schemas line up, counts shrink monotonically,
+  * and the whole pipeline is deterministic end to end.
+  */
+class CurationTourSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pipeline(): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    // 1. score + filter: drop low-quality and boilerplate-repetitive docs
+    val filtered = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("rep2", TextAnalysis.topNgramFraction(col("text"), 2))
+      .withColumn("ntoks", TextAnalysis.tokenCount(col("text")))
+      .where(col("quality") > 0.5 && col("rep2") < 0.5)
+    // 2. near-dup keep-one (MinHash → connected components → min-id)
+    val pairs = Dedup.minhashNearDups(filtered, "doc_id", "text", threshold = 0.5)
+    val losers = Dedup.connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").alias("doc_id"))
+    val deduped = filtered.join(losers, Seq("doc_id"), "left_anti")
+    // 3. decontaminate vs a small held-out "benchmark" slice
+    val bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val dirty = Decontaminate.overlap(deduped, bench, "doc_id", "text",
+      n = 8, minShared = 1L).select("doc_id")
+    val clean = deduped.join(dirty, Seq("doc_id"), "left_anti")
+    // 4. per-language mixing, 5. split deal, 6. token-budget shards
+    val mixed = Sampling.mix(clean, "doc_id", "lang",
+      rates = Map("en" -> 0.9), defaultRate = 0.7, seed = 5L)
+    val split = Splits.assign(mixed, "doc_id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    Shards.assignByTokenBudget(split, "doc_id", "ntoks", budget = 4000L)
+  }
+
+  test("filter → dedup → decontaminate → mix → split → shard composes") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = pipeline().cache()
+    try {
+      val total = docs.count()
+      val n = out.count()
+      // every stage only removes rows; the pipeline keeps a real subset
+      assert(n > 0 && n < total, s"$n of $total")
+      // dedup really happened: no two surviving docs share identical text
+      assert(out.select("text").distinct().count() == n)
+      // decontamination really happened: no survivor shares an 8-gram
+      // with the benchmark slice
+      val bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+      assert(Decontaminate.overlap(out, bench, "doc_id", "text",
+        n = 8, minShared = 1L).count() == 0)
+      // every row carries the full curation envelope
+      val cols = out.columns.toSet
+      assert(Set("doc_id", "quality", "rep2", "split", "shard").subsetOf(cols), cols)
+      // the split deal covers all three names and roughly its 8/1/1 weights
+      val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+      assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+      // shards are dense 0..max and respect the token budget layout
+      val shards = out.groupBy("shard")
+        .agg(sum(col("ntoks")).as("toks")).as[(Long, Long)].collect()
+      assert(shards.map(_._1).sorted.toSeq == (0L to shards.map(_._1).max).toSeq)
+      // determinism: the whole pipeline reruns to the identical row set
+      val again = pipeline().select("doc_id", "split", "shard")
+        .as[(Long, String, Long)].collect().toSet
+      val first = out.select("doc_id", "split", "shard")
+        .as[(Long, String, Long)].collect().toSet
+      assert(again == first)
+    } finally out.unpersist()
+  }
+}
