@@ -393,14 +393,20 @@ object SketchOps {
     */
   def wkbCollect(geoms: ArrayData): Array[Byte] = {
     val n = geoms.numElements()
-    // NULL members are skipped (PostGIS ST_Collect semantics); a member too
-    // short to carry a WKB header would make the whole value unwalkable, so
-    // it is skipped too rather than crashing the task — every other st_*
-    // kernel degrades to a sentinel instead of throwing
+    // NULL members are skipped (PostGIS ST_Collect semantics); a malformed
+    // member is skipped too rather than crashing the task OR poisoning the
+    // collection — members parse sequentially by offset downstream, so one
+    // truncated/padded member would corrupt every member after it. "Valid"
+    // = the walker consumes the member EXACTLY (header present, body
+    // complete, no trailing bytes); O(member size), once, at build time.
+    def walkable(g: Array[Byte]): Boolean =
+      g != null && g.length >= 5 &&
+        (try walkWkb(g, 0)((_, _) => ()) == g.length
+         catch { case _: RuntimeException => false })
     val members = (0 until n).iterator
       .filterNot(geoms.isNullAt)
       .map(geoms.getBinary)
-      .filter(g => g != null && g.length >= 5)
+      .filter(walkable)
       .toArray
     var size = 0
     var kind = -1 // common base type so far; -2 = mixed

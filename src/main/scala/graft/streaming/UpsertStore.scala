@@ -127,8 +127,18 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       }
       rmTree(staging)
     }
+    // retired debris: normally the live copy exists and the debris just
+    // drops — but a retired dir whose live bucket is MISSING is the only
+    // surviving copy (a metadata-reordering crash can persist the retire
+    // rename while losing the marker create, despite the durable-marker
+    // fsync below): restore it instead of deleting both copies
     Option(new java.io.File(dir).listFiles((_, n) => n.startsWith("_retired_")))
-      .foreach(_.foreach(rmTree))
+      .foreach(_.foreach { r =>
+        val n = r.getName.stripPrefix("_retired_")
+        val target = new java.io.File(dir, s"$bucketCol=$n")
+        if (!target.exists()) java.nio.file.Files.move(r.toPath, target.toPath)
+        else rmTree(r)
+      })
     swapMarker.delete()
   }
 
@@ -142,7 +152,21 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     */
   private def swapStaged(staging: java.io.File): Set[Int] = {
     val staged = stagedBuckets(staging)
-    swapMarker.createNewFile() // commit point: recovery now promotes, not discards
+    // commit point: recovery now promotes, not discards. The marker (file
+    // AND its directory entry) is fsynced BEFORE the first rename — the
+    // recovery branch must never observe a persisted rename with an
+    // unpersisted marker, or it would discard the staged copy of an
+    // already-retired bucket
+    locally {
+      import java.nio.file.StandardOpenOption.{CREATE, READ, WRITE}
+      val ch = java.nio.channels.FileChannel.open(swapMarker.toPath, CREATE, WRITE)
+      try ch.force(true) finally ch.close()
+      try {
+        val dch = java.nio.channels.FileChannel.open(
+          new java.io.File(dir).toPath, READ)
+        try dch.force(true) finally dch.close()
+      } catch { case _: java.io.IOException => () } // dir fsync unsupported FS
+    }
     staged.foreach { d =>
       val n = d.getName.stripPrefix(s"$bucketCol=").toInt
       val target = new java.io.File(dir, d.getName)

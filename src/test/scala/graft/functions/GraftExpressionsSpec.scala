@@ -164,9 +164,18 @@ class GraftExpressionsSpec extends SparkSpec {
   }
 
   test("st_collect skips NULL and malformed members instead of crashing") {
+    // header-only truncation: byte-order + type=Point but ZERO coordinate
+    // bytes — embedding it verbatim would corrupt every member after it
+    // (members parse sequentially by offset), so it must be skipped too
+    val truncated = {
+      val bb = java.nio.ByteBuffer.allocate(5)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(1); bb.array()
+    }
     val got = Seq((1.0, 2.0)).toDF("x", "y")
       .select(st_collect(array(st_point($"x", $"y"),
-        lit(null).cast("binary"), lit(Array[Byte](9)))).as("m"))
+        lit(null).cast("binary"), lit(Array[Byte](9)),
+        lit(truncated))).as("m"))
       .select(st_geomtype($"m"), st_npoints($"m"), st_xmax($"m"))
       .as[(String, Int, Double)].head()
     assert(got == (("MULTIPOINT", 1, 1.0)))

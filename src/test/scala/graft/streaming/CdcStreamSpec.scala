@@ -227,6 +227,33 @@ class CdcStreamSpec extends SparkSpec {
     assert(!new java.io.File(root, newBucket).exists())
   }
 
+  test("retire-rename persisted but marker lost: old bucket restored, nothing lost") {
+    // metadata-reordering power loss: the retire rename reached disk but
+    // the _swap_started marker create did not — recovery must treat the
+    // batch as uncommitted (discard staging) AND restore the retired copy,
+    // never delete both
+    val dir = tmp("store")
+    val store = newStore(dir)
+    val before = store.snapshot().as[(Long, String)].collect().toSet
+    val root = new java.io.File(dir)
+    val bucket = root.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_bucket=")).head
+    val n = bucket.getName.stripPrefix("_bucket=")
+    val stagedCopy = new java.io.File(new java.io.File(root, "_staging"), bucket.getName)
+    stagedCopy.mkdirs()
+    bucket.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(stagedCopy, f.getName).toPath)
+    }
+    java.nio.file.Files.move(bucket.toPath,
+      new java.io.File(root, s"_retired_$n").toPath)
+    // NO _swap_started marker on disk
+    assert(store.snapshot().as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(root, "_staging").exists())
+    assert(!new java.io.File(root, s"_retired_$n").exists())
+    assert(new java.io.File(root, s"_bucket=$n").exists())
+  }
+
   test("crash between promote and retired-delete: debris dropped, new data kept") {
     val dir = tmp("store")
     val store = newStore(dir)
