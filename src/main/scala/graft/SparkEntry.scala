@@ -383,6 +383,18 @@ object SparkEntry {
         GraftExpressions.st_ymax(g).alias("ymax"))
     }),
 
+    // §1.2 ST_Distance: planar point distance through the WKB kernels
+    // (construct → measure), arithmetic oracle.
+    "q_f_geometry_distance" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 50 === 0)
+      val a = GraftExpressions.st_point(
+        (col("o_orderkey") % 100).cast(DoubleType),
+        (col("o_custkey") % 100).cast(DoubleType))
+      val b = GraftExpressions.st_point(lit(50.0), lit(50.0))
+      o.select(col("o_orderkey"),
+        round(GraftExpressions.st_distance(a, b), 6).alias("dist_r"))
+    }),
+
     // J5: left-semi "impacted tables" lookup (S4HanaProducer.java:400-420).
     "q_j5_semi_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1462,6 +1474,12 @@ object SparkEntry {
         |  CAST(max(l_quantity) AS DOUBLE) AS ymax
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |GROUP BY l_orderkey""".stripMargin,
+
+    "q_f_geometry_distance" ->
+      """SELECT o_orderkey,
+        |  round(sqrt((o_orderkey % 100 - 50) * (o_orderkey % 100 - 50)
+        |           + (o_custkey % 100 - 50) * (o_custkey % 100 - 50)), 6) AS dist_r
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
 
     "q_f_geometry_multi" ->
       """WITH lines AS (

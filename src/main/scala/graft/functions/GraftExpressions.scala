@@ -325,6 +325,22 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): StSrid = copy(child = c)
   }
 
+  /** `st_distance(a, b)` — planar Euclidean distance between WKB points
+    * (HANA ST_Distance on the default SRS); NaN for non-points.
+    */
+  case class StDistance(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.wkbPointDistance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.wkbPointDistance($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistance =
+      copy(left = l, right = r)
+  }
+
   /** `st_set_srid(wkb, srid)` — stamp/replace the EWKB SRID header. */
   case class StSetSrid(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -371,6 +387,7 @@ object GraftExpressions {
   def st_collect(geoms: Column): Column = c(StCollect(e(geoms)))
   def st_srid(wkb: Column): Column = c(StSrid(e(wkb)))
   def st_set_srid(wkb: Column, srid: Column): Column = c(StSetSrid(e(wkb), e(srid)))
+  def st_distance(a: Column, b: Column): Column = c(StDistance(e(a), e(b)))
 
   private def intArg(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
@@ -418,7 +435,9 @@ object GraftExpressions {
     ("st_srid", "EWKB spatial reference id (0 when absent)",
       xs => StSrid(xs.head)),
     ("st_set_srid", "stamp/replace the EWKB SRID header",
-      xs => StSetSrid(xs.head, xs(1))))
+      xs => StSetSrid(xs.head, xs(1))),
+    ("st_distance", "planar Euclidean distance between WKB points",
+      xs => StDistance(xs.head, xs(1))))
 
   /** Register every kernel as a SQL function (int literals become the
     * static parameters), so `spark.sql("SELECT simhash64(...)")` works.

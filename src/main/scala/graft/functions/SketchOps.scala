@@ -435,6 +435,16 @@ object SketchOps {
     bb.array()
   }
 
+  /** Euclidean distance between two WKB points (HANA ST_Distance on the
+    * planar SRS); honors byte order and EWKB SRID headers via
+    * [[wkbPointCoord]]. NaN when either side is not a point.
+    */
+  def wkbPointDistance(a: Array[Byte], b: Array[Byte]): Double = {
+    val ax = wkbPointCoord(a, 0); val ay = wkbPointCoord(a, 1)
+    val bx = wkbPointCoord(b, 0); val by = wkbPointCoord(b, 1)
+    math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+  }
+
   /** HANA ALPHANUM padding: digit-only strings zero-pad to `len`, everything
     * else passes through (reference workload `VBAK_change.sql:1`).
     */

@@ -163,6 +163,18 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(mixed == (("GEOMETRYCOLLECTION", 3, 3.0)))
   }
 
+  test("st_distance: planar point distance, SRID-tolerant, non-point NaN") {
+    val d = Seq((0.0, 0.0, 3.0, 4.0)).toDF("x1", "y1", "x2", "y2")
+      .select(
+        st_distance(st_point($"x1", $"y1"), st_point($"x2", $"y2")).as("d"),
+        st_distance(st_set_srid(st_point($"x1", $"y1"), lit(4326)),
+          st_point($"x2", $"y2")).as("d_srid"),
+        st_distance(st_point($"x1", $"y1"),
+          st_linestring(array($"x1", $"x2"), array($"y1", $"y2"))).as("d_bad"))
+      .as[(Double, Double, Double)].head()
+    assert(d._1 == 5.0 && d._2 == 5.0 && d._3.isNaN)
+  }
+
   test("st_collect skips NULL and malformed members instead of crashing") {
     // header-only truncation: byte-order + type=Point but ZERO coordinate
     // bytes — embedding it verbatim would corrupt every member after it
