@@ -388,25 +388,36 @@ object SketchOps {
     * MULTILINESTRING / MULTIPOLYGON, anything mixed yields
     * GEOMETRYCOLLECTION (ST_GEOMETRY's Multi* surface,
     * `S4HanaTableMapping.java:670` ferries these opaquely; here they are
-    * constructible). Members are embedded verbatim — full WKB values with
-    * their own byte-order markers, per spec.
+    * constructible). Members are embedded as full WKB values with their
+    * own byte-order markers, per spec; NULL and provably-corrupt members
+    * are skipped (see `keep` below), unknown-type members pass through
+    * verbatim.
     */
   def wkbCollect(geoms: ArrayData): Array[Byte] = {
     val n = geoms.numElements()
-    // NULL members are skipped (PostGIS ST_Collect semantics); a malformed
-    // member is skipped too rather than crashing the task OR poisoning the
-    // collection — members parse sequentially by offset downstream, so one
-    // truncated/padded member would corrupt every member after it. "Valid"
-    // = the walker consumes the member EXACTLY (header present, body
-    // complete, no trailing bytes); O(member size), once, at build time.
-    def walkable(g: Array[Byte]): Boolean =
-      g != null && g.length >= 5 &&
-        (try walkWkb(g, 0)((_, _) => ()) == g.length
-         catch { case _: RuntimeException => false })
+    // NULL members are skipped (PostGIS ST_Collect semantics), and so is a
+    // member that is PROVABLY corrupt: of a type the walker knows (1..7)
+    // but truncated or padded — members parse sequentially by offset
+    // downstream, so embedding one would corrupt every member after it.
+    // A member of a type the walker does NOT know (CircularString etc.,
+    // ferried opaquely per S4HanaTableMapping.java:670) is embedded
+    // verbatim: it may be perfectly valid, and downstream introspection
+    // degrading to sentinels on the whole value is visible, whereas
+    // silently dropping real data is not.
+    def keep(g: Array[Byte]): Boolean = {
+      if (g == null || g.length < 5) return false
+      val order = if (g(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN
+      val base = (java.nio.ByteBuffer.wrap(g).order(order).getInt(1)
+        & 0x0FFFFFFF) % 1000
+      if (base < 1 || base > 7) return true // unknown type: embed verbatim
+      try walkWkb(g, 0)((_, _) => ()) == g.length
+      catch { case _: RuntimeException => false }
+    }
     val members = (0 until n).iterator
       .filterNot(geoms.isNullAt)
       .map(geoms.getBinary)
-      .filter(walkable)
+      .filter(keep)
       .toArray
     var size = 0
     var kind = -1 // common base type so far; -2 = mixed

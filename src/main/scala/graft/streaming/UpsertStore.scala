@@ -139,6 +139,9 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
         if (!target.exists()) java.nio.file.Files.move(r.toPath, target.toPath)
         else rmTree(r)
       })
+    // recovery's own promotes/restores must be durable before the marker
+    // unlink, for the same reason as in swapStaged
+    fsyncDir(new java.io.File(dir))
     swapMarker.delete()
   }
 
@@ -150,22 +153,44 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * listing, so readers never see intermediate state. Returns the bucket
     * ids that had staged data.
     */
+  /** fsync a file's bytes (data durability, not just journaled metadata). */
+  private def fsyncFile(f: java.io.File): Unit = {
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
+  }
+
+  /** fsync a directory entry table (persists renames/creates/unlinks in it);
+    * silently skipped where the FS rejects directory handles.
+    */
+  private def fsyncDir(d: java.io.File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(d.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
+
   private def swapStaged(staging: java.io.File): Set[Int] = {
     val staged = stagedBuckets(staging)
+    // DATA durability first: Spark's local-FS write never fsyncs, so the
+    // staged parquet bytes must reach disk before the marker commits to
+    // them — otherwise recovery could promote a torn staged dir and then
+    // drop the retired copy, destroying both versions of a bucket
+    staged.foreach { d =>
+      Option(d.listFiles()).foreach(_.filter(_.isFile).foreach(fsyncFile))
+      fsyncDir(d)
+    }
+    fsyncDir(staging)
     // commit point: recovery now promotes, not discards. The marker (file
     // AND its directory entry) is fsynced BEFORE the first rename — the
     // recovery branch must never observe a persisted rename with an
     // unpersisted marker, or it would discard the staged copy of an
     // already-retired bucket
     locally {
-      import java.nio.file.StandardOpenOption.{CREATE, READ, WRITE}
+      import java.nio.file.StandardOpenOption.{CREATE, WRITE}
       val ch = java.nio.channels.FileChannel.open(swapMarker.toPath, CREATE, WRITE)
       try ch.force(true) finally ch.close()
-      try {
-        val dch = java.nio.channels.FileChannel.open(
-          new java.io.File(dir).toPath, READ)
-        try dch.force(true) finally dch.close()
-      } catch { case _: java.io.IOException => () } // dir fsync unsupported FS
+      fsyncDir(new java.io.File(dir))
     }
     staged.foreach { d =>
       val n = d.getName.stripPrefix(s"$bucketCol=").toInt
@@ -179,6 +204,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     val survivors =
       staged.map(_.getName.stripPrefix(s"$bucketCol=").toInt).toSet
     rmTree(staging) // _SUCCESS marker etc.
+    // the promote renames must be durable BEFORE the marker unlink: if the
+    // unlink persisted but a promote did not, recovery would see "no
+    // marker" and roll the bucket back to pre-batch state AFTER the caller
+    // may have advanced the ledger (the window would then never replay)
+    fsyncDir(new java.io.File(dir))
     swapMarker.delete()
     survivors
   }

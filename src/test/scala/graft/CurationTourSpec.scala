@@ -54,9 +54,9 @@ class CurationTourSpec extends SparkSpec {
       // every stage only removes rows; the pipeline keeps a real subset
       assert(n > 0 && n < total, s"$n of $total")
       // dedup really happened: no two surviving SHINGLEABLE docs share
-      // identical text (MinHash only pairs docs with >= shingleN tokens;
-      // identical sub-shingle snippets are out of its contract)
-      val shingleable = out.where(col("ntoks") >= 5)
+      // identical text (MinHash shingles are CHARACTER 5-grams, so docs
+      // shorter than 5 chars are outside its pairing contract)
+      val shingleable = out.where(length(col("text")) >= 5)
       assert(shingleable.select("text").distinct().count() == shingleable.count())
       // decontamination really happened: no survivor shares an 8-gram
       // with the benchmark slice

@@ -191,6 +191,19 @@ class GraftExpressionsSpec extends SparkSpec {
       .select(st_geomtype($"m"), st_npoints($"m"), st_xmax($"m"))
       .as[(String, Int, Double)].head()
     assert(got == (("MULTIPOINT", 1, 1.0)))
+    // an UNKNOWN-type member (e.g. CircularString, type 8) may be valid —
+    // it embeds verbatim and introspection degrades to visible sentinels
+    // rather than silently dropping data
+    val circular = {
+      val bb = java.nio.ByteBuffer.allocate(9)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(8); bb.putInt(0); bb.array()
+    }
+    val mixed = Seq((1.0, 2.0)).toDF("x", "y")
+      .select(st_collect(array(st_point($"x", $"y"), lit(circular))).as("m"))
+      .select(st_geomtype($"m"), st_npoints($"m"))
+      .as[(String, Int)].head()
+    assert(mixed == (("GEOMETRYCOLLECTION", -1)))
   }
 
   test("st_collect walks members with their own byte order") {
