@@ -647,12 +647,14 @@ object SparkEntry {
     // paragraph siblings are spec-pinned — the synthetic corpus is
     // single-line, so their gate column would be vacuously 0).
     "q_text_repetition" -> ((s, dir) => {
-      Dedup.widen(t(s, dir, "documents")).select(
-        col("doc_id"),
-        round(TextAnalysis.topNgramFraction(col("text"), 2), 6)
-          .alias("top2gram_frac"),
-        round(TextAnalysis.topNgramFraction(col("text"), 3), 6)
-          .alias("top3gram_frac"))
+      // one kernel call tokenizes once and scores both orders (r7's per-n
+      // HOF fold re-tokenized per column and ran interpreted)
+      Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.topNgramFractions(col("text"), Seq(2, 3)).alias("_fr"))
+        .select(col("doc_id"),
+          round(element_at(col("_fr"), 1), 6).alias("top2gram_frac"),
+          round(element_at(col("_fr"), 2), 6).alias("top3gram_frac"))
     }),
 
     // Per-language embedding centroids (mean pooling): documents⋈embeddings

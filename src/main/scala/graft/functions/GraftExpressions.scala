@@ -209,6 +209,30 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `top_ngram_fractions(text, ns)` — Gopher top-n-gram repetition
+    * fractions for every n in `ns` over ONE shared tokenization (the
+    * boilerplate quality filter). One static kernel call per row inside
+    * whole-stage codegen; see [[SketchOps.topNgramFractions]].
+    */
+  case class TopNgramFractions(child: Expression, ns: Seq[Int])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"n-gram orders must be >= 1, got $ns")
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val nsArr = ns.toArray
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.topNgramFractions(v.asInstanceOf[UTF8String], nsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val nsRef = ctx.addReferenceObj("ns", nsArr, "int[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.topNgramFractions($c, $nsRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): TopNgramFractions =
+      copy(child = c)
+  }
+
   /** `st_point(x, y)` — WKB point constructor (ST_POINT carrier, §1.2). */
   case class StPoint(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -373,6 +397,8 @@ object GraftExpressions {
     c(ProjectionBits(e(col), numPlanes, dim, seed))
   def bucket_near_pairs(col: Column, threshold: Double): Column =
     c(BucketNearPairs(e(col), threshold))
+  def top_ngram_fractions(col: Column, ns: Seq[Int]): Column =
+    c(TopNgramFractions(e(col), ns))
 
   def st_point(x: Column, y: Column): Column = c(StPoint(e(x), e(y)))
   def st_x(wkb: Column): Column = c(StCoord(e(wkb), 0))
@@ -416,6 +442,8 @@ object GraftExpressions {
       xs => WordNgramHashes(xs.head, intArg(xs(1)))),
     ("rolling_fingerprint", "winnowing min rolling hash fingerprint",
       xs => RollingFingerprint(xs.head, intArg(xs(1)))),
+    ("top_ngram_fraction", "fraction of tokens covered by the top word n-gram",
+      xs => GetArrayItem(TopNgramFractions(xs.head, Seq(intArg(xs(1)))), Literal(0))),
     ("st_point", "little-endian WKB 2-D point",
       xs => StPoint(xs.head, xs(1))),
     ("st_x", "x coordinate of a WKB point", xs => StCoord(xs.head, 0)),

@@ -519,6 +519,74 @@ object SketchOps {
     sortedDistinct(buf)
   }
 
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Fraction of tokens covered by the single most frequent word n-gram,
+    * for EVERY n in `ns`, over one shared tokenization (Gopher's
+    * `top_n_gram_fraction`, Rae et al. 2021 §A1.1 — boilerplate detector).
+    * Tokenization reproduces `split(lower(trim(text)), "\s+")` exactly
+    * (ASCII-space trim, Unicode lowercase, Java-regex split keeping empty
+    * tokens), so the DuckDB oracle written against the higher-order-
+    * function predecessor still holds. Each token is FNV-hashed once;
+    * gram hashes fold the n token hashes, and the mode is the max run over
+    * the sorted gram-hash array — O(L·|ns| + L log L) per document with a
+    * codegen'd constant, replacing the interpreted Catalyst-lambda fold
+    * that made the repetition metrics the slowest batch query (the
+    * fraction is exact modulo 64-bit hash collisions).
+    */
+  def topNgramFractions(text: UTF8String, ns: Array[Int]): ArrayData = {
+    val s = text.trim().toLowerCase.toString
+    val toks = WsPattern.split(s, -1)
+    val cnt = toks.length
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 over the token's chars
+      val w = toks(i)
+      var k = 0
+      while (k < w.length) { h ^= w.charAt(k); h *= 1099511628211L; k += 1 }
+      th(i) = h
+      i += 1
+    }
+    val out = new Array[Double](ns.length)
+    var t = 0
+    while (t < ns.length) {
+      val n = ns(t)
+      if (cnt < n) out(t) = 0.0
+      else {
+        val m = cnt - n + 1
+        val buf = new Array[Long](m)
+        i = 0
+        while (i < m) {
+          var h = 0xcbf29ce484222325L // FNV-1a over the n token hashes' bytes
+          var j = i
+          while (j < i + n) {
+            var x = th(j)
+            var b = 0
+            while (b < 8) { h ^= (x & 0xffL); h *= 1099511628211L; x >>>= 8; b += 1 }
+            j += 1
+          }
+          buf(i) = h
+          i += 1
+        }
+        java.util.Arrays.sort(buf)
+        var best = 1; var run = 1
+        i = 1
+        while (i < m) {
+          if (buf(i) == buf(i - 1)) { run += 1; if (run > best) best = run }
+          else run = 1
+          i += 1
+        }
+        // overlapping self-repeats ("a a a a", n=2) would credit shared
+        // tokens twice and push the "fraction" past 1 — clamp, matching the
+        // HOF predecessor and the oracle's least(1.0, ...)
+        out(t) = math.min(1.0, best.toDouble * n / cnt)
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sort + in-place dedupe, shared by the shingle kernels. */
   private def sortedDistinct(buf: Array[Long]): ArrayData = {
     java.util.Arrays.sort(buf)

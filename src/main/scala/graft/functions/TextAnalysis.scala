@@ -166,36 +166,22 @@ object TextAnalysis {
 
   /** Fraction of tokens covered by the single most frequent word n-gram
     * (Gopher's `top_n_gram_fraction`): boilerplate and template text score
-    * high. The mode is found by sorting the gram array and folding the max
-    * run length of equal neighbors — O(L log L) per document, all map-side
-    * (the first cut counted each distinct gram with a nested filter:
-    * O(L²) with an interpreted-lambda constant, ~0.2 s/doc — 500× slower
-    * than this on kilotoken documents).
+    * high. A native codegen'd kernel ([[SketchOps.topNgramFractions]]) —
+    * the r7 higher-order-function fold was algorithmically right
+    * (O(L log L), map-side) but paid an interpreted-lambda constant that
+    * made it the slowest batch query; the kernel is the same algorithm as
+    * one static call per row. Shorter-than-n documents score 0; degenerate
+    * overlapping self-repeats clamp to exactly 1.
     */
-  def topNgramFraction(text: Column, n: Int): Column = {
-    require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val toks = tokens(text)
-    val cnt = size(toks)
-    val grams = transform(sequence(lit(1), cnt - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
-    // (prev gram, current run, best run) fold over the sorted grams
-    val maxFreq = aggregate(array_sort(grams),
-      struct(lit("").alias("prev"), lit(0).alias("run"), lit(0).alias("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.alias("prev"), run.alias("run"),
-          greatest(acc.getField("best"), run).alias("best"))
-      },
-      acc => acc.getField("best"))
-    // the guard also keeps sequence() from generating a descending range
-    // (and element_at from index 0) when the doc is shorter than n tokens.
-    // least(1): overlapping self-repeats ("a a a a", n=2 → 3 occurrences ×
-    // 2 tokens over 4) would otherwise credit shared tokens twice and push
-    // a "fraction" past 1 — degenerate boilerplate clamps to exactly 1.
-    when(cnt < n, lit(0.0)).otherwise(
-      least(lit(1.0), (maxFreq * n).cast("double") / cnt.cast("double")))
-  }
+  def topNgramFraction(text: Column, n: Int): Column =
+    element_at(GraftExpressions.top_ngram_fractions(text, Seq(n)), 1)
+
+  /** All of `ns`'s repetition fractions from ONE tokenization pass —
+    * array-positional results (`element_at(_, i+1)` for `ns(i)`); what a
+    * real curation pass computing 2- and 3-gram filters together wants.
+    */
+  def topNgramFractions(text: Column, ns: Seq[Int]): Column =
+    GraftExpressions.top_ngram_fractions(text, ns)
 
   /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the
     * rolling fingerprint.
