@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, RangeJoin, Shards, Similarity}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, RangeJoin, Sampling, Shards, Similarity}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1627,21 +1627,28 @@ object SparkEntry {
         |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id)
         |GROUP BY lang, i""".stripMargin,
 
-    // the Sampling hash, verbatim: two ~2^31-prime residues of (id+seed),
-    // each spread by a mix constant mod 2^32, summed mod 2^32
+    // the Sampling hash, verbatim: an XOR-spread and a translated residue
+    // of the id (mod two ~2^31 primes), each spread by a mix constant mod
+    // 2^32, XOR-folded and avalanched by a final odd multiply. The two
+    // seed constants are INTERPOLATED from the same driver-side functions
+    // the Spark plan embeds, so Scala and SQL cannot drift.
     "q_sample_quota" ->
-      """SELECT doc_id, lang FROM (
+      s"""SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY (((doc_id + 7) % 2147483629) * 2654435761 % 4294967296
-        |            + ((doc_id + 7) % 2147483587) * 2246822519 % 4294967296)
-        |            % 4294967296, doc_id) AS rk
+        |    ORDER BY (xor((xor(doc_id, ${Sampling.seedA(7L)}) % 2147483629)
+        |                    * 2654435761 % 4294967296,
+        |                  ((doc_id + ${Sampling.seedB(7L)}) % 2147483587)
+        |                    * 2246822519 % 4294967296)
+        |              % 2147483629) * 2654435761 % 4294967296, doc_id) AS rk
         |  FROM documents) WHERE rk <= 30""".stripMargin,
 
     "q_sample_mix" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE ((((doc_id + 11) % 2147483629) * 2654435761 % 4294967296
-        |      + ((doc_id + 11) % 2147483587) * 2246822519 % 4294967296)
-        |      % 4294967296) / 4294967296.0
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ((xor((xor(doc_id, ${Sampling.seedA(11L)}) % 2147483629)
+        |              * 2654435761 % 4294967296,
+        |            ((doc_id + ${Sampling.seedB(11L)}) % 2147483587)
+        |              * 2246822519 % 4294967296)
+        |        % 2147483629) * 2654435761 % 4294967296) / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0 ELSE 0.6 END""".stripMargin,
 
     "q_text_repetition" ->

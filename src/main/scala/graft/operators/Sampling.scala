@@ -23,29 +23,75 @@ object Sampling {
   private val P1 = 2147483629L      // largest prime < 2^31
   private val P2 = 2147483587L      // next prime down
   private val Bucket = 4294967296L  // 2^32
+  private val SeedMask = (1L << 31) - 1
 
-  /** Reproducible per-row uniform in [0,1): two residues of the id (mod
-    * two ~2^31 primes), each spread by a multiplicative constant and
-    * folded mod 2^32 — identical in any engine (every intermediate fits
-    * int64: (2^31)·K < 2^63, so no overflow and no float ambiguity, which
-    * is what DuckDB-oracle reproducibility requires). Combining TWO
-    * residues matters: one `(id % p) * K` hash repeats with period p, so a
-    * corpus beyond p ids would sample in arithmetic progressions; the pair
-    * has period p1·p2 ≈ 4.6e18 — the full practical id space. The seed
-    * enters BEFORE the multiplies: added after, it would only rotate every
-    * hash by seed/2^32 and "reseeding" would barely move the sample.
-    * Ample mixing for rate/quota sampling; NOT a cryptographic source.
+  /** Seed-derived spread constants, computed DRIVER-side (plain Scala) and
+    * embedded as plan literals — so the per-row arithmetic stays pure int64
+    * and any engine (the DuckDB oracle included) reproduces it from the
+    * two numbers alone. `seedA` enters the hash by XOR with the id,
+    * `seedB` additively: a seed that only enters as `f(id + seed)` makes
+    * every reseed a pure TRANSLATION of the selected-id set
+    * (S(seed+d) = S(seed) − d) no matter how non-linear f is — the XOR
+    * channel is what makes reseeding an actual re-deal (review finding r8).
     */
-  def uniform(idCol: Column, seed: Long): Column =
-    pmod(
-      pmod(pmod(idCol + lit(seed), lit(P1)) * lit(Knuth), lit(Bucket)) +
-        pmod(pmod(idCol + lit(seed), lit(P2)) * lit(Knuth2), lit(Bucket)),
-      lit(Bucket)).cast("double") / lit(Bucket.toDouble)
+  private[graft] def seedA(seed: Long): Long =
+    graft.functions.SketchOps.splitmix64(seed) & SeedMask
+  private[graft] def seedB(seed: Long): Long =
+    graft.functions.SketchOps.splitmix64(seed ^ 0x5deece66dL) & SeedMask
+
+  /** Reproducible per-row uniform in [0,1): two residues of the id (one
+    * XOR-spread, one translated — mod two ~2^31 primes), each spread by a
+    * multiplicative constant mod 2^32, then XOR-folded and avalanched by a
+    * final odd multiplier. Identical in any engine: every intermediate fits
+    * int64 ((2^31)·K < 2^63 — no overflow, no float ambiguity), which is
+    * what DuckDB-oracle reproducibility requires. Combining TWO residues
+    * matters: one `(id % p) * K` hash repeats with period p, so a corpus
+    * beyond p ids would sample in arithmetic progressions; the pair has
+    * period p1·p2 ≈ 4.6e18 — the full practical id space. XOR-folding
+    * (not adding) matters too: for ids below 2^31 both residues are linear
+    * maps of the id, and their SUM stays linear with an even combined
+    * multiplier — quantized outputs and delta-reseeds that merely shift
+    * the sample (review finding r8); the xor-fold + odd-multiplier
+    * avalanche is non-linear over the full id range. Ample mixing for
+    * rate/quota sampling; NOT a cryptographic source.
+    */
+  def uniform(idCol: Column, seed: Long): Column = {
+    val r1 = pmod(pmod(idCol.bitwiseXOR(lit(seedA(seed))), lit(P1)) * lit(Knuth),
+      lit(Bucket))
+    val r2 = pmod(pmod(idCol + lit(seedB(seed)), lit(P2)) * lit(Knuth2),
+      lit(Bucket))
+    pmod(pmod(r1.bitwiseXOR(r2), lit(P1)) * lit(Knuth), lit(Bucket))
+      .cast("double") / lit(Bucket.toDouble)
+  }
+
+  /** The id column as an int64 hash input — the fail-loud dispatch that
+    * keeps a 100 TB curation run from silently producing an empty corpus:
+    * r7 shipped `col(idCol)` straight into the arithmetic, so a STRING key
+    * ("doc-00017", a UUID) cast to NULL, `where(NULL < rate)` dropped every
+    * row, and no error surfaced. Integral/decimal ids pass through (the
+    * DuckDB-reproducible fast path the oracle gates use); string ids hash
+    * via xxhash64 into [0, 2^48) — deterministic and partition-invariant,
+    * though not expressible in the SQL oracle; anything else (a float id
+    * would silently collapse distinct ids under truncation, a binary id
+    * would cast to NULL) raises immediately.
+    */
+  private[graft] def idAsLong(df: DataFrame, idCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(idCol).cast("long")
+      case d: DecimalType if d.scale == 0 => col(idCol).cast("long")
+      case StringType => pmod(xxhash64(col(idCol)), lit(1L << 48))
+      case dt => throw new IllegalArgumentException(
+        s"Sampling id column '$idCol' must be an integral, scale-0 decimal, " +
+          s"or string type, got $dt — a lossy or NULL-producing cast here " +
+          "silently empties the sample")
+    }
+  }
 
   /** Bernoulli sample at `rate` — a map-side filter, no shuffle. */
   def bernoulli(df: DataFrame, idCol: String, rate: Double,
       seed: Long = 0L): DataFrame =
-    df.where(uniform(col(idCol), seed) < rate)
+    df.where(uniform(idAsLong(df, idCol), seed) < rate)
 
   /** Bounded smallest-k accumulator over (hash, id) pairs — kept sorted so
     * the common full-buffer reject is O(1); merged associatively, so Spark
@@ -89,9 +135,10 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val smallestK = new SmallestK(quota).toColumn
+    val idL = idAsLong(df, idCol)
     val picked = df
       .select(col(stratumCol).cast("string").alias("_s"),
-        uniform(col(idCol), seed).alias("_u"), col(idCol).cast("long").alias("_id"))
+        uniform(idL, seed).alias("_u"), idL.alias("_id"))
       .as[(String, Double, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
@@ -101,10 +148,12 @@ object Sampling {
     val pickedSide = if (broadcastPicked) broadcast(picked) else picked
     // null-SAFE stratum equality: a NULL stratum is a legitimate stratum
     // (mix() samples it at defaultRate) — a plain === would null-kill the
-    // join and silently zero that stratum's quota
+    // join and silently zero that stratum's quota. String ids join on
+    // their 48-bit hash: a collision would over-admit one extra row
+    // (P ≈ n²/2^49 per stratum) — acceptable for sampling, never lossy.
     df.join(pickedSide,
-      col(stratumCol).cast("string") <=> col("_s") &&
-        col(idCol).cast("long") === col("_id"), "left_semi")
+      col(stratumCol).cast("string") <=> col("_s") && idL === col("_id"),
+      "left_semi")
   }
 
   /** Weighted corpus mixing: per-stratum keep rates (downsample web,
@@ -118,9 +167,13 @@ object Sampling {
       seed: Long = 0L): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be within [0, 1]")
+    // stratum compared AS STRING, matching quotaPerStratum: rates are
+    // string-keyed, and `intCol === "en"` null-evaluates, silently sending
+    // every stratum of a non-string column to defaultRate (ADVICE r7)
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+      case (acc, (k, v)) =>
+        when(col(stratumCol).cast("string") === k, lit(v)).otherwise(acc)
     }
-    df.where(uniform(col(idCol), seed) < rate)
+    df.where(uniform(idAsLong(df, idCol), seed) < rate)
   }
 }

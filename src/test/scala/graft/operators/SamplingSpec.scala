@@ -61,6 +61,63 @@ class SamplingSpec extends SparkSpec {
     assert(got.where(col("stratum").isNull).count() == 1)
   }
 
+  test("uniform: reseeding is a re-deal, not a translation of the id set") {
+    // any hash of the form f(id + seed) makes S(seed+1) = S(seed) − 1
+    // exactly — the r7 hash had this property (ADVICE r7); the XOR seed
+    // channel must break it
+    val s5 = Sampling.bernoulli(docs, "id", 0.3, seed = 5L)
+      .select("id").as[Long].collect().toSet
+    val s6 = Sampling.bernoulli(docs, "id", 0.3, seed = 6L)
+      .select("id").as[Long].collect().toSet
+    val translated = s6.map(_ + 1L)
+    // interior ids (edges of the range can differ under a pure shift)
+    val interior = s5.filter(i => i > 0 && i < 1999)
+    assert((interior -- translated).nonEmpty,
+      "seed+1 sample is a pure translation of the seed sample")
+    // and the xor-fold must not quantize: the r7 sum had an even combined
+    // multiplier, so every u32 was a multiple of 8
+    val us = docs.select(Sampling.uniform(col("id"), 5L).as("u"))
+      .as[Double].collect().map(u => math.round(u * 4294967296.0))
+    assert(us.exists(_ % 8 != 0), "u32 outputs quantized to multiples of 8")
+  }
+
+  test("string ids: deterministic sample, exact quota; lossy id types raise") {
+    val sdocs = (0L until 2000L).map(i => (f"doc-$i%05d", s"s${i % 5}"))
+      .toDF("doc_id", "stratum")
+    val a = Sampling.bernoulli(sdocs, "doc_id", 0.25, seed = 3L)
+      .select("doc_id").as[String].collect().toSet
+    val b = Sampling.bernoulli(sdocs.repartition(13), "doc_id", 0.25, seed = 3L)
+      .select("doc_id").as[String].collect().toSet
+    assert(a == b && a.nonEmpty)
+    assert(math.abs(a.size / 2000.0 - 0.25) < 0.03)
+    // the r7 failure mode: string ids cast to NULL and the sample came
+    // back EMPTY with no error — the hashed path must sample normally
+    val q = Sampling.quotaPerStratum(sdocs, "doc_id", "stratum", 50, seed = 1L)
+    val per = q.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(per.values.toSet == Set(50L), per.toString)
+    // mix on string ids
+    assert(Sampling.mix(sdocs, "doc_id", "stratum", Map("s1" -> 1.0), 0.5)
+      .where($"stratum" === "s1").count() == 400L)
+    // a float id column would truncate distinct ids together: fail loudly
+    val fdocs = Seq((1.5, "a"), (2.5, "a")).toDF("id", "stratum")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.bernoulli(fdocs, "id", 0.5)
+    }
+    assert(err.getMessage.contains("must be an integral"))
+  }
+
+  test("mix: non-string stratum column still honors string-keyed rates") {
+    // ADVICE r7: `intCol === "1"` null-evaluates, silently sending every
+    // stratum to defaultRate — the stratum must be compared as string
+    val idocs = (0L until 1000L).map(i => (i, (i % 4).toInt))
+      .toDF("id", "stratum")
+    val got = Sampling.mix(idocs, "id", "stratum",
+      Map("0" -> 0.0, "1" -> 1.0), defaultRate = 0.5, seed = 2L)
+    val n = got.groupBy("stratum").count().as[(Int, Long)].collect().toMap
+    assert(!n.contains(0), s"rate-0 stratum survived: $n")
+    assert(n(1) == 250L, s"rate-1 stratum incomplete: $n")
+  }
+
   test("mix: per-stratum rates hold; absent strata use the default") {
     val got = Sampling.mix(docs, "id", "stratum",
       Map("s0" -> 0.0, "s1" -> 1.0), defaultRate = 0.5, seed = 9L)
