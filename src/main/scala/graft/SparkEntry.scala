@@ -1268,9 +1268,10 @@ object SparkEntry {
           .alias("modalities"))
     }),
 
-    // Deterministic train/val/test deal over the corpus (rows-only: the
-    // assignment hash has no SQL equivalent; determinism, proportions,
-    // and partition-invariance are spec-tested).
+    // Deterministic train/val/test deal over the corpus — hash-gated since
+    // r8: the deal runs on the Sampling hash, which the DuckDB oracle
+    // reproduces verbatim (determinism, proportions, and partition-
+    // invariance are additionally spec-tested).
     "q_split_assign" -> ((s, dir) => {
       graft.operators.Splits.assign(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
@@ -1289,6 +1290,20 @@ object SparkEntry {
           col("o_totalprice"))
     })
   )
+
+  /** DuckDB transcription of [[graft.operators.Sampling.uniform]]'s u32
+    * (the value before the /2^32 division): an XOR-spread and a translated
+    * residue of the id (mod two ~2^31 primes), each spread by a mix
+    * constant mod 2^32, XOR-folded and avalanched by a final odd multiply.
+    * The seed constants are interpolated from the same driver-side
+    * functions the Spark plan embeds, so SQL and plan cannot drift.
+    */
+  private def uniformU32Sql(idExpr: String, seed: Long): String =
+    s"((xor((xor($idExpr, ${Sampling.seedA(seed)}) % 2147483629)" +
+      " * 2654435761 % 4294967296," +
+      s" (($idExpr + ${Sampling.seedB(seed)}) % 2147483587)" +
+      " * 2246822519 % 4294967296)" +
+      " % 2147483629) * 2654435761 % 4294967296)"
 
   /** The delta-fold oracle, shared by the fold itself and the wire-format
     * round-trips (identity transforms over the same fold).
@@ -1627,29 +1642,32 @@ object SparkEntry {
         |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id)
         |GROUP BY lang, i""".stripMargin,
 
-    // the Sampling hash, verbatim: an XOR-spread and a translated residue
-    // of the id (mod two ~2^31 primes), each spread by a mix constant mod
-    // 2^32, XOR-folded and avalanched by a final odd multiply. The two
-    // seed constants are INTERPOLATED from the same driver-side functions
-    // the Spark plan embeds, so Scala and SQL cannot drift.
+    // the Sampling hash, verbatim (via [[uniformU32Sql]] so the three
+    // sampling/split gates share one transcription that cannot drift)
     "q_sample_quota" ->
       s"""SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY (xor((xor(doc_id, ${Sampling.seedA(7L)}) % 2147483629)
-        |                    * 2654435761 % 4294967296,
-        |                  ((doc_id + ${Sampling.seedB(7L)}) % 2147483587)
-        |                    * 2246822519 % 4294967296)
-        |              % 2147483629) * 2654435761 % 4294967296, doc_id) AS rk
+        |    ORDER BY ${uniformU32Sql("doc_id", 7L)}, doc_id) AS rk
         |  FROM documents) WHERE rk <= 30""".stripMargin,
 
     "q_sample_mix" ->
       s"""SELECT doc_id, lang FROM documents
-        |WHERE ((xor((xor(doc_id, ${Sampling.seedA(11L)}) % 2147483629)
-        |              * 2654435761 % 4294967296,
-        |            ((doc_id + ${Sampling.seedB(11L)}) % 2147483587)
-        |              * 2246822519 % 4294967296)
-        |        % 2147483629) * 2654435761 % 4294967296) / 4294967296.0
+        |WHERE ${uniformU32Sql("doc_id", 11L)} / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0 ELSE 0.6 END""".stripMargin,
+
+    "q_split_assign" -> {
+      val bounds = graft.operators.Splits.cumulativeBounds(
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      // the bounds interpolate as full-precision doubles (0.8 + 0.1 is
+      // 0.9000000000000001 in IEEE — writing "0.9" would disagree with the
+      // plan on a hash landing in the gap)
+      s"""SELECT CASE WHEN u < ${bounds(0)} THEN 'train'
+        |            WHEN u < ${bounds(1)} THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM (SELECT ${uniformU32Sql("doc_id", 42L)} / 4294967296.0 AS u
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin
+    },
 
     "q_text_repetition" ->
       """WITH toks AS (

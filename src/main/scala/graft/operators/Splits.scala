@@ -27,16 +27,29 @@ object Splits {
       weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be non-empty and positive")
-    val total = weights.map(_._2).sum
-    // u ∈ [0, 1): 20 uniform hash bits — plenty below any realistic
-    // split-fraction resolution
-    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 20))
-      .cast("double") / (1L << 20).toDouble
-    val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
-    val expr0: Column = weights.init.zip(bounds).reverse
+    // u ∈ [0, 1) from the shared Sampling hash: pure int64 arithmetic, so
+    // an external engine (the DuckDB oracle) reproduces the exact deal —
+    // the r7 xxhash64 draw was equally deterministic but SQL-opaque, which
+    // left the split gate rows-only. Shares Sampling's id dispatch too:
+    // string ids hash, lossy id types raise (never a silently-NULL deal).
+    // Use a seed distinct from any concurrent Sampling step: the same
+    // (id, seed) pair yields the same u, which would correlate the sample
+    // with the split boundaries.
+    val u = Sampling.uniform(Sampling.idAsLong(df, idCol), seed)
+    val expr0: Column = weights.init.zip(cumulativeBounds(weights)).reverse
       .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
         when(u < hi, lit(name)).otherwise(acc)
       }
     df.withColumn("split", expr0)
+  }
+
+  /** Normalized cumulative upper bounds for all but the last split —
+    * exposed so an oracle can interpolate the EXACT doubles the plan
+    * compares against (0.8 + 0.1 is 0.9000000000000001 in IEEE; writing
+    * "0.9" in SQL would disagree on a hash landing in the gap).
+    */
+  private[graft] def cumulativeBounds(weights: Seq[(String, Double)]): Seq[Double] = {
+    val total = weights.map(_._2).sum
+    weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
   }
 }
