@@ -33,6 +33,51 @@ class CdcStreamSpec extends SparkSpec {
       Set((1L, "one"), (2L, "two"), (3L, "three")))
   }
 
+  test("writer lease: second live writer fails fast; stale lease steals; release hands over") {
+    val dir = tmp("store")
+    val s1 = newStore(dir) // initialize claims the lease
+    val up = Seq((Cdc.Upsert, 10L, 9L, "nine"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    s1.merge(up) // heartbeat
+    // a second writer over the same dir must fail FAST, for merge and
+    // compact both (two interleaved _staging overwrites corrupt a swap)
+    val s2 = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    val err = intercept[IllegalStateException] { s2.merge(up) }
+    assert(err.getMessage.contains("single-writer"), err.getMessage)
+    intercept[IllegalStateException] { s2.compact() }
+    // a READER through another instance is fine — and must leave the live
+    // writer's state alone (no recovery-driven staging deletes, ADVICE r7)
+    assert(s2.snapshot().as[(Long, String)].collect().toMap.get(9L)
+      .contains("nine"))
+    // clean handover: release, then the second writer proceeds
+    s1.releaseLease()
+    s2.merge(Seq((Cdc.Upsert, 11L, 9L, "NINE"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(s2.snapshot().as[(Long, String)].collect().toMap.get(9L)
+      .contains("NINE"))
+    // crashed-writer takeover: a ttl-0 store treats any foreign lease as
+    // expired and steals it
+    val s3 = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4,
+      leaseTtlMs = 0L)
+    s3.merge(Seq((Cdc.Upsert, 12L, 9L, "n9"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(s3.snapshot().as[(Long, String)].collect().toMap.get(9L)
+      .contains("n9"))
+    // restart-with-stable-identity: same writerId resumes its own lease
+    // without waiting out the TTL
+    val jobA = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4,
+      writerId = Some("job-A"))
+    intercept[IllegalStateException] { jobA.merge(up) } // s3's lease is live
+    s3.releaseLease()
+    jobA.merge(up)
+    val jobA2 = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4,
+      writerId = Some("job-A")) // "restarted" incarnation
+    jobA2.merge(Seq((Cdc.Upsert, 13L, 9L, "again"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(jobA2.snapshot().as[(Long, String)].collect().toMap.get(9L)
+      .contains("again"))
+  }
+
   test("merge applies upserts and deletes, only touched buckets rewritten") {
     val dir = tmp("store")
     val store = newStore(dir)
