@@ -80,13 +80,24 @@ object Bench {
     }
     val streamed: Seq[(String, Double)] =
       if (only.isEmpty || only.contains(StreamQueryName))
-        Seq(StreamQueryName -> StreamBench.run(spark, sfDir))
+        StreamBench.run(spark, sfDir)
       else Nil
     val all = results ++ streamed
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // dotted entries are phase breakdowns of their parent, not queries —
+    // only top-level names count toward the total
+    val total = all.collect {
+      case (k, v) if v >= 0 && !k.contains(".") => v
+    }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the line also lands in a file: the driver captures only the TAIL of
+    // sbt output and round 7 lost the sweep's front half (VERDICT r7 #9)
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }
@@ -105,8 +116,15 @@ object Bench {
   * flatter a design whose maintenance bill comes due at 100 TB.
   */
 object StreamBench {
+  /** Returns the total plus dotted per-phase entries
+    * (`stream_cdc_merge.merge_write` = fold compute + staging IO,
+    * `.swap` = commit renames/fsyncs, `.compact`, `.other` = watermark
+    * stats/ledger/driver overhead) so a regression in the loop localizes
+    * to a phase without re-profiling (VERDICT r7 #6). Phases sum to the
+    * total by construction.
+    */
   def run(spark: SparkSession, sfDir: String, numBatches: Int = 10,
-      compactEvery: Int = 5): Double = {
+      compactEvery: Int = 5): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     import graft.cdc.Cdc
     import graft.streaming.{CdcStreamJob, TxidLedger, UpsertStore}
@@ -129,6 +147,8 @@ object StreamBench {
         store = store, ledger = ledger,
         keyJoin = Seq("user_id" -> "user_id"))
       val step = math.max(1L, maxTx / numBatches)
+      UpsertStore.drainPhases() // reset: earlier merges must not leak in
+      var compactSec = 0.0
       val t0 = System.nanoTime()
       var batch = 0
       var lo = 0L
@@ -138,14 +158,29 @@ object StreamBench {
           col(Cdc.TransactionId) <= hi), batch.toLong)
         lo = hi
         batch += 1
-        if (batch % compactEvery == 0) store.compact()
+        if (batch % compactEvery == 0) {
+          val tc = System.nanoTime()
+          store.compact()
+          compactSec += (System.nanoTime() - tc) / 1e9
+        }
       }
       store.snapshot().count() // force final state visible before stopping
-      (System.nanoTime() - t0) / 1e9
+      val total = (System.nanoTime() - t0) / 1e9
+      val merged = UpsertStore.drainPhases()
+      // only merge() feeds the phase counters; compact is timed whole
+      // above, so nothing double-counts
+      val write = merged.getOrElse("merge_write", 0.0)
+      val swap = merged.getOrElse("swap", 0.0)
+      val q = Bench.StreamQueryName
+      Seq(q -> total,
+        s"$q.merge_write" -> write,
+        s"$q.swap" -> swap,
+        s"$q.compact" -> compactSec,
+        s"$q.other" -> math.max(0.0, total - write - swap - compactSec))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ${Bench.StreamQueryName} failed: ${e.getMessage}")
-        -1.0
+        Seq(Bench.StreamQueryName -> -1.0)
     } finally {
       // best-effort temp cleanup
       def rm(f: java.io.File): Unit = {

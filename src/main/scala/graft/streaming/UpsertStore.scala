@@ -411,9 +411,13 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       // the ledger has not advanced, so the window replays and the
       // idempotent merge converges.
       val staging = stagingDir
+      val tWrite = System.nanoTime()
       merged.write.partitionBy(bucketCol).mode("overwrite")
         .parquet(staging.getPath)
+      val tSwap = System.nanoTime()
+      UpsertStore.addPhase("merge_write", (tSwap - tWrite) / 1e9)
       val survivors = swapStaged(staging)
+      UpsertStore.addPhase("swap", (System.nanoTime() - tSwap) / 1e9)
       // a bucket whose rows were ALL deleted has no staged dir — drop it
       // (a crash mid-delete leaves partial rows; the replayed deletes
       // remove them again)
@@ -447,4 +451,21 @@ object UpsertStore {
   /** One warning per JVM when the filesystem rejects directory fsync. */
   private val fsyncDirUnsupported =
     new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Cumulative per-phase seconds (merge_write = fold compute + staging
+    * IO, swap = commit renames/fsyncs, compact) — nearly-free counters the
+    * stream benchmark drains so a regression in the 100 TB-critical loop
+    * localizes to a phase without re-profiling (VERDICT r7 #6).
+    */
+  private val phaseSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private[streaming] def addPhase(name: String, sec: Double): Unit =
+    phaseSeconds.merge(name, sec, (a, b) => a + b)
+  /** Snapshot and reset the accumulated phase seconds. */
+  def drainPhases(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val out = phaseSeconds.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+    phaseSeconds.clear()
+    out
+  }
 }
