@@ -694,6 +694,27 @@ object SparkEntry {
         TextAnalysis.languageId(col("text")).alias("detected_lang"))
     }),
 
+    // The one-scan curation profile: language, quality, counts, and
+    // repetition from a SINGLE projection over a single read — what a real
+    // curation pass does instead of N scans (the per-metric gates above
+    // stay for isolation; this one proves the composition and halves the
+    // widen kernel's recompute when metrics are wanted together).
+    "q_text_profile" -> ((s, dir) => {
+      Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).alias("detected_lang"),
+          TextAnalysis.bpeishTokenCount(col("text")).alias("n_bpeish_tokens"),
+          round(TextAnalysis.qualityScore(col("text")), 6).alias("quality_r"),
+          length(col("text")).alias("n_chars_calc"),
+          size(split(trim(col("text")), "\\s+")).alias("n_tokens"),
+          length(regexp_replace(col("text"), "[^.,;:!?]", "")).alias("n_punct"),
+          TextAnalysis.topNgramFractions(col("text"), Seq(2, 3)).alias("_fr"))
+        .select(col("doc_id"), col("detected_lang"), col("n_bpeish_tokens"),
+          col("quality_r"), col("n_chars_calc"), col("n_tokens"), col("n_punct"),
+          round(element_at(col("_fr"), 1), 6).alias("top2gram_frac"),
+          round(element_at(col("_fr"), 2), 6).alias("top3gram_frac"))
+    }),
+
     // Rolling-hash document fingerprint + SimHash (native expressions).
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1305,6 +1326,92 @@ object SparkEntry {
       " * 2246822519 % 4294967296)" +
       " % 2147483629) * 2654435761 % 4294967296)"
 
+  // ── Text-metric oracles, lifted to vals: each gates its own query AND
+  // composes into the one-scan q_text_profile gate (same text, same SQL —
+  // a drift in one shows up as a hash mismatch in the other) ─────────────
+  private val TextStatsOracle =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_calc,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      |FROM documents""".stripMargin
+
+  private val TextQualityOracle =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS DOUBLE) AS nchars,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS ntoks,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+      |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+      |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS en_score
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish_tokens,
+      |  round(
+      |    0.4 * (CASE WHEN ntoks >= 20 THEN 1.0 ELSE ntoks / 20.0 END)
+      |  + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 1.0 - punct_ratio END)
+      |  + 0.2 * (CASE WHEN nchars / greatest(ntoks, 1.0) >= 3
+      |                 AND nchars / greatest(ntoks, 1.0) <= 10 THEN 1.0 ELSE 0.5 END)
+      |  + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END), 6) AS quality_r
+      |FROM t""".stripMargin
+
+  private val TextRepetitionOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+      |    for i in range(1, len(ws))]) AS g, len(ws) AS n
+      |  FROM toks WHERE len(ws) >= 2),
+      |g3 AS (
+      |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |    for i in range(1, len(ws) - 1)]) AS g, len(ws) AS n
+      |  FROM toks WHERE len(ws) >= 3),
+      |t2 AS (
+      |  SELECT doc_id, round(least(1.0, 2.0 * max(cnt) / any_value(n)), 6) AS f FROM (
+      |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
+      |    FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+      |t3 AS (
+      |  SELECT doc_id, round(least(1.0, 3.0 * max(cnt) / any_value(n)), 6) AS f FROM (
+      |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
+      |    FROM g3 GROUP BY doc_id, g) GROUP BY doc_id)
+      |SELECT toks.doc_id,
+      |  COALESCE(t2.f, 0.0) AS top2gram_frac,
+      |  COALESCE(t3.f, 0.0) AS top3gram_frac
+      |FROM toks LEFT JOIN t2 ON toks.doc_id = t2.doc_id
+      |LEFT JOIN t3 ON toks.doc_id = t3.doc_id""".stripMargin
+
+  private val TextLangidOracle =
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+      |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_en,
+      |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      |      ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS DOUBLE)
+      |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_de,
+      |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      |      ['le','la','les','et','est','un','une','des','que','pour'])) AS DOUBLE)
+      |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_fr,
+      |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      |      ['el','la','los','las','y','es','un','una','que','por'])) AS DOUBLE)
+      |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_es,
+      |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN cjk > 0.2 THEN 'zh'
+      |       WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+      |         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |              WHEN s_fr >= s_es THEN 'fr'
+      |              ELSE 'es' END
+      |       ELSE 'und' END AS detected_lang
+      |FROM s""".stripMargin
+
   /** The delta-fold oracle, shared by the fold itself and the wire-format
     * round-trips (identity transforms over the same fold).
     */
@@ -1597,12 +1704,19 @@ object SparkEntry {
         |       count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
 
-    "q_text_stats" ->
-      """SELECT doc_id,
-        |  length(text) AS n_chars_calc,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-        |FROM documents""".stripMargin,
+    "q_text_stats" -> TextStatsOracle,
+
+    // the one-scan curation profile: every per-doc text metric from one
+    // projection; the oracle composes the four single-metric oracles, so
+    // the combined gate and the individual gates cross-check each other
+    "q_text_profile" ->
+      s"""SELECT l.doc_id, l.detected_lang, q.n_bpeish_tokens, q.quality_r,
+        |       s.n_chars_calc, s.n_tokens, s.n_punct,
+        |       r.top2gram_frac, r.top3gram_frac
+        |FROM ($TextLangidOracle) l
+        |JOIN ($TextQualityOracle) q ON l.doc_id = q.doc_id
+        |JOIN ($TextStatsOracle) s ON l.doc_id = s.doc_id
+        |JOIN ($TextRepetitionOracle) r ON l.doc_id = r.doc_id""".stripMargin,
 
     "q3_order_revenue" ->
       """SELECT o_orderkey,
@@ -1669,53 +1783,9 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin
     },
 
-    "q_text_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-        |  FROM documents),
-        |g2 AS (
-        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
-        |    for i in range(1, len(ws))]) AS g, len(ws) AS n
-        |  FROM toks WHERE len(ws) >= 2),
-        |g3 AS (
-        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |    for i in range(1, len(ws) - 1)]) AS g, len(ws) AS n
-        |  FROM toks WHERE len(ws) >= 3),
-        |t2 AS (
-        |  SELECT doc_id, round(least(1.0, 2.0 * max(cnt) / any_value(n)), 6) AS f FROM (
-        |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
-        |    FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
-        |t3 AS (
-        |  SELECT doc_id, round(least(1.0, 3.0 * max(cnt) / any_value(n)), 6) AS f FROM (
-        |    SELECT doc_id, g, count(*) AS cnt, any_value(n) AS n
-        |    FROM g3 GROUP BY doc_id, g) GROUP BY doc_id)
-        |SELECT toks.doc_id,
-        |  COALESCE(t2.f, 0.0) AS top2gram_frac,
-        |  COALESCE(t3.f, 0.0) AS top3gram_frac
-        |FROM toks LEFT JOIN t2 ON toks.doc_id = t2.doc_id
-        |LEFT JOIN t3 ON toks.doc_id = t3.doc_id""".stripMargin,
+    "q_text_repetition" -> TextRepetitionOracle,
 
-    "q_text_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    CAST(length(text) AS DOUBLE) AS nchars,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS ntoks,
-        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
-        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
-        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS en_score
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish_tokens,
-        |  round(
-        |    0.4 * (CASE WHEN ntoks >= 20 THEN 1.0 ELSE ntoks / 20.0 END)
-        |  + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 1.0 - punct_ratio END)
-        |  + 0.2 * (CASE WHEN nchars / greatest(ntoks, 1.0) >= 3
-        |                 AND nchars / greatest(ntoks, 1.0) <= 10 THEN 1.0 ELSE 0.5 END)
-        |  + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END), 6) AS quality_r
-        |FROM t""".stripMargin,
+    "q_text_quality" -> TextQualityOracle,
 
     "q_dedup_minhash_pairs" ->
       """WITH sh AS (
@@ -1846,33 +1916,7 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
-    "q_text_langid" ->
-      """WITH s AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
-        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
-        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_en,
-        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
-        |      ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS DOUBLE)
-        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_de,
-        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
-        |      ['le','la','les','et','est','un','une','des','que','pour'])) AS DOUBLE)
-        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_fr,
-        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
-        |      ['el','la','los','las','y','es','un','una','que','por'])) AS DOUBLE)
-        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_es,
-        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN cjk > 0.2 THEN 'zh'
-        |       WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
-        |         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-        |              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-        |              WHEN s_fr >= s_es THEN 'fr'
-        |              ELSE 'es' END
-        |       ELSE 'und' END AS detected_lang
-        |FROM s""".stripMargin,
+    "q_text_langid" -> TextLangidOracle,
 
     "q_a6_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,

@@ -129,6 +129,66 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("skew stress: a 90%-hot stratum shuffles no more than a uniform one") {
+    // "half of 100 TB is English": quotaPerStratum claims only quota-sized
+    // buffers ever shuffle, so a hot stratum must not move more data than a
+    // uniform spread (a per-stratum window sort would funnel 90% of rows
+    // through one task — the design this operator explicitly rejects).
+    // Measured, not argued: count actual shuffle-write records (VERDICT r7).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def shuffled(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        records.set(0)
+        body
+        // listener events are async: poll until the counter goes quiet
+        var last = -1L
+        var spins = 0
+        while (records.get() != last && spins < 50) {
+          last = records.get(); Thread.sleep(100); spins += 1
+        }
+        records.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val n = 100000L
+    val skewed = spark.range(n)
+      .select(col("id"), when(col("id") % 10 < 9, "en")
+        .otherwise(concat(lit("s"), (col("id") % 5).cast("string")))
+        .alias("stratum"))
+    val uniform = spark.range(n)
+      .select(col("id"), concat(lit("s"), (col("id") % 6).cast("string"))
+        .alias("stratum"))
+    val skewRec = shuffled {
+      Sampling.quotaPerStratum(skewed, "id", "stratum", 20, seed = 3L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val unifRec = shuffled {
+      Sampling.quotaPerStratum(uniform, "id", "stratum", 20, seed = 3L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // absolute bound: partial buffers (≤ partitions × strata) + picked rows
+    // (≤ strata × quota) + driver-side slack — NEVER the 90k hot-stratum rows
+    val parts = spark.sparkContext.defaultParallelism
+    val bound = parts * 6 + 6 * 20 + 200
+    assert(skewRec <= bound, s"skewed stratum shuffled $skewRec > $bound rows")
+    assert(unifRec <= bound, s"uniform strata shuffled $unifRec > $bound rows")
+    // and skew must not cost MORE shuffle than uniform (flat by design)
+    assert(skewRec <= unifRec * 2 + 100,
+      s"skew-sensitive shuffle: skewed=$skewRec uniform=$unifRec")
+    // mix on the same skewed frame is a pure map-side filter: zero shuffle
+    val mixRec = shuffled {
+      Sampling.mix(skewed, "id", "stratum", Map("en" -> 0.1), 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(mixRec == 0L, s"mix shuffled $mixRec records")
+  }
+
   test("plan shape: bernoulli/mix are map-side filters, quota is a bounded partial agg") {
     val bPlan = Sampling.bernoulli(docs, "id", 0.5).queryExecution
       .executedPlan.toString
