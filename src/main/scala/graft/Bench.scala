@@ -117,11 +117,12 @@ object Bench {
   */
 object StreamBench {
   /** Returns the total plus dotted per-phase entries
-    * (`stream_cdc_merge.merge_write` = fold compute + staging IO,
-    * `.swap` = commit renames/fsyncs, `.compact`, `.other` = watermark
-    * stats/ledger/driver overhead) so a regression in the loop localizes
-    * to a phase without re-profiling (VERDICT r7 #6). Phases sum to the
-    * total by construction.
+    * (`stream_cdc_merge.merge_fold` = CDC fold compute into cache,
+    * `.merge_write` = staging IO from cache, `.swap` = commit renames/
+    * fsyncs, `.compact`, `.other` = watermark stats/ledger/driver
+    * overhead) so a regression in the loop localizes to a phase without
+    * re-profiling (VERDICT r7 #6). Phases sum to the total by
+    * construction.
     */
   def run(spark: SparkSession, sfDir: String, numBatches: Int = 10,
       compactEvery: Int = 5): Seq[(String, Double)] = {
@@ -169,14 +170,17 @@ object StreamBench {
       val merged = UpsertStore.drainPhases()
       // only merge() feeds the phase counters; compact is timed whole
       // above, so nothing double-counts
+      val fold = merged.getOrElse("merge_fold", 0.0)
       val write = merged.getOrElse("merge_write", 0.0)
       val swap = merged.getOrElse("swap", 0.0)
       val q = Bench.StreamQueryName
       Seq(q -> total,
+        s"$q.merge_fold" -> fold,
         s"$q.merge_write" -> write,
         s"$q.swap" -> swap,
         s"$q.compact" -> compactSec,
-        s"$q.other" -> math.max(0.0, total - write - swap - compactSec))
+        s"$q.other" ->
+          math.max(0.0, total - fold - write - swap - compactSec))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ${Bench.StreamQueryName} failed: ${e.getMessage}")

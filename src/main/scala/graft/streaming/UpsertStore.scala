@@ -359,8 +359,15 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     recoverSwap() // a crashed prior swap must heal before we read `existing`
     val batch = withBucket(folded).cache()
     try {
+      // this probe is the first ACTION over the folded plan: the CDC fold
+      // (join against the master) computes here and lands in the cache, so
+      // it gets its own phase counter — attributing it to the staging
+      // write (which replays from cache) would mislocalize a fold
+      // regression
+      val tFold = System.nanoTime()
       val changedBuckets = batch.select(bucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
+      UpsertStore.addPhase("merge_fold", (System.nanoTime() - tFold) / 1e9)
       if (changedBuckets.isEmpty) return
       // read with the persisted schema: after a batch deletes every remaining
       // row the store holds no data files, and schema inference would fail

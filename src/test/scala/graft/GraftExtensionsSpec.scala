@@ -50,6 +50,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 3) // 4 words → 3 bigrams
   }
 
+  test("top_ngram_fraction resolves in SQL (r8 kernel)") {
+    val r = spark.sql(
+      """SELECT top_ngram_fraction('a b a b a b', 2) AS boiler,
+        |       top_ngram_fraction('w x y z', 2) AS clean,
+        |       top_ngram_fraction('solo', 3) AS short""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("simhash/jaccard compose in SQL") {
     val j = spark.sql(
       """SELECT jaccard_sorted(shingle_hashes('abcdef', 3),
