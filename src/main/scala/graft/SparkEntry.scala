@@ -1103,6 +1103,29 @@ object SparkEntry {
         "doc_id", "text", n = 13)
     }),
 
+    // Bloom-prefiltered decontamination: same answer as q_decontaminate
+    // (bloom survivors re-verify through an exact join), but the eval side
+    // ships as ~16 bits/gram instead of an exact 64-bit hash set — the
+    // variant for eval sets too big to broadcast exactly.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlapBloom(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 13)
+    }),
+
+    // Quality-aware exact dedup: keep the cleanest copy of each duplicated
+    // document (max quality, id tie-break) — one hash-aggregate shuffle,
+    // no per-group window.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      Dedup.keepBest(t(s, dir, "documents"), "doc_id", "text",
+          round(TextAnalysis.qualityScore(col("text")), 6))
+        .withColumnRenamed("content_hash", "text_hash")
+        .select(col("text_hash"), col("keep_id"), col("best_score"),
+          col("n_copies"))
+    }),
+
     // PII scrub: placeholder redaction + match accounting over a string
     // column, all codegen'd regexp — the scrub pass a corpus pipeline runs
     // before anything else ships.
@@ -1411,6 +1434,25 @@ object SparkEntry {
       |              ELSE 'es' END
       |       ELSE 'und' END AS detected_lang
       |FROM s""".stripMargin
+
+  /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom path
+    * must produce the IDENTICAL answer (its survivors re-verify through an
+    * exact join), so one oracle gates both.
+    */
+  private val DecontaminateOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(ws[i:i+12], ' ')
+      |                          for i in range(1, len(ws) - 11)])) AS g
+      |  FROM toks WHERE len(ws) >= 13),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+      |SELECT c.doc_id, count(*) AS n_shared
+      |FROM corpus c JOIN bench USING (g)
+      |GROUP BY c.doc_id""".stripMargin
 
   /** The delta-fold oracle, shared by the fold itself and the wire-format
     * round-trips (identity transforms over the same fold).
@@ -2024,20 +2066,25 @@ object SparkEntry {
         |FROM events JOIN bands ON value >= lo AND value <= hi
         |GROUP BY band_id""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([array_to_string(ws[i:i+12], ' ')
-        |                          for i in range(1, len(ws) - 11)])) AS g
-        |  FROM toks WHERE len(ws) >= 13),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
-        |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
-        |SELECT c.doc_id, count(*) AS n_shared
-        |FROM corpus c JOIN bench USING (g)
-        |GROUP BY c.doc_id""".stripMargin,
+    "q_decontaminate" -> DecontaminateOracle,
+
+    // identical oracle by design: the bloom is a prefilter, the exact
+    // verify join restores the exact answer
+    "q_decontaminate_bloom" -> DecontaminateOracle,
+
+    "q_dedup_keep_best" ->
+      s"""WITH q AS ($TextQualityOracle),
+        |j AS (SELECT d.text, d.doc_id, q.quality_r
+        |      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+        |r AS (SELECT text, doc_id, quality_r,
+        |        row_number() OVER (PARTITION BY text
+        |          ORDER BY quality_r DESC, doc_id DESC) AS rn
+        |      FROM j)
+        |SELECT md5(text) AS text_hash,
+        |       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+        |       max(quality_r) AS best_score,
+        |       count(*) AS n_copies
+        |FROM r GROUP BY text""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT c_custkey,

@@ -233,6 +233,29 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `bloom_might_contain(hash)` — membership probe against a driver-built
+    * bloom filter embedded in the plan (the map-side prefilter of
+    * [[graft.operators.Decontaminate.overlapBloom]]). false is definite
+    * absence; true is verified downstream by an exact join.
+    */
+  case class BloomMightContain(child: Expression, words: Array[Long], k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(words.nonEmpty && (words.length & (words.length - 1)) == 0,
+      "bloom word count must be a power of two")
+    override def inputTypes: Seq[AbstractType] = Seq(LongType)
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.bloomMightContain(words, k, v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.bloomMightContain($wordsRef, $k, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+  }
+
   /** `st_point(x, y)` — WKB point constructor (ST_POINT carrier, §1.2). */
   case class StPoint(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -399,6 +422,8 @@ object GraftExpressions {
     c(BucketNearPairs(e(col), threshold))
   def top_ngram_fractions(col: Column, ns: Seq[Int]): Column =
     c(TopNgramFractions(e(col), ns))
+  def bloom_might_contain(col: Column, words: Array[Long], k: Int): Column =
+    c(BloomMightContain(e(col), words, k))
 
   def st_point(x: Column, y: Column): Column = c(StPoint(e(x), e(y)))
   def st_x(wkb: Column): Column = c(StCoord(e(wkb), 0))

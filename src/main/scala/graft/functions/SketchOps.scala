@@ -199,6 +199,73 @@ object SketchOps {
     min
   }
 
+  // ── Bloom filter over 64-bit hashes (deterministic double hashing) ──────
+  // The prefilter behind Decontaminate.overlapBloom: ~bitsPerKey bits per
+  // element instead of 64+ for an exact hash set, so an eval set too big to
+  // broadcast exactly still broadcasts as a bloom. All parameters derive
+  // deterministically from (n, bitsPerKey) — no RNG at execution time.
+
+  /** Power-of-two bit count sized at ~bitsPerKey bits per element
+    * (capped at 2^30 bits = 128 MB).
+    */
+  def bloomNumBits(n: Long, bitsPerKey: Int): Int = {
+    val want = math.max(64L, n * bitsPerKey)
+    var bits = 64
+    while (bits < want && bits < (1 << 30)) bits <<= 1
+    bits
+  }
+
+  /** Optimal hash-function count k ≈ bitsPerKey·ln2. */
+  def bloomK(bitsPerKey: Int): Int =
+    math.max(1, math.round(bitsPerKey * 0.6931472).toInt)
+
+  /** Kirsch–Mitzenmacher double hashing: bit_i = (h1 + i·h2) & mask. */
+  private def bloomSet(words: Array[Long], mask: Int, k: Int, h: Long): Unit = {
+    var x = splitmix64(h)
+    val h2 = splitmix64(h ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = (x & mask).toInt
+      words(bit >>> 6) |= (1L << (bit & 63))
+      x += h2
+      i += 1
+    }
+  }
+
+  /** Add `hashes` into a partial bloom of `numBits` (power of two). */
+  def bloomAdd(words: Array[Long], numBits: Int, k: Int,
+      hashes: Iterator[Long]): Array[Long] = {
+    val mask = numBits - 1
+    hashes.foreach(h => bloomSet(words, mask, k, h))
+    words
+  }
+
+  /** OR-merge two partial blooms (associative/commutative — safe as a
+    * distributed aggregate combiner).
+    */
+  def bloomOr(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  /** Membership probe: false = definitely absent (the map-side drop),
+    * true = possibly present (verified downstream by an exact join).
+    */
+  def bloomMightContain(words: Array[Long], k: Int, h: Long): Boolean = {
+    val mask = (words.length << 6) - 1
+    var x = splitmix64(h)
+    val h2 = splitmix64(h ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = (x & mask).toInt
+      if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      x += h2
+      i += 1
+    }
+    true
+  }
+
   /** Little-endian WKB encoding of a 2-D point — the engine's carrier for
     * HANA ST_POINT values (§1.2: geometry maps to BinaryType/WKB).
     */

@@ -41,4 +41,44 @@ object Decontaminate {
       .agg(count(lit(1)).alias("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** [[overlap]] for eval sets too big to broadcast as an exact hash set:
+    * the benchmark grams compress into a bloom filter (~`bitsPerGram` bits
+    * per gram vs 64+ for the exact set — a 10^9-gram eval side becomes a
+    * ~2 GB set but only a ~120 MB bloom), which prefilters the corpus
+    * explode MAP-SIDE; the survivors (true matches + ~0.05% false
+    * positives at 16 bits/gram) then verify through an exact join, so the
+    * OUTPUT IS IDENTICAL to [[overlap]] — the bloom changes where bytes
+    * move, never the answer. The bloom is built distributively
+    * (per-partition partials, OR-merge — associative, so `treeAggregate`
+    * is safe) and the verify join deliberately does NOT broadcast: it
+    * shuffles only the post-bloom candidate set, which is tiny by
+    * construction.
+    */
+  def overlapBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minShared: Long = 1L,
+      bitsPerGram: Int = 16): DataFrame = {
+    import graft.functions.SketchOps
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchGrams = bench
+      .select(explode(word_ngram_hashes(col(textCol), n)).alias("_g"))
+      .distinct()
+      .cache() // two passes (size + build) + the verify join
+    val nGrams = benchGrams.count()
+    val numBits = SketchOps.bloomNumBits(math.max(1L, nGrams), bitsPerGram)
+    val k = SketchOps.bloomK(bitsPerGram)
+    val words = benchGrams.as[Long].rdd.treeAggregate(
+      new Array[Long](numBits / 64))(
+      (acc, h) => SketchOps.bloomAdd(acc, numBits, k, Iterator.single(h)),
+      (a, b) => SketchOps.bloomOr(a, b))
+    corpus
+      .select(col(idCol), explode(word_ngram_hashes(col(textCol), n)).alias("_g"))
+      .where(graft.functions.GraftExpressions
+        .bloom_might_contain(col("_g"), words, k))
+      .join(benchGrams, "_g") // exact verify over the surviving sliver
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -92,6 +92,25 @@ object Dedup {
       .select(md5(col("_norm").cast(BinaryType)).alias("content_hash"),
         col("keep_id"), col("n_copies"))
 
+  /** Exact dedup keeping the BEST copy by a caller-supplied score — the
+    * curation variant of [[exact]]: a real pipeline keeps the cleanest
+    * copy of a duplicated document (highest quality score), not the
+    * numerically-smallest id. Same single-shuffle hash-aggregate shape;
+    * the winner is a `max_by` over the lexicographic (score, id) pair —
+    * score ties resolve deterministically by id, and no per-group window
+    * sort ever exists (a hot duplicate cluster stays a partial-aggregate,
+    * not one task's sort).
+    */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+      score: Column): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(
+        max_by(col(idCol), struct(score, col(idCol))).alias("keep_id"),
+        max(score).alias("best_score"),
+        count(lit(1)).alias("n_copies"))
+      .select(md5(col(textCol).cast(BinaryType)).alias("content_hash"),
+        col("keep_id"), col("best_score"), col("n_copies"))
+
   /** MinHash signatures: distinct character-`shingleN`-gram hashes → k
     * universal-hash minima. One narrow pass, no shuffle.
     */

@@ -155,6 +155,44 @@ class AsofRangeSpec extends SparkSpec {
     assert(strict == Map(1L -> 3L))
   }
 
+  test("decontaminate bloom path ≡ exact path (output identical, map-side prefilter)") {
+    // the bloom changes where bytes move, never the answer: identical
+    // output on real text, including bloom false positives (survivors are
+    // re-verified by the exact join)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val bench = docs.where($"doc_id" % 10 === 0)
+    val exact = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 13)
+      .as[(Long, Long)].collect().toSet
+    // tiny bitsPerGram forces a HIGH false-positive rate — the exact
+    // verify join must still strip every FP
+    for (bits <- Seq(2, 16)) {
+      val bloom = Decontaminate.overlapBloom(corpus, bench, "doc_id", "text",
+        n = 13, bitsPerGram = bits).as[(Long, Long)].collect().toSet
+      assert(bloom == exact, s"bitsPerGram=$bits diverged")
+    }
+    assert(exact.nonEmpty) // the sf0.001 slice genuinely overlaps
+    // empty benchmark side: nothing flags, nothing crashes
+    assert(Decontaminate.overlapBloom(corpus, bench.where(lit(false)),
+      "doc_id", "text", n = 13).count() == 0)
+  }
+
+  test("dedup keepBest keeps the highest-scoring copy, ties resolve by id") {
+    val df = Seq(
+      (1L, "same text", 0.3), (2L, "same text", 0.9), (3L, "same text", 0.9),
+      (4L, "other", 0.5)
+    ).toDF("doc_id", "text", "q")
+    val got = Dedup.keepBest(df, "doc_id", "text", $"q")
+      .select($"keep_id", $"best_score", $"n_copies")
+      .as[(Long, Double, Long)].collect().toSet
+    // score tie at 0.9 → larger id wins (lexicographic (score, id) max)
+    assert(got == Set((3L, 0.9, 3L), (4L, 0.5, 1L)))
+    // partition-invariant
+    val re = Dedup.keepBest(df.repartition(5), "doc_id", "text", $"q")
+      .select($"keep_id").as[Long].collect().toSet
+    assert(re == Set(3L, 4L))
+  }
+
   test("decontaminate plan: benchmark side broadcasts") {
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bench = Seq((2L, "a b c")).toDF("doc_id", "text")
