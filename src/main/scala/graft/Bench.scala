@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   val StreamQueryName = "stream_cdc_merge"
+  val StreamMorQueryName = "stream_cdc_merge_mor"
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
-    val unknown = only.diff(SparkEntry.queries.keySet + StreamQueryName)
+    val unknown = only.diff(
+      SparkEntry.queries.keySet + StreamQueryName + StreamMorQueryName)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,9 +81,12 @@ object Bench {
       name -> t
     }
     val streamed: Seq[(String, Double)] =
-      if (only.isEmpty || only.contains(StreamQueryName))
+      (if (only.isEmpty || only.contains(StreamQueryName))
         StreamBench.run(spark, sfDir)
-      else Nil
+      else Nil) ++
+      (if (only.isEmpty || only.contains(StreamMorQueryName))
+        StreamBench.run(spark, sfDir, mergeOnRead = true)
+      else Nil)
     val all = results ++ streamed
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -125,7 +130,7 @@ object StreamBench {
     * construction.
     */
   def run(spark: SparkSession, sfDir: String, numBatches: Int = 10,
-      compactEvery: Int = 5): Seq[(String, Double)] = {
+      compactEvery: Int = 5, mergeOnRead: Boolean = false): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     import graft.cdc.Cdc
     import graft.streaming.{CdcStreamJob, TxidLedger, UpsertStore}
@@ -137,7 +142,7 @@ object StreamBench {
     val work = java.nio.file.Files.createTempDirectory("graft-streambench")
     try {
       val store = new UpsertStore(spark, work.resolve("store").toString,
-        pkCols = Seq("user_id"), numBuckets = 32)
+        pkCols = Seq("user_id"), numBuckets = 32, mergeOnRead = mergeOnRead)
       store.initialize(Cdc.initialLoad(
         customer.select(col("c_custkey").alias("user_id"), col("c_name"),
           col("c_acctbal"))))
@@ -169,11 +174,15 @@ object StreamBench {
       val total = (System.nanoTime() - t0) / 1e9
       val merged = UpsertStore.drainPhases()
       // only merge() feeds the phase counters; compact is timed whole
-      // above, so nothing double-counts
+      // above, so nothing double-counts. In MOR mode merge_fold reads 0 —
+      // there is no changed-bucket probe, so the CDC fold computes lazily
+      // INSIDE the delta write (merge_write covers fold + IO there) — and
+      // `other` carries the read-side snapshot fold, the price MOR trades
+      // its O(batch) writes for.
       val fold = merged.getOrElse("merge_fold", 0.0)
       val write = merged.getOrElse("merge_write", 0.0)
       val swap = merged.getOrElse("swap", 0.0)
-      val q = Bench.StreamQueryName
+      val q = if (mergeOnRead) Bench.StreamMorQueryName else Bench.StreamQueryName
       Seq(q -> total,
         s"$q.merge_fold" -> fold,
         s"$q.merge_write" -> write,
@@ -183,8 +192,9 @@ object StreamBench {
           math.max(0.0, total - fold - write - swap - compactSec))
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] ${Bench.StreamQueryName} failed: ${e.getMessage}")
-        Seq(Bench.StreamQueryName -> -1.0)
+        val q = if (mergeOnRead) Bench.StreamMorQueryName else Bench.StreamQueryName
+        System.err.println(s"[bench] $q failed: ${e.getMessage}")
+        Seq(q -> -1.0)
     } finally {
       // best-effort temp cleanup
       def rm(f: java.io.File): Unit = {

@@ -38,10 +38,22 @@ import graft.cdc.Cdc
   *   passes its job id resumes its own lease immediately instead of
   *   waiting out the TTL of the lease its previous incarnation left
   *   behind. Defaults to a fresh per-instance id.
+  * @param mergeOnRead storage strategy. `false` (default) is COPY-ON-WRITE:
+  *   each merge rewrites the touched buckets, reads stay a plain scan.
+  *   `true` is MERGE-ON-READ: each merge APPENDS a sequenced delta dir —
+  *   O(batch) regardless of how much base data the touched buckets hold —
+  *   and `snapshot()` folds base ∪ deltas by (pk, max seq), paying one
+  *   shuffle at read; `compact()` folds the deltas back into the base and
+  *   drops them. The classic lakehouse tradeoff (Hudi COW vs MOR, Delta
+  *   deletion vectors): write-heavy loops with infrequent reads want MOR,
+  *   read-heavy replicas want COW. Both modes share the same lease,
+  *   recovery, and schema-evolution machinery, and converge to identical
+  *   snapshots for the same batch sequence (spec-pinned).
   */
 class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     numBuckets: Int = 16, broadcastBatchKeys: Boolean = true,
-    leaseTtlMs: Long = 10 * 60 * 1000L, writerId: Option[String] = None) {
+    leaseTtlMs: Long = 10 * 60 * 1000L, writerId: Option[String] = None,
+    mergeOnRead: Boolean = false) {
 
   private val bucketCol = "_bucket"
 
@@ -181,7 +193,8 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     // (ADVICE r7). Debris is invisible to Spark's file listing, so
     // skipping costs nothing; the owner heals on its next operation.
     if (!foreignLeaseFresh()) recoverSwap()
-    spark.read.schema(savedSchema).parquet(dir).drop(bucketCol)
+    if (mergeOnRead) foldedView().drop(bucketCol)
+    else spark.read.schema(savedSchema).parquet(dir).drop(bucketCol)
   }
 
   private def stagingDir = new java.io.File(dir, "_staging")
@@ -357,6 +370,126 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   def merge(folded: DataFrame): Unit = opLock.synchronized {
     acquireLease() // single-writer fence + heartbeat
     recoverSwap() // a crashed prior swap must heal before we read `existing`
+    if (mergeOnRead) mergeDelta(folded) else mergeCow(folded)
+  }
+
+  // ── Merge-on-read machinery ──────────────────────────────────────────────
+
+  /** Durable monotonic delta sequence. NEVER resets (compaction removes
+    * delta dirs but not the counter): if it restarted at 1, a stale delta
+    * dir surviving a crashed compaction would outrank every new delta and
+    * resurrect old values. Advanced via write-temp + atomic move; a crash
+    * between advance and delta publish leaves a harmless gap.
+    */
+  private def seqFile = new java.io.File(dir, "_graft_seq")
+
+  private def nextSeq(): Long = {
+    val cur = if (seqFile.exists())
+      new String(java.nio.file.Files.readAllBytes(seqFile.toPath), "UTF-8")
+        .trim.toLong
+    else 0L
+    val next = cur + 1
+    val tmp = java.nio.file.Files.createTempFile(
+      new java.io.File(dir).toPath, "_graft_seq", ".tmp")
+    java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
+    locally {
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    }
+    java.nio.file.Files.move(tmp, seqFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(new java.io.File(dir))
+    next
+  }
+
+  /** Complete (published) delta dirs, ascending by sequence. */
+  private def deltaSeqDirs: Seq[(Long, java.io.File)] =
+    Option(new java.io.File(dir).listFiles((f: java.io.File) =>
+      f.isDirectory && f.getName.matches("_delta_\\d+")))
+      .getOrElse(Array.empty[java.io.File])
+      .map(f => (f.getName.stripPrefix("_delta_").toLong, f))
+      .sortBy(_._1).toSeq
+
+  private val seqCol = "_graft_seq"
+
+  /** MOR merge: append the folded batch as one sequenced delta dir.
+    * O(batch) — the base is never read, never rewritten; deletes persist
+    * as 'D' marker rows until [[compact]] folds them away. Publication is
+    * a single atomic rename of a fully-fsynced dir, so readers only ever
+    * see complete deltas and the crash story needs no marker protocol at
+    * all (the COW swap's retire/promote dance exists because it REPLACES
+    * live dirs; an append replaces nothing).
+    */
+  private def mergeDelta(folded: DataFrame): Unit = {
+    // sweep tmp orphans from a crashed publish (invisible to readers,
+    // but they would accumulate)
+    Option(new java.io.File(dir).listFiles((_, n) => n.startsWith("_delta_tmp_")))
+      .foreach(_.foreach(rmTree))
+    val data = withBucket(folded.drop(Cdc.TransactionId)) // ChangeType stays
+    // widen the persisted schema BEFORE publishing data that carries new
+    // columns (crash between the two must not hide a column; same
+    // reasoning as the COW path)
+    val existing = savedSchema
+    val newFields = data.schema.fields.filter(f =>
+      f.name != Cdc.ChangeType && !existing.fieldNames.contains(f.name))
+    if (newFields.nonEmpty) {
+      val added = newFields.map(_.name).toSeq.sorted
+      org.slf4j.LoggerFactory.getLogger(classOf[UpsertStore]).warn(
+        s"schema evolution in $dir: delta adds $added — " +
+          "verify this is not a renamed column")
+      val woBucket = existing.fields.filterNot(_.name == bucketCol)
+      writeSchema(org.apache.spark.sql.types.StructType(
+        (woBucket ++ newFields) :+ existing(existing.fieldIndex(bucketCol))))
+    }
+    val seq = nextSeq()
+    val tmp = new java.io.File(dir, s"_delta_tmp_$seq")
+    val tWrite = System.nanoTime()
+    data.write.partitionBy(bucketCol).mode("overwrite").parquet(tmp.getPath)
+    val tPublish = System.nanoTime()
+    UpsertStore.addPhase("merge_write", (tPublish - tWrite) / 1e9)
+    // data durability before the publish rename (Spark never fsyncs)
+    stagedBuckets(tmp).foreach { d =>
+      Option(d.listFiles()).foreach(_.filter(_.isFile).foreach(fsyncFile))
+      fsyncDir(d)
+    }
+    fsyncDir(tmp)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, s"_delta_$seq").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fsyncDir(new java.io.File(dir))
+    UpsertStore.addPhase("swap", (System.nanoTime() - tPublish) / 1e9)
+  }
+
+  /** Base ∪ deltas, folded last-write-wins by (pk, max seq), deletes
+    * dropped — the MOR read path (one shuffle on the PK; COW reads pay
+    * nothing, MOR writes pay nothing: pick per workload). Reads with the
+    * widened persisted schema, so pre-evolution files null-fill.
+    */
+  private def foldedView(): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withEnvelope = StructType(
+      savedSchema.fields :+ StructField(Cdc.ChangeType, StringType))
+    val base = spark.read.schema(savedSchema).parquet(dir)
+      .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+      .withColumn(seqCol, lit(0L))
+    val all = deltaSeqDirs.foldLeft(base) { case (acc, (seq, d)) =>
+      acc.unionByName(
+        spark.read.schema(withEnvelope).parquet(d.getPath)
+          .withColumn(seqCol, lit(seq)),
+        allowMissingColumns = true)
+    }
+    val payload = struct(withEnvelope.fieldNames.map(col).toIndexedSeq: _*)
+    all.groupBy(pkCols.map(col): _*)
+      .agg(max_by(payload, col(seqCol)).alias("_r"))
+      .select(col("_r.*"))
+      .where(col(Cdc.ChangeType) === Cdc.Upsert)
+      .drop(Cdc.ChangeType)
+  }
+
+  /** COW merge (the default path; see class doc). */
+  private def mergeCow(folded: DataFrame): Unit = {
     val batch = withBucket(folded).cache()
     try {
       // this probe is the first ACTION over the folded plan: the CDC fold
@@ -446,11 +579,37 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   def compact(): Unit = opLock.synchronized {
     acquireLease() // single-writer fence + heartbeat
     recoverSwap()
-    val data = spark.read.schema(savedSchema).parquet(dir)
-      .repartition(col(bucketCol))
-    val staging = stagingDir
-    data.write.partitionBy(bucketCol).mode("overwrite").parquet(staging.getPath)
-    swapStaged(staging)
+    if (mergeOnRead) {
+      // fold every delta into the base via the same staged swap COW uses,
+      // then drop the deltas. Crash anywhere: the base keeps one complete
+      // copy per bucket, and leftover deltas re-fold over the compacted
+      // base to the IDENTICAL state (LWW of equal values; deletes of
+      // absent keys are no-ops) — so partial delta removal is harmless.
+      val pre = deltaSeqDirs
+      if (pre.isEmpty) return
+      val data = foldedView().repartition(col(bucketCol))
+      val staging = stagingDir
+      data.write.partitionBy(bucketCol).mode("overwrite")
+        .parquet(staging.getPath)
+      val survivors = swapStaged(staging)
+      // a bucket whose keys were ALL deleted has no staged dir: drop its
+      // pre-compaction base copy (deletes only materialize here in MOR)
+      Option(new java.io.File(dir).listFiles((f: java.io.File) =>
+        f.getName.startsWith(s"$bucketCol=")))
+        .getOrElse(Array.empty[java.io.File])
+        .filterNot(d =>
+          survivors.contains(d.getName.stripPrefix(s"$bucketCol=").toInt))
+        .foreach(rmTree)
+      pre.foreach { case (_, d) => rmTree(d) }
+      fsyncDir(new java.io.File(dir))
+    } else {
+      val data = spark.read.schema(savedSchema).parquet(dir)
+        .repartition(col(bucketCol))
+      val staging = stagingDir
+      data.write.partitionBy(bucketCol).mode("overwrite")
+        .parquet(staging.getPath)
+      swapStaged(staging)
+    }
   }
 }
 

@@ -78,6 +78,116 @@ class CdcStreamSpec extends SparkSpec {
       .contains("again"))
   }
 
+  // ── Merge-on-read mode ──────────────────────────────────────────────────
+
+  private def morStore(dir: String): UpsertStore = {
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4,
+      mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "payload")))
+    store
+  }
+
+  test("MOR: same snapshots as COW across a batch sequence; O(batch) appends") {
+    val cow = newStore(tmp("cow"))
+    val morDir = tmp("mor")
+    val mor = morStore(morDir)
+    val batches = Seq(
+      Seq((Cdc.Upsert, 10L, 2L, "TWO"), (Cdc.Upsert, 11L, 9L, "nine"),
+        (Cdc.Delete, 12L, 3L, null.asInstanceOf[String])),
+      Seq((Cdc.Upsert, 13L, 9L, "NINE"), (Cdc.Delete, 14L, 1L, null.asInstanceOf[String])),
+      Seq((Cdc.Upsert, 15L, 3L, "back"), (Cdc.Upsert, 16L, 2L, "two2")))
+    for (b <- batches) {
+      val df = b.toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+      cow.merge(df); mor.merge(df)
+      assert(mor.snapshot().as[(Long, String)].collect().toSet ==
+        cow.snapshot().as[(Long, String)].collect().toSet)
+    }
+    assert(mor.snapshot().as[(Long, String)].collect().toSet ==
+      Set((2L, "two2"), (9L, "NINE"), (3L, "back")))
+    // the base was never rewritten: three published delta dirs exist
+    val root = new java.io.File(morDir)
+    assert(root.listFiles((_: java.io.File, n: String) =>
+      n.matches("_delta_\\d+")).length == 3)
+  }
+
+  test("MOR: replay of the same batch is idempotent (a later equal delta wins harmlessly)") {
+    val mor = morStore(tmp("morr"))
+    val b = Seq((Cdc.Upsert, 10L, 2L, "TWO"),
+      (Cdc.Delete, 11L, 1L, null.asInstanceOf[String]))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    mor.merge(b)
+    val first = mor.snapshot().as[(Long, String)].collect().toSet
+    mor.merge(b) // replay: a second delta with identical content
+    assert(mor.snapshot().as[(Long, String)].collect().toSet == first)
+    assert(first == Set((2L, "TWO"), (3L, "three")))
+  }
+
+  test("MOR: compaction folds deltas into the base; stale deltas reapply harmlessly") {
+    val dir = tmp("morc")
+    val mor = morStore(dir)
+    mor.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"),
+      (Cdc.Delete, 11L, 3L, null.asInstanceOf[String]))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    val before = mor.snapshot().as[(Long, String)].collect().toSet
+    val root = new java.io.File(dir)
+    // keep a copy of the delta aside to simulate a compaction that crashed
+    // before removing it
+    val delta = root.listFiles((_: java.io.File, n: String) =>
+      n.matches("_delta_\\d+")).head
+    val aside = new java.io.File(dir + "_aside") // outside the store dir
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    cp(delta, aside)
+    mor.compact()
+    assert(root.listFiles((_: java.io.File, n: String) =>
+      n.matches("_delta_\\d+")).isEmpty)
+    assert(mor.snapshot().as[(Long, String)].collect().toSet == before)
+    // "crashed compaction": the already-folded delta reappears — the fold
+    // must converge to the same state (LWW of equal values, delete of an
+    // absent key)
+    cp(aside, new java.io.File(dir, delta.getName))
+    assert(mor.snapshot().as[(Long, String)].collect().toSet == before)
+    // and the NEXT merge must outrank the stale delta (seq never reset)
+    mor.merge(Seq((Cdc.Upsert, 12L, 2L, "TWO2"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(mor.snapshot().as[(Long, String)].collect().toMap.get(2L)
+      .contains("TWO2"))
+  }
+
+  test("MOR: torn tmp delta is ignored and swept; schema evolves additively") {
+    val dir = tmp("mort")
+    val mor = morStore(dir)
+    // a crashed publish leaves a tmp dir: invisible to snapshot, swept by
+    // the next merge
+    val torn = new java.io.File(dir, "_delta_tmp_99")
+    torn.mkdirs()
+    java.nio.file.Files.write(new java.io.File(torn, "junk").toPath,
+      "not parquet".getBytes)
+    assert(mor.snapshot().count() == 3)
+    // evolution: a delta carries a NEW column; missing columns null-fill
+    mor.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO", "extra"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload", "note"))
+    assert(!torn.exists(), "torn tmp delta not swept")
+    val got = mor.snapshot().as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((1L, "one", None), (2L, "TWO", Some("extra")),
+      (3L, "three", None)))
+    // all-delete then compact: dead buckets drop, store stays usable
+    val wipe = mor.snapshot().select($"id").as[Long].collect().map(id =>
+      (Cdc.Delete, 20L, id, null.asInstanceOf[String], null.asInstanceOf[String]))
+    mor.merge(wipe.toSeq.toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload", "note"))
+    assert(mor.snapshot().count() == 0)
+    mor.compact()
+    assert(mor.snapshot().count() == 0)
+    mor.merge(Seq((Cdc.Upsert, 21L, 7L, "seven", "n"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload", "note"))
+    assert(mor.snapshot().as[(Long, String, Option[String])].collect().toSet ==
+      Set((7L, "seven", Some("n"))))
+  }
+
   test("merge applies upserts and deletes, only touched buckets rewritten") {
     val dir = tmp("store")
     val store = newStore(dir)
