@@ -452,6 +452,26 @@ class CdcStreamSpec extends SparkSpec {
     assert(ledger.read() == 11L)
   }
 
+  test("CdcStreamJob end-to-end over a MOR store ≡ COW (fold, deletes, ledger)") {
+    val source = Seq((1L, "one"), (2L, "TWO"), (3L, "three")).toDF("id", "payload")
+    def runWith(mor: Boolean): (Set[(Long, String)], Long) = {
+      val store = new UpsertStore(spark, tmp("jstore"), Seq("id"),
+        numBuckets = 4, mergeOnRead = mor)
+      store.initialize(Cdc.initialLoad(
+        Seq((1L, "old1"), (9L, "old9")).toDF("id", "payload")))
+      val ledger = new TxidLedger(tmp("jled") + "/txid")
+      val job = new CdcStreamJob(spark, () => source, store, ledger,
+        Seq(("id", "id")))
+      job.processBatch(keyFeed((1L, 10L), (2L, 11L)), 0) // upserts from master
+      job.processBatch(keyFeed((9L, 12L)), 1)            // 9 gone upstream → delete
+      (store.snapshot().as[(Long, String)].collect().toSet, ledger.read())
+    }
+    val cow = runWith(false)
+    val mor = runWith(true)
+    assert(cow == mor)
+    assert(cow == ((Set((1L, "one"), (2L, "TWO")), 12L)))
+  }
+
   test("delete of a whole bucket leaves no stale rows") {
     val dir = tmp("store")
     val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 2)
