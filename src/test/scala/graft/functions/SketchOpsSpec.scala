@@ -92,6 +92,62 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(fb <= fa)
   }
 
+  test("topNgramFractions equals the brute-force string-gram mode (property)") {
+    // brute force: tokenize exactly like split(lower(trim(text)),'\s+'),
+    // build gram STRINGS, count the mode — the kernel's hash-run-count
+    // must agree (collisions aside, which the generator can't hit)
+    def brute(s: String, n: Int): Double = {
+      val toks = UTF8String.fromString(s).trim().toLowerCase.toString
+        .split("\\s+", -1).toSeq
+      val cnt = toks.length
+      if (cnt < n) 0.0
+      else {
+        val grams = (0 to cnt - n).map(i => toks.slice(i, i + n).mkString(" "))
+        val mode = grams.groupBy(identity).values.map(_.size).max
+        math.min(1.0, mode.toDouble * n / cnt)
+      }
+    }
+    // small vocabulary forces heavy repetition; whitespace variety (tabs,
+    // newlines, runs, leading/trailing) exercises the tokenizer contract
+    val word = Gen.oneOf("a", "b", "ab", "Xy", "ü", "词", "!", "a.b")
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      k <- Gen.chooseNum(0, 30)
+      words <- Gen.listOfN(k, word)
+      seps <- Gen.listOfN(math.max(0, k - 1), ws)
+      lead <- Gen.oneOf("", " ", "\t")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString +
+      words.drop(seps.size).mkString + trail
+    check(Prop.forAll(textGen, Gen.chooseNum(1, 4)) { (s, n) =>
+      val got = SketchOps.topNgramFractions(
+        UTF8String.fromString(s), Array(n)).getDouble(0)
+      got == brute(s, n)
+    })
+  }
+
+  test("bloom filter: no false negatives ever; FP rate sane at 16 bits/key") {
+    val rng = new scala.util.Random(13)
+    val members = Array.fill(5000)(rng.nextLong())
+    val numBits = SketchOps.bloomNumBits(members.length, 16)
+    val k = SketchOps.bloomK(16)
+    val words = SketchOps.bloomAdd(
+      new Array[Long](numBits / 64), numBits, k, members.iterator)
+    assert(members.forall(SketchOps.bloomMightContain(words, k, _)),
+      "bloom false negative")
+    val probes = Array.fill(20000)(rng.nextLong())
+      .filterNot(members.contains)
+    val fp = probes.count(SketchOps.bloomMightContain(words, k, _))
+    assert(fp.toDouble / probes.length < 0.01,
+      s"FP rate ${fp.toDouble / probes.length} at 16 bits/key")
+    // OR-merge of two halves ≡ single build
+    val (h1, h2) = members.splitAt(members.length / 2)
+    val merged = SketchOps.bloomOr(
+      SketchOps.bloomAdd(new Array[Long](numBits / 64), numBits, k, h1.iterator),
+      SketchOps.bloomAdd(new Array[Long](numBits / 64), numBits, k, h2.iterator))
+    assert(java.util.Arrays.equals(merged, words))
+  }
+
   test("cosineFloat symmetry and bounds") {
     val rng = new scala.util.Random(11)
     for (_ <- 1 to 20) {
