@@ -463,18 +463,33 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   }
 
   /** Base ∪ deltas, folded last-write-wins by (pk, max seq), deletes
-    * dropped — the MOR read path (one shuffle on the PK; COW reads pay
-    * nothing, MOR writes pay nothing: pick per workload). Reads with the
-    * widened persisted schema, so pre-evolution files null-fill.
+    * dropped — the MOR read path. BUCKET-PRUNED: the delta dirs' own
+    * `_bucket=N` subdir names say exactly which buckets any delta touches
+    * (a filesystem listing, no data read), and a key's bucket is a pure
+    * hash — so base buckets no delta touches bypass the fold entirely and
+    * union in as a plain scan. Only the touched slice pays the PK shuffle:
+    * at 100 TB with narrow poll windows that is a handful of buckets, not
+    * the table (the same observation the COW merge builds on). Reads with
+    * the widened persisted schema, so pre-evolution files null-fill.
     */
   private def foldedView(): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val deltas = deltaSeqDirs
+    val baseAll = spark.read.schema(savedSchema).parquet(dir)
+    if (deltas.isEmpty) return baseAll
+    val touched = deltas.flatMap { case (_, d) =>
+      stagedBuckets(d).map(_.getName.stripPrefix(s"$bucketCol=").toInt)
+    }.toSet
+    if (touched.isEmpty) return baseAll // only empty deltas exist
+    val untouched =
+      baseAll.where(!col(bucketCol).isin(touched.toSeq: _*))
     val withEnvelope = StructType(
       savedSchema.fields :+ StructField(Cdc.ChangeType, StringType))
-    val base = spark.read.schema(savedSchema).parquet(dir)
+    val touchedBase = baseAll
+      .where(col(bucketCol).isin(touched.toSeq: _*))
       .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
       .withColumn(seqCol, lit(0L))
-    val all = deltaSeqDirs.foldLeft(base) { case (acc, (seq, d)) =>
+    val all = deltas.foldLeft(touchedBase) { case (acc, (seq, d)) =>
       acc.unionByName(
         spark.read.schema(withEnvelope).parquet(d.getPath)
           .withColumn(seqCol, lit(seq)),
@@ -486,6 +501,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       .select(col("_r.*"))
       .where(col(Cdc.ChangeType) === Cdc.Upsert)
       .drop(Cdc.ChangeType)
+      .unionByName(untouched)
   }
 
   /** COW merge (the default path; see class doc). */
