@@ -687,6 +687,16 @@ object SparkEntry {
           seed = 11L)
         .select(col("doc_id"), col("lang"))),
 
+    // Token(char)-budget corpus mixing: rates measured from per-source
+    // weight totals (rate = min(1, budget/total)), then one map-side
+    // filter — how practitioners actually budget corpora (by tokens, not
+    // documents). src1's budget exceeds its total → rate clamps to 1.0.
+    "q_sample_token_budget" -> ((s, dir) =>
+      Sampling.mixByBudget(t(s, dir, "documents"), "doc_id", "source",
+          "n_chars", budgets = Map("src0" -> 4000L, "src1" -> 100000L),
+          defaultRate = 0.5, seed = 13L)
+        .select(col("doc_id"), col("source"))),
+
     // Language ID over the documents table (heuristic; deterministic).
     "q_text_langid" -> ((s, dir) => {
       Dedup.widen(t(s, dir, "documents")).select(
@@ -1810,6 +1820,19 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${uniformU32Sql("doc_id", 11L)} / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0 ELSE 0.6 END""".stripMargin,
+
+    // the rate derivation re-runs IN SQL from the same data (sum of an
+    // int column → exact; the double division is the same IEEE op both
+    // engines run), so the data-derived rates cannot drift
+    "q_sample_token_budget" ->
+      s"""WITH tot AS (SELECT source, sum(n_chars) AS t
+        |             FROM documents GROUP BY source)
+        |SELECT doc_id, source FROM documents JOIN tot USING (source)
+        |WHERE ${uniformU32Sql("doc_id", 13L)} / 4294967296.0
+        |  < CASE source
+        |      WHEN 'src0' THEN least(1.0, CAST(4000 AS DOUBLE) / CAST(t AS DOUBLE))
+        |      WHEN 'src1' THEN least(1.0, CAST(100000 AS DOUBLE) / CAST(t AS DOUBLE))
+        |      ELSE 0.5 END""".stripMargin,
 
     "q_split_assign" -> {
       val bounds = graft.operators.Splits.cumulativeBounds(

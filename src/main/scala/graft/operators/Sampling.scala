@@ -156,6 +156,42 @@ object Sampling {
       "left_semi")
   }
 
+  /** Per-stratum keep rates that hit an absolute WEIGHT budget (tokens,
+    * chars, bytes — whatever `weightCol` carries): rate_s = min(1,
+    * budget_s / total_s), with the totals measured by one aggregate over
+    * the budgeted strata (the collect is |budgeted strata| rows — driver-
+    * bounded). Practitioners budget corpora by TOKENS, not documents;
+    * Bernoulli at these rates lands the budget in EXPECTATION (relative
+    * s.d. ~ 1/√docs — negligible at corpus scale). The exact-cutoff
+    * variant (admit smallest-hash docs until the running weight crosses
+    * the budget) needs a per-stratum prefix sum — the hot-stratum funnel
+    * this module rejects by design. A budgeted stratum absent from the
+    * data (or with zero weight) rates 1.0: nothing to downsample.
+    */
+  def ratesForBudget(df: DataFrame, stratumCol: String, weightCol: String,
+      budgets: Map[String, Long]): Map[String, Double] = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "budgets must be non-empty and non-negative")
+    val totals = df
+      .where(col(stratumCol).cast("string").isin(budgets.keys.toSeq: _*))
+      .groupBy(col(stratumCol).cast("string").alias("_s"))
+      .agg(sum(col(weightCol).cast("long")).alias("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.map { case (s, b) =>
+      s -> totals.get(s).filter(_ > 0)
+        .map(t => math.min(1.0, b.toDouble / t.toDouble)).getOrElse(1.0)
+    }
+  }
+
+  /** [[mix]] at [[ratesForBudget]]'s rates: token/char-budgeted corpus
+    * mixing in one measurement pass + one map-side filter scan.
+    */
+  def mixByBudget(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, budgets: Map[String, Long], defaultRate: Double,
+      seed: Long = 0L): DataFrame =
+    mix(df, idCol, stratumCol, ratesForBudget(df, stratumCol, weightCol, budgets),
+      defaultRate, seed)
+
   /** Weighted corpus mixing: per-stratum keep rates (downsample web,
     * keep books, …). Strata absent from `rates` use `defaultRate`.
     * Map-side only — the rate lookup folds into one CASE expression, so

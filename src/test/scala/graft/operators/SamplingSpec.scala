@@ -118,6 +118,32 @@ class SamplingSpec extends SparkSpec {
     assert(n(1) == 250L, s"rate-1 stratum incomplete: $n")
   }
 
+  test("mixByBudget: sampled weight lands near the budget; overshoot clamps to keep-all") {
+    // three strata with known weight totals; w ~ id-dependent so the
+    // sample's weight is hash-driven, not uniform per row
+    val wdocs = (0L until 3000L).map(i => (i, s"s${i % 3}", 10L + (i % 7)))
+      .toDF("id", "stratum", "w")
+    val totals = wdocs.groupBy("stratum").agg(sum("w").as("t"))
+      .as[(String, Long)].collect().toMap // ≈ 13k per stratum
+    val budget = totals("s0") / 4
+    val got = Sampling.mixByBudget(wdocs, "id", "stratum", "w",
+      budgets = Map("s0" -> budget, "s1" -> (totals("s1") * 10)),
+      defaultRate = 0.0, seed = 5L)
+    val kept = got.groupBy("stratum").agg(sum("w").as("kw"))
+      .as[(String, Long)].collect().toMap
+    // expectation = budget; 1000 docs → relative s.d. ~3%: assert ±15%
+    assert(math.abs(kept("s0").toDouble / budget - 1.0) < 0.15,
+      s"kept ${kept("s0")} vs budget $budget")
+    // budget above the stratum total → rate clamps to 1.0, keep everything
+    assert(kept("s1") == totals("s1"))
+    // defaultRate 0 drops unbudgeted strata entirely
+    assert(!kept.contains("s2"))
+    // a budgeted stratum absent from the data must not divide by zero
+    val ghost = Sampling.ratesForBudget(wdocs, "stratum", "w",
+      Map("nope" -> 100L))
+    assert(ghost("nope") == 1.0)
+  }
+
   test("mix: per-stratum rates hold; absent strata use the default") {
     val got = Sampling.mix(docs, "id", "stratum",
       Map("s0" -> 0.0, "s1" -> 1.0), defaultRate = 0.5, seed = 9L)
