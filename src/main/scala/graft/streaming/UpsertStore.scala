@@ -193,7 +193,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     // (ADVICE r7). Debris is invisible to Spark's file listing, so
     // skipping costs nothing; the owner heals on its next operation.
     if (!foreignLeaseFresh()) recoverSwap()
-    if (mergeOnRead) foldedView().drop(bucketCol)
+    // MODE-MISMATCH SAFETY: published deltas are data, whatever this
+    // instance's flag says — a COW-flagged reader over a MOR-written store
+    // must fold them, not silently serve the stale base. The flag only
+    // chooses how MERGES write.
+    if (mergeOnRead || deltaSeqDirs.nonEmpty) foldedView().drop(bucketCol)
     else spark.read.schema(savedSchema).parquet(dir).drop(bucketCol)
   }
 
@@ -404,6 +408,21 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     next
   }
 
+  /** Published delta-dir count — the compaction-debt signal. */
+  def deltaCount: Int = deltaSeqDirs.size
+
+  /** Compact when the delta debt reaches `maxDeltas` (the cadence policy a
+    * streaming job wants inline: every snapshot fold unions one frame per
+    * delta, so unbounded debt grows the read plan without bound). Returns
+    * whether a compaction ran.
+    */
+  def compactIfNeeded(maxDeltas: Int = 16): Boolean = {
+    require(maxDeltas > 0, s"maxDeltas must be positive, got $maxDeltas")
+    val due = deltaCount >= maxDeltas
+    if (due) compact()
+    due
+  }
+
   /** Complete (published) delta dirs, ascending by sequence. */
   private def deltaSeqDirs: Seq[(Long, java.io.File)] =
     Option(new java.io.File(dir).listFiles((f: java.io.File) =>
@@ -506,6 +525,14 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
 
   /** COW merge (the default path; see class doc). */
   private def mergeCow(folded: DataFrame): Unit = {
+    // a COW rewrite computes its kept-rows from the BASE alone; with
+    // un-folded deltas present, base rows it keeps may be outranked by a
+    // delta and deleted keys may resurrect — refuse rather than corrupt
+    // the LWW order (compact() folds the deltas away, or keep mergeOnRead)
+    if (deltaSeqDirs.nonEmpty) throw new IllegalStateException(
+      s"store $dir holds ${deltaSeqDirs.size} un-compacted delta dir(s): " +
+        "a copy-on-write merge over them would corrupt last-write-wins " +
+        "precedence — run compact() first, or open with mergeOnRead=true")
     val batch = withBucket(folded).cache()
     try {
       // this probe is the first ACTION over the folded plan: the CDC fold
@@ -595,14 +622,16 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   def compact(): Unit = opLock.synchronized {
     acquireLease() // single-writer fence + heartbeat
     recoverSwap()
-    if (mergeOnRead) {
+    // dispatch on what is ON DISK, not on this instance's write mode: a
+    // COW-flagged compact over published deltas must fold them (rewriting
+    // just the base would leave the deltas outranking it)
+    if (deltaSeqDirs.nonEmpty) {
       // fold every delta into the base via the same staged swap COW uses,
       // then drop the deltas. Crash anywhere: the base keeps one complete
       // copy per bucket, and leftover deltas re-fold over the compacted
       // base to the IDENTICAL state (LWW of equal values; deletes of
       // absent keys are no-ops) — so partial delta removal is harmless.
       val pre = deltaSeqDirs
-      if (pre.isEmpty) return
       val data = foldedView().repartition(col(bucketCol))
       val staging = stagingDir
       data.write.partitionBy(bucketCol).mode("overwrite")

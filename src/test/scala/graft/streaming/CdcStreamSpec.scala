@@ -111,6 +111,42 @@ class CdcStreamSpec extends SparkSpec {
       n.matches("_delta_\\d+")).length == 3)
   }
 
+  test("mode mismatch is safe: COW-flagged readers fold deltas, COW merges refuse") {
+    val dir = tmp("mix")
+    val mor = morStore(dir)
+    mor.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    // a COW-flagged instance over the same dir: snapshot must NOT silently
+    // serve the stale base — published deltas are data regardless of the
+    // instance's write mode
+    mor.releaseLease()
+    val cowView = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    assert(cowView.snapshot().as[(Long, String)].collect().toMap.get(2L)
+      .contains("TWO"))
+    // a COW merge over un-folded deltas would corrupt LWW precedence:
+    // refuse loudly
+    val up = Seq((Cdc.Upsert, 11L, 1L, "ONE"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    val err = intercept[IllegalStateException] { cowView.merge(up) }
+    assert(err.getMessage.contains("un-compacted delta"), err.getMessage)
+    // compact folds the debt away (dispatches on disk state, not the
+    // flag); then the COW merge proceeds
+    assert(cowView.deltaCount == 1)
+    cowView.compact()
+    assert(cowView.deltaCount == 0)
+    cowView.merge(up)
+    assert(cowView.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "ONE"), (2L, "TWO"), (3L, "three")))
+    // compactIfNeeded: fires only at the threshold
+    mor.releaseLease(); cowView.releaseLease()
+    val mor2 = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4,
+      mergeOnRead = true)
+    mor2.merge(up)
+    assert(!mor2.compactIfNeeded(maxDeltas = 2) && mor2.deltaCount == 1)
+    mor2.merge(up)
+    assert(mor2.compactIfNeeded(maxDeltas = 2) && mor2.deltaCount == 0)
+  }
+
   test("MOR: replay of the same batch is idempotent (a later equal delta wins harmlessly)") {
     val mor = morStore(tmp("morr"))
     val b = Seq((Cdc.Upsert, 10L, 2L, "TWO"),
