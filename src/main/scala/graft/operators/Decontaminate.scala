@@ -64,14 +64,23 @@ object Decontaminate {
     val benchGrams = bench
       .select(explode(word_ngram_hashes(col(textCol), n)).alias("_g"))
       .distinct()
-      .cache() // two passes (size + build) + the verify join
-    val nGrams = benchGrams.count()
-    val numBits = SketchOps.bloomNumBits(math.max(1L, nGrams), bitsPerGram)
-    val k = SketchOps.bloomK(bitsPerGram)
-    val words = benchGrams.as[Long].rdd.treeAggregate(
-      new Array[Long](numBits / 64))(
-      (acc, h) => SketchOps.bloomAdd(acc, numBits, k, Iterator.single(h)),
-      (a, b) => SketchOps.bloomOr(a, b))
+    // cache ONLY for the two driver-side passes (size + bloom build), and
+    // release before returning: the verify join below is lazy, so a cache
+    // it referenced could never be safely unpersisted and would leak one
+    // cached dataset per call (review r8). The join recomputes the gram
+    // set once — it is the small eval side by contract.
+    benchGrams.cache()
+    val (numBits, k, words) =
+      try {
+        val nGrams = benchGrams.count()
+        val bits = SketchOps.bloomNumBits(math.max(1L, nGrams), bitsPerGram)
+        val kk = SketchOps.bloomK(bitsPerGram)
+        val w = benchGrams.as[Long].rdd.treeAggregate(
+          new Array[Long](bits / 64))(
+          (acc, h) => SketchOps.bloomAdd(acc, bits, kk, Iterator.single(h)),
+          (a, b) => SketchOps.bloomOr(a, b))
+        (bits, kk, w)
+      } finally benchGrams.unpersist()
     corpus
       .select(col(idCol), explode(word_ngram_hashes(col(textCol), n)).alias("_g"))
       .where(graft.functions.GraftExpressions

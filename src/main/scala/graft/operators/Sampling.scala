@@ -79,7 +79,15 @@ object Sampling {
     import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => col(idCol).cast("long")
-      case d: DecimalType if d.scale == 0 => col(idCol).cast("long")
+      // precision ≤ 18 provably fits a long; wider scale-0 decimals (128-bit
+      // snowflake ids) would cast to NULL past 2^63 — the silent-empty-
+      // sample failure this dispatch exists to prevent — so they take the
+      // hash path instead (decimal toString is canonical digits,
+      // deterministic)
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
+        col(idCol).cast("long")
+      case d: DecimalType if d.scale == 0 =>
+        pmod(xxhash64(col(idCol).cast("string")), lit(1L << 48))
       case StringType => pmod(xxhash64(col(idCol)), lit(1L << 48))
       case dt => throw new IllegalArgumentException(
         s"Sampling id column '$idCol' must be an integral, scale-0 decimal, " +

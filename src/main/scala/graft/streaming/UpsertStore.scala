@@ -78,11 +78,16 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     } catch { case _: Exception => None }
 
   private def writeLease(): Unit = {
-    // sweep tmp orphans from a crash between create and move (same hygiene
-    // as writeSchema; Spark ignores _-prefixed files but they'd accumulate)
+    // sweep tmp orphans from a crash between create and move — but only
+    // ones older than the TTL: a fresh tmp may be ANOTHER writer's
+    // in-flight heartbeat (a TTL-expired steal racing the old owner's last
+    // refresh), and deleting it would turn their atomic move into a
+    // filesystem error instead of the intended lease fence (review r8)
     Option(new java.io.File(dir).listFiles((_, n) =>
       n.startsWith("_writer") && n.endsWith(".tmp")))
-      .foreach(_.foreach(_.delete()))
+      .foreach(_.filter(f =>
+        System.currentTimeMillis() - f.lastModified() >= leaseTtlMs)
+        .foreach(_.delete()))
     val tmp = java.nio.file.Files.createTempFile(
       new java.io.File(dir).toPath, "_writer", ".tmp")
     java.nio.file.Files.write(tmp, s"$owner\n${System.currentTimeMillis()}\n"
@@ -190,15 +195,56 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     if (!exists) throw new IllegalStateException(s"store $dir not initialized")
     // a READER must not run recovery while another writer is live: their
     // in-flight merge owns `_staging`, and recoverSwap deletes it
-    // (ADVICE r7). Debris is invisible to Spark's file listing, so
-    // skipping costs nothing; the owner heals on its next operation.
+    // (ADVICE r7). The owner heals on its next operation; meanwhile
+    // [[baseRead]] overlays any crashed-swap debris READ-ONLY, so a
+    // bucket mid-swap is never invisible to this reader.
     if (!foreignLeaseFresh()) recoverSwap()
     // MODE-MISMATCH SAFETY: published deltas are data, whatever this
     // instance's flag says — a COW-flagged reader over a MOR-written store
     // must fold them, not silently serve the stale base. The flag only
     // chooses how MERGES write.
     if (mergeOnRead || deltaSeqDirs.nonEmpty) foldedView().drop(bucketCol)
-    else spark.read.schema(savedSchema).parquet(dir).drop(bucketCol)
+    else baseRead().drop(bucketCol)
+  }
+
+  /** The base buckets as a DataFrame, tolerating crashed-swap debris
+    * WITHOUT mutating anything — the reader-side mirror of
+    * [[recoverSwap]]'s branches (review r8): a bucket whose live dir is
+    * missing is served from its staged copy when the commit marker is
+    * present (recovery would promote it), else from its `_retired_` copy
+    * (the metadata-reorder branch). With no debris this is exactly the
+    * plain partitioned read. Without the overlay, a reader skipping
+    * recovery under a crashed foreign writer's still-fresh lease would
+    * silently lose every mid-swap bucket for up to the lease TTL.
+    */
+  private def baseRead(): DataFrame = {
+    val root = new java.io.File(dir)
+    val live = Option(root.listFiles((f: java.io.File) =>
+      f.getName.startsWith(s"$bucketCol=")))
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName.stripPrefix(s"$bucketCol=").toInt).toSet
+    val retired = Option(root.listFiles((_: java.io.File, n: String) =>
+      n.startsWith("_retired_"))).getOrElse(Array.empty[java.io.File])
+      .map(f => f.getName.stripPrefix("_retired_").toInt -> f)
+      .filterNot { case (b, _) => live(b) }
+    val staged =
+      if (swapMarker.exists()) stagedBuckets(stagingDir)
+        .map(d => d.getName.stripPrefix(s"$bucketCol=").toInt -> d)
+        .filterNot { case (b, _) => live(b) }
+      else Array.empty[(Int, java.io.File)]
+    val plain = spark.read.schema(savedSchema).parquet(dir)
+    if (retired.isEmpty && staged.isEmpty) plain
+    else {
+      // staged outranks retired for the same bucket: with the marker
+      // present, recovery promotes the staged (committed) copy
+      val overlay = (retired.toMap ++ staged.toMap).toSeq.sortBy(_._1)
+      val noBucket = org.apache.spark.sql.types.StructType(
+        savedSchema.fields.filterNot(_.name == bucketCol))
+      overlay.foldLeft(plain) { case (acc, (b, d)) =>
+        acc.unionByName(spark.read.schema(noBucket).parquet(d.getPath)
+          .withColumn(bucketCol, lit(b)))
+      }
+    }
   }
 
   private def stagingDir = new java.io.File(dir, "_staging")
@@ -393,6 +439,10 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
         .trim.toLong
     else 0L
     val next = cur + 1
+    // sweep crash orphans (same hygiene as the schema/lease writers)
+    Option(new java.io.File(dir).listFiles((_, n) =>
+      n.startsWith("_graft_seq") && n.endsWith(".tmp")))
+      .foreach(_.foreach(_.delete()))
     val tmp = java.nio.file.Files.createTempFile(
       new java.io.File(dir).toPath, "_graft_seq", ".tmp")
     java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
@@ -468,6 +518,12 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     data.write.partitionBy(bucketCol).mode("overwrite").parquet(tmp.getPath)
     val tPublish = System.nanoTime()
     UpsertStore.addPhase("merge_write", (tPublish - tWrite) / 1e9)
+    // an EMPTY folded batch must not publish: each published delta adds a
+    // frame to every snapshot fold and counts toward compaction debt, and
+    // COW's empty batch is a no-op — parity. Emptiness falls out of the
+    // write free of charge (no bucket subdirs); the burned seq is a gap,
+    // which the ordering tolerates.
+    if (stagedBuckets(tmp).isEmpty) { rmTree(tmp); return }
     // data durability before the publish rename (Spark never fsyncs)
     stagedBuckets(tmp).foreach { d =>
       Option(d.listFiles()).foreach(_.filter(_.isFile).foreach(fsyncFile))
@@ -494,7 +550,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   private def foldedView(): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val deltas = deltaSeqDirs
-    val baseAll = spark.read.schema(savedSchema).parquet(dir)
+    val baseAll = baseRead() // debris-tolerant (see baseRead)
     if (deltas.isEmpty) return baseAll
     val touched = deltas.flatMap { case (_, d) =>
       stagedBuckets(d).map(_.getName.stripPrefix(s"$bucketCol=").toInt)

@@ -111,6 +111,37 @@ class CdcStreamSpec extends SparkSpec {
       n.matches("_delta_\\d+")).length == 3)
   }
 
+  test("reader under a crashed foreign mid-swap sees the complete store (read overlay)") {
+    // writer crashes inside swapStaged AFTER the commit marker and the
+    // retire rename but BEFORE promoting the staged copy; its lease stays
+    // fresh for the TTL, so a reader skips recovery — without the overlay
+    // the mid-swap bucket would be invisible for up to leaseTtlMs
+    // (review r8)
+    val dir = tmp("overlay")
+    val s1 = newStore(dir) // holds the lease
+    val before = s1.snapshot().as[(Long, String)].collect().toSet
+    val root = new java.io.File(dir)
+    val bucket = root.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_bucket=")).head
+    val b = bucket.getName.stripPrefix("_bucket=")
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    cp(bucket, new java.io.File(dir, s"_staging/_bucket=$b"))
+    new java.io.File(dir, "_swap_started").createNewFile()
+    java.nio.file.Files.move(bucket.toPath,
+      new java.io.File(dir, s"_retired_$b").toPath)
+    // a DIFFERENT instance reads within the TTL: recovery is skipped, the
+    // overlay must still serve the mid-swap bucket
+    val reader = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    assert(reader.snapshot().as[(Long, String)].collect().toSet == before)
+    // the owner's next operation heals the debris for real
+    assert(s1.snapshot().as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(dir, "_swap_started").exists())
+  }
+
   test("mode mismatch is safe: COW-flagged readers fold deltas, COW merges refuse") {
     val dir = tmp("mix")
     val mor = morStore(dir)
