@@ -7,11 +7,12 @@ import graft.functions.TextAnalysis
 import graft.operators.{Decontaminate, Dedup, Sampling, Shards, Splits}
 
 /** The LLM-data-curation surface in one flowing scenario over the real
-  * corpus: quality/repetition filter → near-dup keep-one → benchmark
-  * decontamination → per-language mixing → train/val/test split → token-
-  * budget sharding. Each stage is unit- and oracle-tested elsewhere; this
-  * pins that they COMPOSE — schemas line up, counts shrink monotonically,
-  * and the whole pipeline is deterministic end to end.
+  * corpus: quality/repetition filter → exact keep-best dedup → near-dup
+  * keep-one → bloom-prefiltered benchmark decontamination → token-budget
+  * per-language mixing → train/val/test split → token-budget sharding.
+  * Each stage is unit- and oracle-tested elsewhere; this pins that they
+  * COMPOSE — schemas line up, counts shrink monotonically, and the whole
+  * pipeline is deterministic end to end.
   */
 class CurationTourSpec extends SparkSpec {
   import spark.implicits._
@@ -26,20 +27,30 @@ class CurationTourSpec extends SparkSpec {
       .withColumn("rep2", TextAnalysis.topNgramFraction(col("text"), 2))
       .withColumn("ntoks", TextAnalysis.tokenCount(col("text")))
       .where(col("quality") > 0.5 && col("rep2") < 0.5)
-    // 2. near-dup keep-one (MinHash → connected components → min-id)
-    val pairs = Dedup.minhashNearDups(filtered, "doc_id", "text", threshold = 0.5)
+    // 2a. EXACT dedup keeping the best-quality copy (r8) — runs before the
+    // near-dup machinery so identical reformats resolve by quality
+    val bestIds = Dedup.keepBest(filtered, "doc_id", "text", col("quality"))
+      .select(col("keep_id").alias("doc_id"))
+    val exactDeduped = filtered.join(bestIds, Seq("doc_id"), "left_semi")
+    // 2b. near-dup keep-one (MinHash → connected components → min-id)
+    val pairs = Dedup.minhashNearDups(exactDeduped, "doc_id", "text", threshold = 0.5)
     val losers = Dedup.connectedComponents(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").alias("doc_id"))
-    val deduped = filtered.join(losers, Seq("doc_id"), "left_anti")
-    // 3. decontaminate vs a small held-out "benchmark" slice
+    val deduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    // 3. decontaminate vs a small held-out "benchmark" slice — through the
+    // BLOOM prefilter path (r8; output identical to exact by construction)
     val bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text")
-    val dirty = Decontaminate.overlap(deduped, bench, "doc_id", "text",
+    val dirty = Decontaminate.overlapBloom(deduped, bench, "doc_id", "text",
       n = 8, minShared = 1L).select("doc_id")
     val clean = deduped.join(dirty, Seq("doc_id"), "left_anti")
-    // 4. per-language mixing, 5. split deal, 6. token-budget shards
-    val mixed = Sampling.mix(clean, "doc_id", "lang",
-      rates = Map("en" -> 0.9), defaultRate = 0.7, seed = 5L)
+    // 4. token-budget mixing per language (r8), 5. split deal,
+    // 6. token-budget shards
+    val langTotals = clean.groupBy("lang").agg(sum("ntoks").as("t"))
+      .as[(String, Long)].collect().toMap
+    val mixed = Sampling.mixByBudget(clean, "doc_id", "lang", "ntoks",
+      budgets = Map("en" -> langTotals.getOrElse("en", 1L) * 9 / 10),
+      defaultRate = 0.7, seed = 5L)
     val split = Splits.assign(mixed, "doc_id",
       Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
     Shards.assignByTokenBudget(split, "doc_id", "ntoks", budget = 4000L)
