@@ -811,6 +811,17 @@ object SparkEntry {
         "query_id", k = 10, numCells = 16, nprobe = 4)
     }),
 
+    // PQ ANN (the compressed-domain scale path: 8-byte codes, ADC scan,
+    // exact refine of the top candidates; rows-only — approximate by
+    // design, recall pinned vs brute force in SimilaritySpec).
+    "q_sim_topk_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("query_id"), col("embedding"))
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        "query_id", k = 10, dim = 64)
+    }),
+
     // S5 wire format: the delta fold serialized to Kafka (key,value)
     // records and parsed back — the round-trip must be the identity, so
     // the oracle is the delta fold itself.

@@ -256,6 +256,46 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `pq_encode(vec)` — product-quantization codes (m bytes) for a float
+    * vector, against driver-trained codebooks embedded in the plan.
+    */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.pqEncode(v.asInstanceOf[ArrayData], codebooks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.pqEncode($c, $cbRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  /** `pq_adc_cosine(queryVec, codes)` — asymmetric cosine of a full query
+    * vector against a PQ code (candidate side reads m bytes, not 4·dim).
+    */
+  case class PqAdcCosine(left: Expression, right: Expression,
+      codebooks: Array[Array[Array[Float]]])
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(FloatType), BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(q: Any, c: Any): Any =
+      SketchOps.pqAdcCosine(q.asInstanceOf[ArrayData],
+        c.asInstanceOf[Array[Byte]], codebooks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+      defineCodeGen(ctx, ev, (q, c) =>
+        s"graft.functions.SketchOps.pqAdcCosine($q, $c, $cbRef)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcCosine =
+      copy(left = l, right = r)
+  }
+
   /** `st_point(x, y)` — WKB point constructor (ST_POINT carrier, §1.2). */
   case class StPoint(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -424,6 +464,11 @@ object GraftExpressions {
     c(TopNgramFractions(e(col), ns))
   def bloom_might_contain(col: Column, words: Array[Long], k: Int): Column =
     c(BloomMightContain(e(col), words, k))
+  def pq_encode(col: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqEncode(e(col), codebooks))
+  def pq_adc_cosine(query: Column, codes: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqAdcCosine(e(query), e(codes), codebooks))
 
   def st_point(x: Column, y: Column): Column = c(StPoint(e(x), e(y)))
   def st_x(wkb: Column): Column = c(StCoord(e(wkb), 0))

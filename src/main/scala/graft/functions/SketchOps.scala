@@ -199,6 +199,118 @@ object SketchOps {
     min
   }
 
+  // ── Product quantization (IVF-PQ's compression half) ────────────────────
+  // Codes are m bytes per vector instead of 4·dim — at 25B embeddings
+  // (100 TB corpus scale) that is ~200 GB of codes vs ~6.4 TB of floats,
+  // the difference between an in-memory scan and a disk-bound one.
+  // Everything is deterministic: sample-order-fixed init, fixed Lloyd
+  // iteration count, ties to the smallest codeword index.
+
+  /** Train per-subspace codebooks by plain Lloyd k-means on a driver-side
+    * sample (PQ fits on samples by design; quality saturates fast).
+    * Returns codebooks[m][ksub][dsub] with dsub = dim/m. Initial codewords
+    * are the first `ksub` distinct sample subvectors in sample order —
+    * callers pass a hash-ordered sample, making the fit deterministic
+    * regardless of partitioning. Empty cells keep their previous center.
+    */
+  def pqTrain(sample: Array[Array[Float]], m: Int, ksub: Int,
+      iters: Int = 8): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val off = s * dsub
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      // init: first ksub distinct subvectors (sample order is caller-fixed)
+      val init = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+      var i = 0
+      while (i < subs.length && init.size < ksub) {
+        if (!init.exists(java.util.Arrays.equals(_, subs(i)))) init += subs(i)
+        i += 1
+      }
+      while (init.size < ksub) init += init(init.size % math.max(1, init.size))
+      var centers = init.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        subs.foreach { v =>
+          val c = nearestSub(v, centers)
+          counts(c) += 1
+          var j = 0
+          while (j < dsub) { sums(c)(j) += v(j); j += 1 }
+        }
+        centers = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) centers(c)
+          else Array.tabulate(dsub)(j => (sums(c)(j) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      centers
+    }
+  }
+
+  /** Index of the L2-nearest codeword (ties → smallest index). */
+  private def nearestSub(v: Array[Float], centers: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0; var j = 0
+      val cw = centers(c)
+      while (j < v.length) {
+        val x = v(j) - cw(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode a vector as m codeword indices (one byte each; ksub ≤ 256). */
+  def pqEncode(vec: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      val sub = new Array[Float](dsub)
+      var j = 0
+      while (j < dsub) { sub(j) = vec.getFloat(off + j); j += 1 }
+      out(s) = nearestSub(sub, codebooks(s)).toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric (ADC) cosine of a FULL query vector against a PQ code:
+    * cosine(query, reconstruction). dot and reconstruction norm accumulate
+    * per subspace in doubles, fixed order — deterministic. O(dim) per
+    * candidate like a true dot product, but the candidate side is read
+    * from m BYTES (the memory/IO win PQ exists for).
+    */
+  def pqAdcCosine(query: ArrayData, codes: Array[Byte],
+      codebooks: Array[Array[Array[Float]]]): Double = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    var dot = 0.0; var nq = 0.0; var nr = 0.0
+    var s = 0
+    while (s < m) {
+      val cw = codebooks(s)(codes(s) & 0xff)
+      val off = s * dsub
+      var j = 0
+      while (j < dsub) {
+        val q = query.getFloat(off + j).toDouble
+        val r = cw(j).toDouble
+        dot += q * r; nq += q * q; nr += r * r
+        j += 1
+      }
+      s += 1
+    }
+    if (nq == 0.0 || nr == 0.0) 0.0 else dot / math.sqrt(nq * nr)
+  }
+
   // ── Bloom filter over 64-bit hashes (deterministic double hashing) ──────
   // The prefilter behind Decontaminate.overlapBloom: ~bitsPerKey bits per
   // element instead of 64+ for an exact hash set, so an eval set too big to

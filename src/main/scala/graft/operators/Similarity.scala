@@ -174,6 +174,58 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization ANN — the compressed-domain scale path beyond
+    * IVF: vectors encode to m bytes (vs 4·dim float bytes — at 25B
+    * embeddings that is ~200 GB of codes against ~6.4 TB of floats, an
+    * in-memory scan vs a disk-bound one), queries score codes by
+    * asymmetric cosine, and the exact vectors are touched only to REFINE
+    * the top `refine·k` candidates per query. Codebooks train driver-side
+    * by per-subspace Lloyd on a hash-ordered sample (deterministic for a
+    * fixed corpus; PQ fits on samples by design) and broadcast in the
+    * plan. The ADC scan is map-side against broadcast queries; both the
+    * candidate and refine stages use the bounded-heap [[TopK]] partial
+    * aggregation — nothing pair-shaped ever shuffles.
+    *
+    * @param m      subspaces (bytes per code); dim % m == 0
+    * @param ksub   codewords per subspace (≤ 256)
+    * @param refine exact-rerank multiplier: top refine·k ADC candidates
+    *               per query are re-scored with true cosine
+    */
+  def pqTopK(data: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 256, refine: Int = 4,
+      fitSampleSize: Int = 20000): DataFrame = {
+    import graft.functions.SketchOps
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(ksub > 1 && ksub <= 256, s"ksub must be in 2..256, got $ksub")
+    val spark = data.sparkSession
+    import spark.implicits._
+    // deterministic, partition-invariant sample: first N rows in id-hash
+    // order (same rationale as ivfTopK's fit sample)
+    val sample = data
+      .select(col(vecCol).alias("_v"), xxhash64(col(idCol)).alias("_h"))
+      .orderBy(col("_h")).limit(fitSampleSize)
+      .select(col("_v")).as[Array[Float]].collect()
+    val codebooks = SketchOps.pqTrain(sample, m, ksub)
+    val encoded = Dedup.widen(data)
+      .select(col(idCol), pq_encode(col(vecCol), codebooks).alias("_code"))
+    val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
+      col(vecCol).alias("_qvec")))
+    val adc = encoded.join(q, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).alias("neighbor_id"),
+        pq_adc_cosine(col("_qvec"), col("_code"), codebooks).alias("cosine"))
+    val candidates = topKPerQuery(adc, math.max(k, refine * k))
+      .select(col("query_id"), col("neighbor_id"))
+    // refine: exact cosine over the tiny candidate set only
+    val exact = candidates
+      .join(data.select(col(idCol).alias("neighbor_id"), col(vecCol)),
+        Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col(vecCol), col("_qvec")).alias("cosine"))
+    topKPerQuery(exact, k)
+  }
+
   /** Per-group embedding centroids (mean pooling) — one row per (group,
     * dimension). Elements accumulate in EXACT decimal, so the sum is
     * order-independent and a cluster run reproduces local results bit-for-

@@ -55,6 +55,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= Similarity.recallAtK(exact, singleProbe))
   }
 
+  test("pqTopK: ADC + exact refine recovers most of the exact top-k; deterministic") {
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5)
+    val pq = Similarity.pqTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, dim = 64, m = 8, ksub = 256,
+      refine = 8)
+    val recall = Similarity.recallAtK(exact, pq)
+    // standard PQ8x256 (8 bytes/vector); the refine pass re-scores top-40
+    // candidates exactly, so misses only occur when the true neighbor
+    // falls outside the ADC top-40. The synthetic corpus is near-random —
+    // PQ's worst case — so this bound is conservative for real embeddings.
+    assert(recall >= 0.7, s"recall=$recall")
+    // refined scores ARE exact cosines: every reported (pair, cosine)
+    // agrees with the brute-force score for that pair
+    val ex = exact.select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val rep = pq.select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    rep.foreach { case (q, n, c) =>
+      ex.get((q, n)).foreach(e => assert(e == c, s"($q,$n): $c vs $e"))
+    }
+    // deterministic end to end (fixed sample order, fixed iterations)
+    val again = Similarity.pqTopK(emb, queries,
+        "vec_id", "embedding", "query_id", k = 5, dim = 64, m = 8, ksub = 256,
+        refine = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again == pq.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet)
+  }
+
   test("brute force plan broadcasts queries (no full shuffle of corpus)") {
     val plan = Similarity.bruteForceTopK(emb, queries,
       "vec_id", "embedding", "query_id", k = 3)
