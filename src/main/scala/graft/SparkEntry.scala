@@ -822,6 +822,16 @@ object SparkEntry {
         "query_id", k = 10, dim = 64)
     }),
 
+    // IVF-PQ ANN (the composed billion-scale layout: coarse cells prune,
+    // 8-byte codes scan, exact refine; rows-only — approximate by design).
+    "q_sim_topk_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("query_id"), col("embedding"))
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        "query_id", k = 10, dim = 64, numCells = 16, nprobe = 8)
+    }),
+
     // S5 wire format: the delta fold serialized to Kafka (key,value)
     // records and parsed back — the round-trip must be the identity, so
     // the oracle is the delta fold itself.

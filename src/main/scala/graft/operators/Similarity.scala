@@ -226,6 +226,70 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** IVF-PQ — the composition both halves exist for (the standard
+    * billion-scale ANN layout, e.g. FAISS IVF-PQ): coarse k-means cells
+    * prune the corpus to `nprobe` cells per query, the survivors scan as
+    * 8-byte PQ codes under asymmetric cosine, and the top refine·k
+    * candidates re-score exactly. Candidate volume ≈ (nprobe/numCells) of
+    * the corpus read at m bytes/vector — the only full-width vector reads
+    * are the refine lookups.
+    */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, dim: Int,
+      numCells: Int, nprobe: Int = 4, m: Int = 8, ksub: Int = 256,
+      refine: Int = 4, seed: Long = 42L,
+      fitSampleSize: Int = 20000): DataFrame = {
+    import graft.functions.SketchOps
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val spark = data.sparkSession
+    import spark.implicits._
+    // one hash-ordered sample feeds BOTH quantizers (coarse + product)
+    val sampleDf = data
+      .select(col(vecCol).alias("_v"), xxhash64(col(idCol)).alias("_h"))
+      .orderBy(col("_h")).limit(fitSampleSize).select(col("_v"))
+    val sample = sampleDf.as[Array[Float]].collect()
+    val codebooks = SketchOps.pqTrain(sample, m, ksub)
+    val coarse = new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
+      .setFeaturesCol("_features").setPredictionCol("_cell")
+      .fit(sampleDf.select(
+        array_to_vector(col("_v").cast("array<double>")).alias("_features")))
+    // index: cell id + PQ code per vector, one map-side pass
+    val indexed = coarse.transform(Dedup.widen(data)
+        .select(col(idCol), col(vecCol),
+          array_to_vector(col(vecCol).cast("array<double>")).alias("_features")))
+      .select(col(idCol), col("_cell"),
+        pq_encode(col(vecCol), codebooks).alias("_code"))
+    val centroids = coarse.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val cellDf = broadcast(centroids.toDF("_cell", "_centroid"))
+    val q = queries.select(col(queryIdCol).alias("query_id"),
+      col(vecCol).alias("_qvec"))
+    val probes = q.crossJoin(cellDf)
+      .withColumn("_csim", cosine_sim(col("_qvec"), col("_centroid")))
+      .withColumn("_rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("_csim").desc, col("_cell"))))
+      .where(col("_rnk") <= nprobe)
+      .select(col("query_id"), col("_qvec"), col("_cell"))
+    val adc = indexed.join(broadcast(probes),
+        indexed("_cell") === probes("_cell") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).alias("neighbor_id"),
+        pq_adc_cosine(col("_qvec"), col("_code"), codebooks).alias("cosine"))
+    val candidates = topKPerQuery(adc, math.max(k, refine * k))
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = candidates
+      .join(data.select(col(idCol).alias("neighbor_id"), col(vecCol)),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col(vecCol), col("_qvec")).alias("cosine"))
+    topKPerQuery(exact, k)
+  }
+
   /** Per-group embedding centroids (mean pooling) — one row per (group,
     * dimension). Elements accumulate in EXACT decimal, so the sum is
     * order-independent and a cluster run reproduces local results bit-for-

@@ -87,6 +87,28 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet)
   }
 
+  test("ivfPqTopK: coarse prune + code scan + refine; full probe matches PQ alone") {
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5)
+    val partial = Similarity.ivfPqTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, dim = 64,
+      numCells = 8, nprobe = 6, refine = 8)
+    val rPartial = Similarity.recallAtK(exact, partial)
+    // near-random corpus: neighbors spread across cells, so 6-of-8 probing
+    // bounds recall near nprobe/numCells × PQ's own recall — chance is 1%
+    assert(rPartial >= 0.4, s"recall=$rPartial")
+    // probing every cell must recover (at least) plain PQ's recall: the
+    // cell stage then prunes nothing
+    val full = Similarity.ivfPqTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, dim = 64,
+      numCells = 8, nprobe = 8, refine = 8)
+    val pq = Similarity.pqTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, dim = 64, refine = 8)
+    assert(Similarity.recallAtK(exact, full) >=
+      Similarity.recallAtK(exact, pq) - 1e-9)
+    assert(Similarity.recallAtK(exact, full) >= rPartial - 1e-9)
+  }
+
   test("brute force plan broadcasts queries (no full shuffle of corpus)") {
     val plan = Similarity.bruteForceTopK(emb, queries,
       "vec_id", "embedding", "query_id", k = 3)
