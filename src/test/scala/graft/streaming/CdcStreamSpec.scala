@@ -142,6 +142,48 @@ class CdcStreamSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_swap_started").exists())
   }
 
+  test("MOR merge writes O(batch) bytes; COW rewrites touched-bucket data (measured)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytes.addAndGet(e.taskMetrics.outputMetrics.bytesWritten)
+    }
+    def written(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        bytes.set(0)
+        body
+        var last = -1L; var spins = 0
+        while (bytes.get() != last && spins < 50) {
+          last = bytes.get(); Thread.sleep(100); spins += 1
+        }
+        bytes.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // a 20k-row base across 2 buckets; the batch touches 10 keys — every
+    // bucket is dirty, so COW must rewrite ~the whole base while MOR
+    // appends ~the batch
+    val base = spark.range(20000L)
+      .select($"id", concat(lit("payload_"), $"id").as("payload"))
+    val batch = Seq.tabulate(10)(i =>
+        (Cdc.Upsert, 100L + i, i * 1000L, s"updated_$i"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+    def run(mor: Boolean): Long = {
+      val store = new UpsertStore(spark, tmp("amp"), Seq("id"),
+        numBuckets = 2, mergeOnRead = mor)
+      store.initialize(Cdc.initialLoad(base))
+      written { store.merge(batch) }
+    }
+    val cowBytes = run(false)
+    val morBytes = run(true)
+    // the design claim, measured: COW write amplification is the touched
+    // buckets' FULL data (~20k rows here), MOR's is the 10-row batch
+    assert(morBytes * 10 < cowBytes,
+      s"MOR wrote $morBytes vs COW $cowBytes — expected ≥10× separation")
+  }
+
   test("mode mismatch is safe: COW-flagged readers fold deltas, COW merges refuse") {
     val dir = tmp("mix")
     val mor = morStore(dir)
