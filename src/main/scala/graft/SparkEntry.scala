@@ -1157,6 +1157,22 @@ object SparkEntry {
           col("n_copies"))
     }),
 
+    // Maintainable COUNT DISTINCT: per-group HLL sketches maintained under
+    // an add-only CDC batch (rows-only — the xxhash64-register sketch has
+    // no SQL equivalent; maintained ≡ from-scratch bit-equality, replay
+    // idempotence, and the error envelope are spec-pinned).
+    "q_cdc_distinct_maintain" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val stored = graft.operators.IncrementalAgg.distinctSketch(
+        ev.where(col("event_id") % 3 =!= 0), "event_type", "user_id")
+      graft.operators.IncrementalAgg.maintainDistinct(
+          stored.select(col("event_type"), col("sketch")),
+          ev.where(col("event_id") % 3 === 0), "event_type", "user_id")
+        .select(col("event_type"),
+          round(col("n_distinct_est"), 3).alias("n_distinct_est_r"))
+    }),
+
     // PII scrub: placeholder redaction + match accounting over a string
     // column, all codegen'd regexp — the scrub pass a corpus pipeline runs
     // before anything else ships.

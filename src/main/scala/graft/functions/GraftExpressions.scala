@@ -256,6 +256,23 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `hll_estimate(sketch)` — distinct-count estimate from dense HLL
+    * registers (the read side of [[graft.operators.IncrementalAgg]]'s
+    * maintainable distinct).
+    */
+  case class HllEstimate(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.hllEstimate(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.hllEstimate($c)")
+    override protected def withNewChildInternal(c: Expression): HllEstimate =
+      copy(child = c)
+  }
+
   /** `pq_encode(vec)` — product-quantization codes (m bytes) for a float
     * vector, against driver-trained codebooks embedded in the plan.
     */
@@ -464,6 +481,7 @@ object GraftExpressions {
     c(TopNgramFractions(e(col), ns))
   def bloom_might_contain(col: Column, words: Array[Long], k: Int): Column =
     c(BloomMightContain(e(col), words, k))
+  def hll_estimate(col: Column): Column = c(HllEstimate(e(col)))
   def pq_encode(col: Column, codebooks: Array[Array[Array[Float]]]): Column =
     c(PqEncode(e(col), codebooks))
   def pq_adc_cosine(query: Column, codes: Column,
@@ -514,6 +532,8 @@ object GraftExpressions {
       xs => RollingFingerprint(xs.head, intArg(xs(1)))),
     ("top_ngram_fraction", "fraction of tokens covered by the top word n-gram",
       xs => GetArrayItem(TopNgramFractions(xs.head, Seq(intArg(xs(1)))), Literal(0))),
+    ("hll_estimate", "distinct-count estimate from dense HLL registers",
+      xs => HllEstimate(xs.head)),
     ("st_point", "little-endian WKB 2-D point",
       xs => StPoint(xs.head, xs(1))),
     ("st_x", "x coordinate of a WKB point", xs => StCoord(xs.head, 0)),

@@ -199,6 +199,59 @@ object SketchOps {
     min
   }
 
+  // ── HyperLogLog (dense, mergeable distinct sketch) ──────────────────────
+  // The maintainable half of COUNT DISTINCT: retraction algebra cannot
+  // maintain distincts (a delete might or might not remove the last copy),
+  // but an ADD-ONLY feed maintains a per-group HLL by pure register max —
+  // associative, commutative, idempotent, so replays and merges are free.
+  // p=12 → 4096 one-byte registers per sketch, ~1.6% relative error.
+
+  val HllP = 12
+  val HllM: Int = 1 << HllP
+
+  def hllZero(): Array[Byte] = new Array[Byte](HllM)
+
+  /** Fold one 64-bit hash into the registers (mutates and returns). */
+  def hllAdd(regs: Array[Byte], hash: Long): Array[Byte] = {
+    val idx = (hash >>> (64 - HllP)).toInt
+    val rest = hash << HllP
+    val rank =
+      (if (rest == 0L) 64 - HllP else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > (regs(idx) & 0xff)) regs(idx) = rank.toByte
+    regs
+  }
+
+  /** Register-wise max merge (mutates and returns `a`). Idempotent:
+    * merging a sketch with itself — or replaying a batch — is a no-op.
+    */
+  def hllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) {
+      if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  /** Standard HLL estimator with the small-range linear-counting
+    * correction; fixed double arithmetic in index order — deterministic.
+    */
+  def hllEstimate(regs: Array[Byte]): Double = {
+    val m = regs.length.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < regs.length) {
+      val r = regs(i) & 0xff
+      invSum += java.lang.Math.pow(2.0, -r)
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * m * m / invSum
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+  }
+
   // ── Product quantization (IVF-PQ's compression half) ────────────────────
   // Codes are m bytes per vector instead of 4·dim — at 25B embeddings
   // (100 TB corpus scale) that is ~200 GB of codes vs ~6.4 TB of floats,

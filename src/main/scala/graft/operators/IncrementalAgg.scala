@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+import graft.functions.SketchOps
 
 /** Incremental aggregate maintenance (materialized-view maintenance) under
   * a CDC fold: keep a `GROUP BY` count/sum aggregate current by applying
@@ -52,5 +55,82 @@ object IncrementalAgg {
       .groupBy(col(groupCol))
       .agg(sum(col(nCol)).alias(nCol), sum(col(sCol)).alias(sCol))
       .where(col(nCol) =!= 0)
+  }
+
+  // ── Maintainable COUNT DISTINCT (HLL sketches) ──────────────────────────
+  // Retraction algebra cannot maintain distincts: a deleted row might or
+  // might not have been a key's last copy, and answering that requires the
+  // base. For ADD-ONLY feeds (append streams — events, logs, the usual
+  // distinct-count dashboards) a per-group HLL sketch IS maintainable:
+  // merging batch registers into stored registers by max is associative,
+  // commutative, and IDEMPOTENT, so replays are free and the maintained
+  // sketch is bit-identical to one built from scratch (spec-pinned).
+
+  /** Build per-group HLL registers from key hashes (partial-aggregating:
+    * each task folds its rows into one 4 KB buffer per group).
+    */
+  private class HllBuild extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = SketchOps.hllZero()
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] =
+      SketchOps.hllAdd(b, h)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      SketchOps.hllMerge(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merge already-built sketches (the union side of maintenance). */
+  private class HllUnion extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = SketchOps.hllZero()
+    override def reduce(b: Array[Byte], s: Array[Byte]): Array[Byte] =
+      SketchOps.hllMerge(b, s)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      SketchOps.hllMerge(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-group distinct sketch of `keyCol`: (group, sketch, n_distinct_est).
+    * One shuffle of |groups| 4 KB buffers after map-side partials.
+    */
+  def distinctSketch(rows: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(groupCol).cast("string").alias("_g"),
+        xxhash64(col(keyCol)).alias("_h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new HllBuild().toColumn.name("sketch"))
+      .toDF(groupCol, "sketch")
+      .withColumn("n_distinct_est",
+        graft.functions.GraftExpressions.hll_estimate(col("sketch")))
+  }
+
+  /** Maintain stored per-group sketches under one ADD-ONLY batch: build
+    * the batch's sketches, register-max-merge into the stored ones. Groups
+    * born in the batch appear; existing groups only grow (add-only). The
+    * result is bit-identical to [[distinctSketch]] over the full history —
+    * replays included, because the merge is idempotent.
+    */
+  def maintainDistinct(oldSketches: DataFrame, newRows: DataFrame,
+      groupCol: String, keyCol: String): DataFrame = {
+    val spark = oldSketches.sparkSession
+    import spark.implicits._
+    val batch = distinctSketch(newRows, groupCol, keyCol)
+      .select(col(groupCol), col("sketch"))
+    oldSketches.select(col(groupCol).cast("string").alias(groupCol),
+        col("sketch"))
+      .unionByName(batch)
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new HllUnion().toColumn.name("sketch"))
+      .toDF(groupCol, "sketch")
+      .withColumn("n_distinct_est",
+        graft.functions.GraftExpressions.hll_estimate(col("sketch")))
   }
 }

@@ -193,6 +193,47 @@ class AsofRangeSpec extends SparkSpec {
     assert(re == Set(3L, 4L))
   }
 
+  test("maintainDistinct: maintained HLL ≡ from-scratch, replay-free, near-exact") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type", $"user_id", $"event_id")
+    val old = ev.where($"event_id" % 3 =!= 0)
+    val batch = ev.where($"event_id" % 3 === 0)
+    val stored = IncrementalAgg.distinctSketch(old, "event_type", "user_id")
+    val maintained = IncrementalAgg.maintainDistinct(
+      stored.select($"event_type", $"sketch"), batch, "event_type", "user_id")
+    val scratch = IncrementalAgg.distinctSketch(ev, "event_type", "user_id")
+    // BIT-IDENTICAL registers: maintenance is exact at the sketch level
+    val m = maintained.select($"event_type", $"sketch")
+      .as[(String, Array[Byte])].collect()
+      .map { case (g, s) => g -> s.toSeq }.toMap
+    val s = scratch.select($"event_type", $"sketch")
+      .as[(String, Array[Byte])].collect()
+      .map { case (g, s0) => g -> s0.toSeq }.toMap
+    assert(m == s)
+    // replaying the same batch changes nothing (register max is idempotent)
+    val replayed = IncrementalAgg.maintainDistinct(
+      maintained.select($"event_type", $"sketch"), batch,
+      "event_type", "user_id")
+    assert(replayed.select($"event_type", $"sketch")
+      .as[(String, Array[Byte])].collect()
+      .map { case (g, s0) => g -> s0.toSeq }.toMap == s)
+    // estimates land within HLL's p=12 error envelope of the exact counts
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct($"user_id").as("d"))
+      .as[(String, Long)].collect().toMap
+    maintained.select($"event_type", $"n_distinct_est")
+      .as[(String, Double)].collect().foreach { case (g, est) =>
+        val e = exact(g).toDouble
+        assert(math.abs(est - e) / e < 0.05, s"$g: est=$est exact=$e")
+      }
+    // partition-invariant (register math is order-free)
+    val re = IncrementalAgg.distinctSketch(ev.repartition(13),
+      "event_type", "user_id")
+      .select($"event_type", $"sketch").as[(String, Array[Byte])].collect()
+      .map { case (g, s0) => g -> s0.toSeq }.toMap
+    assert(re == s)
+  }
+
   test("decontaminate plan: benchmark side broadcasts") {
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bench = Seq((2L, "a b c")).toDF("doc_id", "text")
