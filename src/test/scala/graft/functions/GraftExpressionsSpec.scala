@@ -298,4 +298,39 @@ class GraftExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [toalphanum"), plan)
   }
+
+  test("r8 kernels stay inside WholeStageCodegen — a doGenCode failure falls back SILENTLY") {
+    import graft.functions.SketchOps
+    val cb = SketchOps.pqTrain(
+      Array(Array.fill(8)(0.1f), Array.fill(8)(0.9f)), m = 2, ksub = 2)
+    val bloom = SketchOps.bloomAdd(new Array[Long](2), 128, 3, Iterator(1L, 2L))
+    // every input DEPENDS ON $"id": literal inputs constant-fold away in
+    // the optimizer and the codegen path would go unexercised
+    val df = spark.range(10)
+      .select($"id",
+        array((0 until 8).map(i => ($"id" + i + 1).cast("float")): _*).as("v"),
+        when($"id" >= 0, lit(SketchOps.hllAdd(SketchOps.hllZero(), 42L)))
+          .as("regs"),
+        concat(lit("a b a b x"), $"id".cast("string")).as("txt"))
+      .select(
+        TextAnalysis.topNgramFractions($"txt", Seq(2)).as("rep"),
+        bloom_might_contain($"id", bloom, 3).as("bm"),
+        hll_estimate($"regs").as("hl"),
+        pq_adc_cosine($"v", pq_encode($"v", cb), cb).as("pq"))
+    val plan = df.queryExecution.executedPlan.toString
+    // every kernel fused into the codegen'd Project — an exception inside
+    // generated-code compilation would drop to interpreted with no error
+    for (frag <- Seq("topngramfractions", "bloommightcontain",
+        "hllestimate", "pqadccosine"))
+      assert(plan.toLowerCase.contains(s"*(1) project") &&
+        plan.toLowerCase.contains(frag), s"$frag not codegen'd:\n$plan")
+    // and they compute correctly through that path
+    val r = df.head() // id = 0: "a b a b x0" (5 tokens) → "a b" 2× → 4/5
+    assert(math.abs(r.getSeq[Double](0).head - 0.8) < 1e-9)
+    assert(!r.getBoolean(1) || r.getBoolean(1)) // bloom: just executes
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 2.0)
+    // ADC scores against the RECONSTRUCTION — approximate by design, but a
+    // positive ascending vector against any positive codeword stays high
+    assert(r.getDouble(3) > 0.5 && r.getDouble(3) <= 1.0)
+  }
 }
