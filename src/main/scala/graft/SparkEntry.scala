@@ -1157,6 +1157,44 @@ object SparkEntry {
           col("n_copies"))
     }),
 
+    // Substring-level dedup (Lee et al. 2022 ExactSubstr): maximal token
+    // spans whose every 13-gram repeats somewhere in the corpus. Gram
+    // selection runs on 64-bit hashes in Spark and literal gram strings in
+    // the oracle — identical output modulo hash collisions (~2^-40 at this
+    // corpus size).
+    "q_dedup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        gramLen = 13)
+    }),
+
+    // The removal applied: md5 of the rebuilt text gates EXACT
+    // reconstruction (surviving tokens, original case, single-space
+    // rejoin), not just counts.
+    "q_dedup_span_clean" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          gramLen = 13)
+        .select(col("doc_id"), md5(col("clean_text")).alias("clean_md5"),
+          when(length(col("clean_text")) === 0, lit(0L))
+            .otherwise(size(split(col("clean_text"), "\\s+")).cast(LongType))
+            .alias("n_tokens_clean"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells prune the cosine verify
+    // to same-cell pairs; components + keep-one produce the surviving
+    // corpus. Approximate by design (cross-cell pairs are the recall
+    // trade) — rows-only gate; SemDedupSpec pins determinism and recall
+    // against the exact baseline.
+    "q_semdedup_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+        threshold = 0.4, numCells = 8, fitSampleSize = 2000)
+      val comps = Dedup.connectedComponents(pairs)
+      val losers = comps.where(col("id") =!= col("component"))
+        .select(col("id").alias("vec_id"))
+      emb.join(losers, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+    }),
+
     // Maintainable COUNT DISTINCT: per-group HLL sketches maintained under
     // an add-only CDC batch (rows-only — the xxhash64-register sketch has
     // no SQL equivalent; maintained ≡ from-scratch bit-equality, replay
@@ -1500,6 +1538,41 @@ object SparkEntry {
       |SELECT c.doc_id, count(*) AS n_shared
       |FROM corpus c JOIN bench USING (g)
       |GROUP BY c.doc_id""".stripMargin
+
+  /** Duplicated-span CTE list (Lee et al. ExactSubstr shape), shared by
+    * the span gate and the removal gate: positional 13-gram explode over
+    * the lower(trim) word tokenization, corpus-wide ≥2-occurrence gate,
+    * per-document gaps-and-islands merge. The oracle selects grams by
+    * LITERAL STRING equality where Spark compares 64-bit gram hashes —
+    * identical output modulo hash collisions (~2^-40 at gate scale).
+    */
+  private val DupSpansCte =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id,
+      |    unnest([{'p': i - 1, 'g': array_to_string(ws[i:i+12], ' ')}
+      |            for i in range(1, len(ws) - 11)]) AS e
+      |  FROM toks WHERE len(ws) >= 13),
+      |grams AS (SELECT doc_id, e.p AS pos, e.g AS gram FROM gr),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      |marked AS (
+      |  SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 13
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM marked),
+      |grp AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS gid
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |         CAST(max(pos) + 13 AS BIGINT) AS span_end
+      |  FROM grp GROUP BY doc_id, gid)""".stripMargin
 
   /** The delta-fold oracle, shared by the fold itself and the wire-format
     * round-trips (identity transforms over the same fold).
@@ -2131,6 +2204,41 @@ object SparkEntry {
     // identical oracle by design: the bloom is a prefilter, the exact
     // verify join restores the exact answer
     "q_decontaminate_bloom" -> DecontaminateOracle,
+
+    "q_dedup_spans" ->
+      s"""WITH $DupSpansCte
+        |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
+
+    "q_dedup_span_clean" ->
+      s"""WITH $DupSpansCte,
+        |toks0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws0
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest([{'j': j, 'w': ws0[j]} for j in range(1, len(ws0) + 1)]) AS t
+        |  FROM toks0),
+        |sdocs AS (SELECT DISTINCT doc_id FROM spans),
+        |keptagg AS (
+        |  SELECT k.doc_id, string_agg(k.t.w, ' ' ORDER BY k.t.j) AS cln
+        |  FROM tok k
+        |  WHERE EXISTS (SELECT 1 FROM sdocs s WHERE s.doc_id = k.doc_id)
+        |    AND NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = k.doc_id
+        |      AND k.t.j - 1 >= s.span_start AND k.t.j - 1 < s.span_end)
+        |  GROUP BY k.doc_id),
+        |fin AS (
+        |  SELECT sd.doc_id, coalesce(ka.cln, '') AS cln
+        |  FROM sdocs sd LEFT JOIN keptagg ka USING (doc_id))
+        |SELECT d.doc_id,
+        |  CASE WHEN f.doc_id IS NULL THEN md5(d.text) ELSE md5(f.cln) END
+        |    AS clean_md5,
+        |  CAST(CASE WHEN f.doc_id IS NULL THEN
+        |         CASE WHEN length(d.text) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(d.text, '\\s+')) END
+        |       ELSE CASE WHEN f.cln = '' THEN 0
+        |              ELSE len(regexp_split_to_array(f.cln, '\\s+')) END
+        |       END AS BIGINT) AS n_tokens_clean
+        |FROM documents d LEFT JOIN fin f USING (doc_id)""".stripMargin,
 
     "q_dedup_keep_best" ->
       s"""WITH q AS ($TextQualityOracle),

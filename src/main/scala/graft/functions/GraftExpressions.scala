@@ -127,6 +127,44 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): WordNgramHashes = copy(child = c)
   }
 
+  /** `word_ngram_hash_seq(string, n)` — POSITIONAL hashed word n-grams
+    * (index = token position, duplicates kept) — the gram explode feeding
+    * [[graft.operators.Dedup.duplicatedSpans]].
+    */
+  case class WordNgramHashSeq(child: Expression, n: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(n > 0, "n > 0")
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wordNgramHashSeq(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.wordNgramHashSeq($c, $n)")
+    override protected def withNewChildInternal(c: Expression): WordNgramHashSeq =
+      copy(child = c)
+  }
+
+  /** `remove_spans(text, starts, ends)` — cut sorted disjoint token spans
+    * out of the text ([[graft.operators.Dedup.removeDuplicatedSpans]]'s
+    * rebuild step).
+    */
+  case class RemoveSpans(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(StringType, ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      SketchOps.removeSpans(a.asInstanceOf[UTF8String],
+        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) =>
+        s"graft.functions.SketchOps.removeSpans($a, $b, $c)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression): RemoveSpans = copy(first = f, second = s, third = t)
+  }
+
   /** `jaccard_sorted(array<long>, array<long>)` — exact Jaccard of two
     * sorted distinct arrays (merge pass; pairs with [[ShingleHashes]]).
     */
@@ -471,6 +509,9 @@ object GraftExpressions {
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
   def word_ngram_hashes(col: Column, n: Int): Column = c(WordNgramHashes(e(col), n))
+  def word_ngram_hash_seq(col: Column, n: Int): Column = c(WordNgramHashSeq(e(col), n))
+  def remove_spans(text: Column, starts: Column, ends: Column): Column =
+    c(RemoveSpans(e(text), e(starts), e(ends)))
   def rolling_fingerprint(col: Column, window: Int): Column =
     c(RollingFingerprint(e(col), window))
   def projection_bits(col: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
@@ -528,6 +569,10 @@ object GraftExpressions {
       xs => ShingleHashes(xs.head, intArg(xs(1)))),
     ("word_ngram_hashes", "distinct hashed word n-grams",
       xs => WordNgramHashes(xs.head, intArg(xs(1)))),
+    ("word_ngram_hash_seq", "positional hashed word n-grams",
+      xs => WordNgramHashSeq(xs.head, intArg(xs(1)))),
+    ("remove_spans", "cut sorted disjoint token spans out of a text",
+      xs => RemoveSpans(xs.head, xs(1), xs(2))),
     ("rolling_fingerprint", "winnowing min rolling hash fingerprint",
       xs => RollingFingerprint(xs.head, intArg(xs(1)))),
     ("top_ngram_fraction", "fraction of tokens covered by the top word n-gram",

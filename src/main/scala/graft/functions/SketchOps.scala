@@ -819,6 +819,77 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Positional FNV-hashed word n-grams — one hash per start position, IN
+    * ORDER, duplicates kept (index i = the gram over tokens [i, i+n)).
+    * The positional companion of [[wordNgramHashes]] (which sorts and
+    * dedups for Jaccard): duplicated-SPAN detection needs to know where
+    * each gram occurs, not just which grams exist. Tokenization reproduces
+    * `split(lower(trim(text)), "\s+")` exactly (ASCII-space trim, Unicode
+    * lowercase, Java-regex split keeping empty tokens), so a SQL engine
+    * selecting grams by STRING equality over that tokenization selects the
+    * same positions, modulo 64-bit hash collisions. Token hashes fold once
+    * and gram hashes fold the n token hashes — O(chars + n·positions).
+    */
+  def wordNgramHashSeq(text: UTF8String, n: Int): ArrayData = {
+    val toks = WsPattern.split(text.trim().toLowerCase.toString, -1)
+    val cnt = toks.length
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 over the token's chars
+      val w = toks(i)
+      var k = 0
+      while (k < w.length) { h ^= w.charAt(k); h *= 1099511628211L; k += 1 }
+      th(i) = h
+      i += 1
+    }
+    val m = cnt - n + 1
+    val buf = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L // FNV-1a over the n token hashes' bytes
+      var j = i
+      while (j < i + n) {
+        var x = th(j)
+        var b = 0
+        while (b < 8) { h ^= (x & 0xffL); h *= 1099511628211L; x >>>= 8; b += 1 }
+        j += 1
+      }
+      buf(i) = h
+      i += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  /** Drop the tokens covered by [starts(i), ends(i)) token spans and
+    * re-join the survivors with single spaces. Spans must be sorted by
+    * start and disjoint — the shape
+    * [[graft.operators.Dedup.duplicatedSpans]] emits. Token TEXT (case,
+    * punctuation) is preserved; only inter-token whitespace normalizes to
+    * one space — the same normalization the tokenization that produced
+    * the span indices applied. One forward pass, O(chars + spans).
+    */
+  def removeSpans(text: UTF8String, starts: ArrayData, ends: ArrayData): UTF8String = {
+    val toks = WsPattern.split(text.trim().toString, -1)
+    val ns = starts.numElements()
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var si = 0
+    var first = true
+    var j = 0
+    while (j < toks.length) {
+      while (si < ns && ends.getLong(si) <= j) si += 1
+      val covered = si < ns && starts.getLong(si) <= j && j < ends.getLong(si)
+      if (!covered) {
+        if (!first) sb.append(' ')
+        sb.append(toks(j))
+        first = false
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Sort + in-place dedupe, shared by the shingle kernels. */
   private def sortedDistinct(buf: Array[Long]): ArrayData = {
     java.util.Arrays.sort(buf)

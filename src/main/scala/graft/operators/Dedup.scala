@@ -526,4 +526,147 @@ object Dedup {
         col("_p.cosine").alias("cosine"))
       .distinct()
   }
+
+  /** EXACT duplicated-span detection — substring-level dedup after
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022, ExactSubstr): any word `gramLen`-gram occurring at least
+    * `minOccurrences` times across the WHOLE corpus (other documents or
+    * the same one) marks its token range duplicated, and overlapping
+    * marked ranges merge into maximal spans. Document-level dedup (exact /
+    * MinHash) cannot see these: a licence header, a quoted paragraph,
+    * boilerplate navigation repeated inside otherwise-unique pages.
+    *
+    * Returns (idCol, span_start, span_end) — token-index spans, start
+    * inclusive / end exclusive, over the `split(lower(trim(text)), "\s+")`
+    * tokenization.
+    *
+    * Scale shape: the gram explode is O(total tokens) rows carrying an
+    * 8-BYTE gram hash (never the gram string) as the shuffle key; the
+    * ≥minOccurrences gate is one partial-aggregating groupBy on that key;
+    * marked positions come back by a semi-join on the same key (a hot
+    * boilerplate gram is just a hot hash-join key — nothing collects its
+    * occurrence list); and the island merge runs per-document — a window
+    * partitioned by doc id sorts one document's marked positions, never
+    * the corpus. Gram equality is 64-bit-hash equality: at 10^12 corpus
+    * grams expect ~30 colliding pairs (m²/2^65), i.e. a handful of
+    * spuriously-marked spans in 100 TB — noise for curation (Lee et
+    * al.'s suffix array is exact, and single-machine).
+    *
+    * @param keepFirst exempt each duplicated gram's FIRST occurrence (min
+    *   (id, pos)) from marking, so one copy of every duplicated passage
+    *   survives; the default removes ALL copies — the conservative choice
+    *   when any duplication is contamination (decontamination sweeps,
+    *   benchmark scrubbing). The exemption is a groupBy-min on the gram
+    *   hash + an equi-join back — still no per-gram occurrence lists.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 13, minOccurrences: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    import org.apache.spark.sql.expressions.Window
+    val grams = widen(df).select(col(idCol),
+      posexplode(word_ngram_hash_seq(col(textCol), gramLen)).as(Seq("_pos", "_g")))
+    val dup = grams.groupBy(col("_g")).agg(count(lit(1)).alias("_c"))
+      .where(col("_c") >= minOccurrences).select(col("_g"))
+    val marked0 = grams.join(dup, Seq("_g"), "left_semi")
+    val marked =
+      if (!keepFirst) marked0
+      else {
+        val firsts = marked0.groupBy(col("_g"))
+          .agg(min(struct(col(idCol).alias("id"), col("_pos").alias("p")))
+            .alias("_first"))
+        marked0.join(firsts, Seq("_g"))
+          .where(!(col(idCol) === col("_first.id") && col("_pos") === col("_first.p")))
+          .select(col(idCol), col("_pos"))
+      }
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    marked
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) <= gramLen, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_grp", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_pos")).cast(LongType).alias("span_start"),
+        (max(col("_pos")) + lit(gramLen)).cast(LongType).alias("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** [[duplicatedSpans]] applied: cut every duplicated span out of the
+    * text. Documents with no duplicated span pass through VERBATIM;
+    * documents that lose spans are rebuilt from their surviving tokens
+    * joined by single spaces (the whitespace normalization the span
+    * tokenization already applied). A document that was entirely
+    * duplicated material comes back as the empty string — downstream
+    * length filters drop it; silently losing the row would make the
+    * operator un-auditable.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 13, minOccurrences: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, gramLen, minOccurrences, keepFirst)
+    // per-doc span lists: spans are disjoint, so independently sorted
+    // starts and ends stay pairwise aligned
+    val perDoc = spans.groupBy(col(idCol)).agg(
+      array_sort(collect_list(col("span_start"))).alias("_ss"),
+      array_sort(collect_list(col("span_end"))).alias("_es"))
+    df.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_ss").isNull, col(textCol))
+          .otherwise(remove_spans(col(textCol), col("_ss"), col("_es")))
+          .alias("clean_text"))
+  }
+
+  /** SemDeDup — semantic near-dup pairs with k-means cluster pruning
+    * ("SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", Abbas et al. 2023): fit coarse k-means cells on a
+    * deterministic hash-ordered sample (exactly [[Similarity.ivfTopK]]'s
+    * quantizer), assign every vector map-side, and verify exact cosine
+    * only WITHIN each cell. Semantic duplicates sit in tight clusters, so
+    * same-cell verification keeps most true pairs while cutting the
+    * pairing volume from n²/2 to Σ|cell|²/2 ≈ n²/(2·numCells) — and each
+    * cell's verify runs inside the same [[bucket_near_pairs]] kernel the
+    * LSH path uses (candidates exist only as loop iterations, never as
+    * shuffled rows). Cross-cell pairs are missed BY DESIGN — the recall
+    * trade the paper makes; recall is pinned by `SemDedupSpec` against
+    * the exact baseline.
+    *
+    * @param maxCell skip cells larger than this (guards a degenerate fit
+    *   where one cell swallows the corpus — the kernel collects one cell
+    *   per task); default keeps every cell.
+    */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCells: Int, seed: Long = 42L,
+      fitSampleSize: Int = 20000, maxCell: Int = Int.MaxValue): DataFrame = {
+    require(numCells >= 1, s"numCells must be >= 1, got $numCells")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = widen(df).select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
+    // numCells = 1 is the exact all-pairs degenerate (and KMeans rejects
+    // k = 1): one cell, no fit
+    val celled =
+      if (numCells == 1) feats.drop("_features").withColumn("_cell", lit(0))
+      else {
+        val fitOn = df
+          .select(array_to_vector(col(vecCol).cast("array<double>")).alias("_features"),
+            xxhash64(col(idCol)).alias("_h"))
+          .orderBy(col("_h")).limit(fitSampleSize).drop("_h")
+        val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
+          .setInitMode("random")
+          .setFeaturesCol("_features").setPredictionCol("_cell")
+          .fit(fitOn)
+        model.transform(feats).drop("_features")
+      }
+    val grouped = celled
+      .groupBy(col("_cell"))
+      .agg(array_sort(collect_list(
+        struct(col(idCol).alias("id"), col(vecCol).alias("vec")))).alias("_m"))
+      .where(size(col("_m")) >= 2 && size(col("_m")) <= maxCell)
+    grouped
+      .select(explode(bucket_near_pairs(col("_m"), threshold)).alias("_p"))
+      .select(col("_p.id_a").alias("id_a"), col("_p.id_b").alias("id_b"),
+        col("_p.cosine").alias("cosine"))
+  }
 }
