@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, RangeJoin, Sampling, Shards, Similarity}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, LmScore, RangeJoin, Sampling, Shards, Similarity}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -655,6 +655,54 @@ object SparkEntry {
         .select(col("doc_id"),
           round(element_at(col("_fr"), 1), 6).alias("top2gram_frac"),
           round(element_at(col("_fr"), 2), 6).alias("top3gram_frac"))
+    }),
+
+    // Gopher rule-set flags (Rae et al. 2021 §A1.1): the seven published
+    // document-level heuristics as one map-side struct. The line-shape
+    // rules (bullet/ellipsis fractions) are vacuous on the single-line
+    // corpus — GopherC4Spec pins them on multi-line text; the gate
+    // hash-verifies every count, ratio, and flag end-to-end.
+    "q_text_gopher" -> ((s, dir) => {
+      Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.gopherFlags(col("text")).alias("_g"))
+        .select(col("doc_id"),
+          col("_g.n_words").alias("n_words"),
+          round(col("_g.mean_word_len"), 6).alias("mean_word_len_r"),
+          round(col("_g.symbol_ratio"), 6).alias("symbol_ratio_r"),
+          round(col("_g.alpha_frac"), 6).alias("alpha_frac_r"),
+          col("_g.n_stop").alias("n_stop"),
+          col("_g.flag_words").alias("flag_words"),
+          col("_g.flag_mean_len").alias("flag_mean_len"),
+          col("_g.flag_symbol").alias("flag_symbol"),
+          col("_g.flag_alpha").alias("flag_alpha"),
+          col("_g.flag_stop").alias("flag_stop"),
+          col("_g.pass").alias("pass"))
+    }),
+
+    // C4-style line/page cleaning (Raffel et al. 2020 §2.2). The corpus
+    // has no punctuation or newlines, so the gate runs the
+    // terminal-punct-off variant (keep lines of ≥ 30 words) and md5-gates
+    // the kept text; GopherC4Spec pins the punctuation, javascript,
+    // lorem-ipsum, brace, and min-sentences rules on synthetic pages.
+    "q_c4_clean" -> ((s, dir) => {
+      Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.c4Clean(col("text"), minWordsPerLine = 30,
+            requireTerminalPunct = false, minSentences = 0).alias("_c"))
+        .select(col("doc_id"), md5(col("_c")).alias("clean_md5"),
+          (length(col("_c")) > 0).alias("kept"))
+    }),
+
+    // Corpus-statistics LM scoring (CCNet-style, self-trained): per-doc
+    // bigram count features against the corpus-wide bigram table. Exact
+    // integer outputs — gram counting runs on 64-bit hashes in Spark and
+    // literal gram strings in the oracle.
+    "q_text_lm_score" -> ((s, dir) => {
+      LmScore.ngramCountFeatures(t(s, dir, "documents"), "doc_id", "text",
+          n = 2)
+        .select(col("doc_id"), col("n_grams"), col("cnt_sum"),
+          col("log2_sum"), col("n_rare"),
+          round(col("avg_log2"), 6).alias("avg_log2_r"))
     }),
 
     // Per-language embedding centroids (mean pooling): documents⋈embeddings
@@ -1959,6 +2007,88 @@ object SparkEntry {
     },
 
     "q_text_repetition" -> TextRepetitionOracle,
+
+    // Gopher flags: identical integer counts → identical IEEE divisions →
+    // identical flags; rounds mirror the Spark side
+    "q_text_gopher" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    CAST(greatest(len(ws), 1) AS DOUBLE) AS nwd,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      AS n_chars,
+        |    (length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '…', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+        |      AS DOUBLE) AS n_alpha,
+        |    CAST(greatest(len(lines), 1) AS DOUBLE) AS nld,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[•\-*]')))
+        |      AS DOUBLE) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(…|\.\.\.)\s*$')))
+        |      AS DOUBLE) AS n_ell,
+        |    len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  round(n_chars / nwd, 6) AS mean_word_len_r,
+        |  round(n_sym / nwd, 6) AS symbol_ratio_r,
+        |  round(n_alpha / nwd, 6) AS alpha_frac_r,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS flag_words,
+        |  (n_chars / nwd >= 3.0 AND n_chars / nwd <= 10.0) AS flag_mean_len,
+        |  (n_sym / nwd <= 0.1) AS flag_symbol,
+        |  (n_alpha / nwd >= 0.8) AS flag_alpha,
+        |  (n_stop >= 2) AS flag_stop,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND n_chars / nwd >= 3.0 AND n_chars / nwd <= 10.0
+        |    AND n_sym / nwd <= 0.1 AND n_alpha / nwd >= 0.8
+        |    AND n_bullet / nld <= 0.9 AND n_ell / nld <= 0.3
+        |    AND n_stop >= 2) AS pass
+        |FROM m""".stripMargin,
+
+    // C4 gate variant: single-line corpus, terminal-punct off — a line
+    // (= the whole doc) survives iff it has ≥ 30 words
+    "q_c4_clean" ->
+      """SELECT doc_id,
+        |  md5(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 30
+        |      THEN text ELSE '' END) AS clean_md5,
+        |  (len(regexp_split_to_array(trim(text), '\s+')) >= 30) AS kept
+        |FROM documents""".stripMargin,
+
+    // LM scoring: gram counts by literal string equality (Spark: 64-bit
+    // hashes); every aggregate is an exact integer, HUGEINT sums cast back
+    "q_text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(ws[i:i+1], ' ')
+        |            for i in range(1, len(ws))]) AS g
+        |  FROM toks WHERE len(ws) >= 2),
+        |cnt AS (SELECT g, count(*) AS c FROM gr GROUP BY g),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(c) AS BIGINT) AS cnt_sum,
+        |    CAST(sum(CAST(floor(log2(c)) AS BIGINT)) AS BIGINT) AS log2_sum,
+        |    CAST(sum(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM gr JOIN cnt USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(cnt_sum, 0) AS cnt_sum,
+        |  coalesce(log2_sum, 0) AS log2_sum,
+        |  coalesce(n_rare, 0) AS n_rare,
+        |  round(CASE WHEN coalesce(n_grams, 0) > 0
+        |    THEN CAST(log2_sum AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS avg_log2_r
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "q_text_quality" -> TextQualityOracle,
 

@@ -183,6 +183,115 @@ object TextAnalysis {
   def topNgramFractions(text: Column, ns: Seq[Int]): Column =
     GraftExpressions.top_ngram_fractions(text, ns)
 
+  // ── Gopher rule-set flags ("Scaling Language Models: Methods, Analysis
+  // & Insights from Training Gopher", Rae et al. 2021 §A1.1: the document-
+  // level heuristics applied to MassiveWeb before training) ───────────────
+
+  /** Gopher's stop-word list: a passing document must contain at least
+    * [[GopherMinStopwords]] DISTINCT words from this set (the "contains at
+    * least 2 of the following English words" rule — a cheap prose check).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopwords = 2
+
+  /** The Gopher rule-set quality flags, one struct per document: the seven
+    * measured quantities and the seven per-rule booleans (+ `pass`, their
+    * conjunction). Published thresholds: 50 ≤ words ≤ 100 000, mean word
+    * length in [3, 10], symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥ 80%
+    * of words contain an alphabetic character, ≤ 90% of lines start with a
+    * bullet, ≤ 30% end with an ellipsis, ≥ 2 distinct stop words.
+    *
+    * Everything is a map-side expression over one row — integer counts and
+    * IEEE divisions of those counts, so any engine computing the same
+    * counts produces bit-identical ratios (the property the oracle gate
+    * relies on). The two array-lambda filters (alpha words, line shapes)
+    * are interpreted HOFs — O(tokens) per row on a boolean regex, far off
+    * the cost cliff `topNgramFraction` hit (per-gram hashing in a fold).
+    */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val nWordsD = greatest(nWords, lit(1)).cast("double")
+    // mean word length over the same whitespace tokens: non-ws chars/words
+    val meanLen = length(regexp_replace(trim(text), "\\s+", ""))
+      .cast("double") / nWordsD
+    // Gopher's symbol set: '#' and ellipsis ("…" or "..."); replace() is
+    // greedy non-overlapping, so "...." counts one "..." — both engines
+    val nSymbols = (length(text) - length(replace(text, lit("#"), lit("")))) +
+      (length(text) - length(replace(text, lit("…"), lit("")))) +
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = nSymbols.cast("double") / nWordsD
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      .cast("double") / nWordsD
+    val lines = split(text, "\n")
+    val nLinesD = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[•\\-*]")))
+      .cast("double") / nLinesD
+    val ellipsisFrac = size(filter(lines, l => l.rlike("(…|\\.\\.\\.)\\s*$")))
+      .cast("double") / nLinesD
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(GopherStopwords.map(lit): _*)))
+    val flagWords = nWords >= 50 && nWords <= 100000
+    val flagMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val flagSymbol = symbolRatio <= 0.1
+    val flagAlpha = alphaFrac >= 0.8
+    val flagBullet = bulletFrac <= 0.9
+    val flagEllipsis = ellipsisFrac <= 0.3
+    val flagStop = nStop >= GopherMinStopwords
+    struct(
+      nWords.cast("long").alias("n_words"),
+      meanLen.alias("mean_word_len"),
+      symbolRatio.alias("symbol_ratio"),
+      alphaFrac.alias("alpha_frac"),
+      bulletFrac.alias("bullet_frac"),
+      ellipsisFrac.alias("ellipsis_frac"),
+      nStop.cast("long").alias("n_stop"),
+      flagWords.alias("flag_words"),
+      flagMeanLen.alias("flag_mean_len"),
+      flagSymbol.alias("flag_symbol"),
+      flagAlpha.alias("flag_alpha"),
+      flagBullet.alias("flag_bullet"),
+      flagEllipsis.alias("flag_ellipsis"),
+      flagStop.alias("flag_stop"),
+      (flagWords && flagMeanLen && flagSymbol && flagAlpha &&
+        flagBullet && flagEllipsis && flagStop).alias("pass"))
+  }
+
+  // ── C4-style cleaning (Raffel et al. 2020 §2.2: the line- and page-
+  // level heuristics that produced C4 from Common Crawl) ──────────────────
+
+  /** C4's line/page filter. Line level: keep lines with ≥
+    * `minWordsPerLine` words, ending in terminal punctuation (when
+    * `requireTerminalPunct`), and not mentioning "javascript". Page level:
+    * a page containing "lorem ipsum" or "{", or retaining fewer than
+    * `minSentences` sentence-enders after line filtering, comes back as
+    * the EMPTY string (not dropped — same auditability convention as
+    * [[graft.operators.Dedup.removeDuplicatedSpans]]; a downstream
+    * `length > 0` filter realizes the drop). Sentence count is
+    * approximated by terminal-punctuation marks in the kept text — C4
+    * sentence-splits with a tokenizer; a punctuation count is the same
+    * signal without a model dependency.
+    *
+    * Entirely map-side built-ins: one pass over lines, no shuffle, no UDF.
+    */
+  def c4Clean(text: Column, minWordsPerLine: Int = 5,
+      requireTerminalPunct: Boolean = true, minSentences: Int = 3): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val lt = trim(l)
+      val wordsOk = size(split(lt, "\\s+")) >= minWordsPerLine
+      val punctOk =
+        if (requireTerminalPunct) lt.rlike("[.!?\"']$") else lit(true)
+      wordsOk && punctOk && !lower(lt).contains("javascript")
+    })
+    val cleanText = array_join(kept, "\n")
+    val nSentences =
+      length(cleanText) - length(regexp_replace(cleanText, "[.!?]", ""))
+    val pageDrop = lower(text).contains("lorem ipsum") ||
+      text.contains("{") || nSentences < minSentences
+    when(pageDrop, lit("")).otherwise(cleanText)
+  }
+
   /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the
     * rolling fingerprint.
     */
