@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, LmScore, RangeJoin, Sampling, Shards, Similarity}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Sampling, Shards, Similarity}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1336,6 +1336,47 @@ object SparkEntry {
           col("s").cast(DoubleType).alias("sum_bal"))
     }),
 
+    // Incremental JOIN maintenance: a denormalized orders⋈customer view
+    // kept current under folded CDC batches on BOTH sides (customer fold
+    // from the events feed, order fold with upserts AND deletes) — the
+    // delta-join identity, zero shuffles (broadcast anti + refresh joins).
+    // Oracle = DuckDB full re-join of the final replica states.
+    "q_cdc_join_maintain" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      // stale replicas: customer bal drifted for every 7th key (the agg
+      // gate's drift); order total drifted for every 11th key; every 13th
+      // order present but pending deletion
+      val staleCust = cust.select(col("c_custkey"), col("c_mktsegment"),
+        dec(when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal"))).alias("bal"))
+      val staleOrders = orders.select(col("o_orderkey"), col("o_custkey"),
+        dec(when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice"))).alias("total"))
+      val oldView = IncrementalJoin.joinView(staleOrders, staleCust,
+        "o_custkey", "c_custkey")
+      // right batch: the same events-feed fold as q_cdc_agg_maintain
+      val folded = customerDeltaFold(s, dir).localCheckpoint(false)
+      val touchedCust = folded.select(col("user_id"))
+      val curCust = staleCust
+        .join(touchedCust, staleCust("c_custkey") === col("user_id"), "left_anti")
+        .unionByName(folded.where(col(Cdc.ChangeType) === Cdc.Upsert)
+          .select(col("user_id").alias("c_custkey"), col("c_mktsegment"),
+            dec(col("c_acctbal")).alias("bal")))
+      // left batch: %11 upserts restore the true total, %13 rows delete
+      val touchedOrders = orders
+        .where(col("o_orderkey") % 11 === 0 || col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"))
+      val curOrders = orders.where(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice")).alias("total"))
+      IncrementalJoin.maintainJoinView(oldView, curOrders, curCust,
+          touchedOrders, touchedCust, "o_orderkey", "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("total").cast(DoubleType).alias("total"),
+          col("c_mktsegment"), col("bal").cast(DoubleType).alias("bal"))
+    }),
+
     // TF-IDF: per-document most-distinctive token (tf · ln(N/df), ties to
     // the lexicographically first token) — the classic corpus-relevance
     // scoring pass, all shuffles on (doc, token) / token.
@@ -2563,6 +2604,28 @@ object SparkEntry {
         |  FROM customer c JOIN changed ON c.c_custkey = changed.user_id)
         |SELECT c_mktsegment, count(*) AS n, CAST(sum(bal) AS DOUBLE) AS sum_bal
         |FROM final GROUP BY c_mktsegment""".stripMargin,
+
+    "q_cdc_join_maintain" ->
+      """WITH changed AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_id > 100 AND event_id <= 1000000000),
+        |cust_final AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE c_custkey NOT IN (SELECT user_id FROM changed)
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer c JOIN changed ON c.c_custkey = changed.user_id),
+        |ord_final AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total,
+        |  c_mktsegment, CAST(bal AS DOUBLE) AS bal
+        |FROM ord_final JOIN cust_final ON o_custkey = c_custkey""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (
