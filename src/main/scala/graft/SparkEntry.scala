@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Sampling, Shards, Similarity}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1401,6 +1401,35 @@ object SparkEntry {
           col("tf"), col("df"), round(col("tfidf"), 6).alias("tfidf_r"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): log p_target − log p_raw
+    // under add-½ smoothed bigram models, target = the src18 slice —
+    // quantized to integer micro-nats so the distributed double-sum is
+    // exact and order-independent (same trick as q_text_lm_score).
+    "q_dsir_weights" -> ((s, dir) => {
+      ImportanceResample.logWeights(t(s, dir, "documents"), "doc_id",
+        "text", col("source") === "src18", n = 2, alpha = 0.5)
+    }),
+
+    // BM25 indexing pass (Robertson & Zaragoza 2009, Lucene idf variant):
+    // the full (doc, term) weight table a lexical retrieval system
+    // precomputes — tf/df/dl partial-aggregated, stats one broadcast row.
+    "q_text_bm25_index" -> ((s, dir) => {
+      Retrieval.bm25Index(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+          round(col("bm25"), 6).alias("bm25_r"))
+    }),
+
+    // BM25 query pass: every document matching a 3-term bag-of-words
+    // query, scored. k exceeds the match count so the result set is
+    // boundary-free (membership = "contains ≥1 query term", exact); the
+    // spec pins small-k ordering.
+    "q_text_bm25_search" -> ((s, dir) => {
+      Retrieval.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "merge", "vector"), k = 1000000)
+        .select(col("doc_id"), col("n_terms"),
+          round(col("score"), 6).alias("score_r"))
+    }),
+
     // Token-bounded document chunking with overlap (50-token chunks,
     // 10-token overlap) — the pre-tokenization split before sequence
     // packing; pure map-side array ops, exploded for the compare.
@@ -2626,6 +2655,78 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total,
         |  c_mktsegment, CAST(bal AS DOUBLE) AS bal
         |FROM ord_final JOIN cust_final ON o_custkey = c_custkey""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, source,
+        |    unnest([array_to_string(ws[i:i+1], ' ')
+        |            for i in range(1, len(ws))]) AS g
+        |  FROM toks WHERE len(ws) >= 2),
+        |cnt AS (
+        |  SELECT g, count(*) AS cr,
+        |    CAST(sum(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM gr GROUP BY g),
+        |tot AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
+        |    count(*) AS v
+        |  FROM cnt),
+        |c AS (
+        |  SELECT CAST(floor(1e6 * (ln(CAST(tr AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))
+        |                          - ln(CAST(tt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+        |    AS BIGINT) AS c_micro
+        |  FROM tot),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CAST(floor(1e6 * (ln(CAST(ct AS DOUBLE) + 0.5)
+        |                             - ln(CAST(cr AS DOUBLE) + 0.5))) AS BIGINT))
+        |      AS BIGINT) AS gsum
+        |  FROM gr JOIN cnt USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(gsum + n_grams * (SELECT c_micro FROM c), 0) AS lw_micro
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "q_text_bm25_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+        |  round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                 / (CAST(df AS DOUBLE) + 0.5))
+        |    * CAST(tf AS DOUBLE) * 2.2
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+        |    6) AS bm25_r
+        |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats""".stripMargin,
+
+    "q_text_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |alltf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM alltf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (SELECT * FROM alltf WHERE term IN ('spark', 'merge', 'vector')),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |      * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms, round(sum(bm25), 6) AS score_r
+        |FROM w GROUP BY doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.functions.GraftExpressions.word_ngram_hash_seq
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Data Selection with Importance Resampling ("DSIR", Xie et al. 2023):
+  * pick raw-corpus documents that look like a small TARGET corpus by
+  * scoring each document with the log importance weight
+  * log p_target(doc) − log p_raw(doc) under bag-of-n-gram models fit on
+  * the two corpora, then sampling by weight. The standard recipe for
+  * "make 100 TB of crawl look like Wikipedia".
+  *
+  * Both models are add-α smoothed n-gram frequency tables built in one
+  * aggregation each; a document's log weight decomposes per gram g:
+  *   Σ_g [ln(c_t(g)+α) − ln(c_r(g)+α)] + n_grams · C,
+  * where C = ln(T_r+αV) − ln(T_t+αV) folds every corpus total into ONE
+  * scalar (c_t/c_r = per-gram target/raw counts; T_t/T_r = total gram
+  * occurrences; V = distinct grams in the raw corpus).
+  *
+  * Determinism: floating sums are order-dependent, so a double
+  * `sum(ln …)` would not survive cluster-vs-local hash comparison.
+  * Instead every per-gram contribution is quantized to integer
+  * MICRO-NATS — ⌊10⁶·(ln(c_t+α) − ln(c_r+α))⌋, exact int64 — and summed
+  * exactly; the shared constant C is likewise quantized once and
+  * multiplied by the gram count. The result (`lw_micro`) is
+  * order-independent, cluster ≡ local bit-for-bit, and a SQL engine
+  * reproduces it from the same counts (`q_dsir_weights`). Quantization
+  * error is ≤ 1e-6 nat/gram — far below the nat-scale differences that
+  * drive selection.
+  *
+  * Scale shape: grams travel as 8-byte hashes (never strings); the two
+  * count tables are partial-aggregating groupBys on that key; scoring
+  * joins on the same key (a boilerplate gram appearing 10⁹ times is a hot
+  * join key, not a collected list); the per-doc fold is an integer-sum
+  * groupBy on the doc id. The target count table is |target vocabulary| —
+  * for a curation target (Wikipedia-sized) it broadcasts; the raw table
+  * shuffles. Nothing is quadratic; nothing collects to the driver beyond
+  * the one scalar row of corpus totals.
+  */
+object ImportanceResample {
+
+  /** Per-document DSIR log importance weight, quantized to micro-nats.
+    *
+    * @param df       the raw corpus (one row per document); the TARGET is
+    *                 the subset where `isTarget` — in a real pipeline the
+    *                 high-quality seed corpus, expressed here as a column
+    *                 so target and raw stats come from the same scan
+    * @param isTarget boolean column selecting the target subset
+    * @param n        n-gram order of the bag-of-n-grams models
+    * @param alpha    add-α smoothing (> 0)
+    * @return (idCol, n_grams, lw_micro): gram occurrences in the doc and
+    *         the quantized log weight — higher = more target-like.
+    *         Documents with fewer than `n` tokens get lw_micro = 0 (no
+    *         evidence either way).
+    */
+  def logWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, n: Int = 2, alpha: Double = 0.5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val grams = Dedup.widen(df).select(col(idCol), isTarget.alias("_t"),
+      explode(word_ngram_hash_seq(col(textCol), n)).alias("_g"))
+    val counts = grams.groupBy(col("_g")).agg(
+      count(lit(1)).alias("_cr"),
+      sum(when(col("_t"), 1L).otherwise(0L)).alias("_ct"))
+    // one scalar row: totals + vocab size → the shared constant C
+    val totals = counts.agg(
+      sum(col("_cr")).alias("_tr"), sum(col("_ct")).alias("_tt"),
+      count(lit(1)).alias("_v"))
+    val cMicro = floor(lit(1e6) * (
+      log(col("_tr").cast(DoubleType) + lit(alpha) * col("_v").cast(DoubleType)) -
+      log(col("_tt").cast(DoubleType) + lit(alpha) * col("_v").cast(DoubleType))))
+      .cast(LongType).alias("_c_micro")
+    val gramMicro = floor(lit(1e6) * (
+      log(col("_ct").cast(DoubleType) + lit(alpha)) -
+      log(col("_cr").cast(DoubleType) + lit(alpha)))).cast(LongType)
+    val scored = grams.join(counts, Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_grams"),
+        sum(gramMicro).alias("_gsum"))
+      .crossJoin(broadcast(totals.select(cMicro)))
+      .select(col(idCol), col("n_grams"),
+        (col("_gsum") + col("n_grams") * col("_c_micro")).alias("lw_micro"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).alias("n_grams"),
+        coalesce(col("lw_micro"), lit(0L)).alias("lw_micro"))
+  }
+
+  /** Gumbel-top-k resampling over the weights (the DSIR §2.3 sampler):
+    * key each doc by lw/temperature + Gumbel noise and take the k largest.
+    * The noise is derived from the doc id through [[Sampling.uniform]]'s
+    * deterministic residue hash, so the "random" sample is reproducible
+    * across runs and cluster layouts. temperature → 0 approaches exact
+    * top-k by weight; large temperature approaches uniform sampling.
+    *
+    * k-sized `orderBy().limit(k)` → TakeOrderedAndProject (per-partition
+    * heaps). For k beyond driver scale, compute a key threshold from
+    * `approxQuantile` and filter instead — same key, map-side.
+    */
+  def resampleGumbel(weights: DataFrame, idCol: String,
+      lwCol: String, k: Int, temperature: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    // [0,1) deterministic in id via the fail-loud id dispatch; clamped away
+    // from 0 so -log(-log u) stays finite
+    val u = greatest(Sampling.uniform(Sampling.idAsLong(weights, idCol), seed),
+      lit(1e-12))
+    val gumbel = -log(-log(u))
+    weights
+      .withColumn("_key",
+        col(lwCol).cast(DoubleType) / lit(1e6) / lit(temperature) + gumbel)
+      .orderBy(col("_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("_key")
+  }
+}

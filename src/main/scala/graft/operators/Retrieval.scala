@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** BM25 ranking ("Okapi BM25", Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond") — the standard
+  * lexical retrieval score, used in training-data pipelines both to mine
+  * query-relevant subsets and as the sparse half of hybrid (BM25 + dense)
+  * retrieval next to [[Similarity]]'s ANN ladder.
+  *
+  * Two surfaces:
+  *   - [[bm25Index]] — the indexing pass: the full (doc, term) weight
+  *     table plus its corpus statistics, the thing a retrieval system
+  *     precomputes once per corpus snapshot.
+  *   - [[bm25Search]] — the query pass: top-k documents for a bag-of-words
+  *     query. Everything term-dependent is filtered to the query's terms
+  *     BEFORE any aggregation, so the per-query cost is proportional to
+  *     the query terms' postings, not the vocabulary.
+  *
+  * Scale shape: token explode is O(total tokens) rows; tf and df are
+  * partial-aggregating groupBys on (doc, term) / term; doc length comes
+  * from re-aggregating the tf table (no second corpus scan); N and avgdl
+  * are one broadcast scalar row. The idf variant is Lucene's
+  * ln(1 + (N − df + ½)/(df + ½)) — strictly positive, so a stop-word that
+  * appears everywhere scores near zero instead of flipping sign. Scoring
+  * is pure column arithmetic on the joined table; the search top-k is an
+  * `orderBy(...).limit(k)` → TakeOrderedAndProject (per-partition heaps,
+  * no global sort). Nothing here collects to the driver.
+  */
+object Retrieval {
+
+  /** Tokens exploded to one row per occurrence: (idCol, term). */
+  private def postings(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .alias("term"))
+      .where(length(col("term")) > 0)
+
+  /** Full (doc, term) BM25 weight table:
+    * (idCol, term, tf, df, dl, bm25) — term frequency in the doc, document
+    * frequency across the corpus, doc length in tokens, and the BM25
+    * weight. `k1` saturates tf; `b` scales the length normalization.
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = postings(docs, idCol, textCol)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).alias("dl"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).alias("df")) // tf rows are distinct (doc, term)
+    val stats = dl.agg(count(lit(1)).alias("n_docs"),
+      avg(col("dl").cast(DoubleType)).alias("avgdl"))
+    score(tf.join(dl, Seq(idCol)).join(df, Seq("term"))
+      .crossJoin(broadcast(stats)), k1, b)
+  }
+
+  /** Top-k documents for a bag-of-words `query`.
+    *
+    * Corpus-level statistics (N, avgdl, per-doc length) cover the WHOLE
+    * corpus — they are query-independent and in a deployed system come
+    * from the [[bm25Index]] pass — but tf and df aggregate only rows whose
+    * term is in the query (an `isin` filter that reaches the scan).
+    * Ties break on ascending doc id, so the result is deterministic.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = postings(docs, idCol, textCol)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).alias("dl"))
+    val stats = dl.agg(count(lit(1)).alias("n_docs"),
+      avg(col("dl").cast(DoubleType)).alias("avgdl"))
+    val qtoks = toks.where(col("term").isin(query.distinct: _*))
+    val tf = qtoks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).alias("df"))
+    score(tf.join(dl, Seq(idCol)).join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats)), k1, b)
+      .groupBy(col(idCol)).agg(sum(col("bm25")).alias("score"),
+        count(lit(1)).alias("n_terms"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** BM25 weight from joined (tf, df, dl, n_docs, avgdl) columns. */
+  private def score(joined: DataFrame, k1: Double, b: Double): DataFrame = {
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)))
+    val tfD = col("tf").cast(DoubleType)
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast(DoubleType) / col("avgdl"))
+    joined.withColumn("bm25", idf * tfD * lit(k1 + 1.0) / (tfD + norm))
+      .drop("n_docs", "avgdl")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins [[Retrieval]] BM25 semantics on a corpus small enough to compute
+  * by hand, and search/index consistency on a larger one.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // N = 3 docs; dl = 4, 2, 2; avgdl = 8/3
+  private lazy val corpus = Seq(
+    (1L, "cat dog cat fish"),
+    (2L, "dog bird"),
+    (3L, "fish fish")
+  ).toDF("doc_id", "text")
+
+  private def bm25(tf: Long, df: Long, dl: Long, n: Long = 3,
+      avgdl: Double = 8.0 / 3.0, k1: Double = 1.2, b: Double = 0.75) = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+  }
+
+  test("bm25Index matches the hand-computed weights") {
+    val rows = Retrieval.bm25Index(corpus, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) -> r)
+      .toMap
+    assert(rows.size === 6) // (1,cat)(1,dog)(1,fish)(2,dog)(2,bird)(3,fish)
+    val catD1 = rows((1L, "cat"))
+    assert(catD1.getAs[Long]("tf") === 2L)
+    assert(catD1.getAs[Long]("df") === 1L)
+    assert(catD1.getAs[Long]("dl") === 4L)
+    assert(math.abs(catD1.getAs[Double]("bm25") - bm25(2, 1, 4)) < 1e-12)
+    assert(math.abs(rows((3L, "fish")).getAs[Double]("bm25") -
+      bm25(2, 2, 2)) < 1e-12)
+    // a term in every doc still scores positive (Lucene idf variant)
+    assert(rows((2L, "dog")).getAs[Double]("bm25") > 0.0)
+  }
+
+  test("bm25Search ranks, sums per-term weights, and breaks ties by id") {
+    val top = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("cat", "fish"), k = 3).collect()
+    assert(top.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L))
+    val d1 = top.head
+    assert(d1.getAs[Long]("n_terms") === 2L)
+    assert(math.abs(d1.getAs[Double]("score") -
+      (bm25(2, 1, 4) + bm25(1, 2, 4))) < 1e-12)
+    assert(math.abs(top(1).getAs[Double]("score") - bm25(2, 2, 2)) < 1e-12)
+  }
+
+  test("search equals the index summed over query terms (consistency)") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 7} filler$i"))
+      .toDF("doc_id", "text")
+    val q = Seq("w1", "w3")
+    val viaIndex = Retrieval.bm25Index(docs, "doc_id", "text")
+      .where(col("term").isin(q: _*))
+      .groupBy(col("doc_id")).agg(sum(col("bm25")).alias("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaSearch = Retrieval.bm25Search(docs, "doc_id", "text", q, k = 100)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(viaSearch.keySet === viaIndex.keySet)
+    viaSearch.foreach { case (id, s) =>
+      assert(math.abs(s - viaIndex(id)) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("duplicate query terms count once; k caps the result") {
+    val top = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("fish", "fish", "cat"), k = 1).collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[Long]("doc_id") === 1L)
+  }
+}
