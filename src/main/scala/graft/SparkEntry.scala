@@ -1451,6 +1451,60 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
+    // Packed training sequences: the concat-and-chunk materialization of
+    // the shard assignment — member docs concatenated in id order with an
+    // EOS separator; text gated as md5 of the packed bytes.
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tok"))
+      Shards.packText(d, "doc_id", "text", "n_tok", 2000L, eos = "\n<EOS>\n")
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          md5(col("text").cast(BinaryType)).alias("packed_md5"))
+    }),
+
+    // Curation funnel audit: cumulative stage counts for a realistic
+    // clean→dedup→sample pass (declared-lang gate → quality gate →
+    // normalized exact-dedup survivors → 50% Bernoulli) — the per-stage
+    // accounting every large curation run reports. One scan + one
+    // dedup-group shuffle + one final 5-int aggregation.
+    "q_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val f2 = col("lang") === "en"
+      val f3 = f2 && TextAnalysis.qualityScore(col("text")) >= 0.8
+      val flagged = docs.select(col("doc_id"), col("text"), f3.alias("_f3"),
+        f2.alias("_f2"))
+      // survivor = min doc_id per normalized-text group among stage-3 rows
+      val keep = flagged.where(col("_f3"))
+        .groupBy(Dedup.normalizedText(col("text")).alias("_n"))
+        .agg(min(col("doc_id")).alias("_kid"))
+        .select(col("_kid"))
+      val f5u = Sampling.uniform(col("doc_id"), 17L)
+      val staged = flagged
+        .join(keep, flagged("doc_id") === keep("_kid"), "left")
+        .select(col("_f2"), col("_f3"),
+          col("_kid").isNotNull.alias("_f4"),
+          (col("_kid").isNotNull && f5u < 0.5).alias("_f5"))
+      val one = staged.agg(
+        count(lit(1)).alias("n0"),
+        sum(when(col("_f2"), 1L).otherwise(0L)).alias("n1"),
+        sum(when(col("_f3"), 1L).otherwise(0L)).alias("n2"),
+        sum(when(col("_f4"), 1L).otherwise(0L)).alias("n3"),
+        sum(when(col("_f5"), 1L).otherwise(0L)).alias("n4"))
+      one.select(explode(array(
+          struct(lit(0L).alias("stage"), lit("total").alias("name"),
+            col("n0").alias("n")),
+          struct(lit(1L).alias("stage"), lit("lang_en").alias("name"),
+            col("n1").alias("n")),
+          struct(lit(2L).alias("stage"), lit("quality").alias("name"),
+            col("n2").alias("n")),
+          struct(lit(3L).alias("stage"), lit("dedup_survivor").alias("name"),
+            col("n3").alias("n")),
+          struct(lit(4L).alias("stage"), lit("sampled").alias("name"),
+            col("n4").alias("n")))).alias("s"))
+        .select(col("s.stage").alias("stage"), col("s.name").alias("name"),
+          col("s.n").alias("n"))
+    }),
+
     // Corpus bigram frequencies (n-gram language-model counts): top-20
     // by count with lexicographic tie-break — the companion statistic to
     // the unigram vocabulary top-k.
@@ -2607,6 +2661,64 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
         |    AS shard
         |FROM d""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, text, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+        |      AS BIGINT) AS shard
+        |  FROM d)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(text, e'\n<EOS>\n' ORDER BY doc_id)) AS packed_md5
+        |FROM a GROUP BY shard""".stripMargin,
+
+    "q_curation_funnel" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntoks,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))), 1) AS DOUBLE) AS en_score
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    (lang = 'en') AS f2,
+        |    (lang = 'en' AND
+        |      0.4 * (CASE WHEN ntoks >= 20 THEN 1.0 ELSE ntoks / 20.0 END)
+        |    + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 1.0 - punct_ratio END)
+        |    + 0.2 * (CASE WHEN nchars / greatest(ntoks, 1.0) >= 3
+        |                   AND nchars / greatest(ntoks, 1.0) <= 10 THEN 1.0 ELSE 0.5 END)
+        |    + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END) >= 0.8) AS f3
+        |  FROM q),
+        |k AS (
+        |  SELECT min(doc_id) AS kid FROM f WHERE f3
+        |  GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\\p{L}\\p{N} \\t\\n\\r\\f]', '', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g'))),
+        |s AS (
+        |  SELECT f2, f3, (kid IS NOT NULL) AS f4,
+        |    (kid IS NOT NULL AND
+        |      ${uniformU32Sql("doc_id", 17L)} / 4294967296.0 < 0.5) AS f5
+        |  FROM f LEFT JOIN k ON f.doc_id = k.kid),
+        |agg AS (
+        |  SELECT count(*) AS n0,
+        |    sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS n4
+        |  FROM s)
+        |SELECT CAST(0 AS BIGINT) AS stage, 'total' AS name, CAST(n0 AS BIGINT) AS n FROM agg
+        |UNION ALL SELECT 1, 'lang_en', CAST(n1 AS BIGINT) FROM agg
+        |UNION ALL SELECT 2, 'quality', CAST(n2 AS BIGINT) FROM agg
+        |UNION ALL SELECT 3, 'dedup_survivor', CAST(n3 AS BIGINT) FROM agg
+        |UNION ALL SELECT 4, 'sampled', CAST(n4 AS BIGINT) FROM agg""".stripMargin,
 
     "q_w5_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (

@@ -74,4 +74,31 @@ object Shards {
       .withColumn("shard", floor(col("cum_before") / budget))
       .drop("_pid", "_run", "_offset")
   }
+
+  /** Materialize the packed training sequences: one row per shard with the
+    * member documents concatenated in layout (id) order, separated by
+    * `eos` — the concat-and-chunk step GPT-style pipelines run after
+    * [[assignByTokenBudget]] decides the cut points.
+    *
+    * Output: (shard, n_docs, n_tokens, text). The per-shard group is
+    * bounded by `budget` tokens BY CONSTRUCTION (plus the one straddling
+    * document), so the `collect_list` buffer a task holds is a few KB —
+    * this is the rare place collecting a group to one task is provably
+    * safe at any corpus size. The sort inside each group is `array_sort`
+    * over (id, text) structs: deterministic, no window, no extra shuffle
+    * beyond the one groupBy(shard).
+    */
+  def packText(df: DataFrame, idCol: String, textCol: String,
+      tokenCol: String, budget: Long,
+      eos: String = "<|endoftext|>"): DataFrame =
+    assignByTokenBudget(df, idCol, tokenCol, budget)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(coalesce(col(tokenCol).cast(LongType), lit(0L))).alias("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).alias("_id"),
+              col(textCol).alias("_t")))),
+            s => s.getField("_t")),
+          eos).alias("text"))
 }

@@ -316,6 +316,23 @@ class AsofRangeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("packText concatenates each shard in id order, bounded groups") {
+    val docs = Seq((3L, "ccc", 3L), (1L, "aaaa", 4L), (2L, "bb", 2L),
+      (4L, "dd", 2L)).toDF("doc_id", "text", "n_tok")
+    // budget 6: doc1(4)+doc2(2) fill shard 0; doc3 starts at cum 6 → shard
+    // 1 with doc4 (cum 9 < 12)
+    val got = Shards.packText(docs, "doc_id", "text", "n_tok", budget = 6L,
+        eos = "|")
+      .orderBy($"shard")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq((0L, 2L, 6L, "aaaa|bb"), (1L, 2L, 5L, "ccc|dd")))
+    // partition-invariance carries through the concat
+    val re = Shards.packText(docs.repartition(5), "doc_id", "text", "n_tok",
+        budget = 6L, eos = "|")
+      .orderBy($"shard").as[(Long, Long, Long, String)].collect().toSeq
+    assert(re === got)
+  }
+
   // ── Split assignment ───────────────────────────────────────────────────
 
   test("splits: deterministic, partition-invariant, exhaustive, near-weights") {
