@@ -627,10 +627,10 @@ object SparkEntry {
     }),
 
     // ST7: periodic state GC — retention filter (keep rows younger than the
-    // cutoff; `ts` is a nanos long under nanosAsLong).
+    // cutoff; `ts` is a µs TIMESTAMP_NTZ since the r9 testdata refresh).
     "q_st7_retention" -> ((s, dir) => {
       t(s, dir, "events")
-        .where(col("ts") >= lit(1705276800000000000L)) // 2024-01-15 UTC
+        .where(col("ts") >= expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'"))
         .select(col("event_id"))
     }),
 
@@ -916,11 +916,12 @@ object SparkEntry {
       initial.unionByName(delta)
     }),
 
-    // ST8: event-time tumbling window aggregation (ts arrives as a nanos
-    // long under nanosAsLong; derive the µs timestamp).
+    // ST8: event-time tumbling window aggregation (ts arrives as a µs
+    // TIMESTAMP_NTZ; cast to session-tz TIMESTAMP — UTC everywhere — so the
+    // window bounds keep the pre-r9 instant semantics and output type).
     "q_window_tumbling_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("ts_t",
-        timestamp_micros(expr("ts div 1000"))) // integer div: see q_window_session
+        col("ts").cast("timestamp"))
       ev.groupBy(window(col("ts_t"), "1 day"), col("event_type"))
         .agg(count(lit(1)).alias("n"),
           sum(dec(col("value"))).cast(DoubleType).alias("sum_value"))
@@ -933,10 +934,8 @@ object SparkEntry {
     // µs-truncated gap to the previous event is >= the window gap, exactly
     // Spark's [first, last+gap) semantics.
     "q_window_session" -> ((s, dir) => {
-      // integer `div`, NOT `/`: double division loses ~256 ns at ns-epoch
-      // magnitude and shifts some session starts by 1 µs
       val ev = t(s, dir, "events").withColumn("ts_t",
-        timestamp_micros(expr("ts div 1000")))
+        col("ts").cast("timestamp")) // µs NTZ → UTC-session TIMESTAMP, exact
       ev.groupBy(session_window(col("ts_t"), "101 minutes"), col("user_id"))
         .agg(count(lit(1)).alias("n"),
           sum(dec(col("value"))).cast(DoubleType).alias("sum_value"))
@@ -1141,7 +1140,9 @@ object SparkEntry {
     // (AsofJoin union-window form; oracle = DuckDB's native ASOF JOIN).
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000")) // ns→µs, integer div
+        // µs since epoch as a sortable long; any monotone transform of ts
+        // works (the as-of compare is the only consumer, ts is not output)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us").alias("p_ts_us"),
           col("event_id").alias("purchase_event_id"),

@@ -62,7 +62,7 @@ class AsofRangeSpec extends SparkSpec {
 
   test("asof matches the window-free definition on real events (sf0.001)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
     val purchases = ev.where($"event_type" === "purchase")
       .select($"user_id", $"ts_us".as("p_ts"), $"event_id".as("p_id"))
     val got = AsofJoin.backward(

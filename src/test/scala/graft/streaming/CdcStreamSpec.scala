@@ -368,11 +368,15 @@ class CdcStreamSpec extends SparkSpec {
     assert(m2.keySet == Set(1L, 2L, 3L, 9L))
   }
 
-  test("compact(): consolidates bucket files, snapshot unchanged") {
+  test("merges keep buckets consolidated; compact() preserves the snapshot") {
     val dir = tmp("store")
     val store = newStore(dir)
-    // several small merges fragment the buckets (one file per upstream
-    // partition per bucket is the worst case)
+    // r9: the merge write is bucket-aligned (repartition on _bucket before
+    // the staged write), so a COW rewrite leaves each touched bucket at
+    // exactly ONE file — fragmentation no longer accumulates between
+    // compactions (it used to grow one file per upstream partition per
+    // bucket per merge, and the next merge re-read and re-fsynced all of
+    // them). compact() remains the maintenance pass for MOR delta folding.
     (10L to 14L).foreach { tx =>
       store.merge(Seq((Cdc.Upsert, tx, tx, s"v$tx"))
         .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
@@ -384,7 +388,7 @@ class CdcStreamSpec extends SparkSpec {
         d.getName -> d.listFiles((f: java.io.File) =>
           f.getName.endsWith(".parquet")).length
       }.toMap
-    assert(filesPerBucket.values.sum > filesPerBucket.size) // fragmented
+    assert(filesPerBucket.values.forall(_ == 1), filesPerBucket.toString)
     store.compact()
     assert(store.snapshot().as[(Long, String)].collect().toSet == before)
     assert(filesPerBucket.values.forall(_ == 1), filesPerBucket.toString)
