@@ -97,12 +97,26 @@ object Bench {
     }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the line also lands in a file: the driver captures only the TAIL of
-    // sbt output and round 7 lost the sweep's front half (VERDICT r7 #9)
+    // The full line lands in a file and early on stdout; the LAST stdout
+    // line is a compact variant that fits the driver's 2000-char tail
+    // capture (measured from BENCH_r08: the full ~4.5KB line can never
+    // survive the tail window, so `parsed` stayed null every round —
+    // VERDICT r7 #9). Compact = total over ALL queries + the slowest ~35
+    // entries (plus every streaming entry and its phase breakdown, the
+    // 100TB-critical numbers), 3-decimal values; the rest are in the file.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
+    println(line)
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val stream = all.filter(_._1.startsWith("stream_"))
+    val batch = all.filterNot(_._1.startsWith("stream_"))
+    val kept = batch.sortBy(-_._2).take(35).sortBy(_._1) ++ stream
+    val compactQs = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val elided = all.size - kept.size
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"elided":$elided,"full":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
