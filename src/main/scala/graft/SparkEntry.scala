@@ -880,6 +880,27 @@ object SparkEntry {
         "query_id", k = 10, dim = 64, numCells = 16, nprobe = 8)
     }),
 
+    // Distributed spherical k-means, EXACT and oracle-gated end-to-end:
+    // two Lloyd's iterations from the k lowest-id seeds, then the final
+    // assignment — the oracle unrolls the identical iterations in SQL
+    // (cosine assignment via the bit-matching list_cosine_similarity,
+    // centroid means via exact DECIMAL sums). Output: one row per
+    // (cell, dim) with the rounded centroid and the cell's member count.
+    "q_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cen = graft.operators.KMeans.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val counts = graft.operators.KMeans.assign(emb, "embedding", cen)
+        .groupBy(col("cell")).agg(count(lit(1)).alias("n_members"))
+      val cenDf = cen.zipWithIndex.flatMap { case (v, c) =>
+        v.zipWithIndex.map { case (m, d) => (c, d, m) }
+      }.toDF("cell", "dim", "centroid")
+      cenDf.join(broadcast(counts), Seq("cell"))
+        .select(col("cell"), col("dim"),
+          round(col("centroid"), 6).alias("centroid_r"), col("n_members"))
+    }),
+
     // S5 wire format: the delta fold serialized to Kafka (key,value)
     // records and parsed back — the round-trip must be the identity, so
     // the oracle is the delta fold itself.
@@ -1605,7 +1626,48 @@ object SparkEntry {
       " * 2654435761 % 4294967296," +
       s" (($idExpr + ${Sampling.seedB(seed)}) % 2147483587)" +
       " * 2246822519 % 4294967296)" +
-      " % 2147483629) * 2654435761 % 4294967296)"
+      s" % 2147483629) * 2654435761 % 4294967296)"
+
+  /** DuckDB transcription of [[graft.operators.KMeans]]: `iters` Lloyd's
+    * iterations unrolled as CTE pairs (assign rk=1 by cosine DESC, cell
+    * ASC — the argmax-ties-low rule — then exact DECIMAL per-dim means),
+    * with the empty-cell carry-over branch mirroring fit()'s
+    * `getOrElse(prev)`. Generated, not hand-unrolled, so the SQL cannot
+    * drift from the k/iters the Spark query uses.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def assignCte(a: String, c: String) =
+      s"""$a AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+         |      c.cell) AS rk
+         |  FROM embeddings e CROSS JOIN $c c) WHERE rk = 1)""".stripMargin
+    def updateCte(m: String, cNew: String, a: String, cPrev: String) =
+      s"""$m AS (SELECT cell, i,
+         |  CAST(sum(CAST(e AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT cell, unnest(embedding) AS e,
+         |        unnest(range(1, len(embedding) + 1)) AS i FROM $a)
+         |  GROUP BY cell, i),
+         |$cNew AS (SELECT cell, list(m ORDER BY i) AS centroid FROM $m GROUP BY cell
+         |  UNION ALL SELECT cell, centroid FROM $cPrev
+         |  WHERE cell NOT IN (SELECT cell FROM $m))""".stripMargin
+    val steps = (0 until iters).map { i =>
+      assignCte(s"a$i", s"c$i") + ",\n" + updateCte(s"m$i", s"c${i + 1}", s"a$i", s"c$i")
+    }.mkString(",\n")
+    s"""WITH seeds AS (SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY vec_id LIMIT $k),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |  AS cell, embedding::DOUBLE[] AS centroid FROM seeds),
+       |$steps,
+       |${assignCte("afin", s"c$iters")},
+       |n AS (SELECT cell, count(*) AS n_members FROM afin GROUP BY cell),
+       |cl AS (SELECT cell, unnest(centroid) AS m,
+       |  unnest(range(1, len(centroid) + 1)) AS i FROM c$iters)
+       |SELECT cl.cell, CAST(cl.i - 1 AS INT) AS dim,
+       |  round(cl.m, 6) AS centroid_r, n.n_members
+       |FROM cl JOIN n USING (cell)""".stripMargin
+  }
 
   // ── Text-metric oracles, lifted to vals: each gates its own query AND
   // composes into the one-scan q_text_profile gate (same text, same SQL —
@@ -2289,6 +2351,8 @@ object SparkEntry {
         |  SELECT id FROM reach GROUP BY id HAVING id <> min(r))
         |SELECT doc_id, CAST(length(text) AS INT) AS n_chars
         |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    "q_kmeans" -> kmeansOracleSql(8, 2),
 
     "q_dedup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -83,6 +83,25 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** `cosine_sim_d(array<double>, array<double>)` — cosine similarity with
+    * the same fixed-order double accumulation as [[CosineSim]]; the
+    * double-vector form k-means needs for data-vs-centroid scoring.
+    */
+  case class CosineSimD(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.cosineDouble($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimD =
+      copy(left = l, right = r)
+  }
+
   /** `hamming64(long, long)` — Hamming distance of two 64-bit fingerprints. */
   case class Hamming64(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -505,6 +524,7 @@ object GraftExpressions {
   def minhash_signature(col: Column, k: Int): Column = c(MinHashSignature(e(col), k))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def cosine_sim_d(a: Column, b: Column): Column = c(CosineSimD(e(a), e(b)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
@@ -561,6 +581,8 @@ object GraftExpressions {
       xs => SimHash64(xs.head)),
     ("cosine_sim", "cosine similarity of two float vectors",
       xs => CosineSim(xs.head, xs(1))),
+    ("cosine_sim_d", "cosine similarity of two double vectors",
+      xs => CosineSimD(xs.head, xs(1))),
     ("hamming64", "Hamming distance of two 64-bit fingerprints",
       xs => Hamming64(xs.head, xs(1))),
     ("jaccard_sorted", "exact Jaccard of two sorted distinct arrays",

@@ -98,6 +98,26 @@ object SketchOps {
     out
   }
 
+  /** Cosine similarity of two DOUBLE vectors — same fixed-order
+    * accumulation as [[cosineFloat]]; used where one side is a computed
+    * centroid (k-means) rather than a stored float embedding. Matches
+    * DuckDB's `list_cosine_similarity(x::DOUBLE[], y::DOUBLE[])`
+    * bit-for-bit on the float-valued inputs the embedding gates feed it.
+    */
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Cosine similarity of two float vectors (double accumulation, fixed
     * left-to-right order → bit-deterministic).
     */

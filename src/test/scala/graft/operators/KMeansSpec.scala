@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("fit is deterministic: two runs produce identical centroids") {
+    val a = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val b = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    assert(a == b)
+    assert(a.size == 4 && a.forall(_.size == 64))
+  }
+
+  test("assign picks the argmax-cosine cell, ties to the lowest cell") {
+    val cen = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val got = KMeans.assign(emb, "embedding", cen)
+      .select($"vec_id", $"cell", $"cosine")
+      .as[(Long, Int, Double)].collect()
+    // brute-force reference on the driver
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      x.indices.foreach { i =>
+        dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
+      }
+      if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
+    }
+    got.foreach { case (id, cell, c) =>
+      val v = vecs(id).map(_.toDouble).toSeq
+      val sims = cen.map(cos(v, _))
+      val best = sims.max
+      assert(sims.indexOf(best) == cell, s"vec $id: got $cell want argmax")
+      assert(math.abs(best - c) < 1e-9)
+    }
+  }
+
+  test("iterations do not degrade the spherical objective (mean cosine)") {
+    def objective(iters: Int): Double = {
+      val cen = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = iters)
+      KMeans.assign(emb, "embedding", cen)
+        .agg(avg($"cosine")).as[Double].head()
+    }
+    val o0 = objective(0); val o1 = objective(1); val o2 = objective(2)
+    // Lloyd's with mean updates monotonically improves the k-means
+    // objective; for the spherical variant the mean-cosine proxy should
+    // not move backwards by more than fp noise on this data
+    assert(o1 >= o0 - 1e-12, s"$o0 -> $o1")
+    assert(o2 >= o1 - 1e-12, s"$o1 -> $o2")
+  }
+
+  test("empty cells carry their previous centroid forward") {
+    // three identical vectors: every row ties at cosine 1.0 with all three
+    // seeds, so the ties-low rule sends ALL rows to cell 0 and cells 1..2
+    // go empty — fit must keep their seed centroids instead of dropping or
+    // index-shifting them (getOrElse branch)
+    val dup = Seq.tabulate(3)(i => (i.toLong, Seq.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val cen = KMeans.fit(dup, "vec_id", "embedding", k = 3, iters = 2)
+    assert(cen.size == 3)
+    assert(cen.distinct.size == 1) // all equal to the duplicated vector
+    val cells = KMeans.assign(dup, "embedding", cen)
+      .select($"cell").as[Int].collect().toSet
+    assert(cells == Set(0))
+  }
+
+  test("fit refuses k larger than the row count") {
+    val tiny = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      KMeans.fit(tiny, "vec_id", "embedding", k = 2, iters = 1)
+    }
+  }
+}
