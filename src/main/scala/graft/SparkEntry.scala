@@ -580,6 +580,18 @@ object SparkEntry {
         .select(col("text_hash"), col("keep_id"), col("n_copies"))
     }),
 
+    // Corpus-frequency segment removal (the RefinedWeb/CCNet boilerplate
+    // pass). The synthetic corpus is single-line with no exact-duplicate
+    // texts, so a newline-segment run drops nothing — the gate instead
+    // runs the SAME operator at whitespace segments with a high threshold
+    // (frequency-based token pruning), so the common-set match, ordered
+    // reassembly, and count bookkeeping all see real drops under the
+    // oracle hash. Multi-line/empty-doc behavior is spec-pinned.
+    "q_line_dedup" -> ((s, dir) => {
+      Dedup.dropFrequentLines(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 940, sep = " ")
+    }),
+
     // Text stats: token / char / punctuation counts (integer-exact for the
     // oracle hash).
     "q_text_stats" -> ((s, dir) => {
@@ -2100,6 +2112,25 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS line,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |common AS (SELECT line FROM lines GROUP BY line
+        |  HAVING count(*) >= 940),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS n_kept_lines
+        |  FROM lines WHERE line NOT IN (SELECT line FROM common)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  coalesce(r.n_kept_lines, 0) AS n_kept_lines,
+        |  len(string_split(d.text, ' ')) - coalesce(r.n_kept_lines, 0)
+        |    AS n_dropped_lines
+        |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     "q_text_stats" -> TextStatsOracle,
 

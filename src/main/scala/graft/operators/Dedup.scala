@@ -92,6 +92,56 @@ object Dedup {
       .select(md5(col("_norm").cast(BinaryType)).alias("content_hash"),
         col("keep_id"), col("n_copies"))
 
+  /** Corpus-frequency line removal (the RefinedWeb/CCNet boilerplate
+    * pass): every line whose EXACT text occurs at least `minCount` times
+    * across the whole corpus — nav bars, cookie banners, license headers,
+    * duplicated documents — is cut from every document, and each document
+    * is reassembled from its surviving lines in order. Occurrences count
+    * globally (a line twice in one document counts twice), so a document
+    * duplicated `minCount` times empties itself — by design: such text IS
+    * corpus boilerplate.
+    *
+    * Scale shape: one count shuffle on the line text with map-side
+    * partials; the frequent-line set is the head of the corpus Zipf
+    * distribution — bounded and small relative to 100 TB — and broadcasts
+    * into a map-side anti-join (`broadcastCommon = false` shuffles the
+    * anti-join instead if a pathological corpus makes the head huge);
+    * reassembly is one shuffle on the document id. Nothing pairs, nothing
+    * goes quadratic.
+    *
+    * Output: (idCol, text_clean, n_kept_lines, n_dropped_lines) — every
+    * input document appears, fully-boilerplate documents with an empty
+    * text_clean.
+    */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, sep: String = "\n",
+      broadcastCommon: Boolean = true): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_pos", "_line")))
+    val common = lines.groupBy(col("_line"))
+      .agg(count(lit(1)).alias("_n")).where(col("_n") >= minCount)
+      .select(col("_line"))
+    val keySide = if (broadcastCommon) broadcast(common) else common
+    val rebuilt = lines.join(keySide, Seq("_line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x("_line")), sep).alias("text_clean"),
+        count(lit(1)).alias("n_kept_lines"))
+    df.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").alias("_n_total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).alias("text_clean"),
+        coalesce(col("n_kept_lines"), lit(0L)).alias("n_kept_lines"),
+        (col("_n_total") - coalesce(col("n_kept_lines"), lit(0L)))
+          .alias("n_dropped_lines"))
+  }
+
   /** Exact dedup keeping the BEST copy by a caller-supplied score — the
     * curation variant of [[exact]]: a real pipeline keeps the cleanest
     * copy of a duplicated document (highest quality score), not the

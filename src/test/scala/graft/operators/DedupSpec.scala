@@ -266,4 +266,34 @@ class DedupSpec extends SparkSpec {
     val n = pairs.count()
     assert(n >= 0 && n < 500) // sanity: not everything is a near-dup
   }
+
+  test("dropFrequentLines cuts corpus-frequent lines, keeps order, keeps empty docs") {
+    val docs = Seq(
+      (1L, "keep me\nCOOKIE BANNER\nalso keep\nCOOKIE BANNER"),
+      (2L, "COOKIE BANNER\nunique line two"),
+      (3L, "NAV\nNAV middle\nNAV"), // NAV repeats WITHIN one doc only
+      (4L, "COOKIE BANNER")         // all boilerplate -> empties
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropFrequentLines(docs, "doc_id", "text", minCount = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // COOKIE BANNER occurs 4x (>=3, dropped); NAV occurs 2x in one doc
+    // (<3, kept — but counted globally, so a 3rd occurrence elsewhere
+    // would drop it)
+    assert(got(0) == ((1L, "keep me\nalso keep", 2L, 2L)))
+    assert(got(1) == ((2L, "unique line two", 1L, 1L)))
+    assert(got(2) == ((3L, "NAV\nNAV middle\nNAV", 3L, 0L)))
+    assert(got(3) == ((4L, "", 0L, 1L)))
+  }
+
+  test("dropFrequentLines non-broadcast path matches broadcast path") {
+    val docs = Seq(
+      (1L, "a\nb\nc"), (2L, "b\nc\nd"), (3L, "c\nd\ne")
+    ).toDF("doc_id", "text")
+    def run(bc: Boolean) =
+      Dedup.dropFrequentLines(docs, "doc_id", "text", 2, broadcastCommon = bc)
+        .as[(Long, String, Long, Long)].collect().toSet
+    assert(run(true) == run(false))
+    assert(run(true) == Set((1L, "a", 1L, 2L), (2L, "", 0L, 3L), (3L, "e", 1L, 2L)))
+  }
 }
