@@ -646,6 +646,17 @@ object SparkEntry {
         .select(col("event_id"))
     }),
 
+    // Compressibility quality signal (Gopher-family): deflate ratio per
+    // document + the repetitive-text flag. Rows-only — DuckDB has no zlib;
+    // ordering/bounds/determinism are spec-pinned (SketchOpsSpec).
+    "q_text_deflate" -> ((s, dir) => {
+      import graft.functions.GraftExpressions.deflate_ratio
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(deflate_ratio(col("text")), 6).alias("deflate_r"),
+        (deflate_ratio(col("text")) < 0.35).alias("too_repetitive"))
+    }),
+
     // ── Text analysis (training-data pipeline) ────────────────────────────
     "q_text_quality" -> ((s, dir) => {
       Dedup.widen(t(s, dir, "documents")).select(

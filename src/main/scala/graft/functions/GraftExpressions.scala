@@ -83,6 +83,22 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** `deflate_ratio(string)` — zlib-deflate compressed/raw byte ratio, the
+    * compressibility quality signal (Gopher-style repetition filtering).
+    */
+  case class DeflateRatio(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.deflateRatio(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.deflateRatio($c)")
+    override protected def withNewChildInternal(c: Expression): DeflateRatio =
+      copy(child = c)
+  }
+
   /** `cosine_sim_d(array<double>, array<double>)` — cosine similarity with
     * the same fixed-order double accumulation as [[CosineSim]]; the
     * double-vector form k-means needs for data-vs-centroid scoring.
@@ -525,6 +541,7 @@ object GraftExpressions {
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def cosine_sim_d(a: Column, b: Column): Column = c(CosineSimD(e(a), e(b)))
+  def deflate_ratio(col: Column): Column = c(DeflateRatio(e(col)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
@@ -583,6 +600,8 @@ object GraftExpressions {
       xs => CosineSim(xs.head, xs(1))),
     ("cosine_sim_d", "cosine similarity of two double vectors",
       xs => CosineSimD(xs.head, xs(1))),
+    ("deflate_ratio", "zlib compressed/raw byte ratio of a text",
+      xs => DeflateRatio(xs.head)),
     ("hamming64", "Hamming distance of two 64-bit fingerprints",
       xs => Hamming64(xs.head, xs(1))),
     ("jaccard_sorted", "exact Jaccard of two sorted distinct arrays",

@@ -75,6 +75,26 @@ object SketchOps {
     new GenericArrayData(sig)
   }
 
+  /** Deflate compression ratio of a text's UTF-8 bytes (compressed/raw,
+    * level 6) — the Gopher-family compressibility quality signal: highly
+    * repetitive machine-generated text compresses far below prose, random
+    * noise compresses above it. Deterministic for a fixed zlib (the JDK's
+    * bundled one); the specs pin ordering properties, not magic constants,
+    * so a JDK zlib bump cannot silently break the suite. Empty text → 1.0.
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** 64-bit SimHash over pre-hashed tokens: majority vote per bit. */
   def simhash(tokenHashes: ArrayData): Long = {
     val counts = new Array[Int](64)

@@ -148,6 +148,36 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(merged, words))
   }
 
+  test("deflateRatio: repetitive < prose < noise, deterministic, bounded") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def r(s: String) = SketchOps.deflateRatio(UTF8String.fromString(s))
+    val rep = "spam ham " * 500
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "considers whether compression ratios rank text quality well ") * 20
+    val rng = new scala.util.Random(7)
+    val noise = Array.fill(4000)((rng.nextInt(94) + 33).toChar).mkString
+    assert(r(rep) < r(prose) && r(prose) < r(noise),
+      s"${r(rep)} ${r(prose)} ${r(noise)}")
+    assert(r(rep) < 0.05)   // near-pure repetition crushes
+    assert(r(noise) > 0.8)  // incompressible stays near 1
+    assert(r(rep) == r(rep) && r("") == 1.0) // deterministic; empty = 1.0
+    assert(r(noise) > 0.0 && r(noise) < 1.5) // zlib overhead can exceed 1
+  }
+
+  test("cosineDouble matches cosineFloat on float-valued input") {
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 20) {
+      val af = Array.fill(16)(rng.nextFloat() - 0.5f)
+      val bf = Array.fill(16)(rng.nextFloat() - 0.5f)
+      val f = SketchOps.cosineFloat(
+        new GenericArrayData(af), new GenericArrayData(bf))
+      val d = SketchOps.cosineDouble(
+        new GenericArrayData(af.map(_.toDouble)),
+        new GenericArrayData(bf.map(_.toDouble)))
+      assert(f == d) // float->double is exact; accumulation order identical
+    }
+  }
+
   test("cosineFloat symmetry and bounds") {
     val rng = new scala.util.Random(11)
     for (_ <- 1 to 20) {
