@@ -1304,6 +1304,33 @@ object SparkEntry {
           round(col("n_distinct_est"), 3).alias("n_distinct_est_r"))
     }),
 
+    // EXACT maintainable COUNT DISTINCT: a per-(group, value) refcounted
+    // support table over a STALE replica (every 7th key's nation drifted)
+    // is brought current by retract/add under the folded CDC batch — the
+    // materialized-view-engine approach, handling deletes exactly where
+    // the HLL path above is add-only/approximate. Oracle = full
+    // COUNT(DISTINCT) recompute from the folded final state.
+    "q_cdc_distinct_exact" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      // distinct FLOORED balances per nation: sparse enough that the
+      // counts vary per group and every retraction arithmetic error shows
+      // (a nation-per-segment variant saturated at 25/25 and hid bugs)
+      val bal = when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+        .otherwise(col("c_acctbal"))
+      val replica = cust.select(col("c_custkey"), col("c_nationkey"),
+        floor(bal).alias("fbal"))
+      val support = IncrementalAgg.buildDistinctSupport(
+        replica, "c_nationkey", "fbal")
+      val folded = customerDeltaFold(s, dir).localCheckpoint(false)
+      val oldRows = replica.join(folded.select(col("user_id")),
+        replica("c_custkey") === col("user_id"), "left_semi")
+      val newRows = folded.where(col(Cdc.ChangeType) === Cdc.Upsert)
+        .select(col("c_nationkey"), floor(col("c_acctbal")).alias("fbal"))
+      IncrementalAgg.distinctFromSupport(
+        IncrementalAgg.maintainDistinctSupport(support, oldRows, newRows,
+          "c_nationkey", "fbal"), "c_nationkey")
+    }),
+
     // PII scrub: placeholder redaction + match accounting over a string
     // column, all codegen'd regexp — the scrub pass a corpus pipeline runs
     // before anything else ships.
@@ -2833,6 +2860,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_cdc_distinct_exact" ->
+      """WITH changed AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_id > 100 AND event_id <= 1000000000),
+        |final AS (
+        |  SELECT c_nationkey,
+        |    floor(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |               ELSE c_acctbal END) AS fbal
+        |  FROM customer
+        |  WHERE c_custkey NOT IN (SELECT user_id FROM changed)
+        |  UNION ALL
+        |  SELECT c.c_nationkey, floor(c.c_acctbal) AS fbal
+        |  FROM customer c JOIN changed ON c.c_custkey = changed.user_id)
+        |SELECT c_nationkey, count(DISTINCT fbal) AS n_distinct
+        |FROM final GROUP BY c_nationkey""".stripMargin,
 
     "q_cdc_agg_maintain" ->
       """WITH changed AS (

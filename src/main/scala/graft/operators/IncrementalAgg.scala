@@ -133,4 +133,48 @@ object IncrementalAgg {
       .withColumn("n_distinct_est",
         graft.functions.GraftExpressions.hll_estimate(col("sketch")))
   }
+
+  // ── EXACT maintainable COUNT DISTINCT (refcounted support table) ───────
+  // The HLL caveat above ("retraction cannot maintain distincts") holds
+  // only WITHOUT auxiliary state. With a (group, value, cnt) multiplicity
+  // table — the materialized-view-engine approach — retraction works
+  // exactly: a delete decrements the value's refcount and the value stops
+  // counting precisely when its count reaches zero. The price is the
+  // support table's |distinct (group, value) pairs| footprint; the HLL
+  // path stays as the bounded-memory alternative, and this one serves
+  // deletes + exact answers. Maintenance touches O(changed rows) plus the
+  // support table via one partial-aggregating shuffle on (group, value).
+
+  /** Build the support table (groupCol, valueCol, cntCol) from base rows. */
+  def buildDistinctSupport(base: DataFrame, groupCol: String,
+      valueCol: String, cntCol: String = "cnt"): DataFrame =
+    base.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).alias(cntCol))
+
+  /** Apply one folded CDC batch: retract the changed keys' OLD rows,
+    * add their surviving NEW rows, drop zero-count values. Same calling
+    * contract as [[maintainCountSum]]: `maintain(support(old), oldRows,
+    * newRows) == support(fold(old, changes))` — spec-pinned and
+    * oracle-gated via the distinct counts.
+    */
+  def maintainDistinctSupport(support: DataFrame, oldRows: DataFrame,
+      newRows: DataFrame, groupCol: String, valueCol: String,
+      cntCol: String = "cnt"): DataFrame = {
+    val retract = oldRows.groupBy(col(groupCol), col(valueCol))
+      .agg((-count(lit(1))).alias(cntCol))
+    val add = newRows.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).alias(cntCol))
+    support.select(col(groupCol), col(valueCol), col(cntCol))
+      .unionByName(retract).unionByName(add)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(cntCol)).alias(cntCol))
+      .where(col(cntCol) > 0)
+  }
+
+  /** The exact distinct counts the support table maintains:
+    * (groupCol, n_distinct).
+    */
+  def distinctFromSupport(support: DataFrame, groupCol: String,
+      outCol: String = "n_distinct"): DataFrame =
+    support.groupBy(col(groupCol)).agg(count(lit(1)).alias(outCol))
 }

@@ -262,6 +262,30 @@ class AsofRangeSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 11.0), ("c", 1L, 20.0))) // b removed at n=0
   }
 
+  test("maintainDistinctSupport ≡ full recompute: deletes, last-copy, births") {
+    val old = Seq((1L, "a", 10), (2L, "a", 10), (3L, "a", 20), (4L, "b", 5))
+      .toDF("k", "g", "v")
+    val support = IncrementalAgg.buildDistinctSupport(old, "g", "v")
+    // k=1 deleted (v=10 survives via k=2), k=3 deleted (LAST copy of 20 —
+    // the case HLL cannot answer), k=4 moves b→c with a new value (b dies,
+    // c born), k=5 inserts a fresh value into a
+    val oldRows = old.where($"k".isin(1L, 3L, 4L))
+    val newRows = Seq((4L, "c", 7), (5L, "a", 30)).toDF("k", "g", "v")
+    val got = IncrementalAgg.distinctFromSupport(
+        IncrementalAgg.maintainDistinctSupport(support, oldRows, newRows, "g", "v"),
+        "g").as[(String, Long)].collect().toSet
+    // final rows: (2,a,10), (5,a,30), (4,c,7)
+    assert(got == Set(("a", 2L), ("c", 1L)))
+    // and the maintained support equals a from-scratch build on final rows
+    val finalRows = Seq((2L, "a", 10), (5L, "a", 30), (4L, "c", 7)).toDF("k", "g", "v")
+    val fromScratch = IncrementalAgg.buildDistinctSupport(finalRows, "g", "v")
+      .as[(String, Int, Long)].collect().toSet
+    val maintained = IncrementalAgg.maintainDistinctSupport(
+        support, oldRows, newRows, "g", "v")
+      .as[(String, Int, Long)].collect().toSet
+    assert(maintained == fromScratch)
+  }
+
   // ── Chunking + shard packing ───────────────────────────────────────────
 
   test("chunkByTokens: coverage, overlap, and short-doc edge cases") {
