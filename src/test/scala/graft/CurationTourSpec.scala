@@ -4,12 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Decontaminate, Dedup, Sampling, Shards, Splits}
+import graft.operators.{Decontaminate, Dedup, KMeans, Sampling, Shards, Splits}
 
 /** The LLM-data-curation surface in one flowing scenario over the real
-  * corpus: quality/repetition filter → exact keep-best dedup → near-dup
-  * keep-one → bloom-prefiltered benchmark decontamination → token-budget
-  * per-language mixing → train/val/test split → token-budget sharding.
+  * corpus: corpus-frequency boilerplate removal → quality/repetition/
+  * compressibility filter → exact keep-best dedup → near-dup keep-one →
+  * bloom-prefiltered benchmark decontamination → token-budget
+  * per-language mixing → train/val/test split → token-budget sharding →
+  * survivor embedding clustering (exact spherical k-means).
   * Each stage is unit- and oracle-tested elsewhere; this pins that they
   * COMPOSE — schemas line up, counts shrink monotonically, and the whole
   * pipeline is deterministic end to end.
@@ -19,14 +21,30 @@ class CurationTourSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Stage 0 (r9): corpus-frequency boilerplate removal — ultra-frequent
+    * whitespace segments cut from every doc before anything scores them.
+    * Shared by the pipeline and the test's decontamination assertion so
+    * both sides see the same text.
+    */
+  private def cleanedDocs(): DataFrame = {
+    val raw = Tables.load(spark, sf, "documents")
+    Dedup.dropFrequentLines(raw, "doc_id", "text", minCount = 975, sep = " ")
+      .join(raw.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumnRenamed("text_clean", "text")
+  }
+
   private def pipeline(): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
-    // 1. score + filter: drop low-quality and boilerplate-repetitive docs
+    val docs = cleanedDocs()
+    // 1. score + filter: drop low-quality, boilerplate-repetitive, and
+    // pathologically-compressible (r9 deflate gate) docs
     val filtered = docs
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("rep2", TextAnalysis.topNgramFraction(col("text"), 2))
       .withColumn("ntoks", TextAnalysis.tokenCount(col("text")))
-      .where(col("quality") > 0.5 && col("rep2") < 0.5)
+      .withColumn("deflate",
+        graft.functions.GraftExpressions.deflate_ratio(col("text")))
+      .where(col("quality") > 0.5 && col("rep2") < 0.5 &&
+        col("deflate") > 0.2)
     // 2a. EXACT dedup keeping the best-quality copy (r8) — runs before the
     // near-dup machinery so identical reformats resolve by quality
     val bestIds = Dedup.keepBest(filtered, "doc_id", "text", col("quality"))
@@ -57,7 +75,7 @@ class CurationTourSpec extends SparkSpec {
   }
 
   test("filter → dedup → decontaminate → mix → split → shard composes") {
-    val docs = Tables.load(spark, sf, "documents")
+    val docs = cleanedDocs()
     val out = pipeline().cache()
     try {
       val total = docs.count()
@@ -85,6 +103,15 @@ class CurationTourSpec extends SparkSpec {
       val shards = out.groupBy("shard")
         .agg(sum(col("ntoks")).as("toks")).as[(Long, Long)].collect()
       assert(shards.map(_._1).sorted.toSeq == (0L to shards.map(_._1).max).toSeq)
+      // r9: the curation envelope composes with the similarity surface —
+      // cluster the SURVIVORS' embeddings with the exact spherical k-means
+      val emb = Tables.load(spark, sf, "embeddings")
+      val survivorVecs = emb.join(
+        out.select(col("doc_id").alias("vec_id")), Seq("vec_id"), "left_semi")
+      val cen = KMeans.fit(survivorVecs, "vec_id", "embedding", k = 4, iters = 1)
+      val cells = KMeans.assign(survivorVecs, "embedding", cen)
+      assert(cells.count() == survivorVecs.count())
+      assert(cells.select("cell").distinct().count() <= 4)
       // determinism: the whole pipeline reruns to the identical row set
       val again = pipeline().select("doc_id", "split", "shard")
         .as[(Long, String, Long)].collect().toSet
