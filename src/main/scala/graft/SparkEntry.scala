@@ -657,6 +657,19 @@ object SparkEntry {
         (deflate_ratio(col("text")) < 0.35).alias("too_repetitive"))
     }),
 
+    // Script-mix profile: per-script character counts + dominant script —
+    // the multilingual-curation filter (mixed-script spam, mojibake,
+    // wrong-corpus leakage). Codepoint-range regexes shared verbatim with
+    // the oracle; non-Latin behavior spec-pinned on crafted strings.
+    "q_text_scripts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.scriptProfile(col("text")).alias("p"))
+        .select(col("doc_id"), col("p.n_latin"), col("p.n_digit"),
+          col("p.n_cjk"), col("p.n_cyrillic"), col("p.n_arabic"),
+          col("p.n_other"), col("p.dominant_script"))
+    }),
+
     // ── Text analysis (training-data pipeline) ────────────────────────────
     "q_text_quality" -> ((s, dir) => {
       Dedup.widen(t(s, dir, "documents")).select(
@@ -2171,6 +2184,33 @@ object SparkEntry {
         |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     "q_text_stats" -> TextStatsOracle,
+
+    "q_text_scripts" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+        |    length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS n_cyrillic,
+        |    length(text) - length(regexp_replace(text, '[\x{0600}-\x{06ff}]', '', 'g')) AS n_arabic,
+        |    length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_latin AS INT) AS n_latin, CAST(n_digit AS INT) AS n_digit,
+        |  CAST(n_cjk AS INT) AS n_cjk, CAST(n_cyrillic AS INT) AS n_cyrillic,
+        |  CAST(n_arabic AS INT) AS n_arabic,
+        |  CAST(n - n_latin - n_digit - n_cjk - n_cyrillic - n_arabic - n_space
+        |    AS INT) AS n_other,
+        |  CASE WHEN greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic) = 0
+        |         THEN 'none'
+        |       WHEN n_latin = greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic)
+        |         THEN 'latin'
+        |       WHEN n_digit = greatest(n_digit, n_cjk, n_cyrillic, n_arabic)
+        |         THEN 'digit'
+        |       WHEN n_cjk = greatest(n_cjk, n_cyrillic, n_arabic) THEN 'cjk'
+        |       WHEN n_cyrillic = greatest(n_cyrillic, n_arabic) THEN 'cyrillic'
+        |       ELSE 'arabic' END AS dominant_script
+        |FROM c""".stripMargin,
 
     // the one-scan curation profile: every per-doc text metric from one
     // projection; the oracle composes the four single-metric oracles, so

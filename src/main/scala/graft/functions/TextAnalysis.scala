@@ -43,6 +43,39 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", "")))
       .cast("double") / greatest(length(text), lit(1)).cast("double")
 
+  /** Per-script character counts — the script-mix profile multilingual
+    * curation filters on (mixed-script spam, mojibake, wrong-corpus
+    * leakage). Classes are EXPLICIT codepoint ranges, not `\p{script=}`
+    * names, so the same regex text means the same thing in Java and
+    * RE2-family engines and the counts are oracle-checkable. `other` =
+    * everything else except ASCII space. Returns a struct
+    * (n_latin, n_digit, n_cjk, n_cyrillic, n_arabic, n_other,
+    * dominant_script) with deterministic tie order.
+    */
+  def scriptProfile(text: Column): Column = {
+    def n(cls: String) =
+      length(text) - length(regexp_replace(text, cls, ""))
+    val latin = n("[A-Za-z]")
+    val digit = n("[0-9]")
+    val cjk = n("[\\x{4e00}-\\x{9fff}]")
+    val cyr = n("[\\x{0400}-\\x{04ff}]")
+    val ar = n("[\\x{0600}-\\x{06ff}]")
+    val other = length(text) - latin - digit - cjk - cyr - ar -
+      (length(text) - length(regexp_replace(text, "[ ]", "")))
+    val scored: Seq[(String, Column)] = Seq(
+      "latin" -> latin, "digit" -> digit, "cjk" -> cjk,
+      "cyrillic" -> cyr, "arabic" -> ar)
+    val dominant = scored.tail.foldLeft(lit("latin") -> scored.head._2) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    struct(
+      latin.alias("n_latin"), digit.alias("n_digit"), cjk.alias("n_cjk"),
+      cyr.alias("n_cyrillic"), ar.alias("n_arabic"), other.alias("n_other"),
+      when(dominant._2 > 0, dominant._1).otherwise(lit("none"))
+        .alias("dominant_script"))
+  }
+
   /** Heuristic language ID: highest stopword-overlap wins; CJK ratio > 0.2
     * short-circuits to zh; ties resolve in fixed en>de>fr>es order.
     */

@@ -333,4 +333,29 @@ class GraftExpressionsSpec extends SparkSpec {
     // positive ascending vector against any positive codeword stays high
     assert(r.getDouble(3) > 0.5 && r.getDouble(3) <= 1.0)
   }
+
+  test("scriptProfile counts per codepoint class; dominant ties break in class order") {
+    import graft.functions.TextAnalysis
+    val rows = Seq(
+      (1L, "hello 42"),            // latin 5, digit 2, space 1
+      (2L, "你好 world"),  // cjk 2, latin 5
+      (3L, "привет"), // cyrillic 6
+      (4L, "مرحبا"),       // arabic 5
+      (5L, "ab12"),                // tie latin=digit=2 → latin (class order)
+      (6L, "!!! ???"),             // nothing classified → none
+      (7L, "")                     // empty → none
+    ).toDF("id", "t")
+    val got = rows.select($"id", TextAnalysis.scriptProfile($"t").as("p"))
+      .select($"id", $"p.n_latin", $"p.n_digit", $"p.n_cjk", $"p.n_cyrillic",
+        $"p.n_arabic", $"p.n_other", $"p.dominant_script")
+      .as[(Long, Int, Int, Int, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5, 2, 0, 0, 0, 0, "latin")))
+    assert(got(2L) == ((2L, 5, 0, 2, 0, 0, 0, "latin")))
+    assert(got(3L) == ((3L, 0, 0, 0, 6, 0, 0, "cyrillic")))
+    assert(got(4L) == ((4L, 0, 0, 0, 0, 5, 0, "arabic")))
+    assert(got(5L) == ((5L, 2, 2, 0, 0, 0, 0, "latin")))
+    assert(got(6L) == ((6L, 0, 0, 0, 0, 0, 6, "none")))
+    assert(got(7L) == ((7L, 0, 0, 0, 0, 0, 0, "none")))
+  }
 }

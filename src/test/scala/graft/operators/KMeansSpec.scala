@@ -69,6 +69,17 @@ class KMeansSpec extends SparkSpec {
     assert(cells == Set(0))
   }
 
+  test("assignment is a shuffle-free projection (plan-guarded)") {
+    val cen = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 0)
+    val plan = KMeans.assign(emb, "embedding", cen)
+      .queryExecution.executedPlan.toString
+    // centroids are broadcast LITERALS: no join, no exchange, no window —
+    // the per-iteration scan cost at 100 TB is the scan and nothing else
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("fit refuses k larger than the row count") {
     val tiny = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException] {
