@@ -1362,6 +1362,18 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast(DoubleType).alias("sum_total"))
     }),
 
+    // Mergeable fixed-bin quantile sketch: the percentile primitive that
+    // survives 100 TB (bounded (group, bin) counts + deterministic CDF
+    // inversion instead of a per-group value sort). Every output is exact
+    // integer/IEEE arithmetic → fully oracle-gated, unlike t-digest/KLL.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val sk = graft.operators.QuantileSketch.build(
+        t(s, dir, "events"), "event_type", "value", width = 10.0)
+      graft.operators.QuantileSketch.quantiles(sk, "event_type",
+          width = 10.0, qs = Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"), col("q"), col("est"))
+    }),
+
     // Exact per-group interpolated quantiles (Spark `percentile` ≡ DuckDB
     // quantile_cont), the grouped companion to q_a5_percentile.
     "q_a11_group_quantiles" -> ((s, dir) => {
@@ -2900,6 +2912,21 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |  FROM events GROUP BY event_type, bin),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total
+        |  FROM h),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT event_type, q, (min(bin) + 1) * 10.0 AS est
+        |FROM c JOIN qs ON cum >= q * total
+        |GROUP BY event_type, q""".stripMargin,
 
     "q_cdc_distinct_exact" ->
       """WITH changed AS (
