@@ -18,8 +18,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read it as a nanos long (we re-derive timestamps on use).
+      // kept for pre-r9 testdata where events.ts was TIMESTAMP(NANOS)
+      // (Spark 4 rejects nanos by default); inert on the current µs data
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
