@@ -670,6 +670,39 @@ object SparkEntry {
           col("p.n_other"), col("p.dominant_script"))
     }),
 
+    // The corpus card: one grouped report per language — doc/token
+    // counts, exact mean quality (per-doc round-6 values summed as
+    // DECIMAL, so the distributed average is order-independent), Latin
+    // character share, and token-count percentiles via the mergeable
+    // quantile sketch. Composes four r9/r7 surfaces into the one-page
+    // summary every curation run publishes; the oracle re-derives each
+    // piece from the same shared SQL.
+    "q_corpus_card" -> ((s, dir) => {
+      val per = t(s, dir, "documents").select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).alias("n_tokens"),
+        round(TextAnalysis.qualityScore(col("text")), 6)
+          .cast(DecimalType(18, 6)).alias("q6"),
+        TextAnalysis.scriptProfile(col("text")).getField("n_latin")
+          .cast("long").alias("n_latin"),
+        length(col("text")).cast("long").alias("n_chars"))
+      val agg = per.groupBy(col("lang")).agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens").cast("long")).alias("sum_tokens"),
+        round(sum(col("q6")).cast(DoubleType) / count(lit(1)), 6)
+          .alias("mean_quality_r"),
+        round(sum(col("n_latin")).cast(DoubleType) /
+          sum(col("n_chars")).cast(DoubleType), 6).alias("latin_share_r"))
+      val sk = graft.operators.QuantileSketch.build(
+        per.select(col("lang"), col("n_tokens").cast(DoubleType).alias("ntok")),
+        "lang", "ntok", width = 8.0)
+      val ps = graft.operators.QuantileSketch
+        .quantiles(sk, "lang", width = 8.0, qs = Seq(0.5, 0.9))
+        .groupBy(col("lang")).agg(
+          max(when(col("q") === 0.5, col("est"))).alias("p50_tokens"),
+          max(when(col("q") === 0.9, col("est"))).alias("p90_tokens"))
+      agg.join(ps, Seq("lang"))
+    }),
+
     // ── Text analysis (training-data pipeline) ────────────────────────────
     "q_text_quality" -> ((s, dir) => {
       Dedup.widen(t(s, dir, "documents")).select(
@@ -2912,6 +2945,43 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_corpus_card" ->
+      s"""WITH per AS (
+        |  SELECT d.lang,
+        |    len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens,
+        |    CAST(q.quality_r AS DECIMAL(18,6)) AS q6,
+        |    length(d.text)
+        |      - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')) AS n_latin,
+        |    length(d.text) AS n_chars
+        |  FROM documents d JOIN ($TextQualityOracle) q ON d.doc_id = q.doc_id),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |    round(CAST(sum(q6) AS DOUBLE) / count(*), 6) AS mean_quality_r,
+        |    round(CAST(sum(n_latin) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6)
+        |      AS latin_share_r
+        |  FROM per GROUP BY lang),
+        |h AS (
+        |  SELECT lang, CAST(floor(CAST(n_tokens AS DOUBLE) / 8.0) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |  FROM per GROUP BY lang, bin),
+        |c AS (
+        |  SELECT lang, bin,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS total
+        |  FROM h),
+        |ps AS (
+        |  SELECT lang,
+        |    max(CASE WHEN q = 0.5 THEN est END) AS p50_tokens,
+        |    max(CASE WHEN q = 0.9 THEN est END) AS p90_tokens
+        |  FROM (SELECT lang, q, (min(bin) + 1) * 8.0 AS est
+        |        FROM c JOIN (SELECT unnest([0.5, 0.9]) AS q) ON cum >= q * total
+        |        GROUP BY lang, q)
+        |  GROUP BY lang)
+        |SELECT a.lang, a.n_docs, a.sum_tokens, a.mean_quality_r,
+        |  a.latin_share_r, ps.p50_tokens, ps.p90_tokens
+        |FROM agg a JOIN ps USING (lang)""".stripMargin,
 
     "q_quantile_sketch" ->
       """WITH h AS (

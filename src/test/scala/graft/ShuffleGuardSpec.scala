@@ -58,4 +58,37 @@ class ShuffleGuardSpec extends SparkSpec {
       }
     assert(global.isEmpty, "unpartitioned Window in q_dedup_spans")
   }
+
+  // ── Round-9 operator plan shapes ─────────────────────────────────────
+
+  test("script profile and deflate gates plan zero shuffles (map-side only)") {
+    for (q <- Seq("q_text_scripts", "q_text_deflate")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+    }
+  }
+
+  test("quantile sketch windows are per-group and run over bins, not rows") {
+    val df = SparkEntry.queries("q_quantile_sketch")(spark, sf)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "unpartitioned Window in q_quantile_sketch")
+    // the window input is the (group, bin, n) sketch — if a regression
+    // windowed over raw values its input would carry the value column
+    val winInputs = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w.child.output.map(_.name)
+    }.flatten.toSet
+    assert(winInputs.contains("bin") && !winInputs.contains("value"),
+      winInputs.toString)
+  }
+
+  test("line dedup: the frequent-line set broadcasts, reassembly is one agg") {
+    val plan = SparkEntry.queries("q_line_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"frequent-set join shuffled:\n$plan")
+  }
 }
