@@ -110,13 +110,25 @@ object Bench {
     println(line)
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val stream = all.filter(_._1.startsWith("stream_"))
-    val batch = all.filterNot(_._1.startsWith("stream_"))
-    val kept = batch.sortBy(-_._2).take(35).sortBy(_._1) ++ stream
-    val compactQs = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val elided = all.size - kept.size
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"elided":$elided,"full":"target/bench.json","sf":"$sfDir"}""")
+    // FAILURES always make the line (a -1 is the single most important
+    // thing the driver can see — review r9 caught them sorting last and
+    // being cut), then streaming entries + phases, then the slowest batch
+    // queries. The entry budget shrinks until the line fits the 2000-char
+    // tail window with headroom for the trailing sbt success line — sized
+    // by measured bytes, not by entry count.
+    val failed = all.filter(_._2 < 0)
+    val stream = all.filter { case (k, v) => k.startsWith("stream_") && v >= 0 }
+    val batchOk = all.filter { case (k, v) =>
+      !k.startsWith("stream_") && v >= 0 }.sortBy(-_._2)
+    def line35(n: Int): String = {
+      val kept = failed ++ stream ++ batchOk.take(n).sortBy(_._1)
+      val qs35 = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs35,"elided":${all.size - kept.size},"full":"target/bench.json","sf":"$sfDir"}"""
+    }
+    val compact = Iterator.range(35, -1, -5).map(line35)
+      .find(_.length <= 1800).getOrElse(line35(0))
+    println(compact)
     spark.stop()
   }
 }

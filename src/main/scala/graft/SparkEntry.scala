@@ -678,6 +678,10 @@ object SparkEntry {
     // summary every curation run publishes; the oracle re-derives each
     // piece from the same shared SQL.
     "q_corpus_card" -> ((s, dir) => {
+      // lazy localCheckpoint: the per-doc projection feeds BOTH the
+      // aggregate branch and the quantile sketch — without it the plan
+      // scans documents (and re-runs the quality regexes) twice
+      // (review r9). One corpus scan + a 5-narrow-column checkpoint.
       val per = t(s, dir, "documents").select(col("lang"),
         size(split(trim(col("text")), "\\s+")).alias("n_tokens"),
         round(TextAnalysis.qualityScore(col("text")), 6)
@@ -685,6 +689,7 @@ object SparkEntry {
         TextAnalysis.scriptProfile(col("text")).getField("n_latin")
           .cast("long").alias("n_latin"),
         length(col("text")).cast("long").alias("n_chars"))
+        .localCheckpoint(false)
       val agg = per.groupBy(col("lang")).agg(
         count(lit(1)).alias("n_docs"),
         sum(col("n_tokens").cast("long")).alias("sum_tokens"),

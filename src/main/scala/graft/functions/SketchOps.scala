@@ -82,17 +82,23 @@ object SketchOps {
     * bundled one); the specs pin ordering properties, not magic constants,
     * so a JDK zlib bump cannot silently break the suite. Empty text → 1.0.
     */
+  // per-thread Deflater + scratch buffer: a fresh native zlib stream per
+  // row costs more than the compression itself on short documents
+  // (review r9); reset() restores the exact initial state, so reuse
+  // cannot change the output
+  private val deflaterTL =
+    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+      (new java.util.zip.Deflater(6), new Array[Byte](8192)))
+
   def deflateRatio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(bytes); d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val (d, buf) = deflaterTL.get()
+    d.reset()
+    d.setInput(bytes); d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 
   /** 64-bit SimHash over pre-hashed tokens: majority vote per bit. */

@@ -674,13 +674,12 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     } finally batch.unpersist()
   }
 
-  /** Compaction maintenance pass: rewrite the store so each bucket holds
-    * as few files as its data needs (one bucket-aligning exchange, AQE
-    * sized). Merges deliberately skip this work to stay low-latency, so a
-    * store absorbing many small windows fragments toward one file per
-    * upstream partition per bucket — run compact() on whatever cadence
-    * keeps file counts healthy (the OPTIMIZE half of the streaming-commit
-    * pattern). Same stage-then-swap commit as merge.
+  /** Compaction maintenance pass. Since r9, COW merges are themselves
+    * bucket-aligned (one file per touched bucket), so compact()'s role for
+    * a pure-COW store is reduced to an occasional full rewrite (e.g. after
+    * schema evolution left mixed-schema files); its REAL job is MOR
+    * maintenance — folding published delta dirs back into the base and
+    * dropping them. Same stage-then-swap commit as merge.
     */
   def compact(): Unit = opLock.synchronized {
     acquireLease() // single-writer fence + heartbeat

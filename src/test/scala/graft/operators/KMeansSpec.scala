@@ -40,18 +40,24 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
-  test("iterations do not degrade the spherical objective (mean cosine)") {
+  test("iterating improves the spherical objective over the raw seeds") {
     def objective(iters: Int): Double = {
       val cen = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = iters)
       KMeans.assign(emb, "embedding", cen)
         .agg(avg($"cosine")).as[Double].head()
     }
     val o0 = objective(0); val o1 = objective(1); val o2 = objective(2)
-    // Lloyd's with mean updates monotonically improves the k-means
-    // objective; for the spherical variant the mean-cosine proxy should
-    // not move backwards by more than fp noise on this data
-    assert(o1 >= o0 - 1e-12, s"$o0 -> $o1")
-    assert(o2 >= o1 - 1e-12, s"$o1 -> $o2")
+    // NOT asserted per-step monotone: the mean update optimizes the
+    // Euclidean objective, and with varying member magnitudes a single
+    // iteration may legitimately dip the mean-cosine proxy (the
+    // cosine-optimal centroid is the sum of NORMALIZED members — review
+    // r9). What the operator does promise: trained centroids beat the raw
+    // k arbitrary seed vectors, and the whole fit is deterministic
+    // (pinned above) with the per-iteration arithmetic oracle-gated in
+    // q_kmeans. Assert the robust claims only.
+    assert(o1 > o0, s"iter1 $o1 not above seeds $o0")
+    assert(o2 > o0, s"iter2 $o2 not above seeds $o0")
+    assert(o2 > 0 && o2 <= 1.0 + 1e-9)
   }
 
   test("empty cells carry their previous centroid forward") {
