@@ -286,6 +286,35 @@ class DedupSpec extends SparkSpec {
     assert(got(3) == ((4L, "", 0L, 1L)))
   }
 
+  test("property: dropFrequentLines is reconstruction-exact and count-consistent") {
+    val rng = new scala.util.Random(41)
+    val words = Vector("alpha", "beta", "gamma", "", "x y", "tab\there")
+    for (_ <- 1 to 4) {
+      val docs = Seq.tabulate(30) { i =>
+        val n = 1 + rng.nextInt(6)
+        (i.toLong, Seq.fill(n)(words(rng.nextInt(words.size))).mkString("\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // minCount above any possible frequency → identity reconstruction,
+      // proving split/sort/rejoin loses nothing (incl. empty lines and
+      // lines containing spaces/tabs)
+      val id = Dedup.dropFrequentLines(df, "doc_id", "text", minCount = 10000)
+        .as[(Long, String, Long, Long)].collect()
+      val orig = docs.toMap
+      id.foreach { case (k, txt, kept, dropped) =>
+        assert(txt == orig(k), s"doc $k reconstruction changed")
+        assert(dropped == 0 && kept == orig(k).split("\n", -1).length)
+      }
+      // at a real threshold the per-doc ledger stays consistent:
+      // kept + dropped == total segments
+      val real = Dedup.dropFrequentLines(df, "doc_id", "text", minCount = 3)
+        .as[(Long, String, Long, Long)].collect()
+      real.foreach { case (k, _, kept, dropped) =>
+        assert(kept + dropped == orig(k).split("\n", -1).length, s"doc $k ledger")
+      }
+    }
+  }
+
   test("dropFrequentLines non-broadcast path matches broadcast path") {
     val docs = Seq(
       (1L, "a\nb\nc"), (2L, "b\nc\nd"), (3L, "c\nd\ne")

@@ -57,6 +57,32 @@ class QuantileSketchSpec extends SparkSpec {
     assert(!got.exists(_._1 == "b")) // emptied group leaves no rows
   }
 
+  test("property: est brackets the discrete quantile within one bin on random data") {
+    val rng = new scala.util.Random(97)
+    for (trial <- 1 to 5) {
+      val rows = Seq.tabulate(200 + trial * 50) { i =>
+        (s"g${i % 3}", rng.nextDouble() * 400 - 50) // negatives included
+      }
+      val df = rows.toDF("g", "v")
+      val sk = QuantileSketch.build(df, "g", "v", W)
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val est = QuantileSketch.quantiles(sk, "g", W, qs)
+        .as[(String, Double, Double)].collect()
+        .map { case (g, q, e) => (g, q) -> e }.toMap
+      val byGroup = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted
+      }
+      for ((g, sorted) <- byGroup; q <- qs) {
+        // the q-th discrete value lies inside the crossing bin, whose
+        // upper edge is the estimate: est - W <= v_q <= est
+        val vq = sorted(math.ceil(q * sorted.size).toInt - 1)
+        val e = est((g, q))
+        assert(e - W <= vq && vq <= e,
+          s"trial $trial $g q=$q: est $e does not bracket $vq")
+      }
+    }
+  }
+
   test("negative values bin downward; q=1.0 lands on the top bin edge") {
     val df = Seq(("g", -5.0), ("g", -15.0), ("g", 5.0)).toDF("g", "v")
     val sk = QuantileSketch.build(df, "g", "v", W)
