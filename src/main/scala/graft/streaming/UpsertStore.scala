@@ -207,6 +207,73 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     else baseRead().drop(bucketCol)
   }
 
+  /** TIME TRAVEL: the snapshot as of delta sequence `seq` (inclusive) —
+    * the state after the merge that published `_delta_<seq>` and before
+    * any later one; `seq = earliestSeq` reads the base alone. History
+    * reaches back exactly to the last compaction/COW rewrite: folding
+    * deltas into the base (or rewriting it copy-on-write) is what DESTROYS
+    * earlier versions, so [[earliestSeq]] is the horizon and a request
+    * behind it fails loudly rather than serving the newer base as if it
+    * were old (the same contract as Delta/Iceberg VACUUM'd time travel —
+    * retention here is "since the last compact()", so a reader that needs
+    * N batches of history simply compacts every N batches).
+    */
+  def snapshotAsOf(seq: Long): DataFrame = opLock.synchronized {
+    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
+    if (!foreignLeaseFresh()) recoverSwap()
+    val lo = earliestSeq
+    val hi = currentSeq
+    if (seq < lo) throw new IllegalStateException(
+      s"store $dir: history before seq $lo was compacted/rewritten away " +
+        s"(requested $seq) — compact less often, or read >= $lo")
+    if (seq > hi) throw new IllegalArgumentException(
+      s"store $dir: seq $seq has not been written yet (current $hi)")
+    foldedView(maxSeq = seq).drop(bucketCol)
+  }
+
+  /** Highest published sequence (0 before any MOR merge; COW merges also
+    * advance it so the horizon arithmetic stays uniform across modes).
+    */
+  def currentSeq: Long =
+    if (seqFile.exists())
+      new String(java.nio.file.Files.readAllBytes(seqFile.toPath), "UTF-8")
+        .trim.toLong
+    else 0L
+
+  /** Oldest sequence still readable via [[snapshotAsOf]] — advanced by
+    * compaction and by every COW rewrite (both destroy prior versions).
+    */
+  def earliestSeq: Long =
+    if (baseSeqFile.exists())
+      new String(java.nio.file.Files.readAllBytes(baseSeqFile.toPath), "UTF-8")
+        .trim.toLong
+    else 0L
+
+  /** The history horizon marker. Advanced CONSERVATIVELY — written before
+    * the staged swap that destroys the old versions commits, so a crash
+    * between the two refuses reads it might have served wrongly (a
+    * spuriously-unavailable version, never a wrong one).
+    */
+  private def baseSeqFile = new java.io.File(dir, "_graft_base_seq")
+
+  private def writeBaseSeq(v: Long): Unit = {
+    Option(new java.io.File(dir).listFiles((_, n) =>
+      n.startsWith("_graft_base_seq") && n.endsWith(".tmp")))
+      .foreach(_.foreach(_.delete()))
+    val tmp = java.nio.file.Files.createTempFile(
+      new java.io.File(dir).toPath, "_graft_base_seq", ".tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    locally {
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    }
+    java.nio.file.Files.move(tmp, baseSeqFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(new java.io.File(dir))
+  }
+
   /** The base buckets as a DataFrame, tolerating crashed-swap debris
     * WITHOUT mutating anything — the reader-side mirror of
     * [[recoverSwap]]'s branches (review r8): a bucket whose live dir is
@@ -547,9 +614,9 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * the table (the same observation the COW merge builds on). Reads with
     * the widened persisted schema, so pre-evolution files null-fill.
     */
-  private def foldedView(): DataFrame = {
+  private def foldedView(maxSeq: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val deltas = deltaSeqDirs
+    val deltas = deltaSeqDirs.filter(_._1 <= maxSeq)
     val baseAll = baseRead() // debris-tolerant (see baseRead)
     if (deltas.isEmpty) return baseAll
     val touched = deltas.flatMap { case (_, d) =>
@@ -662,6 +729,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
         .parquet(staging.getPath)
       val tSwap = System.nanoTime()
       UpsertStore.addPhase("merge_write", (tSwap - tWrite) / 1e9)
+      // a COW rewrite destroys the pre-merge version of every touched
+      // bucket: advance the sequence and the time-travel horizon WITH it,
+      // conservatively before the swap commits (see [[baseSeqFile]])
+      val seq = nextSeq()
+      writeBaseSeq(seq)
       val survivors = swapStaged(staging)
       UpsertStore.addPhase("swap", (System.nanoTime() - tSwap) / 1e9)
       // a bucket whose rows were ALL deleted has no staged dir — drop it
@@ -698,6 +770,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       val staging = stagingDir
       data.write.partitionBy(bucketCol).mode("overwrite")
         .parquet(staging.getPath)
+      // folding deltas into the base destroys every version before the
+      // newest folded seq: advance the time-travel horizon conservatively
+      // BEFORE the swap commits (crash between the two = refused reads,
+      // never wrong ones)
+      writeBaseSeq(pre.map(_._1).max)
       val survivors = swapStaged(staging)
       // a bucket whose keys were ALL deleted has no staged dir: drop its
       // pre-compaction base copy (deletes only materialize here in MOR)

@@ -297,6 +297,52 @@ class CdcStreamSpec extends SparkSpec {
       Set((7L, "seven", Some("n"))))
   }
 
+  test("time travel: snapshotAsOf serves each MOR version; compact/COW advance the horizon") {
+    val store = new UpsertStore(spark, tmp("timetravel"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "payload")))
+    assert(store.currentSeq == 0L && store.earliestSeq == 0L)
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"), (Cdc.Delete, 10L, 3L, "x"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    store.merge(Seq((Cdc.Upsert, 11L, 4L, "four"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(store.currentSeq == 2L && store.earliestSeq == 0L)
+    def snap(seq: Long) =
+      store.snapshotAsOf(seq).as[(Long, String)].collect().toSet
+    assert(snap(0) == Set((1L, "one"), (2L, "two"), (3L, "three")))
+    assert(snap(1) == Set((1L, "one"), (2L, "TWO")))
+    assert(snap(2) == Set((1L, "one"), (2L, "TWO"), (4L, "four")))
+    assert(snap(2) == store.snapshot().as[(Long, String)].collect().toSet)
+    intercept[IllegalArgumentException] { store.snapshotAsOf(3) } // future
+    // compaction folds deltas 1-2 into the base: versions before seq 2 are
+    // gone, and asking for them fails LOUDLY instead of serving the new
+    // base as if it were old
+    store.compact()
+    assert(store.earliestSeq == 2L)
+    intercept[IllegalStateException] { store.snapshotAsOf(1) }
+    assert(snap(2) == Set((1L, "one"), (2L, "TWO"), (4L, "four")))
+    // history continues past the compaction
+    store.merge(Seq((Cdc.Upsert, 12L, 5L, "five"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(snap(2) == Set((1L, "one"), (2L, "TWO"), (4L, "four")))
+    assert(snap(store.currentSeq) ==
+      Set((1L, "one"), (2L, "TWO"), (4L, "four"), (5L, "five")))
+  }
+
+  test("time travel on a COW store: every rewrite moves the horizon to now") {
+    val store = newStore(tmp("timetravel-cow"))
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(store.currentSeq == store.earliestSeq) // no retained history
+    assert(store.snapshotAsOf(store.currentSeq)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (3L, "three")))
+    intercept[IllegalStateException] {
+      store.snapshotAsOf(store.earliestSeq - 1)
+    }
+  }
+
   test("merge applies upserts and deletes, only touched buckets rewritten") {
     val dir = tmp("store")
     val store = newStore(dir)
