@@ -146,6 +146,52 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   }
 
+  /** `int8_scale(array<float>)` — symmetric int8 quantization scale
+    * (max|v|/127; 0.0 for zero/empty vectors).
+    */
+  case class Int8Scale(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.int8Scale(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.int8Scale($c)")
+    override protected def withNewChildInternal(c: Expression): Int8Scale = copy(child = c)
+  }
+
+  /** `int8_codes(array<float>)` — int8 codes under `int8_scale`
+    * (floor(v/scale + 0.5), exactly reproducible IEEE arithmetic).
+    */
+  case class Int8Codes(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.int8Codes(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.int8Codes($c)")
+    override protected def withNewChildInternal(c: Expression): Int8Codes = copy(child = c)
+  }
+
+  /** `fnv_token_hashes(string)` — per-token FNV-1a/64 hashes (codepoint
+    * fold) of the whitespace tokenization; the oracle-reproducible input to
+    * `simhash64` / `rolling_fingerprint`.
+    */
+  case class FnvTokenHashes(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.fnvTokenHashes(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.fnvTokenHashes($c)")
+    override protected def withNewChildInternal(c: Expression): FnvTokenHashes = copy(child = c)
+  }
+
   /** `word_ngram_hashes(string, n)` — distinct FNV-hashed word n-grams
     * (whitespace-tokenized, single-space normalized).
     */
@@ -544,6 +590,9 @@ object GraftExpressions {
   def deflate_ratio(col: Column): Column = c(DeflateRatio(e(col)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
+  def fnv_token_hashes(col: Column): Column = c(FnvTokenHashes(e(col)))
+  def int8_scale(col: Column): Column = c(Int8Scale(e(col)))
+  def int8_codes(col: Column): Column = c(Int8Codes(e(col)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
   def word_ngram_hashes(col: Column, n: Int): Column = c(WordNgramHashes(e(col), n))
   def word_ngram_hash_seq(col: Column, n: Int): Column = c(WordNgramHashSeq(e(col), n))
@@ -606,6 +655,12 @@ object GraftExpressions {
       xs => Hamming64(xs.head, xs(1))),
     ("jaccard_sorted", "exact Jaccard of two sorted distinct arrays",
       xs => JaccardSorted(xs.head, xs(1))),
+    ("fnv_token_hashes", "per-token FNV-1a/64 codepoint hashes",
+      xs => FnvTokenHashes(xs.head)),
+    ("int8_scale", "symmetric int8 quantization scale (max|v|/127)",
+      xs => Int8Scale(xs.head)),
+    ("int8_codes", "int8 embedding codes under int8_scale",
+      xs => Int8Codes(xs.head)),
     ("shingle_hashes", "distinct hashed character n-grams",
       xs => ShingleHashes(xs.head, intArg(xs(1)))),
     ("word_ngram_hashes", "distinct hashed word n-grams",

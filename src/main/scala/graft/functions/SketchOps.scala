@@ -221,6 +221,45 @@ object SketchOps {
       }
     }
 
+  // ── Int8 embedding quantization ─────────────────────────────────────────
+  // Symmetric per-vector quantization: scale = max|v| / 127, code_i =
+  // floor(v_i/scale + 0.5) ∈ [-127, 127]. 4× smaller embedding storage/IO
+  // — at 100 TB the embedding columns dominate ANN scan cost, and the
+  // compressed-domain scan (int8 dot products) is the standard first stage
+  // before exact float refine (same shape as the PQ/ADC ladder). The
+  // floor(x + 0.5) form (NOT round/rint) is deliberate: IEEE-double floor
+  // and division agree bit-for-bit across engines, so the DuckDB oracle
+  // replays the codes exactly — half-even rint or decimal-string rounding
+  // would diverge on exact .5 quotients.
+
+  /** Per-vector quantization scale (0.0 for an all-zero or empty vector). */
+  def int8Scale(v: ArrayData): Double = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    m / 127.0
+  }
+
+  /** Int8 codes under [[int8Scale]]; all-zero vector → all-zero codes. */
+  def int8Codes(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val s = int8Scale(v)
+    val out = new Array[Byte](n)
+    if (s > 0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getFloat(i).toDouble / s + 0.5).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling polynomial hash fingerprint (winnowing-style document
     * fingerprint): min of the rolling hashes over `window`-grams of the
     * token-hash sequence. Returns 0 for documents shorter than the window.
@@ -798,6 +837,38 @@ object SketchOps {
   }
 
   private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Per-token FNV-1a/64 hashes over the document's whitespace tokens —
+    * the ORACLE-REPRODUCIBLE token hash feeding SimHash and the rolling
+    * fingerprint. Tokenization reproduces `split(lower(trim(text)), "\s+")`
+    * (same contract as [[topNgramFractions]]); each token hashes by FNV-1a
+    * over its Unicode CODE POINTS (not UTF-16 units), because the DuckDB
+    * oracle iterates characters with `unicode(...)` — and the wrap-around
+    * int64 arithmetic replays exactly in any engine with 128-bit integers
+    * (`(xor(h, cp) * prime) % 2^64`). Replaces the r8 xxhash64 path, which
+    * no external engine could reproduce and therefore kept the
+    * fingerprint/simhash gates rows-only.
+    */
+  def fnvTokenHashes(text: UTF8String): ArrayData = {
+    val s = text.trim().toLowerCase.toString
+    val toks = WsPattern.split(s, -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var h = 0xcbf29ce484222325L
+      val w = toks(i)
+      var k = 0
+      while (k < w.length) {
+        val cp = w.codePointAt(k)
+        h ^= cp
+        h *= 1099511628211L
+        k += Character.charCount(cp)
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Fraction of tokens covered by the single most frequent word n-gram,
     * for EVERY n in `ns`, over one shared tokenization (Gopher's

@@ -325,11 +325,16 @@ object TextAnalysis {
     when(pageDrop, lit("")).otherwise(cleanText)
   }
 
-  /** 64-bit token hashes (xxhash64 built-in) — input to SimHash and the
-    * rolling fingerprint.
+  /** 64-bit token hashes — input to SimHash and the rolling fingerprint.
+    * FNV-1a/64 over each token's code points (a codegen'd kernel, one call
+    * per row) rather than r8's `transform(tokens, xxhash64)`: xxhash64 is
+    * engine-internal, so the fingerprint/simhash gates could never be
+    * oracle-checked; the FNV fold is plain wrap-around int64 arithmetic any
+    * engine with 128-bit integers replays exactly (DuckDB: HUGEINT
+    * `% 2^64`), which graduates both gates to hash-gated.
     */
   def tokenHashes(text: Column): Column =
-    transform(tokens(text), t => xxhash64(t))
+    GraftExpressions.fnv_token_hashes(text)
 
   /** Winnowing-style document fingerprint over `window`-token shingles. */
   def fingerprint(text: Column, window: Int = 5): Column =

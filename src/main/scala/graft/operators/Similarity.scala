@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -300,6 +300,26 @@ object Similarity {
     * rows into vectors with `collect_list` over a dim-sorted window only
     * when the consumer needs arrays; most do not.
     */
+  /** Symmetric per-vector int8 quantization — 4× smaller embedding
+    * storage/IO ahead of any ANN stage (the embedding column dominates scan
+    * cost at 100 TB; int8 is the standard first compression rung below
+    * PQ). Appends `(scale double, codes array<byte>)`; reconstruct with
+    * [[dequantizeInt8]]. Map-side codegen'd kernels, no shuffle; codes are
+    * floor(v/scale + 0.5) — IEEE ops that any engine replays bit-for-bit,
+    * so the gate is hash-checked against DuckDB, not rows-only.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.GraftExpressions.{int8_codes, int8_scale}
+    df.withColumn("scale", int8_scale(col(vecCol)))
+      .withColumn("codes", int8_codes(col(vecCol)))
+  }
+
+  /** Reconstruction: codes × scale as float — feed to the exact-cosine
+    * kernels for compressed-domain scoring (fidelity pinned in spec).
+    */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("double") * scale).cast("float"))
+
   def centroids(df: DataFrame, vecCol: String, byCols: Seq[String]): DataFrame =
     df.select(byCols.map(col) :+ posexplode(col(vecCol)): _*)
       .groupBy(byCols.map(col) :+ col("pos"): _*)

@@ -77,6 +77,34 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(ham(fps("a"), fps("c")) > 16)
   }
 
+  test("fnv_token_hashes: pinned cross-engine constants (DuckDB-verified)") {
+    // These exact values were computed independently in DuckDB via
+    // `(xor(h, unicode(ch)) * 1099511628211) % 2^64` over HUGEINT and in a
+    // plain-Python big-int reference — pinning them here freezes the
+    // cross-engine contract the fingerprint/simhash oracles rest on.
+    // The crab emoji is non-BMP: one CODE POINT (two UTF-16 units), so a
+    // charAt-based fold would diverge — this pin catches that regression.
+    val df = Seq(
+      ("a", "Hello wörld foo bar baz qux quux"),
+      ("b", "a 🦀 b 🦀 c 🦀 d"),
+      ("c", "")
+    ).toDF("id", "text").select(
+      $"id",
+      TextAnalysis.fingerprint($"text", 5).as("fp"),
+      TextAnalysis.simhash($"text").as("sh"),
+      TextAnalysis.tokenHashes($"text").as("th"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(rows("a")._1 == -5259098547861245260L)
+    assert(rows("a")._2 == 1166771062904005898L)
+    assert(rows("a")._3.take(2) ==
+      Seq(-6615550055289275125L, -4926882223902489250L))
+    assert(rows("b")._1 == 2479907732033639565L) // emoji: codepoint fold
+    assert(rows("b")._2 == -5808555773642283425L)
+    assert(rows("c")._1 == 0L) // shorter than window → 0
+    assert(rows("c")._2 == -3750763034362895579L) // hash of one empty token
+  }
+
   test("rolling_fingerprint: equal docs equal, shifted prefix still matches window min") {
     val base = "one two three four five six seven eight nine ten"
     val df = Seq(("a", base), ("b", base), ("c", "x y " + base))

@@ -132,6 +132,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.recallAtK(exact, partial) >= 0.4)
   }
 
+  test("int8 quantization: codes bounded, zero-vector safe, high cosine fidelity") {
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    // codes live in [-127, 127] and the max-|v| dim hits ±127 exactly
+    val bounds = q.select(explode($"codes").alias("c"))
+      .agg(min($"c"), max($"c")).head()
+    assert(bounds.getByte(0) >= -127 && bounds.getByte(1) <= 127)
+    assert(bounds.getByte(0) == -127 || bounds.getByte(1) == 127)
+    // reconstruction fidelity: cosine(dequantized, original) ≥ 0.999 for
+    // every vector — int8 is lossy in magnitude, not direction
+    import graft.functions.GraftExpressions.cosine_sim
+    val worst = q.select(cosine_sim(
+        Similarity.dequantizeInt8($"codes", $"scale"), $"embedding")
+      .alias("cos")).agg(min($"cos")).head().getDouble(0)
+    assert(worst >= 0.999, s"worst reconstruction cosine $worst")
+    // zero vector: scale 0, all codes 0 (no division, no NaN)
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select($"scale", $"codes").head()
+    assert(z.getDouble(0) == 0.0)
+    assert(z.getSeq[Byte](1).forall(_ == 0))
+  }
+
   test("centroids: exact per-group mean, order-independent under repartition") {
     val vecs = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
