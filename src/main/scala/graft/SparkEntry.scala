@@ -779,6 +779,18 @@ object SparkEntry {
           round(col("avg_log2"), 6).alias("avg_log2_r"))
     }),
 
+    // Symmetric int8 embedding quantization (4× smaller ANN storage/IO):
+    // per-(vector, dim) code + scale. codes = floor(v/scale + 0.5) — pure
+    // IEEE double ops in a fixed order, so the DuckDB oracle recomputes
+    // them bit-for-bit and the gate is hash-checked, not rows-only.
+    "q_emb_quantize_int8" -> ((s, dir) => {
+      graft.operators.Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).alias("scale_r"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast(IntegerType).alias("dim"),
+          col("col").cast(IntegerType).alias("code"), col("scale_r"))
+    }),
+
     // Per-language embedding centroids (mean pooling): documents⋈embeddings
     // on the shared id, explode dims, EXACT decimal accumulation per
     // (lang, dim) — order-independent, so cluster and local runs agree
@@ -848,6 +860,9 @@ object SparkEntry {
     }),
 
     // Rolling-hash document fingerprint + SimHash (native expressions).
+    // Hash-gated since r9: the token hash is FNV-1a/64 over code points —
+    // wrap-around int64 arithmetic the DuckDB oracle replays exactly
+    // (r8's xxhash64 token hash was engine-internal, rows-only).
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -889,7 +904,9 @@ object SparkEntry {
 
     // SimHash near-dup pairs: pigeonhole banding is COMPLETE within the
     // radius (4 chunks of 16 bits for maxHamming 3), exact Hamming verify
-    // after. Rows-only check: the simhash kernel has no SQL equivalent.
+    // after — so the output EQUALS brute force, and since r9 the token
+    // hash (FNV-1a/64 over code points) is DuckDB-reproducible: the
+    // oracle recomputes every simhash and the full pair set. Hash-gated.
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
@@ -996,6 +1013,49 @@ object SparkEntry {
       Hierarchy.impactedParents(
           t(s, dir, "orders"), changedItems, Seq(("o_orderkey", "l_orderkey")))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+
+    // TIME TRAVEL through the MOR store (ST4/ST6 extension — the
+    // Delta/Iceberg `VERSION AS OF` analog): initialize a replica from
+    // customer, apply two folded CDC batches as sequenced deltas, then
+    // read `snapshotAsOf(1)` — the batch-2 effects (+200 on every 5th key,
+    // re-inserts of deleted keys) must be invisible, which only holds if
+    // the store really serves the historical version, not the latest. The
+    // oracle recomputes batch-1 state from customer arithmetic alone. The
+    // store result is eagerly checkpointed so the temp dir can be removed
+    // before the frame is consumed.
+    "q_store_time_travel" -> ((s, dir) => {
+      import graft.streaming.UpsertStore
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").alias("user_id"), col("c_name"), col("c_acctbal"))
+      val work = java.nio.file.Files.createTempDirectory("graft-timetravel")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      try {
+        val store = new UpsertStore(s, work.resolve("store").toString,
+          pkCols = Seq("user_id"), numBuckets = 8, mergeOnRead = true)
+        store.initialize(Cdc.initialLoad(cust))
+        // batch 1: delete every 7th key; bump every remaining 3rd by +100
+        store.merge(cust
+          .where(col("user_id") % 7 === 0 || col("user_id") % 3 === 0)
+          .withColumn("c_acctbal",
+            when(col("user_id") % 7 =!= 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+          .withColumn(Cdc.ChangeType,
+            when(col("user_id") % 7 === 0, lit(Cdc.Delete))
+              .otherwise(lit(Cdc.Upsert)))
+          .withColumn(Cdc.TransactionId, lit(1L)))
+        // batch 2: bump every 5th key by +200 (re-inserting deleted ones)
+        store.merge(cust.where(col("user_id") % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 200)
+          .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          .withColumn(Cdc.TransactionId, lit(2L)))
+        store.snapshotAsOf(1)
+          .select(col("user_id"), col("c_name"),
+            col("c_acctbal").cast(DoubleType).alias("bal"))
+          .localCheckpoint(true)
+      } finally rm(work.toFile)
     }),
 
     // §3.2 + §3.1 composed: the full change stream a consumer sees —
@@ -1265,6 +1325,21 @@ object SparkEntry {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).alias("n_events"),
           sum(dec(col("value"))).cast(DoubleType).alias("sum_value"))
+    }),
+
+    // Corpus-level n-gram overlap between the two doc_id-parity halves:
+    // "how much of corpus B is already in corpus A" as ONE row of distinct
+    // 3-gram set counts + Jaccard. Spark runs on FNV gram hashes, the
+    // oracle on gram strings — identical modulo 64-bit collisions (the
+    // ExactSubstr contract). The bottom-k sketch estimator variant is
+    // spec-pinned against this exact value (OverlapSpec).
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Overlap.ngramOverlap(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "text", n = 3)
+        .select(col("n_a"), col("n_b"), col("n_common"),
+          round(col("jaccard"), 6).alias("jaccard_r"))
     }),
 
     // Benchmark decontamination: corpus documents sharing any 13-gram
@@ -1814,6 +1889,26 @@ object SparkEntry {
       |  + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END), 6) AS quality_r
       |FROM t""".stripMargin
 
+  /** Shared DuckDB CTE: per-document token-hash list reproducing
+    * [[graft.functions.SketchOps.fnvTokenHashes]] bit-for-bit — the same
+    * `lower(trim(text))` whitespace tokenization the other text oracles
+    * use, then FNV-1a/64 folded over each token's code points
+    * (`unicode(...)`) with wrap-around multiplication emulated as
+    * `(xor(h, cp) * prime) % 2^64` in HUGEINT.
+    */
+  private val FnvTokenHashCte =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, [list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        [CAST(unicode(t[i]) AS UBIGINT) for i in range(1, len(t)+1)]),
+      |      (acc, cp) -> CAST((CAST(xor(acc, cp) AS HUGEINT) * 1099511628211)
+      |        % 18446744073709551616 AS UBIGINT))
+      |    for t in ws] AS hs
+      |  FROM toks)""".stripMargin
+
   private val TextRepetitionOracle =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
@@ -2302,6 +2397,21 @@ object SparkEntry {
       """SELECT event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
 
+    "q_emb_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0
+        |      AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, dim, code, scale_r FROM (
+        |  SELECT vec_id, round(scale, 6) AS scale_r,
+        |    unnest([{'dim': i - 1,
+        |      'code': CASE WHEN scale = 0 THEN 0
+        |        ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)
+        |          AS INTEGER) END}
+        |      for i in range(1, len(embedding) + 1)], recursive := true)
+        |  FROM s)""".stripMargin,
+
     "q_emb_centroid_by_lang" ->
       """SELECT lang, CAST(i - 1 AS INT) AS dim,
         |  round(CAST(sum(CAST(e AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
@@ -2353,6 +2463,63 @@ object SparkEntry {
     },
 
     "q_text_repetition" -> TextRepetitionOracle,
+
+    // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
+    // token's code points in wrap-around 2^64 arithmetic, replayed here
+    // exactly via HUGEINT mod 2^64 (r9 graduation — the r8 xxhash64 token
+    // hash was engine-internal and kept this gate rows-only). Signed
+    // comparisons (the winnowing MIN, the output values) convert the
+    // unsigned residue to two's-complement BIGINT first.
+    "q_text_fingerprint" ->
+      s"""WITH $FnvTokenHashCte,
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) < 5 THEN 0
+        |    ELSE list_min([
+        |      CASE WHEN wh >= 9223372036854775808
+        |        THEN CAST(CAST(wh AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |        ELSE CAST(wh AS BIGINT) END
+        |      for wh in [list_reduce(
+        |        list_prepend(CAST(0 AS UBIGINT), hs[j:j+4]),
+        |        (acc, t) -> CAST((CAST(acc AS HUGEINT) * 1099511628211
+        |          + CAST(t AS HUGEINT)) % 18446744073709551616 AS UBIGINT))
+        |        for j in range(1, len(hs) - 3)]])
+        |    END AS fingerprint
+        |  FROM th),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u >= 9223372036854775808
+        |      THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |      ELSE CAST(u AS BIGINT) END AS simhash
+        |  FROM (SELECT doc_id, list_sum([
+        |      CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+        |        for h in hs]) > 0
+        |      THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END
+        |      for b in range(0, 64)]) AS u
+        |    FROM th))
+        |SELECT fp.doc_id, fp.fingerprint, sim.simhash
+        |FROM fp JOIN sim ON fp.doc_id = sim.doc_id""".stripMargin,
+
+    // SimHash near-dup pairs: the banding is pigeonhole-complete within
+    // maxHamming=3 (4 chunks — ≤3 differing bits leave ≥1 chunk equal), so
+    // the LSH output EQUALS the brute-force pair set the oracle computes.
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $FnvTokenHashCte,
+        |sim AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u >= 9223372036854775808
+        |      THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |      ELSE CAST(u AS BIGINT) END AS fp
+        |  FROM (SELECT doc_id, list_sum([
+        |      CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+        |        for h in hs]) > 0
+        |      THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END
+        |      for b in range(0, 64)]) AS u
+        |    FROM th))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.fp, b.fp)) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
     // Gopher flags: identical integer counts → identical IEEE divisions →
     // identical flags; rounds mirror the Spark side
@@ -2529,6 +2696,16 @@ object SparkEntry {
         |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
 
+    // Time travel: the as-of-batch-1 state is pure customer arithmetic —
+    // every 7th key deleted, every remaining 3rd bumped +100; batch 2
+    // (+200 on every 5th, re-inserting deleted keys) must be invisible
+    "q_store_time_travel" ->
+      """SELECT c_custkey AS user_id, c_name,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0""".stripMargin,
+
     "q_cdc_stream_union" ->
       """SELECT 'I' AS _change_type, CAST(NULL AS BIGINT) AS _transactionid,
         |       c_custkey, c_name, c_acctbal
@@ -2676,6 +2853,29 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN bands ON value >= lo AND value <= hi
         |GROUP BY band_id""".stripMargin,
+
+    // Corpus overlap: distinct 3-gram STRINGS per half (Spark side uses
+    // FNV hashes of the same grams — identical counts modulo collisions).
+    // Tokenization mirrors word_ngram_hashes: trim, split on \s+, DROP
+    // empty tokens, no lowercasing, grams joined by single spaces.
+    "q_corpus_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 AS half,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT half, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |    for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM toks WHERE len(ws) >= 3),
+        |agg AS (
+        |  SELECT gram, bool_or(half = 0) AS ina, bool_or(half = 1) AS inb
+        |  FROM g GROUP BY gram)
+        |SELECT count(*) FILTER (ina) AS n_a, count(*) FILTER (inb) AS n_b,
+        |  count(*) FILTER (ina AND inb) AS n_common,
+        |  round(CAST(count(*) FILTER (ina AND inb) AS DOUBLE) / count(*), 6)
+        |    AS jaccard_r
+        |FROM agg""".stripMargin,
 
     "q_decontaminate" -> DecontaminateOracle,
 
