@@ -716,6 +716,35 @@ object SparkEntry {
         round(TextAnalysis.qualityScore(col("text")), 6).alias("quality_r"))
     }),
 
+    // Calibrated per-language quality floor — the composition a real
+    // curation pass runs: score every doc, derive each language's p20
+    // cutoff from the MERGEABLE quantile sketch (the only percentile that
+    // survives 100 TB — no per-group sort, see QuantileSketch), then a
+    // broadcast-threshold filter. Width 0.0625 = 2^-4: bin edges, the
+    // cutoff product, and the >= comparisons are all EXACT binary
+    // fractions, so decimal-vs-double literal typing can never move a
+    // boundary doc between engines. One scan: the lazy localCheckpoint
+    // shares the scored projection between sketch and filter.
+    "q_quality_gate" -> ((s, dir) => {
+      val w = 0.0625
+      // the 6dp-rounded score is the quantity q_text_quality PROVES equal
+      // across engines — binning the raw double would bet a bin-edge doc
+      // on bit-identical ulps instead
+      val scored = Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text")), 6).alias("q"))
+        .localCheckpoint(false)
+      val sk = graft.operators.QuantileSketch.build(scored, "lang", "q", w)
+      val thr = graft.operators.QuantileSketch
+        .quantiles(sk, "lang", w, qs = Seq(0.2))
+        .select(col("lang"), col("est").alias("cutoff"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(when(col("q") >= col("cutoff"), 1L).otherwise(0L)).alias("n_kept"),
+          round(max(col("cutoff")), 6).alias("cutoff_r"))
+    }),
+
     // Gopher-style repetition filter: fraction of tokens covered by the
     // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
     // paragraph siblings are spec-pinned — the synthetic corpus is
@@ -2604,6 +2633,47 @@ object SparkEntry {
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "q_text_quality" -> TextQualityOracle,
+
+    // Quality gate: same 6dp-rounded score as q_text_quality, binned at
+    // width 2^-4 (exact binary fractions — no decimal/double boundary
+    // hazards), per-language p20 cutoff via the sketch CDF inversion,
+    // then the kept-count under q >= cutoff
+    "q_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS ntoks,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS en_score
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, round(
+        |    0.4 * (CASE WHEN ntoks >= 20 THEN 1.0 ELSE ntoks / 20.0 END)
+        |  + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 1.0 - punct_ratio END)
+        |  + 0.2 * (CASE WHEN nchars / greatest(ntoks, 1.0) >= 3
+        |                 AND nchars / greatest(ntoks, 1.0) <= 10 THEN 1.0 ELSE 0.5 END)
+        |  + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END), 6) AS q
+        |  FROM t),
+        |h AS (
+        |  SELECT lang, CAST(floor(q / CAST(0.0625 AS DOUBLE)) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |  FROM sc GROUP BY lang, bin),
+        |c AS (
+        |  SELECT lang, bin,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS total
+        |  FROM h),
+        |thr AS (
+        |  SELECT lang, (min(bin) + 1) * CAST(0.0625 AS DOUBLE) AS cutoff
+        |  FROM c WHERE cum >= CAST(0.2 AS DOUBLE) * total GROUP BY lang)
+        |SELECT sc.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(any_value(cutoff), 6) AS cutoff_r
+        |FROM sc JOIN thr ON sc.lang = thr.lang
+        |GROUP BY sc.lang""".stripMargin,
 
     "q_dedup_minhash_pairs" ->
       """WITH sh AS (

@@ -176,6 +176,24 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Int8Codes = copy(child = c)
   }
 
+  /** `int8_dot(array<byte>, array<byte>)` — exact integer dot product of
+    * two int8 code vectors (compressed-domain ANN scoring).
+    */
+  case class Int8Dot(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(ByteType), ArrayType(ByteType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.int8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.int8Dot($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Dot =
+      copy(left = l, right = r)
+  }
+
   /** `fnv_token_hashes(string)` — per-token FNV-1a/64 hashes (codepoint
     * fold) of the whitespace tokenization; the oracle-reproducible input to
     * `simhash64` / `rolling_fingerprint`.
@@ -593,6 +611,7 @@ object GraftExpressions {
   def fnv_token_hashes(col: Column): Column = c(FnvTokenHashes(e(col)))
   def int8_scale(col: Column): Column = c(Int8Scale(e(col)))
   def int8_codes(col: Column): Column = c(Int8Codes(e(col)))
+  def int8_dot(a: Column, b: Column): Column = c(Int8Dot(e(a), e(b)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
   def word_ngram_hashes(col: Column, n: Int): Column = c(WordNgramHashes(e(col), n))
   def word_ngram_hash_seq(col: Column, n: Int): Column = c(WordNgramHashSeq(e(col), n))
@@ -661,6 +680,8 @@ object GraftExpressions {
       xs => Int8Scale(xs.head)),
     ("int8_codes", "int8 embedding codes under int8_scale",
       xs => Int8Codes(xs.head)),
+    ("int8_dot", "exact integer dot product of int8 code vectors",
+      xs => Int8Dot(xs.head, xs(1))),
     ("shingle_hashes", "distinct hashed character n-grams",
       xs => ShingleHashes(xs.head, intArg(xs(1)))),
     ("word_ngram_hashes", "distinct hashed word n-grams",

@@ -260,6 +260,23 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Exact integer dot product of two int8 code vectors — the
+    * compressed-domain ANN scoring primitive. Per-vector scales cancel in
+    * cosine (cos ≈ dot(a,b)/sqrt(dot(a,a)·dot(b,b))), so candidate ranking
+    * needs ONLY these integer dots over the 4×-smaller codes.
+    */
+  def int8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Rolling polynomial hash fingerprint (winnowing-style document
     * fingerprint): min of the rolling hashes over `window`-grams of the
     * token-hash sequence. Returns 0 for documents shorter than the window.

@@ -320,6 +320,49 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => (c.cast("double") * scale).cast("float"))
 
+  /** Compressed-domain ANN: candidate ranking runs ENTIRELY on int8 codes
+    * (per-vector scales cancel in cosine, so the ranking needs only exact
+    * integer dot products over data that is 4× smaller on disk and in the
+    * scan — the cost that dominates a 100 TB brute-force pass), then the
+    * top `k × refineFactor` candidates per query are re-scored with exact
+    * float cosine and cut to k. Same bounded-heap partial aggregation as
+    * every rung of the ANN ladder: the shuffle moves O(queries × k ×
+    * refineFactor × partitions) rows, never the corpus. Approximate only
+    * at the candidate boundary — int8 ranking error can push a true
+    * neighbor below the refine cut; recall is spec-pinned.
+    */
+  def int8TopK(data: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int,
+      refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val d = quantizeInt8(Dedup.widen(data), vecCol)
+      .select(col(idCol), col(vecCol), col("codes"),
+        int8_dot(col("codes"), col("codes")).alias("_self"))
+      .where(col("_self") > 0) // zero vectors have no cosine direction
+    val q = broadcast(quantizeInt8(queries, vecCol)
+      .select(col(queryIdCol).alias("query_id"),
+        col("codes").alias("_qcodes"),
+        int8_dot(col("codes"), col("codes")).alias("_qself"))
+      .where(col("_qself") > 0))
+    val approx = d.join(q, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).alias("neighbor_id"),
+        (int8_dot(col("codes"), col("_qcodes")).cast("double") /
+          sqrt(col("_self").cast("double") * col("_qself").cast("double")))
+          .alias("cosine"))
+    val cands = topKPerQuery(approx, k * refineFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refine: only the candidate rows rejoin the float vectors; the
+    // candidate table is queries × k × refineFactor rows — broadcast side
+    val qv = broadcast(queries.select(col(queryIdCol).alias("query_id"),
+      col(vecCol).alias("_qvec")))
+    val rescored = data.select(col(idCol).alias("neighbor_id"), col(vecCol))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col(vecCol), col("_qvec")).alias("cosine"))
+    topKPerQuery(rescored, k)
+  }
+
   def centroids(df: DataFrame, vecCol: String, byCols: Seq[String]): DataFrame =
     df.select(byCols.map(col) :+ posexplode(col(vecCol)): _*)
       .groupBy(byCols.map(col) :+ col("pos"): _*)

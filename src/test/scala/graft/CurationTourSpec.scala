@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Decontaminate, Dedup, KMeans, Sampling, Shards, Splits}
+import graft.operators.{Decontaminate, Dedup, KMeans, Overlap, Sampling,
+  Shards, Similarity, Splits}
 
 /** The LLM-data-curation surface in one flowing scenario over the real
   * corpus: corpus-frequency boilerplate removal → quality/repetition/
@@ -112,6 +113,22 @@ class CurationTourSpec extends SparkSpec {
       val cells = KMeans.assign(survivorVecs, "embedding", cen)
       assert(cells.count() == survivorVecs.count())
       assert(cells.select("cell").distinct().count() <= 4)
+      // r9 (cont.): the corpus-overlap diagnostic agrees with the
+      // per-document decontamination — zero benchmark 8-grams survive in
+      // the curated corpus, while the raw corpus (a superset of the
+      // benchmark slice) shares plenty
+      val rawOv = Overlap.ngramOverlap(docs, bench, "text", n = 8).head()
+      val outOv = Overlap.ngramOverlap(out, bench, "text", n = 8).head()
+      assert(rawOv.getLong(2) > 0L)
+      assert(outOv.getLong(2) == 0L, s"curated corpus still shares grams: $outOv")
+      // r9 (cont.): survivors' embeddings int8-quantize with the fidelity
+      // the ANN stage needs (4x smaller index input)
+      val q8 = Similarity.quantizeInt8(survivorVecs, "embedding")
+      val worstCos = q8.select(graft.functions.GraftExpressions.cosine_sim(
+          Similarity.dequantizeInt8(col("codes"), col("scale")),
+          col("embedding")).as("c"))
+        .agg(min(col("c"))).head().getDouble(0)
+      assert(worstCos >= 0.999, s"int8 fidelity $worstCos")
       // determinism: the whole pipeline reruns to the identical row set
       val again = pipeline().select("doc_id", "split", "shard")
         .as[(Long, String, Long)].collect().toSet

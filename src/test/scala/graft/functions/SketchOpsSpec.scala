@@ -83,6 +83,48 @@ class SketchOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("fnvTokenHashes equals a per-token big-integer FNV reference (property)") {
+    // the reference folds over CODE POINTS with BigInt arithmetic, so any
+    // wrap/overflow shortcut in the kernel that diverges from true
+    // mod-2^64 semantics (what the DuckDB oracle computes) fails here.
+    // Unicode strings included: surrogate pairs must fold as ONE codepoint.
+    def refHash(tok: String): Long = {
+      var h = BigInt("cbf29ce484222325", 16)
+      val m = BigInt(1) << 64
+      var k = 0
+      while (k < tok.length) {
+        val cp = tok.codePointAt(k)
+        h = ((h ^ BigInt(cp)) * BigInt(1099511628211L)).mod(m)
+        k += Character.charCount(cp)
+      }
+      h.longValue
+    }
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.nonEmptyListOf(Gen.oneOf("ä", "ß", "中", "🦀", "q", "7"))
+        .map(_.mkString)) // includes the non-BMP crab as a surrogate pair
+    val gen = Gen.listOf(token).map(_.mkString(" "))
+    check(Prop.forAll(gen) { s =>
+      val out = SketchOps.fnvTokenHashes(UTF8String.fromString(s))
+      val toks = s.trim.toLowerCase.split("\\s+", -1)
+      val expect = toks.map(refHash).toSeq
+      (0 until out.numElements()).map(out.getLong) == expect
+    })
+  }
+
+  test("int8 codes: bounded, exact floor arithmetic vs double reference (property)") {
+    val vec = Gen.nonEmptyListOf(Gen.chooseNum(-1e6f, 1e6f))
+    check(Prop.forAll(vec) { xs =>
+      val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs.toArray)
+      val s = SketchOps.int8Scale(a)
+      val codes = SketchOps.int8Codes(a)
+      val ref = xs.map(x =>
+        if (s == 0.0) 0L else math.floor(x.toDouble / s + 0.5).toLong)
+      val got = (0 until codes.numElements()).map(codes.getByte(_).toLong)
+      got == ref && got.forall(c => c >= -127 && c <= 127)
+    })
+  }
+
   test("rolling fingerprint: shift-invariant minimum over shared windows") {
     val toks = Seq.fill(50)(scala.util.Random.nextLong())
     val a = arr(toks)

@@ -47,17 +47,18 @@ class OverlapSpec extends SparkSpec {
     assert(math.abs(estFull - exact) < 1e-12)
   }
 
-  test("estimate partial-aggregation plan: only k-sized buffers shuffle") {
+  test("exact-overlap plan: map-side partial aggregation ahead of the one exchange") {
     val docs = df(1L -> "a b c d e f g", 2L -> "b c d e f g h")
-    // plan shape: the aggregate must have a partial (ObjectHashAggregate /
-    // SortAggregate partial) stage before the exchange — i.e. the gram
-    // stream never crosses the wire unreduced
-    val sig = docs.select(explode(
-        graft.functions.GraftExpressions.word_ngram_hashes($"text", 3))
-      .alias("gram"))
+    val plan = Overlap.ngramOverlap(docs, docs, "text", 3)
+      .queryExecution.executedPlan.toString
+    // the gram stream must be reduced BEFORE it crosses the wire: a
+    // partial HashAggregate under the Exchange (duplicate grams collapse
+    // map-side), and exactly the gram-keyed + final single-row exchanges —
+    // no join, no pairing
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Join"), s"overlap must not join:\n$plan")
     val est = Overlap.ngramOverlapEstimate(docs, docs, "text", 3, 16)
       .head().getDouble(0)
     assert(est == 1.0) // identical corpora
-    assert(sig.count() > 0)
   }
 }

@@ -154,6 +154,28 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getSeq[Byte](1).forall(_ == 0))
   }
 
+  test("int8TopK: compressed-domain candidates + exact refine keep high recall") {
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "query_id", k = 10)
+    val got = Similarity.int8TopK(emb, queries, "vec_id", "embedding",
+      "query_id", k = 10, refineFactor = 4)
+    val r = Similarity.recallAtK(exact, got)
+    assert(r >= 0.95, s"int8 recall@10 = $r")
+    // refined scores are EXACT float cosines: every returned (query,
+    // neighbor) pair's cosine equals the brute-force value
+    val g = got.select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val e = exact.select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    g.foreach { case (key, cos) =>
+      e.get(key).foreach(ec => assert(ec == cos, s"$key: $cos vs $ec")) }
+    // determinism
+    val again = Similarity.int8TopK(emb, queries, "vec_id", "embedding",
+      "query_id", k = 10, refineFactor = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(again == got.as[(Long, Long, Double, Int)].collect().toSet)
+  }
+
   test("centroids: exact per-group mean, order-independent under repartition") {
     val vecs = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),

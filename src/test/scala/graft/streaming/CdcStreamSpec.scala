@@ -330,6 +330,35 @@ class CdcStreamSpec extends SparkSpec {
       Set((1L, "one"), (2L, "TWO"), (4L, "four"), (5L, "five")))
   }
 
+  test("time travel horizon is conservative: a crash between horizon advance and swap refuses, never lies") {
+    // simulate the compact() crash window: the horizon marker persisted
+    // (earliestSeq = 2) but the destroying swap did NOT run — deltas 1..2
+    // still exist and the base is unfolded. The safety contract: versions
+    // behind the horizon are REFUSED (even though this particular crash
+    // left them technically reconstructible), while snapshot()/asOf(2)
+    // still serve the correct current state; the next compact() heals.
+    val dir = tmp("timetravel-crash")
+    val store = new UpsertStore(spark, dir, Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two")).toDF("id", "payload")))
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    store.merge(Seq((Cdc.Upsert, 11L, 3L, "three"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    // crash injection: persist the horizon exactly as compact() would,
+    // then "die" before the staged swap
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_graft_base_seq").toPath, "2".getBytes("UTF-8"))
+    intercept[IllegalStateException] { store.snapshotAsOf(1) }
+    val now = Set((1L, "one"), (2L, "TWO"), (3L, "three"))
+    assert(store.snapshot().as[(Long, String)].collect().toSet == now)
+    assert(store.snapshotAsOf(2).as[(Long, String)].collect().toSet == now)
+    store.compact() // heals: folds the leftover deltas over the base
+    assert(store.snapshot().as[(Long, String)].collect().toSet == now)
+    assert(store.earliestSeq == 2L)
+  }
+
   test("time travel on a COW store: every rewrite moves the horizon to now") {
     val store = newStore(tmp("timetravel-cow"))
     store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
