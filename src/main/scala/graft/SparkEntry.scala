@@ -38,6 +38,42 @@ object SparkEntry {
     Cdc.delta(changeFeed(s, dir), t(s, dir, "customer"),
       Seq(("user_id", "c_custkey")), lo = 100L, hi = 1000000000L)
 
+  /** Two-batch MOR replay store over `customer`, shared by the
+    * time-travel and change-data-feed gates: batch 1 deletes every 7th key
+    * and bumps every remaining 3rd by +100; batch 2 bumps every 5th by
+    * +200 (re-inserting deleted keys). `f`'s result is eagerly
+    * checkpointed so the temp store can be removed before consumption.
+    */
+  private def withReplayStore(s: SparkSession, dir: String)(
+      f: graft.streaming.UpsertStore => DataFrame): DataFrame = {
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey").alias("user_id"), col("c_name"), col("c_acctbal"))
+    val work = java.nio.file.Files.createTempDirectory("graft-replaystore")
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+    }
+    try {
+      val store = new graft.streaming.UpsertStore(s,
+        work.resolve("store").toString, pkCols = Seq("user_id"),
+        numBuckets = 8, mergeOnRead = true)
+      store.initialize(Cdc.initialLoad(cust))
+      store.merge(cust
+        .where(col("user_id") % 7 === 0 || col("user_id") % 3 === 0)
+        .withColumn("c_acctbal",
+          when(col("user_id") % 7 =!= 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")))
+        .withColumn(Cdc.ChangeType,
+          when(col("user_id") % 7 === 0, lit(Cdc.Delete))
+            .otherwise(lit(Cdc.Upsert)))
+        .withColumn(Cdc.TransactionId, lit(1L)))
+      store.merge(cust.where(col("user_id") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 200)
+        .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+        .withColumn(Cdc.TransactionId, lit(2L)))
+      f(store).localCheckpoint(true)
+    } finally rm(work.toFile)
+  }
+
   /** The J4 nested business object (orders → items[]) — shared by the nest
     * gate and the nested-Avro wire round-trip.
     */
@@ -1053,39 +1089,21 @@ object SparkEntry {
     // oracle recomputes batch-1 state from customer arithmetic alone. The
     // store result is eagerly checkpointed so the temp dir can be removed
     // before the frame is consumed.
-    "q_store_time_travel" -> ((s, dir) => {
-      import graft.streaming.UpsertStore
-      val cust = t(s, dir, "customer").select(
-        col("c_custkey").alias("user_id"), col("c_name"), col("c_acctbal"))
-      val work = java.nio.file.Files.createTempDirectory("graft-timetravel")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      try {
-        val store = new UpsertStore(s, work.resolve("store").toString,
-          pkCols = Seq("user_id"), numBuckets = 8, mergeOnRead = true)
-        store.initialize(Cdc.initialLoad(cust))
-        // batch 1: delete every 7th key; bump every remaining 3rd by +100
-        store.merge(cust
-          .where(col("user_id") % 7 === 0 || col("user_id") % 3 === 0)
-          .withColumn("c_acctbal",
-            when(col("user_id") % 7 =!= 0, col("c_acctbal") + 100)
-              .otherwise(col("c_acctbal")))
-          .withColumn(Cdc.ChangeType,
-            when(col("user_id") % 7 === 0, lit(Cdc.Delete))
-              .otherwise(lit(Cdc.Upsert)))
-          .withColumn(Cdc.TransactionId, lit(1L)))
-        // batch 2: bump every 5th key by +200 (re-inserting deleted ones)
-        store.merge(cust.where(col("user_id") % 5 === 0)
-          .withColumn("c_acctbal", col("c_acctbal") + 200)
-          .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
-          .withColumn(Cdc.TransactionId, lit(2L)))
+    "q_store_time_travel" -> ((s, dir) =>
+      withReplayStore(s, dir)(store =>
         store.snapshotAsOf(1)
           .select(col("user_id"), col("c_name"),
-            col("c_acctbal").cast(DoubleType).alias("bal"))
-          .localCheckpoint(true)
-      } finally rm(work.toFile)
-    }),
+            col("c_acctbal").cast(DoubleType).alias("bal")))),
+
+    // CHANGE DATA FEED over the same two-batch store: the net changes in
+    // (1, 2] are exactly batch 2's upserts (+200 on every 5th key) — the
+    // Delta-CDF `table_changes` analog; LWW replay identity spec-pinned.
+    "q_store_cdf" -> ((s, dir) =>
+      withReplayStore(s, dir)(store =>
+        store.changesBetween(1, 2)
+          .select(col("user_id"), col("c_name"),
+            col("c_acctbal").cast(DoubleType).alias("bal"),
+            col(Cdc.ChangeType)))),
 
     // §3.2 + §3.1 composed: the full change stream a consumer sees —
     // initial-load INSERT envelope unioned with the delta fold.
@@ -2775,6 +2793,13 @@ object SparkEntry {
         |            ELSE c_acctbal END AS DOUBLE) AS bal
         |FROM customer
         |WHERE c_custkey % 7 <> 0""".stripMargin,
+
+    // Change data feed (1, 2]: exactly batch 2 — upserts of every 5th key
+    // at +200
+    "q_store_cdf" ->
+      """SELECT c_custkey AS user_id, c_name,
+        |  CAST(c_acctbal + 200 AS DOUBLE) AS bal, 'A' AS _change_type
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
 
     "q_cdc_stream_union" ->
       """SELECT 'I' AS _change_type, CAST(NULL AS BIGINT) AS _transactionid,

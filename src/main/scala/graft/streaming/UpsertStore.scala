@@ -231,6 +231,50 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     foldedView(maxSeq = seq).drop(bucketCol)
   }
 
+  /** CHANGE DATA FEED: the net per-key changes between two readable
+    * versions — envelope rows (`_change_type` 'A'/'D' + full payload) such
+    * that applying them with last-write-wins semantics to
+    * `snapshotAsOf(fromSeq)` yields `snapshotAsOf(toSeq)` (the
+    * Delta-CDF / `table_changes` analog, spec-pinned by exactly that
+    * replay). Folds the retained delta dirs in `(fromSeq, toSeq]`
+    * latest-per-key; a 'D' for a key absent at `fromSeq` (created and
+    * deleted inside the range) may appear and is a harmless no-op under
+    * LWW apply. Both endpoints must be inside the readable window — a
+    * range the compaction/COW horizon has passed cannot be reconstructed
+    * (its deltas were folded away) and refuses loudly.
+    */
+  def changesBetween(fromSeq: Long, toSeq: Long): DataFrame = opLock.synchronized {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
+    require(fromSeq <= toSeq, s"empty range: $fromSeq > $toSeq")
+    if (!foreignLeaseFresh()) recoverSwap()
+    val lo = earliestSeq
+    val hi = currentSeq
+    if (fromSeq < lo) throw new IllegalStateException(
+      s"store $dir: changes before seq $lo were compacted/rewritten away " +
+        s"(requested from $fromSeq)")
+    if (toSeq > hi) throw new IllegalArgumentException(
+      s"store $dir: seq $toSeq has not been written yet (current $hi)")
+    val withEnvelope = StructType(
+      savedSchema.fields.filterNot(_.name == bucketCol) :+
+        StructField(Cdc.ChangeType, StringType))
+    val deltas = deltaSeqDirs.filter { case (sq, _) => sq > fromSeq && sq <= toSeq }
+    if (deltas.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withEnvelope)
+    val onDisk = StructType(savedSchema.fields :+ // incl. the bucket column
+      StructField(Cdc.ChangeType, StringType))
+    val all = deltas.map { case (sq, d) =>
+      spark.read.schema(onDisk).parquet(d.getPath)
+        .withColumn(seqCol, lit(sq))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val payload = struct(onDisk.fieldNames.map(col).toIndexedSeq: _*)
+    all.groupBy(pkCols.map(col): _*)
+      .agg(max_by(payload, col(seqCol)).alias("_r"))
+      .select(col("_r.*"))
+      .drop(bucketCol)
+  }
+
   /** Highest published sequence (0 before any MOR merge; COW merges also
     * advance it so the horizon arithmetic stays uniform across modes).
     */

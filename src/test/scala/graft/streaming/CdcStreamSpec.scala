@@ -359,6 +359,41 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.earliestSeq == 2L)
   }
 
+  test("change data feed: changesBetween is the LWW replay between versions") {
+    val store = new UpsertStore(spark, tmp("cdf"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "payload")))
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"), (Cdc.Delete, 10L, 3L, "x"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    store.merge(Seq((Cdc.Upsert, 11L, 4L, "four"), (Cdc.Upsert, 11L, 2L, "TWO2"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    // (1, 2]: only batch 2's net rows
+    val cdf12 = store.changesBetween(1, 2)
+    assert(cdf12.select("id", "payload", Cdc.ChangeType)
+      .as[(Long, String, String)].collect().toSet ==
+      Set((4L, "four", "A"), (2L, "TWO2", "A")))
+    // (0, 2]: latest-per-key net fold across both batches
+    assert(store.changesBetween(0, 2)
+      .select("id", "payload", Cdc.ChangeType)
+      .as[(Long, String, String)].collect().toSet ==
+      Set((2L, "TWO2", "A"), (3L, "x", "D"), (4L, "four", "A")))
+    // REPLAY IDENTITY: asOf(1) + changes(1,2] == asOf(2), via a real merge
+    val replay = new UpsertStore(spark, tmp("cdf-replay"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    replay.initialize(Cdc.initialLoad(store.snapshotAsOf(1)))
+    replay.merge(cdf12)
+    assert(replay.snapshot().as[(Long, String)].collect().toSet ==
+      store.snapshotAsOf(2).as[(Long, String)].collect().toSet)
+    // empty range is an empty frame with the envelope schema, not a crash
+    val empty = store.changesBetween(2, 2)
+    assert(empty.isEmpty && empty.columns.contains(Cdc.ChangeType))
+    // refusals: future version; compacted-away history
+    intercept[IllegalArgumentException] { store.changesBetween(1, 9) }
+    store.compact()
+    intercept[IllegalStateException] { store.changesBetween(0, store.currentSeq) }
+  }
+
   test("time travel on a COW store: every rewrite moves the horizon to now") {
     val store = newStore(tmp("timetravel-cow"))
     store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
