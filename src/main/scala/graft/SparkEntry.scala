@@ -3276,13 +3276,18 @@ object SparkEntry {
         |    max(CASE WHEN q = 0.5 THEN est END) AS p50_tokens,
         |    max(CASE WHEN q = 0.9 THEN est END) AS p90_tokens
         |  FROM (SELECT lang, q, (min(bin) + 1) * 8.0 AS est
-        |        FROM c JOIN (SELECT unnest([0.5, 0.9]) AS q) ON cum >= q * total
+        |        FROM c JOIN (SELECT unnest([0.5, 0.9]) AS q) ON cum >= CAST(q AS DOUBLE) * total
         |        GROUP BY lang, q)
         |  GROUP BY lang)
         |SELECT a.lang, a.n_docs, a.sum_tokens, a.mean_quality_r,
         |  a.latin_share_r, ps.p50_tokens, ps.p90_tokens
         |FROM agg a JOIN ps USING (lang)""".stripMargin,
 
+    // The crossing compare runs CAST(q AS DOUBLE) * total on both engines:
+    // a DECIMAL q would make q*total exact where Spark's double 0.2*total
+    // is not, and a cum landing exactly on the product would pick
+    // different bins (latent r9 review finding — never fired, fixed
+    // defensively here and in q_quality_gate/q_corpus_card)
     "q_quantile_sketch" ->
       """WITH h AS (
         |  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
@@ -3295,7 +3300,7 @@ object SparkEntry {
         |  FROM h),
         |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
         |SELECT event_type, q, (min(bin) + 1) * 10.0 AS est
-        |FROM c JOIN qs ON cum >= q * total
+        |FROM c JOIN qs ON cum >= CAST(q AS DOUBLE) * total
         |GROUP BY event_type, q""".stripMargin,
 
     "q_cdc_distinct_exact" ->

@@ -841,6 +841,40 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   }
 }
 
+/** Incremental consumer of a store's change data feed — the DOWNSTREAM
+  * half of the engine's topology (the reference's consumers tail the Kafka
+  * topic the producer commits into; a lakehouse consumer tails the store's
+  * versions the same way). At-least-once with the same shape as the
+  * producer side (ST4): [[poll]] returns everything after the durable
+  * cursor, [[commit]] advances the cursor only on the caller's ack, so a
+  * crash between effect and ack replays the window and an idempotent /
+  * last-write-wins downstream converges.
+  *
+  * A cursor the compaction horizon has passed fails loudly on poll (the
+  * Kafka offset-out-of-range / Delta vacuumed-version analog): the
+  * consumer fell behind the store's retention, and silently skipping the
+  * folded-away span would lose deletes. Retention is the compaction
+  * cadence — a consumer needing N versions of slack compacts every N.
+  */
+class StoreChangeFeed(store: UpsertStore, cursorPath: String) {
+  private val ledger = new TxidLedger(cursorPath)
+
+  /** Last version this consumer has durably acknowledged; 0 before the
+    * first commit ("the initial snapshot is the baseline").
+    */
+  def cursor: Long = math.max(0L, ledger.read())
+
+  /** `(changes, toSeq)`: the envelope rows in `(cursor, toSeq]`. Apply
+    * downstream, make the effect durable, then [[commit]](toSeq).
+    */
+  def poll(): (DataFrame, Long) = {
+    val to = store.currentSeq
+    (store.changesBetween(cursor, to), to)
+  }
+
+  def commit(seq: Long): Unit = ledger.commit(seq)
+}
+
 object UpsertStore {
   /** One warning per JVM when the filesystem rejects directory fsync. */
   private val fsyncDirUnsupported =

@@ -394,6 +394,46 @@ class CdcStreamSpec extends SparkSpec {
     intercept[IllegalStateException] { store.changesBetween(0, store.currentSeq) }
   }
 
+  test("store change-feed consumer: at-least-once tail with a durable cursor") {
+    val store = new UpsertStore(spark, tmp("feed-src"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two")).toDF("id", "payload")))
+    val cursorPath = tmp("feed-cursor") + "/cursor"
+    val feed = new StoreChangeFeed(store, cursorPath)
+    // downstream replica seeded from the same initial snapshot
+    val replica = new UpsertStore(spark, tmp("feed-dst"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    replica.initialize(Cdc.initialLoad(store.snapshot()))
+    def drainOnce(): Unit = {
+      val (changes, to) = feed.poll()
+      if (feed.cursor < to) { replica.merge(changes); feed.commit(to) }
+    }
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"), (Cdc.Delete, 10L, 1L, "x"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    drainOnce()
+    assert(replica.snapshot().as[(Long, String)].collect().toSet ==
+      Set((2L, "TWO")))
+    // crash BEFORE commit: the effect applied but the cursor did not move —
+    // the replayed window re-merges idempotently (at-least-once, ST4)
+    store.merge(Seq((Cdc.Upsert, 11L, 3L, "three"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    val (c1, _) = feed.poll()
+    replica.merge(c1) // ... crash here: no commit
+    val feed2 = new StoreChangeFeed(store, cursorPath) // restarted consumer
+    assert(feed2.cursor == 1L) // cursor still at the last ack
+    val (c2, to2) = feed2.poll()
+    replica.merge(c2) // replay converges
+    feed2.commit(to2)
+    assert(replica.snapshot().as[(Long, String)].collect().toSet ==
+      store.snapshot().as[(Long, String)].collect().toSet)
+    // a consumer behind the compaction horizon fails loudly, not silently
+    store.merge(Seq((Cdc.Upsert, 12L, 4L, "four"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    store.compact()
+    intercept[IllegalStateException] { feed2.poll() }
+  }
+
   test("time travel on a COW store: every rewrite moves the horizon to now") {
     val store = newStore(tmp("timetravel-cow"))
     store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
