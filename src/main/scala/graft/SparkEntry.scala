@@ -781,6 +781,22 @@ object SparkEntry {
           round(max(col("cutoff")), 6).alias("cutoff_r"))
     }),
 
+    // WordPiece over a continuation-free vocabulary: with no ## pieces a
+    // word decomposes iff it is EXACTLY a vocab entry (any partial prefix
+    // dead-ends into [UNK]), so greedy matching degenerates to membership
+    // — which DuckDB replicates exactly, gating the kernel's tokenize/
+    // lowercase/match path on the real corpus. The multi-piece greedy
+    // splits (##-continuations, longest-match-wins) are spec-pinned.
+    "q_text_wordpiece" -> ((s, dir) => {
+      val vocab = Seq("the", "and", "of", "to", "a", "in", "is", "that",
+        "for", "it")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordpieceTokens(col("text"), vocab).alias("tp"))
+        .select(col("doc_id"), size(col("tp")).alias("n_pieces"),
+          size(filter(col("tp"), p => p =!= "[UNK]")).alias("n_known"))
+    }),
+
     // Gopher-style repetition filter: fraction of tokens covered by the
     // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
     // paragraph siblings are spec-pinned — the synthetic corpus is
@@ -2510,6 +2526,19 @@ object SparkEntry {
     },
 
     "q_text_repetition" -> TextRepetitionOracle,
+
+    // Continuation-free WordPiece ≡ exact membership (see query comment)
+    "q_text_wordpiece" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      w -> w <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id, len(ws) AS n_pieces,
+        |  len(list_filter(ws, w -> list_contains(
+        |    ['the','and','of','to','a','in','is','that','for','it'], w)))
+        |    AS n_known
+        |FROM toks""".stripMargin,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // token's code points in wrap-around 2^64 arithmetic, replayed here

@@ -176,6 +176,35 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Int8Codes = copy(child = c)
   }
 
+  /** `wordpiece_tokens(string)` — greedy longest-match WordPiece against a
+    * plan-static vocabulary (continuations `##`-prefixed, unmatched words
+    * `[UNK]`). The vocab set rides the generated code's reference array —
+    * one HashSet per plan, not per row.
+    */
+  case class WordpieceTokens(child: Expression, vocab: Seq[String])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    @transient private lazy val set = {
+      val s = new java.util.HashSet[String](vocab.size * 2)
+      vocab.foreach(s.add)
+      s
+    }
+    @transient private lazy val maxLen = vocab.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.wordpieceTokens(v.asInstanceOf[UTF8String], set, maxLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wpVocab", set, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.wordpieceTokens($c, $ref, $maxLen)")
+    }
+    override protected def withNewChildInternal(c: Expression): WordpieceTokens =
+      copy(child = c)
+  }
+
   /** `int8_dot(array<byte>, array<byte>)` — exact integer dot product of
     * two int8 code vectors (compressed-domain ANN scoring).
     */
@@ -612,6 +641,8 @@ object GraftExpressions {
   def int8_scale(col: Column): Column = c(Int8Scale(e(col)))
   def int8_codes(col: Column): Column = c(Int8Codes(e(col)))
   def int8_dot(a: Column, b: Column): Column = c(Int8Dot(e(a), e(b)))
+  def wordpiece_tokens(col: Column, vocab: Seq[String]): Column =
+    c(WordpieceTokens(e(col), vocab))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))
   def word_ngram_hashes(col: Column, n: Int): Column = c(WordNgramHashes(e(col), n))
   def word_ngram_hash_seq(col: Column, n: Int): Column = c(WordNgramHashSeq(e(col), n))

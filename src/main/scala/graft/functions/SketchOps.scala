@@ -260,6 +260,50 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Greedy longest-match WordPiece (Wu et al. 2016 — the BERT
+    * tokenizer's wordpiece stage): for each whitespace word of
+    * `lower(trim(text))`, repeatedly take the LONGEST vocab piece
+    * prefixing the remainder (continuation pieces carry the `##` prefix);
+    * a word with no full decomposition emits `[UNK]`, matching the
+    * reference implementations. O(len · maxPieceLen) hash probes per word
+    * — no trie needed at vocab sizes that broadcast as plan literals
+    * (a 30k-entry vocab is ~1 MB, embedded once per plan, shared by all
+    * tasks in the generated code's reference array).
+    */
+  def wordpieceTokens(text: UTF8String, vocab: java.util.HashSet[String],
+      maxLen: Int): ArrayData = {
+    val toks = WsPattern.split(text.trim().toLowerCase.toString, -1)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      if (w.nonEmpty) {
+        val buf = new scala.collection.mutable.ArrayBuffer[String]
+        var pos = 0
+        var dead = false
+        while (pos < w.length && !dead) {
+          var len = math.min(maxLen, w.length - pos)
+          var hit: String = null
+          while (len > 0 && hit == null) {
+            val cand =
+              (if (pos > 0) "##" else "") + w.substring(pos, pos + len)
+            if (vocab.contains(cand)) hit = cand
+            len -= 1
+          }
+          if (hit == null) dead = true
+          else {
+            buf += hit
+            pos += hit.length - (if (pos > 0) 2 else 0)
+          }
+        }
+        if (dead) out += UTF8String.fromString("[UNK]")
+        else buf.foreach(p => out += UTF8String.fromString(p))
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Exact integer dot product of two int8 code vectors — the
     * compressed-domain ANN scoring primitive. Per-vector scales cancel in
     * cosine (cos ≈ dot(a,b)/sqrt(dot(a,a)·dot(b,b))), so candidate ranking

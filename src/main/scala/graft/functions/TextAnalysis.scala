@@ -336,6 +336,18 @@ object TextAnalysis {
   def tokenHashes(text: Column): Column =
     GraftExpressions.fnv_token_hashes(text)
 
+  /** Greedy longest-match WordPiece tokens against a fixed vocabulary —
+    * the real-tokenizer upgrade over [[bpeishTokenCount]]'s regex
+    * heuristic for token budgets, packing, and chunk boundaries.
+    * Continuation pieces carry `##`; unmatched words become `[UNK]`.
+    */
+  def wordpieceTokens(text: Column, vocab: Seq[String]): Column =
+    GraftExpressions.wordpiece_tokens(text, vocab)
+
+  /** Exact WordPiece token count under the given vocabulary. */
+  def wordpieceCount(text: Column, vocab: Seq[String]): Column =
+    size(wordpieceTokens(text, vocab))
+
   /** Winnowing-style document fingerprint over `window`-token shingles. */
   def fingerprint(text: Column, window: Int = 5): Column =
     GraftExpressions.rolling_fingerprint(tokenHashes(text), window)

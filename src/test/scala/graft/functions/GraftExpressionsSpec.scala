@@ -77,6 +77,44 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(ham(fps("a"), fps("c")) > 16)
   }
 
+  test("wordpiece_tokens: greedy longest match, ## continuations, [UNK], codegen") {
+    val vocab = Seq("un", "aff", "##aff", "##able", "##ord", "hello",
+      "world", "a", "##b", "abc")
+    val df = Seq(
+      (1L, "unaffable"), (2L, "Hello WORLD"), (3L, "xyz"),
+      (4L, "unaffordable"), (5L, "abc ab"), (6L, "")
+    ).toDF("id", "text")
+      .select($"id", TextAnalysis.wordpieceTokens($"text", vocab).as("tp"))
+    val m = df.as[(Long, Seq[String])].collect().toMap
+    assert(m(1L) == Seq("un", "##aff", "##able"))
+    assert(m(2L) == Seq("hello", "world")) // tokenization lowercases
+    assert(m(3L) == Seq("[UNK]")) // no decomposition
+    assert(m(4L) == Seq("un", "##aff", "##ord", "##able"))
+    // greedy: whole-word "abc" beats "a"+"##b"+…; "ab" has no whole match
+    assert(m(5L) == Seq("abc", "a", "##b"))
+    assert(m(6L) == Seq.empty)
+    // the vocab set rides the plan's reference array inside whole-stage
+    // codegen: a row-dependent input over a non-local source (literals
+    // constant-fold; local relations evaluate at plan time), and the
+    // `*(n)` span marker proves the generated path ran
+    val gen = spark.range(3).select(TextAnalysis.wordpieceTokens(
+      concat(lit("unaff"), when($"id" >= 0, lit("able"))), vocab).as("tp"))
+    assert(gen.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(gen.head().getSeq[String](0) == Seq("un", "##aff", "##able"))
+    // reconstruction property: over a char-complete vocab every word
+    // decomposes and stripping ## rejoins the lowercased word
+    val chars = "abcde".map(_.toString)
+    val full = chars ++ chars.map("##" + _)
+    val words = Seq("abc", "de", "ed", "cab", "dead", "bead")
+    val toks = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      .select(TextAnalysis.wordpieceTokens($"text", full).as("tp"))
+      .head().getSeq[String](0)
+    val rebuilt = toks.foldLeft(Seq.empty[String]) { (acc, p) =>
+      if (p.startsWith("##")) acc.init :+ (acc.last + p.drop(2)) else acc :+ p
+    }
+    assert(rebuilt == words)
+  }
+
   test("fnv_token_hashes: pinned cross-engine constants (DuckDB-verified)") {
     // These exact values were computed independently in DuckDB via
     // `(xor(h, unicode(ch)) * 1099511628211) % 2^64` over HUGEINT and in a
