@@ -713,6 +713,31 @@ object SparkEntry {
     // quantile sketch. Composes four r9/r7 surfaces into the one-page
     // summary every curation run publishes; the oracle re-derives each
     // piece from the same shared SQL.
+    // Corpus-version diff (the "what did the new crawl change?" page):
+    // per language, doc counts and exact mean quality for the old
+    // (even-id) and new (odd-id) snapshots plus the containment of the
+    // new snapshot's distinct 3-grams in the old — high containment =
+    // mostly re-crawled material. Composes the grouped overlap operator
+    // with the corpus card's exact-DECIMAL mean idiom.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.where(col("doc_id") % 2 === 0)
+      val b = docs.where(col("doc_id") % 2 === 1)
+      def stat(df: DataFrame, suffix: String) =
+        df.select(col("lang"),
+            round(TextAnalysis.qualityScore(col("text")), 6)
+              .cast(DecimalType(18, 6)).alias("q6"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).alias(s"n_docs_$suffix"),
+            round(sum(col("q6")).cast(DoubleType) / count(lit(1)), 6)
+              .alias(s"mean_q_${suffix}_r"))
+      val ov = graft.operators.Overlap
+        .ngramOverlapBy(a, b, "text", "lang", n = 3)
+        .select(col("lang"),
+          round(col("containment_b"), 6).alias("containment_new_r"))
+      stat(a, "old").join(stat(b, "new"), Seq("lang")).join(ov, Seq("lang"))
+    }),
+
     "q_corpus_card" -> ((s, dir) => {
       // lazy localCheckpoint: the per-doc projection feeds BOTH the
       // aggregate branch and the quantile sketch — without it the plan
@@ -3274,6 +3299,48 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    // Corpus diff: per-language halves stats + gram containment (strings
+    // in DuckDB vs FNV hashes in Spark — the ExactSubstr contract)
+    "q_corpus_diff" ->
+      s"""WITH sc AS (
+        |  SELECT d.doc_id, d.lang, CAST(q.quality_r AS DECIMAL(18,6)) AS q6
+        |  FROM documents d JOIN ($TextQualityOracle) q ON d.doc_id = q.doc_id),
+        |stats AS (
+        |  SELECT lang,
+        |    count(*) FILTER (doc_id % 2 = 0) AS n_docs_old,
+        |    round(CAST(sum(q6) FILTER (doc_id % 2 = 0) AS DOUBLE)
+        |      / count(*) FILTER (doc_id % 2 = 0), 6) AS mean_q_old_r,
+        |    count(*) FILTER (doc_id % 2 = 1) AS n_docs_new,
+        |    round(CAST(sum(q6) FILTER (doc_id % 2 = 1) AS DOUBLE)
+        |      / count(*) FILTER (doc_id % 2 = 1), 6) AS mean_q_new_r
+        |  FROM sc GROUP BY lang
+        |  -- a language present in only one half has no Spark-side row
+        |  -- (the stat frames inner-join); mirror rather than divide by 0
+        |  HAVING count(*) FILTER (doc_id % 2 = 0) > 0
+        |     AND count(*) FILTER (doc_id % 2 = 1) > 0),
+        |toks AS (
+        |  SELECT lang, doc_id % 2 AS half,
+        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |      t -> t <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT lang, half,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM toks WHERE len(ws) >= 3),
+        |ag AS (
+        |  SELECT lang, gram, bool_or(half = 0) AS ina, bool_or(half = 1) AS inb
+        |  FROM g GROUP BY lang, gram),
+        |ov AS (
+        |  SELECT lang, round(
+        |    CAST(count(*) FILTER (ina AND inb) AS DOUBLE) /
+        |    greatest(CAST(count(*) FILTER (inb) AS DOUBLE), 1.0), 6)
+        |      AS containment_new_r
+        |  FROM ag GROUP BY lang)
+        |SELECT s.lang, s.n_docs_old, s.mean_q_old_r, s.n_docs_new,
+        |  s.mean_q_new_r, ov.containment_new_r
+        |FROM stats s JOIN ov USING (lang)""".stripMargin,
 
     "q_corpus_card" ->
       s"""WITH per AS (

@@ -47,6 +47,36 @@ object Overlap {
           .alias("jaccard"))
   }
 
+  /** Per-GROUP exact overlap (e.g. per language): one row per group value
+    * with the same counts/Jaccard plus `containment_b` = |A∩B| / |B| —
+    * "how much of the new snapshot's material already exists in the old"
+    * — the corpus-diff question asked per stratum. Same single tagged
+    * distinct-shuffle as [[ngramOverlap]], keyed by (group, gram).
+    * Groups absent from one side report zero overlap rather than
+    * disappearing (full outer on the group key via flag maxes).
+    */
+  def ngramOverlapBy(a: DataFrame, b: DataFrame, textCol: String,
+      byCol: String, n: Int = 3): DataFrame = {
+    def grams(df: DataFrame, aFlag: Int, bFlag: Int) =
+      df.select(col(byCol),
+          explode(word_ngram_hashes(col(textCol), n)).alias("gram"))
+        .select(col(byCol), col("gram"),
+          lit(aFlag).alias("_a"), lit(bFlag).alias("_b"))
+    grams(a, 1, 0).unionAll(grams(b, 0, 1))
+      .groupBy(col(byCol), col("gram"))
+      .agg(max(col("_a")).alias("ina"), max(col("_b")).alias("inb"))
+      .groupBy(col(byCol))
+      .agg(
+        sum(col("ina")).cast("long").alias("n_a"),
+        sum(col("inb")).cast("long").alias("n_b"),
+        sum(col("ina") * col("inb")).cast("long").alias("n_common"),
+        (sum(col("ina") * col("inb")).cast("double") / count(lit(1)))
+          .alias("jaccard"),
+        (sum(col("ina") * col("inb")).cast("double") /
+          greatest(sum(col("inb")).cast("double"), lit(1.0)))
+          .alias("containment_b"))
+  }
+
   /** Bounded smallest-k DISTINCT accumulator over gram hashes — the
     * bottom-k sketch buffer. Kept sorted so the common full-buffer reject
     * is O(1) and duplicate detection is a binary search; merged

@@ -69,6 +69,15 @@ class ShuffleGuardSpec extends SparkSpec {
     }
   }
 
+  test("r9 map-side gates plan zero shuffles: fingerprint, wordpiece, int8") {
+    for (q <- Seq("q_text_fingerprint", "q_text_wordpiece",
+        "q_emb_quantize_int8")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+    }
+  }
+
   test("quantile sketch windows are per-group and run over bins, not rows") {
     val df = SparkEntry.queries("q_quantile_sketch")(spark, sf)
     val global = df.queryExecution.optimizedPlan.collect {

@@ -30,6 +30,19 @@ class OverlapSpec extends SparkSpec {
     assert(disj.getLong(2) == 0L && disj.getDouble(3) == 0.0)
   }
 
+  test("ngramOverlapBy: per-group counts + containment, one-sided groups kept") {
+    val a = Seq((1L, "x", "a b c d"), (2L, "y", "p q r")).toDF("id", "g", "text")
+    val b = Seq((3L, "x", "b c d e"), (4L, "z", "m n o")).toDF("id", "g", "text")
+    val rows = Overlap.ngramOverlapBy(a, b, "text", "g", n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    // group x: A{a b,b c,c d} B{b c,c d,d e} → common 2, containment 2/3
+    assert(rows("x") == ((3L, 3L, 2L, 2.0 / 3.0)))
+    // one-sided groups survive with zero overlap (flag maxes, not joins)
+    assert(rows("y") == ((2L, 0L, 0L, 0.0)))
+    assert(rows("z") == ((0L, 2L, 0L, 0.0)))
+  }
+
   test("bottom-k estimate tracks the exact corpus Jaccard on real documents") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val a = docs.where($"doc_id" % 2 === 0)
