@@ -44,6 +44,11 @@ object SparkEntry {
     * +200 (re-inserting deleted keys). `f`'s result is eagerly
     * checkpointed so the temp store can be removed before consumption.
     */
+  // Deliberately NOT cached across the two gates that share it (review r9
+  // suggested one build serving both): Bench's between-query state sweep
+  // unpersists every RDD including localCheckpoint blocks, which have no
+  // lineage to recompute from — a cached frame would throw on its second
+  // use. Each gate pays its own small build (two O(batch) MOR merges).
   private def withReplayStore(s: SparkSession, dir: String)(
       f: graft.streaming.UpsertStore => DataFrame): DataFrame = {
     val cust = t(s, dir, "customer").select(
@@ -2711,24 +2716,9 @@ object SparkEntry {
     // hazards), per-language p20 cutoff via the sketch CDF inversion,
     // then the kept-count under q >= cutoff
     "q_quality_gate" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    CAST(length(text) AS DOUBLE) AS nchars,
-        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS ntoks,
-        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
-        |      ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
-        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS en_score
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id, lang, round(
-        |    0.4 * (CASE WHEN ntoks >= 20 THEN 1.0 ELSE ntoks / 20.0 END)
-        |  + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 1.0 - punct_ratio END)
-        |  + 0.2 * (CASE WHEN nchars / greatest(ntoks, 1.0) >= 3
-        |                 AND nchars / greatest(ntoks, 1.0) <= 10 THEN 1.0 ELSE 0.5 END)
-        |  + 0.2 * (CASE WHEN en_score > 0 THEN 1.0 ELSE 0.5 END), 6) AS q
-        |  FROM t),
+      s"""WITH sc AS (
+        |  SELECT d.doc_id, d.lang, q.quality_r AS q
+        |  FROM documents d JOIN ($TextQualityOracle) q ON d.doc_id = q.doc_id),
         |h AS (
         |  SELECT lang, CAST(floor(q / CAST(0.0625 AS DOUBLE)) AS BIGINT) AS bin,
         |         count(*) AS n

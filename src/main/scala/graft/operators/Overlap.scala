@@ -40,11 +40,15 @@ object Overlap {
       .groupBy(col("gram"))
       .agg(max(col("_a")).alias("ina"), max(col("_b")).alias("inb"))
       .agg(
-        sum(col("ina")).cast("long").alias("n_a"),
-        sum(col("inb")).cast("long").alias("n_b"),
-        sum(col("ina") * col("inb")).cast("long").alias("n_common"),
-        (sum(col("ina") * col("inb")).cast("double") / count(lit(1)))
-          .alias("jaccard"))
+        // gram-less corpora (every doc shorter than n tokens) leave the
+        // global agg with ZERO input rows — sums go null and a caller's
+        // getLong throws; the empty overlap is all-zeros (review r9)
+        coalesce(sum(col("ina")), lit(0L)).cast("long").alias("n_a"),
+        coalesce(sum(col("inb")), lit(0L)).cast("long").alias("n_b"),
+        coalesce(sum(col("ina") * col("inb")), lit(0L)).cast("long")
+          .alias("n_common"),
+        coalesce(sum(col("ina") * col("inb")).cast("double") / count(lit(1)),
+          lit(0.0)).alias("jaccard"))
   }
 
   /** Per-GROUP exact overlap (e.g. per language): one row per group value

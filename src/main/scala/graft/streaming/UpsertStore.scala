@@ -858,9 +858,18 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   */
 class StoreChangeFeed(store: UpsertStore, cursorPath: String) {
   private val ledger = new TxidLedger(cursorPath)
+  // BASELINE AT ATTACH (review r9): with no durable cursor the baseline is
+  // the store's CURRENT version, not 0 — a store that has ever compacted
+  // has no version-0 history, so a zero cursor would make every poll()
+  // throw behind-horizon forever. Writing currentSeq BEFORE the caller
+  // snapshots is the safe order: any merge landing in between is ahead of
+  // the cursor and replays (at-least-once), whereas a cursor taken after
+  // the snapshot could silently skip it.
+  if (ledger.read() < 0L) ledger.commit(store.currentSeq)
 
-  /** Last version this consumer has durably acknowledged; 0 before the
-    * first commit ("the initial snapshot is the baseline").
+  /** Last version this consumer has durably acknowledged. Initialized to
+    * the store version at attach time ("the snapshot I am about to take is
+    * my baseline") — take `snapshot()` AFTER constructing the feed.
     */
   def cursor: Long = math.max(0L, ledger.read())
 

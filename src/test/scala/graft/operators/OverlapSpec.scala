@@ -30,6 +30,14 @@ class OverlapSpec extends SparkSpec {
     assert(disj.getLong(2) == 0L && disj.getDouble(3) == 0.0)
   }
 
+  test("ngramOverlap: gram-less corpora report zeros, not nulls (review r9)") {
+    // every doc shorter than n tokens → zero gram rows reach the final agg
+    val short = df(1L -> "a b", 2L -> "c")
+    val got = Overlap.ngramOverlap(short, short, "text", n = 8).head()
+    assert(got.getLong(0) == 0L && got.getLong(1) == 0L && got.getLong(2) == 0L)
+    assert(got.getDouble(3) == 0.0)
+  }
+
   test("ngramOverlapBy: per-group counts + containment, one-sided groups kept") {
     val a = Seq((1L, "x", "a b c d"), (2L, "y", "p q r")).toDF("id", "g", "text")
     val b = Seq((3L, "x", "b c d e"), (4L, "z", "m n o")).toDF("id", "g", "text")

@@ -432,6 +432,18 @@ class CdcStreamSpec extends SparkSpec {
       .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
     store.compact()
     intercept[IllegalStateException] { feed2.poll() }
+    // but a FRESH consumer attaching to the compacted store baselines at
+    // the current version (review r9: a zero cursor would be permanently
+    // behind-horizon) — it polls cleanly and tails new merges
+    val late = new StoreChangeFeed(store, tmp("feed-cursor2") + "/cursor")
+    assert(late.cursor == store.currentSeq)
+    val (none, to3) = late.poll()
+    assert(none.isEmpty && to3 == store.currentSeq)
+    store.merge(Seq((Cdc.Upsert, 13L, 5L, "five"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    val (c3, _) = late.poll()
+    assert(c3.select("id", "payload", Cdc.ChangeType)
+      .as[(Long, String, String)].collect().toSet == Set((5L, "five", "A")))
   }
 
   test("time travel on a COW store: every rewrite moves the horizon to now") {
