@@ -95,6 +95,47 @@ class VbakScenarioSpec extends SparkSpec {
     assert(ledger.read() == 50L)
   }
 
+  test("VBAK workload over MOR: time travel recovers every round; CDF tails a replica") {
+    // the reference's integration rounds again, but on a merge-on-read
+    // store — then the surfaces the reference LACKS prove out on its own
+    // workload: snapshotAsOf reproduces each round's replica state, and a
+    // StoreChangeFeed-driven downstream replica converges via poll/ack
+    import graft.streaming.StoreChangeFeed
+    val dir = java.nio.file.Files.createTempDirectory("vbak3").toString
+    var source = vbak(("800", 1, "C1"), ("800", 2, "C2"), ("900", 1, "C9"))
+    val store = new UpsertStore(spark, s"$dir/store",
+      Seq("MANDT", "VBELN"), numBuckets = 8, mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(source))
+    val downstream = new UpsertStore(spark, s"$dir/replica",
+      Seq("MANDT", "VBELN"), numBuckets = 8, mergeOnRead = true)
+    val tail = new StoreChangeFeed(store, s"$dir/cursor") // baseline FIRST
+    downstream.initialize(Cdc.initialLoad(store.snapshot()))
+    val ledger = new TxidLedger(s"$dir/txid")
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("MANDT", "MANDT"), ("VBELN", "VBELN")))
+    val history = scala.collection.mutable.ArrayBuffer(
+      store.currentSeq -> snapshotSet(store))
+    // round 1: insert + update; round 2: delete
+    source = vbak(("800", 1, "C1*"), ("800", 2, "C2"), ("800", 4, "C3"),
+      ("900", 1, "C9"))
+    job.processBatch(feed((("800", 1), 101L), (("800", 4), 102L)), 0)
+    history += store.currentSeq -> snapshotSet(store)
+    source = vbak(("800", 1, "C1*"), ("800", 4, "C3"), ("900", 1, "C9"))
+    job.processBatch(feed((("800", 2), 103L)), 1)
+    history += store.currentSeq -> snapshotSet(store)
+    // time travel: every recorded round state is reproducible by seq
+    history.foreach { case (seq, expect) =>
+      assert(store.snapshotAsOf(seq).as[Vbak].collect().toSet == expect,
+        s"as-of $seq")
+    }
+    // CDF tail: one drain applies both rounds' net changes downstream
+    val (changes, to) = tail.poll()
+    downstream.merge(changes)
+    tail.commit(to)
+    assert(snapshotSet(downstream) == snapshotSet(store))
+    assert(tail.cursor == store.currentSeq)
+  }
+
   test("to_alphanum derives the clone key like VBAK_change.sql") {
     val top = vbak(("800", 41, "C")).select(
       GraftExpressions.to_alphanum(

@@ -26,7 +26,9 @@ class WindowGuardSpec extends SparkSpec {
   private val windowedQueries = Seq(
     "q_w1_rank_top1", "q_w2_top1_orderby", "q_w4_window_funcs",
     "q_w5_topk_per_group", "q_window_tumbling_agg", "q_window_session",
-    "q_sample_quota")
+    "q_sample_quota",
+    // r9: sketch-CDF compositions window per-group over BINS, never rows
+    "q_quality_gate", "q_corpus_card", "q_quantile_sketch")
 
   test("no headline window query plans a global single-partition Window") {
     windowedQueries.foreach { name =>
