@@ -572,6 +572,48 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   /** Published delta-dir count — the compaction-debt signal. */
   def deltaCount: Int = deltaSeqDirs.size
 
+  /** Operational stats, one row per bucket: base/delta file counts and
+    * bytes. Pure driver-side directory listing — bounded by numBuckets ×
+    * deltaCount entries, no data read — the signal an operator (or an
+    * auto-compaction policy beyond [[compactIfNeeded]]'s count heuristic)
+    * watches: base files per bucket should sit at ~1 under the
+    * bucket-aligned COW merge, and delta bytes per bucket quantify the
+    * MOR fold tax each snapshot pays until the next compact().
+    */
+  def stats(): DataFrame = opLock.synchronized {
+    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
+    def filesIn(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles((f: java.io.File) =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .getOrElse(Array.empty)
+    def bucketsOf(root: java.io.File): Map[Int, (Long, Long)] =
+      Option(root.listFiles((f: java.io.File) =>
+        f.isDirectory && f.getName.startsWith(s"$bucketCol=")))
+        .getOrElse(Array.empty[java.io.File])
+        .map { d =>
+          val fs = filesIn(d)
+          d.getName.stripPrefix(s"$bucketCol=").toInt ->
+            ((fs.length.toLong, fs.map(_.length).sum))
+        }.toMap
+    val base = bucketsOf(new java.io.File(dir))
+    val delta = deltaSeqDirs.map(d => bucketsOf(d._2))
+      .foldLeft(Map.empty[Int, (Long, Long)]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (b, (n, sz))) =>
+          val (pn, psz) = a.getOrElse(b, (0L, 0L))
+          a.updated(b, (pn + n, psz + sz))
+        }
+      }
+    val rows = (base.keySet ++ delta.keySet).toSeq.sorted.map { b =>
+      val (bn, bsz) = base.getOrElse(b, (0L, 0L))
+      val (dn, dsz) = delta.getOrElse(b, (0L, 0L))
+      (b, bn, bsz, dn, dsz)
+    }
+    val session = spark // stable identifier for the implicits import
+    import session.implicits._
+    rows.toDF("bucket", "base_files", "base_bytes", "delta_files",
+      "delta_bytes")
+  }
+
   /** Compact when the delta debt reaches `maxDeltas` (the cadence policy a
     * streaming job wants inline: every snapshot fold unions one frame per
     * delta, so unbounded debt grows the read plan without bound). Returns

@@ -459,6 +459,28 @@ class CdcStreamSpec extends SparkSpec {
     }
   }
 
+  test("stats: COW buckets stay at one file; MOR delta debt visible and compact clears it") {
+    val cow = newStore(tmp("stats-cow"))
+    cow.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    val cowStats = cow.stats().as[(Int, Long, Long, Long, Long)].collect()
+    assert(cowStats.nonEmpty)
+    assert(cowStats.forall { case (_, bf, bb, df, db) =>
+      bf == 1L && bb > 0L && df == 0L && db == 0L },
+      cowStats.mkString(",")) // bucket-aligned merges: one file per bucket
+    val mor = new UpsertStore(spark, tmp("stats-mor"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    mor.initialize(Cdc.initialLoad(Seq((1L, "one")).toDF("id", "payload")))
+    mor.merge(Seq((Cdc.Upsert, 10L, 1L, "ONE"), (Cdc.Upsert, 10L, 2L, "two"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    val morStats = mor.stats().as[(Int, Long, Long, Long, Long)].collect()
+    assert(morStats.map(_._4).sum > 0L, "delta debt invisible") // delta files
+    mor.compact()
+    val after = mor.stats().as[(Int, Long, Long, Long, Long)].collect()
+    assert(after.forall(r => r._4 == 0L && r._5 == 0L), after.mkString(","))
+    assert(after.forall(_._2 == 1L)) // compaction leaves one file per bucket
+  }
+
   test("merge applies upserts and deletes, only touched buckets rewritten") {
     val dir = tmp("store")
     val store = newStore(dir)
