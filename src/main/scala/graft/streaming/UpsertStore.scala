@@ -397,10 +397,24 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     val staging = stagingDir
     if (staging.exists()) {
       if (swapMarker.exists()) {
-        stagedBuckets(staging).foreach { d =>
-          val target = new java.io.File(dir, d.getName)
-          if (!target.exists())
+        if (schemaNextFile.exists()) {
+          // committed SCHEMA REWRITE (only rewrites stage a schema): its
+          // staged set covers EVERY bucket by construction, so recovery
+          // rolls FORWARD — replacing any live bucket the crash left
+          // un-promoted. The partial-promote rule below would instead
+          // leave a mixed-shape store (some buckets renamed, some not)
+          // that no single schema can read correctly.
+          stagedBuckets(staging).foreach { d =>
+            val target = new java.io.File(dir, d.getName)
+            if (target.exists()) rmTree(target)
             java.nio.file.Files.move(d.toPath, target.toPath)
+          }
+        } else {
+          stagedBuckets(staging).foreach { d =>
+            val target = new java.io.File(dir, d.getName)
+            if (!target.exists())
+              java.nio.file.Files.move(d.toPath, target.toPath)
+          }
         }
       }
       rmTree(staging)
@@ -417,6 +431,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
         if (!target.exists()) java.nio.file.Files.move(r.toPath, target.toPath)
         else rmTree(r)
       })
+    // a staged schema rides the same marker: committed rewrite → promote
+    // it with the data; no marker → it is uncommitted debris (its staged
+    // data was just discarded above) and must roll back with it
+    if (swapMarker.exists()) promoteSchemaNext()
+    else if (schemaNextFile.exists()) schemaNextFile.delete()
     // recovery's own promotes/restores must be durable before the marker
     // unlink, for the same reason as in swapStaged
     fsyncDir(new java.io.File(dir))
@@ -459,7 +478,26 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
             e)
     }
 
-  private def swapStaged(staging: java.io.File): Set[Int] = {
+  /** The staged NEW schema of an in-flight [[schemaRewrite]] — committed or
+    * rolled back under the SAME `_swap_started` marker as the data buckets,
+    * so a crash can never leave new-shape files readable through the
+    * old-shape schema (renamed/dropped columns would silently read null):
+    * marker present ⇒ recovery promotes both data and schema; marker
+    * absent ⇒ both are uncommitted debris and both roll back.
+    */
+  private def schemaNextFile = new java.io.File(dir, "_graft_schema_next")
+
+  private def promoteSchemaNext(): Unit =
+    if (schemaNextFile.exists()) {
+      fsyncFile(schemaNextFile)
+      java.nio.file.Files.move(schemaNextFile.toPath, schemaFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      fsyncDir(new java.io.File(dir))
+    }
+
+  private def swapStaged(staging: java.io.File,
+      beforeMarkerClear: () => Unit = () => ()): Set[Int] = {
     val staged = stagedBuckets(staging)
     // DATA durability first: Spark's local-FS write never fsyncs, so the
     // staged parquet bytes must reach disk before the marker commits to
@@ -498,6 +536,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     // marker" and roll the bucket back to pre-batch state AFTER the caller
     // may have advanced the ledger (the window would then never replay)
     fsyncDir(new java.io.File(dir))
+    beforeMarkerClear() // e.g. schema promote — must commit under the marker
     swapMarker.delete()
     survivors
   }
@@ -830,6 +869,67 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
         if (d.exists()) rmTree(d)
       }
     } finally batch.unpersist()
+  }
+
+  /** Rename a non-key column — the explicit rewrite [[merge]]'s additive
+    * evolution deliberately refuses to infer (a rename is
+    * indistinguishable from drop+add in a batch's shape; guessing either
+    * way corrupts data, so merge only WARNS). Whole-store rewrite through
+    * the staged-swap commit protocol; the new schema is staged as
+    * `_graft_schema_next` and promoted under the same `_swap_started`
+    * marker as the data, so no crash point leaves new-shape files behind
+    * an old-shape schema (which would silently null the column) — the
+    * crash spec drives both recovery branches. MOR deltas are folded
+    * first (they carry the old shape); history before the rewrite is
+    * destroyed, so the time-travel horizon advances with it.
+    */
+  def renameColumn(from: String, to: String): Unit = {
+    require(!pkCols.contains(from) && from != bucketCol,
+      s"cannot rename key/internal column $from (row identity)")
+    val cur = savedSchema
+    require(cur.fieldNames.contains(from), s"no such column: $from")
+    require(!cur.fieldNames.contains(to), s"column already exists: $to")
+    schemaRewrite(_.withColumnRenamed(from, to))
+  }
+
+  /** Drop a non-key column — same explicit-rewrite contract and crash
+    * protocol as [[renameColumn]] ("deletion of a column is a rewrite,
+    * not a merge").
+    */
+  def dropColumn(name: String): Unit = {
+    require(!pkCols.contains(name) && name != bucketCol,
+      s"cannot drop key/internal column $name")
+    require(savedSchema.fieldNames.contains(name), s"no such column: $name")
+    schemaRewrite(_.drop(name))
+  }
+
+  private def schemaRewrite(f: DataFrame => DataFrame): Unit = opLock.synchronized {
+    acquireLease()
+    recoverSwap()
+    // fold MOR deltas first so exactly one shape exists on disk; compact
+    // re-enters the (reentrant) opLock and refreshes the lease heartbeat
+    if (deltaSeqDirs.nonEmpty) compact()
+    val out = f(spark.read.schema(savedSchema).parquet(dir))
+      .repartition(col(bucketCol))
+    require(out.columns.contains(bucketCol),
+      "internal: bucket column lost in rewrite")
+    val staging = stagingDir
+    out.write.partitionBy(bucketCol).mode("overwrite").parquet(staging.getPath)
+    // stage the new schema; committed/rolled back under the swap marker
+    Option(new java.io.File(dir).listFiles((_, n) =>
+      n.startsWith("_graft_schema") && n.endsWith(".tmp")))
+      .foreach(_.foreach(_.delete()))
+    val tmp = java.nio.file.Files.createTempFile(
+      new java.io.File(dir).toPath, "_graft_schema", ".tmp")
+    java.nio.file.Files.write(tmp, out.schema.json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, schemaNextFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a rewrite destroys every prior version: advance the horizon
+    // conservatively BEFORE the swap commits (same rule as compact/COW)
+    val seq = nextSeq()
+    writeBaseSeq(seq)
+    swapStaged(staging, beforeMarkerClear = () => promoteSchemaNext())
   }
 
   /** Compaction maintenance pass. Since r9, COW merges are themselves

@@ -459,6 +459,74 @@ class CdcStreamSpec extends SparkSpec {
     }
   }
 
+  test("renameColumn/dropColumn: explicit rewrites; merges speak the new shape") {
+    val store = newStore(tmp("schema-rewrite"))
+    store.renameColumn("payload", "body")
+    assert(store.snapshot().columns.toSeq == Seq("id", "body"))
+    assert(store.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "two"), (3L, "three")))
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "body"))
+    assert(store.snapshot().as[(Long, String)].collect().toMap.get(2L)
+      .contains("TWO"))
+    // refusals: key columns, unknown source, existing target
+    intercept[IllegalArgumentException] { store.renameColumn("id", "key") }
+    intercept[IllegalArgumentException] { store.renameColumn("nope", "x") }
+    intercept[IllegalArgumentException] { store.renameColumn("body", "id") }
+    // a MOR store folds its pending deltas before rewriting
+    val mor = new UpsertStore(spark, tmp("schema-rewrite-mor"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    mor.initialize(Cdc.initialLoad(
+      Seq((1L, "one", 5)).toDF("id", "payload", "extra")))
+    mor.merge(Seq((Cdc.Upsert, 10L, 2L, "two", 7))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload", "extra"))
+    mor.dropColumn("extra")
+    assert(mor.snapshot().columns.toSeq == Seq("id", "payload"))
+    assert(mor.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "two")))
+    // rewrites destroy history: horizon at now
+    assert(mor.earliestSeq == mor.currentSeq)
+  }
+
+  test("schema rewrite crash protocol: schema and data commit or roll back TOGETHER") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // branch 1 — crash BEFORE the marker: staged data + staged schema are
+    // both uncommitted debris; recovery must roll both back (a promoted
+    // schema over old-shape data would silently null the renamed column)
+    val dir1 = tmp("rewrite-crash1")
+    val s1 = newStore(dir1)
+    val newSchema = StructType(Seq(StructField("id", LongType),
+      StructField("body", StringType), StructField("_bucket", LongType)))
+    val staging = new java.io.File(dir1, "_staging")
+    new java.io.File(staging, "_bucket=0").mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir1, "_graft_schema_next").toPath, newSchema.json)
+    assert(s1.snapshot().columns.toSeq == Seq("id", "payload")) // rolled back
+    assert(!new java.io.File(dir1, "_graft_schema_next").exists())
+    // branch 2 — crash AFTER the marker mid-promote: the staged set covers
+    // every bucket; recovery rolls FORWARD (replacing still-live old
+    // buckets) and promotes the schema — no mixed-shape store
+    val dir2 = tmp("rewrite-crash2")
+    val s2 = newStore(dir2)
+    // build the fully-staged rewrite by hand: rename payload -> body (the
+    // read already carries the _bucket partition column)
+    val renamed = spark.read.parquet(dir2)
+      .withColumnRenamed("payload", "body")
+    renamed.write.partitionBy("_bucket").mode("overwrite")
+      .parquet(new java.io.File(dir2, "_staging").getPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir2, "_graft_schema_next").toPath,
+      renamed.schema.json)
+    java.nio.file.Files.createFile(
+      new java.io.File(dir2, "_swap_started").toPath)
+    val healed = s2.snapshot() // triggers recovery
+    assert(healed.columns.toSeq == Seq("id", "body"))
+    assert(healed.as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "two"), (3L, "three")))
+    assert(!new java.io.File(dir2, "_graft_schema_next").exists())
+    assert(!new java.io.File(dir2, "_swap_started").exists())
+  }
+
   test("stats: COW buckets stay at one file; MOR delta debt visible and compact clears it") {
     val cow = newStore(tmp("stats-cow"))
     cow.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO"))
