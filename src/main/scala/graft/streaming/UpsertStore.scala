@@ -665,6 +665,23 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     due
   }
 
+  /** Byte-ratio sibling of [[compactIfNeeded]]: compact when delta bytes
+    * reach `maxRatio` of base bytes (from [[stats]] — a directory listing,
+    * no data read). The count heuristic misses the case the ratio
+    * catches: a few huge backfill deltas cost a snapshot fold as much as
+    * many small ones. An empty base with any delta bytes is always due.
+    * Returns whether a compaction ran.
+    */
+  def compactIfDeltaRatio(maxRatio: Double = 0.2): Boolean = {
+    require(maxRatio > 0, s"maxRatio must be positive, got $maxRatio")
+    val s = stats().agg(sum(col("base_bytes")), sum(col("delta_bytes"))).head()
+    val base = if (s.isNullAt(0)) 0L else s.getLong(0)
+    val delta = if (s.isNullAt(1)) 0L else s.getLong(1)
+    val due = delta > 0 && (base == 0L || delta.toDouble / base >= maxRatio)
+    if (due) compact()
+    due
+  }
+
   /** Complete (published) delta dirs, ascending by sequence. */
   private def deltaSeqDirs: Seq[(Long, java.io.File)] =
     Option(new java.io.File(dir).listFiles((f: java.io.File) =>

@@ -547,6 +547,12 @@ class CdcStreamSpec extends SparkSpec {
     val after = mor.stats().as[(Int, Long, Long, Long, Long)].collect()
     assert(after.forall(r => r._4 == 0L && r._5 == 0L), after.mkString(","))
     assert(after.forall(_._2 == 1L)) // compaction leaves one file per bucket
+    // byte-ratio policy: no debt → not due; fresh delta trips the ratio
+    assert(!mor.compactIfDeltaRatio(0.01))
+    mor.merge(Seq((Cdc.Upsert, 11L, 3L, "three"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    assert(mor.compactIfDeltaRatio(0.01)) // small threshold: due, and ran
+    assert(mor.deltaCount == 0)
   }
 
   test("merge applies upserts and deletes, only touched buckets rewritten") {
