@@ -170,17 +170,29 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * are swept here before writing (Spark reads ignore `_`-prefixed files,
     * but they would otherwise accumulate forever).
     */
-  private def writeSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
-    val parent = schemaFile.getParentFile
+  private def writeSchema(schema: org.apache.spark.sql.types.StructType,
+      target: java.io.File = null): Unit = {
+    val dest = Option(target).getOrElse(schemaFile)
+    val parent = dest.getParentFile
     Option(parent.listFiles((_, n) =>
       n.startsWith("_graft_schema") && n.endsWith(".tmp")))
       .foreach(_.foreach(_.delete()))
     val tmp = java.nio.file.Files.createTempFile(
       parent.toPath, "_graft_schema", ".tmp")
     java.nio.file.Files.write(tmp, schema.json.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, schemaFile.toPath,
+    // force the BYTES before the rename: a torn schema behind a durable
+    // rename entry would brick every subsequent read (and for the staged
+    // `_graft_schema_next` the roll-forward branch would promote the torn
+    // copy over a store whose data it just replaced — review r9)
+    locally {
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    }
+    java.nio.file.Files.move(tmp, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(parent)
   }
 
   private def savedSchema: org.apache.spark.sql.types.StructType =
@@ -191,14 +203,31 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   /** Current snapshot (no envelope columns). Reads with the persisted
     * schema so a store whose rows were all deleted stays readable.
     */
-  def snapshot(): DataFrame = opLock.synchronized {
+  /** Reader-side entry guard shared by every read surface: heal crashed
+    * swaps when it is safe to (no live foreign writer — ADVICE r7), and
+    * refuse a read that CANNOT be consistent: while another writer's
+    * schema rewrite is in flight (or crashed within its lease TTL), some
+    * buckets may already be new-shape — reading them through the old
+    * schema would silently null the renamed column for part of the store
+    * (review r9). Rewrites are rare maintenance; a loud retry-later beats
+    * quietly mixed shapes.
+    */
+  private def guardRead(): Unit = {
     if (!exists) throw new IllegalStateException(s"store $dir not initialized")
+    if (!foreignLeaseFresh()) recoverSwap()
+    else if (schemaNextFile.exists()) throw new IllegalStateException(
+      s"store $dir: a schema rewrite by another writer is in flight (or " +
+        "crashed within its lease TTL) — a read now would mix column " +
+        "shapes; retry after the writer finishes or its lease expires")
+  }
+
+  def snapshot(): DataFrame = opLock.synchronized {
     // a READER must not run recovery while another writer is live: their
     // in-flight merge owns `_staging`, and recoverSwap deletes it
     // (ADVICE r7). The owner heals on its next operation; meanwhile
     // [[baseRead]] overlays any crashed-swap debris READ-ONLY, so a
     // bucket mid-swap is never invisible to this reader.
-    if (!foreignLeaseFresh()) recoverSwap()
+    guardRead()
     // MODE-MISMATCH SAFETY: published deltas are data, whatever this
     // instance's flag says — a COW-flagged reader over a MOR-written store
     // must fold them, not silently serve the stale base. The flag only
@@ -219,8 +248,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * N batches of history simply compacts every N batches).
     */
   def snapshotAsOf(seq: Long): DataFrame = opLock.synchronized {
-    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
-    if (!foreignLeaseFresh()) recoverSwap()
+    guardRead()
     val lo = earliestSeq
     val hi = currentSeq
     if (seq < lo) throw new IllegalStateException(
@@ -245,9 +273,8 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     */
   def changesBetween(fromSeq: Long, toSeq: Long): DataFrame = opLock.synchronized {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
     require(fromSeq <= toSeq, s"empty range: $fromSeq > $toSeq")
-    if (!foreignLeaseFresh()) recoverSwap()
+    guardRead()
     val lo = earliestSeq
     val hi = currentSeq
     if (fromSeq < lo) throw new IllegalStateException(
@@ -619,8 +646,12 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * bucket-aligned COW merge, and delta bytes per bucket quantify the
     * MOR fold tax each snapshot pays until the next compact().
     */
-  def stats(): DataFrame = opLock.synchronized {
-    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
+  private def statsRows(): Seq[(Int, Long, Long, Long, Long)] = opLock.synchronized {
+    // same guard as the data reads: heal crashed swaps when safe so the
+    // figures include mid-swap buckets (review r9 — a retired-but-not-
+    // promoted bucket would otherwise report an empty base); under a LIVE
+    // foreign writer the figures are in-flux approximations by nature
+    guardRead()
     def filesIn(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles((f: java.io.File) =>
         f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
@@ -642,14 +673,20 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
           a.updated(b, (pn + n, psz + sz))
         }
       }
-    val rows = (base.keySet ++ delta.keySet).toSeq.sorted.map { b =>
+    (base.keySet ++ delta.keySet).toSeq.sorted.map { b =>
       val (bn, bsz) = base.getOrElse(b, (0L, 0L))
       val (dn, dsz) = delta.getOrElse(b, (0L, 0L))
       (b, bn, bsz, dn, dsz)
     }
+  }
+
+  /** [[statsRows]] as a DataFrame (tuple order: bucket, base_files,
+    * base_bytes, delta_files, delta_bytes).
+    */
+  def stats(): DataFrame = {
     val session = spark // stable identifier for the implicits import
     import session.implicits._
-    rows.toDF("bucket", "base_files", "base_bytes", "delta_files",
+    statsRows().toDF("bucket", "base_files", "base_bytes", "delta_files",
       "delta_bytes")
   }
 
@@ -674,9 +711,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     */
   def compactIfDeltaRatio(maxRatio: Double = 0.2): Boolean = {
     require(maxRatio > 0, s"maxRatio must be positive, got $maxRatio")
-    val s = stats().agg(sum(col("base_bytes")), sum(col("delta_bytes"))).head()
-    val base = if (s.isNullAt(0)) 0L else s.getLong(0)
-    val delta = if (s.isNullAt(1)) 0L else s.getLong(1)
+    // driver-side sums over the listing rows — scheduling a Spark job per
+    // policy check would tax the hot streaming loop for nothing (review r9)
+    val rows = statsRows()
+    val base = rows.map(_._3).sum
+    val delta = rows.map(_._5).sum
     val due = delta > 0 && (base == 0L || delta.toDouble / base >= maxRatio)
     if (due) compact()
     due
@@ -901,8 +940,16 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * destroyed, so the time-travel horizon advances with it.
     */
   def renameColumn(from: String, to: String): Unit = {
+    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
     require(!pkCols.contains(from) && from != bucketCol,
       s"cannot rename key/internal column $from (row identity)")
+    // the underscore namespace is the engine's: _change_type/_transactionid
+    // are envelope columns every merge re-attaches, _graft_seq is the MOR
+    // fold's sequence — a user column shadowing any of them corrupts folds
+    // (review r9: renaming to _graft_seq made foldedView overwrite the
+    // data column with the sequence literal on every snapshot)
+    require(!to.startsWith("_"),
+      s"target $to is in the reserved internal/envelope namespace (_*)")
     val cur = savedSchema
     require(cur.fieldNames.contains(from), s"no such column: $from")
     require(!cur.fieldNames.contains(to), s"column already exists: $to")
@@ -914,6 +961,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * not a merge").
     */
   def dropColumn(name: String): Unit = {
+    if (!exists) throw new IllegalStateException(s"store $dir not initialized")
     require(!pkCols.contains(name) && name != bucketCol,
       s"cannot drop key/internal column $name")
     require(savedSchema.fieldNames.contains(name), s"no such column: $name")
@@ -932,16 +980,9 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       "internal: bucket column lost in rewrite")
     val staging = stagingDir
     out.write.partitionBy(bucketCol).mode("overwrite").parquet(staging.getPath)
-    // stage the new schema; committed/rolled back under the swap marker
-    Option(new java.io.File(dir).listFiles((_, n) =>
-      n.startsWith("_graft_schema") && n.endsWith(".tmp")))
-      .foreach(_.foreach(_.delete()))
-    val tmp = java.nio.file.Files.createTempFile(
-      new java.io.File(dir).toPath, "_graft_schema", ".tmp")
-    java.nio.file.Files.write(tmp, out.schema.json.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, schemaNextFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // stage the new schema (fsynced bytes — see writeSchema); committed or
+    // rolled back under the swap marker
+    writeSchema(out.schema, target = schemaNextFile)
     // a rewrite destroys every prior version: advance the horizon
     // conservatively BEFORE the swap commits (same rule as compact/COW)
     val seq = nextSeq()

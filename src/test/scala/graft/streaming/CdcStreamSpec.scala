@@ -473,6 +473,11 @@ class CdcStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] { store.renameColumn("id", "key") }
     intercept[IllegalArgumentException] { store.renameColumn("nope", "x") }
     intercept[IllegalArgumentException] { store.renameColumn("body", "id") }
+    // the underscore namespace is the engine's (envelope/seq columns):
+    // a user column named _graft_seq would be overwritten by the MOR fold
+    intercept[IllegalArgumentException] {
+      store.renameColumn("body", "_graft_seq")
+    }
     // a MOR store folds its pending deltas before rewriting
     val mor = new UpsertStore(spark, tmp("schema-rewrite-mor"), Seq("id"),
       numBuckets = 4, mergeOnRead = true)
@@ -525,6 +530,19 @@ class CdcStreamSpec extends SparkSpec {
       Set((1L, "one"), (2L, "two"), (3L, "three")))
     assert(!new java.io.File(dir2, "_graft_schema_next").exists())
     assert(!new java.io.File(dir2, "_swap_started").exists())
+    // a READER under a foreign writer's in-flight rewrite refuses rather
+    // than serving mixed shapes (it cannot run recovery; some buckets may
+    // already be new-shape while the schema is still old)
+    val dir3 = tmp("rewrite-inflight")
+    val owner3 = newStore(dir3) // holds the lease
+    java.nio.file.Files.writeString(
+      new java.io.File(dir3, "_graft_schema_next").toPath, newSchema.json)
+    val reader3 = new UpsertStore(spark, dir3, Seq("id"), numBuckets = 4)
+    val err = intercept[IllegalStateException] { reader3.snapshot() }
+    assert(err.getMessage.contains("schema rewrite"), err.getMessage)
+    // the owner itself heals it (recovery rolls the uncommitted file back)
+    assert(owner3.snapshot().columns.toSeq == Seq("id", "payload"))
+    assert(reader3.snapshot().columns.toSeq == Seq("id", "payload"))
   }
 
   test("stats: COW buckets stay at one file; MOR delta debt visible and compact clears it") {
