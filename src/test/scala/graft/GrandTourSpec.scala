@@ -94,6 +94,24 @@ class GrandTourSpec extends SparkSpec {
       .as[(String, Long, java.math.BigDecimal)].collect().toSet
     assert(got == recomputed)
     assert(got.map(_._1) == Set("A", "C"))
+
+    // round 4: the EXPLICIT schema rewrite (r9) — rename the column that
+    // arrived additively, then keep streaming in the new shape; the
+    // maintained aggregate keeps agreeing across the rename
+    store.renameColumn("origin", "region")
+    source = Seq((1L, "A", 11.0, "eu"), (2L, "A", 20.0, "eu"),
+        (4L, "C", 8.0, "us"), (5L, "C", 3.0, "us"))
+      .toDF("id", "segment", "amount", "region")
+      .select($"id", $"segment", $"amount".cast(dec2).as("amount"), $"region")
+    applyRound(Seq((4L, 106L)))
+    val snap2 = store.snapshot()
+    assert(snap2.columns.toSeq == Seq("id", "segment", "amount", "region"))
+    assert(snap2.where($"id" === 4L)
+      .as[(Long, String, java.math.BigDecimal, Option[String])].head() ==
+      ((4L, "C", bd("8.00"), Some("us"))))
+    assert(agg(snap2.select($"id", $"segment", $"amount")) ==
+      maintained.select($"segment", $"n", $"s".cast(DecimalType(38, 2)).as("s"))
+        .as[(String, Long, java.math.BigDecimal)].collect().toSet)
   }
 
   private def bd(s: String) = new java.math.BigDecimal(s)
