@@ -718,6 +718,15 @@ object SparkEntry {
     // quantile sketch. Composes four r9/r7 surfaces into the one-page
     // summary every curation run publishes; the oracle re-derives each
     // piece from the same shared SQL.
+    // Deterministic global corpus shuffle (training-order): exact 0-based
+    // positions under the seeded (residue, id) total order — the oracle
+    // replays the identical int64 arithmetic through row_number(), so the
+    // PERMUTATION itself is hash-gated, not just its row set.
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.shuffled(
+          t(s, dir, "documents"), "doc_id", seed = 7L)
+        .select(col("doc_id"), col("shuffle_pos"))),
+
     // Corpus-version diff (the "what did the new crawl change?" page):
     // per language, doc counts and exact mean quality for the old
     // (even-id) and new (odd-id) snapshots plus the containment of the
@@ -3289,6 +3298,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    // Shuffle: the same residue arithmetic, ordered by (residue, id)
+    "q_corpus_shuffle" ->
+      s"""SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ${uniformU32Sql("doc_id", 7L)}, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     // Corpus diff: per-language halves stats + gram containment (strings
     // in DuckDB vs FNV hashes in Spark — the ExactSubstr contract)

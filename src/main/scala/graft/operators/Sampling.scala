@@ -55,13 +55,62 @@ object Sampling {
     * avalanche is non-linear over the full id range. Ample mixing for
     * rate/quota sampling; NOT a cryptographic source.
     */
-  def uniform(idCol: Column, seed: Long): Column = {
+  def uniform(idCol: Column, seed: Long): Column =
+    residue32(idCol, seed).cast("double") / lit(Bucket.toDouble)
+
+  /** The integer 32-bit residue behind [[uniform]] — the shuffle key for
+    * [[shuffled]], which needs exact integer comparisons with id
+    * tie-breaks rather than the divided double.
+    */
+  private def residue32(idCol: Column, seed: Long): Column = {
     val r1 = pmod(pmod(idCol.bitwiseXOR(lit(seedA(seed))), lit(P1)) * lit(Knuth),
       lit(Bucket))
     val r2 = pmod(pmod(idCol + lit(seedB(seed)), lit(P2)) * lit(Knuth2),
       lit(Bucket))
     pmod(pmod(r1.bitwiseXOR(r2), lit(P1)) * lit(Knuth), lit(Bucket))
-      .cast("double") / lit(Bucket.toDouble)
+  }
+
+  /** Deterministic global corpus SHUFFLE with materialized 0-based
+    * positions — the training-order step between curation and write-out
+    * (a corpus written in crawl/source order trains on correlated
+    * batches; the fix is a seeded permutation, not `rand()`, which
+    * changes with partition layout). Order = (hash residue, id): a
+    * pseudorandom total order that is partition-layout-invariant and
+    * engine-independent — the gate hash-checks exact positions against
+    * DuckDB's `row_number()` over the same arithmetic.
+    *
+    * Scale shape: positions come from the [[Shards]]-style
+    * literal-boundary prefix sum, with one improvement the residue makes
+    * possible — the cuts are FIXED equi-spaced literals over [0, 2^32)
+    * (the key is uniform by construction), so there is no quantile scan
+    * at all and bucket balance is automatic. One P-row count shuffle +
+    * one partitioned window; no global `Window.orderBy`, no sampled
+    * `repartitionByRange` (both rejected in Shards' doc for the same
+    * reasons).
+    */
+  def shuffled(df: DataFrame, idCol: String, seed: Long = 0L,
+      posCol: String = "shuffle_pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val key = residue32(idAsLong(df, idCol), seed)
+    val p = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val cuts = (1 until p).map(i => Bucket.toDouble * i / p)
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit): _*), c => key.cast("double") > c))
+    val totals = df.select(bucket.alias("_pid"))
+      .groupBy(col("_pid")).agg(count(lit(1)).alias("_n"))
+    val offsets = totals // ≤P rows: the single-partition window is trivial
+      .withColumn("_offset", coalesce(
+        sum(col("_n")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val runW = Window.partitionBy(col("_pid")).orderBy(key, col(idCol))
+    df.withColumn("_pid", bucket)
+      .withColumn("_rn", row_number().over(runW))
+      .join(broadcast(offsets), "_pid")
+      .withColumn(posCol, (col("_offset") + col("_rn") - 1).cast(LongType))
+      .drop("_pid", "_rn", "_offset")
   }
 
   /** The id column as an int64 hash input — the fail-loud dispatch that

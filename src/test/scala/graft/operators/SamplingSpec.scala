@@ -180,6 +180,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shuffled: exact permutation, partition-invariant, seeded, no global window") {
+    val out = Sampling.shuffled(docs, "id", seed = 3L)
+    val pos = out.select($"shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until 2000L)) // a true permutation, 0-based
+    // the ORDER equals a naive (residue, id) sort — checked via the
+    // uniform double (same residue scaled): position is monotone in it
+    val byPos = out.orderBy($"shuffle_pos")
+      .select(Sampling.uniform($"id", 3L)).as[Double].collect()
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
+    // partition-layout invariance: repartitioned input, identical deal
+    val again = Sampling.shuffled(docs.repartition(13), "id", seed = 3L)
+      .select($"id", $"shuffle_pos").as[(Long, Long)].collect().toSet
+    assert(again == out.select($"id", $"shuffle_pos")
+      .as[(Long, Long)].collect().toSet)
+    // a different seed is a different permutation
+    val other = Sampling.shuffled(docs, "id", seed = 4L)
+      .select($"id", $"shuffle_pos").as[(Long, Long)].collect().toSet
+    assert(other != again)
+    // scale shape: per-bucket windows only — no unpartitioned Window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val global = out.queryExecution.optimizedPlan.collect {
+      case w: LW if w.partitionSpec.isEmpty => w
+    }
+    // the only permitted global window is the <=P-row offsets prefix sum;
+    // it must never see the id/data columns
+    global.foreach(w => assert(
+      w.child.output.map(_.name).toSet.subsetOf(Set("_pid", "_n")),
+      w.child.output.map(_.name).mkString(",")))
+  }
+
   test("skew stress: a 90%-hot stratum shuffles no more than a uniform one") {
     // "half of 100 TB is English": quotaPerStratum claims only quota-sized
     // buffers ever shuffle, so a hot stratum must not move more data than a
