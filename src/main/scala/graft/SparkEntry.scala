@@ -1763,6 +1763,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
+    // Shuffle → shard composed: shards cut over the SHUFFLED order (what a
+    // real pipeline packs — id-order shards reproduce crawl correlation
+    // inside every shard). shuffle_pos is the unique numeric layout key,
+    // so the two hash-gated operators compose with no glue; the oracle
+    // replays permutation + running sum in one window chain.
+    "q_shuffled_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tok"))
+      val shuf = graft.operators.Sampling.shuffled(d, "doc_id", seed = 7L)
+      Shards.assignByTokenBudget(shuf, "shuffle_pos", "n_tok", 2000L)
+        .select(col("doc_id"), col("shuffle_pos"), col("n_tok"),
+          col("cum_before"), col("shard"))
+    }),
+
     // Packed training sequences: the concat-and-chunk materialization of
     // the shard assignment — member docs concatenated in id order with an
     // EOS separator; text gated as md5 of the packed bytes.
@@ -3219,6 +3233,25 @@ object SparkEntry {
         |  array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk,
         |  CAST(len(ws[i*40+1 : i*40+50]) AS INT) AS n_tok
         |FROM ex""".stripMargin,
+
+    // Shuffle → shard: permutation + running sum in one window chain
+    "q_shuffled_shards" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+        |      AS n_tok,
+        |    CAST(row_number() OVER (
+        |      ORDER BY ${uniformU32Sql("doc_id", 7L)}, doc_id) - 1 AS BIGINT)
+        |      AS shuffle_pos
+        |  FROM documents)
+        |SELECT doc_id, shuffle_pos, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY shuffle_pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY shuffle_pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+        |    AS BIGINT) AS shard
+        |FROM d""".stripMargin,
 
     "q_pack_shards" ->
       """WITH d AS (
