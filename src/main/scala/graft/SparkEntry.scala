@@ -1905,6 +1905,26 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).alias("n_docs"))
     }),
 
+    // Split-leakage audit: near-duplicate pairs STRADDLING a split
+    // boundary — the train/eval contamination check every pipeline must
+    // run after dealing splits (a val doc whose near-dup sits in train
+    // inflates eval). Composes two gated kernels: the LSH pair set
+    // (recall 1.0 on this corpus, same argument as q_dedup_minhash_pairs)
+    // and the split deal applied as a map-side EXPRESSION on each pair's
+    // two ids — zero extra joins or shuffles beyond the pair join itself,
+    // so the audit costs the same as the dedup pass it rides on.
+    "q_split_leakage" -> ((s, dir) => {
+      import graft.operators.Splits
+      val w = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          Splits.assignExpr(col("id_a"), w).alias("split_a"),
+          Splits.assignExpr(col("id_b"), w).alias("split_b"),
+          round(col("jaccard"), 6).alias("jaccard_r"))
+        .where(col("split_a") =!= col("split_b"))
+    }),
+
     // W5: top-k per group — deterministic row_number (price desc, key asc)
     // capped at 3 per order priority.
     "q_w5_topk_per_group" -> ((s, dir) => {
@@ -2576,6 +2596,33 @@ object SparkEntry {
         |FROM (SELECT ${uniformU32Sql("doc_id", 42L)} / 4294967296.0 AS u
         |      FROM documents)
         |GROUP BY 1""".stripMargin
+    },
+
+    // same pair set as q_dedup_minhash_pairs (LSH recall 1.0 there), with
+    // the split deal re-derived per id by the same CASE the split oracle
+    // uses — interpolated IEEE bounds and all
+    "q_split_leakage" -> {
+      val bounds = graft.operators.Splits.cumulativeBounds(
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      def splitCase(idExpr: String): String =
+        s"""CASE WHEN ${uniformU32Sql(idExpr, 42L)} / 4294967296.0 < ${bounds(0)} THEN 'train'
+          |     WHEN ${uniformU32Sql(idExpr, 42L)} / 4294967296.0 < ${bounds(1)} THEN 'val'
+          |     ELSE 'test' END""".stripMargin
+      s"""WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  ${splitCase("id_a")} AS split_a,
+        |  ${splitCase("id_b")} AS split_b,
+        |  round(jaccard, 6) AS jaccard_r
+        |FROM p WHERE jaccard >= 0.5
+        |  AND ${splitCase("id_a")} <> ${splitCase("id_b")}""".stripMargin
     },
 
     "q_text_repetition" -> TextRepetitionOracle,

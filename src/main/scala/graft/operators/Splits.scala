@@ -24,23 +24,34 @@ object Splits {
     * @return df + `split` column (one of the names, never null)
     */
   def assign(df: DataFrame, idCol: String,
-      weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+      weights: Seq[(String, Double)], seed: Long = 42L): DataFrame =
+    // Shares Sampling's id dispatch: string ids hash, lossy id types
+    // raise (never a silently-NULL deal).
+    df.withColumn("split",
+      assignExpr(Sampling.idAsLong(df, idCol), weights, seed))
+
+  /** The split name as a pure COLUMN EXPRESSION of an already-integral id
+    * — the map-side kernel behind [[assign]], exposed so audits over pair
+    * frames (two id columns per row, e.g. near-dup pairs) derive both
+    * sides' splits in place instead of joining the corpus back in twice.
+    *
+    * u ∈ [0, 1) comes from the shared Sampling hash: pure int64
+    * arithmetic, so an external engine (the DuckDB oracle) reproduces the
+    * exact deal — the r7 xxhash64 draw was equally deterministic but
+    * SQL-opaque, which left the split gate rows-only. Use a seed distinct
+    * from any concurrent Sampling step: the same (id, seed) pair yields
+    * the same u, which would correlate the sample with the split
+    * boundaries.
+    */
+  def assignExpr(id: Column, weights: Seq[(String, Double)],
+      seed: Long = 42L): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be non-empty and positive")
-    // u ∈ [0, 1) from the shared Sampling hash: pure int64 arithmetic, so
-    // an external engine (the DuckDB oracle) reproduces the exact deal —
-    // the r7 xxhash64 draw was equally deterministic but SQL-opaque, which
-    // left the split gate rows-only. Shares Sampling's id dispatch too:
-    // string ids hash, lossy id types raise (never a silently-NULL deal).
-    // Use a seed distinct from any concurrent Sampling step: the same
-    // (id, seed) pair yields the same u, which would correlate the sample
-    // with the split boundaries.
-    val u = Sampling.uniform(Sampling.idAsLong(df, idCol), seed)
-    val expr0: Column = weights.init.zip(cumulativeBounds(weights)).reverse
-      .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
+    val u = Sampling.uniform(id, seed)
+    weights.init.zip(cumulativeBounds(weights)).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, ((name, _), hi)) =>
         when(u < hi, lit(name)).otherwise(acc)
       }
-    df.withColumn("split", expr0)
   }
 
   /** Normalized cumulative upper bounds for all but the last split —
