@@ -518,6 +518,17 @@ object SparkEntry {
         col("n_name").like("A%").alias("like_a"))
     }),
 
+    // Z-order (Morton) key over two join/filter dimensions — the sort key
+    // for clustered compaction (UpsertStore.compact(clusterBy)); pure bit
+    // arithmetic, so the oracle recomputes every key as an unrolled sum of
+    // shifted bit extractions. Codegen'd kernel, map-side, zero shuffle.
+    "q_zorder_key" -> ((s, dir) => {
+      import graft.functions.GraftExpressions.zorder2
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        zorder2(col("o_custkey"), col("o_orderkey")).alias("zkey"))
+    }),
+
     // to_alphanum zero-padded increment (VBAK_change.sql:1 semantics).
     "q_f_alphanum_increment" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -2422,6 +2433,18 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  lpad(CAST(o_orderkey + 1 AS VARCHAR), 10, '0') AS next_key_alphanum
         |FROM orders""".stripMargin,
+
+    // Morton interleave as a generated unrolled sum: bit i of a at output
+    // position 2i, bit i of b at 2i+1 — every term and the total fit
+    // BIGINT (< 2^62)
+    "q_zorder_key" -> {
+      val terms = (0 until 31).flatMap(i => Seq(
+        s"((o_custkey >> $i) & 1) * ${1L << (2 * i)}",
+        s"((o_orderkey >> $i) & 1) * ${1L << (2 * i + 1)}"))
+      s"""SELECT o_orderkey,
+        |  (${terms.mkString(" + ")}) AS zkey
+        |FROM orders""".stripMargin
+    },
 
     "q_f_datetime" ->
       """SELECT o_orderkey,

@@ -132,6 +132,24 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** `zorder2(long, long)` — 62-bit Morton interleave of two values in
+    * [0, 2^31); the sort key for Z-ordered clustered compaction (see
+    * [[SketchOps.zorder2]]).
+    */
+  case class ZOrder2(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.zorder2($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+      copy(left = l, right = r)
+  }
+
   /** `shingle_hashes(string, n)` — distinct FNV-hashed character n-grams. */
   case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
       with ImplicitCastInputTypes {
@@ -636,6 +654,7 @@ object GraftExpressions {
   def cosine_sim_d(a: Column, b: Column): Column = c(CosineSimD(e(a), e(b)))
   def deflate_ratio(col: Column): Column = c(DeflateRatio(e(col)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
+  def zorder2(a: Column, b: Column): Column = c(ZOrder2(e(a), e(b)))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def fnv_token_hashes(col: Column): Column = c(FnvTokenHashes(e(col)))
   def int8_scale(col: Column): Column = c(Int8Scale(e(col)))

@@ -124,6 +124,44 @@ object SketchOps {
     out
   }
 
+  /** Z-order (Morton) key: interleaves the low 31 bits of two
+    * non-negative ints — a.bit(i) lands at position 2i, b.bit(i) at
+    * 2i+1 — into a 62-bit key whose integer order is the space-filling
+    * Z-curve over (a, b). Sorting a table by this key clusters rows that
+    * are close in BOTH dimensions into the same parquet row groups, which
+    * is what makes min/max zone maps prune multi-dimensional range
+    * predicates (the Delta/Iceberg OPTIMIZE ZORDER layout trick —
+    * clustering is the cheap half of data skipping; the scan-side pruning
+    * is parquet's own row-group statistics, already pushed down by
+    * Spark).
+    *
+    * Pure bit arithmetic: an external engine reproduces the key as an
+    * unrolled sum of shifted bit extractions (the DuckDB oracle does
+    * exactly that), so layouts planned here verify elsewhere. Inputs
+    * outside [0, 2^31) raise — silently masking high bits would
+    * interleave GARBAGE positions and destroy the locality the caller
+    * asked for; rank/bucketize wider domains first.
+    */
+  def zorder2(a: Long, b: Long): Long = {
+    require(a >= 0 && a < (1L << 31) && b >= 0 && b < (1L << 31),
+      s"zorder2 inputs must be in [0, 2^31): got ($a, $b)")
+    spread31(a) | (spread31(b) << 1)
+  }
+
+  /** Spreads the low 31 bits of x to even positions 0,2,4,…,60 via the
+    * standard mask-shift doubling sequence (each step separates bit
+    * groups; constants are the 64-bit Morton masks).
+    */
+  private def spread31(x0: Long): Long = {
+    var x = x0 & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
   /** Cosine similarity of two DOUBLE vectors — same fixed-order
     * accumulation as [[cosineFloat]]; used where one side is a computed
     * centroid (k-means) rather than a stored float embedding. Matches

@@ -996,10 +996,31 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * schema evolution left mixed-schema files); its REAL job is MOR
     * maintenance — folding published delta dirs back into the base and
     * dropping them. Same stage-then-swap commit as merge.
+    *
+    * @param clusterBy optional CLUSTERED rewrite: sort rows by these
+    *   columns within each bucket before writing, so parquet's per-row-
+    *   group min/max statistics become selective and a later
+    *   `snapshot().where(col < x)` prunes row groups at the scan (Spark
+    *   pushes the filter down; unclustered data defeats the stats because
+    *   every row group spans the whole value range). The Delta/Iceberg
+    *   `OPTIMIZE ... ZORDER BY` analog — pass a single natural column, or
+    *   a [[graft.functions.GraftExpressions.zorder2]] key materialized as
+    *   a column for two-dimensional locality. Layout only: snapshot
+    *   contents are bit-identical with or without it.
     */
-  def compact(): Unit = opLock.synchronized {
+  def compact(clusterBy: Seq[String] = Nil): Unit = opLock.synchronized {
     acquireLease() // single-writer fence + heartbeat
     recoverSwap()
+    val missing = clusterBy.filterNot(c => savedSchema.fieldNames.contains(c))
+    require(missing.isEmpty,
+      s"clusterBy columns not in store schema: ${missing.mkString(", ")}")
+    // bucket-first sort: repartition(bucket) may co-locate several buckets
+    // in one task, and the partitionBy writer preserves task row order per
+    // dir — leading with the bucket keeps each bucket's run contiguous AND
+    // internally sorted by the cluster key
+    def cluster(df: DataFrame): DataFrame =
+      if (clusterBy.isEmpty) df
+      else df.sortWithinPartitions((bucketCol +: clusterBy).map(col): _*)
     // dispatch on what is ON DISK, not on this instance's write mode: a
     // COW-flagged compact over published deltas must fold them (rewriting
     // just the base would leave the deltas outranking it)
@@ -1010,7 +1031,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       // base to the IDENTICAL state (LWW of equal values; deletes of
       // absent keys are no-ops) — so partial delta removal is harmless.
       val pre = deltaSeqDirs
-      val data = foldedView().repartition(col(bucketCol))
+      val data = cluster(foldedView().repartition(col(bucketCol)))
       val staging = stagingDir
       data.write.partitionBy(bucketCol).mode("overwrite")
         .parquet(staging.getPath)
@@ -1031,8 +1052,8 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       pre.foreach { case (_, d) => rmTree(d) }
       fsyncDir(new java.io.File(dir))
     } else {
-      val data = spark.read.schema(savedSchema).parquet(dir)
-        .repartition(col(bucketCol))
+      val data = cluster(spark.read.schema(savedSchema).parquet(dir)
+        .repartition(col(bucketCol)))
       val staging = stagingDir
       data.write.partitionBy(bucketCol).mode("overwrite")
         .parquet(staging.getPath)
