@@ -1378,6 +1378,25 @@ object SparkEntry {
       meta.join(feats, "asset_id")
     }),
 
+    // Image near-dup: perceptual hash (real aHash bit rule over the stub
+    // pixel grid) → complete Hamming banding → exact verify. Rows-only:
+    // the byte→grid stub is not SQL-expressible; determinism, the aHash
+    // flip bound, and banding completeness are spec-pinned
+    // (MultimodalSpec/DedupSpec). The corpus has NO byte-identical texts
+    // (and stub pixel grids carry no near-dup structure), so the gate
+    // plants byte-level duplicates of the 20 lowest-id assets under
+    // offset ids — the pair list is exactly those plants at hamming 0,
+    // found by the banding over the full corpus-sized table.
+    "q_mm_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val assets = graft.multimodal.Multimodal
+        .assetsFromDocuments(s, t(s, dir, "documents"))
+      val plants = assets.filter(_.asset_id < 20)
+        .map(a => a.copy(asset_id = a.asset_id + 10000000L))
+      graft.multimodal.Multimodal
+        .imageNearDups(assets.unionByName(plants), maxHamming = 3)
+    }),
+
     // Resize stage: decode → resize(224×224) → measure. The stub halves the
     // payload and stamps the target dims, so the whole pipeline is
     // oracle-checkable even though the codec is fake.

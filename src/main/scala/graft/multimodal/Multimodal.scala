@@ -75,6 +75,57 @@ object Multimodal {
       val x = h(a.media, 2000 + idx)
       Array.tabulate(8)(i => ((x >>> (8 * i)) & 0xff).toByte)
     }
+
+    /** STUB 8×8 luma grid: what a real decoder produces by
+      * decode → grayscale → resize(8,8). Deterministic from the bytes.
+      */
+    def grid8(a: Asset): Array[Int] =
+      Array.tabulate(64)(i => ((h(a.media, 3000 + i / 8) >>> (8 * (i % 8))) & 0xff).toInt)
+
+    /** Perceptual hash of an asset = [[averageHash]] over the (stub)
+      * pixel grid. Swapping `grid8` for a real decoder upgrades this to a
+      * true image aHash without touching the hash or the pair machinery.
+      */
+    def phash64(a: Asset): Long = averageHash(grid8(a))
+  }
+
+  /** Average-hash over an 8×8 luma grid — bit i is set iff pixel i is
+    * strictly above the grid mean. This half is NOT a stub: it is the
+    * standard aHash bit rule, and its key property — k pixel cells
+    * flipping across the mean moves the hash by ≤ k Hamming bits — is what
+    * makes Hamming banding a sound image near-dup filter.
+    */
+  def averageHash(grid: Array[Int]): Long = {
+    require(grid.length == 64, s"grid must be 8x8, got ${grid.length}")
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += grid(i); i += 1 }
+    // integer threshold: pixel > floor(mean) — avoids float comparison
+    // drift across platforms
+    val thr = sum / 64
+    var out = 0L
+    i = 0
+    while (i < 64) {
+      if (grid(i) > thr) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Image near-duplicate pairs: perceptual-hash each asset (batched
+    * mapPartitions — the decode seam), then recover all pairs within
+    * `maxHamming` bits through [[graft.operators.Dedup.hammingNearDups]]'s
+    * complete pigeonhole banding. Per-asset work is O(bytes); the pair
+    * stage is bucket-local — the same never-quadratic shape as the text
+    * path, so a billion-image corpus costs one fingerprint scan plus a
+    * banded self-join on 8-byte keys.
+    */
+  def imageNearDups(assets: Dataset[Asset], maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    import assets.sparkSession.implicits._
+    val fps = assets.mapPartitions(_.map(a => (a.asset_id, StubCodecs.phash64(a))))
+      .toDF("asset_id", "phash")
+    graft.operators.Dedup.hammingNearDups(fps, "asset_id", "phash", maxHamming, maxBucket)
   }
 
   /** Decode metadata for every asset. Batched per partition; one iterator

@@ -357,6 +357,19 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
+      broadcastSketches: Boolean = true): DataFrame =
+    hammingNearDups(
+      df.select(col(idCol), TextAnalysis.simhash(col(textCol)).alias("fp")),
+      idCol, "fp", maxHamming, maxBucket, broadcastSketches)
+
+  /** The pigeonhole-banding engine behind [[simhashNearDups]], over a
+    * PRECOMPUTED 64-bit fingerprint column — any fingerprint family rides
+    * the same complete-recall machinery (simhash for text, perceptual
+    * hashes for images, rolling hashes for audio): chunk → bucket-join →
+    * exact Hamming verify, identical scale shape.
+    */
+  def hammingNearDups(fps: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue,
       broadcastSketches: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming $maxHamming: need 0..31 (chunks must hold ≥2 bits)")
@@ -368,8 +381,8 @@ object Dedup {
     // wraps to 1L in the JVM, so the mask must special-case to all-ones
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     // fingerprints feed both the banding path and the Hamming verify —
-    // lazy localCheckpoint shares the one simhash kernel pass
-    val fp = df.select(col(idCol), TextAnalysis.simhash(col(textCol)).alias("fp"))
+    // lazy localCheckpoint shares the one fingerprint-kernel pass
+    val fp = fps.select(col(idCol), col(fpCol).alias("fp"))
       .localCheckpoint(false)
     val chunkStructs = (0 until numChunks).map(i => struct(
       lit(i).alias("chunk"),

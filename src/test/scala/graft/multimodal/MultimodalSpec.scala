@@ -59,4 +59,45 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(self.getDouble(0) - 1.0) < 1e-6)
     assert(math.abs(self.getDouble(1) - 1.0) < 1e-6)
   }
+
+  test("averageHash: aHash bit rule, and k cell flips move ≤ k bits") {
+    // flat grid: nothing strictly above the mean → hash 0
+    assert(Multimodal.averageHash(Array.fill(64)(10)) === 0L)
+    // one bright pixel above an otherwise-flat grid → exactly that bit
+    val g = Array.fill(64)(10); g(5) = 200
+    assert(java.lang.Long.bitCount(Multimodal.averageHash(g)) === 1)
+    // the banding soundness property: flipping k cells across the (stable)
+    // mean changes ≤ k hash bits
+    val base = Array.tabulate(64)(i => if (i < 32) 0 else 255)
+    val tweaked = base.clone(); tweaked(0) = 255; tweaked(63) = 0
+    val d = java.lang.Long.bitCount(
+      Multimodal.averageHash(base) ^ Multimodal.averageHash(tweaked))
+    assert(d <= 2, s"2 cell flips moved $d bits")
+    intercept[IllegalArgumentException] { Multimodal.averageHash(Array(1, 2)) }
+  }
+
+  test("imageNearDups: byte-identical assets pair at hamming 0, deterministic") {
+    // plant two byte-level duplicates among distinct payloads
+    val planted = spark.createDataset(Seq(
+      Asset(1L, "same-bytes".getBytes, "image/png"),
+      Asset(2L, "same-bytes".getBytes, "image/png"),
+      Asset(3L, "other".getBytes, "image/png"),
+      Asset(4L, "another".getBytes, "image/png")))
+    val pairs = Multimodal.imageNearDups(planted, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L && p._3 == 0))
+    // corpus-scale run with planted byte-duplicates (the corpus itself has
+    // no byte-identical texts): every plant pairs with its source at
+    // hamming 0, and the run is reproducible end-to-end
+    val planted2 = assets.filter(_.asset_id < 20)
+      .map(a => a.copy(asset_id = a.asset_id + 10000000L))
+    val corpus = assets.unionByName(planted2)
+    val a = Multimodal.imageNearDups(corpus).collect().map(_.toSeq).toSet
+    val b = Multimodal.imageNearDups(corpus).collect().map(_.toSeq).toSet
+    assert(a == b)
+    val zeroPairs = a.filter(_(2) == 0)
+    assert((0L until 20L).forall(i =>
+      zeroPairs.exists(p => p(0) == i && p(1) == i + 10000000L)))
+  }
 }
