@@ -1793,6 +1793,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
     }),
 
+    // Span-level packing manifest: exact-length training sequences cut
+    // ACROSS document boundaries — one row per (doc × sequence) slice with
+    // reassembly coordinates. Pure integer arithmetic over the gated
+    // prefix sum; a 512-token budget on ~100-token docs exercises both
+    // many-docs-per-sequence and the straddle case.
+    "q_pack_sequence_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tok"))
+      Shards.packSpans(d, "doc_id", "n_tok", 512L)
+        .select(col("doc_id"), col("seq"), col("tok_start"), col("tok_end"),
+          col("seq_offset"))
+    }),
+
     // Shuffle → shard composed: shards cut over the SHUFFLED order (what a
     // real pipeline packs — id-order shards reproduce crawl correlation
     // inside every shard). shuffle_pos is the unique numeric layout key,
@@ -3322,6 +3335,29 @@ object SparkEntry {
         |  array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk,
         |  CAST(len(ws[i*40+1 : i*40+50]) AS INT) AS n_tok
         |FROM ex""".stripMargin,
+
+    // window prefix sum → generate_series over the sequence range each doc
+    // intersects → the same greatest/least slice arithmetic
+    "q_pack_sequence_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n_tok, cum,
+        |    unnest(generate_series(cum // 512, (cum + n_tok - 1) // 512)) AS seq
+        |  FROM c WHERE n_tok > 0)
+        |SELECT doc_id, seq,
+        |  greatest(0, seq * 512 - cum) AS tok_start,
+        |  least(n_tok, (seq + 1) * 512 - cum) AS tok_end,
+        |  greatest(0, cum - seq * 512) AS seq_offset
+        |FROM s""".stripMargin,
 
     // Shuffle → shard: permutation + running sum in one window chain
     "q_shuffled_shards" ->

@@ -722,6 +722,8 @@ object GraftExpressions {
       xs => DeflateRatio(xs.head)),
     ("hamming64", "Hamming distance of two 64-bit fingerprints",
       xs => Hamming64(xs.head, xs(1))),
+    ("zorder2", "62-bit Morton interleave of two values in [0, 2^31)",
+      xs => ZOrder2(xs.head, xs(1))),
     ("jaccard_sorted", "exact Jaccard of two sorted distinct arrays",
       xs => JaccardSorted(xs.head, xs(1))),
     ("fnv_token_hashes", "per-token FNV-1a/64 codepoint hashes",

@@ -88,6 +88,49 @@ object Shards {
     * over (id, text) structs: deterministic, no window, no extra shuffle
     * beyond the one groupBy(shard).
     */
+  /** The SPAN-level packing manifest: fixed-length training sequences of
+    * exactly `budget` tokens cut across document boundaries (GPT-style
+    * concat-and-chunk — [[assignByTokenBudget]] keeps documents whole and
+    * lets shards run ragged; a training loader wants the dual: ragged
+    * documents, exact-length sequences). One row per (document × sequence
+    * it intersects):
+    *
+    *   - `seq`        fixed-length sequence index (`floor(pos / budget)`)
+    *   - `tok_start`/`tok_end`  the [start, end) slice of THIS document's
+    *                  tokens that lands in `seq`
+    *   - `seq_offset` where that slice begins inside the sequence
+    *
+    * so `(seq, seq_offset, doc slice)` reassembles every sequence exactly,
+    * and a loader can group by `seq` to materialize batches while keeping
+    * doc provenance for attention-mask resets at document joins.
+    *
+    * Everything after the prefix sum is per-row integer arithmetic plus a
+    * bounded explode (a doc of T tokens spans ≤ T/budget + 1 sequences —
+    * output size is Σtokens/budget + ndocs rows, linear); no new shuffle
+    * beyond [[assignByTokenBudget]]'s, and the whole manifest is exact
+    * integer arithmetic an external engine replays (the gate's DuckDB
+    * oracle does, via the same window sum + generate_series).
+    *
+    * Zero-token documents contribute nothing to any sequence and are
+    * dropped from the manifest (they have no slice to place).
+    */
+  def packSpans(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
+    assignByTokenBudget(df, idCol, tokenCol, budget)
+      .where(tok > 0)
+      .withColumn("seq", explode(sequence(
+        floor(col("cum_before") / budget),
+        floor((col("cum_before") + tok - 1) / budget))))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("seq") * budget - col("cum_before")))
+      .withColumn("tok_end",
+        least(tok, (col("seq") + 1) * budget - col("cum_before")))
+      .withColumn("seq_offset",
+        greatest(lit(0L), col("cum_before") - col("seq") * budget))
+  }
+
   def packText(df: DataFrame, idCol: String, textCol: String,
       tokenCol: String, budget: Long,
       eos: String = "<|endoftext|>"): DataFrame =

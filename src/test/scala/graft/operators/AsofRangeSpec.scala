@@ -357,6 +357,50 @@ class AsofRangeSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("packSpans: exact-length sequences reassemble; spans partition each doc") {
+    val docs = Seq((1L, 4L), (2L, 7L), (3L, 2L), (4L, 0L), (5L, 13L))
+      .toDF("doc_id", "n_tok")
+    // budget 5 over cum [0,4,11,13,13]: doc1→seq0[0,4); doc2 straddles
+    // seq0 (1 tok) + seq1 (5) + seq2 (1); doc3 in seq2; doc4 empty → gone;
+    // doc5 spans seq2(2)+seq3(5)+seq4(5)+seq5(1)
+    val got = Shards.packSpans(docs, "doc_id", "n_tok", budget = 5L)
+      .select($"doc_id", $"seq", $"tok_start", $"tok_end", $"seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 0L, 0L, 4L, 0L),
+      (2L, 0L, 0L, 1L, 4L), (2L, 1L, 1L, 6L, 0L), (2L, 2L, 6L, 7L, 0L),
+      (3L, 2L, 0L, 2L, 1L),
+      (5L, 2L, 0L, 2L, 3L), (5L, 3L, 2L, 7L, 0L), (5L, 4L, 7L, 12L, 0L),
+      (5L, 5L, 12L, 13L, 0L))
+    assert(got === want)
+    // invariants at property scale: spans tile each doc exactly, every
+    // sequence but the last holds exactly `budget` tokens, and offsets
+    // within a sequence are contiguous
+    val big = Seq.tabulate(200)(i => (i.toLong, (i % 11 + 1).toLong))
+      .toDF("doc_id", "n_tok")
+    val spans = Shards.packSpans(big, "doc_id", "n_tok", budget = 7L)
+      .select($"doc_id", $"seq", $"tok_start", $"tok_end", $"seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val perDoc = spans.groupBy(_._1)
+    assert(perDoc.forall { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.head._3 == 0 &&
+        sorted.sliding(2).forall {
+          case Array(a, b) => a._4 == b._3 && a._2 + 1 == b._2
+          case _ => true
+        }
+    })
+    val perSeq = spans.groupBy(_._2).map { case (s, ss) =>
+      s -> ss.map(x => x._4 - x._3).sum }
+    val lastSeq = perSeq.keys.max
+    assert(perSeq.filter(_._1 != lastSeq).values.forall(_ == 7L))
+    // partition-invariance
+    val re = Shards.packSpans(big.repartition(7), "doc_id", "n_tok", 7L)
+      .select($"doc_id", $"seq", $"tok_start", $"tok_end", $"seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(re === spans.toSet)
+  }
+
   // ── Split assignment ───────────────────────────────────────────────────
 
   test("splits: deterministic, partition-invariant, exhaustive, near-weights") {
