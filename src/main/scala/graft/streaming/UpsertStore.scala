@@ -236,6 +236,38 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     else baseRead().drop(bucketCol)
   }
 
+  /** POINT LOOKUP: the current row(s) for one primary key, reading ONLY
+    * the key's bucket — the serving-path read. `snapshot().where(pk = v)`
+    * cannot prune: it drops the bucket column before the filter exists,
+    * so every bucket dir is scanned; here the bucket is computed from the
+    * key up front (the same `pmod(hash(pk...))` the writers use — via a
+    * 1-row Spark eval, so the hash semantics can never drift from the
+    * write path) and becomes a PARTITION filter on the base plus a
+    * LISTING filter on the delta dirs. At 100 TB that is one bucket's
+    * files plus the deltas that touched it, not the table. Values cast to
+    * the stored key types first — `hash(5)` ≠ `hash(5L)`, and a silently
+    * mis-typed probe would scan the right store and find nothing.
+    */
+  def lookup(key: Any*): DataFrame = opLock.synchronized {
+    guardRead()
+    require(key.length == pkCols.length,
+      s"lookup needs ${pkCols.length} key value(s) for " +
+        s"(${pkCols.mkString(", ")}), got ${key.length}")
+    val schema = savedSchema
+    val typedKey = pkCols.zip(key).map { case (c, v) =>
+      lit(v).cast(schema(schema.fieldIndex(c)).dataType)
+    }
+    val b = spark.range(1)
+      .select(pmod(hash(typedKey: _*), lit(numBuckets)).cast("int"))
+      .head().getInt(0)
+    val pred = pkCols.zip(typedKey)
+      .map { case (c, v) => col(c) === v }.reduce(_ && _)
+    val view =
+      if (mergeOnRead || deltaSeqDirs.nonEmpty) foldedView(bucket = Some(b))
+      else baseRead().where(col(bucketCol) === b)
+    view.where(pred).drop(bucketCol)
+  }
+
   /** TIME TRAVEL: the snapshot as of delta sequence `seq` (inclusive) —
     * the state after the merge that published `_delta_<seq>` and before
     * any later one; `seq = earliestSeq` reads the base alone. History
@@ -795,14 +827,23 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * the table (the same observation the COW merge builds on). Reads with
     * the widened persisted schema, so pre-evolution files null-fill.
     */
-  private def foldedView(maxSeq: Long = Long.MaxValue): DataFrame = {
+  private def foldedView(maxSeq: Long = Long.MaxValue,
+      bucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val deltas = deltaSeqDirs.filter(_._1 <= maxSeq)
-    val baseAll = baseRead() // debris-tolerant (see baseRead)
+    // single-bucket reads (point lookup): deltas that never touched the
+    // bucket drop out by a LISTING (their _bucket=N subdir names), and
+    // the base narrows by a partition filter — no data outside the bucket
+    // is read anywhere below
+    val deltas = deltaSeqDirs.filter(_._1 <= maxSeq).filter { case (_, d) =>
+      bucket.forall(b => stagedBuckets(d)
+        .exists(_.getName == s"$bucketCol=$b"))
+    }
+    val baseAll = bucket.foldLeft(baseRead())((df, b) =>
+      df.where(col(bucketCol) === b)) // debris-tolerant (see baseRead)
     if (deltas.isEmpty) return baseAll
     val touched = deltas.flatMap { case (_, d) =>
       stagedBuckets(d).map(_.getName.stripPrefix(s"$bucketCol=").toInt)
-    }.toSet
+    }.toSet.filter(t => bucket.forall(_ == t))
     if (touched.isEmpty) return baseAll // only empty deltas exist
     val untouched =
       baseAll.where(!col(bucketCol).isin(touched.toSeq: _*))
@@ -813,8 +854,10 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
       .withColumn(seqCol, lit(0L))
     val all = deltas.foldLeft(touchedBase) { case (acc, (seq, d)) =>
+      val deltaRead = spark.read.schema(withEnvelope).parquet(d.getPath)
       acc.unionByName(
-        spark.read.schema(withEnvelope).parquet(d.getPath)
+        bucket.foldLeft(deltaRead)((r, b) => // partition-prune the delta too
+            r.where(col(bucketCol) === b))
           .withColumn(seqCol, lit(seq)),
         allowMissingColumns = true)
     }
