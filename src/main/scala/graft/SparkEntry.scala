@@ -1161,6 +1161,20 @@ object SparkEntry {
           .select(col("user_id"), col("c_name"),
             col("c_acctbal").cast(DoubleType).alias("bal")))),
 
+    // POINT LOOKUPS over the same two-batch store: eight probes covering
+    // untouched / updated / LWW-overridden / deleted / delete-then-
+    // reinserted keys, each reading ONE bucket (StoreLookupSpec measures
+    // the files). Oracle = the final-state arithmetic restricted to the
+    // probed keys; the deleted keys' absence is part of the hash.
+    "q_store_lookup" -> ((s, dir) =>
+      withReplayStore(s, dir) { store =>
+        Seq(1L, 3L, 5L, 7L, 8L, 15L, 21L, 35L)
+          .map(k => store.lookup(k))
+          .reduce(_.unionByName(_))
+          .select(col("user_id"), col("c_name"),
+            col("c_acctbal").cast(DoubleType).alias("bal"))
+      }),
+
     // CHANGE DATA FEED over the same two-batch store: the net changes in
     // (1, 2] are exactly batch 2's upserts (+200 on every 5th key) — the
     // Delta-CDF `table_changes` analog; LWW replay identity spec-pinned.
@@ -1968,6 +1982,28 @@ object SparkEntry {
         .where(col("split_a") =!= col("split_b"))
     }),
 
+    // Group-aware splits — the FIX for what q_split_leakage detects: deal
+    // the split from the near-dup GROUP label (component, singletons =
+    // own id), so a whole duplicate family lands in one split and
+    // train/eval leakage is structurally zero (spec-asserted). The group
+    // table is near-dup members only (tiny by contract) → broadcast; the
+    // deal itself stays a map-side expression.
+    "q_split_by_group" -> ((s, dir) => {
+      import graft.operators.Splits
+      val w = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      val groups = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(broadcast(groups), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).alias("grp"))
+        .select(col("doc_id"), col("grp"),
+          Splits.assignExpr(col("grp"), w).alias("split"))
+    }),
+
     // W5: top-k per group — deterministic row_number (price desc, key asc)
     // capped at 3 per order priority.
     "q_w5_topk_per_group" -> ((s, dir) => {
@@ -2653,6 +2689,38 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin
     },
 
+    // recursive-CTE components (as in q_dedup_groups) + singleton
+    // coalesce + the split CASE applied to the GROUP label
+    "q_split_by_group" -> {
+      val bounds = graft.operators.Splits.cumulativeBounds(
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |g AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id, grp,
+        |  CASE WHEN ${uniformU32Sql("grp", 42L)} / 4294967296.0 < ${bounds(0)} THEN 'train'
+        |       WHEN ${uniformU32Sql("grp", 42L)} / 4294967296.0 < ${bounds(1)} THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM g""".stripMargin
+    },
+
     // same pair set as q_dedup_minhash_pairs (LSH recall 1.0 there), with
     // the split deal re-derived per id by the same CASE the split oracle
     // uses — interpolated IEEE bounds and all
@@ -2962,6 +3030,17 @@ object SparkEntry {
         |            ELSE c_acctbal END AS DOUBLE) AS bal
         |FROM customer
         |WHERE c_custkey % 7 <> 0""".stripMargin,
+
+    // final state at the probed keys: +200 overrides +100 (LWW), %7
+    // deletes survive only when %5 re-inserted them
+    "q_store_lookup" ->
+      """SELECT c_custkey AS user_id, c_name,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 200
+        |            WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_custkey IN (1, 3, 5, 7, 8, 15, 21, 35)
+        |  AND NOT (c_custkey % 7 = 0 AND c_custkey % 5 <> 0)""".stripMargin,
 
     // Change data feed (1, 2]: exactly batch 2 — upserts of every 5th key
     // at +200

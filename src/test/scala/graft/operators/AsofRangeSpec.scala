@@ -424,6 +424,30 @@ class AsofRangeSpec extends SparkSpec {
     assert(flat != reseeded)
   }
 
+  test("group-aware splits: zero near-dup leakage; the id-based deal does leak") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b").localCheckpoint(true)
+    assert(pairs.count() > 0) // corpus must exercise the property
+    val groups = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val assigned = docs.select($"doc_id")
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .select($"doc_id", Splits.assignExpr(
+        coalesce($"component", $"doc_id"), w).alias("split"))
+    val leaks = pairs
+      .join(assigned.toDF("id_a", "split_a"), "id_a")
+      .join(assigned.toDF("id_b", "split_b"), "id_b")
+      .where($"split_a" =!= $"split_b").count()
+    assert(leaks === 0L)
+    // baseline: dealing from the raw id DOES split some duplicate family
+    // on this corpus — the reason the audit and the group deal exist
+    val idLeaks = pairs.where(
+      Splits.assignExpr($"id_a", w) =!= Splits.assignExpr($"id_b", w)).count()
+    assert(idLeaks > 0L)
+  }
+
   // ── Approximate sketches ───────────────────────────────────────────────
 
   test("approx_count_distinct (HLL++) lands within its error bound on real data") {
