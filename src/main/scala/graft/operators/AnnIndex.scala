@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions._
+
+/** PERSISTED IVF index: the production shape of [[Similarity.ivfTopK]] —
+  * fit the coarse quantizer once, lay the corpus out cell-partitioned on
+  * disk, and let every later query batch prune to its probed cells at the
+  * FILE level (partition-dir filter, same mechanism as the upsert store's
+  * buckets). `ivfTopK` refits and reshuffles per call, which is right for
+  * one-shot exploration and wrong for a serving path: at 100 TB the
+  * assignment pass alone reads the corpus, so an index queried twice has
+  * already paid for itself.
+  *
+  * On-disk layout under `path`:
+  *   - `assignments/_cell=N/` — (id, vec) parquet, one dir per cell
+  *   - `centroids/`           — (cell, centroid float[], in-cell count)
+  *   - `_meta.json`           — numCells/seed/fitSampleSize + column names
+  *
+  * Search reads `centroids` (numCells rows — broadcast), picks each
+  * query's `nprobe` nearest cells by cosine, and scans ONLY the probed
+  * cell dirs (`_cell in (...)` is a partition filter over the union of
+  * probed cells; per-(query, cell) matching stays an equi-join against
+  * the broadcast probe list). Scoring and the bounded-heap top-k are the
+  * exact code `ivfTopK` runs, and the quantizer fit is the SAME seeded
+  * sample-fit (`Similarity.fitCoarseQuantizer`), so `search(build(data))`
+  * equals `ivfTopK(data)` row-for-row for equal parameters — the spec
+  * pins that identity plus the file-level pruning.
+  *
+  * Builds publish by staged rename: written to `<path>_tmp`, moved into
+  * place last, so readers never see a half-built index and a crashed
+  * build leaves the previous index intact.
+  */
+object AnnIndex {
+
+  private case class Meta(idCol: String, vecCol: String, numCells: Int,
+      seed: Long, fitSampleSize: Int)
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  /** Fit + assign + write. Overwrites an existing index atomically (the
+    * old index serves reads until the final rename).
+    */
+  def buildIvf(path: String, data: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = Similarity.fitCoarseQuantizer(data, idCol, vecCol, numCells,
+      seed, fitSampleSize)
+    val tmp = new java.io.File(path + "_tmp")
+    rmTree(tmp) // a crashed previous build's debris
+    val assigned = model.transform(
+        data.select(col(idCol), col(vecCol),
+          array_to_vector(col(vecCol).cast("array<double>")).alias("_features")))
+      .drop("_features")
+    assigned.write.partitionBy("_cell").mode("overwrite")
+      .parquet(new java.io.File(tmp, "assignments").getPath)
+    val spark = data.sparkSession
+    import spark.implicits._
+    // in-cell counts ride along: the stats an nprobe/numCells tuning pass
+    // reads without touching the assignments
+    val counts = spark.read.parquet(new java.io.File(tmp, "assignments").getPath)
+      .groupBy(col("_cell")).agg(count(lit(1)).alias("n_vectors"))
+      .as[(Int, Long)].collect().toMap
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat), counts.getOrElse(i, 0L))
+      }.toSeq
+      .toDF("_cell", "_centroid", "n_vectors")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(new java.io.File(tmp, "centroids").getPath)
+    val meta =
+      s"""{"idCol":"$idCol","vecCol":"$vecCol","numCells":$numCells,
+         |"seed":$seed,"fitSampleSize":$fitSampleSize}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(tmp, "_meta.json").toPath,
+      meta.getBytes(StandardCharsets.UTF_8))
+    val dst = new java.io.File(path)
+    rmTree(dst)
+    java.nio.file.Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val f = new java.io.File(path, "_meta.json")
+    require(f.exists(), s"no ANN index at $path (missing _meta.json)")
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)
+    def str(k: String) =
+      s.split("\"" + k + "\":\"")(1).takeWhile(_ != '"')
+    def num(k: String) =
+      s.split("\"" + k + "\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
+    Meta(str("idCol"), str("vecCol"), num("numCells").toInt,
+      num("seed"), num("fitSampleSize").toInt)
+  }
+
+  /** Top-k cosine search against a persisted index. Reads only the probed
+    * cells' dirs; `search ≡ ivfTopK` for equal parameters (spec-pinned).
+    */
+  def searchIvf(path: String, queries: DataFrame, queryIdCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = readMeta(spark, path)
+    val cellDf = broadcast(
+      spark.read.parquet(new java.io.File(path, "centroids").getPath)
+        .select(col("_cell"), col("_centroid")))
+    val q = queries.select(col(queryIdCol).alias("query_id"),
+      col(meta.vecCol).alias("_qvec"))
+    val probes = q.crossJoin(cellDf)
+      .withColumn("_csim", cosine_sim(col("_qvec"), col("_centroid")))
+      .withColumn("_rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("_csim").desc, col("_cell"))))
+      .where(col("_rnk") <= nprobe)
+      .select(col("query_id"), col("_qvec"), col("_cell"))
+      .localCheckpoint(true) // probed twice below: cell-union + join
+    // the UNION of probed cells becomes a partition filter — unprobed
+    // cell dirs are never opened. Bounded driver collect: ≤ numCells ints.
+    val probedCells = probes.select(col("_cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val indexed = spark.read
+      .parquet(new java.io.File(path, "assignments").getPath)
+      .where(col("_cell").isin(probedCells: _*))
+    val scored = indexed.join(broadcast(probes),
+        indexed("_cell") === probes("_cell") &&
+          col(meta.idCol) =!= col("query_id"))
+      .select(col("query_id"), col(meta.idCol).alias("neighbor_id"),
+        cosine_sim(col(meta.vecCol), col("_qvec")).alias("cosine"))
+    Similarity.topKPerQuery(scored, k)
+  }
+}

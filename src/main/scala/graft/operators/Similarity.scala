@@ -93,7 +93,7 @@ object Similarity {
   /** Shared reduce: per-query bounded top-k with map-side partial
     * aggregation, then explode to (query_id, neighbor_id, cosine, rank).
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val agg = new TopK(k).toColumn
@@ -118,38 +118,51 @@ object Similarity {
     * a fixed input), broadcast everywhere; at 100 TB the fit runs on a
     * sample and assignment stays a map-side pass.
     */
-  def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, queryIdCol: String, k: Int, numCells: Int,
-      nprobe: Int = 4, seed: Long = 42L, fitSampleSize: Int = 20000): DataFrame = {
+  /** Seeded coarse-quantizer fit shared by [[ivfTopK]], [[ivfPqTopK]] and
+    * the persisted [[AnnIndex]] — ONE definition so an index built today
+    * and an in-memory query tomorrow cannot drift.
+    *
+    * Fits on a bounded sample with few iterations: centroid quality
+    * saturates fast and the 100 TB plan can only ever fit on a sample.
+    * The sample is the first `fitSampleSize` rows in id-HASH order
+    * (TakeOrderedAndProject: per-partition bounded heap + tiny merge, no
+    * count or extra shuffle pass): hash order is a fixed pseudo-random
+    * permutation of the corpus, so the fit is DETERMINISTIC regardless of
+    * partition/file-listing order and unbiased even on sorted or
+    * partition-clustered corpora — a bare limit() would take whatever
+    * scan splits finish first (ADVICE r2). Random init (seeded,
+    * deterministic) over k-means||: the parallel init is itself several
+    * distributed passes, and a coarse IVF quantizer needs cells of
+    * roughly even mass, not optimal centers — 5 Lloyd iterations from a
+    * random seed get there at a fraction of the cost.
+    */
+  private[operators] def fitCoarseQuantizer(data: DataFrame, idCol: String,
+      vecCol: String, numCells: Int, seed: Long,
+      fitSampleSize: Int): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = data.sparkSession
-    val feats = Dedup.widen(data)
-      .select(col(idCol), col(vecCol),
-        array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
-    // fit on a bounded sample with few iterations: centroid quality
-    // saturates fast and the 100 TB plan can only ever fit on a sample.
-    // The sample is the first `fitSampleSize` rows in id-HASH order
-    // (TakeOrderedAndProject: per-partition bounded heap + tiny merge, no
-    // count or extra shuffle pass): hash order is a fixed pseudo-random
-    // permutation of the corpus, so the fit is DETERMINISTIC regardless of
-    // partition/file-listing order and unbiased even on sorted or
-    // partition-clustered corpora — a bare limit() would take whatever
-    // scan splits finish first (ADVICE r2)
     val fitOn = data
       .select(array_to_vector(col(vecCol).cast("array<double>")).alias("_features"),
         xxhash64(col(idCol)).alias("_h"))
       .orderBy(col("_h"))
       .limit(fitSampleSize)
       .drop("_h")
-    // random init (seeded, deterministic) over k-means||: the parallel init
-    // is itself several distributed passes, and a coarse IVF quantizer
-    // needs cells of roughly even mass, not optimal centers — 5 Lloyd
-    // iterations from a random seed get there at a fraction of the cost
-    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
+    new KMeans().setK(numCells).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(fitOn)
+  }
+
+  def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, numCells: Int,
+      nprobe: Int = 4, seed: Long = 42L, fitSampleSize: Int = 20000): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = data.sparkSession
+    val feats = Dedup.widen(data)
+      .select(col(idCol), col(vecCol),
+        array_to_vector(col(vecCol).cast("array<double>")).alias("_features"))
+    val model = fitCoarseQuantizer(data, idCol, vecCol, numCells, seed,
+      fitSampleSize)
     val indexed = model.transform(feats).drop("_features")
     // centroids back to float arrays for the cosine kernel
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>

@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted IVF index: search-from-disk must equal the in-memory ivfTopK
+  * (same quantizer fit, same scoring), unprobed cell dirs must never be
+  * read, and rebuilds must be atomic.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.limit(12)
+    .select(col("vec_id").alias("qid"), col("embedding"))
+
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(leaves) ++
+          other.subqueries.flatMap(leaves)
+      }
+    leaves(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("searchIvf(buildIvf(data)) ≡ ivfTopK(data) row-for-row") {
+    val dir = Files.createTempDirectory("graft-annix").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 8,
+      seed = 42L, fitSampleSize = 2000)
+    val fromIndex = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val inMemory = Similarity.ivfTopK(emb,
+        queries.withColumnRenamed("qid", "vec_id"), "vec_id", "embedding",
+        "vec_id", k = 5, numCells = 8, nprobe = 3, seed = 42L,
+        fitSampleSize = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    assert(fromIndex === inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("search prunes to probed cell dirs; centroids carry counts") {
+    val dir = Files.createTempDirectory("graft-annpx").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 8,
+      seed = 42L, fitSampleSize = 2000)
+    // count data files per cell dir on disk
+    val cellDirs = new java.io.File(dir, "assignments")
+      .listFiles((f: java.io.File) => f.getName.startsWith("_cell="))
+    assert(cellDirs.length === 8)
+    val totalFiles = cellDirs.map(d =>
+      d.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")).length.toLong).sum
+    // one query, nprobe 1: the assignment scan must touch ~1/8 of files
+    val one = queries.limit(1)
+    val read = filesRead(AnnIndex.searchIvf(dir, one, "qid", k = 3, nprobe = 1))
+    assert(read < totalFiles,
+      s"expected pruned scan, read $read of $totalFiles assignment files")
+    // centroid stats: counts sum to the corpus
+    val n = spark.read.parquet(s"$dir/centroids")
+      .agg(sum(col("n_vectors"))).head().getLong(0)
+    assert(n === emb.count())
+  }
+
+  test("rebuild is atomic and a missing index fails loudly") {
+    val dir = Files.createTempDirectory("graft-annrx").resolve("ix").toString
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchIvf(dir, queries, "qid", k = 3)
+    }
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
+      seed = 1L, fitSampleSize = 500)
+    val before = AnnIndex.searchIvf(dir, queries, "qid", k = 3).count()
+    // rebuild with different params lands atomically; results still sane
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 8,
+      seed = 42L, fitSampleSize = 2000)
+    val after = AnnIndex.searchIvf(dir, queries, "qid", k = 3).count()
+    assert(before === after) // 12 queries × k
+  }
+}
