@@ -1786,6 +1786,31 @@ object SparkEntry {
           round(col("score"), 6).alias("score_r"))
     }),
 
+    // Hybrid retrieval: BM25 (sparse) + exact dense cosine fused by
+    // reciprocal rank — both input rankings are themselves gated
+    // (q_text_bm25_search, q_sim_topk_bruteforce), the fusion is rank
+    // arithmetic with exactly two addends per doc (bit-exact double sum),
+    // and ties break on id. The doc/embedding id spaces align by fixture
+    // convention (as in the fused-dedup gate).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") === 7)
+            .select(col("vec_id").alias("query_id"), col("embedding")),
+          "vec_id", "embedding", "query_id", k = 100)
+        .select(col("neighbor_id").alias("doc_id"), col("rank"))
+      val sparse = Retrieval.bm25Search(docs, "doc_id", "text",
+          Seq("spark", "merge", "vector"), k = 100)
+        // rank over the ≤100-row limited result — bounded window
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(dense, sparse), "doc_id", "rank", topK = 20)
+        .select(col("doc_id"), col("n_lists"),
+          round(col("rrf"), 6).alias("rrf_r"), col("rank"))
+    }),
+
     // Token-bounded document chunking with overlap (50-token chunks,
     // 10-token overlap) — the pre-tokenization split before sequence
     // packing; pure map-side array ops, exploded for the compare.
@@ -3771,6 +3796,56 @@ object SparkEntry {
         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats)
         |SELECT doc_id, count(*) AS n_terms, round(sum(bm25), 6) AS score_r
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    // both rankings replayed (dense: cosine row_number as in the brute-
+    // force oracle; sparse: the BM25 CTE chain), then 1/(60+r) summed —
+    // exactly two addends per doc, so the double sum is order-exact
+    "q_hybrid_rrf" ->
+      """WITH dense AS (
+        |  SELECT * FROM (
+        |    SELECT d.vec_id AS doc_id,
+        |      row_number() OVER (
+        |        ORDER BY list_cosine_similarity(d.embedding::DOUBLE[],
+        |                                        q.embedding::DOUBLE[]) DESC,
+        |          d.vec_id) AS r
+        |    FROM embeddings d, embeddings q
+        |    WHERE q.vec_id = 7 AND d.vec_id <> 7)
+        |  WHERE r <= 100),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |alltf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM alltf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (SELECT * FROM alltf WHERE term IN ('spark', 'merge', 'vector')),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |      * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+        |sparse AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY sum(bm25) DESC, doc_id) AS r
+        |    FROM w GROUP BY doc_id)
+        |  WHERE r <= 100),
+        |u AS (
+        |  SELECT doc_id, r FROM dense
+        |  UNION ALL SELECT doc_id, r FROM sparse),
+        |fused AS (
+        |  SELECT doc_id, count(*) AS n_lists,
+        |    sum(1.0 / (60 + r)) AS rrf
+        |  FROM u GROUP BY doc_id)
+        |SELECT doc_id, n_lists, round(rrf, 6) AS rrf_r, rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |WHERE rank <= 20""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

@@ -86,6 +86,49 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard way to combine BM25's lexical ranking with an ANN dense
+    * ranking into one hybrid result: each list contributes
+    * `1 / (kConst + rank)` per document, documents missing from a list
+    * contribute nothing, and the fused order is the contribution sum.
+    * Rank-based (not score-based), so the two lists need no score
+    * calibration against each other — the whole reason RRF won out in
+    * practice.
+    *
+    * Scale shape: inputs are already top-N lists (bounded), so this is
+    * arithmetic over k·lists rows — one union, one partial-aggregating
+    * groupBy, a TakeOrderedAndProject for the final top-k, and a window
+    * over ≤ topK rows (bounded, never the corpus) to materialize the
+    * fused rank. The per-id fold runs in FIXED source order
+    * (array_sort over (source, rank) structs): double addition is
+    * order-sensitive beyond two addends, and a nondeterministic sum order
+    * would make the fusion unreproducible across runs/engines.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      topK: Int, kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(topK > 0 && kConst > 0, "topK and kConst must be positive")
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        col(rankCol).cast(org.apache.spark.sql.types.LongType).alias("_r"),
+        lit(i).alias("_src"))
+    }
+    val fused = tagged.reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_lists"),
+        aggregate(
+          array_sort(collect_list(struct(col("_src"), col("_r")))),
+          lit(0.0),
+          (acc, x) => acc + lit(1.0) /
+            (lit(kConst.toDouble) + x.getField("_r").cast(DoubleType)))
+          .alias("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topK)
+    fused.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf").desc, col(idCol).asc)))
+  }
+
   /** BM25 weight from joined (tf, df, dl, n_docs, avgdl) columns. */
   private def score(joined: DataFrame, k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +

@@ -73,4 +73,27 @@ class RetrievalSpec extends SparkSpec {
     assert(top.length === 1)
     assert(top.head.getAs[Long]("doc_id") === 1L)
   }
+
+  test("rrfFuse: contribution sums, single-list docs, tie-break, list order") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "id", "rank", topK = 10,
+      kConst = 60).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    // both-lists docs: 1/(60+r_a) + 1/(60+r_b); 10 and 20 tie EXACTLY
+    // (1/61 + 1/62 either way) → id breaks the tie
+    assert(fused(10L)._1 === 2L && fused(20L)._1 === 2L)
+    assert(fused(10L)._2 === 1.0 / 61 + 1.0 / 62)
+    assert(fused(10L)._3 === 1 && fused(20L)._3 === 2)
+    // single-list docs contribute one term and rank behind
+    assert(fused(30L) === ((1L, 1.0 / 63, 3)))
+    assert(fused(40L) === ((1L, 1.0 / 63, 4))) // equal score → id order
+    // fusion is invariant to the ORDER the lists are passed in (the fold
+    // runs in fixed source order per id, but RRF itself is symmetric for
+    // two addends) and topK caps
+    val swapped = Retrieval.rrfFuse(Seq(b, a), "id", "rank", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(swapped === Seq((10L, 1.0 / 61 + 1.0 / 62), (20L, 1.0 / 61 + 1.0 / 62)))
+  }
 }
