@@ -45,35 +45,21 @@ object AnnIndex {
   }
 
   /** Fit + assign + write. Overwrites an existing index atomically (the
-    * old index serves reads until the final rename).
+    * old index serves reads until the final rename). The fitted quantizer
+    * model is persisted inside the index, so [[appendIvf]] can assign new
+    * vectors to the SAME cells later without refitting.
     */
   def buildIvf(path: String, data: DataFrame, idCol: String, vecCol: String,
       numCells: Int, seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
-    import org.apache.spark.ml.functions.array_to_vector
     val model = Similarity.fitCoarseQuantizer(data, idCol, vecCol, numCells,
       seed, fitSampleSize)
     val tmp = new java.io.File(path + "_tmp")
     rmTree(tmp) // a crashed previous build's debris
-    val assigned = model.transform(
-        data.select(col(idCol), col(vecCol),
-          array_to_vector(col(vecCol).cast("array<double>")).alias("_features")))
-      .drop("_features")
-    assigned.write.partitionBy("_cell").mode("overwrite")
-      .parquet(new java.io.File(tmp, "assignments").getPath)
-    val spark = data.sparkSession
-    import spark.implicits._
-    // in-cell counts ride along: the stats an nprobe/numCells tuning pass
-    // reads without touching the assignments
-    val counts = spark.read.parquet(new java.io.File(tmp, "assignments").getPath)
-      .groupBy(col("_cell")).agg(count(lit(1)).alias("n_vectors"))
-      .as[(Int, Long)].collect().toMap
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat), counts.getOrElse(i, 0L))
-      }.toSeq
-      .toDF("_cell", "_centroid", "n_vectors")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(new java.io.File(tmp, "centroids").getPath)
+    assign(model, data, idCol, vecCol).write.partitionBy("_cell")
+      .mode("overwrite").parquet(new java.io.File(tmp, "assignments").getPath)
+    model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
+    writeCentroids(data.sparkSession, tmp, model,
+      new java.io.File(tmp, "assignments").getPath)
     val meta =
       s"""{"idCol":"$idCol","vecCol":"$vecCol","numCells":$numCells,
          |"seed":$seed,"fitSampleSize":$fitSampleSize}""".stripMargin
@@ -84,6 +70,107 @@ object AnnIndex {
     java.nio.file.Files.move(tmp.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def assign(model: org.apache.spark.ml.clustering.KMeansModel,
+      data: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    model.transform(
+        data.select(col(idCol), col(vecCol),
+          array_to_vector(col(vecCol).cast("array<double>")).alias("_features")))
+      .drop("_features")
+  }
+
+  /** (cell, centroid, count) table — the stats an nprobe/numCells tuning
+    * pass reads without touching the assignments.
+    */
+  private def writeCentroids(spark: SparkSession, indexDir: java.io.File,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      assignmentsPath: String): Unit = {
+    import spark.implicits._
+    val counts = spark.read.parquet(assignmentsPath)
+      .groupBy(col("_cell")).agg(count(lit(1)).alias("n_vectors"))
+      .as[(Int, Long)].collect().toMap
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat), counts.getOrElse(i, 0L))
+      }.toSeq
+      .toDF("_cell", "_centroid", "n_vectors")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(indexDir, "centroids").getPath)
+  }
+
+  private def deltaDirs(path: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(path).listFiles((f: java.io.File) =>
+      f.isDirectory && f.getName.matches("assignments_delta_\\d+")))
+      .getOrElse(Array.empty[java.io.File])
+      .map(f => (f.getName.stripPrefix("assignments_delta_").toLong, f))
+      .sortBy(_._1).toSeq
+
+  /** INCREMENTAL append: assign `newData` with the index's OWN persisted
+    * quantizer (no refit — cells stay stable, which is what makes the
+    * append O(batch) instead of O(corpus)) and publish it as one
+    * atomically-renamed delta dir, cell-partitioned exactly like the
+    * base so search prunes it the same way. The UpsertStore MOR shape
+    * applied to an index: appends are cheap, [[compactIvf]] folds them
+    * back. Contract: ids are append-only NEW ids — replacing a vector
+    * under an existing id needs a rebuild (the search would return both).
+    * Centroid `n_vectors` counts stay base-only until the next compact.
+    */
+  def appendIvf(path: String, newData: DataFrame): Unit = {
+    import org.apache.spark.ml.clustering.KMeansModel
+    val spark = newData.sparkSession
+    val meta = readMeta(spark, path)
+    val model = KMeansModel.load(new java.io.File(path, "model").getPath)
+    val n = (deltaDirs(path).map(_._1) :+ 0L).max + 1
+    val tmp = new java.io.File(path, s"assignments_delta_tmp_$n")
+    rmTree(tmp)
+    assign(model, newData, meta.idCol, meta.vecCol)
+      .write.partitionBy("_cell").mode("overwrite").parquet(tmp.getPath)
+    // an empty batch must not publish: a rows-less delta dir (bare
+    // _SUCCESS) has no inferable schema and would break every later read
+    val wroteCells = Option(tmp.listFiles((f: java.io.File) =>
+      f.getName.startsWith("_cell="))).exists(_.nonEmpty)
+    if (!wroteCells) { rmTree(tmp); return }
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(path, s"assignments_delta_$n").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Fold every append delta into the base layout (and refresh the
+    * centroid counts). Layout-only: search results are IDENTICAL before
+    * and after (spec-pinned) — what changes is that the per-query scan
+    * goes back to one dir per probed cell. The rewrite stages into a full
+    * new index dir and renames over, same publish story as [[buildIvf]].
+    */
+  def compactIvf(path: String): Unit = {
+    import org.apache.spark.ml.clustering.KMeansModel
+    val src = new java.io.File(path)
+    require(src.exists(), s"no ANN index at $path")
+    if (deltaDirs(path).isEmpty) return
+    val spark = SparkSession.active
+    val meta = readMeta(spark, path)
+    val model = KMeansModel.load(new java.io.File(path, "model").getPath)
+    val tmp = new java.io.File(path + "_tmp")
+    rmTree(tmp)
+    allAssignments(spark, path).write.partitionBy("_cell")
+      .mode("overwrite").parquet(new java.io.File(tmp, "assignments").getPath)
+    model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
+    writeCentroids(spark, tmp, model,
+      new java.io.File(tmp, "assignments").getPath)
+    java.nio.file.Files.copy(new java.io.File(path, "_meta.json").toPath,
+      new java.io.File(tmp, "_meta.json").toPath)
+    rmTree(src)
+    java.nio.file.Files.move(tmp.toPath, src.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Base ∪ appended deltas, all cell-partitioned. */
+  private def allAssignments(spark: SparkSession, path: String): DataFrame =
+    deltaDirs(path).foldLeft(
+      spark.read.parquet(new java.io.File(path, "assignments").getPath)) {
+      case (acc, (_, d)) => acc.unionByName(spark.read.parquet(d.getPath))
+    }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val f = new java.io.File(path, "_meta.json")
@@ -119,11 +206,11 @@ object AnnIndex {
       .select(col("query_id"), col("_qvec"), col("_cell"))
       .localCheckpoint(true) // probed twice below: cell-union + join
     // the UNION of probed cells becomes a partition filter — unprobed
-    // cell dirs are never opened. Bounded driver collect: ≤ numCells ints.
+    // cell dirs are never opened, in the base AND in every append delta.
+    // Bounded driver collect: ≤ numCells ints.
     val probedCells = probes.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val indexed = spark.read
-      .parquet(new java.io.File(path, "assignments").getPath)
+    val indexed = allAssignments(spark, path)
       .where(col("_cell").isin(probedCells: _*))
     val scored = indexed.join(broadcast(probes),
         indexed("_cell") === probes("_cell") &&

@@ -72,6 +72,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(n === emb.count())
   }
 
+  test("append assigns with the persisted quantizer; compact is layout-only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annax").resolve("ix").toString
+    val base = emb.where(col("vec_id") < 400)
+    AnnIndex.buildIvf(dir, base, "vec_id", "embedding", numCells = 8,
+      seed = 42L, fitSampleSize = 2000)
+    // append the held-out tail under fresh ids (append-only contract)
+    val tail = emb.where(col("vec_id") >= 400)
+      .select((col("vec_id") + 100000L).alias("vec_id"), col("embedding"),
+        col("label"))
+    AnnIndex.appendIvf(dir, tail)
+    // a query identical to an appended vector must retrieve it at rank 1
+    // with cosine ~1 (its own id differs, so it isn't self-excluded)
+    val probeVec = emb.where(col("vec_id") >= 400).orderBy(col("vec_id"))
+      .limit(1)
+    val probe = probeVec.select(col("vec_id").alias("qid"), col("embedding"))
+    val got = AnnIndex.searchIvf(dir, probe, "qid", k = 3, nprobe = 8)
+      .orderBy(col("rank")).collect()
+    val wantId = probeVec.select(col("vec_id")).head().getLong(0) + 100000L
+    assert(got.head.getLong(1) === wantId)
+    assert(got.head.getDouble(2) > 0.999999)
+    // compaction changes layout, not results
+    val before = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    AnnIndex.compactIvf(dir)
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.startsWith("assignments_delta_")))
+    val after = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+    // counts refreshed to base+appended
+    val n = spark.read.parquet(s"$dir/centroids")
+      .agg(sum(col("n_vectors"))).head().getLong(0)
+    assert(n === emb.count())
+  }
+
   test("rebuild is atomic and a missing index fails loudly") {
     val dir = Files.createTempDirectory("graft-annrx").resolve("ix").toString
     intercept[IllegalArgumentException] {
