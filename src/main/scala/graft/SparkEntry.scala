@@ -698,6 +698,19 @@ object SparkEntry {
         .select(col("event_id"))
     }),
 
+    // fastText-style hashed bag-of-words linear classifier — the LEARNED
+    // quality-filter shape (CCNet/LLaMA pipelines): FNV token hash →
+    // power-of-two bucket → integer milli-weight, summed exactly in int64
+    // (fold-order-immune) and divided once. Weights are deterministic
+    // stand-ins for trained parameters; swapping in a real model changes
+    // the constants, not the plan. Codegen'd kernel, map-side.
+    "q_text_fasttext_score" -> ((s, dir) => {
+      import graft.functions.GraftExpressions.hashed_bow_score
+      t(s, dir, "documents").select(col("doc_id"),
+        round(hashed_bow_score(col("text"), BowWeights), 6).alias("bow_r"),
+        (hashed_bow_score(col("text"), BowWeights) > 0.0).alias("keep"))
+    }),
+
     // Compressibility quality signal (Gopher-family): deflate ratio per
     // document + the repetitive-text flag. Rows-only — DuckDB has no zlib;
     // ordering/bounds/determinism are spec-pinned (SketchOpsSpec).
@@ -2136,6 +2149,16 @@ object SparkEntry {
     * (`unicode(...)`) with wrap-around multiplication emulated as
     * `(xor(h, cp) * prime) % 2^64` in HUGEINT.
     */
+  /** Deterministic milli-weights for the hashed-BoW classifier gate —
+    * stand-ins for a trained model's parameters, generated driver-side so
+    * the DuckDB oracle interpolates the IDENTICAL integers. 1024 buckets
+    * (power of two: unsigned-mod bucketing matches across engines).
+    */
+  private val BowWeights: Seq[Int] = (0 until 1024).map { i =>
+    (((graft.functions.SketchOps.splitmix64(9000L + i) % 2001L)
+      + 2001L) % 2001L).toInt - 1000
+  }
+
   private val FnvTokenHashCte =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
@@ -2789,6 +2812,26 @@ object SparkEntry {
         |FROM toks""".stripMargin,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
+    // hashed-BoW classifier: FNV hashes → unsigned mod-1024 buckets
+    // (power of two, so Spark's signed pmod agrees), the interpolated
+    // weight table joined per token, integer sum, one division
+    "q_text_fasttext_score" -> {
+      val wt = BowWeights.zipWithIndex
+        .map { case (k, b) => s"($b, $k)" }.mkString(", ")
+      s"""WITH $FnvTokenHashCte,
+        |wt(b, k) AS (VALUES $wt),
+        |e AS (
+        |  SELECT doc_id, CAST(unnest(hs) % 1024 AS BIGINT) AS b FROM th),
+        |n AS (SELECT doc_id, len(hs) AS n FROM th),
+        |s AS (
+        |  SELECT doc_id, sum(k) AS sk FROM e JOIN wt ON e.b = wt.b
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  round(CAST(sk AS DOUBLE) / (1000.0 * n), 6) AS bow_r,
+        |  CAST(sk AS DOUBLE) / (1000.0 * n) > 0.0 AS keep
+        |FROM s JOIN n ON s.doc_id = n.doc_id""".stripMargin
+    },
+
     // token's code points in wrap-around 2^64 arithmetic, replayed here
     // exactly via HUGEINT mod 2^64 (r9 graduation — the r8 xxhash64 token
     // hash was engine-internal and kept this gate rows-only). Signed

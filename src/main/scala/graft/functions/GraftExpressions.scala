@@ -223,6 +223,30 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `hashed_bow_score(string)` — fastText-style hashed bag-of-words
+    * linear score under plan-static integer milli-weights (see
+    * [[SketchOps.hashedBowScore]]).
+    */
+  case class HashedBowScore(child: Expression, weights: Seq[Int])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(weights.nonEmpty && (weights.size & (weights.size - 1)) == 0,
+      s"weights size must be a power of two (unsigned-mod bucketing), " +
+        s"got ${weights.size}")
+    @transient private lazy val arr = weights.toArray
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.hashedBowScore(v.asInstanceOf[UTF8String], arr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bowWeights", arr, "int[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.hashedBowScore($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): HashedBowScore =
+      copy(child = c)
+  }
+
   /** `int8_dot(array<byte>, array<byte>)` — exact integer dot product of
     * two int8 code vectors (compressed-domain ANN scoring).
     */
@@ -660,6 +684,8 @@ object GraftExpressions {
   def int8_scale(col: Column): Column = c(Int8Scale(e(col)))
   def int8_codes(col: Column): Column = c(Int8Codes(e(col)))
   def int8_dot(a: Column, b: Column): Column = c(Int8Dot(e(a), e(b)))
+  def hashed_bow_score(col: Column, weights: Seq[Int]): Column =
+    c(HashedBowScore(e(col), weights))
   def wordpiece_tokens(col: Column, vocab: Seq[String]): Column =
     c(WordpieceTokens(e(col), vocab))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashes(e(col), n))

@@ -969,6 +969,46 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Hashed bag-of-words linear classifier score — the fastText-style
+    * learned quality filter (Joulin et al. 2016; the CCNet/LLaMA-pipeline
+    * "page quality" classifier shape): each token hashes (same FNV fold
+    * and tokenization contract as [[fnvTokenHashes]]) into one of
+    * `weights.length` buckets, the token's integer milli-weight
+    * accumulates EXACTLY (int64 sum — immune to fold order), and the
+    * score is that sum over 1000·n_tokens. The linear layer only: apply
+    * sigmoid/threshold downstream if needed — exp() is libm-dependent and
+    * would break cross-engine hash gates, while this quotient is one IEEE
+    * division of two exactly-computed integers. Map-side, O(text) per
+    * row, weights ride the plan once.
+    *
+    * For power-of-two bucket counts the signed-pmod bucket equals the
+    * unsigned `hash % d` an external engine computes on UBIGINT (d | 2^64)
+    * — which is what keeps the oracle replayable.
+    */
+  def hashedBowScore(text: UTF8String, weights: Array[Int]): Double = {
+    val s = text.trim().toLowerCase.toString
+    val toks = WsPattern.split(s, -1)
+    val d = weights.length
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      var h = 0xcbf29ce484222325L
+      val w = toks(i)
+      var k = 0
+      while (k < w.length) {
+        val cp = w.codePointAt(k)
+        h ^= cp
+        h *= 1099511628211L
+        k += Character.charCount(cp)
+      }
+      val b = ((h % d) + d) % d
+      sum += weights(b.toInt)
+      i += 1
+    }
+    if (toks.length == 0) 0.0
+    else sum.toDouble / (1000.0 * toks.length)
+  }
+
   /** Fraction of tokens covered by the single most frequent word n-gram,
     * for EVERY n in `ns`, over one shared tokenization (Gopher's
     * `top_n_gram_fraction`, Rae et al. 2021 §A1.1 — boilerplate detector).

@@ -424,4 +424,31 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got(6L) == ((6L, 0, 0, 0, 0, 0, 6, "none")))
     assert(got(7L) == ((7L, 0, 0, 0, 0, 0, 0, "none")))
   }
+
+  test("hashed_bow_score: exact integer accumulation, bucketing, guards") {
+    import graft.functions.SketchOps
+    // weight vector where every bucket holds its own index: the score
+    // exposes exactly which buckets the tokens hashed into
+    val w = Array.tabulate(16)(identity)
+    def bucket(tok: String): Int = {
+      var h = 0xcbf29ce484222325L
+      tok.codePoints().forEach(cp => { h = (h ^ cp) * 1099511628211L })
+      (((h % 16) + 16) % 16).toInt
+    }
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("cat dog cat")
+    val want = (bucket("cat") * 2 + bucket("dog")).toDouble / (1000.0 * 3)
+    assert(SketchOps.hashedBowScore(s, w) === want)
+    // same value through the codegen'd expression path
+    val viaExpr = Seq("cat dog cat").toDF("t")
+      .select(hashed_bow_score($"t", w.toSeq).as("s")).head().getDouble(0)
+    assert(viaExpr === want)
+    // negative weights sum exactly; single empty token ("" tokenizes to
+    // one empty word) scores that word's bucket weight once
+    val neg = Array.fill(16)(-1000)
+    assert(SketchOps.hashedBowScore(s, neg) === -1.0)
+    // non-power-of-two bucket count refuses (unsigned-mod contract)
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("t").select(hashed_bow_score($"t", Seq(1, 2, 3)))
+    }
+  }
 }
