@@ -22,6 +22,10 @@ class CurationTourSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private val TourBowWeights: Seq[Int] =
+    (0 until 256).map(i =>
+      (graft.functions.SketchOps.splitmix64(31L + i) % 1000L).toInt)
+
   /** Stage 0 (r9): corpus-frequency boilerplate removal — ultra-frequent
     * whitespace segments cut from every doc before anything scores them.
     * Shared by the pipeline and the test's decontamination assertion so
@@ -44,8 +48,13 @@ class CurationTourSpec extends SparkSpec {
       .withColumn("ntoks", TextAnalysis.tokenCount(col("text")))
       .withColumn("deflate",
         graft.functions.GraftExpressions.deflate_ratio(col("text")))
+      // r9b: the learned-classifier shape rides the same projection (a
+      // permissive threshold — the stand-in weights are zero-mean noise,
+      // the point is the composed plan, not the cut)
+      .withColumn("bow", graft.functions.GraftExpressions.hashed_bow_score(
+        col("text"), TourBowWeights))
       .where(col("quality") > 0.5 && col("rep2") < 0.5 &&
-        col("deflate") > 0.2)
+        col("deflate") > 0.2 && col("bow") > -0.5)
     // 2a. EXACT dedup keeping the best-quality copy (r8) — runs before the
     // near-dup machinery so identical reformats resolve by quality
     val bestIds = Dedup.keepBest(filtered, "doc_id", "text", col("quality"))
@@ -129,6 +138,34 @@ class CurationTourSpec extends SparkSpec {
           col("embedding")).as("c"))
         .agg(min(col("c"))).head().getDouble(0)
       assert(worstCos >= 0.999, s"int8 fidelity $worstCos")
+      // r9b: the span-level packing manifest tiles the curated corpus into
+      // exact-length sequences — every interior sequence holds exactly the
+      // budget, and spans reassemble each doc completely
+      val spans = Shards.packSpans(out, "doc_id", "ntoks", budget = 512L)
+        .select($"doc_id", $"seq", $"tok_start", $"tok_end")
+        .as[(Long, Long, Long, Long)].collect()
+      val perSeq = spans.groupBy(_._2).map { case (s, ss) =>
+        s -> ss.map(x => x._4 - x._3).sum }
+      val lastSeq = perSeq.keys.max
+      assert(perSeq.filter(_._1 != lastSeq).values.forall(_ == 512L))
+      val spanToks = spans.map(x => x._4 - x._3).sum
+      val outToks = out.agg(sum(when(col("ntoks") > 0, col("ntoks"))
+        .otherwise(0L))).head().getLong(0)
+      assert(spanToks === outToks)
+      // r9b: the persisted ANN index serves the survivors — a probe with a
+      // survivor's own vector under a fresh id retrieves it at rank 1
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-tourix")
+        .resolve("ix").toString
+      graft.operators.AnnIndex.buildIvf(ixDir, survivorVecs, "vec_id",
+        "embedding", numCells = 4, fitSampleSize = 1000)
+      val probe = survivorVecs.orderBy($"vec_id").limit(1)
+        .select(($"vec_id" + 900000L).alias("qid"), $"embedding")
+      val hit = graft.operators.AnnIndex
+        .searchIvf(ixDir, probe, "qid", k = 1, nprobe = 4)
+        .head()
+      assert(hit.getLong(1) ===
+        survivorVecs.orderBy($"vec_id").limit(1).head().getLong(0))
+      assert(hit.getDouble(2) > 0.999999)
       // determinism: the whole pipeline reruns to the identical row set
       val again = pipeline().select("doc_id", "split", "shard")
         .as[(Long, String, Long)].collect().toSet
