@@ -711,6 +711,40 @@ object SparkEntry {
         (hashed_bow_score(col("text"), BowWeights) > 0.0).alias("keep"))
     }),
 
+    // Classifier distillation eval: does the cheap hashed-BoW classifier
+    // reproduce the expensive quality heuristic? Confusion report at
+    // threshold 0 — exact integer counts, ratios derived at the end
+    // (null when undefined, not a silent 0).
+    "q_eval_report" -> ((s, dir) => {
+      import graft.functions.GraftExpressions.hashed_bow_score
+      val scored = t(s, dir, "documents").select(
+        hashed_bow_score(col("text"), BowWeights).alias("score"),
+        (round(TextAnalysis.qualityScore(col("text")), 6) >= 0.8)
+          .alias("label"))
+      graft.operators.Metrics.binaryReport(scored, "score", "label",
+          threshold = 0.0)
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          round(col("precision"), 6).alias("precision_r"),
+          round(col("recall"), 6).alias("recall_r"),
+          round(col("f1"), 6).alias("f1_r"),
+          round(col("accuracy"), 6).alias("accuracy_r"))
+    }),
+
+    // ...and WHERE on the score axis it disagrees: 16-bin calibration
+    // histogram over [-1, 1) — the AUC-free shape that survives 100 TB
+    // (rank-based AUC needs a global ordering; bins don't).
+    "q_eval_calibration" -> ((s, dir) => {
+      import graft.functions.GraftExpressions.hashed_bow_score
+      val scored = t(s, dir, "documents").select(
+        hashed_bow_score(col("text"), BowWeights).alias("score"),
+        (round(TextAnalysis.qualityScore(col("text")), 6) >= 0.8)
+          .alias("label"))
+      graft.operators.Metrics.calibration(scored, "score", "label",
+          bins = 16, lo = -1.0, hi = 1.0)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("pos_rate"), 6).alias("pos_rate_r"))
+    }),
+
     // Compressibility quality signal (Gopher-family): deflate ratio per
     // document + the repetitive-text flag. Rows-only — DuckDB has no zlib;
     // ordering/bounds/determinism are spec-pinned (SketchOpsSpec).
@@ -2812,6 +2846,75 @@ object SparkEntry {
         |FROM toks""".stripMargin,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
+    // classifier-vs-heuristic eval: the bow score and the quality label
+    // both replayed, then the confusion arithmetic on exact counts
+    "q_eval_report" -> {
+      val wt = BowWeights.zipWithIndex
+        .map { case (k, b) => s"($b, $k)" }.mkString(", ")
+      s"""WITH $FnvTokenHashCte,
+        |wt(b, k) AS (VALUES $wt),
+        |e AS (
+        |  SELECT doc_id, CAST(unnest(hs) % 1024 AS BIGINT) AS b FROM th),
+        |nn AS (SELECT doc_id, len(hs) AS n FROM th),
+        |sc AS (
+        |  SELECT e.doc_id, sum(k) AS sk FROM e JOIN wt ON e.b = wt.b
+        |  GROUP BY e.doc_id),
+        |j AS (
+        |  SELECT sc.doc_id,
+        |    CAST(sk AS DOUBLE) / (1000.0 * n) AS score,
+        |    q.quality_r >= 0.8 AS label
+        |  FROM sc JOIN nn ON sc.doc_id = nn.doc_id
+        |  JOIN ($TextQualityOracle) q ON sc.doc_id = q.doc_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN score > 0.0 AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score > 0.0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT score > 0.0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN NOT score > 0.0 AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM j),
+        |r AS (
+        |  SELECT tp, fp, tn, fn,
+        |    CASE WHEN tp + fp > 0
+        |      THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS p,
+        |    CASE WHEN tp + fn > 0
+        |      THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS r
+        |  FROM c)
+        |SELECT tp, fp, tn, fn,
+        |  round(p, 6) AS precision_r, round(r, 6) AS recall_r,
+        |  round(CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+        |    THEN 2.0 * p * r / (p + r) END, 6) AS f1_r,
+        |  round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE), 6)
+        |    AS accuracy_r
+        |FROM r""".stripMargin
+    },
+
+    // per-bin calibration: same score/label join, clamped fixed-width bin
+    "q_eval_calibration" -> {
+      val wt = BowWeights.zipWithIndex
+        .map { case (k, b) => s"($b, $k)" }.mkString(", ")
+      s"""WITH $FnvTokenHashCte,
+        |wt(b, k) AS (VALUES $wt),
+        |e AS (
+        |  SELECT doc_id, CAST(unnest(hs) % 1024 AS BIGINT) AS b FROM th),
+        |nn AS (SELECT doc_id, len(hs) AS n FROM th),
+        |sc AS (
+        |  SELECT e.doc_id, sum(k) AS sk FROM e JOIN wt ON e.b = wt.b
+        |  GROUP BY e.doc_id),
+        |j AS (
+        |  SELECT sc.doc_id,
+        |    CAST(sk AS DOUBLE) / (1000.0 * n) AS score,
+        |    q.quality_r >= 0.8 AS label
+        |  FROM sc JOIN nn ON sc.doc_id = nn.doc_id
+        |  JOIN ($TextQualityOracle) q ON sc.doc_id = q.doc_id)
+        |SELECT CAST(least(greatest(
+        |    floor((score - (-1.0)) / 2.0 * 16), 0.0), 15.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pos_rate_r
+        |FROM j GROUP BY 1""".stripMargin
+    },
+
     // hashed-BoW classifier: FNV hashes → unsigned mod-1024 buckets
     // (power of two, so Spark's signed pmod agrees), the interpolated
     // weight table joined per token, integer sum, one division
