@@ -123,6 +123,46 @@ object AvroWire {
     }(enc)
   }
 
+  /** SCHEMA-EVOLUTION decode: records written under `writerSchema` read
+    * into `readerSchema` by Avro's standard resolution — fields match by
+    * name, reordering is free, a reader-only field fills with its null
+    * default (every generated field carries one), a writer-only field is
+    * skipped. This is the registry-compatible upgrade path the reference's
+    * consumers rely on (schema registry resolution on the Kafka topic):
+    * old records stay readable forever under the current table shape.
+    *
+    * RENAMES need `readerAliases` (new name → old name, top level):
+    * without an alias Avro treats a rename as drop+add and fills the new
+    * field with nulls SILENTLY — the same trap UpsertStore's merge
+    * documents — so pass the alias and the old bytes flow into the new
+    * column. Per-partition decoder reuse as in [[fromRecords]].
+    */
+  def fromRecordsEvolved(records: DataFrame, writerSchema: StructType,
+      readerSchema: StructType, readerAliases: Map[String, String] = Map.empty,
+      recordName: String = "graft_record"): DataFrame = {
+    val unknown = readerAliases.keySet.diff(readerSchema.fieldNames.toSet)
+    require(unknown.isEmpty,
+      s"readerAliases name columns not in readerSchema: ${unknown.mkString(", ")}")
+    val writerJson = avroSchemaFor(writerSchema, recordName).toString
+    val readerAvro = avroSchemaFor(readerSchema, recordName)
+    readerAliases.foreach { case (newName, oldName) =>
+      readerAvro.getField(newName).addAlias(oldName)
+    }
+    val readerJson = readerAvro.toString
+    val enc = Encoders.row(readerSchema)
+    records.select(col("value").cast(BinaryType)).mapPartitions { rows =>
+      val w = new Schema.Parser().parse(writerJson)
+      val r = new Schema.Parser().parse(readerJson)
+      val reader = new GenericDatumReader[GenericRecord](w, r)
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      rows.map { row =>
+        decoder = DecoderFactory.get()
+          .binaryDecoder(row.getAs[Array[Byte]](0), decoder) // reuse
+        recordToRow(reader.read(null, decoder), readerSchema)
+      }
+    }(enc)
+  }
+
   /** Round-trip helper (tests / batch backfills): must be the identity. */
   def roundTrip(df: DataFrame): DataFrame = fromRecords(toRecords(df), df.schema)
 

@@ -152,4 +152,41 @@ class AvroWireSpec extends SparkSpec {
     assert(decoded.flatMap(r => Option(r.get("l"))).map(_.asInstanceOf[Long]).toSet ==
       Set(9999999999L, -5L))
   }
+
+  test("schema evolution: add/drop/reorder resolve; renames need an alias") {
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("bal", DoubleType)))
+    val rows = Seq(Row(1L, "ada", 10.5), Row(2L, "bob", null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), writerSchema)
+    val wire = AvroWire.toRecords(df)
+
+    // reader adds a column (null default), drops one, and reorders
+    val evolved = StructType(Seq(
+      StructField("name", StringType), StructField("tag", StringType),
+      StructField("id", LongType)))
+    val got = AvroWire.fromRecordsEvolved(wire, writerSchema, evolved)
+      .collect().map(r => (r.getAs[String]("name"),
+        Option(r.getAs[String]("tag")), r.getLong(2))).toSet
+    assert(got === Set(("ada", None, 1L), ("bob", None, 2L)))
+
+    // rename WITHOUT an alias silently nulls (Avro drop+add) — the
+    // documented trap; WITH the alias the old bytes flow through
+    val renamed = StructType(Seq(
+      StructField("id", LongType), StructField("customer_name", StringType)))
+    val unaliased = AvroWire.fromRecordsEvolved(wire, writerSchema, renamed)
+      .collect().map(r => Option(r.getAs[String]("customer_name"))).toSet
+    assert(unaliased === Set(None))
+    val aliased = AvroWire.fromRecordsEvolved(wire, writerSchema, renamed,
+        readerAliases = Map("customer_name" -> "name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(aliased === Set((1L, "ada"), (2L, "bob")))
+
+    // alias naming a column absent from the reader schema fails loudly
+    intercept[IllegalArgumentException] {
+      AvroWire.fromRecordsEvolved(wire, writerSchema, renamed,
+        readerAliases = Map("nope" -> "name"))
+    }
+  }
 }
