@@ -102,9 +102,10 @@ object AnnIndex {
 
   private def deltaDirs(path: String): Seq[(Long, java.io.File)] =
     Option(new java.io.File(path).listFiles((f: java.io.File) =>
-      f.isDirectory && f.getName.matches("assignments_delta_\\d+")))
+      f.isDirectory && f.getName.matches("assignments_delta_b?\\d+")))
       .getOrElse(Array.empty[java.io.File])
-      .map(f => (f.getName.stripPrefix("assignments_delta_").toLong, f))
+      .map(f => (f.getName.stripPrefix("assignments_delta_")
+        .stripPrefix("b").toLong, f))
       .sortBy(_._1).toSeq
 
   /** INCREMENTAL append: assign `newData` with the index's OWN persisted
@@ -118,12 +119,38 @@ object AnnIndex {
     * Centroid `n_vectors` counts stay base-only until the next compact.
     */
   def appendIvf(path: String, newData: DataFrame): Unit = {
+    val n = (deltaDirs(path).map(_._1) :+ 0L).max + 1
+    appendDelta(path, newData, s"assignments_delta_$n")
+  }
+
+  /** Replay-IDEMPOTENT append for streaming maintenance: the delta dir
+    * name is a pure function of `batchId`, so a foreachBatch sink that
+    * crashed between append and checkpoint commit simply re-publishes the
+    * SAME dir on replay — already-published batches are a no-op, and the
+    * index converges to exactly-once contents under an at-least-once
+    * driver. This is the contract plain [[appendIvf]] cannot give (its
+    * sequential naming would duplicate every replayed row).
+    *
+    * {{{
+    * stream.writeStream.foreachBatch { (batch, id) =>
+    *   AnnIndex.appendIvfBatch(path, batch, id)
+    * }
+    * }}}
+    */
+  def appendIvfBatch(path: String, newData: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    val name = s"assignments_delta_b$batchId"
+    if (new java.io.File(path, name).exists()) return // replay: already in
+    appendDelta(path, newData, name)
+  }
+
+  private def appendDelta(path: String, newData: DataFrame,
+      dirName: String): Unit = {
     import org.apache.spark.ml.clustering.KMeansModel
     val spark = newData.sparkSession
     val meta = readMeta(spark, path)
     val model = KMeansModel.load(new java.io.File(path, "model").getPath)
-    val n = (deltaDirs(path).map(_._1) :+ 0L).max + 1
-    val tmp = new java.io.File(path, s"assignments_delta_tmp_$n")
+    val tmp = new java.io.File(path, s"${dirName}_tmp")
     rmTree(tmp)
     assign(model, newData, meta.idCol, meta.vecCol)
       .write.partitionBy("_cell").mode("overwrite").parquet(tmp.getPath)
@@ -133,7 +160,7 @@ object AnnIndex {
       f.getName.startsWith("_cell="))).exists(_.nonEmpty)
     if (!wroteCells) { rmTree(tmp); return }
     java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(path, s"assignments_delta_$n").toPath,
+      new java.io.File(path, dirName).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 

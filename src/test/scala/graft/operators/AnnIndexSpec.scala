@@ -108,6 +108,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(n === emb.count())
   }
 
+  test("appendIvfBatch: replay-idempotent; a structured stream maintains the index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annsx").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb.where(col("vec_id") < 400), "vec_id",
+      "embedding", numCells = 4, fitSampleSize = 1000)
+    // direct replay: same batch id twice publishes ONE delta dir
+    val batch = emb.where(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select((col("vec_id") + 50000L).alias("vec_id"), col("embedding"),
+        col("label"))
+    AnnIndex.appendIvfBatch(dir, batch, batchId = 1L)
+    AnnIndex.appendIvfBatch(dir, batch, batchId = 1L) // crash-replay
+    val deltas = new java.io.File(dir).listFiles(
+      (f: java.io.File) => f.getName.startsWith("assignments_delta_"))
+    assert(deltas.map(_.getName).toSet === Set("assignments_delta_b1"))
+    // probing with an appended vector finds exactly ONE copy of it
+    val probe = emb.where(col("vec_id") === 400)
+      .select(col("vec_id").alias("qid"), col("embedding"))
+    val hits = AnnIndex.searchIvf(dir, probe, "qid", k = 10, nprobe = 4)
+      .where(col("neighbor_id") === 50400L).count()
+    assert(hits === 1L)
+    // the real streaming loop: foreachBatch appends each micro-batch
+    val stream = MemoryStream[(Long, Array[Float])](spark)
+    val more = emb.where(col("vec_id") >= 450)
+      .select((col("vec_id") + 70000L).alias("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    stream.addData(more.toSeq)
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        AnnIndex.appendIvfBatch(dir, b, 100L + id)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val probe2 = emb.where(col("vec_id") === 450)
+      .select(col("vec_id").alias("qid"), col("embedding"))
+    val hit2 = AnnIndex.searchIvf(dir, probe2, "qid", k = 1, nprobe = 4)
+      .head()
+    assert(hit2.getLong(1) === 70450L)
+    assert(hit2.getDouble(2) > 0.999999)
+  }
+
   test("rebuild is atomic and a missing index fails loudly") {
     val dir = Files.createTempDirectory("graft-annrx").resolve("ix").toString
     intercept[IllegalArgumentException] {
