@@ -711,6 +711,27 @@ object SparkEntry {
         (hashed_bow_score(col("text"), BowWeights) > 0.0).alias("keep"))
     }),
 
+    // Count-min frequency sketch: d×w counters answer term-frequency
+    // point queries in kilobytes regardless of vocabulary size — the
+    // bounded-memory sibling of the exact vocab table. Estimates are
+    // one-sided (est ≥ truth, asserted in the output); counters are sums,
+    // so the sketch is merge-order-invariant and engine-reproducible.
+    "q_freq_cm_estimate" -> ((s, dir) => {
+      import graft.operators.FreqSketch
+      val docs = t(s, dir, "documents")
+      val sk = FreqSketch.countMin(docs, "text", d = 4, w = 256)
+      val est = FreqSketch.estimate(sk, CmProbeTerms, d = 4, w = 256)
+      val truth = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).alias("term"))
+        .where(col("term").isin(CmProbeTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).alias("true_cnt"))
+      est.join(truth, Seq("term"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("true_cnt"), lit(0L)).alias("true_cnt"),
+          (col("est") >= coalesce(col("true_cnt"), lit(0L)))
+            .alias("one_sided"))
+    }),
+
     // Classifier distillation eval: does the cheap hashed-BoW classifier
     // reproduce the expensive quality heuristic? Confusion report at
     // threshold 0 — exact integer counts, ratios derived at the end
@@ -2183,6 +2204,13 @@ object SparkEntry {
     * (`unicode(...)`) with wrap-around multiplication emulated as
     * `(xor(h, cp) * prime) % 2^64` in HUGEINT.
     */
+  /** Fixed probe terms for the count-min gate: corpus-frequent words, a
+    * rare word, and an absent one (the absent term must estimate near 0 —
+    * the sketch's whole point is separating heads from noise).
+    */
+  private val CmProbeTerms =
+    Seq("spark", "merge", "vector", "data", "the", "zzz_absent_term")
+
   /** Deterministic milli-weights for the hashed-BoW classifier gate —
     * stand-ins for a trained model's parameters, generated driver-side so
     * the DuckDB oracle interpolates the IDENTICAL integers. 1024 buckets
@@ -2846,6 +2874,48 @@ object SparkEntry {
         |FROM toks""".stripMargin,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
+    // count-min replay: token FNV hashes from the shared CTE, the d row
+    // hashes re-derived as overflow-free affine maps over the low 31 hash
+    // bits (UBIGINT-safe: every intermediate < 2^62), buckets by unsigned
+    // mod-256, probe-term hashes RE-DERIVED in SQL from the term strings
+    // (not interpolated from Spark — the cross-engine proof must not
+    // assume its conclusion)
+    "q_freq_cm_estimate" -> {
+      def rowBucket(r: Int, hExpr: String): String =
+        s"(($hExpr % 2147483648) * ${graft.operators.FreqSketch.rowMul(r)}" +
+          s" + ${graft.operators.FreqSketch.rowAdd(r)}) % 256"
+      val skRows = (0 until 4).map(r =>
+        s"SELECT $r AS row, ${rowBucket(r, "h")} AS bucket, count(*) AS cnt " +
+          "FROM e GROUP BY 2").mkString("\n| UNION ALL ")
+      val probeRows = (0 until 4).map(r =>
+        s"SELECT term, $r AS row, ${rowBucket(r, "h")} AS bucket FROM thv")
+        .mkString("\n| UNION ALL ")
+      val tv = CmProbeTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH $FnvTokenHashCte,
+        |e AS (SELECT unnest(hs) AS h FROM th),
+        |sk AS ($skRows),
+        |tv(term) AS (VALUES $tv),
+        |thv AS (
+        |  SELECT term, list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        [CAST(unicode(term[i]) AS UBIGINT) for i in range(1, len(term)+1)]),
+        |      (acc, cp) -> CAST((CAST(xor(acc, cp) AS HUGEINT) * 1099511628211)
+        |        % 18446744073709551616 AS UBIGINT)) AS h
+        |  FROM tv),
+        |probe AS ($probeRows),
+        |est AS (
+        |  SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |  FROM probe LEFT JOIN sk USING (row, bucket) GROUP BY term),
+        |truth AS (
+        |  SELECT t AS term, count(*) AS c
+        |  FROM (SELECT unnest(ws) AS t FROM toks)
+        |  WHERE t IN (SELECT term FROM tv) GROUP BY t)
+        |SELECT est.term, est,
+        |  CAST(coalesce(c, 0) AS BIGINT) AS true_cnt,
+        |  est >= coalesce(c, 0) AS one_sided
+        |FROM est LEFT JOIN truth ON est.term = truth.term""".stripMargin
+    },
+
     // classifier-vs-heuristic eval: the bow score and the quality label
     // both replayed, then the confusion arithmetic on exact counts
     "q_eval_report" -> {
