@@ -711,6 +711,18 @@ object SparkEntry {
         (hashed_bow_score(col("text"), BowWeights) > 0.0).alias("keep"))
     }),
 
+    // Unicode NFC canonical composition — the pre-pass that makes exact
+    // dedup see é and e+combining-acute as one document. Both engines run
+    // their real NFC implementations (DuckDB nfc_normalize); this corpus
+    // is ASCII so `changed` is all-false — the composition/idempotence
+    // behavior on non-ASCII is spec-pinned (GraftExpressionsSpec).
+    "q_text_nfc" -> ((s, dir) => {
+      import graft.functions.GraftExpressions.nfc_norm
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(nfc_norm(col("text")).cast(BinaryType)).alias("nfc_md5"),
+        (nfc_norm(col("text")) =!= col("text")).alias("changed"))
+    }),
+
     // Count-min frequency sketch: d×w counters answer term-frequency
     // point queries in kilobytes regardless of vocabulary size — the
     // bounded-memory sibling of the exact vocab table. Estimates are
@@ -2874,6 +2886,13 @@ object SparkEntry {
         |FROM toks""".stripMargin,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
+    // both engines run their own real NFC implementation — the one
+    // Unicode-specified canonical composition
+    "q_text_nfc" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM documents""".stripMargin,
+
     // count-min replay: token FNV hashes from the shared CTE, the d row
     // hashes re-derived as overflow-free affine maps over the low 31 hash
     // bits (UBIGINT-safe: every intermediate < 2^62), buckets by unsigned

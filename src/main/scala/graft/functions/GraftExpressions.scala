@@ -223,6 +223,22 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `nfc_norm(string)` — Unicode NFC canonical composition (see
+    * [[SketchOps.nfcNormalize]]).
+    */
+  case class NfcNorm(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.nfcNormalize(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.nfcNormalize($c)")
+    override protected def withNewChildInternal(c: Expression): NfcNorm =
+      copy(child = c)
+  }
+
   /** `hashed_bow_score(string)` — fastText-style hashed bag-of-words
     * linear score under plan-static integer milli-weights (see
     * [[SketchOps.hashedBowScore]]).
@@ -684,6 +700,7 @@ object GraftExpressions {
   def int8_scale(col: Column): Column = c(Int8Scale(e(col)))
   def int8_codes(col: Column): Column = c(Int8Codes(e(col)))
   def int8_dot(a: Column, b: Column): Column = c(Int8Dot(e(a), e(b)))
+  def nfc_norm(col: Column): Column = c(NfcNorm(e(col)))
   def hashed_bow_score(col: Column, weights: Seq[Int]): Column =
     c(HashedBowScore(e(col), weights))
   def wordpiece_tokens(col: Column, vocab: Seq[String]): Column =
@@ -750,6 +767,8 @@ object GraftExpressions {
       xs => Hamming64(xs.head, xs(1))),
     ("zorder2", "62-bit Morton interleave of two values in [0, 2^31)",
       xs => ZOrder2(xs.head, xs(1))),
+    ("nfc_norm", "Unicode NFC canonical composition",
+      xs => NfcNorm(xs.head)),
     ("jaccard_sorted", "exact Jaccard of two sorted distinct arrays",
       xs => JaccardSorted(xs.head, xs(1))),
     ("fnv_token_hashes", "per-token FNV-1a/64 codepoint hashes",

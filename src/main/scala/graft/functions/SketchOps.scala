@@ -969,6 +969,24 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization — canonical composition, the pre-pass that
+    * makes byte-level exact dedup see é (U+00E9) and e+combining-acute
+    * (U+0065 U+0301) as the SAME document. Exposed as its own kernel
+    * (rather than folded into the case/punct normalizer) because NFC is a
+    * visible-text-preserving transform a pipeline may want alone, and
+    * because an external engine replays it directly (DuckDB
+    * `nfc_normalize`) — both engines implement the one Unicode-specified
+    * canonical composition, so the gate hash-matches. Fast path: NFC
+    * quick-check avoids allocating for already-normalized text (ASCII and
+    * most real corpora).
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Hashed bag-of-words linear classifier score — the fastText-style
     * learned quality filter (Joulin et al. 2016; the CCNet/LLaMA-pipeline
     * "page quality" classifier shape): each token hashes (same FNV fold

@@ -425,6 +425,27 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got(7L) == ((7L, 0, 0, 0, 0, 0, 0, "none")))
   }
 
+  test("nfc_norm: canonical composition, idempotence, and dedup unification") {
+    import graft.functions.SketchOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val composed = "caf\u00e9"       // é as one code point
+    val decomposed = "cafe\u0301"    // e + combining acute
+    def nfc(s: String): String =
+      SketchOps.nfcNormalize(UTF8String.fromString(s)).toString
+    assert(nfc(decomposed) === composed)
+    assert(nfc(composed) === composed)    // already-NFC fast path
+    assert(nfc(nfc(decomposed)) === nfc(decomposed)) // idempotent
+    assert(nfc("plain ascii") === "plain ascii")
+    // through the expression + dedup: the two spellings become ONE group
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, "other"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", nfc_norm($"text").alias("text"))
+    val groups = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .collect()
+    assert(groups.length === 2)
+    assert(groups.map(_.getAs[Long]("n_copies")).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("hashed_bow_score: exact integer accumulation, bucketing, guards") {
     import graft.functions.SketchOps
     // weight vector where every bucket holds its own index: the score
