@@ -522,11 +522,18 @@ object SparkEntry {
     // for clustered compaction (UpsertStore.compact(clusterBy)); pure bit
     // arithmetic, so the oracle recomputes every key as an unrolled sum of
     // shifted bit extractions. Codegen'd kernel, map-side, zero shuffle.
+    // The inputs are BUCKETIZED into [0, 2^31) first (mod; zorder2 raises
+    // on wider domains rather than interleave garbage bits): TPC-H
+    // o_orderkey's sparse keyspace crosses 2^31 around SF 90, and layout
+    // keys must keep working at every SF (ADVICE r9). The mod wraps once
+    // per 2^31 — locality within each wrap is untouched, which is all a
+    // row-group clustering key needs.
     "q_zorder_key" -> ((s, dir) => {
       import graft.functions.GraftExpressions.zorder2
       t(s, dir, "orders").select(
         col("o_orderkey"),
-        zorder2(col("o_custkey"), col("o_orderkey")).alias("zkey"))
+        zorder2(pmod(col("o_custkey"), lit(1L << 31)),
+          pmod(col("o_orderkey"), lit(1L << 31))).alias("zkey"))
     }),
 
     // to_alphanum zero-padded increment (VBAK_change.sql:1 semantics).
@@ -2628,9 +2635,11 @@ object SparkEntry {
     // position 2i, bit i of b at 2i+1 — every term and the total fit
     // BIGINT (< 2^62)
     "q_zorder_key" -> {
+      // the mod-2^31 bucketize the Spark query applies is replayed here;
+      // for non-negative keys % == pmod
       val terms = (0 until 31).flatMap(i => Seq(
-        s"((o_custkey >> $i) & 1) * ${1L << (2 * i)}",
-        s"((o_orderkey >> $i) & 1) * ${1L << (2 * i + 1)}"))
+        s"(((o_custkey % 2147483648) >> $i) & 1) * ${1L << (2 * i)}",
+        s"(((o_orderkey % 2147483648) >> $i) & 1) * ${1L << (2 * i + 1)}"))
       s"""SELECT o_orderkey,
         |  (${terms.mkString(" + ")}) AS zkey
         |FROM orders""".stripMargin

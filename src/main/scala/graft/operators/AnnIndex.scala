@@ -31,9 +31,15 @@ import graft.functions.GraftExpressions._
   * equals `ivfTopK(data)` row-for-row for equal parameters — the spec
   * pins that identity plus the file-level pruning.
   *
-  * Builds publish by staged rename: written to `<path>_tmp`, moved into
-  * place last, so readers never see a half-built index and a crashed
-  * build leaves the previous index intact.
+  * Builds publish by staged rename with the old index retired ASIDE, not
+  * deleted first: `<path>_tmp` is fully written (its `_meta.json` lands
+  * last, so a tmp WITH meta is complete by construction), the live dir is
+  * renamed to `<path>_old`, tmp moves into place, and only then is the
+  * aside copy dropped — so no crash point leaves zero complete copies on
+  * disk (the previous delete-then-rename protocol lost the only copy in
+  * the delete→rename window — ADVICE r9). [[recoverCrash]] runs at the
+  * head of every entry point and rolls forward (complete tmp) or back
+  * (aside copy) as the surviving artifacts dictate.
   */
 object AnnIndex {
 
@@ -44,6 +50,51 @@ object AnnIndex {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
+  /** Heal a crashed [[buildIvf]]/[[compactIvf]] swap. Branches, derived
+    * from the strict artifact order (tmp completed → live retired aside →
+    * tmp promoted → aside dropped):
+    *  - live missing + tmp complete (has `_meta.json`): the crash hit
+    *    between retire and promote — roll FORWARD (tmp is a full index).
+    *  - live missing + only the aside copy: promote crashed some other way
+    *    (or forward-roll's own rename tore) — roll BACK to the aside copy.
+    *  - live present: any tmp is an incomplete build (builds only touch
+    *    the live dir after tmp completes) and any aside copy is
+    *    already-superseded debris — drop both.
+    * Idempotent; a crash during recovery re-runs it.
+    */
+  private def recoverCrash(path: String): Unit = {
+    val live = new java.io.File(path)
+    val tmp = new java.io.File(path + "_tmp")
+    val aside = new java.io.File(path + "_old")
+    if (!live.exists()) {
+      if (new java.io.File(tmp, "_meta.json").exists())
+        java.nio.file.Files.move(tmp.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else if (aside.exists())
+        java.nio.file.Files.move(aside.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (live.exists()) { rmTree(tmp); rmTree(aside) }
+  }
+
+  /** Retire-aside swap: publish the COMPLETE staged dir `tmp` as `path`.
+    * Precondition: tmp's `_meta.json` exists (the completeness marker
+    * recovery keys on).
+    */
+  private def swapInto(path: String, tmp: java.io.File): Unit = {
+    require(new java.io.File(tmp, "_meta.json").exists(),
+      s"internal: staged index $tmp is incomplete (no _meta.json)")
+    val live = new java.io.File(path)
+    val aside = new java.io.File(path + "_old")
+    rmTree(aside)
+    if (live.exists())
+      java.nio.file.Files.move(live.toPath, aside.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rmTree(aside)
+  }
+
   /** Fit + assign + write. Overwrites an existing index atomically (the
     * old index serves reads until the final rename). The fitted quantizer
     * model is persisted inside the index, so [[appendIvf]] can assign new
@@ -51,6 +102,7 @@ object AnnIndex {
     */
   def buildIvf(path: String, data: DataFrame, idCol: String, vecCol: String,
       numCells: Int, seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
+    recoverCrash(path)
     val model = Similarity.fitCoarseQuantizer(data, idCol, vecCol, numCells,
       seed, fitSampleSize)
     val tmp = new java.io.File(path + "_tmp")
@@ -60,15 +112,9 @@ object AnnIndex {
     model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
     writeCentroids(data.sparkSession, tmp, model,
       new java.io.File(tmp, "assignments").getPath)
-    val meta =
-      s"""{"idCol":"$idCol","vecCol":"$vecCol","numCells":$numCells,
-         |"seed":$seed,"fitSampleSize":$fitSampleSize}""".stripMargin
-    java.nio.file.Files.write(new java.io.File(tmp, "_meta.json").toPath,
-      meta.getBytes(StandardCharsets.UTF_8))
-    val dst = new java.io.File(path)
-    rmTree(dst)
-    java.nio.file.Files.move(tmp.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeFoldedBatches(tmp, Set.empty) // a fresh build has folded nothing
+    writeMeta(tmp, Meta(idCol, vecCol, numCells, seed, fitSampleSize))
+    swapInto(path, tmp)
   }
 
   private def assign(model: org.apache.spark.ml.clustering.KMeansModel,
@@ -119,6 +165,7 @@ object AnnIndex {
     * Centroid `n_vectors` counts stay base-only until the next compact.
     */
   def appendIvf(path: String, newData: DataFrame): Unit = {
+    recoverCrash(path)
     val n = (deltaDirs(path).map(_._1) :+ 0L).max + 1
     appendDelta(path, newData, s"assignments_delta_$n")
   }
@@ -131,6 +178,15 @@ object AnnIndex {
     * driver. This is the contract plain [[appendIvf]] cannot give (its
     * sequential naming would duplicate every replayed row).
     *
+    * The published marker survives COMPACTION: [[compactIvf]] folds the
+    * delta dirs away, but records their batch ids in the index's
+    * `_folded_batches.json` (written inside the staged swap, so "deltas
+    * gone" and "ids recorded" commit atomically) — a replay arriving
+    * after the compact still sees the id and no-ops, instead of
+    * re-publishing and duplicating every row of the batch (ADVICE r9:
+    * the delta dir's existence alone was the marker, and compaction
+    * destroyed it).
+    *
     * {{{
     * stream.writeStream.foreachBatch { (batch, id) =>
     *   AnnIndex.appendIvfBatch(path, batch, id)
@@ -139,10 +195,30 @@ object AnnIndex {
     */
   def appendIvfBatch(path: String, newData: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    recoverCrash(path)
     val name = s"assignments_delta_b$batchId"
-    if (new java.io.File(path, name).exists()) return // replay: already in
+    if (new java.io.File(path, name).exists() || // replay: still a delta
+      readFoldedBatches(path).contains(batchId)) // replay: already compacted
+      return
     appendDelta(path, newData, name)
   }
+
+  /** Batch ids whose `_b<N>` deltas a past [[compactIvf]] folded into the
+    * base — the replay high-water record. Absent file (pre-upgrade index)
+    * reads as empty.
+    */
+  private def readFoldedBatches(path: String): Set[Long] = {
+    val f = new java.io.File(path, "_folded_batches.json")
+    if (!f.exists()) return Set.empty
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    (0 until node.size()).map(i => node.get(i).asLong()).toSet
+  }
+
+  private def writeFoldedBatches(indexDir: java.io.File, ids: Set[Long]): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(indexDir, "_folded_batches.json").toPath,
+      ids.toSeq.sorted.mkString("[", ",", "]")
+        .getBytes(StandardCharsets.UTF_8))
 
   private def appendDelta(path: String, newData: DataFrame,
       dirName: String): Unit = {
@@ -172,11 +248,11 @@ object AnnIndex {
     */
   def compactIvf(path: String): Unit = {
     import org.apache.spark.ml.clustering.KMeansModel
+    recoverCrash(path)
     val src = new java.io.File(path)
     require(src.exists(), s"no ANN index at $path")
     if (deltaDirs(path).isEmpty) return
     val spark = SparkSession.active
-    val meta = readMeta(spark, path)
     val model = KMeansModel.load(new java.io.File(path, "model").getPath)
     val tmp = new java.io.File(path + "_tmp")
     rmTree(tmp)
@@ -185,11 +261,19 @@ object AnnIndex {
     model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
     writeCentroids(spark, tmp, model,
       new java.io.File(tmp, "assignments").getPath)
+    // replay high-water: the batch-named deltas this compact folds join the
+    // already-folded set, INSIDE the staged dir — the swap below makes
+    // "delta dirs gone" and "their ids recorded" a single atomic event
+    // (appendIvfBatch's idempotence contract, ADVICE r9)
+    writeFoldedBatches(tmp, readFoldedBatches(path) ++
+      Option(src.listFiles((_: java.io.File, n: String) =>
+        n.matches("assignments_delta_b\\d+")))
+        .getOrElse(Array.empty[java.io.File])
+        .map(_.getName.stripPrefix("assignments_delta_b").toLong))
+    // meta is the staged dir's completeness marker — written LAST
     java.nio.file.Files.copy(new java.io.File(path, "_meta.json").toPath,
       new java.io.File(tmp, "_meta.json").toPath)
-    rmTree(src)
-    java.nio.file.Files.move(tmp.toPath, src.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    swapInto(path, tmp)
   }
 
   /** Base ∪ appended deltas, all cell-partitioned. */
@@ -199,17 +283,35 @@ object AnnIndex {
       case (acc, (_, d)) => acc.unionByName(spark.read.parquet(d.getPath))
     }
 
+  /** Real JSON via the Jackson Spark ships — substring splitting silently
+    * misparsed column names containing quotes or keys that suffix another
+    * key (ADVICE r9), and writing them unescaped corrupted the file.
+    */
+  private def jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeMeta(indexDir: java.io.File, m: Meta): Unit = {
+    val node = jsonMapper.createObjectNode()
+    node.put("idCol", m.idCol)
+    node.put("vecCol", m.vecCol)
+    node.put("numCells", m.numCells)
+    node.put("seed", m.seed)
+    node.put("fitSampleSize", m.fitSampleSize)
+    java.nio.file.Files.write(new java.io.File(indexDir, "_meta.json").toPath,
+      jsonMapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+  }
+
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val f = new java.io.File(path, "_meta.json")
     require(f.exists(), s"no ANN index at $path (missing _meta.json)")
-    val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8)
-    def str(k: String) =
-      s.split("\"" + k + "\":\"")(1).takeWhile(_ != '"')
-    def num(k: String) =
-      s.split("\"" + k + "\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
-    Meta(str("idCol"), str("vecCol"), num("numCells").toInt,
-      num("seed"), num("fitSampleSize").toInt)
+    val n = jsonMapper.readTree(f)
+    def req(k: String) = {
+      val v = n.get(k)
+      require(v != null, s"ANN index meta at $path lacks key $k")
+      v
+    }
+    Meta(req("idCol").asText(), req("vecCol").asText(),
+      req("numCells").asInt(), req("seed").asLong(),
+      req("fitSampleSize").asInt())
   }
 
   /** Top-k cosine search against a persisted index. Reads only the probed
@@ -218,6 +320,7 @@ object AnnIndex {
   def searchIvf(path: String, queries: DataFrame, queryIdCol: String,
       k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    recoverCrash(path)
     val meta = readMeta(spark, path)
     val cellDf = broadcast(
       spark.read.parquet(new java.io.File(path, "centroids").getPath)

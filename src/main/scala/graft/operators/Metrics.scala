@@ -25,21 +25,31 @@ object Metrics {
     * accuracy. Null ratios when undefined (no predicted positives, no
     * actual positives) rather than a silent 0 — an all-negative classifier
     * has no precision, not a bad one.
+    *
+    * Rows are classified EXHAUSTIVELY: a null score or label cannot be a
+    * true or false anything, so such rows land in an explicit `n_null`
+    * count instead of silently vanishing from all four cells (which made
+    * tp+fp+tn+fn quietly undercount the frame — ADVICE r9). Counts
+    * coalesce to 0 on an empty frame (sum over zero rows is null).
     */
   def binaryReport(df: DataFrame, scoreCol: String, labelCol: String,
       threshold: Double): DataFrame = {
+    val bad = col(scoreCol).isNull || col(labelCol).isNull
     val pred = col(scoreCol) > lit(threshold)
     val lab = col(labelCol).cast("boolean")
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val counts = df.agg(
-      sum(when(pred && lab, 1L).otherwise(0L)).alias("tp"),
-      sum(when(pred && !lab, 1L).otherwise(0L)).alias("fp"),
-      sum(when(!pred && !lab, 1L).otherwise(0L)).alias("tn"),
-      sum(when(!pred && lab, 1L).otherwise(0L)).alias("fn"))
+      cnt(!bad && pred && lab).alias("tp"),
+      cnt(!bad && pred && !lab).alias("fp"),
+      cnt(!bad && !pred && !lab).alias("tn"),
+      cnt(!bad && !pred && lab).alias("fn"),
+      cnt(bad).alias("n_null"))
     def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
     val p = ratio(col("tp"), col("tp") + col("fp"))
     val r = ratio(col("tp"), col("tp") + col("fn"))
-    counts.select(col("tp"), col("fp"), col("tn"), col("fn"),
+    counts.select(col("tp"), col("fp"), col("tn"), col("fn"), col("n_null"),
       p.alias("precision"), r.alias("recall"),
       when(p.isNotNull && r.isNotNull && (p + r) > 0,
         lit(2.0) * p * r / (p + r)).alias("f1"),

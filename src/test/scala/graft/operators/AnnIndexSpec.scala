@@ -150,6 +150,91 @@ class AnnIndexSpec extends SparkSpec {
     assert(hit2.getDouble(2) > 0.999999)
   }
 
+  test("replay AFTER compaction still no-ops (folded-batch high-water, ADVICE r9)") {
+    val dir = Files.createTempDirectory("graft-annfx").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb.where(col("vec_id") < 400), "vec_id",
+      "embedding", numCells = 4, fitSampleSize = 1000)
+    val batch = emb.where(col("vec_id") >= 400 && col("vec_id") < 420)
+      .select((col("vec_id") + 90000L).alias("vec_id"), col("embedding"),
+        col("label"))
+    AnnIndex.appendIvfBatch(dir, batch, batchId = 7L)
+    AnnIndex.compactIvf(dir) // folds the delta away — the old marker is gone
+    // a restart from an older checkpoint replays the batch post-compact:
+    // the folded-batch record must absorb it, or every row duplicates
+    AnnIndex.appendIvfBatch(dir, batch, batchId = 7L)
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.startsWith("assignments_delta_")),
+      "replayed already-compacted batch must not re-publish a delta")
+    val probe = emb.where(col("vec_id") === 400)
+      .select(col("vec_id").alias("qid"), col("embedding"))
+    val hits = AnnIndex.searchIvf(dir, probe, "qid", k = 10, nprobe = 4)
+      .where(col("neighbor_id") === 90400L).count()
+    assert(hits === 1L)
+    // a NEW batch id after the compact still appends normally
+    val batch2 = emb.where(col("vec_id") >= 420 && col("vec_id") < 430)
+      .select((col("vec_id") + 91000L).alias("vec_id"), col("embedding"),
+        col("label"))
+    AnnIndex.appendIvfBatch(dir, batch2, batchId = 8L)
+    assert(new java.io.File(dir, "assignments_delta_b8").exists())
+  }
+
+  test("crashed swap never loses the only index copy (retire-aside, ADVICE r9)") {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    def mv(a: java.io.File, b: java.io.File): Unit =
+      java.nio.file.Files.move(a.toPath, b.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val dir = Files.createTempDirectory("graft-anncx").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
+      seed = 1L, fitSampleSize = 500)
+    val want = AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val live = new java.io.File(dir)
+    val tmp = new java.io.File(dir + "_tmp")
+    val aside = new java.io.File(dir + "_old")
+
+    // crash BETWEEN retire and promote: live missing, complete tmp + aside
+    // both on disk → roll FORWARD to the staged copy (it is a full index)
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).foreach(_.foreach(c =>
+          copyTree(c, new java.io.File(dst, c.getName))))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyTree(live, tmp) // a "newly built" complete staged index
+    mv(live, aside)     // the retire rename happened...
+    // ...and the process died here. The next search self-heals:
+    assert(AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet === want)
+    assert(!tmp.exists() && !aside.exists())
+
+    // crash MID-BUILD after the live dir went aside some other way:
+    // incomplete tmp (no _meta.json), aside holds the only copy → roll BACK
+    copyTree(live, aside)
+    rm(live)
+    tmp.mkdirs() // torn staged dir: no _meta.json
+    new java.io.File(tmp, "assignments").mkdirs()
+    val healed = AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(healed === want)
+    assert(!aside.exists())
+  }
+
+  test("meta survives awkward column names (real JSON, ADVICE r9)") {
+    val dir = Files.createTempDirectory("graft-annjx").resolve("ix").toString
+    // a column name containing a quote and one that is a suffix of another
+    // key — both broke the substring-split parser
+    val odd = emb.select(col("vec_id").alias("id\"col"),
+      col("embedding").alias("Col"))
+    AnnIndex.buildIvf(dir, odd, "id\"col", "Col", numCells = 2,
+      seed = 3L, fitSampleSize = 300)
+    val q = odd.limit(3).select(col("id\"col").alias("qid"), col("Col"))
+    val got = AnnIndex.searchIvf(dir, q, "qid", k = 2, nprobe = 2)
+    assert(got.count() === 6L)
+  }
+
   test("rebuild is atomic and a missing index fails loudly") {
     val dir = Files.createTempDirectory("graft-annrx").resolve("ix").toString
     intercept[IllegalArgumentException] {
