@@ -94,7 +94,16 @@ object Bench {
       sweepState()
       name -> t
     }
-    val all = results ++ streamed
+    // Store read-path isolation (VERDICT r9 #7): the top-level q_store_*
+    // entries time in-query store CONSTRUCTION plus the read; these dotted
+    // entries separate them — one shared build, then each read surface
+    // timed alone (median of 3), so the serving-path cost is visible
+    // (expected ≪ 1 s; the build dominates the parent entries).
+    val storeReads: Seq[(String, Double)] =
+      if (only.isEmpty) StoreReadBench.run(spark, sfDir) else Nil
+    sweepState()
+
+    val all = results ++ streamed ++ storeReads
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // dotted entries are phase breakdowns of their parent, not queries —
@@ -124,9 +133,14 @@ object Bench {
     // tail window with headroom for the trailing sbt success line — sized
     // by measured bytes, not by entry count.
     val failed = all.filter(_._2 < 0)
-    val stream = all.filter { case (k, v) => k.startsWith("stream_") && v >= 0 }
+    // streaming entries + the store read-path isolation entries always
+    // make the line: they are the 100TB-critical and the serving-path
+    // numbers respectively, and both are small fixed sets
+    val stream = all.filter { case (k, v) =>
+      (k.startsWith("stream_") || k.endsWith(".read") ||
+        k.endsWith(".build")) && v >= 0 }
     val batchOk = all.filter { case (k, v) =>
-      !k.startsWith("stream_") && v >= 0 }.sortBy(-_._2)
+      !stream.exists(_._1 == k) && v >= 0 }.sortBy(-_._2)
     def line35(n: Int): String = {
       val kept = failed ++ stream ++ batchOk.take(n).sortBy(_._1)
       val qs35 = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -137,6 +151,50 @@ object Bench {
       .find(_.length <= 1800).getOrElse(line35(0))
     println(compact)
     spark.stop()
+  }
+}
+
+/** Read-path isolation for the q_store_* gates: build the two-batch replay
+  * store ONCE (timed as `.build`), then time each read surface alone. The
+  * parent entries q_store_lookup / q_store_time_travel / q_store_cdf keep
+  * timing construction+read (they are the correctness gates); these dotted
+  * entries are the serving-path numbers an operator actually cares about —
+  * a point lookup over a warm store is a one-bucket file read, not a 3 s
+  * store build (VERDICT r9 #4/#7).
+  */
+object StoreReadBench {
+  def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val work = java.nio.file.Files.createTempDirectory("graft-storebench")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      val t0 = System.nanoTime()
+      val store = SparkEntry.buildReplayStore(spark, sfDir,
+        work.resolve("store").toString)
+      val build = (System.nanoTime() - t0) / 1e9
+      def median3(body: => Unit): Double = {
+        def once(): Double = {
+          val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+        }
+        Seq(once(), once(), once()).sorted.apply(1)
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val lookup = median3(noop(
+        SparkEntry.LookupProbeKeys.map(store.lookup(_))
+          .reduce(_.unionByName(_))))
+      val timeTravel = median3(noop(store.snapshotAsOf(1)))
+      val cdf = median3(noop(store.changesBetween(1, 2)))
+      Seq("q_store_lookup.build" -> build,
+        "q_store_lookup.read" -> lookup,
+        "q_store_time_travel.read" -> timeTravel,
+        "q_store_cdf.read" -> cdf)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] store read-path bench failed: ${e.getMessage}")
+        Nil
+    } finally rm(work.toFile)
   }
 }
 
@@ -157,10 +215,17 @@ object StreamBench {
   /** Returns the total plus dotted per-phase entries
     * (`stream_cdc_merge.merge_fold` = CDC fold compute into cache,
     * `.merge_write` = staging IO from cache, `.swap` = commit renames/
-    * fsyncs, `.compact`, `.other` = watermark stats/ledger/driver
+    * fsyncs, `.compact` with its own `.compact_write`/`.compact_swap`
+    * breakdown (VERDICT r9 #2), `.other` = watermark stats/ledger/driver
     * overhead) so a regression in the loop localizes to a phase without
     * re-profiling (VERDICT r7 #6). Phases sum to the total by
     * construction.
+    *
+    * MOR compaction is POLICY-DRIVEN from inside [[graft.streaming
+    * .CdcStreamJob.processBatch]] (`autoCompactDeltas = compactEvery`) —
+    * the loop owns its maintenance cadence (VERDICT r9 #5); the COW loop
+    * keeps the external hand-scheduled cadence (COW merges publish no
+    * deltas, so a debt policy has nothing to observe there).
     */
   def run(spark: SparkSession, sfDir: String, numBatches: Int = 10,
       compactEvery: Int = 5, mergeOnRead: Boolean = false): Seq[(String, Double)] = {
@@ -184,10 +249,13 @@ object StreamBench {
         source = () => customer.select(col("c_custkey").alias("user_id"),
           col("c_name"), col("c_acctbal")),
         store = store, ledger = ledger,
-        keyJoin = Seq("user_id" -> "user_id"))
+        keyJoin = Seq("user_id" -> "user_id"),
+        // MOR: the loop compacts itself when the delta debt hits the
+        // threshold — same cadence the hand-scheduler produced (debt
+        // reaches `compactEvery` every `compactEvery` batches)
+        autoCompactDeltas = if (mergeOnRead) Some(compactEvery) else None)
       val step = math.max(1L, maxTx / numBatches)
       UpsertStore.drainPhases() // reset: earlier merges must not leak in
-      var compactSec = 0.0
       val t0 = System.nanoTime()
       var batch = 0
       var lo = 0L
@@ -197,30 +265,34 @@ object StreamBench {
           col(Cdc.TransactionId) <= hi), batch.toLong)
         lo = hi
         batch += 1
-        if (batch % compactEvery == 0) {
-          val tc = System.nanoTime()
-          store.compact()
-          compactSec += (System.nanoTime() - tc) / 1e9
-        }
+        // COW merges are bucket-aligned and publish no deltas — keep the
+        // external maintenance cadence the MOR loop drives via its policy
+        if (!mergeOnRead && batch % compactEvery == 0) store.compact()
       }
       store.snapshot().count() // force final state visible before stopping
       val total = (System.nanoTime() - t0) / 1e9
       val merged = UpsertStore.drainPhases()
-      // only merge() feeds the phase counters; compact is timed whole
-      // above, so nothing double-counts. In MOR mode merge_fold reads 0 —
-      // there is no changed-bucket probe, so the CDC fold computes lazily
-      // INSIDE the delta write (merge_write covers fold + IO there) — and
-      // `other` carries the read-side snapshot fold, the price MOR trades
-      // its O(batch) writes for.
+      // merge() and compact() both feed the phase counters (compact's
+      // write/swap are separate names, so nothing double-counts). In MOR
+      // mode merge_fold reads 0 — there is no changed-bucket probe, so the
+      // CDC fold computes lazily INSIDE the delta write (merge_write
+      // covers fold + IO there) — and `other` carries the read-side
+      // snapshot fold, the price MOR trades its O(batch) writes for.
+      // compact.{write,swap} decompose the compact total the same way
+      // (compact_write = fold compute + staging IO; the remainder is
+      // listing/fsync/lease overhead).
       val fold = merged.getOrElse("merge_fold", 0.0)
       val write = merged.getOrElse("merge_write", 0.0)
       val swap = merged.getOrElse("swap", 0.0)
+      val compactSec = merged.getOrElse("compact", 0.0)
       val q = if (mergeOnRead) Bench.StreamMorQueryName else Bench.StreamQueryName
       Seq(q -> total,
         s"$q.merge_fold" -> fold,
         s"$q.merge_write" -> write,
         s"$q.swap" -> swap,
         s"$q.compact" -> compactSec,
+        s"$q.compact_write" -> merged.getOrElse("compact_write", 0.0),
+        s"$q.compact_swap" -> merged.getOrElse("compact_swap", 0.0),
         s"$q.other" ->
           math.max(0.0, total - fold - write - swap - compactSec))
     } catch {

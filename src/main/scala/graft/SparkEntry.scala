@@ -49,34 +49,49 @@ object SparkEntry {
   // unpersists every RDD including localCheckpoint blocks, which have no
   // lineage to recompute from — a cached frame would throw on its second
   // use. Each gate pays its own small build (two O(batch) MOR merges).
-  private def withReplayStore(s: SparkSession, dir: String)(
-      f: graft.streaming.UpsertStore => DataFrame): DataFrame = {
+  /** Build the two-batch replay store the q_store_* gates read (also
+    * driven standalone by the bench's read-path isolation entries —
+    * VERDICT r9 #7). Batch 1: +100 on every 3rd key, delete every 7th;
+    * batch 2: +200 on every 5th key (re-inserting deleted multiples
+    * of 35).
+    */
+  private[graft] def buildReplayStore(s: SparkSession, dir: String,
+      storeDir: String): graft.streaming.UpsertStore = {
     val cust = t(s, dir, "customer").select(
       col("c_custkey").alias("user_id"), col("c_name"), col("c_acctbal"))
+    val store = new graft.streaming.UpsertStore(s, storeDir,
+      pkCols = Seq("user_id"), numBuckets = 8, mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(cust))
+    store.merge(cust
+      .where(col("user_id") % 7 === 0 || col("user_id") % 3 === 0)
+      .withColumn("c_acctbal",
+        when(col("user_id") % 7 =!= 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      .withColumn(Cdc.ChangeType,
+        when(col("user_id") % 7 === 0, lit(Cdc.Delete))
+          .otherwise(lit(Cdc.Upsert)))
+      .withColumn(Cdc.TransactionId, lit(1L)))
+    store.merge(cust.where(col("user_id") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 200)
+      .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+      .withColumn(Cdc.TransactionId, lit(2L)))
+    store
+  }
+
+  /** The eight q_store_lookup probe keys: untouched / updated / LWW-
+    * overridden / deleted / delete-then-reinserted coverage.
+    */
+  private[graft] val LookupProbeKeys = Seq(1L, 3L, 5L, 7L, 8L, 15L, 21L, 35L)
+
+  private def withReplayStore(s: SparkSession, dir: String)(
+      f: graft.streaming.UpsertStore => DataFrame): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft-replaystore")
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
     }
-    try {
-      val store = new graft.streaming.UpsertStore(s,
-        work.resolve("store").toString, pkCols = Seq("user_id"),
-        numBuckets = 8, mergeOnRead = true)
-      store.initialize(Cdc.initialLoad(cust))
-      store.merge(cust
-        .where(col("user_id") % 7 === 0 || col("user_id") % 3 === 0)
-        .withColumn("c_acctbal",
-          when(col("user_id") % 7 =!= 0, col("c_acctbal") + 100)
-            .otherwise(col("c_acctbal")))
-        .withColumn(Cdc.ChangeType,
-          when(col("user_id") % 7 === 0, lit(Cdc.Delete))
-            .otherwise(lit(Cdc.Upsert)))
-        .withColumn(Cdc.TransactionId, lit(1L)))
-      store.merge(cust.where(col("user_id") % 5 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 200)
-        .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
-        .withColumn(Cdc.TransactionId, lit(2L)))
-      f(store).localCheckpoint(true)
-    } finally rm(work.toFile)
+    try f(buildReplayStore(s, dir, work.resolve("store").toString))
+      .localCheckpoint(true)
+    finally rm(work.toFile)
   }
 
   /** The J4 nested business object (orders → items[]) — shared by the nest
@@ -1255,7 +1270,7 @@ object SparkEntry {
     // probed keys; the deleted keys' absence is part of the hash.
     "q_store_lookup" -> ((s, dir) =>
       withReplayStore(s, dir) { store =>
-        Seq(1L, 3L, 5L, 7L, 8L, 15L, 21L, 35L)
+        LookupProbeKeys
           .map(k => store.lookup(k))
           .reduce(_.unionByName(_))
           .select(col("user_id"), col("c_name"),

@@ -56,13 +56,26 @@ class TxidLedger(path: String) {
   *                  transaction START but delivered at COMMIT, so a batch
   *                  can carry a late-committing txn with txid ≤ a
   *                  previously-seen maximum.
+  * @param autoCompactDeltas when set, run [[UpsertStore.compactIfNeeded]]
+  *                  with this threshold after each batch's ledger advance —
+  *                  the MOR maintenance policy driven from INSIDE the loop
+  *                  (the job owning its own compaction cadence instead of
+  *                  an external scheduler; VERDICT r9 #5). Compaction debt
+  *                  is a store-observable (delta-dir count), so the policy
+  *                  check is a directory listing, not a Spark job.
+  * @param autoCompactRatio byte-ratio sibling ([[UpsertStore
+  *                  .compactIfDeltaRatio]]): catches the few-huge-deltas
+  *                  case (a backfill) the count policy misses. Both may be
+  *                  set; whichever fires first compacts.
   */
 class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     store: UpsertStore, ledger: TxidLedger,
     keyJoin: Seq[(String, String)],
     openTxns: () => Seq[Watermark.OpenTxn] = () => Nil,
     nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000,
-    pullMode: Boolean = false) {
+    pullMode: Boolean = false,
+    autoCompactDeltas: Option[Int] = None,
+    autoCompactRatio: Option[Double] = None) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[CdcStreamJob])
 
@@ -137,6 +150,10 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     store.merge(folded)
     appliedHi = math.max(appliedHi, maxLogged)
     if (safe > from) ledger.commit(safe) // advances only after sink commit
+    // maintenance AFTER the commit: a compaction crash must replay the
+    // window (deltas re-fold idempotently), never lose it
+    if (!autoCompactDeltas.exists(store.compactIfNeeded(_)))
+      autoCompactRatio.foreach(store.compactIfDeltaRatio(_))
   }
 
   /** Run as a Structured Streaming query over a streaming change feed. */

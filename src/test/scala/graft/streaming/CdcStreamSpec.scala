@@ -184,6 +184,29 @@ class CdcStreamSpec extends SparkSpec {
       s"MOR wrote $morBytes vs COW $cowBytes — expected ≥10× separation")
   }
 
+  test("MOR delta is bucket-aligned: one file per touched bucket") {
+    val dir = tmp("morfiles")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 8,
+      mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      (1L to 64L).map(i => (i, s"v$i")).toDF("id", "payload")))
+    // a wide batch (touches many buckets) written from many partitions:
+    // without the aligning exchange this would write tasks × buckets files
+    store.merge(spark.range(1, 65)
+      .select(lit(Cdc.Upsert).alias(Cdc.ChangeType),
+        (col("id") + 100L).alias(Cdc.TransactionId), col("id"),
+        concat(lit("u"), col("id")).alias("payload"))
+      .repartition(16))
+    val delta = new java.io.File(dir).listFiles((_: java.io.File, n: String) =>
+      n.matches("_delta_\\d+")).head
+    delta.listFiles((f: java.io.File) => f.getName.startsWith("_bucket="))
+      .foreach { b =>
+        val n = b.listFiles((f: java.io.File) =>
+          f.getName.endsWith(".parquet")).length
+        assert(n === 1, s"delta bucket ${b.getName} holds $n files, want 1")
+      }
+  }
+
   test("mode mismatch is safe: COW-flagged readers fold deltas, COW merges refuse") {
     val dir = tmp("mix")
     val mor = morStore(dir)
@@ -265,6 +288,129 @@ class CdcStreamSpec extends SparkSpec {
       .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
     assert(mor.snapshot().as[(Long, String)].collect().toMap.get(2L)
       .contains("TWO2"))
+  }
+
+  test("compaction is bucket-selective: untouched base files byte-identical (VERDICT r9 #1)") {
+    import java.security.MessageDigest
+    val dir = tmp("morsel")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 8,
+      mergeOnRead = true)
+    // enough keys that every bucket holds data
+    store.initialize(Cdc.initialLoad(
+      (1L to 64L).map(i => (i, s"v$i")).toDF("id", "payload")))
+    // two batches touching a handful of keys (few buckets)
+    store.merge(Seq((Cdc.Upsert, 10L, 5L, "V5"), (Cdc.Delete, 11L, 9L,
+      null.asInstanceOf[String]))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    store.merge(Seq((Cdc.Upsert, 12L, 5L, "V5b"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    val root = new java.io.File(dir)
+    val touched = root.listFiles((_: java.io.File, n: String) =>
+      n.matches("_delta_\\d+")).flatMap(_.listFiles(
+        (f: java.io.File) => f.getName.startsWith("_bucket=")))
+      .map(_.getName.stripPrefix("_bucket=").toInt).toSet
+    assert(touched.nonEmpty && touched.size < 8,
+      s"test setup: deltas must touch a strict subset of buckets ($touched)")
+    def md5(f: java.io.File): String = MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+    def baseFiles(bucket: Int): Map[String, String] =
+      Option(new java.io.File(root, s"_bucket=$bucket")
+        .listFiles((f: java.io.File) => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .getOrElse(Array.empty).map(f => f.getName -> md5(f)).toMap
+    val untouchedBefore = (0 until 8).filterNot(touched)
+      .map(b => b -> baseFiles(b)).toMap
+    val expect = store.snapshot().as[(Long, String)].collect().toSet
+    store.compact()
+    // 1) untouched buckets: same file names, same bytes — never rewritten
+    untouchedBefore.foreach { case (b, files) =>
+      assert(baseFiles(b) === files,
+        s"untouched bucket $b was rewritten by a selective compact")
+    }
+    // 2) deltas folded away, snapshot identical
+    assert(root.listFiles((_: java.io.File, n: String) =>
+      n.matches("_delta_\\d+")).isEmpty)
+    assert(store.snapshot().as[(Long, String)].collect().toSet === expect)
+    assert(expect.contains((5L, "V5b")) && !expect.exists(_._1 == 9L))
+    // 3) time-travel horizon advanced with the fold (store-wide, as before)
+    assert(store.earliestSeq === 2L)
+    intercept[IllegalStateException](store.snapshotAsOf(1L).collect())
+    // 4) a clusterBy pass is the explicit FULL-rewrite flavor
+    store.merge(Seq((Cdc.Upsert, 13L, 5L, "V5c"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    val anyUntouched = untouchedBefore.keys.head
+    store.compact(clusterBy = Seq("id"))
+    assert(baseFiles(anyUntouched) !== untouchedBefore(anyUntouched),
+      "clusterBy compact must rewrite every bucket (layout pass)")
+    assert(store.snapshot().as[(Long, String)].collect().toMap.get(5L)
+      .contains("V5c"))
+  }
+
+  test("selective compact handles a touched bucket emptied by deletes") {
+    val dir = tmp("morempty")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 8,
+      mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      (1L to 32L).map(i => (i, s"v$i")).toDF("id", "payload")))
+    // find a bucket and delete EVERY key in it
+    val byBucket = (1L to 32L).map { i =>
+      val b = spark.range(1).select(pmod(hash(lit(i)), lit(8)).cast("int"))
+        .head().getInt(0)
+      i -> b
+    }
+    val (victimBucket, victims) = byBucket.groupBy(_._2).view
+      .mapValues(_.map(_._1)).head
+    store.merge(victims.map(i => (Cdc.Delete, 100L + i, i,
+        null.asInstanceOf[String]))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload"))
+    store.compact()
+    // the emptied bucket's base dir is gone; no victim row survives
+    assert(!new java.io.File(dir, s"_bucket=$victimBucket").exists())
+    val left = store.snapshot().as[(Long, String)].collect().map(_._1).toSet
+    assert(left === (1L to 32L).toSet -- victims)
+  }
+
+  test("processBatch drives MOR compaction from the debt policy (VERDICT r9 #5)") {
+    val dir = tmp("morauto")
+    val store = new UpsertStore(spark, dir, Seq("id"), numBuckets = 4,
+      mergeOnRead = true)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two")).toDF("id", "payload")))
+    val ledger = new TxidLedger(tmp("morauto-led") + "/led")
+    var src = Seq((1L, "one"), (2L, "two"))
+    val job = new CdcStreamJob(spark, source = () => src.toDF("id", "payload"),
+      store = store, ledger = ledger, keyJoin = Seq("id" -> "id"),
+      autoCompactDeltas = Some(2))
+    def batch(txid: Long, ids: Long*) =
+      ids.map(i => (i, txid)).toDF("id", Cdc.TransactionId)
+    src = Seq((1L, "ONE"), (2L, "two"))
+    job.processBatch(batch(1L, 1L), 0L)
+    assert(store.deltaCount === 1) // below threshold: no compact
+    src = Seq((1L, "ONE"), (2L, "TWO"))
+    job.processBatch(batch(2L, 2L), 1L)
+    assert(store.deltaCount === 0,
+      "debt hit the threshold: processBatch must have compacted")
+    assert(store.snapshot().as[(Long, String)].collect().toSet ===
+      Set((1L, "ONE"), (2L, "TWO")))
+    // byte-ratio policy: one huge backfill delta triggers compaction even
+    // at delta-count 1 (the case the count policy misses)
+    val dir2 = tmp("morauto2")
+    val store2 = new UpsertStore(spark, dir2, Seq("id"), numBuckets = 4,
+      mergeOnRead = true)
+    store2.initialize(Cdc.initialLoad(
+      Seq((1L, "x")).toDF("id", "payload")))
+    val ledger2 = new TxidLedger(tmp("morauto2-led") + "/led")
+    val big = (1L to 500L).map(i => (i, s"p$i"))
+    val job2 = new CdcStreamJob(spark,
+      source = () => big.toDF("id", "payload"),
+      store = store2, ledger = ledger2, keyJoin = Seq("id" -> "id"),
+      autoCompactRatio = Some(0.5))
+    job2.processBatch(big.map { case (i, _) => (i, 10L) }
+      .toDF("id", Cdc.TransactionId), 0L)
+    assert(store2.deltaCount === 0,
+      "backfill delta >> base: ratio policy must have compacted")
+    assert(store2.snapshot().count() === 500L)
   }
 
   test("MOR: torn tmp delta is ignored and swept; schema evolves additively") {
