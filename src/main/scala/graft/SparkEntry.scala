@@ -1164,44 +1164,62 @@ object SparkEntry {
           round(col("cosine"), 6).alias("cosine_r"))
     }),
 
-    // LSH-bucketed ANN (the 100 TB path; rows-only — approximate by design).
+    // LSH-bucketed ANN, HASH-GATED via its degenerate-exact configuration
+    // (the wordpiece/simhash graduation trick, VERDICT r9 #6): at
+    // numPlanes=1 the multi-probe set {b, b^1} covers BOTH buckets, so
+    // every vector is scored exactly once and the result IS brute force —
+    // same bucketing/probing/heap code the production config runs, oracled
+    // by the exact top-k SQL. Partial-probe recall at production planes is
+    // spec-pinned (SimilaritySpec).
     "q_sim_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").alias("query_id"), col("embedding"))
       Similarity.lshTopK(emb, queries, "vec_id", "embedding",
-        "query_id", k = 10, dim = 64, numPlanes = 8)
+          "query_id", k = 10, dim = 64, numPlanes = 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).alias("cosine_r"))
     }),
 
-    // IVF ANN (the centroid-partitioned scale path; rows-only —
-    // approximate by design at partial probe).
+    // IVF ANN, hash-gated at nprobe = numCells (probe every cell ⇒ exact
+    // ≡ brute force; SimilaritySpec asserts the identity and pins partial-
+    // probe recall). The cells/probe/scoring path is the production code.
     "q_sim_topk_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").alias("query_id"), col("embedding"))
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-        "query_id", k = 10, numCells = 16, nprobe = 4)
+          "query_id", k = 10, numCells = 16, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).alias("cosine_r"))
     }),
 
-    // PQ ANN (the compressed-domain scale path: 8-byte codes, ADC scan,
-    // exact refine of the top candidates; rows-only — approximate by
-    // design, recall pinned vs brute force in SimilaritySpec).
+    // PQ ANN, hash-gated with the refine multiplier opened wide enough
+    // that every ADC candidate survives to the exact re-score (refine·k ≥
+    // corpus at any tested SF) — the ADC scan, codebooks, and bounded-heap
+    // stages all run for real; the exact refine then equals brute force.
+    // Production refine=4 recall is spec-pinned.
     "q_sim_topk_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").alias("query_id"), col("embedding"))
       Similarity.pqTopK(emb, queries, "vec_id", "embedding",
-        "query_id", k = 10, dim = 64)
+          "query_id", k = 10, dim = 64, refine = 100000)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).alias("cosine_r"))
     }),
 
-    // IVF-PQ ANN (the composed billion-scale layout: coarse cells prune,
-    // 8-byte codes scan, exact refine; rows-only — approximate by design).
+    // IVF-PQ ANN, hash-gated by composing both degenerate-exact knobs
+    // (all cells probed + all candidates refined).
     "q_sim_topk_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").alias("query_id"), col("embedding"))
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
-        "query_id", k = 10, dim = 64, numCells = 16, nprobe = 8)
+          "query_id", k = 10, dim = 64, numCells = 16, nprobe = 16,
+          refine = 100000)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).alias("cosine_r"))
     }),
 
     // Distributed spherical k-means, EXACT and oracle-gated end-to-end:
@@ -1648,13 +1666,14 @@ object SparkEntry {
 
     // SemDeDup (Abbas et al. 2023): k-means cells prune the cosine verify
     // to same-cell pairs; components + keep-one produce the surviving
-    // corpus. Approximate by design (cross-cell pairs are the recall
-    // trade) — rows-only gate; SemDedupSpec pins determinism and recall
-    // against the exact baseline.
+    // corpus. HASH-GATED at numCells=1 (one cell = the exact all-pairs
+    // verify; SemDedupSpec asserts the identity) — the oracle replays
+    // threshold pairs + min-label components via a recursive CTE. Cross-
+    // cell recall at production cell counts stays spec-pinned.
     "q_semdedup_keep" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val pairs = Dedup.semanticNearDups(emb, "vec_id", "embedding",
-        threshold = 0.4, numCells = 8, fitSampleSize = 2000)
+        threshold = 0.4, numCells = 1, fitSampleSize = 2000)
       val comps = Dedup.connectedComponents(pairs)
       val losers = comps.where(col("id") =!= col("component"))
         .select(col("id").alias("vec_id"))
@@ -2379,6 +2398,20 @@ object SparkEntry {
   /** The delta-fold oracle, shared by the fold itself and the wire-format
     * round-trips (identity transforms over the same fold).
     */
+  /** Exact cosine top-10 for the first 5 query vectors — shared by the
+    * brute-force gate and every ANN-ladder gate's degenerate-exact
+    * configuration (all of which reduce to brute force by construction).
+    */
+  private val ExactTopKOracle =
+    """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+      |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+      |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+      |  FROM embeddings d, embeddings q
+      |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
+      |WHERE rank <= 10""".stripMargin
+
   private val DeltaFoldOracle =
     """WITH latest AS (
       |  SELECT user_id, max(event_id) AS _transactionid
@@ -3295,15 +3328,34 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
 
-    "q_sim_topk_bruteforce" ->
-      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
-        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
-        |  FROM embeddings d, embeddings q
-        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
-        |WHERE rank <= 10""".stripMargin,
+    "q_sim_topk_bruteforce" -> ExactTopKOracle,
+
+    // the ANN ladder's degenerate-exact gate configs all equal brute
+    // force (all buckets probed / all cells probed / all candidates
+    // refined), so they share its oracle — the graduation trick
+    "q_sim_topk_lsh" -> ExactTopKOracle,
+    "q_sim_topk_ivf" -> ExactTopKOracle,
+    "q_sim_topk_pq" -> ExactTopKOracle,
+    "q_sim_topk_ivfpq" -> ExactTopKOracle,
+
+    // SemDeDup at numCells=1 = exact all-pairs threshold graph; keep-one
+    // = drop every node whose component's min id is not itself. The
+    // recursive CTE propagates min labels to a fixpoint (UNION dedups, so
+    // iteration terminates when no smaller label reaches any node).
+    "q_semdedup_keep" ->
+      """WITH RECURSIVE pair AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |edge AS (SELECT u, v FROM pair UNION ALL SELECT v AS u, u AS v FROM pair),
+        |comp(id, label) AS (
+        |  SELECT u AS id, u AS label FROM edge
+        |  UNION
+        |  SELECT e.u AS id, c.label FROM edge e JOIN comp c ON c.id = e.v),
+        |losers AS (
+        |  SELECT id FROM comp GROUP BY id HAVING min(label) <> id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     // Time travel: the as-of-batch-1 state is pure customer arithmetic —
     // every 7th key deleted, every remaining 3rd bumped +100; batch 2

@@ -43,8 +43,11 @@ import graft.functions.GraftExpressions._
   */
 object AnnIndex {
 
+  /** `pqM`/`pqKsub` are 0 for a plain (full-width) IVF index; a PQ index
+    * stores codes alongside the refine vectors and sets both.
+    */
   private case class Meta(idCol: String, vecCol: String, numCells: Int,
-      seed: Long, fitSampleSize: Int)
+      seed: Long, fitSampleSize: Int, pqM: Int = 0, pqKsub: Int = 0)
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
@@ -115,6 +118,130 @@ object AnnIndex {
     writeFoldedBatches(tmp, Set.empty) // a fresh build has folded nothing
     writeMeta(tmp, Meta(idCol, vecCol, numCells, seed, fitSampleSize))
     swapInto(path, tmp)
+  }
+
+  /** PERSISTED IVF-PQ — the 25B-embedding serving layout ([[Similarity
+    * .ivfPqTopK]] made durable, VERDICT r9 #4): each assignment row stores
+    * the m-byte PQ code NEXT TO the full-width refine vector, and parquet's
+    * columnar projection makes the split free — the ADC candidate scan
+    * reads only (id, code) bytes of the probed cells (~m bytes/vector),
+    * while the exact-refine stage reads the vector column for the
+    * `refine·k` candidate rows alone. Coarse quantizer AND codebooks fit
+    * on the same hash-ordered sample with the same seeds as `ivfPqTopK`,
+    * so `searchIvfPq(buildIvfPq(data)) ≡ ivfPqTopK(data)` row-for-row for
+    * equal parameters (spec-pinned, like the plain-IVF identity).
+    * Appends ([[appendIvf]]/[[appendIvfBatch]]) encode with the PERSISTED
+    * codebooks — cells and codes stay stable forever, which is what makes
+    * an append O(batch); compaction and replay idempotence are the same
+    * machinery as the plain index.
+    */
+  def buildIvfPq(path: String, data: DataFrame, idCol: String,
+      vecCol: String, numCells: Int, m: Int = 8, ksub: Int = 256,
+      seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
+    import graft.functions.SketchOps
+    recoverCrash(path)
+    require(m > 0 && ksub > 1 && ksub <= 256,
+      s"need m > 0 and ksub in 2..256, got m=$m ksub=$ksub")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val model = Similarity.fitCoarseQuantizer(data, idCol, vecCol, numCells,
+      seed, fitSampleSize)
+    // the SAME hash-ordered deterministic sample ivfPqTopK trains on
+    val sample = data
+      .select(col(vecCol).alias("_v"), xxhash64(col(idCol)).alias("_h"))
+      .orderBy(col("_h")).limit(fitSampleSize)
+      .select(col("_v")).as[Array[Float]].collect()
+    val codebooks = SketchOps.pqTrain(sample, m, ksub)
+    val tmp = new java.io.File(path + "_tmp")
+    rmTree(tmp)
+    assign(model, data, idCol, vecCol)
+      .withColumn("_code", pq_encode(col(vecCol), codebooks))
+      .write.partitionBy("_cell")
+      .mode("overwrite").parquet(new java.io.File(tmp, "assignments").getPath)
+    model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
+    writeCentroids(data.sparkSession, tmp, model,
+      new java.io.File(tmp, "assignments").getPath)
+    writeCodebooks(spark, tmp, codebooks)
+    writeFoldedBatches(tmp, Set.empty)
+    writeMeta(tmp, Meta(idCol, vecCol, numCells, seed, fitSampleSize,
+      pqM = m, pqKsub = ksub))
+    swapInto(path, tmp)
+  }
+
+  /** Codebooks as one tiny parquet (m × ksub rows of subvector centers) —
+    * readable by any engine, reloaded into the literal shape the codegen
+    * kernels take.
+    */
+  private def writeCodebooks(spark: SparkSession, indexDir: java.io.File,
+      codebooks: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (center, c) => (s, c, center) }
+    }.toSeq.toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(indexDir, "codebooks").getPath)
+  }
+
+  private def readCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    import spark.implicits._
+    val rows = spark.read
+      .parquet(new java.io.File(path, "codebooks").getPath)
+      .as[(Int, Int, Array[Float])].collect()
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Top-k cosine search against a persisted IVF-PQ index: probe cells by
+    * centroid cosine, scan ONLY the probed cells' (id, code) columns under
+    * asymmetric-distance cosine, keep `refine·k` candidates per query in
+    * the bounded heap, then re-score exactly against the vector column of
+    * the candidate rows alone. Result ≡ [[Similarity.ivfPqTopK]] for equal
+    * parameters.
+    */
+  def searchIvfPq(path: String, queries: DataFrame, queryIdCol: String,
+      k: Int, nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    recoverCrash(path)
+    val meta = readMeta(spark, path)
+    require(meta.pqM > 0,
+      s"index at $path is plain IVF (no PQ codes) — use searchIvf")
+    val codebooks = readCodebooks(spark, path)
+    val cellDf = broadcast(
+      spark.read.parquet(new java.io.File(path, "centroids").getPath)
+        .select(col("_cell"), col("_centroid")))
+    val q = queries.select(col(queryIdCol).alias("query_id"),
+      col(meta.vecCol).alias("_qvec"))
+    val probes = q.crossJoin(cellDf)
+      .withColumn("_csim", cosine_sim(col("_qvec"), col("_centroid")))
+      .withColumn("_rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("_csim").desc, col("_cell"))))
+      .where(col("_rnk") <= nprobe)
+      .select(col("query_id"), col("_qvec"), col("_cell"))
+      .localCheckpoint(true) // probed thrice: cell-union + adc + refine
+    val probedCells = probes.select(col("_cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val indexed = allAssignments(spark, path)
+      .where(col("_cell").isin(probedCells: _*))
+    // ADC candidate scan: only (id, _cell, _code) columns are read
+    val adc = indexed.select(col(meta.idCol), col("_cell"), col("_code"))
+      .join(broadcast(probes), Seq("_cell"))
+      .where(col(meta.idCol) =!= col("query_id"))
+      .select(col("query_id"), col(meta.idCol).alias("neighbor_id"),
+        pq_adc_cosine(col("_qvec"), col("_code"), codebooks).alias("cosine"))
+    val candidates = Similarity.topKPerQuery(adc, math.max(k, refine * k))
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refine: the vector column is read for candidate rows only
+    val exact = indexed
+      .select(col(meta.idCol).alias("neighbor_id"), col(meta.vecCol))
+      .join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col(meta.vecCol), col("_qvec")).alias("cosine"))
+    Similarity.topKPerQuery(exact, k)
   }
 
   private def assign(model: org.apache.spark.ml.clustering.KMeansModel,
@@ -228,7 +355,14 @@ object AnnIndex {
     val model = KMeansModel.load(new java.io.File(path, "model").getPath)
     val tmp = new java.io.File(path, s"${dirName}_tmp")
     rmTree(tmp)
-    assign(model, newData, meta.idCol, meta.vecCol)
+    val assigned = assign(model, newData, meta.idCol, meta.vecCol)
+    // a PQ index encodes appends with its PERSISTED codebooks — codes stay
+    // comparable to the base's forever (no refit, same as the cells)
+    val encoded =
+      if (meta.pqM > 0) assigned.withColumn("_code",
+        pq_encode(col(meta.vecCol), readCodebooks(spark, path)))
+      else assigned
+    encoded
       .write.partitionBy("_cell").mode("overwrite").parquet(tmp.getPath)
     // an empty batch must not publish: a rows-less delta dir (bare
     // _SUCCESS) has no inferable schema and would break every later read
@@ -270,6 +404,18 @@ object AnnIndex {
         n.matches("assignments_delta_b\\d+")))
         .getOrElse(Array.empty[java.io.File])
         .map(_.getName.stripPrefix("assignments_delta_b").toLong))
+    // a PQ index's codebooks ride along unchanged (codes in the folded
+    // assignments were produced by them)
+    val cb = new java.io.File(path, "codebooks")
+    if (cb.exists()) {
+      def cp(src: java.io.File, dst: java.io.File): Unit =
+        if (src.isDirectory) {
+          dst.mkdirs()
+          Option(src.listFiles()).foreach(_.foreach(c =>
+            cp(c, new java.io.File(dst, c.getName))))
+        } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+      cp(cb, new java.io.File(tmp, "codebooks"))
+    }
     // meta is the staged dir's completeness marker — written LAST
     java.nio.file.Files.copy(new java.io.File(path, "_meta.json").toPath,
       new java.io.File(tmp, "_meta.json").toPath)
@@ -296,6 +442,8 @@ object AnnIndex {
     node.put("numCells", m.numCells)
     node.put("seed", m.seed)
     node.put("fitSampleSize", m.fitSampleSize)
+    node.put("pqM", m.pqM)
+    node.put("pqKsub", m.pqKsub)
     java.nio.file.Files.write(new java.io.File(indexDir, "_meta.json").toPath,
       jsonMapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
   }
@@ -309,9 +457,10 @@ object AnnIndex {
       require(v != null, s"ANN index meta at $path lacks key $k")
       v
     }
+    def opt(k: String) = Option(n.get(k)).map(_.asInt()).getOrElse(0)
     Meta(req("idCol").asText(), req("vecCol").asText(),
       req("numCells").asInt(), req("seed").asLong(),
-      req("fitSampleSize").asInt())
+      req("fitSampleSize").asInt(), opt("pqM"), opt("pqKsub"))
   }
 
   /** Top-k cosine search against a persisted index. Reads only the probed

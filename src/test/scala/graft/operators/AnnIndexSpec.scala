@@ -150,6 +150,75 @@ class AnnIndexSpec extends SparkSpec {
     assert(hit2.getDouble(2) > 0.999999)
   }
 
+  test("searchIvfPq(buildIvfPq(data)) ≡ ivfPqTopK(data) row-for-row") {
+    val dir = Files.createTempDirectory("graft-annpq").resolve("ix").toString
+    AnnIndex.buildIvfPq(dir, emb, "vec_id", "embedding", numCells = 8,
+      m = 8, ksub = 16, seed = 42L, fitSampleSize = 2000)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 1e9), r.getInt(3))
+    val fromIndex = AnnIndex.searchIvfPq(dir, queries, "qid", k = 5,
+      nprobe = 3, refine = 4).collect().map(key).toSet
+    val inMemory = Similarity.ivfPqTopK(emb,
+        queries.withColumnRenamed("qid", "vec_id"), "vec_id", "embedding",
+        "vec_id", k = 5, dim = 64, numCells = 8, nprobe = 3, m = 8,
+        ksub = 16, refine = 4, seed = 42L, fitSampleSize = 2000)
+      .collect().map(key).toSet
+    assert(fromIndex === inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("IVF-PQ: unprobed cells never read; appends encode with persisted codebooks") {
+    val dir = Files.createTempDirectory("graft-annpq2").resolve("ix").toString
+    AnnIndex.buildIvfPq(dir, emb.where(col("vec_id") < 400), "vec_id",
+      "embedding", numCells = 8, m = 8, ksub = 16, fitSampleSize = 1000)
+    val cellDirs = new java.io.File(dir, "assignments")
+      .listFiles((f: java.io.File) => f.getName.startsWith("_cell="))
+    val totalFiles = cellDirs.map(d => d.listFiles((f: java.io.File) =>
+      f.getName.endsWith(".parquet")).length.toLong).sum
+    val one = queries.limit(1)
+    val read = filesRead(
+      AnnIndex.searchIvfPq(dir, one, "qid", k = 3, nprobe = 1))
+    assert(read < totalFiles,
+      s"expected pruned scan, read $read of $totalFiles assignment files")
+    // append under fresh ids; a probe identical to an appended vector must
+    // retrieve it at rank 1 — only possible if the append's codes AND the
+    // refine vectors landed comparably to the base's
+    val tail = emb.where(col("vec_id") >= 400)
+      .select((col("vec_id") + 200000L).alias("vec_id"), col("embedding"),
+        col("label"))
+    AnnIndex.appendIvfBatch(dir, tail, batchId = 3L)
+    AnnIndex.appendIvfBatch(dir, tail, batchId = 3L) // replay no-op
+    assert(new java.io.File(dir).listFiles((_: java.io.File, n: String) =>
+      n.startsWith("assignments_delta_")).length === 1)
+    val probeVec = emb.where(col("vec_id") >= 400).orderBy(col("vec_id"))
+      .limit(1)
+    val probe = probeVec.select(col("vec_id").alias("qid"), col("embedding"))
+    val got = AnnIndex.searchIvfPq(dir, probe, "qid", k = 3, nprobe = 8)
+      .orderBy(col("rank")).collect()
+    val wantId = probeVec.select(col("vec_id")).head().getLong(0) + 200000L
+    assert(got.head.getLong(1) === wantId)
+    assert(got.head.getDouble(2) > 0.999999)
+    // compact: layout-only, codebooks preserved, results identical
+    val before = AnnIndex.searchIvfPq(dir, queries, "qid", k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    AnnIndex.compactIvf(dir)
+    assert(new java.io.File(dir, "codebooks").exists())
+    val after = AnnIndex.searchIvfPq(dir, queries, "qid", k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+    // a replay of the compacted batch still no-ops (high-water carried)
+    AnnIndex.appendIvfBatch(dir, tail, batchId = 3L)
+    assert(new java.io.File(dir).listFiles((_: java.io.File, n: String) =>
+      n.startsWith("assignments_delta_")).isEmpty)
+    // plain searchIvf refuses nothing here, but a plain index refuses PQ
+    val plain = Files.createTempDirectory("graft-annpq3").resolve("ix").toString
+    AnnIndex.buildIvf(plain, emb.limit(100), "vec_id", "embedding",
+      numCells = 2, fitSampleSize = 100)
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchIvfPq(plain, queries, "qid", k = 3)
+    }
+  }
+
   test("replay AFTER compaction still no-ops (folded-batch high-water, ADVICE r9)") {
     val dir = Files.createTempDirectory("graft-annfx").resolve("ix").toString
     AnnIndex.buildIvf(dir, emb.where(col("vec_id") < 400), "vec_id",
