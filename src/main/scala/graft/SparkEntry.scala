@@ -1305,6 +1305,46 @@ object SparkEntry {
             col("c_acctbal").cast(DoubleType).alias("bal"),
             col(Cdc.ChangeType)))),
 
+    // OBJECT-STORE COMMIT PROTOCOL (VERDICT r9 #9): the same two-batch
+    // replay through the rename-free ManifestUpsertStore — immutable
+    // generation dirs + digest-validated manifest put — with a manifest
+    // COMPACTION between the batches, so the gate exercises generation
+    // re-referencing and the post-compact LWW boundary. Same final-state
+    // oracle arithmetic as the rename-based store's gates; crash points
+    // are ManifestStoreSpec's.
+    "q_store_manifest" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").alias("user_id"), col("c_name"), col("c_acctbal"))
+      val work = java.nio.file.Files.createTempDirectory("graft-mfstore")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      try {
+        val store = new graft.streaming.ManifestUpsertStore(s,
+          work.resolve("store").toString, pkCols = Seq("user_id"),
+          numBuckets = 8)
+        store.initialize(Cdc.initialLoad(cust))
+        store.merge(cust
+          .where(col("user_id") % 7 === 0 || col("user_id") % 3 === 0)
+          .withColumn("c_acctbal",
+            when(col("user_id") % 7 =!= 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+          .withColumn(Cdc.ChangeType,
+            when(col("user_id") % 7 === 0, lit(Cdc.Delete))
+              .otherwise(lit(Cdc.Upsert)))
+          .withColumn(Cdc.TransactionId, lit(1L)))
+        store.compact() // fold batch 1; batch 2 must still outrank it
+        store.merge(cust.where(col("user_id") % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 200)
+          .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          .withColumn(Cdc.TransactionId, lit(2L)))
+        store.snapshot()
+          .select(col("user_id"), col("c_name"),
+            col("c_acctbal").cast(DoubleType).alias("bal"))
+          .localCheckpoint(true)
+      } finally rm(work.toFile)
+    }),
+
     // §3.2 + §3.1 composed: the full change stream a consumer sees —
     // initial-load INSERT envelope unioned with the delta fold.
     "q_cdc_stream_union" -> ((s, dir) => {
@@ -3377,6 +3417,17 @@ object SparkEntry {
         |FROM customer
         |WHERE c_custkey IN (1, 3, 5, 7, 8, 15, 21, 35)
         |  AND NOT (c_custkey % 7 = 0 AND c_custkey % 5 <> 0)""".stripMargin,
+
+    // manifest store final state: same LWW arithmetic as q_store_lookup,
+    // unrestricted keys (+200 overrides +100; %7 deletes survive only via
+    // %5 re-insert)
+    "q_store_manifest" ->
+      """SELECT c_custkey AS user_id, c_name,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 200
+        |            WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 5 <> 0)""".stripMargin,
 
     // Change data feed (1, 2]: exactly batch 2 — upserts of every 5th key
     // at +200

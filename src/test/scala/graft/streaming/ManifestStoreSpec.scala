@@ -1,0 +1,215 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Cdc
+
+/** Object-store-semantics commit protocol (VERDICT r9 #9): every crash
+  * point must serve a complete, correct store WITHOUT relying on atomic
+  * renames — the implementation performs none; visibility is one
+  * digest-validated manifest put, and these tests drive torn manifests,
+  * crashed writes, crashed compactions, and GC interruption directly.
+  */
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+
+  private def newStore(dir: String, keep: Int = 3): ManifestUpsertStore = {
+    val store = new ManifestUpsertStore(spark, dir, Seq("id"),
+      numBuckets = 4, keepVersions = keep)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "payload")))
+    store
+  }
+
+  private def batch(rows: (String, Long, Long, String)*) =
+    rows.toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+
+  private def state(s: ManifestUpsertStore): Set[(Long, String)] =
+    s.snapshot().as[(Long, String)].collect().toSet
+
+  test("merge/delete/compact semantics match the rename-based store") {
+    val dir = tmp("mfsem")
+    val store = newStore(dir)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO"),
+      (Cdc.Delete, 11L, 3L, null.asInstanceOf[String])))
+    assert(state(store) === Set((1L, "one"), (2L, "TWO")))
+    store.merge(batch((Cdc.Upsert, 12L, 2L, "TWO2"),
+      (Cdc.Upsert, 13L, 4L, "four")))
+    assert(state(store) === Set((1L, "one"), (2L, "TWO2"), (4L, "four")))
+    assert(store.deltaCount === 2)
+    store.compact()
+    assert(store.deltaCount === 0)
+    assert(state(store) === Set((1L, "one"), (2L, "TWO2"), (4L, "four")))
+    // LWW across a compaction boundary: later merges outrank folded state
+    store.merge(batch((Cdc.Upsert, 14L, 2L, "TWO3")))
+    assert(state(store).contains((2L, "TWO3")))
+    // lookup reads the same answers
+    assert(store.lookup(2L).as[(Long, String)].collect().toSeq ===
+      Seq((2L, "TWO3")))
+    assert(store.lookup(3L).count() === 0)
+  }
+
+  test("no rename anywhere: a torn newest manifest is skipped, previous version serves") {
+    val dir = tmp("mftorn")
+    val store = newStore(dir)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO")))
+    val good = state(store)
+    val v = store.currentVersion
+    // simulate a crashed/partial manifest PUT at EVERY prefix length: the
+    // copy+delete world's torn write. Reader must serve version v intact.
+    val next = new java.io.File(dir, f"manifest-${v + 1}%012d.json")
+    val donor = new java.io.File(dir, f"manifest-$v%012d.json")
+    val bytes = java.nio.file.Files.readAllBytes(donor.toPath)
+    (0 until bytes.length by math.max(1, bytes.length / 17)).foreach { n =>
+      java.nio.file.Files.write(next.toPath,
+        java.util.Arrays.copyOfRange(bytes, 0, n))
+      assert(store.currentVersion === v, s"torn manifest of $n bytes served")
+      assert(state(store) === good)
+    }
+    // even a byte-complete manifest with a flipped payload byte is torn
+    val evil = bytes.clone(); evil(20) = (evil(20) ^ 1).toByte
+    java.nio.file.Files.write(next.toPath, evil)
+    assert(store.currentVersion === v)
+    assert(state(store) === good)
+    // the writer's next commit reuses the torn slot and heals it
+    next.delete()
+    store.merge(batch((Cdc.Upsert, 11L, 3L, "THREE")))
+    assert(state(store).contains((3L, "THREE")))
+  }
+
+  test("crash after data write, before manifest put: batch invisible, replay converges") {
+    val dir = tmp("mfcrashw")
+    val store = newStore(dir)
+    val before = state(store)
+    // simulate: write the generation dir exactly as merge would, but die
+    // before the manifest put — here, by writing an unreferenced gen dir
+    val orphan = new java.io.File(dir, "gen-99-delta9")
+    Seq((Cdc.Upsert, 99L, 2L, "LOST")).toDF(
+        Cdc.ChangeType, Cdc.TransactionId, "id", "payload")
+      .withColumn("_bucket", pmod(hash(col("id")), lit(4)))
+      .write.partitionBy("_bucket").mode("overwrite").parquet(orphan.getPath)
+    assert(state(store) === before, "unreferenced generation leaked into reads")
+    // the replayed batch commits normally and converges
+    store.merge(batch((Cdc.Upsert, 99L, 2L, "FOUND")))
+    assert(state(store).contains((2L, "FOUND")))
+    // ...and the orphan is swept by a later GC pass (merge ran gc())
+    assert(!orphan.exists(), "crashed write's orphan survived GC")
+  }
+
+  test("crash during compact before manifest put: base+deltas still serve; retry compacts") {
+    val dir = tmp("mfcrashc")
+    val store = newStore(dir)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO"),
+      (Cdc.Delete, 11L, 1L, null.asInstanceOf[String])))
+    val want = state(store)
+    val v = store.currentVersion
+    // a compact that died after writing its folded generation: unreferenced
+    val dead = new java.io.File(dir, s"gen-${v + 1}-compact1")
+    Seq((2L, "TWO")).toDF("id", "payload")
+      .withColumn("_bucket", pmod(hash(col("id")), lit(4)))
+      .write.partitionBy("_bucket").mode("overwrite").parquet(dead.getPath)
+    assert(store.currentVersion === v)
+    assert(state(store) === want)
+    assert(store.deltaCount === 1, "deltas must still be referenced")
+    // retry completes (overwrites the dead gen dir) and serves identically
+    store.compact()
+    assert(store.deltaCount === 0)
+    assert(state(store) === want)
+  }
+
+  test("compaction is bucket-selective: untouched generation dirs are re-referenced, not rewritten") {
+    import java.security.MessageDigest
+    val dir = tmp("mfsel")
+    val store = new ManifestUpsertStore(spark, dir, Seq("id"),
+      numBuckets = 8, keepVersions = 2)
+    store.initialize(Cdc.initialLoad(
+      (1L to 64L).map(i => (i, s"v$i")).toDF("id", "payload")))
+    store.merge(batch((Cdc.Upsert, 10L, 5L, "V5")))
+    def md5All(d: java.io.File): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet")).map { f =>
+        f.getPath -> MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val initGen = new java.io.File(dir, "gen-1-init")
+    val before = md5All(initGen)
+    val want = state(store)
+    store.compact()
+    // the init generation still exists and is byte-identical: untouched
+    // buckets are served from it by reference; only the touched bucket
+    // moved to the new compact generation
+    assert(initGen.exists(), "untouched base generation was GC'd while referenced")
+    assert(md5All(initGen) === before)
+    assert(state(store) === want)
+  }
+
+  test("version history: snapshotAt serves retained manifests; expiry refuses older") {
+    val dir = tmp("mfhist")
+    val store = newStore(dir, keep = 3)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "v2state"))) // version 2
+    store.merge(batch((Cdc.Upsert, 11L, 2L, "v3state"))) // version 3
+    assert(store.snapshotAt(2).as[(Long, String)].collect().toMap
+      .get(2L).contains("v2state"))
+    assert(store.snapshotAt(3).as[(Long, String)].collect().toMap
+      .get(2L).contains("v3state"))
+    store.merge(batch((Cdc.Upsert, 12L, 2L, "v4state"))) // version 4: v1 expires
+    intercept[IllegalStateException](store.snapshotAt(1))
+    assert(store.snapshotAt(4).as[(Long, String)].collect().toMap
+      .get(2L).contains("v4state"))
+  }
+
+  test("GC never deletes a referenced generation; interrupted GC is retryable") {
+    val dir = tmp("mfgc")
+    val store = newStore(dir, keep = 2)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO")))
+    store.merge(batch((Cdc.Upsert, 11L, 3L, "THREE")))
+    store.compact()
+    // every generation named by any retained manifest exists on disk
+    val manifests = new java.io.File(dir).listFiles(
+      (_: java.io.File, n: String) => n.matches("manifest-\\d{12}\\.json"))
+      .sortBy(_.getName).reverse.take(2)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val referenced = manifests.flatMap { f =>
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val payload = s.substring(0, s.lastIndexOf('\n', s.length - 2))
+      val n = mapper.readTree(payload)
+      val base = {
+        val it = n.get("base").fieldNames()
+        val buf = scala.collection.mutable.Buffer.empty[String]
+        while (it.hasNext) buf += n.get("base").get(it.next()).asText()
+        buf.toSeq
+      }
+      base ++ (0 until n.get("deltas").size()).map(i =>
+        n.get("deltas").get(i).get("gen").asText())
+    }.toSet
+    referenced.foreach { g =>
+      assert(new java.io.File(dir, g).exists(), s"referenced gen $g missing")
+    }
+    // interrupted GC = garbage left behind; the next operation re-sweeps
+    val junk = new java.io.File(dir, "gen-50-delta50")
+    junk.mkdirs()
+    new java.io.File(junk, "_bucket=0").mkdirs()
+    store.merge(batch((Cdc.Upsert, 12L, 4L, "FOUR")))
+    assert(!junk.exists(), "unreferenced garbage survived the GC retry")
+    assert(state(store).contains((4L, "FOUR")))
+  }
+
+  test("schema evolves additively through the manifest") {
+    val dir = tmp("mfevo")
+    val store = newStore(dir)
+    store.merge(Seq((Cdc.Upsert, 10L, 2L, "TWO", "extra"))
+      .toDF(Cdc.ChangeType, Cdc.TransactionId, "id", "payload", "note"))
+    val m = store.snapshot().collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(m === Set((1L, "one", None), (2L, "TWO", Some("extra")),
+      (3L, "three", None)))
+  }
+}
