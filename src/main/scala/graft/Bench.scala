@@ -14,11 +14,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val StreamQueryName = "stream_cdc_merge"
   val StreamMorQueryName = "stream_cdc_merge_mor"
+  val StreamManifestQueryName = "stream_cdc_merge_manifest"
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
     val unknown = only.diff(
-      SparkEntry.queries.keySet + StreamQueryName + StreamMorQueryName)
+      SparkEntry.queries.keySet + StreamQueryName + StreamMorQueryName +
+        StreamManifestQueryName)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,6 +63,9 @@ object Bench {
       else Nil) ++
       (if (only.isEmpty || only.contains(StreamMorQueryName))
         StreamBench.run(spark, sfDir, mergeOnRead = true)
+      else Nil) ++
+      (if (only.isEmpty || only.contains(StreamManifestQueryName))
+        StreamBench.run(spark, sfDir, mergeOnRead = true, manifest = true)
       else Nil)
     sweepState()
 
@@ -228,10 +233,12 @@ object StreamBench {
     * deltas, so a debt policy has nothing to observe there).
     */
   def run(spark: SparkSession, sfDir: String, numBatches: Int = 10,
-      compactEvery: Int = 5, mergeOnRead: Boolean = false): Seq[(String, Double)] = {
+      compactEvery: Int = 5, mergeOnRead: Boolean = false,
+      manifest: Boolean = false): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     import graft.cdc.Cdc
-    import graft.streaming.{CdcStreamJob, TxidLedger, UpsertStore}
+    import graft.streaming.{CdcStreamJob, KeyedUpsertStore,
+      ManifestUpsertStore, TxidLedger, UpsertStore}
 
     val customer = Tables.load(spark, sfDir, "customer")
     val feed = Tables.load(spark, sfDir, "events")
@@ -239,21 +246,38 @@ object StreamBench {
     val maxTx = feed.agg(max(Cdc.TransactionId)).head().getLong(0)
     val work = java.nio.file.Files.createTempDirectory("graft-streambench")
     try {
-      val store = new UpsertStore(spark, work.resolve("store").toString,
-        pkCols = Seq("user_id"), numBuckets = 32, mergeOnRead = mergeOnRead)
-      store.initialize(Cdc.initialLoad(
-        customer.select(col("c_custkey").alias("user_id"), col("c_name"),
-          col("c_acctbal"))))
+      // manifest = the object-store (rename-free) commit protocol riding
+      // the SAME loop — benched head-to-head with the rename-based MOR
+      // store so the protocol tax is a measured number, not a guess
+      val store: KeyedUpsertStore =
+        if (manifest) {
+          val s = new ManifestUpsertStore(spark,
+            work.resolve("store").toString, pkCols = Seq("user_id"),
+            numBuckets = 32)
+          s.initialize(Cdc.initialLoad(
+            customer.select(col("c_custkey").alias("user_id"), col("c_name"),
+              col("c_acctbal"))))
+          s
+        } else {
+          val s = new UpsertStore(spark, work.resolve("store").toString,
+            pkCols = Seq("user_id"), numBuckets = 32,
+            mergeOnRead = mergeOnRead)
+          s.initialize(Cdc.initialLoad(
+            customer.select(col("c_custkey").alias("user_id"), col("c_name"),
+              col("c_acctbal"))))
+          s
+        }
       val ledger = new TxidLedger(work.resolve("txid.ledger").toString)
       val job = new CdcStreamJob(spark,
         source = () => customer.select(col("c_custkey").alias("user_id"),
           col("c_name"), col("c_acctbal")),
         store = store, ledger = ledger,
         keyJoin = Seq("user_id" -> "user_id"),
-        // MOR: the loop compacts itself when the delta debt hits the
-        // threshold — same cadence the hand-scheduler produced (debt
+        // MOR/manifest: the loop compacts itself when the delta debt hits
+        // the threshold — same cadence the hand-scheduler produced (debt
         // reaches `compactEvery` every `compactEvery` batches)
-        autoCompactDeltas = if (mergeOnRead) Some(compactEvery) else None)
+        autoCompactDeltas =
+          if (mergeOnRead || manifest) Some(compactEvery) else None)
       val step = math.max(1L, maxTx / numBatches)
       UpsertStore.drainPhases() // reset: earlier merges must not leak in
       val t0 = System.nanoTime()
@@ -267,7 +291,12 @@ object StreamBench {
         batch += 1
         // COW merges are bucket-aligned and publish no deltas — keep the
         // external maintenance cadence the MOR loop drives via its policy
-        if (!mergeOnRead && batch % compactEvery == 0) store.compact()
+        store match {
+          case cow: UpsertStore
+              if !mergeOnRead && !manifest && batch % compactEvery == 0 =>
+            cow.compact()
+          case _ =>
+        }
       }
       store.snapshot().count() // force final state visible before stopping
       val total = (System.nanoTime() - t0) / 1e9
@@ -285,7 +314,10 @@ object StreamBench {
       val write = merged.getOrElse("merge_write", 0.0)
       val swap = merged.getOrElse("swap", 0.0)
       val compactSec = merged.getOrElse("compact", 0.0)
-      val q = if (mergeOnRead) Bench.StreamMorQueryName else Bench.StreamQueryName
+      val q =
+        if (manifest) Bench.StreamManifestQueryName
+        else if (mergeOnRead) Bench.StreamMorQueryName
+        else Bench.StreamQueryName
       Seq(q -> total,
         s"$q.merge_fold" -> fold,
         s"$q.merge_write" -> write,
@@ -297,7 +329,10 @@ object StreamBench {
           math.max(0.0, total - fold - write - swap - compactSec))
     } catch {
       case e: Throwable =>
-        val q = if (mergeOnRead) Bench.StreamMorQueryName else Bench.StreamQueryName
+        val q =
+          if (manifest) Bench.StreamManifestQueryName
+          else if (mergeOnRead) Bench.StreamMorQueryName
+          else Bench.StreamQueryName
         System.err.println(s"[bench] $q failed: ${e.getMessage}")
         Seq(q -> -1.0)
     } finally {

@@ -1209,6 +1209,32 @@ object SparkEntry {
           round(col("cosine"), 6).alias("cosine_r"))
     }),
 
+    // PERSISTED IVF index (AnnIndex): build → search-from-disk, hash-gated
+    // at nprobe=numCells (all cells probed ⇒ exact ≡ brute force). The
+    // gate drives the real serving path — fit, cell-partitioned layout,
+    // centroid probing, file-pruned scan — end-to-end against the same
+    // exact-top-k oracle; partial-probe recall and file pruning are
+    // AnnIndexSpec's.
+    "q_ann_index_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft-annix")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      try {
+        val ix = work.resolve("ix").toString
+        graft.operators.AnnIndex.buildIvf(ix, emb, "vec_id", "embedding",
+          numCells = 8, fitSampleSize = 2000)
+        graft.operators.AnnIndex.searchIvf(ix,
+            emb.where(col("vec_id") < 5)
+              .select(col("vec_id").alias("query_id"), col("embedding")),
+            "query_id", k = 10, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 6).alias("cosine_r"))
+          .localCheckpoint(true)
+      } finally rm(work.toFile)
+    }),
+
     // IVF-PQ ANN, hash-gated by composing both degenerate-exact knobs
     // (all cells probed + all candidates refined).
     "q_sim_topk_ivfpq" -> ((s, dir) => {
@@ -3377,6 +3403,7 @@ object SparkEntry {
     "q_sim_topk_ivf" -> ExactTopKOracle,
     "q_sim_topk_pq" -> ExactTopKOracle,
     "q_sim_topk_ivfpq" -> ExactTopKOracle,
+    "q_ann_index_search" -> ExactTopKOracle,
 
     // SemDeDup at numCells=1 = exact all-pairs threshold graph; keep-one
     // = drop every node whose component's min id is not itself. The

@@ -69,7 +69,7 @@ class TxidLedger(path: String) {
   *                  set; whichever fires first compacts.
   */
 class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
-    store: UpsertStore, ledger: TxidLedger,
+    store: KeyedUpsertStore, ledger: TxidLedger,
     keyJoin: Seq[(String, String)],
     openTxns: () => Seq[Watermark.OpenTxn] = () => Nil,
     nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000,

@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
 
+/** The keyed-replica surface [[CdcStreamJob]] drives — implemented by both
+  * commit protocols ([[UpsertStore]] for atomic-rename filesystems,
+  * [[ManifestUpsertStore]] for object-store semantics), so the streaming
+  * loop, its ledger contract, and its maintenance policies are protocol-
+  * agnostic: swapping the storage backend is a constructor argument, not a
+  * topology change.
+  */
+trait KeyedUpsertStore {
+  /** Apply one folded CDC batch (idempotent, last-write-wins by PK). */
+  def merge(folded: DataFrame): Unit
+  /** Current store contents (no envelope columns). */
+  def snapshot(): DataFrame
+  /** Compact when the delta-count debt reaches the threshold; returns
+    * whether a compaction ran.
+    */
+  def compactIfNeeded(maxDeltas: Int = 16): Boolean
+  /** Byte-ratio sibling (delta bytes / base bytes); returns whether a
+    * compaction ran.
+    */
+  def compactIfDeltaRatio(maxRatio: Double = 0.2): Boolean
+}
+
 /** OBJECT-STORE-SEMANTICS sibling of [[UpsertStore]] (VERDICT r9 #9): the
   * same keyed MOR store, committed WITHOUT a single rename.
   *
@@ -52,7 +74,8 @@ import graft.cdc.Cdc
   * multi-writer object stores is out of scope and documented as such.
   */
 class ManifestUpsertStore(spark: SparkSession, dir: String,
-    pkCols: Seq[String], numBuckets: Int = 16, keepVersions: Int = 3) {
+    pkCols: Seq[String], numBuckets: Int = 16, keepVersions: Int = 3)
+    extends KeyedUpsertStore {
 
   // under single-writer at most ONE torn manifest can sit above the newest
   // complete one (the next commit reuses and overwrites its version slot);
@@ -247,8 +270,10 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     val data = withBucket(folded.drop(Cdc.TransactionId))
       .repartition(col(bucketCol))
     val gen = genName(m.version + 1, s"delta$seq")
+    val tWrite = System.nanoTime()
     data.write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
+    UpsertStore.addPhase("merge_write", (System.nanoTime() - tWrite) / 1e9)
     if (bucketDirsOf(gen).isEmpty) { rmTree(new java.io.File(root, gen)); return }
     // additive schema evolution, same contract as UpsertStore.mergeDelta
     val existing = schemaOf(m)
@@ -259,9 +284,11 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
       else org.apache.spark.sql.types.StructType(
         existing.fields.filterNot(_.name == bucketCol) ++ newFields :+
           existing(existing.fieldIndex(bucketCol))).json
+    val tSwap = System.nanoTime()
     putManifest(Manifest(m.version + 1, schemaJson, m.base,
       m.deltas :+ (seq -> gen)))
     gc()
+    UpsertStore.addPhase("swap", (System.nanoTime() - tSwap) / 1e9)
   }
 
   /** Highest seq folded into the base (compaction floor). */
@@ -271,66 +298,54 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     }.maxOption.getOrElse(0L)
 
   /** Base ∪ deltas folded LWW by (pk, max seq) — the same fold as
-    * [[UpsertStore.foldedView]], resolved through the manifest.
+    * [[UpsertStore.foldedView]], resolved through the manifest. Each
+    * generation dir is ONE partitioned parquet read with a bucket
+    * partition filter (directory pruning) — never a per-bucket union,
+    * whose plan (one scan node per bucket dir) made the compaction fold
+    * ~8× slower at 32 buckets.
     */
   private def folded(m: Manifest, bucket: Option[Int]): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val schema = schemaOf(m)
-    val noBucket = StructType(schema.fields.filterNot(_.name == bucketCol))
-    def readGenBuckets(gen: String, buckets: Seq[Int]): DataFrame = {
-      val dirs = buckets.map(b =>
-        new java.io.File(root, s"$gen/$bucketCol=$b"))
-        .filter(_.exists())
-      if (dirs.isEmpty)
-        return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      dirs.map { d =>
-        val b = d.getName.stripPrefix(s"$bucketCol=").toInt
-        spark.read.schema(noBucket).parquet(d.getPath)
-          .withColumn(bucketCol, lit(b))
-      }.reduce(_.unionByName(_))
+    val withEnvelope = StructType(
+      schema.fields :+ StructField(Cdc.ChangeType, StringType))
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    /** One partitioned read of a whole generation dir, pruned to
+      * `buckets` by a partition filter.
+      */
+    def readGen(gen: String, buckets: Set[Int], envelope: Boolean): DataFrame = {
+      val df = spark.read.schema(if (envelope) withEnvelope else schema)
+        .parquet(new java.io.File(root, gen).getPath)
+      if (buckets == null) df
+      else df.where(col(bucketCol).isin(buckets.toSeq: _*))
     }
-    // base read: group buckets by serving generation, read each gen's dirs
-    val wantBuckets = bucket.map(Seq(_)).getOrElse(m.base.keys.toSeq.sorted)
     val deltas = m.deltas.filter { case (_, g) =>
       bucket.forall(b => new java.io.File(root, s"$g/$bucketCol=$b").exists())
     }
     val touched: Set[Int] = deltas.flatMap { case (_, g) => bucketDirsOf(g) }
       .toSet.filter(t => bucket.forall(_ == t))
-    val byGen = wantBuckets.filter(m.base.contains)
-      .groupBy(m.base).toSeq.sortBy(_._1)
-    def baseFor(buckets: Seq[Int]): Option[DataFrame] = {
-      val parts = byGen.map { case (g, bs) =>
-        readGenBuckets(g, bs.filter(buckets.contains))
-      }
-      parts.reduceOption(_.unionByName(_))
-    }
-    val untouchedBase = baseFor(wantBuckets.filterNot(touched))
+    // base read: group buckets by serving generation, one read per gen
+    val wantBuckets = bucket.map(Seq(_)).getOrElse(m.base.keys.toSeq.sorted)
+      .filter(m.base.contains)
+    val byGen = wantBuckets.groupBy(m.base).toSeq.sortBy(_._1)
+    def baseFor(buckets: Set[Int]): Option[DataFrame] =
+      byGen.flatMap { case (g, bs) =>
+        val keep = bs.filter(buckets).toSet
+        if (keep.isEmpty) None else Some(readGen(g, keep, envelope = false))
+      }.reduceOption(_.unionByName(_))
+    val untouchedBase = baseFor(wantBuckets.toSet -- touched)
     if (deltas.isEmpty || touched.isEmpty)
-      return untouchedBase.getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    val withEnvelope = StructType(
-      schema.fields :+ StructField(Cdc.ChangeType, StringType))
-    val touchedBase = baseFor(wantBuckets.filter(touched))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      return untouchedBase.getOrElse(emptyDf)
+    val touchedBase = baseFor(wantBuckets.toSet.intersect(touched))
+      .getOrElse(emptyDf)
       .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
       .withColumn(seqCol, lit(0L))
     val all = deltas.foldLeft(touchedBase) { case (acc, (seq, g)) =>
-      val envNoBucket = StructType(
-        noBucket.fields :+ StructField(Cdc.ChangeType, StringType))
-      val d = bucketDirsOf(g)
-        .filter(b => bucket.forall(_ == b)).map { b =>
-          spark.read.schema(envNoBucket)
-            .parquet(new java.io.File(root, s"$g/$bucketCol=$b").getPath)
-            .withColumn(bucketCol, lit(b))
-        }.reduceOption(_.unionByName(_))
-      d match {
-        case None => acc
-        case Some(df) =>
-          acc.unionByName(df.withColumn(seqCol, lit(seq)),
-            allowMissingColumns = true)
-      }
+      acc.unionByName(
+        readGen(g, bucket.map(Set(_)).orNull, envelope = true)
+          .withColumn(seqCol, lit(seq)),
+        allowMissingColumns = true)
     }
     val payload = struct(withEnvelope.fieldNames.map(col).toIndexedSeq: _*)
     val foldedTouched = all.groupBy(pkCols.map(col): _*)
@@ -346,6 +361,39 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
 
   def snapshot(): DataFrame =
     folded(currentManifest(), bucket = None).drop(bucketCol)
+
+  def compactIfNeeded(maxDeltas: Int = 16): Boolean = {
+    require(maxDeltas > 0, s"maxDeltas must be positive, got $maxDeltas")
+    val due = deltaCount >= maxDeltas
+    if (due) compact()
+    due
+  }
+
+  /** Delta bytes vs base bytes from the manifest's own references — a
+    * directory listing, no data read (same policy shape as
+    * [[UpsertStore.compactIfDeltaRatio]]).
+    */
+  def compactIfDeltaRatio(maxRatio: Double = 0.2): Boolean = {
+    require(maxRatio > 0, s"maxRatio must be positive, got $maxRatio")
+    val m = currentManifest()
+    def bytesOf(gen: String, bucket: Option[Int]): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      bucket match {
+        case Some(b) => walk(new java.io.File(root, s"$gen/$bucketCol=$b"))
+        case None => walk(new java.io.File(root, gen))
+      }
+    }
+    // base bytes count each bucket under its SERVING gen only (a compact
+    // gen dir may hold buckets that a later compact superseded)
+    val base = m.base.toSeq.map { case (b, g) => bytesOf(g, Some(b)) }.sum
+    val delta = m.deltas.map { case (_, g) => bytesOf(g, None) }.sum
+    val due = delta > 0 && (base == 0L || delta.toDouble / base >= maxRatio)
+    if (due) compact()
+    due
+  }
 
   /** Time travel across RETAINED manifests — versions are the history. */
   def snapshotAt(version: Long): DataFrame =
@@ -378,6 +426,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * base+deltas unchanged.
     */
   def compact(): Unit = {
+    val tc = System.nanoTime()
     val m = currentManifest()
     if (m.deltas.isEmpty) return
     val touched: Set[Int] =
@@ -388,14 +437,19 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     // wasteful (one plan per bucket); restrict by dropping untouched from
     // the base map instead
     val touchedOnly = m.copy(base = m.base.filter(kv => touched(kv._1)))
+    val tw = System.nanoTime()
     folded(touchedOnly, bucket = None)
       .repartition(col(bucketCol))
       .write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
+    UpsertStore.addPhase("compact_write", (System.nanoTime() - tw) / 1e9)
     val survivors = bucketDirsOf(gen).toSet
     val newBase = (m.base -- touched.diff(survivors)) ++
       survivors.map(_ -> gen)
+    val ts = System.nanoTime()
     putManifest(Manifest(m.version + 1, m.schemaJson, newBase, Seq.empty))
     gc()
+    UpsertStore.addPhase("compact_swap", (System.nanoTime() - ts) / 1e9)
+    UpsertStore.addPhase("compact", (System.nanoTime() - tc) / 1e9)
   }
 }

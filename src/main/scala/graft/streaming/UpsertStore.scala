@@ -53,7 +53,7 @@ import graft.cdc.Cdc
 class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     numBuckets: Int = 16, broadcastBatchKeys: Boolean = true,
     leaseTtlMs: Long = 10 * 60 * 1000L, writerId: Option[String] = None,
-    mergeOnRead: Boolean = false) {
+    mergeOnRead: Boolean = false) extends KeyedUpsertStore {
 
   private val bucketCol = "_bucket"
 

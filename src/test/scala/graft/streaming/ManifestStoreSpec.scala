@@ -202,6 +202,27 @@ class ManifestStoreSpec extends SparkSpec {
     assert(state(store).contains((4L, "FOUR")))
   }
 
+  test("CdcStreamJob drives the manifest store through the same interface (KeyedUpsertStore)") {
+    // the identical loop the rename-based stores run — swapping the commit
+    // protocol is a constructor argument, not a topology change
+    val source = Seq((1L, "one"), (2L, "TWO"), (3L, "three")).toDF("id", "payload")
+    val store = new ManifestUpsertStore(spark, tmp("mfjob"), Seq("id"),
+      numBuckets = 4)
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "old1"), (9L, "old9")).toDF("id", "payload")))
+    val ledger = new TxidLedger(tmp("mfjob-led") + "/txid")
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")), autoCompactDeltas = Some(2))
+    def keyFeed(rows: (Long, Long)*) =
+      rows.toDF("id", Cdc.TransactionId)
+    job.processBatch(keyFeed((1L, 10L), (2L, 11L)), 0)
+    assert(store.deltaCount === 1)
+    job.processBatch(keyFeed((9L, 12L)), 1) // 9 gone upstream → delete
+    assert(store.deltaCount === 0, "debt policy must have compacted")
+    assert(state(store) === Set((1L, "one"), (2L, "TWO")))
+    assert(ledger.read() === 12L)
+  }
+
   test("schema evolves additively through the manifest") {
     val dir = tmp("mfevo")
     val store = newStore(dir)
