@@ -399,6 +399,55 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
   def snapshotAt(version: Long): DataFrame =
     folded(manifestAt(version), bucket = None).drop(bucketCol)
 
+  /** CHANGE DATA FEED between two retained versions: envelope rows
+    * (`_change_type` + payload) whose LWW apply takes `snapshotAt(from)`
+    * to `snapshotAt(to)` — the same contract as [[UpsertStore
+    * .changesBetween]], resolved through the version history instead of
+    * on-disk delta dirs: every retained manifest in `(from, to]` names the
+    * delta generation its commit added, and GC keeps those generations
+    * alive exactly as long as a referencing manifest is retained — so the
+    * feed window IS the manifest retention window (`keepVersions`), and a
+    * range beyond it refuses loudly.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    require(fromVersion <= toVersion,
+      s"empty range: $fromVersion > $toVersion")
+    val mTo = manifestAt(toVersion) // throws if not retained
+    val mFrom = manifestAt(fromVersion)
+    val schema = schemaOf(mTo)
+    val withEnvelope = StructType(
+      schema.fields.filterNot(_.name == bucketCol) :+
+        StructField(Cdc.ChangeType, StringType))
+    // the deltas ADDED in the range: union of retained manifests' delta
+    // lists in (from, to], minus what `from` already had. Seqs are unique
+    // per delta, so distinct-by-seq reconstructs the exact add order even
+    // across compactions inside the range (a compact drops deltas from
+    // LATER manifests but the earlier retained manifests still name them,
+    // and their gen dirs survive GC by those references).
+    val atFrom = mFrom.deltas.map(_._1).toSet
+    val added = (fromVersion + 1 to toVersion)
+      .flatMap(v => manifestAt(v).deltas)
+      .distinct
+      .filterNot { case (s, _) => atFrom.contains(s) }
+      .sortBy(_._1)
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withEnvelope)
+    val onDisk = StructType(
+      schema.fields :+ StructField(Cdc.ChangeType, StringType))
+    val all = added.map { case (sq, g) =>
+      spark.read.schema(onDisk)
+        .parquet(new java.io.File(root, g).getPath)
+        .withColumn(seqCol, lit(sq))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val payload = struct(onDisk.fieldNames.map(col).toIndexedSeq: _*)
+    all.groupBy(pkCols.map(col): _*)
+      .agg(max_by(payload, col(seqCol)).alias("_r"))
+      .select(col("_r.*"))
+      .drop(bucketCol)
+  }
+
   /** Point lookup: the key's bucket prunes both the base generation read
     * and the delta list — same shape as [[UpsertStore.lookup]].
     */

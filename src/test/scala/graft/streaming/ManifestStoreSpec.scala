@@ -202,6 +202,39 @@ class ManifestStoreSpec extends SparkSpec {
     assert(state(store).contains((4L, "FOUR")))
   }
 
+  test("changesBetween: LWW replay identity across versions, even across a compaction") {
+    val dir = tmp("mfcdf")
+    val store = newStore(dir, keep = 6)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO"),
+      (Cdc.Delete, 11L, 3L, null.asInstanceOf[String]))) // v2
+    store.compact()                                       // v3 (folds v2's delta)
+    store.merge(batch((Cdc.Upsert, 12L, 2L, "TWO2")))     // v4
+    store.merge(batch((Cdc.Upsert, 13L, 4L, "four")))     // v5
+    // replay identity: snapshotAt(from) + changes(from,to) == snapshotAt(to)
+    def applyLww(base: Set[(Long, String)], to: Long, from: Long): Set[(Long, String)] = {
+      val changes = store.changesBetween(from, to).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      changes.foldLeft(base) { case (acc, (id, payload, ct)) =>
+        val without = acc.filterNot(_._1 == id)
+        if (ct == Cdc.Delete) without else without + ((id, payload.get))
+      }
+    }
+    val v1 = store.snapshotAt(1).as[(Long, String)].collect().toSet
+    val v5 = store.snapshotAt(5).as[(Long, String)].collect().toSet
+    // the (1, 5] window SPANS the compaction at v3: the v2 delta is named
+    // by retained manifest v2 and its gen dir must have survived GC
+    assert(applyLww(v1, to = 5, from = 1) === v5)
+    // sub-ranges too
+    val v4 = store.snapshotAt(4).as[(Long, String)].collect().toSet
+    assert(applyLww(v4, to = 5, from = 4) === v5)
+    // empty range yields no rows; beyond retention refuses
+    assert(store.changesBetween(5, 5).count() === 0)
+    // burn versions past retention (keep=6): v1 expires
+    store.merge(batch((Cdc.Upsert, 14L, 5L, "five"))) // v6
+    store.merge(batch((Cdc.Upsert, 15L, 6L, "six")))  // v7: v1 now dropped
+    intercept[IllegalStateException](store.changesBetween(1, 7))
+  }
+
   test("CdcStreamJob drives the manifest store through the same interface (KeyedUpsertStore)") {
     // the identical loop the rename-based stores run — swapping the commit
     // protocol is a constructor argument, not a topology change
@@ -221,6 +254,36 @@ class ManifestStoreSpec extends SparkSpec {
     assert(store.deltaCount === 0, "debt policy must have compacted")
     assert(state(store) === Set((1L, "one"), (2L, "TWO")))
     assert(ledger.read() === 12L)
+  }
+
+  test("lookup prunes to one bucket's files (measured), base and deltas") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case q: QueryStageExec => leaves(q.plan)
+          case s: FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(leaves) ++
+            other.subqueries.flatMap(leaves)
+        }
+      leaves(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val dir = tmp("mflook")
+    val store = new ManifestUpsertStore(spark, dir, Seq("id"),
+      numBuckets = 8, keepVersions = 2)
+    store.initialize(Cdc.initialLoad(
+      (1L to 64L).map(i => (i, s"v$i")).toDF("id", "payload")))
+    store.merge(batch((Cdc.Upsert, 10L, 5L, "V5")))
+    val full = filesRead(store.snapshot())
+    val one = filesRead(store.lookup(7L))
+    assert(one < full,
+      s"lookup read $one files vs snapshot's $full — no bucket pruning")
+    assert(store.lookup(5L).as[(Long, String)].collect().toSeq ===
+      Seq((5L, "V5")))
   }
 
   test("schema evolves additively through the manifest") {
