@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
 
+/** Thrown when a manifest commit loses the conditional-PUT race to another
+  * writer (the Iceberg/Delta optimistic-concurrency conflict): the caller
+  * re-reads the current manifest and retries its commit on top, or
+  * surfaces the conflict.
+  */
+class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 /** The keyed-replica surface [[CdcStreamJob]] drives — implemented by both
   * commit protocols ([[UpsertStore]] for atomic-rename filesystems,
   * [[ManifestUpsertStore]] for object-store semantics), so the streaming
@@ -69,12 +76,32 @@ trait KeyedUpsertStore {
   * free, because "don't rewrite" here means "reference the same immutable
   * dir again").
   *
-  * Single-writer by contract (the reference's topology — one producer per
-  * replica, `S4HanaProducer.java:392-469`); conditional-PUT fencing for
-  * multi-writer object stores is out of scope and documented as such.
+  * Multi-writer safety is OPTIMISTIC CONCURRENCY on the manifest slot
+  * (the Iceberg commit model): each commit claims its version number with
+  * a conditional create — the local-FS `CREATE_NEW` here, the
+  * `If-None-Match` PUT on S3 — so two writers racing the same next
+  * version produce exactly one winner; the loser throws
+  * [[CommitConflictException]] with nothing published (its generation dir
+  * is unreferenced garbage the next GC sweeps) and retries on top of the
+  * winner's manifest. The reference's topology is single-writer anyway
+  * (one producer per replica, `S4HanaProducer.java:392-469`); the fence
+  * turns a misconfigured second writer from silent corruption into a loud
+  * retryable error.
+  */
+/** @param orphanGraceMs unreferenced generation dirs younger than this are
+  *   NOT garbage-collected: an unreferenced dir may be a CONCURRENT
+  *   writer's in-flight commit (its manifest put comes after the data
+  *   write), and sweeping it mid-write corrupts that writer's job — found
+  *   by the race spec. Age is the only signal an object store offers for
+  *   the distinction (Iceberg's remove_orphan_files ships the same
+  *   defense, defaulting to days); a crashed writer's orphan just waits
+  *   out the grace before the next GC reclaims it. A writer that LOSES
+  *   the commit race deletes its own generation immediately — the grace
+  *   only covers crashes.
   */
 class ManifestUpsertStore(spark: SparkSession, dir: String,
-    pkCols: Seq[String], numBuckets: Int = 16, keepVersions: Int = 3)
+    pkCols: Seq[String], numBuckets: Int = 16, keepVersions: Int = 3,
+    orphanGraceMs: Long = 10 * 60 * 1000L)
     extends KeyedUpsertStore {
 
   // under single-writer at most ONE torn manifest can sit above the newest
@@ -177,14 +204,36 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
         s"store $dir: version $version is not retained (keepVersions=" +
           s"$keepVersions) or never existed"))
 
-  /** Publish: write the bytes to a unique temp name then a plain create of
-    * the final name — NO rename of anything pre-existing, no atomicity
-    * assumed (the digest is the completeness test). On a real object store
-    * this is a single PUT.
+  /** Publish via CONDITIONAL create — the S3 `If-None-Match` PUT (the
+    * commit primitive Iceberg/Delta builds optimistic concurrency on): the
+    * version slot is claimed create-exclusive, so two writers racing to
+    * commit the same next version produce exactly ONE winner; the loser
+    * gets [[CommitConflictException]], re-reads the new current manifest,
+    * and retries its commit on top (or surfaces the conflict). A torn
+    * occupant of the slot (digest fails — a crashed writer's partial PUT)
+    * is not a committed manifest and may be replaced.
+    *
+    * NO rename of anything pre-existing, no write atomicity assumed: the
+    * embedded digest is the completeness test either way.
     */
   private def putManifest(m: Manifest): Unit = {
     val f = new java.io.File(root, manifestName(m.version))
-    java.nio.file.Files.write(f.toPath, encodeManifest(m))
+    val bytes = encodeManifest(m)
+    try
+      java.nio.file.Files.write(f.toPath, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // occupied slot: a COMPLETE occupant is a concurrent winner — the
+        // optimistic-concurrency conflict signal; a torn one is dead
+        // debris and this PUT replaces it
+        if (decodeManifest(
+            java.nio.file.Files.readAllBytes(f.toPath)).isDefined)
+          throw new CommitConflictException(
+            s"store $dir: version ${m.version} was committed by another " +
+              "writer — re-read the current manifest and retry on top")
+        java.nio.file.Files.write(f.toPath, bytes)
+    }
     // force bytes (a power-cut after "commit" must not lose the commit);
     // an object store gives this durability on PUT acknowledgment
     val ch = java.nio.channels.FileChannel.open(f.toPath,
@@ -194,7 +243,15 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
 
   // ── Generations ──────────────────────────────────────────────────────────
 
-  private def genName(v: Long, tag: String): String = s"gen-$v-$tag"
+  /** Generation names carry a random nonce so CONCURRENT writers racing
+    * the same commit never collide on the data write either — without it
+    * both racers computed the same dir name and corrupted each other's
+    * parquet output before the manifest conflict could fire (found by the
+    * race spec). A crashed/lost racer's uniquely-named dir is unreferenced
+    * garbage the next GC sweeps.
+    */
+  private def genName(v: Long, tag: String): String =
+    s"gen-$v-$tag-" + java.util.UUID.randomUUID().toString.take(8)
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol, pmod(hash(pkCols.map(col): _*), lit(numBuckets)))
@@ -214,13 +271,14 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     val referenced: Set[String] = retainedManifests
       .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
       .flatMap(m => m.base.values ++ m.deltas.map(_._2)).toSet
+    val now = System.currentTimeMillis()
     Option(root.listFiles((f: java.io.File) =>
       f.isDirectory && f.getName.startsWith("gen-")))
       .getOrElse(Array.empty[java.io.File])
       .filterNot(d => referenced.contains(d.getName))
-      // a dir may be a CONCURRENT in-flight write of this writer's next
-      // commit only if single-writer is violated; under the contract,
-      // unreferenced == dead
+      // age gate: a YOUNG unreferenced dir may be a concurrent writer's
+      // in-flight commit (see orphanGraceMs) — only stale orphans sweep
+      .filter(d => now - d.lastModified() >= orphanGraceMs)
       .foreach(rmTree)
     manifestFiles().drop(keepVersions).foreach(_.delete())
   }
@@ -237,18 +295,24 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
 
   def deltaCount: Int = currentManifest().deltas.size
 
-  /** Bootstrap from an initial load: one generation per store (all
-    * buckets), manifest v1.
+  /** Bootstrap from an initial load: one generation for all buckets. A
+    * RE-initialize over a live store publishes as the NEXT version — one
+    * atomic cutover, old history expiring through normal retention — never
+    * a lower version number that the highest-complete-wins reader would
+    * silently ignore (the failure mode a wholesale overwrite invites).
     */
   def initialize(initialLoad: DataFrame): Unit = {
     root.mkdirs()
+    val v = manifestFiles().iterator
+      .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
+      .nextOption().map(_.version + 1).getOrElse(1L)
     val data = withBucket(initialLoad.drop(Cdc.ChangeType, Cdc.TransactionId))
       .repartition(col(bucketCol))
-    val gen = genName(1L, "init")
+    val gen = genName(v, "init")
     data.write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
     val buckets = bucketDirsOf(gen)
-    putManifest(Manifest(1L, data.schema.json,
+    putManifest(Manifest(v, data.schema.json,
       buckets.map(_ -> gen).toMap, Seq.empty))
     gc()
   }
@@ -285,8 +349,16 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
         existing.fields.filterNot(_.name == bucketCol) ++ newFields :+
           existing(existing.fieldIndex(bucketCol))).json
     val tSwap = System.nanoTime()
-    putManifest(Manifest(m.version + 1, schemaJson, m.base,
-      m.deltas :+ (seq -> gen)))
+    try
+      putManifest(Manifest(m.version + 1, schemaJson, m.base,
+        m.deltas :+ (seq -> gen)))
+    catch {
+      case e: CommitConflictException =>
+        // lost the race: nothing published; reclaim our generation now
+        // (the age-gated GC would otherwise carry it for the grace period)
+        rmTree(new java.io.File(root, gen))
+        throw e
+    }
     gc()
     UpsertStore.addPhase("swap", (System.nanoTime() - tSwap) / 1e9)
   }
@@ -294,7 +366,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
   /** Highest seq folded into the base (compaction floor). */
   private def versionSeq(m: Manifest): Long =
     m.base.values.toSeq.distinct.flatMap { g =>
-      "compact(\\d+)$".r.findFirstMatchIn(g).map(_.group(1).toLong)
+      "-compact(\\d+)-".r.findFirstMatchIn(g).map(_.group(1).toLong)
     }.maxOption.getOrElse(0L)
 
   /** Base ∪ deltas folded LWW by (pk, max seq) — the same fold as
@@ -425,6 +497,18 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     // across compactions inside the range (a compact drops deltas from
     // LATER manifests but the earlier retained manifests still name them,
     // and their gen dirs survive GC by those references).
+    // a re-initialization inside the range starts a NEW history (its init
+    // generation resets the delta sequence): a per-key change feed across
+    // it is meaningless — refuse rather than mix sequences from two
+    // histories (seq collisions would silently drop post-init deltas)
+    val initGens = (fromVersion + 1 to toVersion)
+      .flatMap(v => manifestAt(v).base.values).toSet
+      .filter(_.contains("-init-"))
+      .diff(mFrom.base.values.toSet)
+    if (initGens.nonEmpty) throw new IllegalStateException(
+      s"store $dir: range ($fromVersion, $toVersion] spans a " +
+        s"re-initialization (${initGens.mkString(", ")}) — the feed " +
+        "cannot relate keys across histories; read the full snapshot")
     val atFrom = mFrom.deltas.map(_._1).toSet
     val added = (fromVersion + 1 to toVersion)
       .flatMap(v => manifestAt(v).deltas)
@@ -496,7 +580,13 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     val newBase = (m.base -- touched.diff(survivors)) ++
       survivors.map(_ -> gen)
     val ts = System.nanoTime()
-    putManifest(Manifest(m.version + 1, m.schemaJson, newBase, Seq.empty))
+    try
+      putManifest(Manifest(m.version + 1, m.schemaJson, newBase, Seq.empty))
+    catch {
+      case e: CommitConflictException =>
+        rmTree(new java.io.File(root, gen))
+        throw e
+    }
     gc()
     UpsertStore.addPhase("compact_swap", (System.nanoTime() - ts) / 1e9)
     UpsertStore.addPhase("compact", (System.nanoTime() - tc) / 1e9)

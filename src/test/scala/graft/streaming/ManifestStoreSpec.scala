@@ -75,10 +75,55 @@ class ManifestStoreSpec extends SparkSpec {
     java.nio.file.Files.write(next.toPath, evil)
     assert(store.currentVersion === v)
     assert(state(store) === good)
-    // the writer's next commit reuses the torn slot and heals it
-    next.delete()
+    // the writer's next commit replaces the torn slot occupant in place
+    // (a torn manifest is a dead writer's partial PUT, not a commit —
+    // the conditional-create conflict rule applies to COMPLETE occupants
+    // only)
+    assert(next.exists())
     store.merge(batch((Cdc.Upsert, 11L, 3L, "THREE")))
     assert(state(store).contains((3L, "THREE")))
+    assert(store.currentVersion === v + 1)
+  }
+
+  test("conditional-PUT commit: concurrent writers — one winner, loser conflicts loudly") {
+    val dir = tmp("mfrace")
+    val store = newStore(dir)
+    val a = new ManifestUpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    val b = new ManifestUpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    def racer(name: String, s: ManifestUpsertStore, id: Long, v: String) =
+      new Thread(() => {
+        start.await()
+        try s.merge(batch((Cdc.Upsert, 100L, id, v)))
+        catch { case t: Throwable => results.put(name, t) }
+      })
+    val t1 = racer("a", a, 7L, "from_a")
+    val t2 = racer("b", b, 8L, "from_b")
+    t1.start(); t2.start(); start.countDown()
+    t1.join(120000); t2.join(120000)
+    val conflicts = results.values().toArray.toSeq
+    // either the race materialized (exactly one CommitConflictException,
+    // winner's row present, loser's absent and its generation unreferenced)
+    // or the two merges serialized (both rows present) — both are valid
+    // serializable outcomes; SILENT lost updates are not
+    val s = state(store)
+    if (conflicts.isEmpty) {
+      assert(s.contains((7L, "from_a")) && s.contains((8L, "from_b")),
+        s"serialized commits must both be visible: $s")
+    } else {
+      assert(conflicts.size === 1 &&
+        conflicts.head.isInstanceOf[CommitConflictException],
+        s"expected exactly one CommitConflictException, got $conflicts")
+      val winner = if (results.containsKey("a")) (8L, "from_b") else (7L, "from_a")
+      val loser = if (results.containsKey("a")) (7L, "from_a") else (8L, "from_b")
+      assert(s.contains(winner) && !s.contains(loser),
+        s"winner $winner must be visible, loser $loser must not: $s")
+      // the loser retries on top and lands
+      val loserStore = if (results.containsKey("a")) a else b
+      loserStore.merge(batch((Cdc.Upsert, 101L, loser._1, loser._2)))
+      assert(state(store).contains(loser))
+    }
   }
 
   test("crash after data write, before manifest put: batch invisible, replay converges") {
@@ -96,8 +141,17 @@ class ManifestStoreSpec extends SparkSpec {
     // the replayed batch commits normally and converges
     store.merge(batch((Cdc.Upsert, 99L, 2L, "FOUND")))
     assert(state(store).contains((2L, "FOUND")))
-    // ...and the orphan is swept by a later GC pass (merge ran gc())
-    assert(!orphan.exists(), "crashed write's orphan survived GC")
+    // a YOUNG orphan survives GC — it could be a concurrent writer's
+    // in-flight commit (the race spec found GC sweeping one mid-write)
+    assert(orphan.exists(), "young orphan swept inside the grace period")
+    // ...an AGED one (crashed writer) is reclaimed by the next GC pass
+    def age(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 24 * 3600 * 1000L)
+      Option(f.listFiles()).foreach(_.foreach(age))
+    }
+    age(orphan)
+    store.merge(batch((Cdc.Upsert, 100L, 3L, "AGAIN")))
+    assert(!orphan.exists(), "aged crashed-write orphan survived GC")
   }
 
   test("crash during compact before manifest put: base+deltas still serve; retry compacts") {
@@ -139,7 +193,8 @@ class ManifestStoreSpec extends SparkSpec {
           .map("%02x".format(_)).mkString
       }.toMap
     }
-    val initGen = new java.io.File(dir, "gen-1-init")
+    val initGen = new java.io.File(dir).listFiles(
+      (_: java.io.File, n: String) => n.startsWith("gen-1-init")).head
     val before = md5All(initGen)
     val want = state(store)
     store.compact()
@@ -193,10 +248,16 @@ class ManifestStoreSpec extends SparkSpec {
     referenced.foreach { g =>
       assert(new java.io.File(dir, g).exists(), s"referenced gen $g missing")
     }
-    // interrupted GC = garbage left behind; the next operation re-sweeps
+    // interrupted GC = garbage left behind; once past the orphan grace
+    // (in-flight-writer protection), the next operation re-sweeps it
     val junk = new java.io.File(dir, "gen-50-delta50")
     junk.mkdirs()
     new java.io.File(junk, "_bucket=0").mkdirs()
+    def age(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 24 * 3600 * 1000L)
+      Option(f.listFiles()).foreach(_.foreach(age))
+    }
+    age(junk)
     store.merge(batch((Cdc.Upsert, 12L, 4L, "FOUR")))
     assert(!junk.exists(), "unreferenced garbage survived the GC retry")
     assert(state(store).contains((4L, "FOUR")))
@@ -284,6 +345,23 @@ class ManifestStoreSpec extends SparkSpec {
       s"lookup read $one files vs snapshot's $full — no bucket pruning")
     assert(store.lookup(5L).as[(Long, String)].collect().toSeq ===
       Seq((5L, "V5")))
+  }
+
+  test("re-initialize publishes as the NEXT version, never a silently-ignored lower one") {
+    val dir = tmp("mfreinit")
+    val store = newStore(dir)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO"))) // v2
+    val v = store.currentVersion
+    store.initialize(Cdc.initialLoad(
+      Seq((50L, "fresh")).toDF("id", "payload")))
+    assert(store.currentVersion === v + 1,
+      "re-init must cut over as the next version")
+    assert(state(store) === Set((50L, "fresh")))
+    // a change feed across the re-init refuses (new history, seqs reset)
+    store.merge(batch((Cdc.Upsert, 1L, 51L, "post")))
+    intercept[IllegalStateException](store.changesBetween(v, store.currentVersion))
+    // ...but within the new history it works
+    assert(store.changesBetween(v + 1, store.currentVersion).count() === 1)
   }
 
   test("schema evolves additively through the manifest") {
