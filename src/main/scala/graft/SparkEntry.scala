@@ -1145,10 +1145,14 @@ object SparkEntry {
         maxHamming = 3)
     }),
 
-    // Embedding near-dup pairs via hyperplane LSH + exact cosine.
+    // Embedding near-dup pairs via hyperplane LSH + exact cosine,
+    // HASH-GATED at numPlanes=0 (zero hyperplanes = one bucket = the
+    // exact all-pairs verify, running the same collect/kernel path the
+    // pruning configs run); LSH recall at production planes stays
+    // spec-pinned (DedupSpec).
     "q_dedup_embedding_pairs" -> ((s, dir) => {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.35, numPlanes = 6)
+          dim = 64, threshold = 0.35, numPlanes = 0)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).alias("cosine_r"))
     }),
 
@@ -1748,9 +1752,11 @@ object SparkEntry {
     }),
 
     // Maintainable COUNT DISTINCT: per-group HLL sketches maintained under
-    // an add-only CDC batch (rows-only — the xxhash64-register sketch has
-    // no SQL equivalent; maintained ≡ from-scratch bit-equality, replay
-    // idempotence, and the error envelope are spec-pinned).
+    // an add-only CDC batch. HASH-GATED since r10: the register hash is
+    // the cross-engine fnv64, so the oracle rebuilds every register and
+    // replays the estimator in SQL (maintained ≡ from-scratch bit-equality
+    // is spec-pinned, so the full-data rebuild oracles the maintained
+    // output); replay idempotence and the error envelope stay spec-pinned.
     "q_cdc_distinct_maintain" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_type"), col("user_id"), col("event_id"))
@@ -3394,6 +3400,14 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
 
+    // the LSH gate's numPlanes=0 configuration is the exact all-pairs
+    // verify at its own threshold — same SQL shape
+    "q_dedup_embedding_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_r
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin,
+
     "q_sim_topk_bruteforce" -> ExactTopKOracle,
 
     // the ANN ladder's degenerate-exact gate configs all equal brute
@@ -4056,6 +4070,72 @@ object SparkEntry {
         |SELECT event_type, q, (min(bin) + 1) * 10.0 AS est
         |FROM c JOIN qs ON cum >= CAST(q AS DOUBLE) * total
         |GROUP BY event_type, q""".stripMargin,
+
+    // HLL distinct maintenance, graduated from rows-only (r10): with the
+    // cross-engine fnv64 register hash, DuckDB rebuilds EVERY register
+    // from scratch — per distinct value: hash → top-12-bit register index,
+    // rank = leading zeros of (hash << 12) + 1 via exact bin()-length
+    // arithmetic — then replays the estimator (alpha·m²/Σ2^-r with the
+    // linear-counting small-range branch). Maintained ≡ from-scratch is
+    // spec-pinned bit-equality, so the full-data rebuild IS the oracle of
+    // the maintained output. Σ2^-r sums powers of two spanning ≪ 53 bits —
+    // exact in IEEE regardless of SQL's summation order.
+    "q_cdc_distinct_maintain" ->
+      """WITH vals AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+        |  FROM events),
+        |fold AS (
+        |  SELECT event_type, list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        [CAST(unicode(v[i]) AS UBIGINT) for i in range(1, len(v)+1)]),
+        |      (acc, cp) -> CAST((CAST(xor(acc, cp) AS HUGEINT) * 1099511628211)
+        |        % 18446744073709551616 AS UBIGINT)) AS h0
+        |  FROM vals),
+        |-- murmur3 fmix64 finisher, step by step (xor-shift + wrap multiply;
+        |-- the 64x64 multiply splits the constant into 32-bit halves so no
+        |-- intermediate exceeds HUGEINT: h*C mod 2^64 =
+        |-- (h*lo mod 2^64 + ((h*hi) mod 2^32)*2^32) mod 2^64)
+        |f1 AS (SELECT event_type, xor(h0, h0 >> 33) AS h1 FROM fold),
+        |f2 AS (SELECT event_type, CAST((
+        |    (CAST(h1 AS HUGEINT) * 3981806797) % 18446744073709551616
+        |    + ((CAST(h1 AS HUGEINT) * 4283543511) % 4294967296) * 4294967296)
+        |  % 18446744073709551616 AS UBIGINT) AS h2 FROM f1),
+        |f3 AS (SELECT event_type, xor(h2, h2 >> 33) AS h3 FROM f2),
+        |f4 AS (SELECT event_type, CAST((
+        |    (CAST(h3 AS HUGEINT) * 444984403) % 18446744073709551616
+        |    + ((CAST(h3 AS HUGEINT) * 3301882366) % 4294967296) * 4294967296)
+        |  % 18446744073709551616 AS UBIGINT) AS h4 FROM f3),
+        |h AS (SELECT event_type, xor(h4, h4 >> 33) AS hash FROM f4),
+        |reg AS (
+        |  SELECT event_type, CAST(hash >> 52 AS INT) AS idx,
+        |    CASE WHEN CAST((CAST(hash AS HUGEINT) * 4096)
+        |           % 18446744073709551616 AS UBIGINT) = 0 THEN 53
+        |         ELSE 65 - length(bin(CAST((CAST(hash AS HUGEINT) * 4096)
+        |           % 18446744073709551616 AS UBIGINT))) END AS rnk
+        |  FROM h),
+        |regmax AS (
+        |  SELECT event_type, idx, max(rnk) AS r FROM reg GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT event_type FROM events),
+        |allreg AS (
+        |  SELECT g.event_type, rs.range AS idx
+        |  FROM g CROSS JOIN range(0, 4096) rs),
+        |filled AS (
+        |  SELECT a.event_type, COALESCE(m.r, 0) AS r
+        |  FROM allreg a LEFT JOIN regmax m
+        |    ON a.event_type = m.event_type AND a.idx = m.idx),
+        |est AS (
+        |  SELECT event_type, sum(power(2.0, -r)) AS invsum,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+        |  FROM filled GROUP BY 1),
+        |raw AS (
+        |  SELECT event_type,
+        |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / invsum AS e,
+        |    zeros
+        |  FROM est)
+        |SELECT event_type,
+        |  round(CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+        |    THEN 4096.0 * ln(4096.0 / zeros) ELSE e END, 3) AS n_distinct_est_r
+        |FROM raw""".stripMargin,
 
     "q_cdc_distinct_exact" ->
       """WITH changed AS (

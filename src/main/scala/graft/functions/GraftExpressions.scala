@@ -281,6 +281,22 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** `fnv64(string)` — whole-string FNV-1a/64 codepoint hash, the
+    * cross-engine scalar hash (see [[SketchOps.fnv64]]); feeds the HLL
+    * registers so distinct estimates replay in the oracle.
+    */
+  case class Fnv64(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.fnv64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.fnv64($c)")
+    override protected def withNewChildInternal(c: Expression): Fnv64 = copy(child = c)
+  }
+
   /** `fnv_token_hashes(string)` — per-token FNV-1a/64 hashes (codepoint
     * fold) of the whitespace tokenization; the oracle-reproducible input to
     * `simhash64` / `rolling_fingerprint`.
@@ -393,7 +409,11 @@ object GraftExpressions {
     */
   case class ProjectionBits(child: Expression, numPlanes: Int, dim: Int, seed: Long)
       extends UnaryExpression with ImplicitCastInputTypes {
-    require(numPlanes > 0 && numPlanes <= 30, "numPlanes in 1..30")
+    // numPlanes = 0 is the degenerate-exact configuration: zero
+    // hyperplanes put every vector in bucket 0, so bucket-local pairing
+    // becomes the exact all-pairs verify — what the hash-gated dedup gate
+    // runs (production pruning configs keep numPlanes >= 1)
+    require(numPlanes >= 0 && numPlanes <= 30, "numPlanes in 0..30")
     override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
     @transient private lazy val planes = SketchOps.hyperplanes(numPlanes, dim, seed)
     override def dataType: DataType = IntegerType
@@ -696,6 +716,7 @@ object GraftExpressions {
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
   def zorder2(a: Column, b: Column): Column = c(ZOrder2(e(a), e(b)))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
+  def fnv64(col: Column): Column = c(Fnv64(e(col)))
   def fnv_token_hashes(col: Column): Column = c(FnvTokenHashes(e(col)))
   def int8_scale(col: Column): Column = c(Int8Scale(e(col)))
   def int8_codes(col: Column): Column = c(Int8Codes(e(col)))

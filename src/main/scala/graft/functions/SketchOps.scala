@@ -948,6 +948,37 @@ object SketchOps {
     * no external engine could reproduce and therefore kept the
     * fingerprint/simhash gates rows-only.
     */
+  /** Whole-string FNV-1a/64 over Unicode CODE POINTS (no trim/lowercase —
+    * the value hashes as-is), finished with the murmur3 fmix64 avalanche:
+    * raw FNV mixes into the LOW bits and its HIGH bits stay nearly
+    * constant for short inputs (a 4-digit id barely moves them) — and the
+    * HLL register index is exactly the top 12 bits, so without the
+    * finisher every short key landed in a handful of registers and the
+    * estimate collapsed (caught by the error-envelope spec: est 2.0 for 15
+    * distinct). fmix64 is XOR-shifts and wrap-around multiplies — an
+    * external engine replays every step (`xor(h, h >> 33)`, HUGEINT
+    * multiply mod 2^64), which is the whole point of this hash: HLL
+    * registers (and anything else keyed on a value hash) verify
+    * off-cluster, where Spark-internal xxhash64 could not.
+    */
+  def fnv64(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0xcbf29ce484222325L
+    var k = 0
+    while (k < s.length) {
+      val cp = s.codePointAt(k)
+      h ^= cp
+      h *= 1099511628211L
+      k += Character.charCount(cp)
+    }
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
   def fnvTokenHashes(text: UTF8String): ArrayData = {
     val s = text.trim().toLowerCase.toString
     val toks = WsPattern.split(s, -1)

@@ -94,13 +94,22 @@ object IncrementalAgg {
 
   /** Per-group distinct sketch of `keyCol`: (group, sketch, n_distinct_est).
     * One shuffle of |groups| 4 KB buffers after map-side partials.
+    *
+    * Register hash is the CROSS-ENGINE `fnv64` over the key's string form
+    * (r10; previously Spark-internal xxhash64): with a reproducible hash,
+    * the whole register array AND the estimator replay in plain SQL — the
+    * `q_cdc_distinct_maintain` gate hash-matches DuckDB rebuilding every
+    * register from scratch, so the estimates a 100 TB run reports verify
+    * off-cluster. Same hash quality class for HLL purposes (64-bit
+    * avalanche-adequate); error envelope specs unchanged.
     */
   def distinctSketch(rows: DataFrame, groupCol: String,
       keyCol: String): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.select(col(groupCol).cast("string").alias("_g"),
-        xxhash64(col(keyCol)).alias("_h"))
+        graft.functions.GraftExpressions.fnv64(col(keyCol).cast("string"))
+          .alias("_h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
