@@ -170,9 +170,7 @@ object Bench {
 object StoreReadBench {
   def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val work = java.nio.file.Files.createTempDirectory("graft-storebench")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    def rm(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
     try {
       val t0 = System.nanoTime()
       val store = SparkEntry.buildReplayStore(spark, sfDir,
@@ -337,10 +335,7 @@ object StreamBench {
         Seq(q -> -1.0)
     } finally {
       // best-effort temp cleanup
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(work.toFile)
+      graft.util.Fs.rmTree(work.toFile)
     }
   }
 }

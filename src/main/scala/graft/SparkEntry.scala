@@ -86,9 +86,7 @@ object SparkEntry {
   private def withReplayStore(s: SparkSession, dir: String)(
       f: graft.streaming.UpsertStore => DataFrame): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft-replaystore")
-    def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-    }
+    def rm(x: java.io.File): Unit = graft.util.Fs.rmTree(x)
     try f(buildReplayStore(s, dir, work.resolve("store").toString))
       .localCheckpoint(true)
     finally rm(work.toFile)
@@ -1149,7 +1147,11 @@ object SparkEntry {
     // HASH-GATED at numPlanes=0 (zero hyperplanes = one bucket = the
     // exact all-pairs verify, running the same collect/kernel path the
     // pruning configs run); LSH recall at production planes stays
-    // spec-pinned (DedupSpec).
+    // spec-pinned (DedupSpec). GATE-ONLY config: one bucket collects the
+    // whole corpus into a single row — bounded to the oracle-able SFs
+    // (the DuckDB oracle is itself the O(n²) self-join, so the gate can
+    // never outgrow its oracle); production pruning configs stay
+    // distributed.
     "q_dedup_embedding_pairs" -> ((s, dir) => {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.35, numPlanes = 0)
@@ -1222,9 +1224,7 @@ object SparkEntry {
     "q_ann_index_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val work = java.nio.file.Files.createTempDirectory("graft-annix")
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-      }
+      def rm(x: java.io.File): Unit = graft.util.Fs.rmTree(x)
       try {
         val ix = work.resolve("ix").toString
         graft.operators.AnnIndex.buildIvf(ix, emb, "vec_id", "embedding",
@@ -1346,9 +1346,7 @@ object SparkEntry {
       val cust = t(s, dir, "customer").select(
         col("c_custkey").alias("user_id"), col("c_name"), col("c_acctbal"))
       val work = java.nio.file.Files.createTempDirectory("graft-mfstore")
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-      }
+      def rm(x: java.io.File): Unit = graft.util.Fs.rmTree(x)
       try {
         val store = new graft.streaming.ManifestUpsertStore(s,
           work.resolve("store").toString, pkCols = Seq("user_id"),

@@ -393,11 +393,33 @@ object SketchOps {
   val HllP = 12
   val HllM: Int = 1 << HllP
 
-  def hllZero(): Array[Byte] = new Array[Byte](HllM)
+  /** Format version, stored as the sketch's FIRST byte. Bumped whenever
+    * the register hash changes (v2 = fnv64+fmix, r10; v1 was the
+    * unversioned xxhash64 era): merging sketches from two hash spaces
+    * register-max-wise would silently double-count the overlap, so
+    * [[hllMerge]] refuses a version mismatch LOUDLY instead — persisted
+    * pre-upgrade sketches must be rebuilt, not mixed (review r10).
+    * Headerless legacy sketches (length 4096) fail the length check.
+    */
+  val HllVersion: Byte = 2
+
+  def hllZero(): Array[Byte] = {
+    val a = new Array[Byte](HllM + 1)
+    a(0) = HllVersion
+    a
+  }
+
+  private def checkHll(regs: Array[Byte]): Unit =
+    require(regs.length == HllM + 1 && regs(0) == HllVersion,
+      s"incompatible HLL sketch (len ${regs.length}, version " +
+        s"${if (regs.nonEmpty) regs(0) else -1}; want ${HllM + 1}/" +
+        s"$HllVersion): the register hash changed — rebuild stored " +
+        "sketches, do not merge across hash spaces")
 
   /** Fold one 64-bit hash into the registers (mutates and returns). */
   def hllAdd(regs: Array[Byte], hash: Long): Array[Byte] = {
-    val idx = (hash >>> (64 - HllP)).toInt
+    checkHll(regs)
+    val idx = (hash >>> (64 - HllP)).toInt + 1 // byte 0 is the version
     val rest = hash << HllP
     val rank =
       (if (rest == 0L) 64 - HllP else java.lang.Long.numberOfLeadingZeros(rest)) + 1
@@ -407,9 +429,11 @@ object SketchOps {
 
   /** Register-wise max merge (mutates and returns `a`). Idempotent:
     * merging a sketch with itself — or replaying a batch — is a no-op.
+    * Refuses version mismatches (see [[HllVersion]]).
     */
   def hllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
+    checkHll(a); checkHll(b)
+    var i = 1
     while (i < a.length) {
       if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
       i += 1
@@ -421,11 +445,12 @@ object SketchOps {
     * correction; fixed double arithmetic in index order — deterministic.
     */
   def hllEstimate(regs: Array[Byte]): Double = {
-    val m = regs.length.toDouble
+    checkHll(regs)
+    val m = (regs.length - 1).toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     var invSum = 0.0
     var zeros = 0
-    var i = 0
+    var i = 1
     while (i < regs.length) {
       val r = regs(i) & 0xff
       invSum += java.lang.Math.pow(2.0, -r)

@@ -49,9 +49,7 @@ object AnnIndex {
   private case class Meta(idCol: String, vecCol: String, numCells: Int,
       seed: Long, fitSampleSize: Int, pqM: Int = 0, pqKsub: Int = 0)
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
 
   /** Heal a crashed [[buildIvf]]/[[compactIvf]] swap. Branches, derived
     * from the strict artifact order (tmp completed → live retired aside →
@@ -60,12 +58,15 @@ object AnnIndex {
     *    between retire and promote — roll FORWARD (tmp is a full index).
     *  - live missing + only the aside copy: promote crashed some other way
     *    (or forward-roll's own rename tore) — roll BACK to the aside copy.
-    *  - live present: any tmp is an incomplete build (builds only touch
-    *    the live dir after tmp completes) and any aside copy is
-    *    already-superseded debris — drop both.
+    *  - live present: nothing to heal. Debris cleanup (`cleanDebris`) is
+    *    WRITER-ONLY: a read path deleting `<path>_tmp` would destroy a
+    *    concurrent build/compact's in-flight staged dir and break the
+    *    "old index serves reads until the final rename" contract (review
+    *    r10) — readers never mutate a healthy index; the single writer
+    *    sweeps its own debris at its next build/compact/append.
     * Idempotent; a crash during recovery re-runs it.
     */
-  private def recoverCrash(path: String): Unit = {
+  private def recoverCrash(path: String, cleanDebris: Boolean = false): Unit = {
     val live = new java.io.File(path)
     val tmp = new java.io.File(path + "_tmp")
     val aside = new java.io.File(path + "_old")
@@ -77,7 +78,7 @@ object AnnIndex {
         java.nio.file.Files.move(aside.toPath, live.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    if (live.exists()) { rmTree(tmp); rmTree(aside) }
+    if (cleanDebris && live.exists()) { rmTree(tmp); rmTree(aside) }
   }
 
   /** Retire-aside swap: publish the COMPLETE staged dir `tmp` as `path`.
@@ -105,7 +106,7 @@ object AnnIndex {
     */
   def buildIvf(path: String, data: DataFrame, idCol: String, vecCol: String,
       numCells: Int, seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
-    recoverCrash(path)
+    recoverCrash(path, cleanDebris = true)
     val model = Similarity.fitCoarseQuantizer(data, idCol, vecCol, numCells,
       seed, fitSampleSize)
     val tmp = new java.io.File(path + "_tmp")
@@ -139,7 +140,7 @@ object AnnIndex {
       vecCol: String, numCells: Int, m: Int = 8, ksub: Int = 256,
       seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
     import graft.functions.SketchOps
-    recoverCrash(path)
+    recoverCrash(path, cleanDebris = true)
     require(m > 0 && ksub > 1 && ksub <= 256,
       s"need m > 0 and ksub in 2..256, got m=$m ksub=$ksub")
     val spark = data.sparkSession
@@ -382,7 +383,7 @@ object AnnIndex {
     */
   def compactIvf(path: String): Unit = {
     import org.apache.spark.ml.clustering.KMeansModel
-    recoverCrash(path)
+    recoverCrash(path, cleanDebris = true)
     val src = new java.io.File(path)
     require(src.exists(), s"no ANN index at $path")
     if (deltaDirs(path).isEmpty) return
@@ -407,15 +408,7 @@ object AnnIndex {
     // a PQ index's codebooks ride along unchanged (codes in the folded
     // assignments were produced by them)
     val cb = new java.io.File(path, "codebooks")
-    if (cb.exists()) {
-      def cp(src: java.io.File, dst: java.io.File): Unit =
-        if (src.isDirectory) {
-          dst.mkdirs()
-          Option(src.listFiles()).foreach(_.foreach(c =>
-            cp(c, new java.io.File(dst, c.getName))))
-        } else java.nio.file.Files.copy(src.toPath, dst.toPath)
-      cp(cb, new java.io.File(tmp, "codebooks"))
-    }
+    if (cb.exists()) graft.util.Fs.copyTree(cb, new java.io.File(tmp, "codebooks"))
     // meta is the staged dir's completeness marker — written LAST
     java.nio.file.Files.copy(new java.io.File(path, "_meta.json").toPath,
       new java.io.File(tmp, "_meta.json").toPath)

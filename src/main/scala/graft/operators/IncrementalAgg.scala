@@ -107,8 +107,13 @@ object IncrementalAgg {
       keyCol: String): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    // null keys hash via a sentinel (U+0001 — cannot collide with any
+    // numeric/normal key; DuckDB chr(1) replays it): fnv64 is
+    // null-intolerant and a bare null _h would crash the typed encoder,
+    // where the old xxhash64 silently hashed nulls (review r10)
     rows.select(col(groupCol).cast("string").alias("_g"),
-        graft.functions.GraftExpressions.fnv64(col(keyCol).cast("string"))
+        graft.functions.GraftExpressions.fnv64(
+            coalesce(col(keyCol).cast("string"), lit("\u0001")))
           .alias("_h"))
       .as[(String, Long)]
       .groupByKey(_._1)

@@ -97,17 +97,20 @@ trait KeyedUpsertStore {
   *   defense, defaulting to days); a crashed writer's orphan just waits
   *   out the grace before the next GC reclaims it. A writer that LOSES
   *   the commit race deletes its own generation immediately — the grace
-  *   only covers crashes.
+  *   only covers crashes. Age is the NEWEST mtime in the dir tree (a
+  *   dir's own mtime is set at job START, and a long parquet write would
+  *   look stale by its root alone — review r10), and the default is a
+  *   day, sized for multi-hour backfill writes at the 100 TB target, not
+  *   for laptop jobs.
   */
 class ManifestUpsertStore(spark: SparkSession, dir: String,
     pkCols: Seq[String], numBuckets: Int = 16, keepVersions: Int = 3,
-    orphanGraceMs: Long = 10 * 60 * 1000L)
+    orphanGraceMs: Long = 24 * 3600 * 1000L)
     extends KeyedUpsertStore {
 
-  // under single-writer at most ONE torn manifest can sit above the newest
-  // complete one (the next commit reuses and overwrites its version slot);
-  // keepVersions >= 2 guarantees the serving manifest is always inside the
-  // GC retention window even with that torn file present
+  // retention counts COMPLETE manifests (torn slot-burners are ignored by
+  // gc()'s window), so >= 2 simply guarantees one version of time-travel
+  // slack behind the serving manifest at all times
   require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
 
   private val bucketCol = "_bucket"
@@ -119,11 +122,21 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
 
   /** @param base   bucket id → generation dir name serving that bucket
     * @param deltas (seq, generation dir name), ascending
+    * @param floorSeq highest delta seq ever folded into the base — the
+    *   compaction floor the next merge's seq must clear. Recorded IN the
+    *   manifest (review r10): deriving it from `-compactN-` generation
+    *   names regressed when a compaction's touched buckets were all
+    *   emptied by deletes (no surviving compact-tagged gen → floor fell
+    *   back to a stale value → the next merge REUSED an already-folded
+    *   seq, silently corrupting changesBetween and LWW ties).
     */
   private case class Manifest(version: Long, schemaJson: String,
-      base: Map[Int, String], deltas: Seq[(Long, String)])
+      base: Map[Int, String], deltas: Seq[(Long, String)],
+      floorSeq: Long = 0L)
 
-  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // ObjectMapper is thread-safe after construction and expensive to build —
+  // one instance per store, not one per encode/decode (review r10)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def manifestName(v: Long): String = f"manifest-$v%012d.json"
 
@@ -133,6 +146,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
   private def encodeManifest(m: Manifest): Array[Byte] = {
     val node = mapper.createObjectNode()
     node.put("version", m.version)
+    node.put("floorSeq", m.floorSeq)
     node.put("schema", m.schemaJson)
     val b = node.putObject("base")
     m.base.toSeq.sortBy(_._1).foreach { case (k, v) => b.put(k.toString, v) }
@@ -174,7 +188,8 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
         (e.get("seq").asLong(), e.get("gen").asText())
       }
       Some(Manifest(n.get("version").asLong(), n.get("schema").asText(),
-        base, deltas))
+        base, deltas,
+        Option(n.get("floorSeq")).map(_.asLong()).getOrElse(0L)))
     } catch { case _: Exception => None }
 
   /** All manifest files, descending by version (by NAME — the zero-padded
@@ -206,33 +221,35 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
 
   /** Publish via CONDITIONAL create — the S3 `If-None-Match` PUT (the
     * commit primitive Iceberg/Delta builds optimistic concurrency on): the
-    * version slot is claimed create-exclusive, so two writers racing to
-    * commit the same next version produce exactly ONE winner; the loser
-    * gets [[CommitConflictException]], re-reads the new current manifest,
-    * and retries its commit on top (or surfaces the conflict). A torn
-    * occupant of the slot (digest fails — a crashed writer's partial PUT)
-    * is not a committed manifest and may be replaced.
+    * version slot is claimed create-exclusive, so two writers racing the
+    * same next version produce exactly ONE winner; the loser gets
+    * [[CommitConflictException]], re-reads the new current manifest, and
+    * retries its commit on top (or surfaces the conflict).
+    *
+    * An OCCUPIED slot always conflicts — even a torn occupant. Nothing is
+    * EVER overwritten: the r10 review showed an "replace torn debris"
+    * branch lets two writers that both observe the same torn slot both
+    * succeed (one unconditional write clobbering the other — a silent lost
+    * commit). Instead a torn occupant simply burns its version number: the
+    * retrying writer picks the NEXT free slot ([[nextVersion]] counts torn
+    * files too), readers skip torn files by digest, and version-number
+    * GAPS are part of the format's contract. GC removes aged torn debris.
     *
     * NO rename of anything pre-existing, no write atomicity assumed: the
     * embedded digest is the completeness test either way.
     */
   private def putManifest(m: Manifest): Unit = {
     val f = new java.io.File(root, manifestName(m.version))
-    val bytes = encodeManifest(m)
     try
-      java.nio.file.Files.write(f.toPath, bytes,
+      java.nio.file.Files.write(f.toPath, encodeManifest(m),
         java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        // occupied slot: a COMPLETE occupant is a concurrent winner — the
-        // optimistic-concurrency conflict signal; a torn one is dead
-        // debris and this PUT replaces it
-        if (decodeManifest(
-            java.nio.file.Files.readAllBytes(f.toPath)).isDefined)
-          throw new CommitConflictException(
-            s"store $dir: version ${m.version} was committed by another " +
-              "writer — re-read the current manifest and retry on top")
-        java.nio.file.Files.write(f.toPath, bytes)
+        throw new CommitConflictException(
+          s"store $dir: version slot ${m.version} is occupied (a committed " +
+            "manifest, or a crashed writer's torn put) — re-read the " +
+            "current manifest and retry on top; torn slots burn their " +
+            "version number")
     }
     // force bytes (a power-cut after "commit" must not lose the commit);
     // an object store gives this durability on PUT acknowledgment
@@ -240,6 +257,14 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
       java.nio.file.StandardOpenOption.READ)
     try ch.force(true) finally ch.close()
   }
+
+  /** The next free version slot: one past the highest manifest FILE
+    * (complete or torn — torn puts burn their number, see [[putManifest]]).
+    */
+  private def nextVersion(): Long =
+    manifestFiles().headOption
+      .map(_.getName.stripPrefix("manifest-").stripSuffix(".json").toLong + 1)
+      .getOrElse(1L)
 
   // ── Generations ──────────────────────────────────────────────────────────
 
@@ -256,9 +281,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol, pmod(hash(pkCols.map(col): _*), lit(numBuckets)))
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
 
   /** Drop generation dirs referenced by NO retained manifest, and retired
     * manifests beyond `keepVersions`. Runs strictly after the new manifest
@@ -267,20 +290,39 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * same sweep covers both.
     */
   private def gc(): Unit = {
-    val retainedManifests = manifestFiles().take(keepVersions)
-    val referenced: Set[String] = retainedManifests
-      .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
-      .flatMap(m => m.base.values ++ m.deltas.map(_._2)).toSet
+    // one decode pass; retention counts COMPLETE manifests only — torn
+    // files burn version numbers (putManifest) and may pile up above the
+    // newest complete one after repeated crashed puts, and counting them
+    // toward the newest-K window would push the SERVING manifest out of
+    // retention and free its generations (review r10)
+    val decoded = manifestFiles().map(f =>
+      f -> decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
+    val complete = decoded.collect { case (f, Some(m)) => (f, m) }
+    val retained = complete.take(keepVersions)
+    val referenced: Set[String] = retained
+      .flatMap { case (_, m) => m.base.values ++ m.deltas.map(_._2) }.toSet
     val now = System.currentTimeMillis()
+    // newest mtime anywhere in the tree: an in-flight Spark write keeps
+    // touching task files even while the root dir's own mtime goes stale
+    def newestMtime(f: java.io.File): Long =
+      math.max(f.lastModified(),
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(newestMtime).maxOption.getOrElse(0L))
     Option(root.listFiles((f: java.io.File) =>
       f.isDirectory && f.getName.startsWith("gen-")))
       .getOrElse(Array.empty[java.io.File])
       .filterNot(d => referenced.contains(d.getName))
       // age gate: a YOUNG unreferenced dir may be a concurrent writer's
       // in-flight commit (see orphanGraceMs) — only stale orphans sweep
-      .filter(d => now - d.lastModified() >= orphanGraceMs)
+      .filter(d => now - newestMtime(d) >= orphanGraceMs)
       .foreach(rmTree)
-    manifestFiles().drop(keepVersions).foreach(_.delete())
+    // complete manifests past retention; plus TORN debris (burned version
+    // slots) once it is past the grace too (a young torn file may be a
+    // concurrent writer's put still in flight)
+    complete.drop(keepVersions).foreach(_._1.delete())
+    decoded.collect { case (f, None) => f }
+      .filter(f => now - f.lastModified() >= orphanGraceMs)
+      .foreach(_.delete())
   }
 
   private def schemaOf(m: Manifest): org.apache.spark.sql.types.StructType =
@@ -303,9 +345,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     */
   def initialize(initialLoad: DataFrame): Unit = {
     root.mkdirs()
-    val v = manifestFiles().iterator
-      .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
-      .nextOption().map(_.version + 1).getOrElse(1L)
+    val v = nextVersion()
     val data = withBucket(initialLoad.drop(Cdc.ChangeType, Cdc.TransactionId))
       .repartition(col(bucketCol))
     val gen = genName(v, "init")
@@ -330,10 +370,14 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     */
   def merge(folded: DataFrame): Unit = {
     val m = currentManifest()
-    val seq = (m.deltas.map(_._1) :+ versionSeq(m)).max + 1
+    // seq clears both the live deltas AND the manifest-recorded compaction
+    // floor — so an all-deletes compaction (no surviving compact gen)
+    // cannot make a later merge reuse an already-folded seq (review r10)
+    val seq = (m.deltas.map(_._1) :+ m.floorSeq).max + 1
     val data = withBucket(folded.drop(Cdc.TransactionId))
       .repartition(col(bucketCol))
-    val gen = genName(m.version + 1, s"delta$seq")
+    val v = nextVersion()
+    val gen = genName(v, s"delta$seq")
     val tWrite = System.nanoTime()
     data.write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
@@ -350,8 +394,8 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
           existing(existing.fieldIndex(bucketCol))).json
     val tSwap = System.nanoTime()
     try
-      putManifest(Manifest(m.version + 1, schemaJson, m.base,
-        m.deltas :+ (seq -> gen)))
+      putManifest(Manifest(v, schemaJson, m.base,
+        m.deltas :+ (seq -> gen), floorSeq = m.floorSeq))
     catch {
       case e: CommitConflictException =>
         // lost the race: nothing published; reclaim our generation now
@@ -362,12 +406,6 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     gc()
     UpsertStore.addPhase("swap", (System.nanoTime() - tSwap) / 1e9)
   }
-
-  /** Highest seq folded into the base (compaction floor). */
-  private def versionSeq(m: Manifest): Long =
-    m.base.values.toSeq.distinct.flatMap { g =>
-      "-compact(\\d+)-".r.findFirstMatchIn(g).map(_.group(1).toLong)
-    }.maxOption.getOrElse(0L)
 
   /** Base ∪ deltas folded LWW by (pk, max seq) — the same fold as
     * [[UpsertStore.foldedView]], resolved through the manifest. Each
@@ -485,8 +523,21 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     require(fromVersion <= toVersion,
       s"empty range: $fromVersion > $toVersion")
-    val mTo = manifestAt(toVersion) // throws if not retained
-    val mFrom = manifestAt(fromVersion)
+    // ONE listing pass, each manifest decoded once (review r10 — the
+    // per-version manifestAt loop re-read and re-digested every file
+    // twice per version in the range). Version-number GAPS are expected:
+    // torn puts burn their slot (see putManifest), so the range resolves
+    // over the retained COMPLETE manifests whose version falls inside it.
+    val retained = manifestFiles()
+      .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
+    def at(v: Long): Manifest = retained.find(_.version == v)
+      .getOrElse(throw new IllegalStateException(
+        s"store $dir: version $v is not retained (keepVersions=" +
+          s"$keepVersions) or never committed"))
+    val mTo = at(toVersion)
+    val mFrom = at(fromVersion)
+    val inRange = retained
+      .filter(mf => mf.version > fromVersion && mf.version <= toVersion)
     val schema = schemaOf(mTo)
     val withEnvelope = StructType(
       schema.fields.filterNot(_.name == bucketCol) :+
@@ -501,8 +552,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     // generation resets the delta sequence): a per-key change feed across
     // it is meaningless — refuse rather than mix sequences from two
     // histories (seq collisions would silently drop post-init deltas)
-    val initGens = (fromVersion + 1 to toVersion)
-      .flatMap(v => manifestAt(v).base.values).toSet
+    val initGens = inRange.flatMap(_.base.values).toSet
       .filter(_.contains("-init-"))
       .diff(mFrom.base.values.toSet)
     if (initGens.nonEmpty) throw new IllegalStateException(
@@ -510,8 +560,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
         s"re-initialization (${initGens.mkString(", ")}) — the feed " +
         "cannot relate keys across histories; read the full snapshot")
     val atFrom = mFrom.deltas.map(_._1).toSet
-    val added = (fromVersion + 1 to toVersion)
-      .flatMap(v => manifestAt(v).deltas)
+    val added = inRange.flatMap(_.deltas)
       .distinct
       .filterNot { case (s, _) => atFrom.contains(s) }
       .sortBy(_._1)
@@ -565,7 +614,8 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     val touched: Set[Int] =
       m.deltas.flatMap { case (_, g) => bucketDirsOf(g) }.toSet
     val maxSeq = m.deltas.map(_._1).max
-    val gen = genName(m.version + 1, s"compact$maxSeq")
+    val v = nextVersion()
+    val gen = genName(v, s"compact$maxSeq")
     // the touched-only fold: reuse `folded` restricted per-bucket is
     // wasteful (one plan per bucket); restrict by dropping untouched from
     // the base map instead
@@ -581,7 +631,10 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
       survivors.map(_ -> gen)
     val ts = System.nanoTime()
     try
-      putManifest(Manifest(m.version + 1, m.schemaJson, newBase, Seq.empty))
+      // the folded maxSeq becomes the recorded compaction floor — survives
+      // even when every touched bucket was emptied (review r10)
+      putManifest(Manifest(v, m.schemaJson, newBase, Seq.empty,
+        floorSeq = math.max(m.floorSeq, maxSeq)))
     catch {
       case e: CommitConflictException =>
         rmTree(new java.io.File(root, gen))

@@ -274,10 +274,13 @@ class AnnIndexSpec extends SparkSpec {
     }
     copyTree(live, tmp) // a "newly built" complete staged index
     mv(live, aside)     // the retire rename happened...
-    // ...and the process died here. The next search self-heals:
+    // ...and the process died here. The next search self-heals (promotes
+    // the complete staged copy); the aside DEBRIS is left for the writer —
+    // readers never delete anything from a healthy index (review r10)
     assert(AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
       .collect().map(_.toSeq).toSet === want)
-    assert(!tmp.exists() && !aside.exists())
+    assert(!tmp.exists())
+    rm(aside) // writer-side sweep, simulated
 
     // crash MID-BUILD after the live dir went aside some other way:
     // incomplete tmp (no _meta.json), aside holds the only copy → roll BACK
@@ -302,6 +305,23 @@ class AnnIndexSpec extends SparkSpec {
     val q = odd.limit(3).select(col("id\"col").alias("qid"), col("Col"))
     val got = AnnIndex.searchIvf(dir, q, "qid", k = 2, nprobe = 2)
     assert(got.count() === 6L)
+  }
+
+  test("read paths never mutate a healthy index (a concurrent build's staged dir survives)") {
+    val dir = Files.createTempDirectory("graft-annro").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb.limit(200), "vec_id", "embedding",
+      numCells = 2, fitSampleSize = 200)
+    // a concurrent build/compact is mid-write: its staged dir exists while
+    // the live index serves reads
+    val tmp = new java.io.File(dir + "_tmp")
+    new java.io.File(tmp, "assignments").mkdirs()
+    AnnIndex.searchIvf(dir, queries, "qid", k = 2, nprobe = 2).collect()
+    assert(tmp.exists(),
+      "a READ deleted a concurrent writer's in-flight staged dir")
+    // the WRITER itself sweeps its own debris before staging
+    AnnIndex.buildIvf(dir, emb.limit(200), "vec_id", "embedding",
+      numCells = 2, fitSampleSize = 200)
+    assert(!new java.io.File(dir + "_old").exists())
   }
 
   test("rebuild is atomic and a missing index fails loudly") {

@@ -234,6 +234,24 @@ class AsofRangeSpec extends SparkSpec {
     assert(re == s)
   }
 
+  test("distinctSketch: null keys count as one value; version fence refuses foreign sketches") {
+    // a null key must not crash the job (fnv64 is null-intolerant; the
+    // sentinel hash stands in — review r10) and counts as ONE distinct
+    val df = Seq((Some(1L), "g"), (Some(2L), "g"), (None, "g"), (None, "g"))
+      .toDF("k", "grp")
+    val est = IncrementalAgg.distinctSketch(df, "grp", "k")
+      .select($"n_distinct_est").head().getDouble(0)
+    assert(math.abs(est - 3.0) < 0.5, s"est=$est for 3 distinct (incl null)")
+    // sketches carry a format-version byte: merging a pre-upgrade sketch
+    // (different register hash space) must refuse LOUDLY, not silently
+    // double-count (review r10)
+    val legacy = new Array[Byte](4096) // headerless xxhash64-era format
+    intercept[IllegalArgumentException] {
+      graft.functions.SketchOps.hllMerge(
+        graft.functions.SketchOps.hllZero(), legacy)
+    }
+  }
+
   test("decontaminate plan: benchmark side broadcasts") {
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bench = Seq((2L, "a b c")).toDF("doc_id", "text")

@@ -75,14 +75,17 @@ class ManifestStoreSpec extends SparkSpec {
     java.nio.file.Files.write(next.toPath, evil)
     assert(store.currentVersion === v)
     assert(state(store) === good)
-    // the writer's next commit replaces the torn slot occupant in place
-    // (a torn manifest is a dead writer's partial PUT, not a commit —
-    // the conditional-create conflict rule applies to COMPLETE occupants
-    // only)
+    // the torn occupant BURNS its version slot (nothing is ever
+    // overwritten — an in-place replacement would let two writers that
+    // both observe the same torn slot both "win", review r10): the next
+    // commit simply claims the slot after it, and readers keep skipping
+    // the torn file by digest
     assert(next.exists())
     store.merge(batch((Cdc.Upsert, 11L, 3L, "THREE")))
     assert(state(store).contains((3L, "THREE")))
-    assert(store.currentVersion === v + 1)
+    assert(store.currentVersion === v + 2,
+      "commit after a torn slot must land on the next free version")
+    assert(next.exists(), "young torn debris is left for aged GC")
   }
 
   test("conditional-PUT commit: concurrent writers — one winner, loser conflicts loudly") {
@@ -345,6 +348,29 @@ class ManifestStoreSpec extends SparkSpec {
       s"lookup read $one files vs snapshot's $full — no bucket pruning")
     assert(store.lookup(5L).as[(Long, String)].collect().toSeq ===
       Seq((5L, "V5")))
+  }
+
+  test("all-deletes compaction keeps the seq floor: later merges never reuse folded seqs") {
+    val dir = tmp("mffloor")
+    val store = newStore(dir, keep = 6)
+    // seq 1 upserts key 4; seq 2 deletes EVERY key the deltas touched —
+    // the compacted fold produces no surviving rows for those buckets, so
+    // no compact-tagged generation survives to carry the floor by name
+    store.merge(batch((Cdc.Upsert, 10L, 4L, "four")))                // seq 1
+    store.merge(batch((Cdc.Delete, 11L, 4L,
+      null.asInstanceOf[String])))                                    // seq 2
+    store.compact()
+    // the next merge MUST take seq 3 (manifest-recorded floor), not seq 1:
+    // a reused seq would collide with retained manifest v2's delta and
+    // silently vanish from the change feed
+    val vBefore = store.currentVersion
+    store.merge(batch((Cdc.Upsert, 12L, 5L, "five")))
+    val changes = store.changesBetween(vBefore, store.currentVersion)
+    assert(changes.count() === 1,
+      "the post-compaction merge must be visible in the change feed")
+    assert(changes.head().getLong(0) === 5L)
+    assert(state(store) === Set((1L, "one"), (2L, "two"), (3L, "three"),
+      (5L, "five")))
   }
 
   test("re-initialize publishes as the NEXT version, never a silently-ignored lower one") {
