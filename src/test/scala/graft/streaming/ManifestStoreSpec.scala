@@ -299,6 +299,26 @@ class ManifestStoreSpec extends SparkSpec {
     intercept[IllegalStateException](store.changesBetween(1, 7))
   }
 
+  test("burned version slots leave gaps the feed and time travel tolerate") {
+    val dir = tmp("mfgap")
+    val store = newStore(dir, keep = 6)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO"))) // v2
+    val v = store.currentVersion
+    // a crashed writer's torn put burned slot v+1
+    java.nio.file.Files.write(
+      new java.io.File(dir, f"manifest-${v + 1}%012d.json").toPath,
+      "torn".getBytes("UTF-8"))
+    store.merge(batch((Cdc.Upsert, 11L, 7L, "seven"))) // lands at v+2
+    assert(store.currentVersion === v + 2)
+    // the feed spans the gap (version v+1 never committed — no deltas lost)
+    val changes = store.changesBetween(v, v + 2).collect()
+    assert(changes.map(_.getLong(0)).toSet === Set(7L))
+    // time travel works on both sides of the gap; the gap itself refuses
+    assert(store.snapshotAt(v).count() === 3)
+    assert(store.snapshotAt(v + 2).count() === 4)
+    intercept[IllegalStateException](store.snapshotAt(v + 1))
+  }
+
   test("CdcStreamJob drives the manifest store through the same interface (KeyedUpsertStore)") {
     // the identical loop the rename-based stores run — swapping the commit
     // protocol is a constructor argument, not a topology change
