@@ -1560,6 +1560,22 @@ object SparkEntry {
           col("mime"))
     }),
 
+    // Stub decode METADATA, hash-gated (r10): the stub's arithmetic is
+    // deterministic integer work over the asset bytes (31-fold + splitmix64
+    // + bit slices), and the fixture text is pure ASCII, so the DuckDB
+    // oracle replays the byte fold over code points and every mult via
+    // 32-bit-half wraparound arithmetic. The Spark side runs the REAL
+    // mapPartitions decode seam — exactly what a production codec replaces
+    // — so the plumbing (schema, encoders, batching) is oracle-verified
+    // even though the decode body is a stand-in.
+    "q_mm_decode_meta" -> ((s, dir) => {
+      graft.multimodal.Multimodal.decode(
+          graft.multimodal.Multimodal
+            .assetsFromDocuments(s, t(s, dir, "documents"))).toDF()
+        .select(col("asset_id"), col("mime"), col("width"), col("height"),
+          col("n_frames"), col("duration_ms"))
+    }),
+
     // Stub decode + batched feature extraction (rows-only: stub outputs).
     // The embedding array is folded to scalar summaries (dim + L2-norm² +
     // first component) for the driver compare — arrays can't be hashed.
@@ -4134,6 +4150,44 @@ object SparkEntry {
         |  round(CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
         |    THEN 4096.0 * ln(4096.0 / zeros) ELSE e END, 3) AS n_distinct_est_r
         |FROM raw""".stripMargin,
+
+    // Stub decode metadata: the 31-fold over the asset's (ASCII) bytes,
+    // splitmix64 (each 64x64 multiply split into 32-bit halves to stay
+    // inside HUGEINT), then the same bit slices. mime rotates by doc_id%3
+    // exactly as assetsFromDocuments does.
+    "q_mm_decode_meta" ->
+      """WITH fold AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_prepend(CAST(1 AS UBIGINT),
+        |        [CAST(unicode(text[i]) AS UBIGINT)
+        |         for i in range(1, len(text)+1)]),
+        |      (acc, cp) -> CAST((CAST(acc AS HUGEINT) * 31 + cp)
+        |        % 18446744073709551616 AS UBIGINT)) AS acc,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, mime,
+        |  CAST((CAST(acc AS HUGEINT) + 11400714819323198485)
+        |    % 18446744073709551616 AS UBIGINT) AS z FROM fold),
+        |s1 AS (SELECT doc_id, mime, xor(z, z >> 30) AS z FROM s0),
+        |s2 AS (SELECT doc_id, mime, CAST((
+        |    (CAST(z AS HUGEINT) * 484763065) % 18446744073709551616
+        |    + ((CAST(z AS HUGEINT) * 3210233709) % 4294967296) * 4294967296)
+        |  % 18446744073709551616 AS UBIGINT) AS z FROM s1),
+        |s3 AS (SELECT doc_id, mime, xor(z, z >> 27) AS z FROM s2),
+        |s4 AS (SELECT doc_id, mime, CAST((
+        |    (CAST(z AS HUGEINT) * 321982955) % 18446744073709551616
+        |    + ((CAST(z AS HUGEINT) * 2496678331) % 4294967296) * 4294967296)
+        |  % 18446744073709551616 AS UBIGINT) AS z FROM s3),
+        |hx AS (SELECT doc_id, mime, xor(z, z >> 31) AS x FROM s4)
+        |SELECT doc_id AS asset_id, mime,
+        |  CAST(64 + (x & 1023) AS INT) AS width,
+        |  CAST(64 + ((x >> 10) & 1023) AS INT) AS height,
+        |  CAST(CASE WHEN mime LIKE 'video%'
+        |    THEN 1 + ((x >> 20) & 255) ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN mime LIKE 'image%'
+        |    THEN 0 ELSE (x >> 28) & 65535 END AS BIGINT) AS duration_ms
+        |FROM hx""".stripMargin,
 
     "q_cdc_distinct_exact" ->
       """WITH changed AS (
