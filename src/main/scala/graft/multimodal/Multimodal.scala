@@ -8,11 +8,18 @@ import org.apache.spark.sql.functions._
   * analog of arrow-batched pandas UDFs — one decoder/model invocation per
   * batch, not per row).
   *
-  * The actual codec/model calls are STUBS (this container has no image or
-  * audio libraries): `StubCodecs` produces deterministic fake outputs from
-  * the bytes alone. Everything Spark-side — schemas, encoders, batch
-  * shapes, partition sizing, the explode for frame sampling — is real and
-  * tested; swapping a stub for a JNI/ONNX call changes one function body.
+  * The IMAGE half is REAL since r11 ([[ImageCodec]], JDK `javax.imageio` —
+  * zero new dependencies): an image-mimed asset whose bytes actually parse
+  * as PNG/BMP/GIF/JPEG is decoded to true pixels, and metadata, the 8×8
+  * luma grid, perceptual hashing, resizing, and pixel features all run
+  * over that raster. Audio/video calls remain STUBS (`StubCodecs` —
+  * deterministic fakes; this container has no such codecs), as does an
+  * image payload that fails to parse (the fixture tables carry text bytes
+  * as stand-in payloads; a production deployment would route parse
+  * failures to a quarantine channel instead). Everything Spark-side —
+  * schemas, encoders, batch shapes, partition sizing, the explode for
+  * frame sampling — is real and tested either way; swapping the remaining
+  * stubs for a JNI/ONNX call changes one function body.
   */
 object Multimodal {
 
@@ -112,6 +119,22 @@ object Multimodal {
     out
   }
 
+  /** Decode an asset's pixels when it is a REAL image: mime says image
+    * and the bytes parse. The single routing point for the real-vs-stub
+    * seam.
+    */
+  def decodePixels(a: Asset): Option[(Int, Int, Array[Int])] =
+    if (a.mime.startsWith("image/")) ImageCodec.decodeLuma(a.media) else None
+
+  /** 8×8 luma grid: REAL pixels for decodable images, stub otherwise. */
+  def pixelGrid8(a: Asset): Array[Int] = decodePixels(a) match {
+    case Some((w, h, pix)) => ImageCodec.grid8(pix, w, h)
+    case None => StubCodecs.grid8(a)
+  }
+
+  /** Perceptual hash over the REAL (or, for non-images, stub) grid. */
+  def phash64(a: Asset): Long = averageHash(pixelGrid8(a))
+
   /** Image near-duplicate pairs: perceptual-hash each asset (batched
     * mapPartitions — the decode seam), then recover all pairs within
     * `maxHamming` bits through [[graft.operators.Dedup.hammingNearDups]]'s
@@ -123,18 +146,40 @@ object Multimodal {
   def imageNearDups(assets: Dataset[Asset], maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     import assets.sparkSession.implicits._
-    val fps = assets.mapPartitions(_.map(a => (a.asset_id, StubCodecs.phash64(a))))
+    val fps = assets.mapPartitions(_.map(a => (a.asset_id, phash64(a))))
       .toDF("asset_id", "phash")
     graft.operators.Dedup.hammingNearDups(fps, "asset_id", "phash", maxHamming, maxBucket)
   }
 
-  /** Decode metadata for every asset. Batched per partition; one iterator
-    * pass, no per-row task overhead.
+  /** Decode metadata for every asset — REAL header/pixel parse for
+    * decodable images, stub for everything else. Batched per partition;
+    * one iterator pass, no per-row task overhead.
     */
   def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(StubCodecs.decode))
+    assets.mapPartitions(_.map(decodeOne))
   }
+
+  /** Single-asset decode: the real-vs-stub routing applied to metadata. */
+  def decodeOne(a: Asset): DecodedAsset = decodePixels(a) match {
+    case Some((w, h, _)) =>
+      DecodedAsset(a.asset_id, a.media, a.mime, width = w, height = h,
+        n_frames = 1, duration_ms = 0L)
+    case None => StubCodecs.decode(a)
+  }
+
+  /** REAL resize for decodable images: area-mean downsample of the true
+    * raster, re-encoded as PNG. Non-images (and undecodable payloads)
+    * keep the stub behavior.
+    */
+  def resizeOne(d: DecodedAsset, w: Int, hgt: Int): DecodedAsset =
+    decodePixels(Asset(d.asset_id, d.media, d.mime)) match {
+      case Some((sw, sh, pix)) if sw >= w && sh >= hgt =>
+        val small = ImageCodec.downsample(pix, sw, sh, w, hgt)
+        d.copy(width = w, height = hgt,
+          media = ImageCodec.encodeGrayPng(small, w, hgt))
+      case _ => StubCodecs.resize(d, w, hgt)
+    }
 
   /** Feature extraction with an explicit model batch size: rows are grouped
     * into `batchSize` chunks per partition — the shape a vectorized model
@@ -149,17 +194,58 @@ object Multimodal {
     })
   }
 
+  /** REAL pixel features for decodable images: the 16-bin luma histogram
+    * ([[ImageCodec.lumaHistogram16]]) — actual feature extraction over
+    * actual pixels, batched exactly like [[extractFeatures]]. Assets that
+    * don't decode fall back to the stub model vector so the output schema
+    * is total.
+    */
+  def pixelFeatures(assets: Dataset[Asset],
+      batchSize: Int = 32): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(batchSize).flatMap { batch =>
+      batch.map { a =>
+        AssetFeatures(a.asset_id, decodePixels(a) match {
+          case Some((_, _, pix)) => ImageCodec.lumaHistogram16(pix)
+          case None => StubCodecs.features(a, 16)
+        })
+      }
+    })
+  }
+
   /** Sample up to `n` evenly spaced frames per video asset (images yield
     * frame 0 only). Output is one row per frame — downstream ops fan out.
     */
   def sampleFrames(assets: Dataset[Asset], n: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap { a =>
-      val total = StubCodecs.decode(a).n_frames
+      val total = decodeOne(a).n_frames
       val take = math.min(n, total)
       val step = math.max(1, total / math.max(take, 1))
       (0 until take).map(i => Frame(a.asset_id, i * step, StubCodecs.frame(a, i * step)))
     })
+  }
+
+  /** REAL-image asset table from the documents fixture: each doc becomes
+    * a genuine 16×16 grayscale PNG (full ImageIO encode) whose pixel
+    * raster is a closed-form integer function of the row —
+    * `pix[k] = (doc_id·31 + 7·k + len(text)) mod 256` — so an external
+    * engine can recompute every decoded pixel WITHOUT a PNG parser while
+    * the Spark side exercises the real codec both ways (encode here,
+    * [[ImageCodec.decodeLuma]] in the pipeline under test). This is the
+    * fixture trick that graduates the image gates from rows-only to
+    * hash-gated: the arithmetic is the oracle, the codec is the code
+    * under test.
+    */
+  def realPngAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), length(col("text")).alias("len"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, len) =>
+        val pix = Array.tabulate(256)(k =>
+          ((id * 31 + 7L * k + len) % 256).toInt)
+        Asset(id, ImageCodec.encodeGrayPng(pix, 16, 16), "image/png")
+      })
   }
 
   /** Build an asset table from the documents fixture (text bytes stand in

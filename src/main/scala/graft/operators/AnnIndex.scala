@@ -38,8 +38,11 @@ import graft.functions.GraftExpressions._
   * aside copy dropped — so no crash point leaves zero complete copies on
   * disk (the previous delete-then-rename protocol lost the only copy in
   * the delete→rename window — ADVICE r9). [[recoverCrash]] runs at the
-  * head of every entry point and rolls forward (complete tmp) or back
-  * (aside copy) as the surviving artifacts dictate.
+  * head of every WRITE-path entry point and rolls forward (complete tmp)
+  * or back (aside copy) as the surviving artifacts dictate; READ paths
+  * are passive ([[ensureLive]], ADVICE r10) — they serve the live dir or
+  * throw retryably, never renaming, so a reader can't roll a healthy
+  * writer's in-flight swap out from under it.
   */
 object AnnIndex {
 
@@ -66,6 +69,31 @@ object AnnIndex {
     *    sweeps its own debris at its next build/compact/append.
     * Idempotent; a crash during recovery re-runs it.
     */
+  /** READ-path guard: PASSIVE (ADVICE r10). A reader that performed the
+    * recovery renames itself raced the single WRITER's healthy
+    * [[swapInto]]: in the window between move(live→aside) and
+    * move(tmp→live), live is briefly absent while tmp is complete, so an
+    * active reader would roll the in-flight swap forward underneath the
+    * writer — whose own promote then dies with NoSuchFileException (or,
+    * racing the rollback branch, FileAlreadyExistsException), failing a
+    * perfectly healthy build/compact. Readers therefore never rename:
+    * live present → serve it; live absent → a retryable "mid-swap or
+    * crashed" error. Crash HEALING stays writer-only ([[recoverCrash]]
+    * at the head of every mutating entry point).
+    */
+  private def ensureLive(path: String): Unit = {
+    val live = new java.io.File(path)
+    if (!live.exists()) {
+      val tmp = new java.io.File(path + "_tmp")
+      val aside = new java.io.File(path + "_old")
+      if (new java.io.File(tmp, "_meta.json").exists() || aside.exists())
+        throw new IllegalStateException(
+          s"ANN index at $path is mid-swap (or a crashed writer left it " +
+            "recoverable) — retry, or run a write-path operation to heal")
+      throw new IllegalStateException(s"no ANN index at $path")
+    }
+  }
+
   private def recoverCrash(path: String, cleanDebris: Boolean = false): Unit = {
     val live = new java.io.File(path)
     val tmp = new java.io.File(path + "_tmp")
@@ -205,7 +233,7 @@ object AnnIndex {
   def searchIvfPq(path: String, queries: DataFrame, queryIdCol: String,
       k: Int, nprobe: Int = 4, refine: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    recoverCrash(path)
+    ensureLive(path)
     val meta = readMeta(spark, path)
     require(meta.pqM > 0,
       s"index at $path is plain IVF (no PQ codes) — use searchIvf")
@@ -462,7 +490,7 @@ object AnnIndex {
   def searchIvf(path: String, queries: DataFrame, queryIdCol: String,
       k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    recoverCrash(path)
+    ensureLive(path)
     val meta = readMeta(spark, path)
     val cellDf = broadcast(
       spark.read.parquet(new java.io.File(path, "centroids").getPath)

@@ -205,7 +205,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     */
   private def currentManifest(): Manifest =
     manifestFiles().iterator
-      .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
+      .flatMap(tryReadManifest)
       .nextOption()
       .getOrElse(throw new IllegalStateException(
         s"store $dir has no complete manifest (not initialized, or every " +
@@ -213,7 +213,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
 
   private def manifestAt(version: Long): Manifest =
     manifestFiles().iterator
-      .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
+      .flatMap(tryReadManifest)
       .find(_.version == version)
       .getOrElse(throw new IllegalStateException(
         s"store $dir: version $version is not retained (keepVersions=" +
@@ -240,23 +240,46 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     */
   private def putManifest(m: Manifest): Unit = {
     val f = new java.io.File(root, manifestName(m.version))
-    try
-      java.nio.file.Files.write(f.toPath, encodeManifest(m),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"store $dir: version slot ${m.version} is occupied (a committed " +
-            "manifest, or a crashed writer's torn put) — re-read the " +
-            "current manifest and retry on top; torn slots burn their " +
-            "version number")
-    }
-    // force bytes (a power-cut after "commit" must not lose the commit);
-    // an object store gives this durability on PUT acknowledgment
-    val ch = java.nio.channels.FileChannel.open(f.toPath,
-      java.nio.file.StandardOpenOption.READ)
-    try ch.force(true) finally ch.close()
+    // write THROUGH the forcing channel (force is only specified for this
+    // channel's own writes — ADVICE r10) and force before close: a
+    // power-cut after "commit" must not lose the commit. An object store
+    // gives this durability on PUT acknowledgment.
+    val ch =
+      try
+        java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"store $dir: version slot ${m.version} is occupied (a committed " +
+              "manifest, or a crashed writer's torn put) — re-read the " +
+              "current manifest and retry on top; torn slots burn their " +
+              "version number")
+      }
+    try {
+      val buf = java.nio.ByteBuffer.wrap(encodeManifest(m))
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+    // ... and persist the manifest's DIRECTORY ENTRY: without this a crash
+    // can lose the just-created name even with its bytes forced, silently
+    // dropping a CDC window whose ledger already advanced (ADVICE r10)
+    graft.util.Fs.fsyncDir(root)
   }
+
+  /** Read a manifest file, tolerating it VANISHING between list and read:
+    * the single writer's gc() deletes retired complete manifests and aged
+    * torn debris while concurrent READERS (the multi-reader topology this
+    * protocol serves) are iterating the same listing — a vanished file is
+    * treated exactly like a torn one, skip and continue (ADVICE r10).
+    */
+  private def tryReadManifest(f: java.io.File): Option[Manifest] =
+    try decodeManifest(java.nio.file.Files.readAllBytes(f.toPath))
+    catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException => None
+    }
 
   /** The next free version slot: one past the highest manifest FILE
     * (complete or torn — torn puts burn their number, see [[putManifest]]).
@@ -265,6 +288,30 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     manifestFiles().headOption
       .map(_.getName.stripPrefix("manifest-").stripSuffix(".json").toLong + 1)
       .getOrElse(1L)
+
+  /** ONE list pass → (newest complete manifest, next free version slot).
+    * The pair MUST come from a single listing: the conditional PUT only
+    * fences commits that target the SAME slot, so a writer that re-listed
+    * between reading the manifest and choosing its slot could observe an
+    * interleaved commit in the second listing only — and would then PUT
+    * one slot past it, succeeding while silently DROPPING that commit's
+    * deltas from its own manifest (found building the r11 rebase spec).
+    * From one listing, any commit that lands after it necessarily
+    * occupies a slot >= ours (slots are claimed one past the highest
+    * *visible* file, and files are never removed from the top), so our
+    * PUT conflicts instead of skipping.
+    */
+  private def currentState(): (Manifest, Long) = {
+    val files = manifestFiles()
+    val next = files.headOption
+      .map(_.getName.stripPrefix("manifest-").stripSuffix(".json").toLong + 1)
+      .getOrElse(1L)
+    val m = files.iterator.flatMap(tryReadManifest).nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"store $dir has no complete manifest (not initialized, or every " +
+          "manifest is torn)"))
+    (m, next)
+  }
 
   // ── Generations ──────────────────────────────────────────────────────────
 
@@ -295,8 +342,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     // newest complete one after repeated crashed puts, and counting them
     // toward the newest-K window would push the SERVING manifest out of
     // retention and free its generations (review r10)
-    val decoded = manifestFiles().map(f =>
-      f -> decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
+    val decoded = manifestFiles().map(f => f -> tryReadManifest(f))
     val complete = decoded.collect { case (f, Some(m)) => (f, m) }
     val retained = complete.take(keepVersions)
     val referenced: Set[String] = retained
@@ -351,10 +397,51 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     val gen = genName(v, "init")
     data.write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
+    // data durable BEFORE the commit record references it (ADVICE r10)
+    graft.util.Fs.fsyncTree(new java.io.File(root, gen))
     val buckets = bucketDirsOf(gen)
     putManifest(Manifest(v, data.schema.json,
       buckets.map(_ -> gen).toMap, Seq.empty))
     gc()
+  }
+
+  /** Bounded optimistic-commit loop (the Iceberg retry model, VERDICT r10
+    * #1): `attempt(current)` builds and PUTs the next manifest on top of
+    * `current`; on [[CommitConflictException]] the loop re-reads the new
+    * current manifest, lets the caller REVALIDATE + REBASE via
+    * `rebase(next)` (return false to abort — e.g. a compaction whose
+    * folded inputs were themselves compacted away), and retries on the
+    * next free slot. The retry bound turns a pathological livelock (N
+    * writers in perfect lockstep) into a loud error instead of an
+    * unbounded spin; `onAbort` reclaims the caller's staged generation.
+    */
+  /** Test seam: runs between a commit attempt's (manifest, slot) snapshot
+    * and its conditional PUT — the window a concurrent commit must land in
+    * to force the retry/rebase path. No-op in production; the concurrency
+    * spec overrides it to inject a competing writer DETERMINISTICALLY
+    * (thread-timing races exercise the same path only probabilistically).
+    */
+  protected def beforeCommitAttempt(): Unit = {}
+
+  private def commitWithRetry(maxRetries: Int)(
+      attempt: (Manifest, Long) => Unit)(
+      rebase: Manifest => Boolean)(onAbort: => Unit): Unit = {
+    var (m, slot) = currentState()
+    var retries = 0
+    while (true) {
+      beforeCommitAttempt()
+      try { attempt(m, slot); return }
+      catch {
+        case e: CommitConflictException =>
+          retries += 1
+          if (retries > maxRetries) { onAbort; throw e }
+          // brief jittered backoff so lockstep racers desynchronize
+          Thread.sleep(1L + scala.util.Random.nextInt(8))
+          val (nm, ns) = currentState()
+          if (!rebase(nm)) { onAbort; throw e }
+          m = nm; slot = ns
+      }
+    }
   }
 
   private def bucketDirsOf(gen: String): Seq[Int] =
@@ -369,40 +456,40 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * replays it — idempotent under LWW exactly like [[UpsertStore]].
     */
   def merge(folded: DataFrame): Unit = {
-    val m = currentManifest()
-    // seq clears both the live deltas AND the manifest-recorded compaction
-    // floor — so an all-deletes compaction (no surviving compact gen)
-    // cannot make a later merge reuse an already-folded seq (review r10)
-    val seq = (m.deltas.map(_._1) :+ m.floorSeq).max + 1
     val data = withBucket(folded.drop(Cdc.TransactionId))
       .repartition(col(bucketCol))
-    val v = nextVersion()
-    val gen = genName(v, s"delta$seq")
+    val gen = genName(nextVersion(), "delta")
     val tWrite = System.nanoTime()
     data.write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
+    // data durable BEFORE the commit record references it (ADVICE r10)
+    graft.util.Fs.fsyncTree(new java.io.File(root, gen))
     UpsertStore.addPhase("merge_write", (System.nanoTime() - tWrite) / 1e9)
     if (bucketDirsOf(gen).isEmpty) { rmTree(new java.io.File(root, gen)); return }
-    // additive schema evolution, same contract as UpsertStore.mergeDelta
-    val existing = schemaOf(m)
-    val newFields = data.schema.fields.filter(f =>
-      f.name != Cdc.ChangeType && !existing.fieldNames.contains(f.name))
-    val schemaJson =
-      if (newFields.isEmpty) m.schemaJson
-      else org.apache.spark.sql.types.StructType(
-        existing.fields.filterNot(_.name == bucketCol) ++ newFields :+
-          existing(existing.fieldIndex(bucketCol))).json
     val tSwap = System.nanoTime()
-    try
-      putManifest(Manifest(v, schemaJson, m.base,
+    // A merge is ALWAYS rebasable (VERDICT r10 #1): the generation dir is
+    // immutable and carries no seq — the manifest entry assigns it — so a
+    // losing writer simply recomputes (seq, version, schema) against the
+    // winner's manifest and re-points the SAME dir. Deltas append; nothing
+    // to revalidate.
+    commitWithRetry(maxRetries = 100) { (m, slot) =>
+      // seq clears both the live deltas AND the manifest-recorded
+      // compaction floor — so an all-deletes compaction (no surviving
+      // compact gen) cannot make a later merge reuse an already-folded
+      // seq (review r10)
+      val seq = (m.deltas.map(_._1) :+ m.floorSeq).max + 1
+      // additive schema evolution, same contract as UpsertStore.mergeDelta
+      val existing = schemaOf(m)
+      val newFields = data.schema.fields.filter(f =>
+        f.name != Cdc.ChangeType && !existing.fieldNames.contains(f.name))
+      val schemaJson =
+        if (newFields.isEmpty) m.schemaJson
+        else org.apache.spark.sql.types.StructType(
+          existing.fields.filterNot(_.name == bucketCol) ++ newFields :+
+            existing(existing.fieldIndex(bucketCol))).json
+      putManifest(Manifest(slot, schemaJson, m.base,
         m.deltas :+ (seq -> gen), floorSeq = m.floorSeq))
-    catch {
-      case e: CommitConflictException =>
-        // lost the race: nothing published; reclaim our generation now
-        // (the age-gated GC would otherwise carry it for the grace period)
-        rmTree(new java.io.File(root, gen))
-        throw e
-    }
+    }(rebase = _ => true)(onAbort = rmTree(new java.io.File(root, gen)))
     gc()
     UpsertStore.addPhase("swap", (System.nanoTime() - tSwap) / 1e9)
   }
@@ -528,8 +615,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     // twice per version in the range). Version-number GAPS are expected:
     // torn puts burn their slot (see putManifest), so the range resolves
     // over the retained COMPLETE manifests whose version falls inside it.
-    val retained = manifestFiles()
-      .flatMap(f => decodeManifest(java.nio.file.Files.readAllBytes(f.toPath)))
+    val retained = manifestFiles().flatMap(tryReadManifest)
     def at(v: Long): Manifest = retained.find(_.version == v)
       .getOrElse(throw new IllegalStateException(
         s"store $dir: version $v is not retained (keepVersions=" +
@@ -609,37 +695,45 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     */
   def compact(): Unit = {
     val tc = System.nanoTime()
-    val m = currentManifest()
-    if (m.deltas.isEmpty) return
+    val m0 = currentManifest()
+    if (m0.deltas.isEmpty) return
     val touched: Set[Int] =
-      m.deltas.flatMap { case (_, g) => bucketDirsOf(g) }.toSet
-    val maxSeq = m.deltas.map(_._1).max
-    val v = nextVersion()
-    val gen = genName(v, s"compact$maxSeq")
+      m0.deltas.flatMap { case (_, g) => bucketDirsOf(g) }.toSet
+    val maxSeq = m0.deltas.map(_._1).max
+    val foldedSeqs = m0.deltas.map(_._1).toSet
+    val gen = genName(nextVersion(), s"compact$maxSeq")
     // the touched-only fold: reuse `folded` restricted per-bucket is
     // wasteful (one plan per bucket); restrict by dropping untouched from
     // the base map instead
-    val touchedOnly = m.copy(base = m.base.filter(kv => touched(kv._1)))
+    val touchedOnly = m0.copy(base = m0.base.filter(kv => touched(kv._1)))
     val tw = System.nanoTime()
     folded(touchedOnly, bucket = None)
       .repartition(col(bucketCol))
       .write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
+    // data durable BEFORE the commit record references it (ADVICE r10)
+    graft.util.Fs.fsyncTree(new java.io.File(root, gen))
     UpsertStore.addPhase("compact_write", (System.nanoTime() - tw) / 1e9)
     val survivors = bucketDirsOf(gen).toSet
-    val newBase = (m.base -- touched.diff(survivors)) ++
-      survivors.map(_ -> gen)
     val ts = System.nanoTime()
-    try
+    // A compaction REBASES like Iceberg's rewrite_data_files (VERDICT r10
+    // #1): on losing the slot race it revalidates that its folded inputs
+    // are still exactly what the current manifest serves — concurrent
+    // MERGES only append deltas, so the rebase keeps the winner's new
+    // deltas live on top of our fresh base; a concurrent COMPACT or
+    // re-initialize invalidates the fold (our inputs were replaced) and
+    // aborts loudly with the staged generation reclaimed.
+    commitWithRetry(maxRetries = 100) { (m, slot) =>
+      val newBase = (m.base -- touched.diff(survivors)) ++
+        survivors.map(_ -> gen)
+      val rest = m.deltas.filterNot { case (s, _) => foldedSeqs(s) }
       // the folded maxSeq becomes the recorded compaction floor — survives
       // even when every touched bucket was emptied (review r10)
-      putManifest(Manifest(v, m.schemaJson, newBase, Seq.empty,
+      putManifest(Manifest(slot, m.schemaJson, newBase, rest,
         floorSeq = math.max(m.floorSeq, maxSeq)))
-    catch {
-      case e: CommitConflictException =>
-        rmTree(new java.io.File(root, gen))
-        throw e
-    }
+    } { next =>
+      next.base == m0.base && m0.deltas.forall(next.deltas.contains)
+    }(onAbort = rmTree(new java.io.File(root, gen)))
     gc()
     UpsertStore.addPhase("compact_swap", (System.nanoTime() - ts) / 1e9)
     UpsertStore.addPhase("compact", (System.nanoTime() - tc) / 1e9)

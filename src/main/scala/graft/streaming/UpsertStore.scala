@@ -509,33 +509,11 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     * listing, so readers never see intermediate state. Returns the bucket
     * ids that had staged data.
     */
-  /** fsync a file's bytes (data durability, not just journaled metadata). */
-  private def fsyncFile(f: java.io.File): Unit = {
-    val ch = java.nio.channels.FileChannel.open(f.toPath,
-      java.nio.file.StandardOpenOption.READ)
-    try ch.force(true) finally ch.close()
-  }
+  // shared with the object-store protocol since ADVICE r10 — one
+  // definition of the durability primitives, one degraded-FS warning latch
+  private def fsyncFile(f: java.io.File): Unit = graft.util.Fs.fsyncFile(f)
 
-  /** fsync a directory entry table (persists renames/creates/unlinks in it);
-    * skipped where the FS rejects directory handles — but LOUDLY, once:
-    * the marker-before-rename ordering that the crash-safety argument
-    * rests on degrades to best-effort on such filesystems, and operators
-    * deserve a signal rather than silently weakened guarantees (ADVICE r7).
-    */
-  private def fsyncDir(d: java.io.File): Unit =
-    try {
-      val ch = java.nio.channels.FileChannel.open(d.toPath,
-        java.nio.file.StandardOpenOption.READ)
-      try ch.force(true) finally ch.close()
-    } catch {
-      case e: java.io.IOException =>
-        if (UpsertStore.fsyncDirUnsupported.compareAndSet(false, true))
-          org.slf4j.LoggerFactory.getLogger(classOf[UpsertStore]).warn(
-            s"directory fsync unavailable on this filesystem ($d: " +
-              s"${e.getMessage}) — the store's crash-ordering guarantee " +
-              "(marker durable before renames) is best-effort here",
-            e)
-    }
+  private def fsyncDir(d: java.io.File): Unit = graft.util.Fs.fsyncDir(d)
 
   /** The staged NEW schema of an in-flight [[schemaRewrite]] — committed or
     * rolled back under the SAME `_swap_started` marker as the data buckets,
@@ -1205,10 +1183,6 @@ class StoreChangeFeed(store: UpsertStore, cursorPath: String) {
 }
 
 object UpsertStore {
-  /** One warning per JVM when the filesystem rejects directory fsync. */
-  private val fsyncDirUnsupported =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
-
   /** Cumulative per-phase seconds (merge_write = fold compute + staging
     * IO, swap = commit renames/fsyncs, compact) — nearly-free counters the
     * stream benchmark drains so a regression in the 100 TB-critical loop

@@ -274,20 +274,33 @@ class AnnIndexSpec extends SparkSpec {
     }
     copyTree(live, tmp) // a "newly built" complete staged index
     mv(live, aside)     // the retire rename happened...
-    // ...and the process died here. The next search self-heals (promotes
-    // the complete staged copy); the aside DEBRIS is left for the writer —
-    // readers never delete anything from a healthy index (review r10)
+    // ...and the process died here. A READER is now PASSIVE (ADVICE r10:
+    // an active reader racing a HEALTHY writer's swap in this exact state
+    // would roll the in-flight swap forward underneath it and fail the
+    // build spuriously) — it throws retryably and touches nothing...
+    intercept[IllegalStateException] {
+      AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
+    }
+    assert(tmp.exists() && aside.exists(),
+      "a passive reader must not move or delete crash artifacts")
+    // ...and the next WRITE-path operation heals: rolls FORWARD to the
+    // complete staged copy (it is a full index) and sweeps the aside
+    AnnIndex.compactIvf(dir) // no deltas: heal + no-op
     assert(AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
       .collect().map(_.toSeq).toSet === want)
-    assert(!tmp.exists())
-    rm(aside) // writer-side sweep, simulated
+    assert(!tmp.exists() && !aside.exists())
 
     // crash MID-BUILD after the live dir went aside some other way:
-    // incomplete tmp (no _meta.json), aside holds the only copy → roll BACK
+    // incomplete tmp (no _meta.json), aside holds the only copy → the
+    // reader again refuses, and the writer rolls BACK to the aside copy
     copyTree(live, aside)
     rm(live)
     tmp.mkdirs() // torn staged dir: no _meta.json
     new java.io.File(tmp, "assignments").mkdirs()
+    intercept[IllegalStateException] {
+      AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
+    }
+    AnnIndex.compactIvf(dir)
     val healed = AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
       .collect().map(_.toSeq).toSet
     assert(healed === want)
@@ -326,7 +339,7 @@ class AnnIndexSpec extends SparkSpec {
 
   test("rebuild is atomic and a missing index fails loudly") {
     val dir = Files.createTempDirectory("graft-annrx").resolve("ix").toString
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       AnnIndex.searchIvf(dir, queries, "qid", k = 3)
     }
     AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
