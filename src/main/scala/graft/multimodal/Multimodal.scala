@@ -226,26 +226,67 @@ object Multimodal {
     })
   }
 
+  /** Closed-form fixture raster: pixel k of doc `id`'s 16×16 image.
+    * Chosen (measured over the sf0.1 corpus) so every doc's perceptual
+    * hash is DISTINCT with zero accidental near-pairs — a linear ramp
+    * formula made all images structurally identical up to brightness and
+    * collapsed 5000 docs onto 176 phashes (≈325k bogus "near-dup" pairs).
+    * The quadratic-residue scramble keeps the arithmetic pure-integer
+    * (every op replayable as SQL: `*`, `%`, left-associative) while
+    * giving phash-diverse images.
+    */
+  def fixturePixel(id: Long, k: Int): Int =
+    (((id + 1) * (k + 17) % 65521 * (k + 29) % 65521 + id * 31) % 256).toInt
+
   /** REAL-image asset table from the documents fixture: each doc becomes
     * a genuine 16×16 grayscale PNG (full ImageIO encode) whose pixel
-    * raster is a closed-form integer function of the row —
-    * `pix[k] = (doc_id·31 + 7·k + len(text)) mod 256` — so an external
-    * engine can recompute every decoded pixel WITHOUT a PNG parser while
-    * the Spark side exercises the real codec both ways (encode here,
-    * [[ImageCodec.decodeLuma]] in the pipeline under test). This is the
-    * fixture trick that graduates the image gates from rows-only to
-    * hash-gated: the arithmetic is the oracle, the codec is the code
-    * under test.
+    * raster is [[fixturePixel]] — a closed-form integer function of the
+    * row, so an external engine can recompute every decoded pixel WITHOUT
+    * a PNG parser while the Spark side exercises the real codec both ways
+    * (encode here, [[ImageCodec.decodeLuma]] in the pipeline under test).
+    * This is the fixture trick that graduates the image gates from
+    * rows-only to hash-gated: the arithmetic is the oracle, the codec is
+    * the code under test.
     */
   def realPngAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id"), length(col("text")).alias("len"))
-      .as[(Long, Int)]
-      .mapPartitions(_.map { case (id, len) =>
-        val pix = Array.tabulate(256)(k =>
-          ((id * 31 + 7L * k + len) % 256).toInt)
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pix = Array.tabulate(256)(k => fixturePixel(id, k))
         Asset(id, ImageCodec.encodeGrayPng(pix, 16, 16), "image/png")
       })
+  }
+
+  /** NEAR-duplicate plants for the image near-dup gates: docs in
+    * `[loId, hiId)` re-encoded with the top-left and bottom-right 2×2
+    * pixel blocks SWAPPED, published under `id + offset`. A swap keeps
+    * the raster SUM — hence the aHash threshold — exactly unchanged, so
+    * only the two touched grid cells can flip: each plant is guaranteed
+    * within 2 Hamming bits of its source (forcing blocks to extremes
+    * instead moves the mean and can flip borderline cells anywhere).
+    * Deterministic nonzero-distance pairs the oracle replays from the
+    * same arithmetic.
+    */
+  def noisyPngPlants(spark: SparkSession, docs: DataFrame,
+      loId: Long, hiId: Long, offset: Long): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter(id => id >= loId && id < hiId)
+      .mapPartitions(_.map { id =>
+        val pix = Array.tabulate(256)(k => fixturePixel(id, swapIdx(k)))
+        Asset(id + offset, ImageCodec.encodeGrayPng(pix, 16, 16), "image/png")
+      })
+  }
+
+  /** The plant perturbation: top-left 2×2 block ↔ bottom-right 2×2 block
+    * ((r, c) ↔ (r+14, c+14) for r, c ∈ {0, 1}); all other pixels fixed.
+    */
+  def swapIdx(k: Int): Int = {
+    val r = k / 16
+    val c = k % 16
+    if (r <= 1 && c <= 1) (r + 14) * 16 + (c + 14)
+    else if (r >= 14 && c >= 14) (r - 14) * 16 + (c - 14)
+    else k
   }
 
   /** Build an asset table from the documents fixture (text bytes stand in
