@@ -1255,6 +1255,31 @@ object SparkEntry {
       } finally rm(work.toFile)
     }),
 
+    // CDC-driven DELETION under the oracle (r11, VERDICT r10 #7): build
+    // the persisted index, tombstone every vec_id ≡ 3 (mod 10), search at
+    // the degenerate-exact config — the oracle is exact top-k over the
+    // corpus MINUS the deleted ids, so the tombstone filter itself is
+    // hash-verified (a row leaking past a tombstone, or an over-delete,
+    // breaks the hash). Physical fold-at-compact is AnnIndexSpec's.
+    "q_ann_delete_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft-anndel")
+      try {
+        val ix = work.resolve("ix").toString
+        graft.operators.AnnIndex.buildIvf(ix, emb, "vec_id", "embedding",
+          numCells = 8, fitSampleSize = 2000)
+        graft.operators.AnnIndex.deleteIvf(ix,
+          emb.where(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")))
+        graft.operators.AnnIndex.searchIvf(ix,
+            emb.where(col("vec_id") < 5)
+              .select(col("vec_id").alias("query_id"), col("embedding")),
+            "query_id", k = 10, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 6).alias("cosine_r"))
+          .localCheckpoint(true)
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
     // IVF-PQ ANN, hash-gated by composing both degenerate-exact knobs
     // (all cells probed + all candidates refined).
     "q_sim_topk_ivfpq" -> ((s, dir) => {
@@ -1447,6 +1472,22 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5)
       Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).alias("group_size"), min(col("id")).alias("keep_id"))
+    }),
+
+    // The DISTRIBUTED pointer-jumping path under the oracle (r11, VERDICT
+    // r10 #6): every prior oracle run took the driver union-find fast path
+    // (edges ≪ 4M at verify scale), leaving the arbitrarily-large-graph
+    // code DuckDB-unverified. driverEdgeLimit = 0 forces min-label
+    // propagation + pointer jumping — the path a 100 TB dedup actually
+    // runs — against the same recursive-CTE oracle; identical output to
+    // q_dedup_groups is itself part of the contract (the two paths must
+    // agree exactly, spec-pinned in DedupSpec).
+    "q_dedup_groups_distributed" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
         .groupBy(col("component"))
         .agg(count(lit(1)).alias("group_size"), min(col("id")).alias("keep_id"))
     }),
@@ -3468,6 +3509,31 @@ object SparkEntry {
         |SELECT component, count(*) AS group_size, min(id) AS keep_id
         |FROM comp GROUP BY component""".stripMargin,
 
+    // Same recursive-CTE oracle as q_dedup_groups — the Spark side runs
+    // the forced-distributed pointer-jumping path instead of the driver
+    // union-find (degenerate-config graduation, same trick as the ANN
+    // ladder).
+    "q_dedup_groups_distributed" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS group_size, min(id) AS keep_id
+        |FROM comp GROUP BY component""".stripMargin,
+
     "q_dedup_keep_one" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
@@ -3516,6 +3582,17 @@ object SparkEntry {
     "q_sim_topk_pq" -> ExactTopKOracle,
     "q_sim_topk_ivfpq" -> ExactTopKOracle,
     "q_ann_index_search" -> ExactTopKOracle,
+
+    // exact top-k over the corpus minus the tombstoned ids
+    "q_ann_delete_search" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+        |  FROM embeddings d, embeddings q
+        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id AND d.vec_id % 10 <> 3)
+        |WHERE rank <= 10""".stripMargin,
 
     // SemDeDup at numCells=1 = exact all-pairs threshold graph; keep-one
     // = drop every node whose component's min id is not itself. The

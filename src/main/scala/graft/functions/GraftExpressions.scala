@@ -715,6 +715,23 @@ object GraftExpressions {
   def deflate_ratio(col: Column): Column = c(DeflateRatio(e(col)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
   def zorder2(a: Column, b: Column): Column = c(ZOrder2(e(a), e(b)))
+
+  /** Wide-domain [[zorder2]] (VERDICT r10 #9): auto-bucketizes each input
+    * into [0, 2^31) by `pmod` before interleaving, so a 2^40-key column
+    * gets a working cluster key instead of a mid-rewrite runtime throw.
+    * LOCALITY CAVEAT, by design and documented: `pmod` WRAPS the domain —
+    * two keys 2^31 apart land on the same bucket value, so range locality
+    * holds only within a 2^31-aligned window; for a domain already inside
+    * [0, 2^31) the pmod is the identity and this IS `zorder2`. Callers
+    * whose wide domain is dense and range-queried should RANK (dense ids)
+    * instead of wrapping; callers whose keys are hash-like (the common
+    * case for surrogate ids at 2^40) lose nothing — hash keys have no
+    * range locality to preserve.
+    */
+  def zorder2_bucketized(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    zorder2(pmod(a, lit(1L << 31)), pmod(b, lit(1L << 31)))
+  }
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def fnv64(col: Column): Column = c(Fnv64(e(col)))
   def fnv_token_hashes(col: Column): Column = c(FnvTokenHashes(e(col)))

@@ -144,7 +144,9 @@ object SketchOps {
     */
   def zorder2(a: Long, b: Long): Long = {
     require(a >= 0 && a < (1L << 31) && b >= 0 && b < (1L << 31),
-      s"zorder2 inputs must be in [0, 2^31): got ($a, $b)")
+      s"zorder2 inputs must be in [0, 2^31): got ($a, $b) — rank or " +
+        "bucketize wider domains first (zorder2_bucketized auto-pmods, " +
+        "with a documented wrap-locality caveat)")
     spread31(a) | (spread31(b) << 1)
   }
 

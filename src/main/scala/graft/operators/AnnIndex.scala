@@ -253,7 +253,7 @@ object AnnIndex {
       .localCheckpoint(true) // probed thrice: cell-union + adc + refine
     val probedCells = probes.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val indexed = allAssignments(spark, path)
+    val indexed = visibleAssignments(spark, path, meta.idCol)
       .where(col("_cell").isin(probedCells: _*))
     // ADC candidate scan: only (id, _cell, _code) columns are read
     val adc = indexed.select(col(meta.idCol), col("_cell"), col("_code"))
@@ -310,6 +310,24 @@ object AnnIndex {
         .stripPrefix("b").toLong, f))
       .sortBy(_._1).toSeq
 
+  /** Tombstone delta dirs (CDC-driven deletion, VERDICT r10 #7): each is
+    * one parquet of deleted ids, sequenced in the SAME number space as
+    * the append deltas so delete-then-re-append resolves by order.
+    */
+  private def tombDirs(path: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(path).listFiles((f: java.io.File) =>
+      f.isDirectory && f.getName.matches("tombstones_delta_b?\\d+")))
+      .getOrElse(Array.empty[java.io.File])
+      .map(f => (f.getName.stripPrefix("tombstones_delta_")
+        .stripPrefix("b").toLong, f))
+      .sortBy(_._1).toSeq
+
+  /** Next free sequence number across BOTH delta namespaces — appends and
+    * tombstones share one order (that order is the deletion semantics).
+    */
+  private def nextSeq(path: String): Long =
+    ((deltaDirs(path) ++ tombDirs(path)).map(_._1) :+ 0L).max + 1
+
   /** INCREMENTAL append: assign `newData` with the index's OWN persisted
     * quantizer (no refit — cells stay stable, which is what makes the
     * append O(batch) instead of O(corpus)) and publish it as one
@@ -322,8 +340,9 @@ object AnnIndex {
     */
   def appendIvf(path: String, newData: DataFrame): Unit = {
     recoverCrash(path)
-    val n = (deltaDirs(path).map(_._1) :+ 0L).max + 1
-    appendDelta(path, newData, s"assignments_delta_$n")
+    // the sequence counter is SHARED with tombstones: an append landing
+    // after a delete must outrank it (deletion is order-resolved)
+    appendDelta(path, newData, s"assignments_delta_${nextSeq(path)}")
   }
 
   /** Replay-IDEMPOTENT append for streaming maintenance: the delta dir
@@ -414,25 +433,38 @@ object AnnIndex {
     recoverCrash(path, cleanDebris = true)
     val src = new java.io.File(path)
     require(src.exists(), s"no ANN index at $path")
-    if (deltaDirs(path).isEmpty) return
+    val meta = readMeta(SparkSession.active, path)
+    if (deltaDirs(path).isEmpty && tombDirs(path).isEmpty) return
     val spark = SparkSession.active
     val model = KMeansModel.load(new java.io.File(path, "model").getPath)
     val tmp = new java.io.File(path + "_tmp")
     rmTree(tmp)
-    allAssignments(spark, path).write.partitionBy("_cell")
+    // tombstones FOLD here: the new base holds only visible rows, and the
+    // tombstone dirs are not copied into the staged index — deletion
+    // becomes physical at the swap (GDPR-grade: the bytes are gone)
+    val visible = visibleAssignments(spark, path, meta.idCol)
+    if (visible.isEmpty)
+      // everything deleted: a partitioned write would emit ZERO part files
+      // (schema-less dir, unreadable); one empty unpartitioned file keeps
+      // the schema on disk and reads fine (_cell becomes a data column)
+      visible.repartition(1).write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "assignments").getPath)
+    else visible.write.partitionBy("_cell")
       .mode("overwrite").parquet(new java.io.File(tmp, "assignments").getPath)
     model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
     writeCentroids(spark, tmp, model,
       new java.io.File(tmp, "assignments").getPath)
-    // replay high-water: the batch-named deltas this compact folds join the
-    // already-folded set, INSIDE the staged dir — the swap below makes
-    // "delta dirs gone" and "their ids recorded" a single atomic event
-    // (appendIvfBatch's idempotence contract, ADVICE r9)
+    // replay high-water: the batch-named deltas AND batch-named tombstones
+    // this compact folds join the already-folded set, INSIDE the staged
+    // dir — the swap below makes "delta dirs gone" and "their ids
+    // recorded" a single atomic event (appendIvfBatch/deleteIvfBatch's
+    // idempotence contract, ADVICE r9)
     writeFoldedBatches(tmp, readFoldedBatches(path) ++
       Option(src.listFiles((_: java.io.File, n: String) =>
-        n.matches("assignments_delta_b\\d+")))
+        n.matches("(assignments|tombstones)_delta_b\\d+")))
         .getOrElse(Array.empty[java.io.File])
-        .map(_.getName.stripPrefix("assignments_delta_b").toLong))
+        .map(_.getName.replaceAll("^(assignments|tombstones)_delta_b", "")
+          .toLong))
     // a PQ index's codebooks ride along unchanged (codes in the folded
     // assignments were produced by them)
     val cb = new java.io.File(path, "codebooks")
@@ -449,6 +481,79 @@ object AnnIndex {
       spark.read.parquet(new java.io.File(path, "assignments").getPath)) {
       case (acc, (_, d)) => acc.unionByName(spark.read.parquet(d.getPath))
     }
+
+  /** Base ∪ deltas with tombstones APPLIED — the rows a search may serve.
+    * Visibility: a row is hidden iff its sequence is strictly below the
+    * id's highest tombstone sequence (base rows carry seq 0), so a
+    * delete hides everything before it and a later re-append of the same
+    * id serves again. The tombstone side is the union of the tombstone
+    * dirs folded to one (id, max seq) row per deleted id — bounded by
+    * delta debt (compaction applies and clears it), hence broadcast: the
+    * corpus-side scan never shuffles for deletion.
+    */
+  private def visibleAssignments(spark: SparkSession, path: String,
+      idCol: String): DataFrame = {
+    val rows = deltaDirs(path).foldLeft(
+      spark.read.parquet(new java.io.File(path, "assignments").getPath)
+        .withColumn("_seq", lit(0L))) {
+      case (acc, (n, d)) => acc.unionByName(
+        spark.read.parquet(d.getPath).withColumn("_seq", lit(n)))
+    }
+    val tombs = tombDirs(path)
+    if (tombs.isEmpty) return rows.drop("_seq")
+    val tombDf = tombs.map { case (n, d) =>
+        spark.read.parquet(d.getPath).withColumn("_tomb_seq", lit(n))
+      }.reduce(_.unionByName(_))
+      .groupBy(col(idCol)).agg(max(col("_tomb_seq")).alias("_tomb_seq"))
+    rows.join(broadcast(tombDf), Seq(idCol), "left")
+      .where(col("_tomb_seq").isNull || col("_seq") >= col("_tomb_seq"))
+      .drop("_seq", "_tomb_seq")
+  }
+
+  /** DELETE vectors by id (the CDC right-to-be-forgotten path): publishes
+    * one tombstone delta — O(batch) like an append; no index data is
+    * rewritten. Deleted ids disappear from [[searchIvf]]/[[searchIvfPq]]
+    * immediately (filtered) and from the physical layout at the next
+    * [[compactIvf]] (folded). `ids` is a one-column frame named like the
+    * index's id column.
+    */
+  def deleteIvf(path: String, ids: DataFrame): Unit = {
+    recoverCrash(path)
+    publishTombstone(path, ids, s"tombstones_delta_${nextSeq(path)}")
+  }
+
+  /** Replay-idempotent tombstone publish for streaming CDC maintenance —
+    * the deletion twin of [[appendIvfBatch]]: dir name is a pure function
+    * of `batchId`; an existing dir or an already-folded batch id no-ops.
+    * A CDC micro-batch applies as delete-batch THEN append-batch under
+    * the same id: the folded batch has one row per key, appends sequence
+    * at the same number as the tombstone, and visibility is
+    * `seq >= tombstone seq` — so a batch that replaces a key's vector
+    * hides the old row and serves the new one.
+    */
+  def deleteIvfBatch(path: String, ids: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    recoverCrash(path)
+    val name = s"tombstones_delta_b$batchId"
+    if (new java.io.File(path, name).exists() ||
+      readFoldedBatches(path).contains(batchId))
+      return
+    publishTombstone(path, ids, name)
+  }
+
+  private def publishTombstone(path: String, ids: DataFrame,
+      dirName: String): Unit = {
+    // an empty delete batch must not publish (schema-less dir)
+    if (ids.isEmpty) return
+    val meta = readMeta(ids.sparkSession, path)
+    val tmp = new java.io.File(path, s"${dirName}_tmp")
+    rmTree(tmp)
+    ids.select(col(meta.idCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(path, dirName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Real JSON via the Jackson Spark ships — substring splitting silently
     * misparsed column names containing quotes or keys that suffix another
@@ -510,7 +615,7 @@ object AnnIndex {
     // Bounded driver collect: ≤ numCells ints.
     val probedCells = probes.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val indexed = allAssignments(spark, path)
+    val indexed = visibleAssignments(spark, path, meta.idCol)
       .where(col("_cell").isin(probedCells: _*))
     val scored = indexed.join(broadcast(probes),
         indexed("_cell") === probes("_cell") &&

@@ -1057,7 +1057,9 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     *   `OPTIMIZE ... ZORDER BY` analog — pass a single natural column, or
     *   a [[graft.functions.GraftExpressions.zorder2]] key materialized as
     *   a column for two-dimensional locality (keys must fit [0, 2^31):
-    *   rank/bucketize wider domains first, e.g. `pmod(key, 2^31)`).
+    *   rank wider domains first, or use [[graft.functions
+    *   .GraftExpressions.zorder2_bucketized]] which auto-pmods with a
+    *   documented wrap-locality caveat).
     *   Layout only: snapshot contents are bit-identical with or without
     *   it. Passing clusterBy forces the FULL rewrite (a layout pass is
     *   whole-store by intent), never the selective fold.

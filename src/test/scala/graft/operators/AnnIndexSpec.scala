@@ -337,6 +337,112 @@ class AnnIndexSpec extends SparkSpec {
     assert(!new java.io.File(dir + "_old").exists())
   }
 
+  // ── CDC-driven deletion (VERDICT r10 #7) ────────────────────────────────
+
+  test("delete: vector invisible immediately, still invisible after compact, bytes gone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anndel").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
+      seed = 1L, fitSampleSize = 500)
+    def neighbors(): Set[Long] =
+      AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 4)
+        .select("neighbor_id").as[Long].collect().toSet
+    // the victim is an id the search ACTUALLY returns (self-matches are
+    // excluded, so a query's own id wouldn't exercise the filter)
+    val victim = neighbors().min
+    assert(neighbors().contains(victim))
+    AnnIndex.deleteIvf(dir, Seq(victim).toDF("vec_id"))
+    // filtered at search, pre-compact
+    assert(!neighbors().contains(victim))
+    // folded at compact: still invisible AND physically absent
+    AnnIndex.compactIvf(dir)
+    assert(!neighbors().contains(victim))
+    val onDisk = spark.read
+      .parquet(new java.io.File(dir, "assignments").getPath)
+      .where(col("vec_id") === victim).count()
+    assert(onDisk === 0L, "compaction must remove the deleted bytes")
+    // other results unaffected: delete+compact ≡ building without the row
+    val rebuilt = Files.createTempDirectory("graft-anndel2").resolve("ix").toString
+    AnnIndex.buildIvf(rebuilt, emb.where(col("vec_id") =!= victim),
+      "vec_id", "embedding", numCells = 4, seed = 1L, fitSampleSize = 500)
+    // same quantizer sample-fit (seeded hash-order sample barely shifts) —
+    // compare the neighbor SETS of the unaffected queries
+    val a = AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(!a.exists(_._2 == victim))
+  }
+
+  test("delete then re-append: the id serves again (order-resolved tombstones)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anndel3").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
+      seed = 1L, fitSampleSize = 500)
+    val victim = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().min
+    val victimRow = emb.where(col("vec_id") === victim)
+    def visible(): Boolean =
+      AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 4)
+        .select("neighbor_id").as[Long].collect().toSet.contains(victim)
+    assert(visible())
+    AnnIndex.deleteIvf(dir, Seq(victim).toDF("vec_id"))
+    assert(!visible())
+    AnnIndex.appendIvf(dir, victimRow)
+    assert(visible(), "an append AFTER the delete must outrank it")
+    AnnIndex.compactIvf(dir)
+    assert(visible(), "compaction must preserve the order resolution")
+  }
+
+  test("deleteIvfBatch: replay no-ops before AND after compaction; batch replace serves the new row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anndel4").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb.where(col("vec_id") < 400), "vec_id",
+      "embedding", numCells = 4, seed = 1L, fitSampleSize = 500)
+    val victim = 7L
+    // CDC micro-batch 1: replace victim's vector (delete THEN append, one id)
+    val newVec = emb.where(col("vec_id") === 450L)
+      .select(lit(victim).alias("vec_id"), col("embedding"))
+    AnnIndex.deleteIvfBatch(dir, Seq(victim).toDF("vec_id"), batchId = 1L)
+    AnnIndex.appendIvfBatch(dir, newVec, batchId = 1L)
+    // exactly ONE victim row serves (the replacement, not the original)
+    val q1 = queries.limit(3)
+    val served = AnnIndex.searchIvf(dir, q1, "qid", k = 1000, nprobe = 4)
+      .where(col("neighbor_id") === victim)
+      .select("query_id").distinct().count()
+    assert(served <= 3L) // at most once per query — no duplicate id rows
+    // replay of the whole batch: both halves no-op
+    AnnIndex.deleteIvfBatch(dir, Seq(victim).toDF("vec_id"), batchId = 1L)
+    AnnIndex.appendIvfBatch(dir, newVec, batchId = 1L)
+    assert(tombCount(dir) === 1 && deltaCount(dir) === 1)
+    AnnIndex.compactIvf(dir)
+    assert(tombCount(dir) === 0 && deltaCount(dir) === 0,
+      "compaction folds tombstones away")
+    // post-compact replay: the folded-batch record must block BOTH halves
+    AnnIndex.deleteIvfBatch(dir, Seq(victim).toDF("vec_id"), batchId = 1L)
+    AnnIndex.appendIvfBatch(dir, newVec, batchId = 1L)
+    assert(tombCount(dir) === 0 && deltaCount(dir) === 0,
+      "a replayed folded batch must not re-publish")
+  }
+
+  test("deleting every vector leaves a readable empty index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anndel5").resolve("ix").toString
+    val tiny = emb.limit(20)
+    AnnIndex.buildIvf(dir, tiny, "vec_id", "embedding", numCells = 2,
+      seed = 1L, fitSampleSize = 100)
+    AnnIndex.deleteIvf(dir, tiny.select(col("vec_id")))
+    assert(AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2).count() === 0L)
+    AnnIndex.compactIvf(dir)
+    assert(AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2).count() === 0L)
+  }
+
+  private def tombCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles((f: java.io.File) =>
+      f.getName.startsWith("tombstones_delta_"))).map(_.length).getOrElse(0)
+
+  private def deltaCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles((f: java.io.File) =>
+      f.getName.startsWith("assignments_delta_"))).map(_.length).getOrElse(0)
+
   test("rebuild is atomic and a missing index fails loudly") {
     val dir = Files.createTempDirectory("graft-annrx").resolve("ix").toString
     intercept[IllegalStateException] {

@@ -105,6 +105,38 @@ class StoreClusterSpec extends SparkSpec {
     } finally store.releaseLease()
   }
 
+  test("zorder2_bucketized: 2^40-domain keys cluster instead of throwing (VERDICT r10 #9)") {
+    import graft.functions.GraftExpressions.zorder2_bucketized
+    // raw zorder2 on a 2^40 key raises with actionable guidance (constant
+    // folding may surface it driver-side, execution wraps it — either way
+    // the bucketize hint must reach the user)
+    val wide = intercept[Throwable] {
+      spark.range(4).select(zorder2(lit(1L << 40), lit(3L))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(wide).exists(_.contains("bucketize")))
+    // ...the bucketized variant works end-to-end through compact(clusterBy)
+    val dir = Files.createTempDirectory("graft-zwide").toString
+    val store = new UpsertStore(spark, dir, pkCols = Seq("id"), numBuckets = 2)
+    val data = spark.range(N).toDF("id")
+      // two 2^40-scale dimensions with real low-bits structure
+      .withColumn("v", col("id") * 2654435761L + (1L << 40))
+      .withColumn("w", col("id") * 2246822519L + (1L << 41))
+      .withColumn("zkey", zorder2_bucketized(col("v"), col("w")))
+    store.initialize(Cdc.initialLoad(data))
+    store.compact(clusterBy = Seq("zkey")) // no runtime throw mid-rewrite
+    try assert(store.snapshot().count() === N.toLong)
+    finally store.releaseLease()
+    // identity on in-range values: bucketized ≡ plain below 2^31
+    val both = spark.range(16).select(
+        zorder2(col("id") * 7, col("id") * 13).alias("a"),
+        zorder2_bucketized(col("id") * 7, col("id") * 13).alias("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(both === 0L)
+  }
+
   test("clusterBy validates columns and preserves MOR fold") {
     val dir = Files.createTempDirectory("graft-morcluster").toString
     val store = new UpsertStore(spark, dir, pkCols = Seq("id"),
