@@ -423,6 +423,21 @@ class AnnIndexSpec extends SparkSpec {
       "a replayed folded batch must not re-publish")
   }
 
+  test("delete filters the IVF-PQ search path too (ADC + refine)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anndelpq").resolve("ix").toString
+    AnnIndex.buildIvfPq(dir, emb, "vec_id", "embedding", numCells = 4,
+      m = 8, ksub = 16, seed = 1L, fitSampleSize = 500)
+    def neighbors(): Set[Long] =
+      AnnIndex.searchIvfPq(dir, queries, "qid", k = 5, nprobe = 4, refine = 4)
+        .select("neighbor_id").as[Long].collect().toSet
+    val victim = neighbors().min
+    AnnIndex.deleteIvf(dir, Seq(victim).toDF("vec_id"))
+    assert(!neighbors().contains(victim))
+    AnnIndex.compactIvf(dir)
+    assert(!neighbors().contains(victim))
+  }
+
   test("deleting every vector leaves a readable empty index") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-anndel5").resolve("ix").toString
