@@ -1684,6 +1684,22 @@ object SparkEntry {
         maxHamming = 3)
     }),
 
+    // REAL audio decode + signal features, hash-gated (r11): every doc
+    // becomes a genuine 8 kHz mono WAV (JDK AudioSystem encode) of 256
+    // closed-form PCM16 samples; the pipeline parses the real RIFF
+    // container back and computes integer-exact energy and zero-crossing
+    // counts over the true samples. The oracle replays the sample
+    // arithmetic (including the lag-based sign-change count) in SQL —
+    // same fixture trick as the image gates, applied to the audio codec.
+    "q_mm_audio_features" -> ((s, dir) => {
+      val mm = graft.multimodal.Multimodal
+      val assets = mm.realWavAssets(s, t(s, dir, "documents"))
+      val meta = mm.decode(assets).toDF()
+        .select(col("asset_id"), col("mime"), col("duration_ms"))
+      val sig = mm.audioSignals(assets).toDF()
+      meta.join(sig, "asset_id")
+    }),
+
     // Resize stage: decode → resize(224×224) → measure. The stub halves the
     // payload and stamps the target dims, so the whole pipeline is
     // oracle-checkable even though the codec is fake.
@@ -3802,6 +3818,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bin = 0 THEN c ELSE 0 END) AS BIGINT)
         |    AS feat0_x256
         |FROM hist GROUP BY doc_id""".stripMargin,
+
+    // REAL audio: samples replayed from the closed form; energy = Σs²,
+    // zero-crossings via lag() sign compare. All-integer outputs.
+    "q_mm_audio_features" ->
+      """WITH s AS (
+        |  SELECT doc_id, r.range AS k,
+        |    ((doc_id * 37 + r.range * r.range * 11 + 13) % 4001) - 2000 AS v
+        |  FROM documents, range(0, 256) r),
+        |lagged AS (
+        |  SELECT doc_id, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+        |  FROM s)
+        |SELECT doc_id AS asset_id, 'audio/wav' AS mime,
+        |  CAST(32 AS BIGINT) AS duration_ms,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(256 AS INT) AS n_samples,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+        |    THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id""".stripMargin,
 
     // REAL perceptual-hash near-dup pairs: the oracle recomputes every
     // asset's aHash from the raster arithmetic (2×2 block means →

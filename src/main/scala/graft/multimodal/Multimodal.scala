@@ -36,6 +36,10 @@ object Multimodal {
   /** A sampled frame. */
   case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** REAL audio signal features (integer-exact; see [[AudioCodec]]). */
+  case class AudioSignal(asset_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Int, energy: Long, zero_crossings: Int)
+
   /** Deterministic fake codecs — STUB layer. A real deployment implements
     * these against image/audio libraries; signatures and batch shapes are
     * the contract.
@@ -160,12 +164,30 @@ object Multimodal {
     assets.mapPartitions(_.map(decodeOne))
   }
 
-  /** Single-asset decode: the real-vs-stub routing applied to metadata. */
+  /** Decode an asset's PCM when it is a REAL audio file: mime says audio
+    * and the bytes parse as 16-bit PCM. The audio twin of
+    * [[decodePixels]].
+    */
+  def decodeSamples(a: Asset): Option[(Int, Int, Array[Short])] =
+    if (a.mime.startsWith("audio/")) AudioCodec.decodePcm16(a.media) else None
+
+  /** Single-asset decode: the real-vs-stub routing applied to metadata.
+    * Real audio reports (sampleRate, channels) through the (width,
+    * height) slots — documented overload of the generic media-geometry
+    * fields, the same way parquet stats columns are reused per type —
+    * with true duration from the sample count.
+    */
   def decodeOne(a: Asset): DecodedAsset = decodePixels(a) match {
     case Some((w, h, _)) =>
       DecodedAsset(a.asset_id, a.media, a.mime, width = w, height = h,
         n_frames = 1, duration_ms = 0L)
-    case None => StubCodecs.decode(a)
+    case None => decodeSamples(a) match {
+      case Some((rate, channels, samples)) =>
+        DecodedAsset(a.asset_id, a.media, a.mime, width = rate,
+          height = channels, n_frames = 1,
+          duration_ms = samples.length.toLong * 1000 / (rate * channels))
+      case None => StubCodecs.decode(a)
+    }
   }
 
   /** REAL resize for decodable images: area-mean downsample of the true
@@ -209,6 +231,23 @@ object Multimodal {
           case Some((_, _, pix)) => ImageCodec.lumaHistogram16(pix)
           case None => StubCodecs.features(a, 16)
         })
+      }
+    })
+  }
+
+  /** REAL signal features for decodable PCM audio: integer energy and
+    * zero-crossing counts over the true samples, batched like every other
+    * media stage. Assets that don't parse as 16-bit PCM are DROPPED —
+    * this is the analysis path for a decoded-audio corpus, and a
+    * quarantine channel (not a fake row) is the production story for
+    * undecodable payloads.
+    */
+  def audioSignals(assets: Dataset[Asset]): Dataset[AudioSignal] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      decodeSamples(a).map { case (rate, channels, samples) =>
+        AudioSignal(a.asset_id, rate, channels, samples.length,
+          AudioCodec.energy(samples), AudioCodec.zeroCrossings(samples))
       }
     })
   }
@@ -275,6 +314,27 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val pix = Array.tabulate(256)(k => fixturePixel(id, swapIdx(k)))
         Asset(id + offset, ImageCodec.encodeGrayPng(pix, 16, 16), "image/png")
+      })
+  }
+
+  /** Closed-form fixture PCM: sample k of doc `id`'s mono 16-bit signal —
+    * a quadratic-residue scramble shifted to [-2000, 2000], so energy and
+    * zero-crossing arithmetic stays exactly replayable in SQL (the audio
+    * twin of [[fixturePixel]]).
+    */
+  def fixtureSample(id: Long, k: Int): Short =
+    (((id * 37 + k.toLong * k * 11 + 13) % 4001) - 2000).toShort
+
+  /** REAL-audio asset table: each doc becomes a genuine 8 kHz mono WAV
+    * (full `AudioSystem` encode) of 256 closed-form samples — the same
+    * fixture trick as [[realPngAssets]], applied to the audio codec.
+    */
+  def realWavAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pcm = Array.tabulate(256)(k => fixtureSample(id, k))
+        Asset(id, AudioCodec.encodeWavPcm16(pcm, 8000), "audio/wav")
       })
   }
 

@@ -186,6 +186,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV PCM16 roundtrip is sample-exact through the real audio codec") {
+    val pcm = Array.tabulate(300)(i => ((i * 123 - 15000) % 32768).toShort)
+    val bytes = AudioCodec.encodeWavPcm16(pcm, 16000)
+    // real RIFF/WAVE magic
+    assert(new String(bytes.take(4)) === "RIFF" &&
+      new String(bytes.slice(8, 12)) === "WAVE")
+    val Some((rate, ch, back)) = AudioCodec.decodePcm16(bytes)
+    assert(rate === 16000 && ch === 1)
+    assert(back.toSeq === pcm.toSeq)
+    // non-audio bytes refuse cleanly
+    assert(AudioCodec.decodePcm16("not audio".getBytes).isEmpty)
+  }
+
+  test("audio decode routes real WAVs to real metadata; integer features are exact") {
+    import spark.implicits._
+    val pcm = Array[Short](100, -100, 200, -200, 0, 50)
+    val real = Asset(1L, AudioCodec.encodeWavPcm16(pcm, 8000), "audio/wav")
+    val fake = Asset(2L, "wav-ish".getBytes, "audio/wav")
+    val d = Multimodal.decode(spark.createDataset(Seq(real, fake)))
+      .collect().map(x => x.asset_id -> x).toMap
+    assert(d(1L).width === 8000 && d(1L).height === 1) // (rate, channels)
+    assert(d(1L).duration_ms === 6000L / 8000L)
+    assert(d(2L).width === StubCodecs.decode(fake).width, "stub fallback")
+    val sig = Multimodal.audioSignals(spark.createDataset(Seq(real, fake)))
+      .collect()
+    assert(sig.length === 1, "undecodable audio is dropped, not faked")
+    assert(sig.head.energy ===
+      pcm.map(s => s.toLong * s).sum)
+    assert(sig.head.zero_crossings === 4) // +- ; -+ ; +- ; -0(+)... sign pairs
+  }
+
+  test("realWavAssets: decoded samples equal the closed form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = Multimodal.realWavAssets(spark, docs.limit(8)).collect()
+    sample.foreach { a =>
+      val Some((rate, ch, pcm)) = AudioCodec.decodePcm16(a.media)
+      assert(rate === 8000 && ch === 1 && pcm.length === 256)
+      val want = Array.tabulate(256)(k => Multimodal.fixtureSample(a.asset_id, k))
+      assert(pcm.toSeq === want.toSeq, s"asset ${a.asset_id}")
+    }
+  }
+
   test("noisyPngPlants land within the aHash flip bound of their sources") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = Multimodal.realPngAssets(spark, docs)

