@@ -1714,14 +1714,25 @@ object SparkEntry {
           length(col("media")).alias("n_bytes"))
     }),
 
-    // Frame sampling: one row per sampled frame, evenly spaced — the fan-out
-    // shape video pipelines need (rows-only: stub frame payloads).
+    // Frame sampling over REAL MP4 containers, hash-gated (r11): every
+    // doc becomes a genuine ISO-BMFF file with closed-form frame count /
+    // sizes / dimensions; the pipeline PARSES the real box structure
+    // (moov/mvhd/tkhd/stbl) and extracts the true mdat sample slices —
+    // one row per evenly-spaced frame. The oracle replays the sampling
+    // arithmetic and every frame's byte size in SQL; the only stub left
+    // anywhere is the codec DECODE of a frame's payload bytes (no video
+    // codec ships in a JRE), and that layer's byte-extraction input is
+    // exactly what this gate now verifies.
     "q_mm_frame_sample" -> ((s, dir) => {
-      val assets = graft.multimodal.Multimodal
-        .assetsFromDocuments(s, t(s, dir, "documents"))
-      graft.multimodal.Multimodal.sampleFrames(assets, n = 4).toDF()
+      val mm = graft.multimodal.Multimodal
+      val assets = mm.realMp4Assets(s, t(s, dir, "documents"))
+      val meta = mm.decode(assets).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_frames"), col("duration_ms"))
+      mm.sampleFrames(assets, n = 4).toDF()
         .select(col("asset_id"), col("frame_idx"),
           length(col("frame")).alias("n_bytes"))
+        .join(meta, "asset_id")
     }),
 
     // ── Round-3 operator extensions ───────────────────────────────────────
@@ -3818,6 +3829,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bin = 0 THEN c ELSE 0 END) AS BIGINT)
         |    AS feat0_x256
         |FROM hist GROUP BY doc_id""".stripMargin,
+
+    // REAL MP4 container: the sampling arithmetic (take = min(4, n),
+    // step = n/take, indices i·step) and every frame's closed-form byte
+    // size, plus the container metadata the box parse yields.
+    "q_mm_frame_sample" ->
+      """WITH v AS (SELECT doc_id, 2 + doc_id % 7 AS n FROM documents),
+        |t AS (SELECT doc_id, n, least(4, n) AS take,
+        |        greatest(1, n // least(4, n)) AS step FROM v),
+        |f AS (SELECT doc_id, n, r.range * step AS frame_idx
+        |      FROM t, range(0, 4) r WHERE r.range < take)
+        |SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(8 + (doc_id * 7 + frame_idx * 3) % 32 AS INT) AS n_bytes,
+        |  CAST(320 + doc_id % 16 AS INT) AS width,
+        |  CAST(240 + doc_id % 9 AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(n * 40 AS BIGINT) AS duration_ms
+        |FROM f""".stripMargin,
 
     // REAL audio: samples replayed from the closed form; energy = Σs²,
     // zero-crossings via lag() sign compare. All-integer outputs.

@@ -228,6 +228,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ISO-BMFF roundtrip: real box walk recovers metadata and exact frame slices") {
+    val frames = Array(
+      Array.tabulate(10)(_.toByte),
+      Array.tabulate(25)(i => (i * 3).toByte),
+      Array.tabulate(7)(i => (200 + i).toByte))
+    val mp4 = IsoBmff.encodeMp4(frames, timescale = 1000, duration = 120L,
+      width = 640, height = 360)
+    // real container magic: ftyp box leads
+    assert(new String(mp4.slice(4, 8)) === "ftyp")
+    val Some(m) = IsoBmff.parse(mp4)
+    assert(m.timescale === 1000L && m.duration === 120L)
+    assert(m.width === 640 && m.height === 360)
+    assert(m.nFrames === 3 && m.durationMs === 120L)
+    assert(m.sampleSizes.toSeq === Seq(10, 25, 7))
+    frames.indices.foreach { i =>
+      assert(IsoBmff.sampleBytes(mp4, m, i).toSeq === frames(i).toSeq)
+    }
+    // non-container bytes refuse cleanly; truncation refuses cleanly
+    assert(IsoBmff.parse("not a video".getBytes).isEmpty)
+    assert(IsoBmff.parse(mp4.take(mp4.length / 2)).isEmpty)
+  }
+
+  test("video decode routes real MP4s to real metadata; frame sampling slices real mdat") {
+    import spark.implicits._
+    val frames = Array.tabulate(6)(i => Array.fill(12 + i)(i.toByte))
+    val real = Asset(1L, IsoBmff.encodeMp4(frames, 1000, 240, 320, 240),
+      "video/mp4")
+    val fake = Asset(2L, "mp4-ish".getBytes, "video/mp4")
+    val d = Multimodal.decode(spark.createDataset(Seq(real, fake)))
+      .collect().map(x => x.asset_id -> x).toMap
+    assert(d(1L).width === 320 && d(1L).height === 240 &&
+      d(1L).n_frames === 6 && d(1L).duration_ms === 240L)
+    assert(d(2L).width === StubCodecs.decode(fake).width, "stub fallback")
+    val sampled = Multimodal
+      .sampleFrames(spark.createDataset(Seq(real)), n = 3).collect()
+      .sortBy(_.frame_idx)
+    // 6 frames, take 3, step 2 → indices 0, 2, 4; REAL payload slices
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    sampled.foreach(f =>
+      assert(f.frame.toSeq === frames(f.frame_idx).toSeq))
+  }
+
+  test("realMp4Assets: parsed containers match the closed form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = Multimodal.realMp4Assets(spark, docs.limit(10)).collect()
+    sample.foreach { a =>
+      val id = a.asset_id
+      val Some(m) = IsoBmff.parse(a.media)
+      assert(m.nFrames === (2 + id % 7).toInt)
+      assert(m.width === (320 + id % 16).toInt)
+      assert(m.height === (240 + id % 9).toInt)
+      assert(m.durationMs === m.nFrames * 40L)
+      m.sampleSizes.zipWithIndex.foreach { case (len, i) =>
+        assert(len === (8 + (id * 7 + i * 3) % 32).toInt)
+      }
+    }
+  }
+
   test("noisyPngPlants land within the aHash flip bound of their sources") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = Multimodal.realPngAssets(spark, docs)
