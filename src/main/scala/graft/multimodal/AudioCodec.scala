@@ -28,6 +28,10 @@ object AudioCodec {
         val f = in.getFormat
         if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
           f.getSampleSizeInBits != 16) return None
+        // a corrupt fmt chunk can declare rate/channels 0 — the JDK
+        // reader does not reject it, and a 0 would divide-by-zero the
+        // duration math downstream (r11 adversarial review)
+        if (f.getSampleRate <= 0 || f.getChannels <= 0) return None
         val raw = in.readAllBytes()
         val n = raw.length / 2
         val out = new Array[Short](n)

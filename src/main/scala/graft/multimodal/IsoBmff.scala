@@ -83,18 +83,30 @@ object IsoBmff {
       val (minfS, minfE) = find(bytes, mdiaS, mdiaE, "minf").getOrElse(return None)
       val (stblS, stblE) = find(bytes, minfS, minfE, "stbl").getOrElse(return None)
       // stsz: version/flags 4, sample_size 4 (0 = per-sample table),
-      // sample_count 4, then count × uint32
-      val (szS, _) = find(bytes, stblS, stblE, "stsz").getOrElse(return None)
+      // sample_count 4, then count × uint32. VALIDATE counts and sizes
+      // BEFORE allocating (r11 adversarial review): a hostile
+      // sample_count like 0xFFFFFFFF .toInt'd to -1 threw
+      // NegativeArraySizeException past the IndexOutOfBounds catch and
+      // killed the Spark task; a fixed sample_size >= 2^31 went negative
+      // and slipped the bounds check only to crash sampleBytes later.
+      val (szS, szE) = find(bytes, stblS, stblE, "stsz").getOrElse(return None)
       val fixedSize = u32(bytes, szS + 4)
-      val n = u32(bytes, szS + 8).toInt
+      if (fixedSize > Int.MaxValue) return None
+      val nL = u32(bytes, szS + 8)
+      // a per-sample table must physically fit inside its own box
+      if (nL < 0 || nL > bytes.length ||
+        (fixedSize == 0 && szS + 12 + 4 * nL > szE)) return None
+      val n = nL.toInt
       val sizes = Array.tabulate(n)(i =>
         if (fixedSize != 0) fixedSize.toInt
         else u32(bytes, szS + 12 + 4 * i).toInt)
+      if (sizes.exists(_ < 0)) return None
       // stco: version/flags 4, entry_count 4, then count × uint32 —
       // one chunk per sample in this scope
-      val (coS, _) = find(bytes, stblS, stblE, "stco").getOrElse(return None)
-      val nChunks = u32(bytes, coS + 4).toInt
+      val (coS, coE) = find(bytes, stblS, stblE, "stco").getOrElse(return None)
+      val nChunks = u32(bytes, coS + 4)
       if (nChunks != n) return None // multi-sample chunks out of scope
+      if (coS + 8 + 4 * nChunks > coE) return None
       val offsets = Array.tabulate(n)(i => u32(bytes, coS + 8 + 4 * i))
       if (offsets.exists(o => o < 0 || o > bytes.length) ||
         sizes.indices.exists(i => offsets(i) + sizes(i) > bytes.length))

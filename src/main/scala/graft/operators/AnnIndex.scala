@@ -302,12 +302,27 @@ object AnnIndex {
       .parquet(new java.io.File(indexDir, "centroids").getPath)
   }
 
+  /** Delta-dir name → visibility sequence. Base rows are seq 0, so batch
+    * dirs map to `batchId + 1` — without the shift, Structured
+    * Streaming's FIRST micro-batch (id 0) produced tombstones at seq 0
+    * that the `_seq >= _tomb_seq` rule let every base row survive: the
+    * delete silently no-opped (r11 adversarial review). Manual dirs
+    * carry their literal number (assigned via [[nextSeq]], always past
+    * every existing seq); accidental manual-vs-batch seq ties are
+    * impossible because an index is maintained by exactly ONE of the two
+    * APIs ([[requireManualLineage]]/[[requireBatchLineage]]).
+    */
+  private def dirSeq(name: String): Long = {
+    val tail = name.substring(name.lastIndexOf('_') + 1)
+    if (tail.startsWith("b")) tail.stripPrefix("b").toLong + 1
+    else tail.toLong
+  }
+
   private def deltaDirs(path: String): Seq[(Long, java.io.File)] =
     Option(new java.io.File(path).listFiles((f: java.io.File) =>
       f.isDirectory && f.getName.matches("assignments_delta_b?\\d+")))
       .getOrElse(Array.empty[java.io.File])
-      .map(f => (f.getName.stripPrefix("assignments_delta_")
-        .stripPrefix("b").toLong, f))
+      .map(f => (dirSeq(f.getName), f))
       .sortBy(_._1).toSeq
 
   /** Tombstone delta dirs (CDC-driven deletion, VERDICT r10 #7): each is
@@ -318,8 +333,7 @@ object AnnIndex {
     Option(new java.io.File(path).listFiles((f: java.io.File) =>
       f.isDirectory && f.getName.matches("tombstones_delta_b?\\d+")))
       .getOrElse(Array.empty[java.io.File])
-      .map(f => (f.getName.stripPrefix("tombstones_delta_")
-        .stripPrefix("b").toLong, f))
+      .map(f => (dirSeq(f.getName), f))
       .sortBy(_._1).toSeq
 
   /** Next free sequence number across BOTH delta namespaces — appends and
@@ -327,6 +341,30 @@ object AnnIndex {
     */
   private def nextSeq(path: String): Long =
     ((deltaDirs(path) ++ tombDirs(path)).map(_._1) :+ 0L).max + 1
+
+  /** An index is maintained by the MANUAL API (appendIvf/deleteIvf) or
+    * the BATCH API (appendIvfBatch/deleteIvfBatch), never both: the two
+    * number sequences independently (nextSeq vs batchId), and a seq tie
+    * across them would make deletion ordering accidental — a delete
+    * issued strictly after a manual append could silently fail to hide
+    * it (r11 adversarial review). Mixing refuses loudly instead.
+    */
+  private def requireManualLineage(path: String): Unit = {
+    val hasBatch = (deltaDirs(path) ++ tombDirs(path))
+      .exists(_._2.getName.matches(".*_b\\d+")) ||
+      readFoldedBatches(path).nonEmpty
+    require(!hasBatch, s"index at $path is batch-maintained " +
+      "(appendIvfBatch/deleteIvfBatch) — manual appendIvf/deleteIvf " +
+      "would interleave an unrelated sequence; keep one maintenance API")
+  }
+
+  private def requireBatchLineage(path: String): Unit = {
+    val hasManual = (deltaDirs(path) ++ tombDirs(path))
+      .exists(!_._2.getName.matches(".*_b\\d+"))
+    require(!hasManual, s"index at $path is manually maintained " +
+      "(appendIvf/deleteIvf) — batch ids would interleave an unrelated " +
+      "sequence; keep one maintenance API")
+  }
 
   /** INCREMENTAL append: assign `newData` with the index's OWN persisted
     * quantizer (no refit — cells stay stable, which is what makes the
@@ -340,6 +378,7 @@ object AnnIndex {
     */
   def appendIvf(path: String, newData: DataFrame): Unit = {
     recoverCrash(path)
+    requireManualLineage(path)
     // the sequence counter is SHARED with tombstones: an append landing
     // after a delete must outrank it (deletion is order-resolved)
     appendDelta(path, newData, s"assignments_delta_${nextSeq(path)}")
@@ -371,6 +410,7 @@ object AnnIndex {
   def appendIvfBatch(path: String, newData: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     recoverCrash(path)
+    requireBatchLineage(path)
     val name = s"assignments_delta_b$batchId"
     if (new java.io.File(path, name).exists() || // replay: still a delta
       readFoldedBatches(path).contains(batchId)) // replay: already compacted
@@ -493,14 +533,16 @@ object AnnIndex {
     */
   private def visibleAssignments(spark: SparkSession, path: String,
       idCol: String): DataFrame = {
+    val tombs = tombDirs(path)
+    // no tombstones: the plain base-plus-deltas union (also keeps
+    // allAssignments as the single definition of that read)
+    if (tombs.isEmpty) return allAssignments(spark, path)
     val rows = deltaDirs(path).foldLeft(
       spark.read.parquet(new java.io.File(path, "assignments").getPath)
         .withColumn("_seq", lit(0L))) {
       case (acc, (n, d)) => acc.unionByName(
         spark.read.parquet(d.getPath).withColumn("_seq", lit(n)))
     }
-    val tombs = tombDirs(path)
-    if (tombs.isEmpty) return rows.drop("_seq")
     val tombDf = tombs.map { case (n, d) =>
         spark.read.parquet(d.getPath).withColumn("_tomb_seq", lit(n))
       }.reduce(_.unionByName(_))
@@ -519,6 +561,7 @@ object AnnIndex {
     */
   def deleteIvf(path: String, ids: DataFrame): Unit = {
     recoverCrash(path)
+    requireManualLineage(path)
     publishTombstone(path, ids, s"tombstones_delta_${nextSeq(path)}")
   }
 
@@ -534,6 +577,7 @@ object AnnIndex {
   def deleteIvfBatch(path: String, ids: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     recoverCrash(path)
+    requireBatchLineage(path)
     val name = s"tombstones_delta_b$batchId"
     if (new java.io.File(path, name).exists() ||
       readFoldedBatches(path).contains(batchId))

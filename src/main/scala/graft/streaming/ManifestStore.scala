@@ -409,7 +409,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * #1): `attempt(current)` builds and PUTs the next manifest on top of
     * `current`; on [[CommitConflictException]] the loop re-reads the new
     * current manifest, lets the caller REVALIDATE + REBASE via
-    * `rebase(next)` (return false to abort — e.g. a compaction whose
+    * `validate` (return false to abort — e.g. a compaction whose
     * folded inputs were themselves compacted away), and retries on the
     * next free slot. The retry bound turns a pathological livelock (N
     * writers in perfect lockstep) into a loud error instead of an
@@ -423,13 +423,33 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     */
   protected def beforeCommitAttempt(): Unit = {}
 
+  /** Test seam: runs before the commit loop's FIRST (manifest, slot)
+    * snapshot — the fold/write window a competitor must land in to
+    * exercise first-attempt validation (no slot conflict ever fires
+    * there; only `validate` can catch it).
+    */
+  protected def beforeCommitLoop(): Unit = {}
+
   private def commitWithRetry(maxRetries: Int)(
       attempt: (Manifest, Long) => Unit)(
-      rebase: Manifest => Boolean)(onAbort: => Unit): Unit = {
+      validate: Manifest => Boolean)(onAbort: => Unit): Unit = {
+    beforeCommitLoop()
     var (m, slot) = currentState()
     var retries = 0
     while (true) {
       beforeCommitAttempt()
+      // validate EVERY state — including the first: a compaction's fold
+      // inputs were snapshotted BEFORE its (long) fold/write, and a
+      // competitor that committed inside that window is already visible
+      // in the first currentState(), where no slot conflict would ever
+      // fire (r11 adversarial review: the unvalidated first attempt
+      // silently published a stale base over a concurrent compact)
+      if (!validate(m)) {
+        onAbort
+        throw new CommitConflictException(
+          s"store $dir: commit inputs were invalidated by a concurrent " +
+            "commit (fold inputs replaced) — re-read and re-run")
+      }
       try { attempt(m, slot); return }
       catch {
         case e: CommitConflictException =>
@@ -438,7 +458,6 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
           // brief jittered backoff so lockstep racers desynchronize
           Thread.sleep(1L + scala.util.Random.nextInt(8))
           val (nm, ns) = currentState()
-          if (!rebase(nm)) { onAbort; throw e }
           m = nm; slot = ns
       }
     }
@@ -489,7 +508,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
             existing(existing.fieldIndex(bucketCol))).json
       putManifest(Manifest(slot, schemaJson, m.base,
         m.deltas :+ (seq -> gen), floorSeq = m.floorSeq))
-    }(rebase = _ => true)(onAbort = rmTree(new java.io.File(root, gen)))
+    }(validate = _ => true)(onAbort = rmTree(new java.io.File(root, gen)))
     gc()
     UpsertStore.addPhase("swap", (System.nanoTime() - tSwap) / 1e9)
   }

@@ -250,6 +250,40 @@ class MultimodalSpec extends SparkSpec {
     assert(IsoBmff.parse(mp4.take(mp4.length / 2)).isEmpty)
   }
 
+  test("hostile container/audio headers refuse instead of crashing the task") {
+    // stsz sample_count = 0xFFFFFFFF: .toInt = -1 used to throw
+    // NegativeArraySizeException past the parse's catch (r11 review)
+    val mp4 = IsoBmff.encodeMp4(
+      Array(Array.tabulate(10)(_.toByte)), 1000, 40, 320, 240)
+    def find4cc(b: Array[Byte], cc: String): Int = {
+      val pat = cc.getBytes("US-ASCII")
+      b.indices.indexWhere(i => i + 4 <= b.length &&
+        b(i) == pat(0) && b(i+1) == pat(1) && b(i+2) == pat(2) && b(i+3) == pat(3))
+    }
+    val szIdx = find4cc(mp4, "stsz")
+    val evil = mp4.clone()
+    // count field: 4cc + version/flags(4) + sample_size(4) → offset +12
+    (0 until 4).foreach(j => evil(szIdx + 12 + j) = 0xff.toByte)
+    assert(IsoBmff.parse(evil).isEmpty)
+    // huge fixed sample_size (negative as Int) also refuses
+    val evil2 = mp4.clone()
+    evil2(szIdx + 8) = 0x80.toByte
+    assert(IsoBmff.parse(evil2).isEmpty)
+    // WAV fmt chunk declaring sample rate 0: decode refuses (it used to
+    // divide-by-zero in decodeOne's duration math)
+    val wav = AudioCodec.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    val evilWav = wav.clone()
+    // standard RIFF: rate is little-endian at bytes 24-27
+    (24 until 28).foreach(j => evilWav(j) = 0)
+    assert(AudioCodec.decodePcm16(evilWav).isEmpty)
+    // ...and the decode pipeline falls back to the stub, not a crash
+    import spark.implicits._
+    val d = Multimodal.decode(spark.createDataset(Seq(
+      Asset(1L, evil, "video/mp4"), Asset(2L, evilWav, "audio/wav"))))
+      .collect()
+    assert(d.length === 2)
+  }
+
   test("video decode routes real MP4s to real metadata; frame sampling slices real mdat") {
     import spark.implicits._
     val frames = Array.tabulate(6)(i => Array.fill(12 + i)(i.toByte))

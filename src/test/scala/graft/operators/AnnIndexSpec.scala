@@ -438,6 +438,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(!neighbors().contains(victim))
   }
 
+  test("batch 0 (Structured Streaming's first id) deletes base rows — the seq-0 tie is shifted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anndel0").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
+      seed = 1L, fitSampleSize = 500)
+    val victim = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().min
+    AnnIndex.deleteIvfBatch(dir, Seq(victim).toDF("vec_id"), batchId = 0L)
+    val after = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!after.contains(victim),
+      "a batch-0 tombstone must outrank base rows (seq 0 vs 0 tie bug)")
+  }
+
+  test("manual and batch maintenance APIs refuse to mix (accidental seq ties)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annmix").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb.limit(100), "vec_id", "embedding",
+      numCells = 2, seed = 1L, fitSampleSize = 100)
+    AnnIndex.appendIvf(dir, emb.where(col("vec_id") === 200L))
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfBatch(dir, emb.where(col("vec_id") === 201L), 5L)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.deleteIvfBatch(dir, Seq(200L).toDF("vec_id"), 5L)
+    }
+    // and the other direction
+    val dir2 = Files.createTempDirectory("graft-annmix2").resolve("ix").toString
+    AnnIndex.buildIvf(dir2, emb.limit(100), "vec_id", "embedding",
+      numCells = 2, seed = 1L, fitSampleSize = 100)
+    AnnIndex.appendIvfBatch(dir2, emb.where(col("vec_id") === 200L), 1L)
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendIvf(dir2, emb.where(col("vec_id") === 201L))
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.deleteIvf(dir2, Seq(200L).toDF("vec_id"))
+    }
+  }
+
   test("deleting every vector leaves a readable empty index") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-anndel5").resolve("ix").toString

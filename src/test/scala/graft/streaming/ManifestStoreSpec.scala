@@ -498,6 +498,49 @@ class ManifestStoreSpec extends SparkSpec {
       "post-compact merge must outrank the mid-compact delta under LWW")
   }
 
+  /** Competitor lands BEFORE the commit loop's first snapshot — the
+    * fold/write window where no slot conflict can fire and only
+    * first-attempt validation stands between a stale fold and a silent
+    * lost update (r11 adversarial review).
+    */
+  private class FoldWindowStore(dir: String, inject: () => Unit)
+      extends ManifestUpsertStore(spark, dir, Seq("id"), numBuckets = 4) {
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override protected def beforeCommitLoop(): Unit =
+      if (done.compareAndSet(false, true)) inject()
+  }
+
+  test("compact validates its fold inputs on the FIRST attempt: a compact landing in the fold window aborts loudly") {
+    val dir = tmp("mffirstv")
+    val store = newStore(dir)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO")))
+    val other = new ManifestUpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    // the competitor's compact commits while ours is folding: our first
+    // attempt targets a FREE slot (no conflict fires) — validation alone
+    // must catch that our fold inputs were replaced
+    val yielding = new FoldWindowStore(dir, () => other.compact())
+    intercept[CommitConflictException](yielding.compact())
+    val reader = new ManifestUpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    assert(state(reader) === Set((1L, "one"), (2L, "TWO"), (3L, "three")))
+    assert(reader.deltaCount === 0)
+  }
+
+  test("a merge landing in the fold window is kept by the first-attempt commit (no slot conflict needed)") {
+    val dir = tmp("mffirstm")
+    val store = newStore(dir)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO")))
+    val other = new ManifestUpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    val yielding = new FoldWindowStore(dir,
+      () => other.merge(batch((Cdc.Upsert, 50L, 9L, "fold_window"))))
+    yielding.compact() // must NOT abort: merges only append, rebase keeps them
+    val reader = new ManifestUpsertStore(spark, dir, Seq("id"), numBuckets = 4)
+    val s = state(reader)
+    assert(s === Set((1L, "one"), (2L, "TWO"), (3L, "three"),
+      (9L, "fold_window")), s"mid-fold merge lost: $s")
+    assert(reader.deltaCount === 1,
+      "the mid-fold merge's delta must stay live on the new base")
+  }
+
   test("concurrent compaction invalidates a compaction's fold: loud abort, staged gen reclaimed") {
     val dir = tmp("mfdetcc")
     val store = newStore(dir)
