@@ -71,4 +71,40 @@ class MultiWriterStreamSpec extends SparkSpec {
     assert(got === want)
     graft.util.Fs.rmTree(work.toFile)
   }
+
+  test("manifest store through Structured Streaming: e2e + restart from checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = java.nio.file.Files.createTempDirectory("graft-mwss")
+    val store = new ManifestUpsertStore(spark, work.resolve("s").toString,
+      pkCols = Seq("id"), numBuckets = 4)
+    @volatile var source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"),
+      (9L, "nine")).toDF("id", "payload")
+    store.initialize(Cdc.initialLoad(
+      Seq((1L, "one"), (2L, "old"), (3L, "three")).toDF("id", "payload")))
+    val ledger = new TxidLedger(work.resolve("txid").toString)
+    val ckpt = work.resolve("ckpt").toString
+    val job = new CdcStreamJob(spark, () => source, store, ledger,
+      Seq(("id", "id")), autoCompactDeltas = Some(2))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q1 = job.start(ms.toDF().toDF("id", Cdc.TransactionId), ckpt)
+    ms.addData((2L, 20L), (9L, 21L))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(ledger.read() === 21L)
+    // restart against the SAME checkpoint: committed batches not redone,
+    // the manifest store serves the updated rows, history intact
+    source = Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (9L, "NINE"))
+      .toDF("id", "payload")
+    val q2 = job.start(ms.toDF().toDF("id", Cdc.TransactionId), ckpt)
+    ms.addData((9L, 22L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ledger.read() === 22L)
+    val got = store.snapshot().select("id", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "one", 2L -> "TWO", 3L -> "three",
+      9L -> "NINE"))
+    graft.util.Fs.rmTree(work.toFile)
+  }
 }
