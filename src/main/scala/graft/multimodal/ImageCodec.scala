@@ -22,6 +22,14 @@ package graft.multimodal
   */
 object ImageCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache (temp files under
+  // java.io.tmpdir) — a pointless dependency for the small in-memory
+  // images this path handles, and a transient-failure source under
+  // parallel executor load (tmp pressure fails the decode, not just
+  // slows it). Heap-backed caching is faster and removes the filesystem
+  // from the hot path entirely.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Integer luma, weights summing to 256 so gray round-trips exactly. */
   @inline def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
 

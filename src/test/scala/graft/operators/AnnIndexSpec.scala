@@ -477,6 +477,22 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("tombstone filtering joins by BROADCAST: the corpus scan never shuffles for deletion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anndelbc").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
+      seed = 1L, fitSampleSize = 500)
+    AnnIndex.deleteIvf(dir, Seq(3L, 5L).toDF("vec_id"))
+    val res = AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tombstone anti-filter must broadcast, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join in the search path means the corpus shuffled " +
+        "for deletion — the O(debt) broadcast contract is broken")
+  }
+
   test("deleting every vector leaves a readable empty index") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-anndel5").resolve("ix").toString
