@@ -28,10 +28,14 @@ object AudioCodec {
         val f = in.getFormat
         if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
           f.getSampleSizeInBits != 16) return None
-        // a corrupt fmt chunk can declare rate/channels 0 — the JDK
-        // reader does not reject it, and a 0 would divide-by-zero the
-        // duration math downstream (r11 adversarial review)
-        if (f.getSampleRate <= 0 || f.getChannels <= 0) return None
+        // a corrupt fmt chunk can declare rate 0 (divide-by-zero in the
+        // duration math downstream), an absurd rate (Int-multiply
+        // overflow wraps rate*channels through zero — second r11 review
+        // pass), or channels != 1 — the documented scope is MONO, and
+        // enforcing it here is also what keeps every downstream divisor
+        // trivially positive. 10 MHz bounds any real PCM rate.
+        if (f.getChannels != 1 ||
+          f.getSampleRate <= 0 || f.getSampleRate > 10000000) return None
         val raw = in.readAllBytes()
         val n = raw.length / 2
         val out = new Array[Short](n)

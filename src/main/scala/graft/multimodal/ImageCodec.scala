@@ -3,8 +3,9 @@ package graft.multimodal
 /** REAL image codec on JDK-only `javax.imageio` (VERDICT r10 #4): PNG and
   * BMP ship with every JRE, so the image half of the multimodal seam needs
   * no external library — encode, decode, luma extraction, and
-  * area-average downsampling over actual pixel data. Audio/video stay
-  * behind [[Multimodal.StubCodecs]] (the JDK has no codecs for them).
+  * area-average downsampling over actual pixel data. (Audio has its own
+  * real codec in [[AudioCodec]], video containers in [[IsoBmff]]; only
+  * video frame-payload DECODE remains behind [[Multimodal.StubCodecs]].)
   *
   * Every step is INTEGER arithmetic so external engines can replay it:
   *  - luma uses BT.601-shaped weights scaled to sum to exactly 256
@@ -22,13 +23,14 @@ package graft.multimodal
   */
 object ImageCodec {
 
-  // ImageIO defaults to a DISK-backed stream cache (temp files under
+  // ImageIO's default stream cache is DISK-backed (temp files under
   // java.io.tmpdir) — a pointless dependency for the small in-memory
   // images this path handles, and a transient-failure source under
-  // parallel executor load (tmp pressure fails the decode, not just
-  // slows it). Heap-backed caching is faster and removes the filesystem
-  // from the hot path entirely.
-  javax.imageio.ImageIO.setUseCache(false)
+  // parallel executor load. Every call below therefore wraps its bytes
+  // in an explicitly heap-backed Memory{Input,Output}Stream, scoped to
+  // the call — NOT the process-global ImageIO.setUseCache(false), which
+  // would silently force heap buffering onto every other ImageIO user
+  // in the same executor JVM (second r11 review pass).
 
   /** Integer luma, weights summing to 256 so gray round-trips exactly. */
   @inline def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
@@ -39,7 +41,12 @@ object ImageCodec {
     */
   def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // read(ImageInputStream) closes the stream itself per its contract —
+      // an extra close() here throws IOException("closed") and turned
+      // every successful decode into a None
+      val img = javax.imageio.ImageIO.read(iis)
       if (img == null) None
       else {
         val w = img.getWidth
@@ -85,8 +92,14 @@ object ImageCodec {
       while (x < w) { raster.setSample(x, y, 0, pix(y * w + x) & 0xff); x += 1 }
       y += 1
     }
+    writePng(img)
+  }
+
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { javax.imageio.ImageIO.write(img, "png", ios); ios.flush() }
+    finally ios.close()
     bos.toByteArray
   }
 
@@ -101,9 +114,7 @@ object ImageCodec {
       while (x < w) { img.setRGB(x, y, rgb(y * w + x)); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   /** Deterministic area-mean downsample of a luma raster to `ow`×`oh`:

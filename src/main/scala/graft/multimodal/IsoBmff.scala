@@ -92,9 +92,9 @@ object IsoBmff {
       val (szS, szE) = find(bytes, stblS, stblE, "stsz").getOrElse(return None)
       val fixedSize = u32(bytes, szS + 4)
       if (fixedSize > Int.MaxValue) return None
-      val nL = u32(bytes, szS + 8)
+      val nL = u32(bytes, szS + 8) // u32 is unsigned: always >= 0
       // a per-sample table must physically fit inside its own box
-      if (nL < 0 || nL > bytes.length ||
+      if (nL > bytes.length ||
         (fixedSize == 0 && szS + 12 + 4 * nL > szE)) return None
       val n = nL.toInt
       val sizes = Array.tabulate(n)(i =>
@@ -108,7 +108,7 @@ object IsoBmff {
       if (nChunks != n) return None // multi-sample chunks out of scope
       if (coS + 8 + 4 * nChunks > coE) return None
       val offsets = Array.tabulate(n)(i => u32(bytes, coS + 8 + 4 * i))
-      if (offsets.exists(o => o < 0 || o > bytes.length) ||
+      if (offsets.exists(_ > bytes.length) || // u32: never negative
         sizes.indices.exists(i => offsets(i) + sizes(i) > bytes.length))
         return None
       Some(Mp4Meta(timescale, duration, width, height, sizes, offsets))

@@ -191,9 +191,12 @@ object Multimodal {
         n_frames = 1, duration_ms = 0L)
     case None => decodeSamples(a) match {
       case Some((rate, channels, samples)) =>
+        // divisor in LONG: the codec enforces mono + a bounded rate, but
+        // this math must not depend on that for its own safety
         DecodedAsset(a.asset_id, a.media, a.mime, width = rate,
           height = channels, n_frames = 1,
-          duration_ms = samples.length.toLong * 1000 / (rate * channels))
+          duration_ms =
+            samples.length.toLong * 1000 / (rate.toLong * channels))
       case None => decodeContainer(a) match {
         case Some(m) =>
           DecodedAsset(a.asset_id, a.media, a.mime, width = m.width,

@@ -307,8 +307,8 @@ object AnnIndex {
     * Streaming's FIRST micro-batch (id 0) produced tombstones at seq 0
     * that the `_seq >= _tomb_seq` rule let every base row survive: the
     * delete silently no-opped (r11 adversarial review). Manual dirs
-    * carry their literal number (assigned via [[nextSeq]], always past
-    * every existing seq); accidental manual-vs-batch seq ties are
+    * carry their literal number (one past every existing seq, from the
+    * caller's single listing); accidental manual-vs-batch seq ties are
     * impossible because an index is maintained by exactly ONE of the two
     * APIs ([[requireManualLineage]]/[[requireBatchLineage]]).
     */
@@ -336,12 +336,6 @@ object AnnIndex {
       .map(f => (dirSeq(f.getName), f))
       .sortBy(_._1).toSeq
 
-  /** Next free sequence number across BOTH delta namespaces — appends and
-    * tombstones share one order (that order is the deletion semantics).
-    */
-  private def nextSeq(path: String): Long =
-    ((deltaDirs(path) ++ tombDirs(path)).map(_._1) :+ 0L).max + 1
-
   /** An index is maintained by the MANUAL API (appendIvf/deleteIvf) or
     * the BATCH API (appendIvfBatch/deleteIvfBatch), never both: the two
     * number sequences independently (nextSeq vs batchId), and a seq tie
@@ -349,9 +343,9 @@ object AnnIndex {
     * issued strictly after a manual append could silently fail to hide
     * it (r11 adversarial review). Mixing refuses loudly instead.
     */
-  private def requireManualLineage(path: String): Unit = {
-    val hasBatch = (deltaDirs(path) ++ tombDirs(path))
-      .exists(_._2.getName.matches(".*_b\\d+")) ||
+  private def requireManualLineage(path: String,
+      dirs: Seq[(Long, java.io.File)]): Unit = {
+    val hasBatch = dirs.exists(_._2.getName.matches(".*_b\\d+")) ||
       readFoldedBatches(path).nonEmpty
     require(!hasBatch, s"index at $path is batch-maintained " +
       "(appendIvfBatch/deleteIvfBatch) — manual appendIvf/deleteIvf " +
@@ -378,10 +372,13 @@ object AnnIndex {
     */
   def appendIvf(path: String, newData: DataFrame): Unit = {
     recoverCrash(path)
-    requireManualLineage(path)
+    // ONE listing feeds both the lineage guard and the next-seq compute
+    val dirs = deltaDirs(path) ++ tombDirs(path)
+    requireManualLineage(path, dirs)
     // the sequence counter is SHARED with tombstones: an append landing
     // after a delete must outrank it (deletion is order-resolved)
-    appendDelta(path, newData, s"assignments_delta_${nextSeq(path)}")
+    appendDelta(path, newData,
+      s"assignments_delta_${(dirs.map(_._1) :+ 0L).max + 1}")
   }
 
   /** Replay-IDEMPOTENT append for streaming maintenance: the delta dir
@@ -561,8 +558,10 @@ object AnnIndex {
     */
   def deleteIvf(path: String, ids: DataFrame): Unit = {
     recoverCrash(path)
-    requireManualLineage(path)
-    publishTombstone(path, ids, s"tombstones_delta_${nextSeq(path)}")
+    val dirs = deltaDirs(path) ++ tombDirs(path)
+    requireManualLineage(path, dirs)
+    publishTombstone(path, ids,
+      s"tombstones_delta_${(dirs.map(_._1) :+ 0L).max + 1}")
   }
 
   /** Replay-idempotent tombstone publish for streaming CDC maintenance —

@@ -483,14 +483,29 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.buildIvf(dir, emb, "vec_id", "embedding", numCells = 4,
       seed = 1L, fitSampleSize = 500)
     AnnIndex.deleteIvf(dir, Seq(3L, 5L).toDF("vec_id"))
-    val res = AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2)
-    res.collect()
-    val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"tombstone anti-filter must broadcast, plan:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      "a sort-merge join in the search path means the corpus shuffled " +
-        "for deletion — the O(debt) broadcast contract is broken")
+    // baseline: the tombstone-free search has some number of broadcast
+    // joins (the probes join); with tombstones the COUNT must grow by
+    // the tombstone join — `contains` alone is vacuous because the
+    // probes join always broadcasts (second r11 review pass)
+    def bhjCount(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        "a shuffle join in the search path breaks the O(debt) " +
+          s"broadcast contract:\n$plan")
+      "BroadcastHashJoin".r.findAllIn(plan).length
+    }
+    val baseDir = Files.createTempDirectory("graft-anndelbc0").resolve("ix").toString
+    AnnIndex.buildIvf(baseDir, emb, "vec_id", "embedding", numCells = 4,
+      seed = 1L, fitSampleSize = 500)
+    val without = bhjCount(
+      AnnIndex.searchIvf(baseDir, queries, "qid", k = 3, nprobe = 2))
+    val withTombs = bhjCount(
+      AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 2))
+    assert(withTombs > without,
+      s"the tombstone filter must ADD a broadcast join " +
+        s"(got $withTombs vs $without without tombstones)")
   }
 
   test("deleting every vector leaves a readable empty index") {
