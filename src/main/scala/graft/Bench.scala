@@ -69,6 +69,7 @@ object Bench {
       else Nil)
     sweepState()
 
+    val retriedNames = new java.util.concurrent.ConcurrentSkipListSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
@@ -92,8 +93,11 @@ object Bench {
       // to mark a perfectly working query -1 for the whole round (r11:
       // two media gates benched -1 in one sweep and clean in every
       // isolated and repeat run). A query that is REALLY broken fails
-      // both attempts and still reports -1.
+      // both attempts and still reports -1. The retry is recorded in the
+      // bench line (`"retried":[...]`) so a ~50%-flaky query stays
+      // visible even when its retry succeeds (ADVICE r11).
       val firstTry = once()
+      if (firstTry < 0) retriedNames.add(name)
       val first = if (firstTry < 0) once() else firstTry
       // A failed FIRST run reports -1; a transient failure on a repeat is
       // dropped and the median is taken over the successful runs only
@@ -123,8 +127,12 @@ object Bench {
     val total = all.collect {
       case (k, v) if v >= 0 && !k.contains(".") => v
     }.sum
+    val retried = {
+      import scala.jdk.CollectionConverters._
+      retriedNames.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retried":$retried,"sf":"$sfDir"}"""
     // The full line lands in a file and early on stdout; the LAST stdout
     // line is a compact variant that fits the driver's 2000-char tail
     // capture (measured from BENCH_r08: the full ~4.5KB line can never

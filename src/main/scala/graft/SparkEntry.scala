@@ -2636,6 +2636,33 @@ object SparkEntry {
       |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
       |WHERE rank <= 10""".stripMargin
 
+  /** Connected-components oracle (5-gram Jaccard edges → recursive-CTE
+    * reachability → per-component size + keeper) — shared by the driver
+    * union-find gate and the forced-distributed pointer-jumping gate: the
+    * two Spark paths must agree with each other BY CONTRACT, so their
+    * oracle is one definition that cannot drift (ADVICE r11).
+    */
+  private val DedupGroupsOracle =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      |SELECT component, count(*) AS group_size, min(id) AS keep_id
+      |FROM comp GROUP BY component""".stripMargin
+
   private val DeltaFoldOracle =
     """WITH latest AS (
       |  SELECT user_id, max(event_id) AS _transactionid
@@ -3515,51 +3542,13 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
         |FROM p WHERE jaccard >= 0.8""".stripMargin,
 
-    "q_dedup_groups" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-        |SELECT component, count(*) AS group_size, min(id) AS keep_id
-        |FROM comp GROUP BY component""".stripMargin,
+    "q_dedup_groups" -> DedupGroupsOracle,
 
-    // Same recursive-CTE oracle as q_dedup_groups — the Spark side runs
+    // Same oracle as q_dedup_groups (shared val) — the Spark side runs
     // the forced-distributed pointer-jumping path instead of the driver
     // union-find (degenerate-config graduation, same trick as the ANN
     // ladder).
-    "q_dedup_groups_distributed" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-        |SELECT component, count(*) AS group_size, min(id) AS keep_id
-        |FROM comp GROUP BY component""".stripMargin,
+    "q_dedup_groups_distributed" -> DedupGroupsOracle,
 
     "q_dedup_keep_one" ->
       """WITH RECURSIVE sh AS (

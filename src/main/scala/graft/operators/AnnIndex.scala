@@ -480,14 +480,22 @@ object AnnIndex {
     // tombstone dirs are not copied into the staged index — deletion
     // becomes physical at the swap (GDPR-grade: the bytes are gone)
     val visible = visibleAssignments(spark, path, meta.idCol)
-    if (visible.isEmpty)
-      // everything deleted: a partitioned write would emit ZERO part files
-      // (schema-less dir, unreadable); one empty unpartitioned file keeps
-      // the schema on disk and reads fine (_cell becomes a data column)
+    val stagedAssign = new java.io.File(tmp, "assignments")
+    visible.write.partitionBy("_cell")
+      .mode("overwrite").parquet(stagedAssign.getPath)
+    // All-deleted case: the partitioned write above emitted ZERO part
+    // files (schema-less dir, unreadable). Detected from the dir listing
+    // AFTER the single write — not via a visible.isEmpty pre-probe, which
+    // doubled the compaction read work whenever tombstones existed
+    // (ADVICE r11). The empty rewrite scans an empty plan; one empty
+    // unpartitioned file keeps the schema on disk and reads fine (_cell
+    // becomes a data column).
+    val emittedCells = Option(stagedAssign.listFiles(
+      (f: java.io.File) => f.isDirectory && f.getName.startsWith("_cell=")))
+      .getOrElse(Array.empty[java.io.File])
+    if (emittedCells.isEmpty)
       visible.repartition(1).write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "assignments").getPath)
-    else visible.write.partitionBy("_cell")
-      .mode("overwrite").parquet(new java.io.File(tmp, "assignments").getPath)
+        .parquet(stagedAssign.getPath)
     model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
     writeCentroids(spark, tmp, model,
       new java.io.File(tmp, "assignments").getPath)

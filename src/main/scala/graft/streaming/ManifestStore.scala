@@ -325,6 +325,17 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
   private def genName(v: Long, tag: String): String =
     s"gen-$v-$tag-" + java.util.UUID.randomUUID().toString.take(8)
 
+  /** Nonce-only generation name for rebasable commits (merge/compact):
+    * their manifest slot is chosen INSIDE the commit loop and can move
+    * under rebase, so a version embedded in the dir name — taken from a
+    * pre-loop listing — could disagree with the slot that finally wins,
+    * which is harmless but misleading when debugging on-disk state
+    * (ADVICE r11). The manifest entry is the sole authority; the name
+    * carries only the tag and the anti-collision nonce.
+    */
+  private def genName(tag: String): String =
+    s"gen-$tag-" + java.util.UUID.randomUUID().toString.take(8)
+
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol, pmod(hash(pkCols.map(col): _*), lit(numBuckets)))
 
@@ -477,7 +488,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
   def merge(folded: DataFrame): Unit = {
     val data = withBucket(folded.drop(Cdc.TransactionId))
       .repartition(col(bucketCol))
-    val gen = genName(nextVersion(), "delta")
+    val gen = genName("delta")
     val tWrite = System.nanoTime()
     data.write.partitionBy(bucketCol).mode("overwrite")
       .parquet(new java.io.File(root, gen).getPath)
@@ -720,7 +731,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
       m0.deltas.flatMap { case (_, g) => bucketDirsOf(g) }.toSet
     val maxSeq = m0.deltas.map(_._1).max
     val foldedSeqs = m0.deltas.map(_._1).toSet
-    val gen = genName(nextVersion(), s"compact$maxSeq")
+    val gen = genName(s"compact$maxSeq")
     // the touched-only fold: reuse `folded` restricted per-bucket is
     // wasteful (one plan per bucket); restrict by dropping untouched from
     // the base map instead

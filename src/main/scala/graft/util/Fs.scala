@@ -27,18 +27,41 @@ object Fs {
   private val fsyncDirUnsupported =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** One warning per JVM when a file can't be opened writable for fsync. */
+  private val fsyncFileReadOnly =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** fsync a file's bytes (data durability, not just journaled metadata).
     * Opened READ+WRITE so `force` is specified to flush the file's data on
     * every JVM, not just Linux — the JavaDoc only guarantees `force` for
     * writes made *through the forcing channel*, and a READ-only handle's
     * behavior for other writers' bytes is unspecified (ADVICE r10).
+    * On a read-only file or permission-restricted FS the WRITE open
+    * throws where the pre-r11 READ-open force used to succeed; fall back
+    * to that READ-open force with the same one-shot loud warning
+    * `fsyncDir` uses, rather than failing the whole commit (ADVICE r11).
     */
-  def fsyncFile(f: java.io.File): Unit = {
-    val ch = java.nio.channels.FileChannel.open(f.toPath,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.READ)
-    try ch.force(true) finally ch.close()
-  }
+  def fsyncFile(f: java.io.File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch {
+      case e @ (_: java.nio.file.AccessDeniedException |
+                _: java.io.IOException) =>
+        if (fsyncFileReadOnly.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(Fs.getClass).warn(
+            s"writable open for fsync unavailable ($f: ${e.getMessage}) " +
+              "— falling back to READ-open force; data durability of " +
+              "other writers' bytes is unspecified on this JVM/filesystem",
+            e)
+        try {
+          val ch = java.nio.channels.FileChannel.open(f.toPath,
+            java.nio.file.StandardOpenOption.READ)
+          try ch.force(true) finally ch.close()
+        } catch { case _: java.io.IOException => () }
+    }
 
   /** fsync a directory entry table (persists renames/creates/unlinks in
     * it); skipped where the FS rejects directory handles — but LOUDLY,
