@@ -15,12 +15,13 @@ object Bench {
   val StreamQueryName = "stream_cdc_merge"
   val StreamMorQueryName = "stream_cdc_merge_mor"
   val StreamManifestQueryName = "stream_cdc_merge_manifest"
+  val StreamManifest2wQueryName = "stream_cdc_merge_manifest_2w"
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
     val unknown = only.diff(
       SparkEntry.queries.keySet + StreamQueryName + StreamMorQueryName +
-        StreamManifestQueryName)
+        StreamManifestQueryName + StreamManifest2wQueryName)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +67,9 @@ object Bench {
       else Nil) ++
       (if (only.isEmpty || only.contains(StreamManifestQueryName))
         StreamBench.run(spark, sfDir, mergeOnRead = true, manifest = true)
+      else Nil) ++
+      (if (only.isEmpty || only.contains(StreamManifest2wQueryName))
+        StreamBench.runTwoWriter(spark, sfDir)
       else Nil)
     sweepState()
 
@@ -116,7 +120,9 @@ object Bench {
     // timed alone (median of 3), so the serving-path cost is visible
     // (expected ≪ 1 s; the build dominates the parent entries).
     val storeReads: Seq[(String, Double)] =
-      if (only.isEmpty) StoreReadBench.run(spark, sfDir) else Nil
+      if (only.isEmpty || only.contains("q_store_lookup"))
+        StoreReadBench.run(spark, sfDir)
+      else Nil
     sweepState()
 
     val all = results ++ streamed ++ storeReads
@@ -350,6 +356,82 @@ object StreamBench {
         Seq(q -> -1.0)
     } finally {
       // best-effort temp cleanup
+      graft.util.Fs.rmTree(work.toFile)
+    }
+  }
+
+  /** The multi-writer deployment benched end-to-end (VERDICT r11 #2): a
+    * backfill writer and a tailer writer — two [[graft.streaming
+    * .CdcStreamJob]]s with separate ledgers, each replaying half the
+    * events feed (split by key parity) in `numBatches` windows — drive
+    * ONE [[graft.streaming.ManifestUpsertStore]] concurrently under the
+    * optimistic-commit rebase, with the compaction POLICY enabled on both
+    * (a lost maintenance race is absorbed as a policy no-op). Reported
+    * total is WALL CLOCK over both writers; the dotted phase entries are
+    * cumulative WORK across both, so phases can legitimately sum past the
+    * total — the gap between phase-sum and wall is the concurrency win,
+    * and the single-writer `stream_cdc_merge_manifest` entry right above
+    * it is the head-to-head (same store, same protocol, same feed volume).
+    */
+  def runTwoWriter(spark: SparkSession, sfDir: String,
+      numBatches: Int = 10, compactEvery: Int = 5): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.cdc.Cdc
+    import graft.streaming.{CdcStreamJob, ManifestUpsertStore, TxidLedger,
+      UpsertStore}
+
+    val q = Bench.StreamManifest2wQueryName
+    val work = java.nio.file.Files.createTempDirectory("graft-streambench2w")
+    try {
+      val master = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey").alias("user_id"), col("c_name"),
+          col("c_acctbal"))
+      val feed = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id").alias(Cdc.TransactionId))
+      val maxTx = feed.agg(max(Cdc.TransactionId)).head().getLong(0)
+      val store = new ManifestUpsertStore(spark,
+        work.resolve("store").toString, pkCols = Seq("user_id"),
+        numBuckets = 32)
+      store.initialize(Cdc.initialLoad(master))
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(name: String, parity: Int): Thread = new Thread(() => try {
+        val job = new CdcStreamJob(spark,
+          source = () => master, store = store,
+          ledger = new TxidLedger(work.resolve(s"$name.ledger").toString),
+          keyJoin = Seq("user_id" -> "user_id"),
+          autoCompactDeltas = Some(compactEvery))
+        val step = math.max(1L, maxTx / numBatches)
+        var batch = 0
+        var lo = 0L
+        while (batch < numBatches) {
+          val hi = if (batch == numBatches - 1) maxTx else lo + step
+          job.processBatch(feed.where(col("user_id") % 2 === parity &&
+            col(Cdc.TransactionId) > lo && col(Cdc.TransactionId) <= hi),
+            batch.toLong)
+          lo = hi
+          batch += 1
+        }
+      } catch { case t: Throwable => errors.add(t) })
+      UpsertStore.drainPhases()
+      val t0 = System.nanoTime()
+      val backfill = writer("backfill", 0)
+      val tailer = writer("tailer", 1)
+      backfill.start(); tailer.start()
+      backfill.join(600000); tailer.join(600000)
+      if (!errors.isEmpty)
+        throw new IllegalStateException(s"writer failed: ${errors.peek()}")
+      store.snapshot().count() // force final state visible before stopping
+      val total = (System.nanoTime() - t0) / 1e9
+      val merged = UpsertStore.drainPhases()
+      Seq(q -> total,
+        s"$q.merge_write" -> merged.getOrElse("merge_write", 0.0),
+        s"$q.swap" -> merged.getOrElse("swap", 0.0),
+        s"$q.compact" -> merged.getOrElse("compact", 0.0))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $q failed: ${e.getMessage}")
+        Seq(q -> -1.0)
+    } finally {
       graft.util.Fs.rmTree(work.toFile)
     }
   }

