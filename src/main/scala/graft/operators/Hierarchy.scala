@@ -83,4 +83,36 @@ object Hierarchy {
     val keySide = if (broadcastKeys) broadcast(keys) else keys
     parent.join(keySide, joinCond.map(_._1), "left_semi")
   }
+
+  /** The full recreate-on-child-change step ([[impactedParents]] composed
+    * with [[nest]]): given the current parent and child TABLE STATE and the
+    * batch of changed child rows, emit the freshly nested objects of
+    * exactly the impacted parents — the upsert batch a keyed store merges
+    * to bring the materialized objects current (the reference recreates
+    * and re-publishes the whole order object whenever any item row
+    * changes, `S4HanaProducer.java:56-61`, `:407-410`).
+    *
+    * Both the parent and the child are cut down to the impacted keys by a
+    * semi-join BEFORE the nest, so the per-batch cost is
+    * O(impacted parents + their child rows), never a full re-nest: the
+    * nest's child groupBy shuffles only surviving rows. The changed-key
+    * set is broadcast to both semi-joins by default (a poll window touches
+    * few keys; its scan runs once per side — cache `changedChildRows`
+    * first if that scan is expensive); pass `broadcastKeys = false` for
+    * backfill-sized windows, where both semi-joins shuffle instead.
+    */
+  def rebuild(parent: DataFrame, child: DataFrame,
+      changedChildRows: DataFrame, joinCond: Seq[(String, String)],
+      field: String, childCols: Seq[String] = Nil,
+      broadcastKeys: Boolean = true): DataFrame = {
+    val keys = changedChildRows
+      .select(joinCond.map { case (pk, ck) => col(ck).alias(pk) }: _*)
+      .distinct()
+    def side(k: DataFrame) = if (broadcastKeys) broadcast(k) else k
+    val impactedParent = parent.join(side(keys), joinCond.map(_._1), "left_semi")
+    val childKeys = keys
+      .select(joinCond.map { case (pk, ck) => col(pk).alias(ck) }: _*)
+    val impactedChild = child.join(side(childKeys), joinCond.map(_._2), "left_semi")
+    nest(impactedParent, impactedChild, joinCond, field, childCols)
+  }
 }

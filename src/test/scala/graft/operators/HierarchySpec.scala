@@ -67,6 +67,33 @@ class HierarchySpec extends SparkSpec {
     assert(got == Seq("SO2"))
   }
 
+  test("rebuild: emits exactly the impacted parents, freshly nested from current child state") {
+    import org.apache.spark.sql.functions.col
+    // current child state: SO1's line 2 was deleted, SO2's product renamed
+    val state = Seq(
+      ("SO1", 1, "widget"), ("SO2", 1, "gizmo-v2")
+    ).toDF("SALESORDERID", "LINE", "PRODUCT")
+    // the change batch touches SO1 (a delete) and SO2 (an update) — SO3
+    // is untouched and must NOT be re-emitted
+    val delta = Seq(
+      ("SO1", 2, "gadget"), ("SO2", 1, "gizmo-v2")
+    ).toDF("SALESORDERID", "LINE", "PRODUCT")
+    val got = Hierarchy.rebuild(header, state, delta,
+      Seq(("SALESORDERID", "SALESORDERID")), "items")
+    val byId = got.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](2)).toMap
+    assert(byId.keySet == Set("SO1", "SO2")) // only impacted parents
+    assert(byId("SO1").map(_.getString(1)) == Seq("widget")) // delete applied
+    assert(byId("SO2").map(_.getString(1)) == Seq("gizmo-v2"))
+    // a delta whose parent lost ALL child rows still re-emits it with []
+    val allGone = Hierarchy.rebuild(header,
+      state.where(col("SALESORDERID") =!= "SO1"),
+      delta, Seq(("SALESORDERID", "SALESORDERID")), "items")
+    val so1 = allGone.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](2)).toMap
+    assert(so1("SO1").isEmpty)
+  }
+
   test("impactedParents backfill path: no broadcast hint, same result (VERDICT r6 #6)") {
     val changed = Seq(("SO2", 1, "gizmo2")).toDF("SALESORDERID", "LINE", "PRODUCT")
     val broadcasted = Hierarchy.impactedParents(header, changed,
