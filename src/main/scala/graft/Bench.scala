@@ -412,15 +412,25 @@ object StreamBench {
           batch += 1
         }
       } catch { case t: Throwable => errors.add(t) })
+      val expectKeys = master.count() // feed only upserts existing keys
       UpsertStore.drainPhases()
       val t0 = System.nanoTime()
       val backfill = writer("backfill", 0)
       val tailer = writer("tailer", 1)
       backfill.start(); tailer.start()
       backfill.join(600000); tailer.join(600000)
+      if (backfill.isAlive || tailer.isAlive)
+        throw new IllegalStateException(
+          "a writer is still running after 600 s — refusing to report a " +
+            "timeout as a measurement")
       if (!errors.isEmpty)
         throw new IllegalStateException(s"writer failed: ${errors.peek()}")
-      store.snapshot().count() // force final state visible before stopping
+      // force final state visible AND self-check zero lost updates — the
+      // exact failure mode a rebase bug would produce is a silently
+      // smaller fold, which must never bench as a clean time
+      val finalKeys = store.snapshot().count()
+      require(finalKeys == expectKeys,
+        s"two-writer fold lost updates: $finalKeys of $expectKeys keys")
       val total = (System.nanoTime() - t0) / 1e9
       val merged = UpsertStore.drainPhases()
       Seq(q -> total,
