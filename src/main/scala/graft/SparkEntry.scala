@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
+import graft.operators.{AsofJoin, BpeTrain, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -961,6 +961,31 @@ object SparkEntry {
           TextAnalysis.wordpieceTokens(col("text"), vocab).alias("tp"))
         .select(col("doc_id"), size(col("tp")).alias("n_pieces"),
           size(filter(col("tp"), p => p =!= "[UNK]")).alias("n_known"))
+    }),
+
+    // BPE tokenizer TRAINING (the learned-vocabulary half of the
+    // tokenizer story; corpus → word counts in ONE shuffle, then each
+    // merge iteration is a narrow agg over the compact vocab table plus
+    // a 1-row argmax collect). The oracle unrolls the identical 8
+    // iterations in SQL: per-layer pair counts, the same (count desc,
+    // pair asc) tie-break, and a recursive positional fold replaying the
+    // greedy left-to-right fusion — so ranks, pairs, AND counts are all
+    // hash-verified cross-engine.
+    "q_bpe_train" -> ((s, dir) =>
+      BpeTrain.train(t(s, dir, "documents"), "text", numMerges = 8)),
+
+    // ...and the serving path: tokenize the corpus under the table just
+    // learned — per-doc token counts after all 8 merges (fold per
+    // DISTINCT word + broadcast join, never per occurrence), which only
+    // match if apply-in-rank-order reproduces the trainer's fold on
+    // every word of every document.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = BpeTrain.train(docs, "text", numMerges = 8)
+        .orderBy("rank")
+        .select("l", "r").collect().map(m => (m.getString(0), m.getString(1)))
+        .toSeq // 8 rules — same bounded-collect class as the argmax
+      BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
     // Gopher-style repetition filter: fraction of tokens covered by the
@@ -2592,6 +2617,56 @@ object SparkEntry {
       |    for t in ws] AS hs
       |  FROM toks)""".stripMargin
 
+  /** Generated BPE oracle CTE chain, `w0 … w{k}` (see q_bpe_train): w0 =
+    * char-symbolized word counts; each layer i computes pair counts over
+    * w{i-1} (`p{i}`), picks the argmax under the trainer's exact
+    * tie-break (`b{i}`), and replays the greedy left-to-right fusion as a
+    * recursive positional fold (`a{i}` → w{i}). `lastApply` controls
+    * whether the final layer also materializes w{k} (needed by the
+    * tokenize gate, dead weight for the train gate).
+    */
+  private def bpeOracleCtes(k: Int, lastApply: Boolean): String = {
+    // every non-recursive layer is MATERIALIZED: DuckDB inlines CTEs by
+    // default, and a k-deep chain whose layers each reference the
+    // previous one 2-3 times would otherwise expand to exponentially
+    // many base-table scans (observed as fd exhaustion at k=8)
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE w0 AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |    [substr(word, i, 1) for i in range(1, length(word) + 1)] AS syms
+      |  FROM (
+      |    SELECT word, count(*)::BIGINT AS cnt FROM (
+      |      SELECT unnest(string_split_regex(text, '\s+')) AS word
+      |      FROM documents)
+      |    WHERE word <> '' GROUP BY word))""".stripMargin
+    for (i <- 1 to k) {
+      val w = s"w${i - 1}"
+      sb ++= s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
+        |    SELECT cnt,
+        |      unnest([{'l': syms[j], 'r': syms[j+1]} for j in range(1, len(syms))]) AS p
+        |    FROM $w)
+        |  GROUP BY p.l, p.r),
+        |b$i AS MATERIALIZED (
+        |  SELECT $i::BIGINT AS rank, l, r, c FROM p$i
+        |  ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      if (i < k || lastApply) sb ++= s""",
+        |a$i(word, cnt, syms, pos, acc) AS (
+        |  SELECT word, cnt, syms, 1, []::VARCHAR[] FROM $w
+        |  UNION ALL
+        |  SELECT word, cnt, syms, pos + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT l FROM b$i)
+        |              AND syms[pos] = (SELECT r FROM b$i)
+        |         THEN acc[1:len(acc)-1] || [(SELECT l || r FROM b$i)]
+        |         ELSE acc || [syms[pos]] END
+        |  FROM a$i WHERE pos <= len(syms)),
+        |w$i AS MATERIALIZED (
+        |  SELECT word, cnt, acc AS syms FROM a$i WHERE pos = len(syms) + 1)""".stripMargin
+    }
+    sb.toString
+  }
+
   private val TextRepetitionOracle =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
@@ -3322,6 +3397,24 @@ object SparkEntry {
         |    ['the','and','of','to','a','in','is','that','for','it'], w)))
         |    AS n_known
         |FROM toks""".stripMargin,
+
+    // BPE training: 8 unrolled layers, each replaying pair counting, the
+    // (count desc, pair asc) argmax, and the greedy fold (bpeOracleCtes)
+    "q_bpe_train" ->
+      (bpeOracleCtes(8, lastApply = false) + "\n" +
+        (1 to 8).map(i => s"SELECT rank, l, r, c AS pair_count FROM b$i")
+          .mkString("\nUNION ALL\n")),
+
+    // ...and tokenization under the learned table: per-word token counts
+    // from the fully folded vocab (w8), summed per document
+    "q_bpe_tokenize" ->
+      (bpeOracleCtes(8, lastApply = true) +
+        """,
+          |wc AS (SELECT word, len(syms)::BIGINT AS ntok FROM w8)
+          |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens FROM (
+          |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+          |  FROM documents)
+          |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin),
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE worked example (low/lower/newest/widest), hand-traced:
+  //   merge 1: (e,s) c=9 — ties (s,t) at 9, pair-lexicographic break
+  //   merge 2: (es,t) c=9
+  //   merge 3: (l,o) c=7 — ties (o,w) at 7
+  private lazy val corpus = Seq(
+    "low low low low low",
+    "lower lower",
+    "newest newest newest newest newest newest",
+    "widest widest widest"
+  ).toDF("text")
+
+  test("train learns the hand-traced merges with deterministic tie-breaks") {
+    val got = BpeTrain.train(corpus, "text", numMerges = 3)
+      .orderBy("rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e", "s", 9L),
+      (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L)))
+  }
+
+  test("fuse is greedy left-to-right non-overlapping") {
+    val got = Seq("aaaa", "aaa", "baab").toDF("w")
+      .select(BpeTrain.fuse(BpeTrain.charSyms(col("w")), "a", "a").alias("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("aa", "aa"), Seq("aa", "a"), Seq("b", "aa", "b")))
+  }
+
+  test("train stops early when no adjacent pair remains") {
+    val got = BpeTrain.train(Seq("a b c a").toDF("text"), "text", numMerges = 5)
+    assert(got.count() == 0)
+  }
+
+  test("tokens/tokenCount apply the learned table in rank order") {
+    val merges = BpeTrain.train(corpus, "text", numMerges = 3)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val doc = Seq("low lower newest").toDF("text")
+    // low -> [lo, w]; lower -> [lo, w, e, r]; newest -> [n, e, w, est]
+    val toks = doc.select(BpeTrain.tokens(col("text"), merges).alias("t"))
+      .as[Seq[Seq[String]]].head()
+    assert(toks == Seq(Seq("lo", "w"), Seq("lo", "w", "e", "r"),
+      Seq("n", "e", "w", "est")))
+    val n = doc.select(BpeTrain.tokenCount(col("text"), merges).alias("n"))
+      .as[Long].head()
+    assert(n == 10L)
+  }
+
+  test("tokenCounts (fold per distinct word + broadcast join) ≡ per-row tokenCount") {
+    val docs = corpus.withColumn("id", monotonically_increasing_id())
+    val merges = BpeTrain.train(corpus, "text", numMerges = 3)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val scaled = BpeTrain.tokenCounts(docs, "id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val perRow = docs.select(col("id"),
+        BpeTrain.tokenCount(col("text"), merges).alias("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(scaled == perRow)
+  }
+
+  test("tokenizing the training words with the learned table reproduces the trainer's folded vocab") {
+    val merges = BpeTrain.train(corpus, "text", numMerges = 3)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    // apply-in-rank-order over initial chars must equal iterative training
+    // state: fold all three merges over 'newest'
+    val got = Seq("newest").toDF("w")
+      .select(merges.foldLeft(BpeTrain.charSyms(col("w"))) {
+        case (s, (l, r)) => BpeTrain.fuse(s, l, r)
+      }.alias("s")).as[Seq[String]].head()
+    assert(got == Seq("n", "e", "w", "est"))
+  }
+}
