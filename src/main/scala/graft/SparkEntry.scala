@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, BpeTrain, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
+import graft.operators.{AsofJoin, BpeTrain, Chunker, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -987,6 +987,15 @@ object SparkEntry {
         .toSeq // 8 rules — same bounded-collect class as the argmax
       BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
     }),
+
+    // RAG-style overlapping chunking: 64-word windows every 48 words —
+    // full coverage with shared boundary context, the step between
+    // curation and embedding. Pure map + explode (no shuffle, no UDF);
+    // the window arithmetic, tail handling, and exact reassembled chunk
+    // text are all in the hash.
+    "q_text_chunks" -> ((s, dir) =>
+      Chunker.chunks(t(s, dir, "documents"), "doc_id", "text",
+        width = 64, stride = 48)),
 
     // Gopher-style repetition filter: fraction of tokens covered by the
     // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
@@ -3415,6 +3424,19 @@ object SparkEntry {
           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
           |  FROM documents)
           |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin),
+
+    // chunking: same starts (1, 1+stride, …), inclusive-slice windows,
+    // space-reassembled text; // is DuckDB integer division
+    "q_text_chunks" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(w[s:s+63], ' ') AS chunk_text,
+        |  len(w[s:s+63])::BIGINT AS n_words
+        |FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS s
+        |      FROM ws)""".stripMargin,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one
