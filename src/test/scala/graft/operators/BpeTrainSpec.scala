@@ -35,6 +35,34 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == Seq(Seq("aa", "aa"), Seq("aa", "a"), Seq("b", "aa", "b")))
   }
 
+  test("fuse properties on random words: lossless, greedy-complete, idempotent") {
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 300).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    for ((l, r) <- Seq(("a", "b"), ("a", "a"), ("c", "a"))) {
+      val fused = words.toDF("w")
+        .select(BpeTrain.fuse(BpeTrain.charSyms(col("w")), l, r).alias("s"))
+      val got = fused.as[Seq[String]].collect().toSeq
+      words.zip(got).foreach { case (w, syms) =>
+        assert(syms.mkString == w, s"lossy fuse of '$w' under ($l,$r): $syms")
+        assert(!syms.sliding(2).exists(p =>
+          p.length == 2 && p(0) == l && p(1) == r),
+          s"unfused ($l,$r) adjacency left in '$w': $syms")
+      }
+      val twice = fused.select(BpeTrain.fuse(col("s"), l, r).alias("s"))
+        .as[Seq[String]].collect().toSeq
+      assert(got == twice, s"fuse under ($l,$r) is not idempotent")
+    }
+  }
+
+  test("train is partitioning-invariant (corpus row order immaterial)") {
+    val a = BpeTrain.train(corpus, "text", 3)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    val b = BpeTrain.train(corpus.repartition(7), "text", 3)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("train stops early when no adjacent pair remains") {
     val got = BpeTrain.train(Seq("a b c a").toDF("text"), "text", numMerges = 5)
     assert(got.count() == 0)
