@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, BpeTrain, Chunker, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
+import graft.operators.{AsofJoin, BpeTrain, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -118,8 +118,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_cdc_delta_fold")(spark, "/root/testdata/sf0.001")
 
+  /** A Map literal silently collapses duplicate keys (last wins) — a
+    * colliding gate name would quietly shadow an existing gate and its
+    * oracle. Both registries are built through this guard so a collision
+    * fails the first thing that touches them (caught live in r12: a new
+    * chunking gate landed on an existing name and dead-lettered itself).
+    */
+  private def distinctByName[T](entries: Seq[(String, T)]): Map[String, T] = {
+    val dups = entries.groupBy(_._1).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty,
+      s"duplicate entry names: ${dups.toSeq.sorted.mkString(", ")}")
+    entries.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = queriesMap
+
+  private lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
+    distinctByName(Seq(
 
     // ── CDC core (J1 + A1 + P2 + P3 + P4 + ST4/ST5) ────────────────────────
     // Delta fold: window → latest-per-key → LEFT OUTER JOIN master →
@@ -987,15 +1003,6 @@ object SparkEntry {
         .toSeq // 8 rules — same bounded-collect class as the argmax
       BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
     }),
-
-    // RAG-style overlapping chunking: 64-word windows every 48 words —
-    // full coverage with shared boundary context, the step between
-    // curation and embedding. Pure map + explode (no shuffle, no UDF);
-    // the window arithmetic, tail handling, and exact reassembled chunk
-    // text are all in the hash.
-    "q_text_chunks" -> ((s, dir) =>
-      Chunker.chunks(t(s, dir, "documents"), "doc_id", "text",
-        width = 64, stride = 48)),
 
     // Gopher-style repetition filter: fraction of tokens covered by the
     // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
@@ -2458,7 +2465,7 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
           col("o_totalprice"))
     })
-  )
+  ))
 
   /** DuckDB transcription of [[graft.operators.Sampling.uniform]]'s u32
     * (the value before the /2^32 division): an XOR-spread and a translated
@@ -2868,7 +2875,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlMap
+
+  private lazy val oracleSqlMap: Map[String, String] = distinctByName(Seq(
     "q_cdc_delta_fold" -> DeltaFoldOracle,
 
     "q_kafka_roundtrip" -> DeltaFoldOracle,
@@ -3424,19 +3433,6 @@ object SparkEntry {
           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
           |  FROM documents)
           |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin),
-
-    // chunking: same starts (1, 1+stride, …), inclusive-slice windows,
-    // space-reassembled text; // is DuckDB integer division
-    "q_text_chunks" ->
-      """WITH ws AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
-        |  FROM documents)
-        |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
-        |  array_to_string(w[s:s+63], ' ') AS chunk_text,
-        |  len(w[s:s+63])::BIGINT AS n_words
-        |FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS s
-        |      FROM ws)""".stripMargin,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one
@@ -4888,5 +4884,5 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
         |WHERE rn = 1""".stripMargin
-  )
+  ))
 }
