@@ -1395,4 +1395,56 @@ class CdcStreamSpec extends SparkSpec {
     val s = sessions.select($"k", $"n").as[(String, Long)].collect().toSet
     assert(s == Set(("a", 2L), ("a", 1L), ("b", 1L)))
   }
+
+  // r12 regression pin for the multi-writer maintenance contract: the
+  // stream loop absorbs a compaction that LOSES the concurrent-
+  // maintenance race (the winner paid the debt; re-check next batch),
+  // but a conflict from the DATA path must still surface — merges always
+  // rebase, so one escaping means the rebase protocol itself broke.
+  private class ScriptedStore(
+      mergeFails: Boolean, compactFails: Boolean) extends KeyedUpsertStore {
+    var merges = 0
+    var compactChecks = 0
+    import org.apache.spark.sql.DataFrame
+    def merge(folded: DataFrame): Unit = {
+      folded.count() // consume, like a real sink
+      if (mergeFails) throw new CommitConflictException("merge rebase exhausted")
+      merges += 1
+    }
+    def snapshot(): DataFrame = spark.emptyDataFrame
+    def compactIfNeeded(maxDeltas: Int): Boolean = {
+      compactChecks += 1
+      if (compactFails) throw new CommitConflictException("lost maintenance race")
+      false
+    }
+    def compactIfDeltaRatio(maxRatio: Double): Boolean = false
+  }
+
+  test("compaction losing the concurrent-maintenance race is a policy no-op (r12)") {
+    val store = new ScriptedStore(mergeFails = false, compactFails = true)
+    val ledger = new TxidLedger(tmp("absorb") + "/txid.ledger")
+    val job = new CdcStreamJob(spark,
+      source = () => Seq((1L, "one")).toDF("id", "payload"),
+      store = store, ledger = ledger, keyJoin = Seq("id" -> "id"),
+      autoCompactDeltas = Some(1))
+    job.processBatch(feed((1L, "x", 10L)), 0L) // must not surface
+    assert(store.merges == 1, "the data commit must have landed")
+    assert(store.compactChecks == 1, "the policy must have run and lost")
+    assert(ledger.read() == 10L,
+      "the ledger advance precedes maintenance and must survive the lost race")
+    job.processBatch(feed((1L, "y", 20L)), 1L) // loop keeps going
+    assert(store.merges == 2 && store.compactChecks == 2)
+  }
+
+  test("a conflict from the merge path still surfaces (never absorbed)") {
+    val store = new ScriptedStore(mergeFails = true, compactFails = false)
+    val job = new CdcStreamJob(spark,
+      source = () => Seq((1L, "one")).toDF("id", "payload"),
+      store = store, ledger = new TxidLedger(tmp("surface") + "/txid.ledger"),
+      keyJoin = Seq("id" -> "id"), autoCompactDeltas = Some(1))
+    intercept[CommitConflictException] {
+      job.processBatch(feed((1L, "x", 10L)), 0L)
+    }
+    assert(store.compactChecks == 0, "maintenance must not run after a failed commit")
+  }
 }
