@@ -55,13 +55,24 @@ object BpeTrain {
     * merge table `(rank, l, r, pair_count)` in learned order — the
     * artifact a tokenizer ships. Stops early if no adjacent pair is left.
     */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    trainFromCounts(wordCounts(docs, textCol), numMerges)
+
+  /** Train from an already-materialized `(word, cnt)` table — the seam
+    * between the one corpus-sized pass and the vocab-sized iteration
+    * loop. Every real trainer has this shape; a pipeline that already
+    * keeps word counts (corpus statistics, LM features) reuses them here
+    * and never touches the corpus again: per-merge cost depends on the
+    * DISTINCT-WORD table alone, not on corpus size (measured flat across
+    * 40× corpus growth, SCALING §21).
+    */
+  def trainFromCounts(counts: DataFrame, numMerges: Int): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     // vocab table: compact by construction; checkpoint per iteration cuts
     // the k-deep lineage (k re-plans, not k corpus scans)
-    var vocab = wordCounts(docs, textCol)
+    var vocab = counts
       .select(col("cnt"), charSyms(col("word")).alias("syms"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
