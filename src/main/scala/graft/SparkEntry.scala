@@ -1498,6 +1498,31 @@ object SparkEntry {
             col("c_acctbal").cast(DoubleType).alias("bal"),
             col(Cdc.ChangeType)))),
 
+    // CDF AS A MAINTENANCE FEED (r12): the Delta-CDF consumer contract
+    // driven end-to-end — a decile count/sum aggregate materialized at
+    // store version 1 is brought current using ONLY changesBetween(1, 2)
+    // plus the v1 snapshot for retractions, never rescanning v2; the
+    // oracle recomputes the aggregate from the final folded state, so a
+    // CDF feed missing a change, or maintenance double-counting one,
+    // breaks the hash (maintenance ≡ recompute, composed with the store).
+    "q_store_cdf_maintain" -> ((s, dir) =>
+      withReplayStore(s, dir) { store =>
+        val v1 = store.snapshotAsOf(1)
+          .select(pmod(col("user_id"), lit(10)).alias("g"), col("user_id"),
+            dec(col("c_acctbal")).alias("bal"))
+        val oldAgg = v1.groupBy(col("g"))
+          .agg(count(lit(1)).alias("n"), sum(col("bal")).alias("s"))
+        val changes = store.changesBetween(1, 2)
+        val oldRows = v1.join(changes.select(col("user_id")),
+          Seq("user_id"), "left_semi")
+        val newRows = changes.where(col(Cdc.ChangeType) === Cdc.Upsert)
+          .select(pmod(col("user_id"), lit(10)).alias("g"),
+            dec(col("c_acctbal")).alias("bal"))
+        IncrementalAgg.maintainCountSum(oldAgg, oldRows, newRows, "g", "bal")
+          .select(col("g"), col("n"),
+            col("s").cast(DoubleType).alias("sum_bal"))
+      }),
+
     // OBJECT-STORE COMMIT PROTOCOL (VERDICT r9 #9): the same two-batch
     // replay through the rename-free ManifestUpsertStore — immutable
     // generation dirs + digest-validated manifest put — with a manifest
@@ -3870,6 +3895,20 @@ object SparkEntry {
         |FROM customer
         |WHERE c_custkey IN (1, 3, 5, 7, 8, 15, 21, 35)
         |  AND NOT (c_custkey % 7 = 0 AND c_custkey % 5 <> 0)""".stripMargin,
+
+    // decile count/sum over the final folded state — maintenance from the
+    // CDF feed must land exactly here
+    "q_store_cdf_maintain" ->
+      """WITH final AS (
+        |  SELECT c_custkey AS user_id,
+        |    CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 200
+        |              WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 5 <> 0))
+        |SELECT user_id % 10 AS g, count(*) AS n,
+        |  CAST(sum(bal) AS DOUBLE) AS sum_bal
+        |FROM final GROUP BY user_id % 10""".stripMargin,
 
     // manifest store final state: same LWW arithmetic as q_store_lookup,
     // unrestricted keys (+200 overrides +100; %7 deletes survive only via
