@@ -92,6 +92,17 @@ class HierarchySpec extends SparkSpec {
     val so1 = allGone.collect().map(r => r.getString(0) ->
       r.getSeq[org.apache.spark.sql.Row](2)).toMap
     assert(so1("SO1").isEmpty)
+    // plan shape: BOTH cut-down semi-joins carry the broadcast hint (the
+    // changed-key set must never shuffle the parent or the child side),
+    // and the backfill hatch drops both
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hints(got) == 2, "expected a broadcast hint per semi-join")
+    assert(hints(Hierarchy.rebuild(header, state, delta,
+      Seq(("SALESORDERID", "SALESORDERID")), "items",
+      broadcastKeys = false)) == 0)
   }
 
   test("impactedParents backfill path: no broadcast hint, same result (VERDICT r6 #6)") {
