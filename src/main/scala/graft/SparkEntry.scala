@@ -1321,6 +1321,32 @@ object SparkEntry {
       } finally graft.util.Fs.rmTree(work.toFile)
     }),
 
+    // FILTERED VECTOR SEARCH (r12): top-k among vectors satisfying a
+    // metadata predicate, applied to the probed-cell scan BEFORE top-k
+    // (post-filtering would under-fill k) — searched at the degenerate-
+    // exact config so the oracle is exact top-k over the QUALIFYING
+    // corpus: a disqualified vector leaking into the heap, or a
+    // qualifying one dropped by the filter pushdown, breaks the hash.
+    // Attribute-column persistence and append/tombstone composition are
+    // AnnIndexSpec's.
+    "q_ann_filtered_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft-annflt")
+      try {
+        val ix = work.resolve("ix").toString
+        graft.operators.AnnIndex.buildIvf(ix, emb, "vec_id", "embedding",
+          numCells = 8, fitSampleSize = 2000)
+        graft.operators.AnnIndex.searchIvf(ix,
+            emb.where(col("vec_id") < 5)
+              .select(col("vec_id").alias("query_id"), col("embedding")),
+            "query_id", k = 10, nprobe = 8,
+            where = Some(pmod(col("vec_id"), lit(3)) === 1))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 6).alias("cosine_r"))
+          .localCheckpoint(true)
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
     // DELETION SYMMETRY on the PQ index (VERDICT r11 #4): the same
     // tombstone batch against the IVF-PQ layout, searched at the
     // composed degenerate-exact config (all cells probed + all
@@ -3855,6 +3881,18 @@ object SparkEntry {
     // definition for both index layouts (see AnnDeleteOracle)
     "q_ann_delete_search" -> AnnDeleteOracle,
     "q_ann_delete_search_pq" -> AnnDeleteOracle,
+
+    // exact top-k over the QUALIFYING corpus (the filtered-search dual
+    // of the deletion gate)
+    "q_ann_filtered_search" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+        |  FROM embeddings d, embeddings q
+        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id AND d.vec_id % 3 = 1)
+        |WHERE rank <= 10""".stripMargin,
 
     // SemDeDup at numCells=1 = exact all-pairs threshold graph; keep-one
     // = drop every node whose component's min id is not itself. The

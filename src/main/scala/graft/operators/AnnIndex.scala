@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftExpressions._
@@ -133,13 +133,20 @@ object AnnIndex {
     * vectors to the SAME cells later without refitting.
     */
   def buildIvf(path: String, data: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
+      numCells: Int, seed: Long = 42L, fitSampleSize: Int = 20000,
+      attrCols: Seq[String] = Nil): Unit = {
     recoverCrash(path, cleanDebris = true)
     val model = Similarity.fitCoarseQuantizer(data, idCol, vecCol, numCells,
       seed, fitSampleSize)
     val tmp = new java.io.File(path + "_tmp")
     rmTree(tmp) // a crashed previous build's debris
-    assign(model, data, idCol, vecCol).write.partitionBy("_cell")
+    // attrCols ride next to (id, vector) in the cell layout — parquet
+    // column pruning keeps them free for unfiltered searches, and
+    // filtered searches push predicates straight into the probed-cell
+    // scan; appends must carry the same columns (schema is the record)
+    assign(model, data.select((Seq(idCol, vecCol) ++ attrCols)
+        .distinct.map(col): _*), idCol, vecCol)
+      .write.partitionBy("_cell")
       .mode("overwrite").parquet(new java.io.File(tmp, "assignments").getPath)
     model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
     writeCentroids(data.sparkSession, tmp, model,
@@ -166,7 +173,8 @@ object AnnIndex {
     */
   def buildIvfPq(path: String, data: DataFrame, idCol: String,
       vecCol: String, numCells: Int, m: Int = 8, ksub: Int = 256,
-      seed: Long = 42L, fitSampleSize: Int = 20000): Unit = {
+      seed: Long = 42L, fitSampleSize: Int = 20000,
+      attrCols: Seq[String] = Nil): Unit = {
     import graft.functions.SketchOps
     recoverCrash(path, cleanDebris = true)
     require(m > 0 && ksub > 1 && ksub <= 256,
@@ -183,7 +191,8 @@ object AnnIndex {
     val codebooks = SketchOps.pqTrain(sample, m, ksub)
     val tmp = new java.io.File(path + "_tmp")
     rmTree(tmp)
-    assign(model, data, idCol, vecCol)
+    assign(model, data.select((Seq(idCol, vecCol) ++ attrCols)
+        .distinct.map(col): _*), idCol, vecCol)
       .withColumn("_code", pq_encode(col(vecCol), codebooks))
       .write.partitionBy("_cell")
       .mode("overwrite").parquet(new java.io.File(tmp, "assignments").getPath)
@@ -231,7 +240,8 @@ object AnnIndex {
     * parameters.
     */
   def searchIvfPq(path: String, queries: DataFrame, queryIdCol: String,
-      k: Int, nprobe: Int = 4, refine: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, refine: Int = 4,
+      where: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     ensureLive(path)
     val meta = readMeta(spark, path)
@@ -253,8 +263,12 @@ object AnnIndex {
       .localCheckpoint(true) // probed thrice: cell-union + adc + refine
     val probedCells = probes.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val indexed = visibleAssignments(spark, path, meta.idCol)
+    // the filtered-search predicate applies BEFORE the ADC candidate
+    // top-k (see searchIvf) — disqualified vectors must not consume
+    // candidate slots, or the refined k under-fills
+    val visible = visibleAssignments(spark, path, meta.idCol)
       .where(col("_cell").isin(probedCells: _*))
+    val indexed = where.fold(visible)(visible.where)
     // ADC candidate scan: only (id, _cell, _code) columns are read
     val adc = indexed.select(col(meta.idCol), col("_cell"), col("_code"))
       .join(broadcast(probes), Seq("_cell"))
@@ -273,14 +287,25 @@ object AnnIndex {
     Similarity.topKPerQuery(exact, k)
   }
 
+  /** Cell-assign every row of `data`, keeping ALL its columns — the
+    * caller selects which columns the index persists (id + vector always;
+    * attribute columns when the index serves filtered search).
+    */
   private def assign(model: org.apache.spark.ml.clustering.KMeansModel,
       data: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     model.transform(
-        data.select(col(idCol), col(vecCol),
-          array_to_vector(col(vecCol).cast("array<double>")).alias("_features")))
+        data.withColumn("_features",
+          array_to_vector(col(vecCol).cast("array<double>"))))
       .drop("_features")
   }
+
+  /** The data columns this index persists per row (from the base layout's
+    * schema — the one authority appends must match), minus the layout
+    * internals. */
+  private def indexDataColumns(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(new java.io.File(path, "assignments").getPath)
+      .schema.fieldNames.toSeq.filterNot(n => n == "_cell" || n == "_code")
 
   /** (cell, centroid, count) table — the stats an nprobe/numCells tuning
     * pass reads without touching the assignments.
@@ -440,7 +465,12 @@ object AnnIndex {
     val model = KMeansModel.load(new java.io.File(path, "model").getPath)
     val tmp = new java.io.File(path, s"${dirName}_tmp")
     rmTree(tmp)
-    val assigned = assign(model, newData, meta.idCol, meta.vecCol)
+    // appends persist EXACTLY the base layout's data columns (the schema
+    // is the record of build-time attrCols) — a batch missing one fails
+    // the select loudly instead of forking the layout
+    val assigned = assign(model,
+      newData.select(indexDataColumns(spark, path).map(col): _*),
+      meta.idCol, meta.vecCol)
     // a PQ index encodes appends with its PERSISTED codebooks — codes stay
     // comparable to the base's forever (no refit, same as the cells)
     val encoded =
@@ -643,8 +673,15 @@ object AnnIndex {
   /** Top-k cosine search against a persisted index. Reads only the probed
     * cells' dirs; `search ≡ ivfTopK` for equal parameters (spec-pinned).
     */
+  /** @param where optional FILTERED-SEARCH predicate over the index's
+    *   persisted columns (the id column and any build-time `attrCols`) —
+    *   applied to the probed-cell scan BEFORE top-k, so the k results are
+    *   the best among QUALIFYING vectors (post-filtering top-k output
+    *   would under-fill instead). The predicate pushes into the parquet
+    *   scan of the probed cells; tombstone filtering composes on top.
+    */
   def searchIvf(path: String, queries: DataFrame, queryIdCol: String,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, where: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     ensureLive(path)
     val meta = readMeta(spark, path)
@@ -666,8 +703,9 @@ object AnnIndex {
     // Bounded driver collect: ≤ numCells ints.
     val probedCells = probes.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val indexed = visibleAssignments(spark, path, meta.idCol)
+    val visible = visibleAssignments(spark, path, meta.idCol)
       .where(col("_cell").isin(probedCells: _*))
+    val indexed = where.fold(visible)(visible.where)
     val scored = indexed.join(broadcast(probes),
         indexed("_cell") === probes("_cell") &&
           col(meta.idCol) =!= col("query_id"))

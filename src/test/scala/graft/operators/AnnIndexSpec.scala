@@ -542,4 +542,45 @@ class AnnIndexSpec extends SparkSpec {
     val after = AnnIndex.searchIvf(dir, queries, "qid", k = 3).count()
     assert(before === after) // 12 queries × k
   }
+
+  test("filtered search: predicate before top-k, attrs persist through append, tombstones compose (r12)") {
+    import spark.implicits._
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getLong(1), math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val dir = Files.createTempDirectory("graft-annfx").resolve("ix").toString
+    val flagged = emb.withColumn("flag",
+      pmod(col("vec_id"), lit(2)).cast("int"))
+    AnnIndex.buildIvf(dir, flagged.where(col("vec_id") < 400), "vec_id",
+      "embedding", numCells = 4, seed = 42L, fitSampleSize = 2000,
+      attrCols = Seq("flag"))
+    // appends derive their column set from the base layout's schema, so
+    // the attribute rides along without being re-declared
+    AnnIndex.appendIvf(dir,
+      flagged.where(col("vec_id") >= 400 && col("vec_id") < 450))
+    // a QUALIFYING vector deleted: the filter must not resurrect it
+    AnnIndex.deleteIvf(dir, Seq(401L).toDF("vec_id"))
+    val got = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 4,
+      where = Some(col("flag") === 1))
+    // ≡ brute force over the filtered, tombstone-folded corpus (full probe)
+    val want = Similarity.bruteForceTopK(
+      flagged.where(col("vec_id") < 450 && col("vec_id") % 2 === 1 &&
+        col("vec_id") =!= 401L),
+      queries, "vec_id", "embedding", "qid", k = 5)
+    assert(canon(got) === canon(want))
+    assert(canon(got).nonEmpty)
+    assert(got.select(col("neighbor_id")).as[Long].collect()
+      .forall(_ % 2 == 1), "a disqualified vector leaked past the filter")
+    // an unfiltered search on the same attr-carrying index is unchanged
+    // by the extra column (parquet prunes it)
+    val plain = AnnIndex.searchIvf(dir, queries, "qid", k = 5, nprobe = 4)
+    val wantPlain = Similarity.bruteForceTopK(
+      flagged.where(col("vec_id") < 450 && col("vec_id") =!= 401L),
+      queries, "vec_id", "embedding", "qid", k = 5)
+    assert(canon(plain) === canon(wantPlain))
+    // an append missing the persisted attribute fails loudly instead of
+    // forking the layout
+    intercept[org.apache.spark.sql.AnalysisException] {
+      AnnIndex.appendIvf(dir, emb.where(col("vec_id") === 999))
+    }
+  }
 }
