@@ -1347,6 +1347,27 @@ object SparkEntry {
       } finally graft.util.Fs.rmTree(work.toFile)
     }),
 
+    // ...and the PQ layout's filtered twin (all cells + full refine ⇒
+    // exact over the qualifying corpus; the filter must run before the
+    // ADC candidate heap or disqualified vectors eat the refine slots)
+    "q_ann_filtered_search_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft-annfltpq")
+      try {
+        val ix = work.resolve("ix").toString
+        graft.operators.AnnIndex.buildIvfPq(ix, emb, "vec_id", "embedding",
+          numCells = 8, m = 8, ksub = 16, fitSampleSize = 2000)
+        graft.operators.AnnIndex.searchIvfPq(ix,
+            emb.where(col("vec_id") < 5)
+              .select(col("vec_id").alias("query_id"), col("embedding")),
+            "query_id", k = 10, nprobe = 8, refine = 100000,
+            where = Some(pmod(col("vec_id"), lit(3)) === 1))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 6).alias("cosine_r"))
+          .localCheckpoint(true)
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
     // DELETION SYMMETRY on the PQ index (VERDICT r11 #4): the same
     // tombstone batch against the IVF-PQ layout, searched at the
     // composed degenerate-exact config (all cells probed + all
@@ -2864,6 +2885,20 @@ object SparkEntry {
     * identical post-delete result BY CONTRACT, so their oracle is one
     * definition that cannot drift (ADVICE r11).
     */
+  /** Exact top-k over the corpus rows satisfying the gate predicate —
+    * shared by the IVF and IVF-PQ filtered-search gates (one definition,
+    * cannot drift; same pattern as [[AnnDeleteOracle]]).
+    */
+  private val AnnFilteredOracle =
+    """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+      |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+      |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+      |  FROM embeddings d, embeddings q
+      |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id AND d.vec_id % 3 = 1)
+      |WHERE rank <= 10""".stripMargin
+
   private val AnnDeleteOracle =
     """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
@@ -3883,16 +3918,9 @@ object SparkEntry {
     "q_ann_delete_search_pq" -> AnnDeleteOracle,
 
     // exact top-k over the QUALIFYING corpus (the filtered-search dual
-    // of the deletion gate)
-    "q_ann_filtered_search" ->
-      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
-        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
-        |  FROM embeddings d, embeddings q
-        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id AND d.vec_id % 3 = 1)
-        |WHERE rank <= 10""".stripMargin,
+    // of the deletion gate) — one definition for both index layouts
+    "q_ann_filtered_search" -> AnnFilteredOracle,
+    "q_ann_filtered_search_pq" -> AnnFilteredOracle,
 
     // SemDeDup at numCells=1 = exact all-pairs threshold graph; keep-one
     // = drop every node whose component's min id is not itself. The

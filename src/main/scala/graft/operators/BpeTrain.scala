@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * centroids), and the merge itself is a map-side higher-order-function
   * fold, no shuffle. Ties break deterministically (count desc, then pair
   * lexicographically) so the learned table is reproducible cross-engine.
+  *
+  * Marker-free formulation: merges never cross word boundaries (the fold
+  * runs per word), but no `</w>` end-of-word symbol is appended, so a
+  * word-final and a word-internal occurrence of the same string are one
+  * symbol — the GPT-2-style choice. Sennrich's `</w>` variant is a
+  * preprocessing step (suffix each word's final character) over the same
+  * machinery, not a different trainer.
   */
 object BpeTrain {
 
