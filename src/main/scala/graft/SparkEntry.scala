@@ -1321,6 +1321,27 @@ object SparkEntry {
       } finally graft.util.Fs.rmTree(work.toFile)
     }),
 
+    // MMR DIVERSITY RE-RANK (r12): exact top-20 per query, then 5 greedy
+    // maximal-marginal-relevance selections at λ=0.5 — the oracle unrolls
+    // the identical 5 steps in SQL (per-step anti-set, max-sim to the
+    // selected set, the same 0.5·rel − 0.5·maxsim argmax with id
+    // tie-break), so the whole greedy trajectory is hash-verified, not
+    // just the final set.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("query_id"), col("embedding"))
+      val top20 = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", "query_id", k = 20)
+      val cands = top20.join(
+        emb.select(col("vec_id").alias("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      Retrieval.mmrRerank(cands, "query_id", "neighbor_id", "cosine",
+          "embedding", m = 5, lambda = 0.5)
+        .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+          round(col("mmr_score"), 6).alias("mmr_score_r"))
+    }),
+
     // FILTERED VECTOR SEARCH (r12): top-k among vectors satisfying a
     // metadata predicate, applied to the probed-cell scan BEFORE top-k
     // (post-filtering would under-fill k) — searched at the degenerate-
@@ -2885,6 +2906,60 @@ object SparkEntry {
     * identical post-delete result BY CONTRACT, so their oracle is one
     * definition that cannot drift (ADVICE r11).
     */
+  /** Generated m-step MMR oracle (see q_mmr_rerank): cand = exact
+    * top-20 per query; sel1 = pure-relevance argmax; each later step
+    * computes every remaining candidate's max cosine to the selected set
+    * (NOT EXISTS anti-set), scores `0.5·rel − 0.5·maxsim`, and picks the
+    * per-query argmax with the id tie-break — the greedy trajectory the
+    * Spark operator walks, layer for layer. MATERIALIZED per layer for
+    * the same CTE-inlining reason as the BPE oracle.
+    */
+  private def mmrOracleSql(m: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cand AS MATERIALIZED (
+      |  SELECT query_id, id, rel, emb FROM (
+      |    SELECT q.vec_id AS query_id, d.vec_id AS id,
+      |      list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS rel,
+      |      d.embedding AS emb,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rn
+      |    FROM embeddings d, embeddings q
+      |    WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id)
+      |  WHERE rn <= 20),
+      |sel1 AS MATERIALIZED (
+      |  SELECT query_id, id, emb, 1 AS mmr_rank, rel AS score FROM (
+      |    SELECT query_id, id, emb, rel,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rel DESC, id) AS rn
+      |    FROM cand) WHERE rn = 1)""".stripMargin
+    for (i <- 2 to m) {
+      val prev = s"sel${i - 1}"
+      sb ++= s""",
+        |ms$i AS MATERIALIZED (
+        |  SELECT c.query_id, c.id,
+        |    max(list_cosine_similarity(c.emb::DOUBLE[], s.emb::DOUBLE[])) AS maxsim
+        |  FROM cand c JOIN $prev s ON c.query_id = s.query_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+        |    WHERE x.query_id = c.query_id AND x.id = c.id)
+        |  GROUP BY c.query_id, c.id),
+        |s$i AS MATERIALIZED (
+        |  SELECT query_id, id, emb, $i AS mmr_rank, score FROM (
+        |    SELECT c.query_id, c.id, c.emb,
+        |      0.5 * c.rel - 0.5 * mm.maxsim AS score,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY 0.5 * c.rel - 0.5 * mm.maxsim DESC, c.id) AS rn
+        |    FROM cand c JOIN ms$i mm
+        |      ON c.query_id = mm.query_id AND c.id = mm.id)
+        |  WHERE rn = 1),
+        |sel$i AS MATERIALIZED (
+        |  SELECT * FROM $prev UNION ALL SELECT * FROM s$i)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT query_id, id AS neighbor_id, mmr_rank,
+      |  round(score, 6) AS mmr_score_r FROM sel$m""".stripMargin
+    sb.toString
+  }
+
   /** Exact top-k over the corpus rows satisfying the gate predicate —
     * shared by the IVF and IVF-PQ filtered-search gates (one definition,
     * cannot drift; same pattern as [[AnnDeleteOracle]]).
@@ -3921,6 +3996,9 @@ object SparkEntry {
     // of the deletion gate) — one definition for both index layouts
     "q_ann_filtered_search" -> AnnFilteredOracle,
     "q_ann_filtered_search_pq" -> AnnFilteredOracle,
+
+    // the 5-step greedy MMR trajectory, unrolled (see mmrOracleSql)
+    "q_mmr_rerank" -> mmrOracleSql(5),
 
     // SemDeDup at numCells=1 = exact all-pairs threshold graph; keep-one
     // = drop every node whose component's min id is not itself. The

@@ -140,4 +140,63 @@ object Retrieval {
     joined.withColumn("bm25", idf * tfD * lit(k1 + 1.0) / (tfD + norm))
       .drop("n_docs", "avgdl")
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+    * the diversity step between retrieval and consumption: from each
+    * query's candidate set, greedily select `m` items maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)`; the first pick is
+    * pure relevance. Ties break by candidate id ascending, so the
+    * selection is deterministic.
+    *
+    * Distributed as `m` unrolled DataFrame steps (per step: an anti-join
+    * drops the already-selected, a join+max computes each survivor's
+    * similarity to the selected set, a per-query row_number picks the
+    * winner) — every step is joins and per-query-bounded windows, so the
+    * operator scales over MILLIONS of queries at once; per-query work is
+    * O(m·|candidates|) pairwise cosines, the caller bounds |candidates|
+    * (a retrieval top-N). No per-group driver logic, no global window.
+    *
+    * @param candidates (queryIdCol, idCol, relCol, vecCol) — one row per
+    *   query×candidate, e.g. a [[Similarity.bruteForceTopK]] / ANN top-N
+    *   joined back to its vectors
+    * @return (query_id, neighbor_id, mmr_rank, mmr_score) — `mmr_rank`
+    *   is the selection order (1 = most relevant); queries with fewer
+    *   than `m` candidates simply stop early
+    */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, idCol: String,
+      relCol: String, vecCol: String, m: Int,
+      lambda: Double = 0.5): DataFrame = {
+    import graft.functions.GraftExpressions.cosine_sim
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val cand = candidates.select(col(queryIdCol).alias("query_id"),
+        col(idCol).alias("_id"), col(relCol).cast(DoubleType).alias("_rel"),
+        col(vecCol).alias("_vec"))
+      .localCheckpoint(true) // probed by every step below
+    def pickTop(scored: DataFrame, rank: Int, score: org.apache.spark.sql.Column) =
+      scored.withColumn("_score", score)
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("_score").desc, col("_id"))))
+        .where(col("_rn") === 1)
+        .select(col("query_id"), col("_id"), col("_vec"),
+          lit(rank).alias("mmr_rank"), col("_score").alias("mmr_score"))
+    var selected = pickTop(cand, 1, col("_rel"))
+    for (step <- 2 to m) {
+      val selKeys = selected.select(col("query_id"), col("_id"))
+      val remaining = cand.join(selKeys, Seq("query_id", "_id"), "left_anti")
+      val maxSim = remaining.select(col("query_id"), col("_id"), col("_vec"))
+        .join(selected.select(col("query_id"), col("_vec").alias("_svec")),
+          Seq("query_id"))
+        .groupBy(col("query_id"), col("_id"))
+        .agg(max(cosine_sim(col("_vec"), col("_svec"))).alias("_maxsim"))
+      val next = pickTop(remaining.join(maxSim, Seq("query_id", "_id")),
+        step, lit(lambda) * col("_rel") - lit(1.0 - lambda) * col("_maxsim"))
+      // m is small by construction; the checkpoint keeps the step-(i+1)
+      // plan from re-deriving every earlier step's joins
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("_id").alias("neighbor_id"),
+      col("mmr_rank"), col("mmr_score"))
+  }
 }

@@ -96,4 +96,32 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(swapped === Seq((10L, 1.0 / 61 + 1.0 / 62), (20L, 1.0 / 61 + 1.0 / 62)))
   }
+
+  test("mmrRerank: diversity outranks raw relevance; short queries stop early (r12)") {
+    import spark.implicits._
+    // query 1: a (rel .99) and b (rel .98) nearly identical vectors,
+    // c (rel .5) orthogonal — pure relevance would pick a, b; MMR must
+    // pick a, then c (b's redundancy penalty sinks it), then b
+    val cands = Seq(
+      (1L, 10L, 0.99, Array(1f, 0f)),
+      (1L, 11L, 0.98, Array(1f, 0.01f)),
+      (1L, 12L, 0.50, Array(0f, 1f)),
+      // query 2: only two candidates under m = 3 — stops early
+      (2L, 20L, 0.9, Array(1f, 0f)),
+      (2L, 21L, 0.8, Array(0f, 1f))
+    ).toDF("qid", "id", "rel", "vec")
+    val got = Retrieval.mmrRerank(cands, "qid", "id", "rel", "vec", m = 3)
+      .orderBy("query_id", "mmr_rank")
+      .select("query_id", "neighbor_id", "mmr_rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 1), (1L, 12L, 2), (1L, 11L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)))
+    // lambda = 1 degenerates to pure relevance order
+    val pure = Retrieval.mmrRerank(cands, "qid", "id", "rel", "vec",
+        m = 3, lambda = 1.0)
+      .orderBy("query_id", "mmr_rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(pure == Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L)))
+  }
 }
