@@ -582,5 +582,11 @@ class AnnIndexSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       AnnIndex.appendIvf(dir, emb.where(col("vec_id") === 999))
     }
+    // attributes survive the physical fold: compact, then the same
+    // filtered search must still equal the filtered brute force
+    AnnIndex.compactIvf(dir)
+    val afterCompact = AnnIndex.searchIvf(dir, queries, "qid", k = 5,
+      nprobe = 4, where = Some(col("flag") === 1))
+    assert(canon(afterCompact) === canon(want))
   }
 }
