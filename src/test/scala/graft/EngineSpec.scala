@@ -89,6 +89,15 @@ class EngineSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query is oracle-gated (no_oracle stays 0, r12 invariant)") {
+    // r11 graduated the last rows-only gate; from then on a new query
+    // without a DuckDB oracle is a coverage REGRESSION, not a default —
+    // this pin forces the decision to be explicit (add the oracle, or
+    // amend this test with a documented reason)
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(ungated.isEmpty, s"query without oracle: $ungated")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
