@@ -679,6 +679,11 @@ object AnnIndex {
     *   the best among QUALIFYING vectors (post-filtering top-k output
     *   would under-fill instead). The predicate pushes into the parquet
     *   scan of the probed cells; tombstone filtering composes on top.
+    *   RECALL CAVEAT at partial nprobe: the filter shrinks each probed
+    *   cell's candidate pool, so a selective predicate needs a larger
+    *   `nprobe` to keep recall (the qualifying neighbors may live in
+    *   cells the unfiltered ranking would not probe) — the standard
+    *   filtered-ANN trade, on the caller's knob.
     */
   def searchIvf(path: String, queries: DataFrame, queryIdCol: String,
       k: Int, nprobe: Int = 4, where: Option[Column] = None): DataFrame = {
