@@ -124,4 +124,54 @@ class RetrievalSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
     assert(pure == Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L)))
   }
+
+  test("mmrRerank ≡ an independent in-Scala greedy reference on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 20 queries × 4-12 candidates, 4-dim random vectors, random rel
+    val rows = for {
+      q <- 1L to 20L
+      n = 4 + rnd.nextInt(9)
+      c <- 0 until n
+    } yield (q, c.toLong, rnd.nextDouble(),
+      Array.fill(4)(rnd.nextFloat() - 0.5f))
+    val lambda = 0.7
+    val m = 4
+    val got = Retrieval.mmrRerank(rows.toDF("qid", "id", "rel", "vec"),
+        "qid", "id", "rel", "vec", m = m, lambda = lambda)
+      .select("query_id", "neighbor_id", "mmr_rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._3).map(_._2).toSeq
+      }
+    // reference: per query, the naive O(m·n²) greedy loop, cosines in
+    // plain Scala (same formula, independent code path)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.groupBy(_._1).map { case (q, cs) =>
+      val cand = cs.map(c => (c._2, c._3, c._4))
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+      (1 to math.min(m, cand.size)).foreach { _ =>
+        val remaining = cand.filterNot(c => selected.exists(_._1 == c._1))
+        val best = remaining.map { case (id, rel, v) =>
+          val score =
+            if (selected.isEmpty) rel
+            else lambda * rel -
+              (1 - lambda) * selected.map(s => cos(v, s._2)).max
+          (id, score)
+        }.minBy { case (id, s) => (-s, id) } // score desc, id asc
+        val v = cand.find(_._1 == best._1).get._3
+        selected += ((best._1, v))
+      }
+      q -> selected.map(_._1).toSeq
+    }
+    assert(got == want)
+  }
 }
