@@ -55,6 +55,47 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("train ≡ an independent in-Scala BPE reference on random corpora") {
+    val rnd = new scala.util.Random(5)
+    def fuseRef(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r =>
+          (l + r) :: fuseRef(rest, l, r)
+        case a :: rest => a :: fuseRef(rest, l, r)
+        case Nil => Nil
+      }
+    def trainRef(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+      var vocab = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toList, ws.size.toLong) }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var rank = 1L
+      var done = false
+      while (rank <= k && !done) {
+        val pairs = vocab.flatMap { case (syms, cnt) =>
+          syms.sliding(2).collect { case List(a, b) => ((a, b), cnt) }
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((rank, l, r, c))
+          vocab = vocab.map { case (syms, cnt) => (fuseRef(syms, l, r), cnt) }
+          rank += 1
+        }
+      }
+      out.toSeq
+    }
+    (1 to 8).foreach { trial =>
+      // small alphabet forces heavy pair collisions and ties
+      val texts = (1 to 10).map(_ => (1 to (2 + rnd.nextInt(6))).map(_ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ =>
+          ('a' + rnd.nextInt(3)).toChar).mkString).mkString(" "))
+      val got = BpeTrain.train(texts.toDF("text"), "text", numMerges = 5)
+        .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+      assert(got == trainRef(texts, 5), s"trial $trial on corpus $texts")
+    }
+  }
+
   test("train is partitioning-invariant (corpus row order immaterial)") {
     val a = BpeTrain.train(corpus, "text", 3)
       .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
