@@ -104,6 +104,47 @@ class MultiWriterStreamSpec extends SparkSpec {
     graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("three writers on one manifest store: two concurrent losers still converge") {
+    // the r12 2-writer topology widened: at any commit there can now be
+    // TWO concurrent losers rebasing against one winner, and up to three
+    // compaction policies racing — the protocol's bounded retry and the
+    // lost-maintenance-race absorption must hold under deeper contention
+    val work = java.nio.file.Files.createTempDirectory("graft-mw3")
+    val master = (1L to 600L).map(k => (k, s"name-$k", k * 10.0))
+      .toDF("user_id", "name", "bal")
+    val store = new ManifestUpsertStore(spark, work.resolve("s").toString,
+      pkCols = Seq("user_id"), numBuckets = 8)
+    store.initialize(Cdc.initialLoad(master.where(col("user_id") <= 150)))
+    def feed(lo: Long, hi: Long, txBase: Long) =
+      master.where(col("user_id") > lo && col("user_id") <= hi)
+        .select(col("user_id"),
+          (col("user_id") + txBase).alias(Cdc.TransactionId))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def run(name: String, lo: Long, hi: Long, txBase: Long): Thread =
+      new Thread(() => try {
+        val j = new CdcStreamJob(spark, source = () => master, store = store,
+          ledger = new TxidLedger(work.resolve(s"$name.ledger").toString),
+          keyJoin = Seq("user_id" -> "user_id"),
+          autoCompactDeltas = Some(2)) // aggressive: maximize races
+        val step = (hi - lo) / 3
+        (0 until 3).foreach { b =>
+          val from = lo + b * step
+          val to = if (b == 2) hi else from + step
+          j.processBatch(feed(from, to, txBase), b.toLong)
+        }
+      } catch { case t: Throwable => errors.add(t) })
+    val ts = Seq(run("w1", 150L, 300L, 1000L), run("w2", 300L, 450L, 2000L),
+      run("w3", 450L, 600L, 3000L))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(ts.forall(!_.isAlive), "a writer hung")
+    assert(errors.isEmpty,
+      s"no writer may surface a conflict under rebase: $errors")
+    val got = store.snapshot()
+      .select("user_id", "name").as[(Long, String)].collect().toSet
+    assert(got === (1L to 600L).map(k => (k, s"name-$k")).toSet)
+    graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("manifest store through Structured Streaming: e2e + restart from checkpoint") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val work = java.nio.file.Files.createTempDirectory("graft-mwss")
