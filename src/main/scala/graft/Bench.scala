@@ -101,8 +101,11 @@ object Bench {
       // bench line (`"retried":[...]`) so a ~50%-flaky query stays
       // visible even when its retry succeeds (ADVICE r11).
       val firstTry = once()
-      if (firstTry < 0) retriedNames.add(name)
       val first = if (firstTry < 0) once() else firstTry
+      // recorded only when the retry SUCCEEDED: a query that fails both
+      // attempts reports -1 and must not also read as flaky-but-recovered
+      // (ADVICE r12)
+      if (firstTry < 0 && first >= 0) retriedNames.add(name)
       // A failed FIRST run reports -1; a transient failure on a repeat is
       // dropped and the median is taken over the successful runs only
       // (Seq(t,-1,-1).sorted(1) used to report -1 for a query that ran).

@@ -193,10 +193,18 @@ object Retrieval {
       val next = pickTop(remaining.join(maxSim, Seq("query_id", "_id")),
         step, lit(lambda) * col("_rel") - lit(1.0 - lambda) * col("_maxsim"))
       // m is small by construction; the checkpoint keeps the step-(i+1)
-      // plan from re-deriving every earlier step's joins
+      // plan from re-deriving every earlier step's joins. The superseded
+      // step's checkpoint is dropped once the new one materializes, so
+      // storage holds one trajectory, not one copy per step (ADVICE r12).
+      val prev = selected
       selected = selected.unionByName(next).localCheckpoint(true)
+      prev.unpersist()
     }
-    selected.select(col("query_id"), col("_id").alias("neighbor_id"),
+    val out = selected.select(col("query_id"), col("_id").alias("neighbor_id"),
       col("mmr_rank"), col("mmr_score"))
+    // the result no longer references cand's blocks; the final `selected`
+    // checkpoint stays live because `out` is computed from it lazily
+    if (m >= 2) cand.unpersist()
+    out
   }
 }

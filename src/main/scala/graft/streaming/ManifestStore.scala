@@ -323,7 +323,7 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * garbage the next GC sweeps.
     */
   private def genName(v: Long, tag: String): String =
-    s"gen-$v-$tag-" + java.util.UUID.randomUUID().toString.take(8)
+    s"gen-$v-$tag-" + java.util.UUID.randomUUID().toString
 
   /** Nonce-only generation name for rebasable commits (merge/compact):
     * their manifest slot is chosen INSIDE the commit loop and can move
@@ -331,10 +331,17 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * pre-loop listing — could disagree with the slot that finally wins,
     * which is harmless but misleading when debugging on-disk state
     * (ADVICE r11). The manifest entry is the sole authority; the name
-    * carries only the tag and the anti-collision nonce.
+    * carries only the tag and the anti-collision nonce. The nonce is the
+    * FULL 122-bit UUID: generation dirs are written with
+    * mode("overwrite"), so a nonce collision with a live referenced
+    * generation would silently clobber committed data while the manifest
+    * still references it — at 32 bits (the pre-r13 `take(8)`) a busy
+    * store crosses birthday odds around ~2^16 commits; at 122 bits the
+    * failure mode is gone for any physically possible commit count
+    * (ADVICE r12).
     */
   private def genName(tag: String): String =
-    s"gen-$tag-" + java.util.UUID.randomUUID().toString.take(8)
+    s"gen-$tag-" + java.util.UUID.randomUUID().toString
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol, pmod(hash(pkCols.map(col): _*), lit(numBuckets)))

@@ -36,32 +36,48 @@ object Fs {
     * every JVM, not just Linux — the JavaDoc only guarantees `force` for
     * writes made *through the forcing channel*, and a READ-only handle's
     * behavior for other writers' bytes is unspecified (ADVICE r10).
-    * On a read-only file or permission-restricted FS the WRITE open
-    * throws where the pre-r11 READ-open force used to succeed; fall back
-    * to that READ-open force with the same one-shot loud warning
-    * `fsyncDir` uses, rather than failing the whole commit (ADVICE r11).
+    * On a read-only file or permission-restricted FS the WRITE *open*
+    * throws where the pre-r11 READ-open force used to succeed; ONLY that
+    * open failure triggers the READ-open fallback (one-shot loud warning,
+    * same pattern as `fsyncDir`). A `force` failure — on either channel —
+    * is a REAL durability failure (an EIO here is the kernel reporting
+    * the writeback error ONCE; a retry on a fresh handle would observe
+    * the already-cleared state, the fsyncgate pattern) and must propagate
+    * so the commit that depends on this file being durable fails instead
+    * of publishing a reference to non-durable data (ADVICE r12). Fallback
+    * failures are logged EVERY time, not just the first.
     */
-  def fsyncFile(f: java.io.File): Unit =
-    try {
-      val ch = java.nio.channels.FileChannel.open(f.toPath,
+  def fsyncFile(f: java.io.File): Unit = {
+    val writableOpen =
+      try Right(java.nio.channels.FileChannel.open(f.toPath,
         java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.READ)
-      try ch.force(true) finally ch.close()
-    } catch {
-      case e @ (_: java.nio.file.AccessDeniedException |
-                _: java.io.IOException) =>
+        java.nio.file.StandardOpenOption.READ))
+      catch { case e: java.io.IOException => Left(e) }
+    writableOpen match {
+      case Right(ch) =>
+        // force() failures propagate: the open succeeded, so an error here
+        // is the filesystem refusing durability, not a permissions quirk.
+        try ch.force(true) finally ch.close()
+      case Left(openErr) =>
         if (fsyncFileReadOnly.compareAndSet(false, true))
           org.slf4j.LoggerFactory.getLogger(Fs.getClass).warn(
-            s"writable open for fsync unavailable ($f: ${e.getMessage}) " +
-              "— falling back to READ-open force; data durability of " +
-              "other writers' bytes is unspecified on this JVM/filesystem",
-            e)
+            s"writable open for fsync unavailable ($f: " +
+              s"${openErr.getMessage}) — falling back to READ-open force; " +
+              "data durability of other writers' bytes is unspecified on " +
+              "this JVM/filesystem", openErr)
         try {
           val ch = java.nio.channels.FileChannel.open(f.toPath,
             java.nio.file.StandardOpenOption.READ)
           try ch.force(true) finally ch.close()
-        } catch { case _: java.io.IOException => () }
+        } catch {
+          case e: java.io.IOException =>
+            org.slf4j.LoggerFactory.getLogger(Fs.getClass).warn(
+              s"READ-open fsync fallback failed for $f — propagating; the " +
+                "pending commit must not publish against non-durable data", e)
+            throw e
+        }
     }
+  }
 
   /** fsync a directory entry table (persists renames/creates/unlinks in
     * it); skipped where the FS rejects directory handles — but LOUDLY,
