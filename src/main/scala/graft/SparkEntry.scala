@@ -1629,6 +1629,69 @@ object SparkEntry {
       } finally rm(work.toFile)
     }),
 
+    // DOWNSTREAM REPLICA VIA THE CHANGE FEED (r13, VERDICT r12 #2): the
+    // reference's consumer-side topology — its consumers tail the Kafka
+    // topic the producer commits into (README.md:44); here a
+    // StoreChangeFeed consumer (durable cursor, at-least-once) tails the
+    // object-store MANIFEST store's version history and maintains a
+    // rename-based MOR replica, i.e. the two commit protocols composed
+    // across the feed seam. Batch 1, a manifest compaction, and batch 2
+    // land behind the attached consumer; every polled window is applied
+    // TWICE before its ack (the crash-between-effect-and-ack replay), so
+    // idempotent convergence is inside the hash. Oracle = the source's
+    // final-state arithmetic (identical to q_store_manifest): a skipped
+    // window, a lost delete, or a feed/compaction interaction bug breaks
+    // the hash.
+    "q_store_feed_replica" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").alias("user_id"), col("c_name"), col("c_acctbal"))
+      val work = java.nio.file.Files.createTempDirectory("graft-feedrepl")
+      def rm(x: java.io.File): Unit = graft.util.Fs.rmTree(x)
+      try {
+        val source = new graft.streaming.ManifestUpsertStore(s,
+          work.resolve("source").toString, pkCols = Seq("user_id"),
+          numBuckets = 8)
+        source.initialize(Cdc.initialLoad(cust))
+        // attach BEFORE snapshotting: a merge landing in between replays
+        val feed = new graft.streaming.StoreChangeFeed(source,
+          work.resolve("cursor").toString)
+        val replica = new graft.streaming.UpsertStore(s,
+          work.resolve("replica").toString, pkCols = Seq("user_id"),
+          numBuckets = 8, mergeOnRead = true)
+        replica.initialize(Cdc.initialLoad(source.snapshot()))
+        def drain(): Unit = {
+          val (changes, to) = feed.poll()
+          if (feed.cursor < to) {
+            val w = changes.localCheckpoint(true) // one window, applied twice
+            replica.merge(w)
+            replica.merge(w) // crash-replay before the ack: must be a no-op
+            feed.commit(to)
+            w.unpersist()
+          }
+        }
+        source.merge(cust
+          .where(col("user_id") % 7 === 0 || col("user_id") % 3 === 0)
+          .withColumn("c_acctbal",
+            when(col("user_id") % 7 =!= 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+          .withColumn(Cdc.ChangeType,
+            when(col("user_id") % 7 === 0, lit(Cdc.Delete))
+              .otherwise(lit(Cdc.Upsert)))
+          .withColumn(Cdc.TransactionId, lit(1L)))
+        drain()
+        source.compact() // versions keep flowing; the feed must span it
+        source.merge(cust.where(col("user_id") % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 200)
+          .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          .withColumn(Cdc.TransactionId, lit(2L)))
+        drain()
+        replica.snapshot()
+          .select(col("user_id"), col("c_name"),
+            col("c_acctbal").cast(DoubleType).alias("bal"))
+          .localCheckpoint(true)
+      } finally rm(work.toFile)
+    }),
+
     // §3.2 + §3.1 composed: the full change stream a consumer sees —
     // initial-load INSERT envelope unioned with the delta fold.
     "q_cdc_stream_union" -> ((s, dir) => {
@@ -4058,6 +4121,18 @@ object SparkEntry {
     // unrestricted keys (+200 overrides +100; %7 deletes survive only via
     // %5 re-insert)
     "q_store_manifest" ->
+      """SELECT c_custkey AS user_id, c_name,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 200
+        |            WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 5 <> 0)""".stripMargin,
+
+    // Feed-maintained replica converges to the source's final state: the
+    // same LWW arithmetic as q_store_manifest (the replica is only
+    // correct if no window was skipped, re-applied non-idempotently, or
+    // torn by the in-range compaction)
+    "q_store_feed_replica" ->
       """SELECT c_custkey AS user_id, c_name,
         |  CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 200
         |            WHEN c_custkey % 3 = 0 THEN c_acctbal + 100

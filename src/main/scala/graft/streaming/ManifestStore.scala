@@ -26,6 +26,17 @@ trait KeyedUpsertStore {
   def merge(folded: DataFrame): Unit
   /** Current store contents (no envelope columns). */
   def snapshot(): DataFrame
+  /** Monotone feed position for change-data-feed consumers: the newest
+    * delta seq (rename-based store) or the manifest version (object-store
+    * commit protocol). [[StoreChangeFeed]] tails either protocol through
+    * this pair of methods (r13 — the consumer is protocol-agnostic).
+    */
+  def feedVersion: Long
+  /** CDF envelope rows (payload + `_change_type`) in `(from, to]` of the
+    * [[feedVersion]] history; LWW-applying them takes the `from` snapshot
+    * to the `to` snapshot. Refuses loudly behind the retention horizon.
+    */
+  def changesBetween(from: Long, to: Long): DataFrame
   /** Compact when the delta-count debt reaches the threshold; returns
     * whether a compaction ran.
     */
@@ -398,6 +409,9 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
   def exists: Boolean = manifestFiles().nonEmpty
 
   def currentVersion: Long = currentManifest().version
+
+  /** Feed position = manifest version (see [[KeyedUpsertStore]]). */
+  def feedVersion: Long = currentVersion
 
   def deltaCount: Int = currentManifest().deltas.size
 

@@ -334,6 +334,9 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
       .drop(bucketCol)
   }
 
+  /** Feed position = newest delta seq (see [[KeyedUpsertStore]]). */
+  def feedVersion: Long = currentSeq
+
   /** Highest published sequence (0 before any MOR merge; COW merges also
     * advance it so the horizon arithmetic stays uniform across modes).
     */
@@ -1156,7 +1159,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
   * folded-away span would lose deletes. Retention is the compaction
   * cadence — a consumer needing N versions of slack compacts every N.
   */
-class StoreChangeFeed(store: UpsertStore, cursorPath: String) {
+class StoreChangeFeed(store: KeyedUpsertStore, cursorPath: String) {
   private val ledger = new TxidLedger(cursorPath)
   // BASELINE AT ATTACH (review r9): with no durable cursor the baseline is
   // the store's CURRENT version, not 0 — a store that has ever compacted
@@ -1165,7 +1168,7 @@ class StoreChangeFeed(store: UpsertStore, cursorPath: String) {
   // snapshots is the safe order: any merge landing in between is ahead of
   // the cursor and replays (at-least-once), whereas a cursor taken after
   // the snapshot could silently skip it.
-  if (ledger.read() < 0L) ledger.commit(store.currentSeq)
+  if (ledger.read() < 0L) ledger.commit(store.feedVersion)
 
   /** Last version this consumer has durably acknowledged. Initialized to
     * the store version at attach time ("the snapshot I am about to take is
@@ -1177,7 +1180,7 @@ class StoreChangeFeed(store: UpsertStore, cursorPath: String) {
     * downstream, make the effect durable, then [[commit]](toSeq).
     */
   def poll(): (DataFrame, Long) = {
-    val to = store.currentSeq
+    val to = store.feedVersion
     (store.changesBetween(cursor, to), to)
   }
 

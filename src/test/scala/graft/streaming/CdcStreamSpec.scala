@@ -1412,6 +1412,8 @@ class CdcStreamSpec extends SparkSpec {
       merges += 1
     }
     def snapshot(): DataFrame = spark.emptyDataFrame
+    def feedVersion: Long = merges.toLong
+    def changesBetween(from: Long, to: Long): DataFrame = spark.emptyDataFrame
     def compactIfNeeded(maxDeltas: Int): Boolean = {
       compactChecks += 1
       if (compactFails) throw new CommitConflictException("lost maintenance race")

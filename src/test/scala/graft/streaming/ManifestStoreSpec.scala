@@ -553,4 +553,65 @@ class ManifestStoreSpec extends SparkSpec {
     assert(state(reader) === Set((1L, "one"), (2L, "TWO"), (3L, "three")))
     assert(reader.deltaCount === 0)
   }
+
+  // r13 (VERDICT r12 #2): the feed consumer is protocol-agnostic — the same
+  // StoreChangeFeed that tails the rename-based store (CdcStreamSpec) tails
+  // the object-store manifest protocol through KeyedUpsertStore's
+  // feedVersion/changesBetween pair. The manifest-specific hazards are
+  // pinned here: a window that SPANS a compaction (the folded delta must
+  // stay resolvable through the retained pre-compaction manifest's gen
+  // reference), a compaction-only window (version moved, zero changes),
+  // and a consumer lagging past keepVersions (loud refusal, then a fresh
+  // consumer re-baselines at the current version).
+  test("change-feed consumer tails the manifest protocol: spanned compaction, replay, horizon") {
+    val dir = tmp("mffeed")
+    // keep=4: the first poll window spans (1, 4] so the v1 baseline must
+    // still be retained after three commits — the feed window IS the
+    // manifest retention window, and this test sits exactly at its edge
+    val store = newStore(dir, keep = 4) // version 1 = initial load
+    val cursorPath = tmp("mffeed-cursor") + "/cursor"
+    val feed = new StoreChangeFeed(store, cursorPath)
+    assert(feed.cursor === store.currentVersion,
+      "baseline at attach = the snapshot the consumer is about to seed from")
+    val replica = new UpsertStore(spark, tmp("mffeed-dst"), Seq("id"),
+      numBuckets = 4, mergeOnRead = true)
+    replica.initialize(Cdc.initialLoad(store.snapshot()))
+    def replicaState = replica.snapshot()
+      .as[(Long, String)].collect().toSet
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO"),
+      (Cdc.Delete, 11L, 3L, null.asInstanceOf[String]))) // version 2
+    store.compact() // version 3: folds the v2 delta into a new base
+    store.merge(batch((Cdc.Upsert, 12L, 4L, "four")))    // version 4
+    // ONE poll window spanning delta + compaction + delta: the folded-away
+    // delta resolves through the retained v2 manifest's gen reference
+    val (w1, to1) = feed.poll()
+    val win = w1.localCheckpoint(true)
+    replica.merge(win)
+    replica.merge(win) // crash before the ack: replay must be idempotent
+    feed.commit(to1)
+    win.unpersist()
+    assert(replicaState === state(store))
+    assert(replicaState === Set((1L, "one"), (2L, "TWO"), (4L, "four")))
+    assert(feed.cursor === store.currentVersion)
+    // compaction-only window: feedVersion moved, the change set is empty
+    // (with the envelope schema) — the consumer acks through it
+    store.compact() // version 5
+    val (none, to2) = feed.poll()
+    assert(none.isEmpty && none.columns.contains(Cdc.ChangeType))
+    feed.commit(to2)
+    assert(feed.cursor === store.currentVersion)
+    // lag the consumer past keepVersions=4: versions 6..9 retire version 5
+    (6 to 9).foreach { v =>
+      store.merge(batch((Cdc.Upsert, 10L + v, v.toLong, s"v$v")))
+    }
+    intercept[IllegalStateException](feed.poll())
+    // a fresh consumer re-baselines at the current version and tails on
+    val late = new StoreChangeFeed(store, tmp("mffeed-c2") + "/cursor")
+    assert(late.cursor === store.currentVersion)
+    store.merge(batch((Cdc.Upsert, 30L, 9L, "nine")))
+    val (c3, to3) = late.poll()
+    assert(c3.select("id", "payload", Cdc.ChangeType)
+      .as[(Long, String, String)].collect().toSet === Set((9L, "nine", "A")))
+    late.commit(to3)
+  }
 }
