@@ -84,6 +84,51 @@ object AnnScaleProbe {
     probe(500000L, "n500k")
     probe(2000000L, "n2m")
 
+    // 4. Search cost vs maintenance debt (VERDICT r12 #3): the same
+    //    24-batch append+delete CDC stream through AnnIndexMaintainer,
+    //    once with NO policy (debt climbs to 2 dirs/batch = 48 un-folded
+    //    dirs — every probed-cell scan unions 48 extra parquet reads and
+    //    the tombstone anti-filter broadcast grows unboundedly) and once
+    //    with the count policy at 8 (debt stays < 8 forever). Search
+    //    (16 queries, k=10, nprobe=8) is timed median-of-3 every 6
+    //    batches; the policy row must stay ~flat while the no-policy row
+    //    climbs — the measured counterpart of AnnMaintainerSpec's
+    //    boundedness assertion.
+    def maintainProbe(policy: Option[Int], label: String): Unit = {
+      import graft.cdc.Cdc
+      val n = 200000L
+      val work = java.nio.file.Files.createTempDirectory(s"graft-annmp-$label")
+      try {
+        val ix = work.resolve("ix").toString
+        AnnIndex.buildIvf(ix, vecs(n), "id", "embedding",
+          numCells = NumCells, fitSampleSize = 2000)
+        val maint = new graft.streaming.AnnIndexMaintainer(ix,
+          autoCompactDeltas = policy)
+        val queries = vecs(16).select(col("id").alias("qid"), col("embedding"))
+          .localCheckpoint(true)
+        def searchMedian3(): Double = Seq.fill(3)(time {
+          AnnIndex.searchIvf(ix, queries, "qid", k = 10, nprobe = 8)
+            .write.format("noop").mode("overwrite").save()
+        }).sorted.apply(1)
+        (0 until 24).foreach { b =>
+          val appends = vecs(5000, idOffset = n + 5000L * b)
+            .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          val deletes = spark.range(2000)
+            .select(((col("id") * 97 + b * 2000) % n).alias("id")).distinct()
+            .withColumn("embedding", lit(null).cast("array<float>"))
+            .withColumn(Cdc.ChangeType, lit(Cdc.Delete))
+          maint.processBatch(appends.unionByName(deletes), b.toLong)
+          if ((b + 1) % 6 == 0) {
+            val s = searchMedian3()
+            println(f"search_${label}_b${b + 1}=$s%.3f " +
+              f"debt_${label}_b${b + 1}=${AnnIndex.deltaDebt(ix)}")
+          }
+        }
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }
+    maintainProbe(None, "nopolicy")
+    maintainProbe(Some(8), "policy")
+
     spark.stop()
   }
 }
