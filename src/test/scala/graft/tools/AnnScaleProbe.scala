@@ -79,10 +79,16 @@ object AnnScaleProbe {
       } finally graft.util.Fs.rmTree(work.toFile)
     }
 
-    probe(50000L, "warmup") // JIT/codegen warmup
-    probe(50000L, "n50k")
-    probe(500000L, "n500k")
-    probe(2000000L, "n2m")
+    // optional arg restricts the run: "sizes" = the O(batch) probes,
+    // "maintain" = the search-cost-vs-debt probes; default both
+    val what = if (args.isEmpty) Set("sizes", "maintain") else args.toSet
+
+    if (what("sizes")) {
+      probe(50000L, "warmup") // JIT/codegen warmup
+      probe(50000L, "n50k")
+      probe(500000L, "n500k")
+      probe(2000000L, "n2m")
+    }
 
     // 4. Search cost vs maintenance debt (VERDICT r12 #3): the same
     //    24-batch append+delete CDC stream through AnnIndexMaintainer,
@@ -126,8 +132,10 @@ object AnnScaleProbe {
         }
       } finally graft.util.Fs.rmTree(work.toFile)
     }
-    maintainProbe(None, "nopolicy")
-    maintainProbe(Some(8), "policy")
+    if (what("maintain")) {
+      maintainProbe(None, "nopolicy")
+      maintainProbe(Some(8), "policy")
+    }
 
     spark.stop()
   }
