@@ -589,4 +589,38 @@ class AnnIndexSpec extends SparkSpec {
       nprobe = 4, where = Some(col("flag") === 1))
     assert(canon(afterCompact) === canon(want))
   }
+
+  test("filtered-search recall floor: the worst cell of SCALING §23's table stays pinned (r13)") {
+    // EXACTLY the worst measured configuration of AnnFilterRecallProbe's
+    // recall table (SCALING §23): sf0.1 corpus, numCells=16, seed=1,
+    // selectivity 1/100 (vec_id % 100 == 0 — 20 qualifying rows spread
+    // uniformly over 16 cells), nprobe=1, k=10, 64 queries. The build is
+    // seed-deterministic, so the measured 0.073 is exact; the floor is
+    // pinned with a hair of slack for platform float jitter. A quantizer
+    // or probed-cell-selection regression that degrades worst-case
+    // filtered recall fails here before any caller sees it.
+    val sf01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-recallfloor").resolve("ix").toString
+    AnnIndex.buildIvf(dir, sf01, "vec_id", "embedding",
+      numCells = 16, seed = 1L, fitSampleSize = 2000)
+    val qs = sf01.where(col("vec_id") < 64)
+      .select(col("vec_id").alias("qid"), col("embedding"))
+    val pred = pmod(col("vec_id"), lit(100)) === 0
+    val truth = Similarity.bruteForceTopK(sf01.where(pred),
+        qs.withColumnRenamed("qid", "vec_id"),
+        "vec_id", "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id")
+    val denom = truth.count().toDouble
+    def recallAt(nprobe: Int): Double = {
+      val got = AnnIndex.searchIvf(dir, qs, "qid", k = 10,
+          nprobe = nprobe, where = Some(pred))
+        .select("query_id", "neighbor_id")
+      got.join(truth, Seq("query_id", "neighbor_id")).count() / denom
+    }
+    val worst = recallAt(1)
+    assert(worst >= 0.07, f"worst-cell recall regressed: $worst%.3f < 0.07")
+    // and the full-probe row of the same table is exact by construction
+    assert(recallAt(16) === 1.0)
+  }
 }
