@@ -1004,6 +1004,22 @@ object SparkEntry {
       BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
+    // THE COMPILED AUTOMATON UNDER THE SAME ORACLE (r13): the
+    // vocabulary-scale serving path — rank-priority loop over a broadcast
+    // merge table instead of k literal fold layers — must reproduce the
+    // unrolled-SQL fold bit for bit on every word of every document (the
+    // fold/priority-loop equivalence holds exactly because train()'s
+    // tables are creation-ordered; BpeTrainSpec pins the hand-written
+    // counterexample where an inconsistent table makes them differ).
+    "q_bpe_tokenize_compiled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = BpeTrain.train(docs, "text", numMerges = 8)
+        .orderBy("rank")
+        .select("l", "r").collect().map(m => (m.getString(0), m.getString(1)))
+        .toSeq
+      BpeTrain.tokenCountsCompiled(docs, "doc_id", "text", merges)
+    }),
+
     // Gopher-style repetition filter: fraction of tokens covered by the
     // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
     // paragraph siblings are spec-pinned — the synthetic corpus is
@@ -2831,6 +2847,19 @@ object SparkEntry {
       |    for t in ws] AS hs
       |  FROM toks)""".stripMargin
 
+  /** Tokenization under the 8-rule learned table: per-word token counts
+    * from the fully folded vocab (w8), summed per document — shared by
+    * the literal-fold gate and the compiled-automaton gate.
+    */
+  private lazy val BpeTokenizeOracle: String =
+    bpeOracleCtes(8, lastApply = true) +
+      """,
+        |wc AS (SELECT word, len(syms)::BIGINT AS ntok FROM w8)
+        |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents)
+        |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin
+
   /** Generated BPE oracle CTE chain, `w0 … w{k}` (see q_bpe_train): w0 =
     * char-symbolized word counts; each layer i computes pair counts over
     * w{i-1} (`p{i}`), picks the argmax under the trainer's exact
@@ -3690,15 +3719,11 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")),
 
     // ...and tokenization under the learned table: per-word token counts
-    // from the fully folded vocab (w8), summed per document
-    "q_bpe_tokenize" ->
-      (bpeOracleCtes(8, lastApply = true) +
-        """,
-          |wc AS (SELECT word, len(syms)::BIGINT AS ntok FROM w8)
-          |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens FROM (
-          |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
-          |  FROM documents)
-          |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin),
+    // from the fully folded vocab (w8), summed per document. The literal
+    // fold and the compiled rank-priority automaton land on ONE oracle
+    // definition — the serving paths cannot drift.
+    "q_bpe_tokenize" -> BpeTokenizeOracle,
+    "q_bpe_tokenize_compiled" -> BpeTokenizeOracle,
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one

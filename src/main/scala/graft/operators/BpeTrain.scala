@@ -194,11 +194,120 @@ object BpeTrain {
     val toks = docs.select(col(idCol),
       explode(filter(split(col(textCol), "\\s+"),
         w => length(w) > 0)).alias("word"))
-    val vocabNtok = toks.select("word").distinct()
-      .withColumn("ntok", size(merges.foldLeft(charSyms(col("word"))) {
+    toks.join(broadcast(vocabTokensFold(toks, merges)
+        .select(col("word"), size(col("toks")).alias("ntok"))),
+      Seq("word"))
+      .groupBy(col(idCol)).agg(sum(col("ntok")).alias("n_tokens"))
+  }
+
+  private def vocabTokensFold(toks: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    toks.select("word").distinct()
+      .withColumn("toks", merges.foldLeft(charSyms(col("word"))) {
         case (s, (l, r)) => fuse(s, l, r)
-      }))
-    toks.join(broadcast(vocabNtok), Seq("word"))
+      })
+
+  // ── Vocabulary-scale serving: the compiled rank-priority automaton ──────
+
+  /** The standard serving-side BPE apply (the GPT-2/SentencePiece encoder
+    * loop) over one word: repeatedly find the PRESENT adjacent pair with
+    * the lowest merge rank and fuse all its occurrences left-to-right
+    * non-overlapping, until no ranked pair remains.
+    *
+    * For a TRAINER-CONSISTENT merge table — rank order = creation order,
+    * so a rule mentioning symbol `lr` always ranks after the rule that
+    * builds `lr`, which [[train]] guarantees by construction — this is
+    * exactly [[tokens]]' fold-in-rank-order result: fusing the
+    * lowest-ranked present pair can only CREATE pairs of higher rank
+    * (any rule consuming the new symbol was learned later), so the
+    * priority loop visits ranks non-decreasingly, which is the fold
+    * order. An arbitrary hand-written table that violates consistency
+    * (e.g. rank 1 = (ab, c), rank 2 = (a, b)) makes the two differ —
+    * the spec pins both the equivalence and the counterexample.
+    */
+  private[operators] def applyWordCompiled(word: String,
+      rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
+    var syms: Array[String] = {
+      val out = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { out(i) = word.substring(i, i + 1); i += 1 }
+      out
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get((syms(i), syms(i + 1)))
+        if (r != null && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // fuse every non-overlapping occurrence of the best pair,
+        // left-to-right — same greedy semantics as [[fuse]]
+        var l: String = null; var r: String = null
+        var j = 0
+        while (j < syms.length - 1 && l == null) {
+          val rk = rank.get((syms(j), syms(j + 1)))
+          if (rk != null && rk == best) { l = syms(j); r = syms(j + 1) }
+          j += 1
+        }
+        val out = Array.newBuilder[String]
+        j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** `(word, toks)` for every DISTINCT word, tokenized by the compiled
+    * rank-priority automaton — the vocabulary-scale twin of the literal
+    * fold inside [[tokenCounts]]. The merge table rides ONCE as a task
+    * broadcast (50k rules ≈ a few MB) instead of as k nested expression
+    * layers: per-word cost is O(passes × |word|) with a HashMap probe per
+    * adjacent pair, independent of k, where the fold pays k interpreted
+    * layers per word — the trade the [[tokens]] Scaladoc promises at
+    * vocabulary scale (SCALING §23 has the crossover measured).
+    */
+  def vocabTokensCompiled(toks: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val rankedB = spark.sparkContext.broadcast(merges.toArray)
+    toks.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val rank = new java.util.HashMap[(String, String), Integer]()
+        rankedB.value.zipWithIndex.foreach { case (p, i) =>
+          // first occurrence wins: Map-literal last-wins would silently
+          // re-rank a duplicated rule
+          if (!rank.containsKey(p)) rank.put(p, i)
+        }
+        it.map(w => (w, applyWordCompiled(w, rank)))
+      }
+      .toDF("word", "toks")
+  }
+
+  /** [[tokenCounts]] on the compiled automaton: same distinct-word +
+    * broadcast-join plan shape, with the per-word fold swapped for
+    * [[applyWordCompiled]]. Use for vocabulary-scale merge tables (tens
+    * of thousands of rules) where the literal fold's expression depth is
+    * unworkable; results are identical for trainer-consistent tables.
+    */
+  def tokenCountsCompiled(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).alias("word"))
+    toks.join(broadcast(vocabTokensCompiled(toks, merges)
+        .select(col("word"), size(col("toks")).alias("ntok"))),
+      Seq("word"))
       .groupBy(col(idCol)).agg(sum(col("ntok")).alias("n_tokens"))
   }
 }

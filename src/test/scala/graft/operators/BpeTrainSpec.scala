@@ -149,4 +149,92 @@ class BpeTrainSpec extends SparkSpec {
       }.alias("s")).as[Seq[String]].head()
     assert(got == Seq("n", "e", "w", "est"))
   }
+
+  // ── r13: the compiled rank-priority automaton ─────────────────────────
+
+  private def rankMap(merges: Seq[(String, String)]) = {
+    val m = new java.util.HashMap[(String, String), Integer]()
+    merges.zipWithIndex.foreach { case (p, i) =>
+      if (!m.containsKey(p)) m.put(p, i)
+    }
+    m
+  }
+
+  test("compiled automaton ≡ literal fold on trainer-consistent tables (randomized)") {
+    // 6 random corpora, deep merge tables (up to 20 rules): every word's
+    // compiled tokenization must equal the k-layer fold — the equivalence
+    // the Scaladoc proves only holds because train()'s tables are
+    // creation-ordered, so randomized tables must come from train()
+    val rnd = new scala.util.Random(7)
+    (0 until 6).foreach { trial =>
+      val alphabet = "abcd".take(2 + rnd.nextInt(3))
+      val words = (0 until 40).map(_ =>
+        (0 until 1 + rnd.nextInt(8))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(5).map(_.mkString(" ")).toSeq.toDF("text")
+      val merges = BpeTrain.train(docs, "text", numMerges = 20)
+        .orderBy("rank").as[(Long, String, String, Long)].collect()
+        .map(m => (m._2, m._3)).toSeq
+      val rank = rankMap(merges)
+      val foldToks = docs.select(
+          explode(BpeTrain.tokens(col("text"), merges)).alias("t"))
+        .as[Seq[String]].collect()
+      val foldWords = docs.select(
+          explode(filter(split(col("text"), "\\s+"), w => length(w) > 0))
+            .alias("w")).as[String].collect()
+      foldWords.zip(foldToks).foreach { case (w, expect) =>
+        val compiled = BpeTrain.applyWordCompiled(w, rank).toSeq
+        assert(compiled == expect,
+          s"trial $trial word '$w': compiled $compiled != fold $expect")
+      }
+    }
+  }
+
+  test("tokenCountsCompiled ≡ tokenCounts on the hand-traced corpus and gate-shaped docs") {
+    val docs = corpus.withColumn("id", monotonically_increasing_id())
+    val merges = BpeTrain.train(corpus, "text", numMerges = 3)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val fold = BpeTrain.tokenCounts(docs, "id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val compiled = BpeTrain.tokenCountsCompiled(docs, "id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(compiled == fold)
+  }
+
+  test("compiled automaton edge cases: repeats, single chars, unknown symbols, first-rank-wins") {
+    // repeats: greedy left-to-right non-overlapping, same as fuse
+    assert(BpeTrain.applyWordCompiled("aaaa", rankMap(Seq(("a", "a")))).toSeq
+      == Seq("aa", "aa"))
+    assert(BpeTrain.applyWordCompiled("aaaaa", rankMap(Seq(("a", "a")))).toSeq
+      == Seq("aa", "aa", "a"))
+    // cascading trainer-consistent rules apply transitively
+    assert(BpeTrain.applyWordCompiled("aaaa",
+      rankMap(Seq(("a", "a"), ("aa", "aa")))).toSeq == Seq("aaaa"))
+    // single char / no applicable rule
+    assert(BpeTrain.applyWordCompiled("x", rankMap(Seq(("a", "b")))).toSeq
+      == Seq("x"))
+    assert(BpeTrain.applyWordCompiled("xyz", rankMap(Seq(("a", "b")))).toSeq
+      == Seq("x", "y", "z"))
+    // a duplicated rule keeps its FIRST rank (Map-literal last-wins would
+    // silently re-rank)
+    val dup = rankMap(Seq(("a", "b"), ("a", "b")))
+    assert(dup.get(("a", "b")) == 0)
+  }
+
+  test("the equivalence is CONDITIONAL: an inconsistent table splits the two paths") {
+    // rank 1 = (ab, c) mentions a symbol rank 2 builds — impossible from
+    // train(), constructible by hand. The fold passes rule (ab, c) before
+    // 'ab' exists and never revisits it; the priority loop revisits and
+    // fuses to 'abc'. Pinning the split documents WHY the contract
+    // requires trainer-consistent tables.
+    val inconsistent = Seq(("ab", "c"), ("a", "b"))
+    val compiled = BpeTrain.applyWordCompiled("abc", rankMap(inconsistent)).toSeq
+    assert(compiled == Seq("abc"))
+    val fold = Seq("abc").toDF("w")
+      .select(inconsistent.foldLeft(BpeTrain.charSyms(col("w"))) {
+        case (s, (l, r)) => BpeTrain.fuse(s, l, r)
+      }.alias("s")).as[Seq[String]].head()
+    assert(fold == Seq("ab", "c"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.BpeTrain
@@ -54,10 +54,115 @@ object BpeScaleProbe {
       println(f"train4_$label=$tr%.3f")
     }
 
-    probe(100000L, "warmup") // JIT/codegen warmup
-    probe(100000L, "n100k")
-    probe(1000000L, "n1m")
-    probe(4000000L, "n4m")
+    // optional arg restricts the run: "corpus" = the corpus-growth probes,
+    // "merges" = the 64-merge incremental-maintenance probe, "serve" =
+    // literal-fold vs compiled-automaton tokenization; default all
+    val what = if (args.isEmpty) Set("corpus", "merges", "serve") else args.toSet
+
+    if (what("corpus")) {
+      probe(100000L, "warmup") // JIT/codegen warmup
+      probe(100000L, "n100k")
+      probe(1000000L, "n1m")
+      probe(4000000L, "n4m")
+    }
+
+    // Incremental pair-count maintenance at depth (VERDICT r12 #4): 64
+    // merges over a LARGE distinct-word vocabulary (50k words, 6-14 chars
+    // over an 8-letter alphabet — pairs specialize as merges accumulate).
+    // With the r13 incremental maintenance, per-merge cost tracks the
+    // AFFECTED-word subset: merges 9-64 must average at or below merges
+    // 1-8 (early merges hit the most frequent pairs = the largest
+    // affected sets) even though the vocab table never shrinks. Under the
+    // pre-r13 full re-aggregation both averages would be the same
+    // O(vocab) constant.
+    if (what("merges")) {
+      val bigVocabCounts = spark.range(50000)
+        .select(
+          array_join(
+            transform(sequence(lit(1), (pmod(hash(col("id")), lit(9)) + lit(6)).cast("int")),
+              i => element_at(array(('a' to 'h').map(ch => lit(ch.toString)): _*),
+                pmod(hash(col("id") * lit(1000003) + i), lit(8)).cast("int") + 1)),
+            "").alias("word"),
+          (pmod(hash(col("id") * 31), lit(1000)) + lit(1)).cast("long").alias("cnt"))
+        .groupBy("word").agg(sum("cnt").alias("cnt"))
+        .localCheckpoint(true)
+      println(s"distinct_words=${bigVocabCounts.count()}")
+      // warmup the merge path once
+      BpeTrain.trainFromCounts(bigVocabCounts, numMerges = 2).count()
+      val t8 = time { BpeTrain.trainFromCounts(bigVocabCounts, numMerges = 8).count() }
+      println(f"train8_50kvocab=$t8%.3f permerge_1to8=${t8 / 8}%.3f")
+      val t64 = time { BpeTrain.trainFromCounts(bigVocabCounts, numMerges = 64).count() }
+      println(f"train64_50kvocab=$t64%.3f permerge_9to64=${(t64 - t8) / 56}%.3f")
+    }
+
+    // Serving-path crossover (r13): per-document token counts under a
+    // learned table, literal k-layer fold vs the compiled rank-priority
+    // automaton, at k=8 and k=64 over a 50k-distinct-word / 500k-doc
+    // corpus. The fold's per-distinct-word cost grows with k (k
+    // interpreted expression layers); the automaton's is rank-count-
+    // independent (HashMap probes per adjacent pair) — the numbers locate
+    // the crossover the BpeTrain.tokens Scaladoc promises at vocabulary
+    // scale.
+    if (what("serve")) {
+      val wordOf = (idx0: Column) => {
+        val idx = idx0.cast("long") // int*1000003 overflows under ANSI
+        array_join(
+          transform(sequence(lit(1), (pmod(hash(idx), lit(9)) + lit(6)).cast("int")),
+            i => element_at(array(('a' to 'h').map(ch => lit(ch.toString)): _*),
+              pmod(hash(idx * lit(1000003L) + i), lit(8)).cast("int") + 1)),
+          "")
+      }
+      val docs = spark.range(500000).select(col("id"),
+        array_join(transform(sequence(lit(1), lit(20)),
+          i => wordOf(pmod(hash(col("id") * lit(131) + i), lit(50000)))), " ")
+          .alias("text")).localCheckpoint(true)
+      val merges = BpeTrain.train(docs, "text", numMerges = 64)
+        .orderBy("rank").collect()
+        .map(m => (m.getString(1), m.getString(2))).toSeq
+      def bench(label: String, f: Seq[(String, String)] => Unit): Unit =
+        for (k <- Seq(8, 64)) {
+          val t = time(f(merges.take(k)))
+          println(f"${label}_k$k=$t%.3f")
+        }
+      bench("serve_fold",
+        m => BpeTrain.tokenCounts(docs, "id", "text", m).count())
+      bench("serve_compiled",
+        m => BpeTrain.tokenCountsCompiled(docs, "id", "text", m).count())
+
+      // the vocab-side fold ISOLATED (the end-to-end entries above are
+      // dominated by the occurrence-side explode+join, which both paths
+      // share): tokenize the 50k distinct words alone, k up to 256 —
+      // the fold pays k interpreted layers per word AND k nested
+      // aggregate() layers of analyzer/optimizer work per QUERY, the
+      // automaton neither
+      val words = docs
+        .select(explode(filter(split(col("text"), "\\s+"),
+          w => length(w) > 0)).alias("word"))
+      val merges256 = BpeTrain.train(docs, "text", numMerges = 256)
+        .orderBy("rank").collect()
+        .map(m => (m.getString(1), m.getString(2))).toSeq
+      for (k <- Seq(8, 64, 256)) {
+        val m = merges256.take(k)
+        // an analyzer blow-up (stack depth on the k-nested aggregate tree)
+        // is itself a result at depth — record it instead of dying
+        try {
+          val tf = time {
+            words.select(col("word").alias("text")).distinct()
+              .select(sum(BpeTrain.tokenCount(col("text"), m)).alias("n"))
+              .collect()
+          }
+          println(f"vocabfold_k$k=$tf%.3f")
+        } catch {
+          case e: Throwable =>
+            println(s"vocabfold_k$k=FAILED(${e.getClass.getSimpleName})")
+        }
+        val tc = time {
+          BpeTrain.vocabTokensCompiled(words, m)
+            .select(sum(size(col("toks"))).alias("n")).collect()
+        }
+        println(f"vocabcompiled_k$k=$tc%.3f")
+      }
+    }
 
     spark.stop()
   }
