@@ -16,12 +16,14 @@ object Bench {
   val StreamMorQueryName = "stream_cdc_merge_mor"
   val StreamManifestQueryName = "stream_cdc_merge_manifest"
   val StreamManifest2wQueryName = "stream_cdc_merge_manifest_2w"
+  val StreamManifest2f1wQueryName = "stream_cdc_merge_manifest_2feed_1w"
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
     val unknown = only.diff(
       SparkEntry.queries.keySet + StreamQueryName + StreamMorQueryName +
-        StreamManifestQueryName + StreamManifest2wQueryName)
+        StreamManifestQueryName + StreamManifest2wQueryName +
+        StreamManifest2f1wQueryName)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,6 +72,9 @@ object Bench {
       else Nil) ++
       (if (only.isEmpty || only.contains(StreamManifest2wQueryName))
         StreamBench.runTwoWriter(spark, sfDir)
+      else Nil) ++
+      (if (only.isEmpty || only.contains(StreamManifest2f1wQueryName))
+        StreamBench.runTwoWriter(spark, sfDir, concurrent = false)
       else Nil)
     sweepState()
 
@@ -375,15 +380,29 @@ object StreamBench {
     * total — the gap between phase-sum and wall is the concurrency win,
     * and the single-writer `stream_cdc_merge_manifest` entry right above
     * it is the head-to-head (same store, same protocol, same feed volume).
+    *
+    * `concurrent = false` is the WIN-CONDITION control (r14, VERDICT r13
+    * #6): the SAME two independent feeds, the SAME 2·numBatches windows
+    * of the SAME size, but one writer serializes them (backfill's 10
+    * windows, then tailer's 10) — `stream_cdc_merge_manifest_2feed_1w`.
+    * Against it, the concurrent entry differs ONLY in writer count, so
+    * the pair measures what §23's retraction left open: whether two
+    * writers beat one when the workload is genuinely two concurrent
+    * feeds (the reference's deployment shape) rather than one feed split
+    * in half (§23: one writer wins there — halving batches doubles the
+    * per-batch overhead bill with no offsetting concurrency).
     */
   def runTwoWriter(spark: SparkSession, sfDir: String,
-      numBatches: Int = 10, compactEvery: Int = 5): Seq[(String, Double)] = {
+      numBatches: Int = 10, compactEvery: Int = 5,
+      concurrent: Boolean = true): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     import graft.cdc.Cdc
     import graft.streaming.{CdcStreamJob, ManifestUpsertStore, TxidLedger,
       UpsertStore}
 
-    val q = Bench.StreamManifest2wQueryName
+    val q =
+      if (concurrent) Bench.StreamManifest2wQueryName
+      else Bench.StreamManifest2f1wQueryName
     val work = java.nio.file.Files.createTempDirectory("graft-streambench2w")
     try {
       val master = Tables.load(spark, sfDir, "customer")
@@ -420,12 +439,22 @@ object StreamBench {
       val t0 = System.nanoTime()
       val backfill = writer("backfill", 0)
       val tailer = writer("tailer", 1)
-      backfill.start(); tailer.start()
-      backfill.join(600000); tailer.join(600000)
-      if (backfill.isAlive || tailer.isAlive)
-        throw new IllegalStateException(
-          "a writer is still running after 600 s — refusing to report a " +
-            "timeout as a measurement")
+      if (concurrent) {
+        backfill.start(); tailer.start()
+        backfill.join(600000); tailer.join(600000)
+        if (backfill.isAlive || tailer.isAlive)
+          throw new IllegalStateException(
+            "a writer is still running after 600 s — refusing to report a " +
+              "timeout as a measurement")
+      } else {
+        // the serialized control: same feeds, same windows, one at a time
+        backfill.start(); backfill.join(600000)
+        if (backfill.isAlive) throw new IllegalStateException(
+          "backfill still running after 600 s")
+        tailer.start(); tailer.join(600000)
+        if (tailer.isAlive) throw new IllegalStateException(
+          "tailer still running after 600 s")
+      }
       if (!errors.isEmpty)
         throw new IllegalStateException(s"writer failed: ${errors.peek()}")
       // force final state visible AND self-check zero lost updates — the

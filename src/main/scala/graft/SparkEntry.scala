@@ -1186,6 +1186,52 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard_r"))
     }),
 
+    // STREAMING NEAR-DUP, ORACLE-GATED END-TO-END (r14, VERDICT r13 #3):
+    // the documents corpus arrives as 3 micro-batches (split by doc_id%3)
+    // through StreamingNearDup.pairs at the degenerate-complete config —
+    // the batch path's 32 bands × 4 rows banding, est-threshold 0.5 far
+    // below this corpus's J ≥ 0.8 true pairs, bucket cap off — then the
+    // emitted candidate pairs are exact-Jaccard verified downstream,
+    // exactly like the batch pipeline's LSH→verify composition. The
+    // oracle is therefore the SAME exact all-pairs join as
+    // q_dedup_minhash_pairs (one shared definition): a pair the bucket
+    // state lost across micro-batch boundaries, a same-batch pair the
+    // fold order missed, or a self/replay match surviving the dedup
+    // breaks the hash. Cap-recall and TTL semantics are
+    // StreamingNearDupSpec's.
+    "q_stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").alias("doc_id"), col("text"))
+      val ms = MemoryStream[(Long, String)]
+      val hits = graft.streaming.StreamingNearDup.pairs(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 5, k = 128, bands = 32, threshold = 0.5,
+        maxBucket = Int.MaxValue)
+      val q = hits.writeStream.format("memory")
+        .queryName("stream_neardup_hits").outputMode("append").start()
+      try {
+        (0 until 3).foreach { b =>
+          ms.addData(docs.where(pmod(col("doc_id"), lit(3)) === b)
+            .as[(Long, String)].collect().toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // at-least-once hits, one per agreeing band, reported by the later
+      // arrival — normalize orientation and dedup before the exact verify
+      val cands = s.table("stream_neardup_hits")
+        .select(least(col("docId"), col("matchId")).alias("id_a"),
+          greatest(col("docId"), col("matchId")).alias("id_b"))
+        .distinct()
+      Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleN = 5,
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).alias("jaccard_r"))
+        .localCheckpoint(true)
+    }),
+
     // EXACT n-gram Jaccard similarity join: prefix filtering (rarest-first
     // global token order) guarantees 100% recall — no LSH probability in
     // the loop, so the oracle is the plain all-pairs join. Word trigrams,
@@ -1373,6 +1419,48 @@ object SparkEntry {
             emb.where(col("vec_id") < 5)
               .select(col("vec_id").alias("query_id"), col("embedding")),
             "query_id", k = 10, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 6).alias("cosine_r"))
+          .localCheckpoint(true)
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
+    // MAINTENANCE SYMMETRY on the PQ layout (r14, VERDICT r13 #1): the
+    // same 6 policy-maintained CDC batches against IVF-PQ — appends must
+    // encode with the PERSISTED codebooks (no refit) and the mid-stream
+    // policy folds must carry codes and refine vectors together — then
+    // searched at the composed degenerate-exact config (all cells probed
+    // + all candidates refined). Shares q_ann_stream_maintain's oracle:
+    // a stale code, a refit codebook, or a fold that loses either column
+    // breaks the hash.
+    "q_ann_stream_maintain_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft-annmaintpq")
+      try {
+        val ix = work.resolve("ix").toString
+        graft.operators.AnnIndex.buildIvfPq(ix,
+          emb.where(pmod(col("vec_id"), lit(3)) =!= 0),
+          "vec_id", "embedding", numCells = 8, m = 8, ksub = 16,
+          fitSampleSize = 2000)
+        val maint = new graft.streaming.AnnIndexMaintainer(ix,
+          autoCompactDeltas = Some(4))
+        (0 until 6).foreach { b =>
+          val appends = emb
+            .where(pmod(col("vec_id"), lit(3)) === 0 &&
+              pmod(col("vec_id"), lit(18)) === 3 * b)
+            .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          val deletes = emb
+            .where(pmod(col("vec_id"), lit(3)) =!= 0 &&
+              pmod(col("vec_id"), lit(50)) === b)
+            .withColumn(Cdc.ChangeType, lit(Cdc.Delete))
+          maint.processBatch(appends.unionByName(deletes), b.toLong)
+        }
+        require(graft.operators.AnnIndex.deltaDebt(ix) < 4,
+          "maintenance policy failed to bound the delta debt")
+        graft.operators.AnnIndex.searchIvfPq(ix,
+            emb.where(col("vec_id") < 5)
+              .select(col("vec_id").alias("query_id"), col("embedding")),
+            "query_id", k = 10, nprobe = 8, refine = 100000)
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             round(col("cosine"), 6).alias("cosine_r"))
           .localCheckpoint(true)
@@ -1572,6 +1660,78 @@ object SparkEntry {
         store.merge(Hierarchy.rebuild(parent, childState, childDelta,
             join, field = "items", childCols = itemCols)
           .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          .withColumn(Cdc.TransactionId, lit(1L)))
+        store.snapshot()
+          .select(col("o_orderkey"), col("o_custkey"),
+            posexplode_outer(col("items")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("pos").cast(LongType).alias("pos"),
+            col("col.l_linenumber").alias("l_linenumber"),
+            col("col.l_partkey").alias("l_partkey"),
+            col("col.l_quantity").alias("l_quantity"))
+          .localCheckpoint(true)
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
+    // PARENT+CHILD WINDOW through the incremental rebuild (r14, VERDICT
+    // r13 #7; reference: S4HanaProducer.java:56-61,407-410 — the table
+    // directory recreates an object when its OWN row changes, not only
+    // when an item does): one CDC window carries parent upserts (every
+    // %10==1 order's custkey re-pointed +1000), parent deletes (every
+    // %10==7 order dropped outright), AND the child batch of the base
+    // gate (late-item bumps + post-Sep-1 deletes). Hierarchy.rebuildBoth
+    // re-nests the UNION of the two impact sets from post-batch state of
+    // both tables (a parent hit from both sides rebuilds once); parent
+    // deletes fold to store deletes in the same merge. Oracle = DuckDB
+    // recomputing every surviving parent from the folded states: a
+    // parent-side change the impact union missed keeps a stale custkey
+    // and breaks the hash; a deleted parent surviving (or a doubly-
+    // impacted parent duplicated) breaks the row count.
+    "q_hier_cdc_rebuild_both" -> ((s, dir) => {
+      val join = Seq(("o_orderkey", "l_orderkey"))
+      val itemCols = Seq("l_linenumber", "l_partkey", "l_quantity")
+      val parent = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val items = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_shipdate"))
+      val cutUpd = to_timestamp(lit("1998-05-01 00:00:00"))
+      val cutDel = to_timestamp(lit("1998-09-01 00:00:00"))
+      val childDelta = items.where(col("l_shipdate") > cutUpd)
+      val childState = items.where(col("l_shipdate") <= cutDel)
+        .withColumn("l_quantity",
+          when(col("l_shipdate") > cutUpd, col("l_quantity") + 50)
+            .otherwise(col("l_quantity")))
+        .drop("l_shipdate")
+      // the parent half of the window: upserted rows arrive in POST
+      // state; deletes arrive as keys
+      val parentUpserts = parent
+        .where(pmod(col("o_orderkey"), lit(10)) === 1)
+        .withColumn("o_custkey", col("o_custkey") + 1000)
+      val parentDeleteKeys = parent
+        .where(pmod(col("o_orderkey"), lit(10)) === 7)
+        .select("o_orderkey")
+      val parentState = parent
+        .where(pmod(col("o_orderkey"), lit(10)) =!= 7)
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(10)) === 1,
+            col("o_custkey") + 1000).otherwise(col("o_custkey")))
+      val work = java.nio.file.Files.createTempDirectory("graft-hierboth")
+      try {
+        val store = new graft.streaming.UpsertStore(s,
+          work.resolve("store").toString, pkCols = Seq("o_orderkey"),
+          numBuckets = 8, mergeOnRead = true)
+        store.initialize(Cdc.initialLoad(
+          Hierarchy.nest(parent, items.drop("l_shipdate"), join,
+            field = "items", childCols = itemCols)))
+        val rebuilt = Hierarchy.rebuildBoth(parentState, childState,
+            parentUpserts, childDelta, join,
+            field = "items", childCols = itemCols)
+          .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+        // deletes carry the store schema (values irrelevant past the pk)
+        val deletes = store.snapshot()
+          .join(broadcast(parentDeleteKeys), Seq("o_orderkey"), "left_semi")
+          .withColumn(Cdc.ChangeType, lit(Cdc.Delete))
+        store.merge(rebuilt.unionByName(deletes)
           .withColumn(Cdc.TransactionId, lit(1L)))
         store.snapshot()
           .select(col("o_orderkey"), col("o_custkey"),
@@ -3108,6 +3268,45 @@ object SparkEntry {
       |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id AND d.vec_id % 3 = 1)
       |WHERE rank <= 10""".stripMargin
 
+  /** Exact all-pairs 5-gram Jaccard join at threshold 0.5 — shared by the
+    * batch MinHash-LSH gate (`q_dedup_minhash_pairs`) and the streaming
+    * near-dup gate (`q_stream_neardup`): both pipelines end in exact
+    * Jaccard verification over their candidate stage (LSH banding vs the
+    * per-bucket state machine), so both must produce THE true pair set —
+    * one definition, cannot drift.
+    */
+  private val MinhashPairsOracle =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+      |FROM p WHERE jaccard >= 0.5""".stripMargin
+
+  /** Exact top-k over the NET live corpus after the 6 policy-maintained
+    * CDC batches: the whole initially-absent third (vec_id%3=0 — the six
+    * %18 slices cover it) plus the initial rows whose 1/50 slice was
+    * never deleted (vec_id%50 >= 6). The index folded under the debt
+    * policy mid-stream; any row lost or resurrected by those compactions
+    * breaks the hash. Shared by the IVF and IVF-PQ maintenance gates
+    * (one definition, cannot drift — the [[AnnDeleteOracle]] pattern).
+    */
+  private val AnnMaintainOracle =
+    """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+      |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+      |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+      |  FROM embeddings d, embeddings q
+      |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
+      |    AND (d.vec_id % 3 = 0 OR d.vec_id % 50 >= 6))
+      |WHERE rank <= 10""".stripMargin
+
   private val AnnDeleteOracle =
     """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
@@ -3204,6 +3403,31 @@ object SparkEntry {
         |  c.l_linenumber, c.l_partkey, c.l_quantity
         |FROM orders o
         |LEFT OUTER JOIN child_state c ON o.o_orderkey = c.l_orderkey""".stripMargin,
+
+    // the nested objects after a window of BOTH parent and child changes:
+    // DuckDB recomputes every SURVIVING parent (deletes applied, custkey
+    // re-points applied) from the folded child state — the incremental
+    // union-of-impacts rebuild must land exactly here
+    "q_hier_cdc_rebuild_both" ->
+      """WITH child_state AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    CASE WHEN l_shipdate > TIMESTAMP '1998-05-01 00:00:00'
+        |         THEN l_quantity + 50 ELSE l_quantity END AS l_quantity
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'),
+        |parent_state AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_custkey + 1000
+        |         ELSE o_custkey END AS o_custkey
+        |  FROM orders WHERE o_orderkey % 10 <> 7)
+        |SELECT p.o_orderkey, p.o_custkey,
+        |  CASE WHEN c.l_orderkey IS NULL THEN NULL
+        |       ELSE row_number() OVER (PARTITION BY p.o_orderkey
+        |         ORDER BY c.l_linenumber, c.l_partkey, c.l_quantity) - 1
+        |  END AS pos,
+        |  c.l_linenumber, c.l_partkey, c.l_quantity
+        |FROM parent_state p
+        |LEFT OUTER JOIN child_state c ON p.o_orderkey = c.l_orderkey""".stripMargin,
 
     "q_a1_latest_per_key" ->
       """SELECT user_id, max(event_id) AS _transactionid
@@ -4030,18 +4254,11 @@ object SparkEntry {
         |FROM sc JOIN thr ON sc.lang = thr.lang
         |GROUP BY sc.lang""".stripMargin,
 
-    "q_dedup_minhash_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
-        |FROM p WHERE jaccard >= 0.5""".stripMargin,
+    // exact all-pairs 5-gram Jaccard at 0.5 — one shared definition for
+    // the batch LSH pipeline and the streaming state-machine pipeline
+    // (see MinhashPairsOracle)
+    "q_dedup_minhash_pairs" -> MinhashPairsOracle,
+    "q_stream_neardup" -> MinhashPairsOracle,
 
     "q_dedup_ngram_jaccard" ->
       """WITH w AS (
@@ -4128,21 +4345,10 @@ object SparkEntry {
     "q_ann_filtered_search_pq" -> AnnFilteredOracle,
 
     // exact top-k over the NET live corpus after the 6 policy-maintained
-    // CDC batches: the whole initially-absent third (vec_id%3=0 — the six
-    // %18 slices cover it) plus the initial rows whose 1/50 slice was
-    // never deleted (vec_id%50 >= 6). The index folded under the debt
-    // policy mid-stream; any row lost or resurrected by those compactions
-    // breaks the hash.
-    "q_ann_stream_maintain" ->
-      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
-        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
-        |  FROM embeddings d, embeddings q
-        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
-        |    AND (d.vec_id % 3 = 0 OR d.vec_id % 50 >= 6))
-        |WHERE rank <= 10""".stripMargin,
+    // CDC batches — one shared definition for both index layouts (see
+    // AnnMaintainOracle)
+    "q_ann_stream_maintain" -> AnnMaintainOracle,
+    "q_ann_stream_maintain_pq" -> AnnMaintainOracle,
 
     // the 5-step greedy MMR trajectory, unrolled (see mmrOracleSql)
     "q_mmr_rerank" -> mmrOracleSql(5),

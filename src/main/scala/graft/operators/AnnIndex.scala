@@ -241,12 +241,22 @@ object AnnIndex {
     */
   def searchIvfPq(path: String, queries: DataFrame, queryIdCol: String,
       k: Int, nprobe: Int = 4, refine: Int = 4,
-      where: Option[Column] = None): DataFrame = {
+      where: Option[Column] = None,
+      bruteForcePoolPerCell: Double = 10.0): DataFrame = {
     val spark = queries.sparkSession
     ensureLive(path)
     val meta = readMeta(spark, path)
     require(meta.pqM > 0,
       s"index at $path is plain IVF (no PQ codes) — use searchIvf")
+    // the selective-predicate hatch (see searchIvf) applies BEFORE the
+    // ADC stage: a tiny qualifying pool is scanned exactly against the
+    // full-width refine vectors — more accurate than compressed-domain
+    // scoring AND cheaper than probing
+    filteredBruteForceHatch(spark, path, meta, queries, queryIdCol, k,
+      where, bruteForcePoolPerCell) match {
+      case Some(exact) => return exact
+      case None =>
+    }
     val codebooks = readCodebooks(spark, path)
     val cellDf = broadcast(
       spark.read.parquet(new java.io.File(path, "centroids").getPath)
@@ -286,6 +296,33 @@ object AnnIndex {
         cosine_sim(col(meta.vecCol), col("_qvec")).alias("cosine"))
     Similarity.topKPerQuery(exact, k)
   }
+
+  /** The filtered-search brute-force hatch shared by [[searchIvf]] and
+    * [[searchIvfPq]]: `Some(exact filtered top-k)` when a selective
+    * predicate leaves an average per-cell qualifying pool below the
+    * threshold, `None` (probe as usual) otherwise. The decision costs one
+    * count over the qualifying rows — parquet column pruning means it
+    * reads only the predicate's columns (plus the id column when
+    * tombstones exist), never a vector byte; the exact scan it buys is
+    * O(qualifying × queries) work on a pool the threshold bounds by
+    * `poolPerCell · numCells` rows. SCALING §23's recall table is the
+    * measurement behind the default: below ~10 qualifying rows per cell,
+    * probing both under-recalls (0.073 worst case at 1/100 selectivity)
+    * and reads more bytes than the subset scan.
+    */
+  private def filteredBruteForceHatch(spark: SparkSession, path: String,
+      meta: Meta, queries: DataFrame, queryIdCol: String, k: Int,
+      where: Option[Column], poolPerCell: Double): Option[DataFrame] =
+    where.flatMap { pred =>
+      if (poolPerCell <= 0) None
+      else {
+        val qual = visibleAssignments(spark, path, meta.idCol).where(pred)
+        if (qual.count() >= poolPerCell * meta.numCells) None
+        else Some(Similarity.bruteForceTopK(
+          qual.select(col(meta.idCol), col(meta.vecCol)),
+          queries, meta.idCol, meta.vecCol, queryIdCol, k))
+      }
+    }
 
   /** Cell-assign every row of `data`, keeping ALL its columns — the
     * caller selects which columns the index persists (id + vector always;
@@ -435,26 +472,40 @@ object AnnIndex {
     requireBatchLineage(path)
     val name = s"assignments_delta_b$batchId"
     if (new java.io.File(path, name).exists() || // replay: still a delta
-      readFoldedBatches(path).contains(batchId)) // replay: already compacted
+      readFoldedBatches(path).contains(s"a$batchId")) // replay: compacted
       return
     appendDelta(path, newData, name)
   }
 
-  /** Batch ids whose `_b<N>` deltas a past [[compactIvf]] folded into the
-    * base — the replay high-water record. Absent file (pre-upgrade index)
-    * reads as empty.
+  /** Folded-half entries (`a<id>` = append delta, `t<id>` = tombstone
+    * delta) a past [[compactIvf]] folded into the base — the replay
+    * high-water record. The two halves of one batch id are recorded
+    * SEPARATELY: a compaction that runs between a crashed batch's
+    * tombstone publish and its append publish folds only the tombstone
+    * half, and the replayed [[appendIvfBatch]] must still land its
+    * never-published append — a shared bare-number record made it skip
+    * permanently (ADVICE r13, silent data loss under manual compaction
+    * interleaved with a crash). Legacy bare-number entries (pre-split
+    * indexes) read as both halves folded — exactly what the shared
+    * record used to assert. Absent file reads as empty.
     */
-  private def readFoldedBatches(path: String): Set[Long] = {
+  private def readFoldedBatches(path: String): Set[String] = {
     val f = new java.io.File(path, "_folded_batches.json")
     if (!f.exists()) return Set.empty
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-    (0 until node.size()).map(i => node.get(i).asLong()).toSet
+    (0 until node.size()).flatMap { i =>
+      val e = node.get(i)
+      if (e.isNumber) Seq(s"a${e.asLong()}", s"t${e.asLong()}")
+      else Seq(e.asText())
+    }.toSet
   }
 
-  private def writeFoldedBatches(indexDir: java.io.File, ids: Set[Long]): Unit =
+  private def writeFoldedBatches(indexDir: java.io.File,
+      ids: Set[String]): Unit =
     java.nio.file.Files.write(
       new java.io.File(indexDir, "_folded_batches.json").toPath,
-      ids.toSeq.sorted.mkString("[", ",", "]")
+      ids.toSeq.sortBy(e => (e.drop(1).toLong, e.head))
+        .map(e => s""""$e"""").mkString("[", ",", "]")
         .getBytes(StandardCharsets.UTF_8))
 
   private def appendDelta(path: String, newData: DataFrame,
@@ -538,8 +589,8 @@ object AnnIndex {
       Option(src.listFiles((_: java.io.File, n: String) =>
         n.matches("(assignments|tombstones)_delta_b\\d+")))
         .getOrElse(Array.empty[java.io.File])
-        .map(_.getName.replaceAll("^(assignments|tombstones)_delta_b", "")
-          .toLong))
+        .map(f => (if (f.getName.startsWith("assignments")) "a" else "t") +
+          f.getName.replaceAll("^(assignments|tombstones)_delta_b", "")))
     // a PQ index's codebooks ride along unchanged (codes in the folded
     // assignments were produced by them)
     val cb = new java.io.File(path, "codebooks")
@@ -671,7 +722,7 @@ object AnnIndex {
     requireBatchLineage(path)
     val name = s"tombstones_delta_b$batchId"
     if (new java.io.File(path, name).exists() ||
-      readFoldedBatches(path).contains(batchId))
+      readFoldedBatches(path).contains(s"t$batchId"))
       return
     publishTombstone(path, ids, name)
   }
@@ -738,12 +789,30 @@ object AnnIndex {
     *   `nprobe` to keep recall (the qualifying neighbors may live in
     *   cells the unfiltered ranking would not probe) — the standard
     *   filtered-ANN trade, on the caller's knob.
+    * @param bruteForcePoolPerCell the SELECTIVE-PREDICATE HATCH (r14,
+    *   VERDICT r13 #4 — the operator form of SCALING §23's recall-table
+    *   guidance): when `where` is set, one column-pruned count of the
+    *   qualifying rows runs first, and if the average per-cell qualifying
+    *   pool falls below this threshold the search scans the ENTIRE
+    *   qualifying subset exactly instead of probing — at 1/100
+    *   selectivity a probed search under-recalls catastrophically
+    *   (measured floor 0.073 at nprobe=1) while the qualifying subset is
+    *   tiny enough that the exact scan is CHEAPER than probing. 0
+    *   disables the hatch (always probe). The hatch returns exact
+    *   filtered top-k, so at degenerate-exact configs the two paths
+    *   produce identical rows.
     */
   def searchIvf(path: String, queries: DataFrame, queryIdCol: String,
-      k: Int, nprobe: Int = 4, where: Option[Column] = None): DataFrame = {
+      k: Int, nprobe: Int = 4, where: Option[Column] = None,
+      bruteForcePoolPerCell: Double = 10.0): DataFrame = {
     val spark = queries.sparkSession
     ensureLive(path)
     val meta = readMeta(spark, path)
+    filteredBruteForceHatch(spark, path, meta, queries, queryIdCol, k,
+      where, bruteForcePoolPerCell) match {
+      case Some(exact) => return exact
+      case None =>
+    }
     val cellDf = broadcast(
       spark.read.parquet(new java.io.File(path, "centroids").getPath)
         .select(col("_cell"), col("_centroid")))

@@ -108,6 +108,42 @@ object Hierarchy {
     val keys = changedChildRows
       .select(joinCond.map { case (pk, ck) => col(ck).alias(pk) }: _*)
       .distinct()
+    nestForKeys(parent, child, keys, joinCond, field, childCols,
+      broadcastKeys)
+  }
+
+  /** [[rebuild]] for a CDC window carrying BOTH parent-side and
+    * child-side changes (reference: `S4HanaProducer.java:56-61,407-410` —
+    * a changed parent row recreates its object exactly like a changed
+    * child row does): the impacted set is the UNION of the two change
+    * key sets, and every impacted object re-nests once from the
+    * post-batch state of both tables — a parent hit from both sides is
+    * rebuilt once, not twice. Parent DELETES are not rebuilt (a deleted
+    * parent has no object to recreate): exclude them from `parent` and
+    * fold them to store deletes downstream.
+    */
+  def rebuildBoth(parent: DataFrame, child: DataFrame,
+      changedParentRows: DataFrame, changedChildRows: DataFrame,
+      joinCond: Seq[(String, String)], field: String,
+      childCols: Seq[String] = Nil,
+      broadcastKeys: Boolean = true): DataFrame = {
+    val keys = changedChildRows
+      .select(joinCond.map { case (pk, ck) => col(ck).alias(pk) }: _*)
+      .unionByName(
+        changedParentRows.select(joinCond.map(_._1).map(col): _*))
+      .distinct()
+    nestForKeys(parent, child, keys, joinCond, field, childCols,
+      broadcastKeys)
+  }
+
+  /** Re-nest exactly the parents named by `keys` (parent-key columns)
+    * from the current state of both tables — the shared core of
+    * [[rebuild]]/[[rebuildBoth]]. Both semi-joins broadcast the key set
+    * by default: an impact set is change-batch-sized, never corpus-sized.
+    */
+  private def nestForKeys(parent: DataFrame, child: DataFrame,
+      keys: DataFrame, joinCond: Seq[(String, String)], field: String,
+      childCols: Seq[String], broadcastKeys: Boolean): DataFrame = {
     def side(k: DataFrame) = if (broadcastKeys) broadcast(k) else k
     val impactedParent = parent.join(side(keys), joinCond.map(_._1), "left_semi")
     val childKeys = keys

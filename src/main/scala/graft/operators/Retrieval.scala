@@ -181,7 +181,10 @@ object Retrieval {
         .where(col("_rn") === 1)
         .select(col("query_id"), col("_id"), col("_vec"),
           lit(rank).alias("mmr_rank"), col("_score").alias("mmr_score"))
-    var selected = pickTop(cand, 1, col("_rel"))
+    // the step-1 selection is checkpointed like every later step so the
+    // returned plan never references cand's blocks — without this the
+    // m == 1 path kept cand pinned until GC (ADVICE r13 storage leak)
+    var selected = pickTop(cand, 1, col("_rel")).localCheckpoint(true)
     for (step <- 2 to m) {
       val selKeys = selected.select(col("query_id"), col("_id"))
       val remaining = cand.join(selKeys, Seq("query_id", "_id"), "left_anti")
@@ -202,9 +205,10 @@ object Retrieval {
     }
     val out = selected.select(col("query_id"), col("_id").alias("neighbor_id"),
       col("mmr_rank"), col("mmr_score"))
-    // the result no longer references cand's blocks; the final `selected`
-    // checkpoint stays live because `out` is computed from it lazily
-    if (m >= 2) cand.unpersist()
+    // the result no longer references cand's blocks (every `selected` is
+    // a materialized checkpoint); the final checkpoint stays live because
+    // `out` is computed from it lazily
+    cand.unpersist()
     out
   }
 }

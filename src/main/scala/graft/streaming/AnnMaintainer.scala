@@ -32,10 +32,17 @@ import graft.operators.AnnIndex
   *
   * Batch shape: the folded envelope — one row per key — with the index's
   * id column, its vector column (plus any build-time attribute columns),
-  * and [[Cdc.ChangeType]]. Deletes apply before appends under the same
-  * batch id; [[AnnIndex]]'s shared sequence numbering makes a key that is
-  * replaced-in-place (delete+re-append across batches) serve its newest
-  * vector.
+  * and [[Cdc.ChangeType]]. EVERY key in the batch is tombstoned (deletes
+  * AND upserts) before the non-delete rows append under the same batch
+  * id: the visibility rule is `seq >= tombstone seq`, so the same-batch
+  * append survives its own tombstone while any OLDER row of the same key
+  * is hidden — a folded Upsert of a key already in the index replaces it
+  * in place instead of serving both vectors (ADVICE r13: tombstoning
+  * only Delete rows silently duplicated the most common CDC operation).
+  * The cost of the blanket tombstone is bounded by the SAME debt policy
+  * that bounds the append dirs: the search-side tombstone anti-filter
+  * broadcasts at most `maxDeltas` batches' worth of keys before a fold
+  * clears it (SCALING §23's debt curve measures the whole loop).
   *
   * {{{
   * val maint = new AnnIndexMaintainer(path, autoCompactDeltas = Some(16))
@@ -51,12 +58,13 @@ class AnnIndexMaintainer(path: String,
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val idCol = AnnIndex.indexIdCol(batch.sparkSession, path)
-    // delete-batch THEN append-batch under one id (the documented
+    // tombstone-batch THEN append-batch under one id (the documented
     // deleteIvfBatch ordering): a crash between the two replays the
-    // window — the published half no-ops, the missing half lands
-    AnnIndex.deleteIvfBatch(path,
-      batch.where(col(Cdc.ChangeType) === Cdc.Delete).select(idCol),
-      batchId)
+    // window — the published half no-ops, the missing half lands.
+    // The tombstone covers ALL batch keys, not just deletes: an upsert
+    // of an existing key must hide its old row, and the same-batch
+    // append outlives the tombstone by the `seq >= tomb_seq` rule
+    AnnIndex.deleteIvfBatch(path, batch.select(idCol), batchId)
     AnnIndex.appendIvfBatch(path,
       batch.where(col(Cdc.ChangeType) =!= Cdc.Delete)
         .drop(Cdc.ChangeType, Cdc.TransactionId),

@@ -423,6 +423,35 @@ class AnnIndexSpec extends SparkSpec {
       "a replayed folded batch must not re-publish")
   }
 
+  test("compaction between a crashed batch's halves: the replayed append still lands (ADVICE r13)") {
+    import spark.implicits._
+    // crash window: tombstone half published, append half NOT, then an
+    // out-of-band compactIvf folds the tombstone. The replay's append must
+    // land — a shared bare-number folded record made it skip permanently.
+    val dir = Files.createTempDirectory("graft-annsplit").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb.where(col("vec_id") < 400), "vec_id",
+      "embedding", numCells = 4, seed = 1L, fitSampleSize = 500)
+    val victim = 7L
+    val newVec = emb.where(col("vec_id") === 450L)
+      .select(lit(victim).alias("vec_id"), col("embedding"))
+    AnnIndex.deleteIvfBatch(dir, Seq(victim).toDF("vec_id"), batchId = 5L)
+    // simulated crash here (no appendIvfBatch), then manual maintenance
+    AnnIndex.compactIvf(dir)
+    assert(tombCount(dir) === 0 && deltaCount(dir) === 0)
+    // driver replays the window: tombstone half no-ops (folded), append
+    // half must PUBLISH — it never landed
+    AnnIndex.deleteIvfBatch(dir, Seq(victim).toDF("vec_id"), batchId = 5L)
+    AnnIndex.appendIvfBatch(dir, newVec, batchId = 5L)
+    assert(tombCount(dir) === 0, "folded tombstone half must not re-publish")
+    assert(deltaCount(dir) === 1, "never-published append half must land on replay")
+    // and the replacement vector actually serves
+    val probe = emb.where(col("vec_id") === 450L)
+      .select(lit(9999L).alias("qid"), col("embedding"))
+    val got = AnnIndex.searchIvf(dir, probe, "qid", k = 1, nprobe = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.toSeq === Seq(victim))
+  }
+
   test("delete filters the IVF-PQ search path too (ADC + refine)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-anndelpq").resolve("ix").toString
@@ -613,14 +642,78 @@ class AnnIndexSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
     val denom = truth.count().toDouble
     def recallAt(nprobe: Int): Double = {
+      // hatch off: this test pins the PROBED path's worst-case recall
+      // (the r14 hatch makes the default path exact here — see the
+      // hatch test below for that behavior)
       val got = AnnIndex.searchIvf(dir, qs, "qid", k = 10,
-          nprobe = nprobe, where = Some(pred))
+          nprobe = nprobe, where = Some(pred), bruteForcePoolPerCell = 0)
         .select("query_id", "neighbor_id")
       got.join(truth, Seq("query_id", "neighbor_id")).count() / denom
     }
+    // floor at 0.05 — the measured value is 0.073, but the build is only
+    // deterministic per Spark-ML/JVM version; a benign float change that
+    // shifts the KMeans clustering must not fail the suite (ADVICE r13:
+    // ~4% slack was a cross-version trap). A real probed-cell-selection
+    // regression drops this to ~0, which 0.05 still catches.
     val worst = recallAt(1)
-    assert(worst >= 0.07, f"worst-cell recall regressed: $worst%.3f < 0.07")
+    assert(worst >= 0.05, f"worst-cell recall regressed: $worst%.3f < 0.05")
     // and the full-probe row of the same table is exact by construction
     assert(recallAt(16) === 1.0)
+  }
+
+  test("selective-predicate hatch: exact filtered top-k where probing under-recalls (r14)") {
+    import spark.implicits._
+    // the recall-floor scenario, default knobs: 1/100 selectivity leaves
+    // 20 qualifying rows over 16 cells (1.25 per cell < the 10 threshold)
+    // — the hatch must scan the subset exactly and return recall 1.0 at
+    // nprobe=1, where the probed path measures ~0.073.
+    val sf01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-hatch").resolve("ix").toString
+    AnnIndex.buildIvf(dir, sf01, "vec_id", "embedding",
+      numCells = 16, seed = 1L, fitSampleSize = 2000)
+    val qs = sf01.where(col("vec_id") < 64)
+      .select(col("vec_id").alias("qid"), col("embedding"))
+    val selective = pmod(col("vec_id"), lit(100)) === 0
+    val truth = Similarity.bruteForceTopK(sf01.where(selective),
+        qs.withColumnRenamed("qid", "vec_id"),
+        "vec_id", "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id")
+    val denom = truth.count().toDouble
+    def recall(got: org.apache.spark.sql.DataFrame) =
+      got.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id")).count() / denom
+    // hatch ON (default): exact despite nprobe=1
+    val hatched = recall(AnnIndex.searchIvf(dir, qs, "qid", k = 10,
+      nprobe = 1, where = Some(selective)))
+    assert(hatched === 1.0, f"hatch must return exact filtered top-k: $hatched%.3f")
+    // hatch OFF: the probed path's documented under-recall at this cell
+    val probed = recall(AnnIndex.searchIvf(dir, qs, "qid", k = 10,
+      nprobe = 1, where = Some(selective), bruteForcePoolPerCell = 0))
+    assert(probed < 0.5, f"probed path unexpectedly exact ($probed%.3f) — " +
+      "the hatch test no longer distinguishes the paths")
+    // an UNSELECTIVE predicate stays on the probed path: 1/2 selectivity
+    // leaves ~62 rows per cell >= 10, so nprobe=1 must still under-recall
+    // (the hatch engaging here would mask a mis-routed threshold)
+    val loose = pmod(col("vec_id"), lit(2)) === 0
+    val looseTruth = Similarity.bruteForceTopK(sf01.where(loose),
+        qs.withColumnRenamed("qid", "vec_id"),
+        "vec_id", "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id")
+    val looseGot = AnnIndex.searchIvf(dir, qs, "qid", k = 10,
+        nprobe = 1, where = Some(loose))
+      .select("query_id", "neighbor_id")
+    val looseRecall = looseGot.join(looseTruth,
+      Seq("query_id", "neighbor_id")).count() / looseTruth.count().toDouble
+    assert(looseRecall < 1.0,
+      "unselective predicate must stay on the probed path at nprobe=1")
+    // PQ symmetry: the hatch short-circuits the ADC stage the same way
+    val dirPq = Files.createTempDirectory("graft-hatchpq").resolve("ix").toString
+    AnnIndex.buildIvfPq(dirPq, sf01, "vec_id", "embedding",
+      numCells = 16, m = 8, ksub = 16, seed = 1L, fitSampleSize = 2000)
+    val hatchedPq = recall(AnnIndex.searchIvfPq(dirPq, qs, "qid", k = 10,
+      nprobe = 1, refine = 1, where = Some(selective)))
+    assert(hatchedPq === 1.0,
+      f"PQ hatch must return exact filtered top-k: $hatchedPq%.3f")
   }
 }

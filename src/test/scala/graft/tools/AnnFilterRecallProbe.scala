@@ -59,8 +59,12 @@ object AnnFilterRecallProbe {
           // qualifying corpus is smaller than k — recall is against the
           // achievable set, not a padded k
           for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+            // hatch off: this probe measures the PROBED path's recall —
+            // the r14 brute-force hatch would turn the selective cells
+            // into exact rows and erase the very table being measured
             val got = AnnIndex.searchIvf(ix, queries, "qid", k = K,
-                nprobe = nprobe, where = Some(pred))
+                nprobe = nprobe, where = Some(pred),
+                bruteForcePoolPerCell = 0)
               .select("query_id", "neighbor_id")
             val hit = got.join(truth, Seq("query_id", "neighbor_id")).count()
             println(f"recall_${label}_sel1of${sel}_np$nprobe=${hit / denom}%.3f")
