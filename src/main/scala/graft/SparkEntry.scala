@@ -1232,6 +1232,97 @@ object SparkEntry {
         .localCheckpoint(true)
     }),
 
+    // STREAMING LATEST-PER-KEY UNDER THE ORACLE (r14): the A1 fold's
+    // streaming twin (StatefulDedup.latestPerKeyRows) driven by three
+    // DELIBERATELY out-of-order windows — the upper event_id half first,
+    // then the stale lower half (emits only keys whose winner lives
+    // there), then a full replay of window 1 (emits nothing). Each key
+    // therefore emits EXACTLY once; the in-gate require pins that count,
+    // so a stale row leaking past the txid gate fails even though the
+    // downstream LWW fold (the idempotent-sink contract) would mask it.
+    // Oracle = the A1 latest-per-key SQL, shared with q_a1.
+    "q_stream_latest_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val feed = t(s, dir, "events")
+        .where(col("event_id") > 100 && col("event_id") <= 1000000000L)
+        .select(col("user_id"), col("event_id"))
+      // the upper/lower split point, derived from the feed so both halves
+      // are non-trivial at every SF (event_id is a dense 0..N sequence)
+      val mid = feed.agg((min(col("event_id")) + max(col("event_id"))) / 2)
+        .head().getDouble(0).toLong
+      val ms = MemoryStream[(Long, Long)]
+      val emissions = graft.streaming.StatefulDedup.latestPerKeyRows(
+        ms.toDF().toDF("user_id", Cdc.TransactionId), Seq("user_id"))
+      val q = emissions.writeStream.format("memory")
+        .queryName("stream_latest_per_key").outputMode("update").start()
+      try {
+        val upper = feed.where(col("event_id") > mid)
+          .as[(Long, Long)].collect().toIndexedSeq
+        val lower = feed.where(col("event_id") <= mid)
+          .as[(Long, Long)].collect().toIndexedSeq
+        ms.addData(upper: _*); q.processAllAvailable()
+        ms.addData(lower: _*); q.processAllAvailable()
+        ms.addData(upper: _*); q.processAllAvailable() // full replay
+      } finally q.stop()
+      val out = s.table("stream_latest_per_key").localCheckpoint(true)
+      val keys = feed.select(col("user_id")).distinct().count()
+      require(out.count() == keys,
+        s"latest-per-key emitted ${out.count()} rows for $keys keys — " +
+          "the txid gate leaked a stale or duplicate emission")
+      out.groupBy(col("user_id"))
+        .agg(max(col(Cdc.TransactionId)).alias(Cdc.TransactionId))
+    }),
+
+    // STREAMING INTERVAL JOIN UNDER THE ORACLE (r14): purchases and
+    // clicks arrive as two streams in three event-time-ordered windows;
+    // StreamJoin.intervalJoin matches each purchase to the same user's
+    // clicks in [purchase.ts − 1h, purchase.ts]. The watermark delay (40
+    // days) exceeds the corpus span, so no state is evicted and the
+    // emitted pair set must be COMPLETE — the oracle is the exact batch
+    // interval join in DuckDB. Cross-window matches (a click buffered
+    // windows before its purchase arrives) are the semantics under test;
+    // bounded-state eviction is StreamJoinSpec's.
+    "q_stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = t(s, dir, "events")
+        .withColumn("ts_t", col("ts").cast("timestamp"))
+      def side(tpe: String) = ev.where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"), col("ts_t"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq
+      val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
+        msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"),
+        "user_id", "r_user_id", "l_ts", "r_ts",
+        leftDelay = "40 days", rightDelay = "40 days",
+        before = "1 hour", after = "0 seconds")
+      val q = joined.select(col("l_event_id"), col("r_event_id"))
+        .writeStream.format("memory").queryName("stream_interval_join")
+        .outputMode("append").start()
+      try {
+        val cuts = Seq(
+          java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+        val (purchases, clicks) = (side("purchase"), side("click"))
+        def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
+          rows.filter { case (_, _, ts) =>
+            (b == 0 || !ts.before(cuts(b - 1))) &&
+              (b == 2 || ts.before(cuts(b)))
+          }
+        (0 until 3).foreach { b =>
+          msR.addData(window(clicks, b): _*)
+          msL.addData(window(purchases, b): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("stream_interval_join").localCheckpoint(true)
+    }),
+
     // EXACT n-gram Jaccard similarity join: prefix filtering (rarest-first
     // global token order) guarantees 100% recall — no LSH probability in
     // the loop, so the oracle is the plain all-pairs join. Word trigrams,
@@ -3268,6 +3359,17 @@ object SparkEntry {
       |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id AND d.vec_id % 3 = 1)
       |WHERE rank <= 10""".stripMargin
 
+  /** The A1 latest-per-key fold — shared by the batch gate
+    * (`q_a1_latest_per_key`) and the streaming `StatefulDedup` gate
+    * (`q_stream_latest_per_key`): the stream's update emissions, LWW-
+    * folded, must equal the batch fold exactly. One definition, cannot
+    * drift.
+    */
+  private val LatestPerKeyOracle =
+    """SELECT user_id, max(event_id) AS _transactionid
+      |FROM events WHERE event_id > 100 AND event_id <= 1000000000
+      |GROUP BY user_id""".stripMargin
+
   /** Exact all-pairs 5-gram Jaccard join at threshold 0.5 — shared by the
     * batch MinHash-LSH gate (`q_dedup_minhash_pairs`) and the streaming
     * near-dup gate (`q_stream_neardup`): both pipelines end in exact
@@ -3429,10 +3531,19 @@ object SparkEntry {
         |FROM parent_state p
         |LEFT OUTER JOIN child_state c ON p.o_orderkey = c.l_orderkey""".stripMargin,
 
-    "q_a1_latest_per_key" ->
-      """SELECT user_id, max(event_id) AS _transactionid
-        |FROM events WHERE event_id > 100 AND event_id <= 1000000000
-        |GROUP BY user_id""".stripMargin,
+    // the A1 latest-per-key fold — one definition for the batch gate and
+    // the streaming StatefulDedup gate (the emissions' LWW fold must land
+    // exactly on the batch fold)
+    "q_a1_latest_per_key" -> LatestPerKeyOracle,
+    "q_stream_latest_per_key" -> LatestPerKeyOracle,
+
+    // the exact batch interval join the streaming state machine must
+    // reproduce completely (no eviction at the gate's watermark delay)
+    "q_stream_interval_join" ->
+      """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts""".stripMargin,
 
     "q_st5_pk_change_split" ->
       """SELECT user_id AS pk, event_id AS _transactionid

@@ -306,9 +306,10 @@ object AnnIndex {
     * tombstones exist), never a vector byte; the exact scan it buys is
     * O(qualifying × queries) work on a pool the threshold bounds by
     * `poolPerCell · numCells` rows. SCALING §23's recall table is the
-    * measurement behind the default: below ~10 qualifying rows per cell,
-    * probing both under-recalls (0.073 worst case at 1/100 selectivity)
-    * and reads more bytes than the subset scan.
+    * measurement behind the default (below ~10 qualifying rows per cell
+    * probing under-recalls, 0.073 worst case at 1/100 selectivity);
+    * SCALING §24 measures the price: ~+0.2 s of decision-count overhead
+    * on local[32] — exactness is the product, not speed.
     */
   private def filteredBruteForceHatch(spark: SparkSession, path: String,
       meta: Meta, queries: DataFrame, queryIdCol: String, k: Int,
@@ -794,10 +795,13 @@ object AnnIndex {
     *   guidance): when `where` is set, one column-pruned count of the
     *   qualifying rows runs first, and if the average per-cell qualifying
     *   pool falls below this threshold the search scans the ENTIRE
-    *   qualifying subset exactly instead of probing — at 1/100
-    *   selectivity a probed search under-recalls catastrophically
-    *   (measured floor 0.073 at nprobe=1) while the qualifying subset is
-    *   tiny enough that the exact scan is CHEAPER than probing. 0
+    *   qualifying subset exactly instead of probing. What the hatch buys
+    *   is EXACTNESS where probing under-recalls catastrophically (the
+    *   §23 table: 0.073-0.57 recall at 1/100 selectivity, partial
+    *   nprobe); what it costs is the decision count plus the tiny subset
+    *   scan — measured at ~+0.2 s over the probed path on local[32]
+    *   corpora up to 1M×64d (SCALING §24: job overhead dominates local
+    *   scans, so the byte savings don't show as wall time there). 0
     *   disables the hatch (always probe). The hatch returns exact
     *   filtered top-k, so at degenerate-exact configs the two paths
     *   produce identical rows.

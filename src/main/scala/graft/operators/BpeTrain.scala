@@ -274,7 +274,7 @@ object BpeTrain {
     * layers: per-word cost is O(passes × |word|) with a HashMap probe per
     * adjacent pair, independent of k, where the fold pays k interpreted
     * layers per word — the trade the [[tokens]] Scaladoc promises at
-    * vocabulary scale (SCALING §23 has the crossover measured).
+    * vocabulary scale (SCALING §24 has the crossover measured).
     */
   def vocabTokensCompiled(toks: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {

@@ -73,8 +73,39 @@ object AnnFilterRecallProbe {
       } finally graft.util.Fs.rmTree(work.toFile)
     }
 
-    probe(spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-      .select("vec_id", "embedding"), nQueries = 64, label = "sf01")
+    /** Hatch cost vs probed cost (r14): wall seconds for the SAME
+      * selective filtered search with the brute-force hatch on (count +
+      * exact subset scan) vs off (probed path) — the measurement behind
+      * the hatch Scaladoc's "cheaper than probing below the threshold"
+      * claim. Median of 3 per configuration.
+      */
+    def hatchCost(corpus: DataFrame, nQueries: Int, sel: Int,
+        label: String): Unit = {
+      val work = java.nio.file.Files.createTempDirectory(s"graft-annhc-$label")
+      try {
+        val ix = work.resolve("ix").toString
+        AnnIndex.buildIvf(ix, corpus, "vec_id", "embedding",
+          numCells = NumCells, seed = 1L, fitSampleSize = 2000)
+        val queries = corpus.where(col("vec_id") < nQueries)
+          .select(col("vec_id").alias("qid"), col("embedding"))
+          .localCheckpoint(true)
+        // sel sized so ~100 qualifying rows over 16 cells (6.25/cell)
+        // land below the 10/cell threshold at every corpus size
+        val pred = pmod(col("vec_id"), lit(sel)) === 0
+        def median3(pool: Double): Double =
+          Seq.fill(3) {
+            val t0 = System.nanoTime()
+            AnnIndex.searchIvf(ix, queries, "qid", k = K, nprobe = 8,
+                where = Some(pred), bruteForcePoolPerCell = pool)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted.apply(1)
+        println(f"hatchcost_${label}_on=${median3(10.0)}%.3f")
+        println(f"hatchcost_${label}_off=${median3(0.0)}%.3f")
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }
+
+    val what = if (args.isEmpty) Set("recall", "hatch") else args.toSet
 
     // synthetic 200k corpus, same generator as AnnScaleProbe: 100x the
     // rows-per-cell density, so cell-pool shrinkage under the filter is
@@ -84,7 +115,23 @@ object AnnFilterRecallProbe {
       .withColumn("embedding", expr(
         s"transform(sequence(1, $dim), " +
           "i -> cast(pmod(hash(vec_id * i), 1000) / 1000.0 as float))"))
-    probe(synth, nQueries = 64, label = "n200k")
+
+    if (what("recall")) {
+      probe(spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding"), nQueries = 64, label = "sf01")
+      probe(synth, nQueries = 64, label = "n200k")
+    }
+    if (what("hatch")) {
+      hatchCost(synth, nQueries = 64, sel = 2000, label = "n200k_d16")
+      // production-shaped corpus: 1M rows x 64 dims — here the probed
+      // path's vector-byte scan dominates and the hatch's column-pruned
+      // count is the cheap side of the trade
+      val wide = spark.range(1000000).select(col("id").alias("vec_id"))
+        .withColumn("embedding", expr(
+          "transform(sequence(1, 64), " +
+            "i -> cast(pmod(hash(vec_id * i), 1000) / 1000.0 as float))"))
+      hatchCost(wide, nQueries = 64, sel = 10000, label = "n1m_d64")
+    }
 
     spark.stop()
   }

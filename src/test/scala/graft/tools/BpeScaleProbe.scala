@@ -154,7 +154,13 @@ object BpeScaleProbe {
           println(f"vocabfold_k$k=$tf%.3f")
         } catch {
           case e: Throwable =>
-            println(s"vocabfold_k$k=FAILED(${e.getClass.getSimpleName})")
+            // record the root cause, not just the wrapper class — the
+            // k=256 failure mode is itself a result (SCALING §24)
+            val root = Iterator.iterate(e)(_.getCause)
+              .takeWhile(_ != null).reduceLeft((_, c) => c)
+            println(s"vocabfold_k$k=FAILED(${e.getClass.getSimpleName}: " +
+              s"${root.getClass.getSimpleName}: " +
+              s"${Option(root.getMessage).getOrElse("").take(160)})")
         }
         val tc = time {
           BpeTrain.vocabTokensCompiled(words, m)
