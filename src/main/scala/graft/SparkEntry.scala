@@ -1558,6 +1558,45 @@ object SparkEntry {
       } finally graft.util.Fs.rmTree(work.toFile)
     }),
 
+    // FILTERED SEARCH OVER A MAINTAINED INDEX (r14): the two features
+    // composed — 6 policy-maintained CDC batches (same stream as
+    // q_ann_stream_maintain), then a filtered search at the degenerate-
+    // exact config. The predicate must apply to the NET live rows: a
+    // tombstoned row leaking through the filter scan, or a policy fold
+    // dropping a qualifying append, breaks the hash. Oracle = exact
+    // top-k over (net live corpus ∩ predicate).
+    "q_ann_filtered_maintained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft-annfm")
+      try {
+        val ix = work.resolve("ix").toString
+        graft.operators.AnnIndex.buildIvf(ix,
+          emb.where(pmod(col("vec_id"), lit(3)) =!= 0),
+          "vec_id", "embedding", numCells = 8, fitSampleSize = 2000)
+        val maint = new graft.streaming.AnnIndexMaintainer(ix,
+          autoCompactDeltas = Some(4))
+        (0 until 6).foreach { b =>
+          val appends = emb
+            .where(pmod(col("vec_id"), lit(3)) === 0 &&
+              pmod(col("vec_id"), lit(18)) === 3 * b)
+            .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          val deletes = emb
+            .where(pmod(col("vec_id"), lit(3)) =!= 0 &&
+              pmod(col("vec_id"), lit(50)) === b)
+            .withColumn(Cdc.ChangeType, lit(Cdc.Delete))
+          maint.processBatch(appends.unionByName(deletes), b.toLong)
+        }
+        graft.operators.AnnIndex.searchIvf(ix,
+            emb.where(col("vec_id") < 5)
+              .select(col("vec_id").alias("query_id"), col("embedding")),
+            "query_id", k = 10, nprobe = 8,
+            where = Some(pmod(col("vec_id"), lit(5)) === 1))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 6).alias("cosine_r"))
+          .localCheckpoint(true)
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
     // MMR DIVERSITY RE-RANK (r12): exact top-20 per query, then 5 greedy
     // maximal-marginal-relevance selections at λ=0.5 — the oracle unrolls
     // the identical 5 steps in SQL (per-step anti-set, max-sim to the
@@ -4460,6 +4499,21 @@ object SparkEntry {
     // AnnMaintainOracle)
     "q_ann_stream_maintain" -> AnnMaintainOracle,
     "q_ann_stream_maintain_pq" -> AnnMaintainOracle,
+
+    // the maintained net-live corpus INTERSECTED with the filter — the
+    // composition of the maintenance oracle and the filtered-search
+    // oracle's predicate placement
+    "q_ann_filtered_maintained" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+        |  FROM embeddings d, embeddings q
+        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
+        |    AND (d.vec_id % 3 = 0 OR d.vec_id % 50 >= 6)
+        |    AND d.vec_id % 5 = 1)
+        |WHERE rank <= 10""".stripMargin,
 
     // the 5-step greedy MMR trajectory, unrolled (see mmrOracleSql)
     "q_mmr_rerank" -> mmrOracleSql(5),
