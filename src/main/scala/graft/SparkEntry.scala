@@ -1323,6 +1323,65 @@ object SparkEntry {
       s.table("stream_interval_join").localCheckpoint(true)
     }),
 
+    // STREAMING LEFT-OUTER INTERVAL JOIN UNDER THE ORACLE (r14): the
+    // hardest streaming semantic in the family — an unmatched purchase's
+    // null row may only emit once the watermark PROVES no matching click
+    // can still arrive. The gate drives the same three windows, then a
+    // far-future sentinel row on BOTH streams (filtered back out of the
+    // result) so the watermark passes every real join window and the
+    // buffered outer results flush deterministically; two extra empty
+    // triggers propagate the watermark (it is computed from the PREVIOUS
+    // batch's max event time). Oracle = the exact batch LEFT JOIN: a
+    // null row emitted early (match still possible), suppressed forever,
+    // or duplicated next to its match breaks the hash.
+    "q_stream_interval_join_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = t(s, dir, "events")
+        .withColumn("ts_t", col("ts").cast("timestamp"))
+      def side(tpe: String) = ev.where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"), col("ts_t"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq
+      val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
+        msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"),
+        "user_id", "r_user_id", "l_ts", "r_ts",
+        leftDelay = "40 days", rightDelay = "40 days",
+        before = "1 hour", after = "0 seconds", joinType = "leftOuter")
+      val q = joined.select(col("l_event_id"), col("r_event_id"))
+        .writeStream.format("memory")
+        .queryName("stream_interval_join_outer")
+        .outputMode("append").start()
+      try {
+        val cuts = Seq(
+          java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+        val (purchases, clicks) = (side("purchase"), side("click"))
+        def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
+          rows.filter { case (_, _, ts) =>
+            (b == 0 || !ts.before(cuts(b - 1))) &&
+              (b == 2 || ts.before(cuts(b)))
+          }
+        (0 until 3).foreach { b =>
+          msR.addData(window(clicks, b): _*)
+          msL.addData(window(purchases, b): _*)
+          q.processAllAvailable()
+        }
+        val sentinel = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+        (0 until 2).foreach { i =>
+          msL.addData((-1L, -1L - i, sentinel))
+          msR.addData((-1L, -1L - i, sentinel))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("stream_interval_join_outer")
+        .where(col("l_event_id") >= 0) // the sentinel rows are harness
+        .localCheckpoint(true)
+    }),
+
     // EXACT n-gram Jaccard similarity join: prefix filtering (rarest-first
     // global token order) guarantees 100% recall — no LSH probability in
     // the loop, so the oracle is the plain all-pairs join. Word trigrams,
@@ -2038,6 +2097,66 @@ object SparkEntry {
             col("c_acctbal").cast(DoubleType).alias("bal"))
           .localCheckpoint(true)
       } finally rm(work.toFile)
+    }),
+
+    // THE VECTOR INDEX AS A FEED-MAINTAINED REPLICA (r14): the r13
+    // store→store replica topology with an ANN index as the downstream —
+    // the 100 TB serving shape where an UpsertStore owns the embeddings
+    // and its change feed maintains the search index. A StoreChangeFeed
+    // (durable cursor, at-least-once) tails the store across two merges;
+    // each polled window IS AnnIndexMaintainer's batch shape (folded
+    // envelope, one row per key) and the window's end version is the
+    // replay-idempotent batch id, so every window is applied TWICE before
+    // its ack (the crash-between-effect-and-ack replay) and must no-op
+    // the second time. Search at the degenerate-exact config; oracle =
+    // exact top-k over the final live arithmetic. A skipped window, a
+    // replayed duplicate, or a delete the feed lost breaks the hash.
+    "q_ann_feed_maintained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft-annfeed")
+      try {
+        val source = new graft.streaming.UpsertStore(s,
+          work.resolve("source").toString, pkCols = Seq("vec_id"),
+          numBuckets = 8, mergeOnRead = true)
+        source.initialize(Cdc.initialLoad(
+          emb.where(pmod(col("vec_id"), lit(3)) =!= 0)))
+        // attach BEFORE snapshotting: a merge landing in between replays
+        val feed = new graft.streaming.StoreChangeFeed(source,
+          work.resolve("cursor").toString)
+        val ix = work.resolve("ix").toString
+        graft.operators.AnnIndex.buildIvf(ix,
+          source.snapshot().select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", numCells = 8, fitSampleSize = 2000)
+        val maint = new graft.streaming.AnnIndexMaintainer(ix,
+          autoCompactDeltas = Some(4))
+        def drain(): Unit = {
+          val (changes, to) = feed.poll()
+          if (feed.cursor < to) {
+            val w = changes.localCheckpoint(true)
+            maint.processBatch(w, to)
+            maint.processBatch(w, to) // crash-replay before ack: no-op
+            feed.commit(to)
+            w.unpersist()
+          }
+        }
+        source.merge(emb
+          .where(pmod(col("vec_id"), lit(3)) =!= 0 &&
+            pmod(col("vec_id"), lit(7)) === 0)
+          .withColumn(Cdc.ChangeType, lit(Cdc.Delete))
+          .withColumn(Cdc.TransactionId, lit(1L)))
+        drain()
+        source.merge(emb.where(pmod(col("vec_id"), lit(6)) === 0)
+          .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+          .withColumn(Cdc.TransactionId, lit(2L)))
+        drain()
+        graft.operators.AnnIndex.searchIvf(ix,
+            emb.where(col("vec_id") < 5)
+              .select(col("vec_id").alias("query_id"), col("embedding")),
+            "query_id", k = 10, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 6).alias("cosine_r"))
+          .localCheckpoint(true)
+      } finally graft.util.Fs.rmTree(work.toFile)
     }),
 
     // §3.2 + §3.1 composed: the full change stream a consumer sees —
@@ -3584,6 +3703,16 @@ object SparkEntry {
         |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
         |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts""".stripMargin,
 
+    // the exact batch LEFT join: every purchase appears, the unmatched
+    // ones with a NULL click — the watermark-flushed outer rows must
+    // land exactly here
+    "q_stream_interval_join_outer" ->
+      """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts""".stripMargin,
+
     "q_st5_pk_change_split" ->
       """SELECT user_id AS pk, event_id AS _transactionid
         |FROM events WHERE event_type = 'purchase'
@@ -4499,6 +4628,21 @@ object SparkEntry {
     // AnnMaintainOracle)
     "q_ann_stream_maintain" -> AnnMaintainOracle,
     "q_ann_stream_maintain_pq" -> AnnMaintainOracle,
+
+    // the feed-maintained index's final live set: initial (%3<>0), minus
+    // the batch-1 deletes (%7=0 of those), plus the batch-2 inserts
+    // (%6=0 — disjoint from the initial set since %6=0 implies %3=0)
+    "q_ann_feed_maintained" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+        |  FROM embeddings d, embeddings q
+        |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
+        |    AND ((d.vec_id % 3 <> 0 AND d.vec_id % 7 <> 0)
+        |      OR d.vec_id % 6 = 0))
+        |WHERE rank <= 10""".stripMargin,
 
     // the maintained net-live corpus INTERSECTED with the filter — the
     // composition of the maintenance oracle and the filtered-search
