@@ -105,6 +105,38 @@ class HierarchySpec extends SparkSpec {
       broadcastKeys = false)) == 0)
   }
 
+  test("rebuildBoth: impact union of parent and child changes; both-sides hit rebuilds ONCE") {
+    import org.apache.spark.sql.functions.col
+    val state = Seq(
+      ("SO1", 1, "widget"), ("SO2", 1, "gizmo-v2")
+    ).toDF("SALESORDERID", "LINE", "PRODUCT")
+    // SO1 changed on BOTH sides (its header row AND a child row); SO2
+    // only parent-side; SO3 untouched
+    val parentDelta = Seq(("SO1", "P9"), ("SO2", "P8"))
+      .toDF("SALESORDERID", "PARTNER")
+    val childDelta = Seq(("SO1", 2, "gadget"))
+      .toDF("SALESORDERID", "LINE", "PRODUCT")
+    val got = Hierarchy.rebuildBoth(header, state, parentDelta, childDelta,
+      Seq(("SALESORDERID", "SALESORDERID")), "items")
+    val rows = got.collect()
+    // union of impacts, each exactly once — the doubly-impacted SO1 must
+    // not emit two (conflicting) upsert rows into a downstream LWW merge
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("SO1", "SO2"),
+      rows.mkString(", "))
+    val byId = rows.map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](2)).toMap
+    assert(byId("SO1").map(_.getString(1)) == Seq("widget"))
+    assert(byId("SO2").map(_.getString(1)) == Seq("gizmo-v2"))
+    // child-side-only equivalence: with no parent changes, rebuildBoth
+    // IS rebuild (shared nestForKeys core — contract, not coincidence)
+    val emptyParent = parentDelta.where(col("SALESORDERID") === "none")
+    val both = Hierarchy.rebuildBoth(header, state, emptyParent, childDelta,
+      Seq(("SALESORDERID", "SALESORDERID")), "items").collect().toSet
+    val plain = Hierarchy.rebuild(header, state, childDelta,
+      Seq(("SALESORDERID", "SALESORDERID")), "items").collect().toSet
+    assert(both == plain)
+  }
+
   test("rebuild ≡ an independent in-Scala recompute on random parent/child/delta") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(11)
