@@ -1167,6 +1167,22 @@ object SparkEntry {
     // Hash-gated since r9: the token hash is FNV-1a/64 over code points —
     // wrap-around int64 arithmetic the DuckDB oracle replays exactly
     // (r8's xxhash64 token hash was engine-internal, rows-only).
+    // BIGRAM-LM PERPLEXITY (r14): q_text_lm_score's integer features
+    // graduated to TRUE smoothed conditional probabilities — add-one
+    // bigram model, every document scored by avg(-ln P(w2|w1)), the
+    // calibrated form CCNet thresholds on (and the operator that takes a
+    // separate train corpus — spec'd in LmScoreSpec). The oracle
+    // recomputes the full model (pair counts, derived context counts,
+    // vocab) and every per-doc average in SQL; a smoothing-denominator
+    // slip, a lost bigram at a document edge, or a mishandled unseen
+    // context breaks the hash.
+    "q_lm_perplexity" -> ((s, dir) => {
+      graft.operators.LmScore.scoreByBigramLm(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 6).alias("avg_nll_r"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -4366,6 +4382,35 @@ object SparkEntry {
         |  CAST(sk AS DOUBLE) / (1000.0 * n) > 0.0 AS keep
         |FROM s JOIN n ON s.doc_id = n.doc_id""".stripMargin
     },
+
+    // the full bigram model recomputed in SQL: pair counts, context
+    // counts derived from them, the vocab size, and every per-doc
+    // average — add-one smoothing included
+    "q_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id,
+        |    [{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))] AS ps
+        |  FROM tok WHERE len(ws) >= 2),
+        |bg AS (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        |  FROM (SELECT doc_id, unnest(ps) AS p FROM bg0)),
+        |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS nv
+        |      FROM (SELECT unnest(ws) AS w FROM tok)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    -ln((COALESCE(pc.c12, 0) + 1)::DOUBLE /
+        |        (COALESCE(cc.c1, 0) + v.nv)::DOUBLE) AS nll
+        |  FROM bg b
+        |  LEFT JOIN pc ON b.w1 = pc.w1 AND b.w2 = pc.w2
+        |  LEFT JOIN cc ON b.w1 = cc.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll_r
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     // token's code points in wrap-around 2^64 arithmetic, replayed here
     // exactly via HUGEINT mod 2^64 (r9 graduation — the r8 xxhash64 token

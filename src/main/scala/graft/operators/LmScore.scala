@@ -74,4 +74,76 @@ object LmScore {
           col("log2_sum").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** The TRUE conditional-probability form of the score above (r14):
+    * an add-one-smoothed bigram model — P(w2 | w1) = (c(w1,w2) + 1) /
+    * (c(w1) + V) — with the per-document score avg(-ln P) over its
+    * bigrams, i.e. the log of CCNet's perplexity. Two things the
+    * integer-feature variant deliberately does not offer:
+    *
+    *  - a TRAIN corpus separate from the scored one (`train`) — the
+    *    actual CCNet deployment trains on a reference corpus (Wikipedia)
+    *    and scores the crawl; [[ngramCountFeatures]] is self-trained by
+    *    construction;
+    *  - calibrated probabilities: thresholds like "perplexity < 500"
+    *    from the literature transfer to exp(avg_nll), where the integer
+    *    log2 proxy only preserves ranking.
+    *
+    * Context counts are derived FROM the pair counts (c(w1) = Σ_w
+    * c(w1, w)) so the conditional sums to one over the vocab by
+    * construction and the model fit never re-reads the corpus: one
+    * tokenized pass feeds the pair `groupBy`, the context fold runs on
+    * the already-aggregated pairs, and one scalar job counts the vocab.
+    * Scoring joins the document bigrams against the model — broadcast
+    * when it fits (`broadcastModel`, the default; bigram vocabularies
+    * grow sub-linearly), a shuffle join on the pair key otherwise (the
+    * 100 TB hatch). An unseen context scores exactly 1/V. Documents with
+    * fewer than two tokens have no bigram and are omitted.
+    *
+    * @return (idCol, n_bigrams, avg_nll) — avg_nll is the average
+    *         negative natural-log bigram probability
+    */
+  def scoreByBigramLm(docs: DataFrame, idCol: String, textCol: String,
+      train: Option[DataFrame] = None,
+      broadcastModel: Boolean = true): DataFrame = {
+    import graft.functions.TextAnalysis
+    val trainDf = train.getOrElse(docs)
+
+    def bigrams(df: DataFrame, keep: Seq[String]): DataFrame = {
+      val toks = df
+        .select(keep.map(col) :+
+          TextAnalysis.tokens(col(textCol)).alias("_t"): _*)
+        .where(size(col("_t")) >= 2)
+      toks.select(keep.map(col) :+ col("_t") :+ posexplode(
+          slice(col("_t"), lit(1), size(col("_t")) - 1)): _*)
+        .select(keep.map(col) :+ col("col").alias("_w1") :+
+          element_at(col("_t"), col("pos") + 2).alias("_w2"): _*)
+    }
+
+    // hold the tokenized TRAINING pass once: it feeds the pair counts
+    // and the context fold, and re-tokenizing the corpus is the dominant
+    // cost at scale
+    val pairCounts = bigrams(trainDf, Nil)
+      .groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).alias("_c12"))
+      .localCheckpoint(false) // feeds scoring AND the context fold
+    val ctxCounts = pairCounts.groupBy(col("_w1"))
+      .agg(sum(col("_c12")).alias("_c1"))
+    // vocab over ALL token positions (the last bigram's w2 included):
+    // both bigram slots draw from the same smoothing space
+    val v = trainDf
+      .select(explode(TextAnalysis.tokens(col(textCol))).alias("_w"))
+      .agg(countDistinct(col("_w"))).head().getLong(0)
+
+    def side(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    bigrams(docs, Seq(idCol))
+      .join(side(pairCounts), Seq("_w1", "_w2"), "left")
+      .join(side(ctxCounts), Seq("_w1"), "left")
+      .withColumn("_nll", -log(
+        (coalesce(col("_c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("_c1"), lit(0L)) + v).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_bigrams"),
+        avg(col("_nll")).alias("avg_nll"))
+  }
 }

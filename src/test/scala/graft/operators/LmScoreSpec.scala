@@ -1,66 +1,63 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.Row
 
-/** Pins [[LmScore.ngramCountFeatures]] semantics on a corpus small enough
-  * to count by hand: corpus bigram counts (a b)=3, (b a)=1, (b c)=1,
-  * (x y)=1.
+/** Bigram-LM scoring (r14): the add-one-smoothed probabilities and the
+  * per-document averages against hand arithmetic, plus the unseen-context
+  * floor and the reference-corpus (train ≠ score) path.
   */
 class LmScoreSpec extends SparkSpec {
   import spark.implicits._
 
+  // V = {a, b, c, x} = 4; pair counts (a,b)=3 (b,a)=1 (b,c)=1;
+  // context counts a=3 b=2
   private lazy val corpus = Seq(
-    (1L, "a b a b"), // grams: (a b), (b a), (a b)
-    (2L, "a b c"),   // grams: (a b), (b c)
-    (3L, "x y"),     // grams: (x y)
-    (4L, "z")        // too short for a bigram
+    (1L, "a b a b"), (2L, "a b c"), (3L, "x")
   ).toDF("doc_id", "text")
 
-  private lazy val rows: Map[Long, Row] =
-    LmScore.ngramCountFeatures(corpus, "doc_id", "text", n = 2)
-      .collect().map(r => r.getLong(0) -> r).toMap
+  private def scores(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
 
-  test("per-doc features match hand counts") {
-    val d1 = rows(1L)
-    assert(d1.getAs[Long]("n_grams") === 3L)
-    assert(d1.getAs[Long]("cnt_sum") === 7L)  // 3 + 1 + 3
-    assert(d1.getAs[Long]("log2_sum") === 2L) // ⌊log2 3⌋ + 0 + ⌊log2 3⌋
-    assert(d1.getAs[Long]("n_rare") === 1L)   // (b a) is hapax
-    assert(math.abs(d1.getAs[Double]("avg_log2") - 2.0 / 3.0) < 1e-12)
-
-    val d2 = rows(2L)
-    assert(d2.getAs[Long]("n_grams") === 2L)
-    assert(d2.getAs[Long]("cnt_sum") === 4L) // 3 + 1
-    assert(d2.getAs[Long]("n_rare") === 1L)  // (b c)
-
-    val d3 = rows(3L)
-    assert(d3.getAs[Long]("cnt_sum") === 1L)
-    assert(d3.getAs[Long]("log2_sum") === 0L)
-    assert(d3.getAs[Long]("n_rare") === 1L)
+  test("self-trained scores equal hand arithmetic; <2-token docs are omitted") {
+    val got = scores(LmScore.scoreByBigramLm(corpus, "doc_id", "text"))
+    val pAB = 4.0 / 7.0 // (3+1)/(3+4)
+    val pBA = 2.0 / 6.0 // (1+1)/(2+4)
+    val pBC = 2.0 / 6.0
+    assert(got.keySet === Set(1L, 2L), "the 1-token doc has no bigram")
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 -
+      -(2 * math.log(pAB) + math.log(pBA)) / 3) < 1e-12)
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(2L)._2 -
+      -(math.log(pAB) + math.log(pBC)) / 2) < 1e-12)
   }
 
-  test("short documents score all-zero instead of dropping out") {
-    val d4 = rows(4L)
-    assert(d4.getAs[Long]("n_grams") === 0L)
-    assert(d4.getAs[Long]("cnt_sum") === 0L)
-    assert(d4.getAs[Double]("avg_log2") === 0.0)
+  test("unseen context scores the 1/V smoothing floor; train and score corpora can differ") {
+    val novel = Seq((9L, "z z z")).toDF("doc_id", "text")
+    val got = scores(LmScore.scoreByBigramLm(novel, "doc_id", "text",
+      train = Some(corpus)))
+    // P(z|z) = (0+1)/(0+4): neither the pair nor the context was trained
+    assert(got(9L)._1 === 2L)
+    assert(math.abs(got(9L)._2 - math.log(4.0)) < 1e-12)
   }
 
-  test("rareThreshold widens the rare gate") {
-    val loose = LmScore.ngramCountFeatures(corpus, "doc_id", "text",
-        n = 2, rareThreshold = 3L)
-      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_rare")).toMap
-    assert(loose(1L) === 3L) // every gram has corpus count ≤ 3 now
-    assert(loose(2L) === 2L)
+  test("fluent-vs-noise ordering: in-domain text outscores shuffled vocabulary") {
+    // 40 docs of a repetitive in-domain phrase vs 2 of rare transitions:
+    // the filter's point is the ORDERING, so pin it
+    val repeat = (0 until 40).map(i => (i.toLong, "the cat sat on the mat"))
+    val noise = Seq((100L, "mat the on cat the sat"), (101L, "sat mat cat on"))
+    val df = (repeat ++ noise).toDF("doc_id", "text")
+    val got = scores(LmScore.scoreByBigramLm(df, "doc_id", "text"))
+    val fluent = got(0L)._2
+    assert(Seq(100L, 101L).forall(got(_)._2 > fluent),
+      s"noise must score a higher avg_nll than the dominant phrasing: $got")
   }
 
-  test("common text outscores outlier text (the filter signal)") {
-    val docs = (Seq.tabulate(10)(i => (i.toLong, "the cat sat on the mat")) :+
-      (99L, "qwz vbn jkl ppq rrs ttu")).toDF("doc_id", "text")
-    val avg = LmScore.ngramCountFeatures(docs, "doc_id", "text", n = 2)
-      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_log2")).toMap
-    assert(avg(0L) > avg(99L),
-      s"repeated prose ${avg(0L)} should outscore hapax soup ${avg(99L)}")
+  test("shuffle-join model path (broadcastModel = false) is identical") {
+    val b = scores(LmScore.scoreByBigramLm(corpus, "doc_id", "text"))
+    val s = scores(LmScore.scoreByBigramLm(corpus, "doc_id", "text",
+      broadcastModel = false))
+    assert(b === s)
   }
 }
