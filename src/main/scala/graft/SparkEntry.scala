@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.Cdc
 import graft.functions.{GraftExpressions, TextAnalysis}
-import graft.operators.{AsofJoin, BpeTrain, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity}
+import graft.operators.{AsofJoin, BpeTrain, Decontaminate, Dedup, Hierarchy, ImportanceResample, IncrementalAgg, IncrementalJoin, LmScore, RangeJoin, Retrieval, Sampling, Shards, Similarity, UnigramLm}
 import graft.sources.{JdbcSource, MetadataCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1018,6 +1018,43 @@ object SparkEntry {
         .select("l", "r").collect().map(m => (m.getString(0), m.getString(1)))
         .toSeq
       BpeTrain.tokenCountsCompiled(docs, "doc_id", "text", merges)
+    }),
+
+    // Unigram-LM tokenizer family (r14) — the THIRD tokenizer algorithm
+    // (SentencePiece's default) next to BPE training and WordPiece
+    // serving. Three gates cover seed → hard-EM step → Viterbi serving;
+    // the oracle re-derives the seed statistics, the micro-nat
+    // quantization, and EVERY word's best segmentation by enumerating all
+    // segmentations in a recursive CTE and applying the identical
+    // (total desc, ntok asc, piece-seq asc) tie-break, so a wrong DP
+    // transition, a drifted quantization, or a tie broken differently
+    // breaks the hash. Config (maxPieceLen=3, seedSize=40) is enumeration-
+    // friendly for the oracle; the operator itself is a linear DP.
+    "q_unigram_seed" -> ((s, dir) =>
+      UnigramLm.seedVocab(BpeTrain.wordCounts(t(s, dir, "documents"), "text"),
+        maxPieceLen = 3, seedSize = 40)),
+
+    // one hard-EM step under the seed model: per-piece expected counts
+    // (the M-step statistics), weighted by word occurrence counts. The
+    // model is a bounded collect (singles + 40 rows — the BPE-merge-table
+    // class); the E-step runs distributed over the distinct-word table.
+    "q_unigram_train_step" -> ((s, dir) => {
+      val counts = BpeTrain.wordCounts(t(s, dir, "documents"), "text")
+      val model = UnigramLm.seedVocab(counts, maxPieceLen = 3, seedSize = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      UnigramLm.emStep(counts, model)
+    }),
+
+    // ...and Viterbi serving: per-document token counts AND total
+    // quantized log-likelihood under the seed model — segment per
+    // DISTINCT word, broadcast-join to occurrences (the
+    // tokenCountsCompiled plan shape).
+    "q_unigram_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = UnigramLm.seedVocab(
+          BpeTrain.wordCounts(docs, "text"), maxPieceLen = 3, seedSize = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      UnigramLm.tokenCounts(docs, "doc_id", "text", model)
     }),
 
     // Gopher-style repetition filter: fraction of tokens covered by the
@@ -3335,6 +3372,61 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Generated unigram-LM oracle CTE prefix (see q_unigram_*): substring
+    * seed statistics (`sub` → `seed`), micro-nat quantization (`scored`,
+    * `z` — the q_dsir_weights floor(1e6·ln) pattern), then `paths`
+    * enumerates EVERY segmentation of every distinct word by recursive
+    * piece-extension (bounded: only vocab pieces extend a path) and
+    * `best` picks per word under the operator's exact tie-break
+    * (total desc, ntok asc, U+0001-joined pieces asc — chr(1) sorts below
+    * every corpus character, so string order ≡ piece-sequence order).
+    * Enumeration replaces the operator's linear DP on purpose: the oracle
+    * must not share the implementation's shortcut to be evidence.
+    */
+  private def unigramOracleCtes(maxPieceLen: Int, seedSize: Int): String =
+    s"""WITH RECURSIVE wcnt AS MATERIALIZED (
+      |  SELECT word, count(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+      |    FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |s1 AS (SELECT cnt, word, unnest(range(1, length(word) + 1)) AS i
+      |       FROM wcnt),
+      |s2 AS (SELECT cnt, word, i,
+      |         unnest(range(1, least($maxPieceLen, length(word) - i + 1) + 1)) AS l
+      |       FROM s1),
+      |sub AS MATERIALIZED (
+      |  SELECT substr(word, i::INT, l::INT) AS piece, sum(cnt)::BIGINT AS cnt
+      |  FROM s2 GROUP BY 1),
+      |seed AS MATERIALIZED (
+      |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+      |    ORDER BY cnt DESC, piece LIMIT $seedSize)),
+      |scored AS MATERIALIZED (
+      |  SELECT piece, cnt, CAST(floor(1e6 * ln(cnt::DOUBLE)) AS BIGINT) AS s,
+      |         length(piece) AS pl FROM seed),
+      |z AS MATERIALIZED (
+      |  SELECT CAST(floor(1e6 * ln(sum(cnt)::DOUBLE)) AS BIGINT) AS sz
+      |  FROM seed),
+      |paths(word, pos, score, ntok, toks) AS (
+      |  SELECT word, 1::BIGINT, 0::BIGINT, 0::BIGINT, '' FROM wcnt
+      |  UNION ALL
+      |  SELECT p.word, p.pos + v.pl, p.score + v.s, p.ntok + 1,
+      |         CASE WHEN p.toks = '' THEN v.piece
+      |              ELSE p.toks || chr(1) || v.piece END
+      |  FROM paths p JOIN scored v
+      |    ON substr(p.word, p.pos::INT, v.pl::INT) = v.piece
+      |  WHERE p.pos <= length(p.word)),
+      |segs AS MATERIALIZED (
+      |  SELECT word, score - ntok * (SELECT sz FROM z) AS total, ntok, toks
+      |  FROM paths WHERE pos = length(word) + 1),
+      |best AS MATERIALIZED (
+      |  SELECT word, total, ntok, toks FROM (
+      |    SELECT word, total, ntok, toks, row_number() OVER (
+      |      PARTITION BY word ORDER BY total DESC, ntok ASC, toks ASC) AS rn
+      |    FROM segs) WHERE rn = 1)""".stripMargin
+
   private val TextRepetitionOracle =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
@@ -4243,6 +4335,30 @@ object SparkEntry {
     // definition — the serving paths cannot drift.
     "q_bpe_tokenize" -> BpeTokenizeOracle,
     "q_bpe_tokenize_compiled" -> BpeTokenizeOracle,
+
+    // Unigram-LM tokenizer: seed statistics, one hard-EM step, and
+    // Viterbi serving, all over one generated CTE prefix
+    // (unigramOracleCtes) that re-derives the model and every word's
+    // best segmentation by exhaustive enumeration
+    "q_unigram_seed" ->
+      (unigramOracleCtes(3, 40) + "\nSELECT piece, cnt FROM seed"),
+
+    "q_unigram_train_step" ->
+      (unigramOracleCtes(3, 40) + """
+        |SELECT piece, sum(cnt)::BIGINT AS est_cnt FROM (
+        |  SELECT w.cnt, unnest(string_split(b.toks, chr(1))) AS piece
+        |  FROM best b JOIN wcnt w USING (word))
+        |GROUP BY piece""".stripMargin),
+
+    "q_unigram_tokenize" ->
+      (unigramOracleCtes(3, 40) + """,
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents)
+        |SELECT d.doc_id, sum(b.ntok)::BIGINT AS n_tokens,
+        |       sum(b.total)::BIGINT AS score_micro
+        |FROM docw d JOIN best b USING (word) WHERE d.word <> ''
+        |GROUP BY d.doc_id""".stripMargin),
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one

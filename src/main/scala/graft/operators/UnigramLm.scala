@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Unigram language-model tokenizer — the THIRD tokenizer family next to
+  * BPE ([[BpeTrain]], learns merges) and WordPiece
+  * (`TextAnalysis.wordpieceTokens`, consumes a vocabulary): SentencePiece's
+  * actual default algorithm ("Subword Regularization", Kudo 2018 §3;
+  * "SentencePiece", Kudo & Richardson 2018). Where BPE composes tokens
+  * bottom-up from learned merges, the unigram model starts from a LARGE
+  * seed vocabulary of candidate pieces, fits piece probabilities by EM,
+  * prunes low-contribution pieces toward the target vocabulary size, and
+  * SERVES by Viterbi: each word is segmented into the piece sequence of
+  * maximum likelihood Π p(piece).
+  *
+  * Determinism contract (the property every cross-engine gate hangs off):
+  * this implementation is HARD-EM (Viterbi E-step) with exact integer
+  * scores. Piece log-probabilities are quantized to micro-nats the way
+  * [[ImportanceResample.logWeights]] quantizes its importance ratios —
+  * `s(piece) = floor(1e6 · ln count)`, `sz = floor(1e6 · ln Σ counts)` —
+  * so a segmentation's score is the INTEGER `Σ s(pieceᵢ) − n·sz`
+  * (= 1e6 · log-likelihood up to quantization), ties break on fewer
+  * pieces, then on the lexicographically smallest piece sequence (compared
+  * as the pieces joined by U+0001, which equals element-wise sequence
+  * order because the separator sorts below every corpus character). The
+  * result is order-independent, cluster ≡ local bit-for-bit, and a SQL
+  * engine enumerating segmentations reproduces it exactly
+  * (`q_unigram_seed` / `q_unigram_train_step` / `q_unigram_tokenize`).
+  * Soft-EM (forward–backward expected counts, Kudo §3.2) would converge
+  * slightly differently but shares every distributed shape below; the
+  * hard-EM variant is chosen because its fixed points are
+  * hash-verifiable, not because soft-EM is harder to distribute.
+  *
+  * 100 TB design, mirroring the [[BpeTrain]] split: the corpus is touched
+  * ONCE (the same `(word, count)` fold every trainer iterates on — reuse
+  * [[BpeTrain.wordCounts]]); seeding, EM and serving all run over the
+  * DISTINCT-word table; the model artifact is vocabulary-bounded (seed
+  * size ≈ thousands of rows — the same bounded-collect class as BPE's
+  * merge table and KMeans' centroids) and rides into tasks as ONE
+  * broadcast HashMap, never as nested expression layers, so per-word cost
+  * is O(|word| · maxPieceLen) independent of vocabulary size — the
+  * automaton trade [[BpeTrain.vocabTokensCompiled]] measured (SCALING
+  * §24), adopted here from the start.
+  */
+object UnigramLm {
+
+  /** All substrings of length 1..maxPieceLen of every distinct word,
+    * counted with multiplicity and weighted by word count — the candidate
+    * statistics the seed vocabulary ranks. One explode over the
+    * distinct-word table: O(Σ |word| · maxPieceLen) rows of short strings,
+    * map-side combined into the piece fold.
+    */
+  def substringCounts(counts: DataFrame, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    counts
+      .select(col("cnt"), explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).alias("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).alias("cnt"))
+  }
+
+  /** The seed vocabulary: EVERY single character (coverage — Viterbi must
+    * always have a path) plus the `seedSize` most frequent multi-character
+    * substrings, ties broken (count desc, piece asc). The top-k is an
+    * `orderBy().limit()` → TakeOrderedAndProject (per-partition heaps),
+    * never a global window. Returns `(piece, cnt)`.
+    */
+  def seedVocab(counts: DataFrame, maxPieceLen: Int = 4,
+      seedSize: Int = 1000): DataFrame = {
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    val subs = substringCounts(counts, maxPieceLen)
+    subs.where(length(col("piece")) === 1).unionByName(
+      subs.where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedSize))
+  }
+
+  /** Micro-nat piece scores: `(piece → floor(1e6 · ln cnt), floor(1e6 ·
+    * ln Σ cnt))`. ln of an exact integer count — the only float in the
+    * whole operator, quantized the proven-cross-engine way (see
+    * `q_dsir_weights`).
+    */
+  private def quantize(model: Seq[(String, Long)])
+      : (java.util.HashMap[String, java.lang.Long], Long) = {
+    require(model.nonEmpty, "empty model")
+    // boxed values: java.util.HashMap.get on a missing key returns null,
+    // and a primitive-Long value type would silently unbox that to 0L
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (p, c) =>
+      require(c >= 1, s"piece '$p' has non-positive count $c")
+      // first occurrence wins, like BpeTrain's duplicate-rule guard
+      if (!m.containsKey(p)) m.put(p, math.floor(1e6 * math.log(c.toDouble)).toLong)
+    }
+    val z = model.map(_._2).sum
+    (m, math.floor(1e6 * math.log(z.toDouble)).toLong)
+  }
+
+  /** Viterbi segmentation of one word under quantized piece scores:
+    * maximize `Σ s(pieceᵢ) − n·sz`, ties → fewer pieces → lexicographically
+    * smallest piece sequence. The DP key at every prefix is the
+    * suffix-invariant triple (partial total, token count, joined pieces):
+    * a common completion adds the same Δ to score and count and appends
+    * the same suffix to two equal-length joined strings, so keeping one
+    * best prefix per position yields the global optimum under the full
+    * lexicographic comparator — exactly what the oracle's all-segmentation
+    * enumeration picks.
+    *
+    * Throws if some prefix has no piece — cannot happen for a model that
+    * contains every single character of the word (which [[seedVocab]] and
+    * [[train]] guarantee for their own corpus); a hand-built model that
+    * violates coverage fails loudly instead of emitting a silent partial
+    * segmentation.
+    */
+  private[operators] def viterbiWord(word: String,
+      s: java.util.HashMap[String, java.lang.Long], sz: Long, maxPieceLen: Int)
+      : (Array[String], Long) = {
+    val n = word.length
+    // per position: best (total, ntok, joined, backPos, backPiece)
+    val total = new Array[Long](n + 1)
+    val ntok = new Array[Int](n + 1)
+    val joined = new Array[String](n + 1)
+    joined(0) = ""
+    var j = 1
+    while (j <= n) {
+      var bestT = Long.MinValue
+      var bestN = Int.MaxValue
+      var bestJ: String = null
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        if (joined(j - l) != null) {
+          val piece = word.substring(j - l, j)
+          val ps = s.get(piece)
+          if (ps != null) {
+            val t = total(j - l) + ps.longValue() - sz
+            val k = ntok(j - l) + 1
+            val cj = if (j - l == 0) piece else joined(j - l) + "\u0001" + piece
+            if (t > bestT || (t == bestT && (k < bestN ||
+                (k == bestN && cj.compareTo(bestJ) < 0)))) {
+              bestT = t; bestN = k; bestJ = cj
+            }
+          }
+        }
+        l += 1
+      }
+      total(j) = bestT; ntok(j) = bestN; joined(j) = bestJ
+      j += 1
+    }
+    if (joined(n) == null)
+      throw new IllegalArgumentException(
+        s"model does not cover word '$word' (missing single characters?)")
+    (joined(n).split('\u0001'), total(n))
+  }
+
+  /** `(word, toks, ntok, score_micro)` for every DISTINCT word of `words`
+    * (a one-column `word` frame), segmented by Viterbi under the model.
+    * The model rides once as a task broadcast — the same justified
+    * `mapPartitions` shape as [[BpeTrain.vocabTokensCompiled]]: per-word
+    * DP against a broadcast table that cannot ride as expression layers.
+    */
+  def segmentWords(words: DataFrame, model: Seq[(String, Long)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val modelB = spark.sparkContext.broadcast(model.toArray)
+    val maxLen = model.iterator.map(_._1.length).max
+    words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val (s, sz) = quantize(modelB.value.toSeq)
+        it.map { w =>
+          val (toks, score) = viterbiWord(w, s, sz, maxLen)
+          (w, toks, toks.length.toLong, score)
+        }
+      }
+      .toDF("word", "toks", "ntok", "score_micro")
+  }
+
+  /** One hard-EM step: Viterbi-segment every distinct word under `model`,
+    * return each piece's expected count `Σ word-count · occurrences` —
+    * the M-step statistics the next model normalizes. Pieces that win no
+    * segmentation are absent (their next-round probability is zero; the
+    * caller floors retained single characters at 1 for coverage). The
+    * corpus never re-enters: one vocab-sized segment pass + one explode
+    * fold.
+    */
+  def emStep(counts: DataFrame, model: Seq[(String, Long)]): DataFrame =
+    counts.join(segmentWords(counts.select("word"), model), Seq("word"))
+      .select(col("cnt"), explode(col("toks")).alias("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).alias("est_cnt"))
+
+  /** Per-document serving: `(idCol, n_tokens, score_micro)` — Viterbi
+    * token count and total quantized log-likelihood per document. Same
+    * corpus-scale plan as [[BpeTrain.tokenCountsCompiled]]: segment each
+    * DISTINCT word once, broadcast-join back to word occurrences, one
+    * fold per document.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      model: Seq[(String, Long)]): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).alias("word"))
+    words.join(broadcast(segmentWords(words.select("word"), model)
+        .select(col("word"), col("ntok"), col("score_micro"))),
+      Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("ntok")).cast(LongType).alias("n_tokens"),
+        sum(col("score_micro")).cast(LongType).alias("score_micro"))
+  }
+
+  /** Full training loop: seed → (hard-EM step + prune) × `emIters` →
+    * final truncation to `vocabSize`. Single characters are never pruned
+    * (coverage) and floor at count 1 if an EM step leaves them unused;
+    * multi-character pieces are kept by (est count desc, piece asc), each
+    * round retaining the larger of the target multi-piece budget and
+    * `1 − pruneFraction` of the survivors — SentencePiece's gradual-prune
+    * schedule, so a piece whose early support was an artifact of a
+    * not-yet-fit model can still lose its corpus to a better piece before
+    * the final cut. Every collect is model-sized (≤ singles + seedSize
+    * rows); all corpus- and vocab-sized work is DataFrame-distributed.
+    *
+    * Returns the model `(piece, count)` in (count desc, piece asc) order —
+    * the artifact [[tokenCounts]] serves with.
+    */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 1000, emIters: Int = 2,
+      pruneFraction: Double = 0.2): Seq[(String, Long)] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(emIters >= 0, s"emIters must be >= 0, got $emIters")
+    require(pruneFraction >= 0 && pruneFraction < 1,
+      s"pruneFraction must be in [0, 1), got $pruneFraction")
+    val counts = BpeTrain.wordCounts(docs, textCol).localCheckpoint(true)
+    try {
+      val seed = seedVocab(counts, maxPieceLen, seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val singles = seed.filter(_._1.length == 1).map(_._1).toSet
+      require(singles.size <= vocabSize,
+        s"vocabSize $vocabSize below the ${singles.size} single characters " +
+          "coverage requires")
+      val multiBudget = vocabSize - singles.size
+      var model = seed
+      var iter = 0
+      while (iter < emIters) {
+        val est = emStep(counts, model)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        val keptSingles = singles.toSeq.sorted
+          .map(p => (p, math.max(est.getOrElse(p, 0L), 1L)))
+        val survivors = model.iterator.map(_._1)
+          .filter(p => p.length >= 2 && est.contains(p))
+          .map(p => (p, est(p))).toSeq
+          .sortBy { case (p, c) => (-c, p) }
+        val keep = math.max(multiBudget,
+          math.floor(survivors.size * (1 - pruneFraction)).toInt)
+        model = keptSingles ++ survivors.take(keep)
+        iter += 1
+      }
+      (model.filter(_._1.length == 1) ++
+        model.filter(_._1.length >= 2).sortBy { case (p, c) => (-c, p) }
+          .take(multiBudget))
+        .sortBy { case (p, c) => (-c, p) }
+    } finally counts.unpersist()
+  }
+}

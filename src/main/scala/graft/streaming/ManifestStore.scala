@@ -241,38 +241,56 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * EVER overwritten: the r10 review showed an "replace torn debris"
     * branch lets two writers that both observe the same torn slot both
     * succeed (one unconditional write clobbering the other — a silent lost
-    * commit). Instead a torn occupant simply burns its version number: the
-    * retrying writer picks the NEXT free slot ([[nextVersion]] counts torn
-    * files too), readers skip torn files by digest, and version-number
-    * GAPS are part of the format's contract. GC removes aged torn debris.
+    * commit). Instead a torn occupant simply burns its version number:
+    * readers skip torn files by digest, [[nextVersion]] counts them, and
+    * version-number GAPS are part of the format's contract. GC removes
+    * aged torn debris.
     *
-    * NO rename of anything pre-existing, no write atomicity assumed: the
-    * embedded digest is the completeness test either way.
+    * The publish is CONTENT-ATOMIC (r14): the manifest bytes are written
+    * and forced into a dot-staging file OUTSIDE the `manifest-*` listing
+    * namespace, then the slot is claimed by hard-LINKING the staging file
+    * in — link creation is atomic and create-exclusive, so the slot's
+    * FULL content is present at the instant its name becomes visible,
+    * exactly like an object store's conditional PUT. The previous
+    * emulation (claim the slot with CREATE_NEW, then write+force into it)
+    * had a lost-update race the three-writer stress caught flaking: a
+    * concurrent writer listing during the in-flight put saw the newest
+    * slot as a TORN file, burned it, built its commit on the PREVIOUS
+    * manifest, and published one slot past the victim — both writers
+    * reported success, but the victim's delta was referenced by no
+    * retained manifest and its batch silently vanished. Torn-visible
+    * in-flight commits are now impossible; a torn manifest can only be
+    * pre-existing crash debris, and the burn rule remains for that. A
+    * crash between write and link leaves an invisible staging file (GC
+    * sweeps it aged); a crash after link is a completed commit.
     */
   private def putManifest(m: Manifest): Unit = {
-    val f = new java.io.File(root, manifestName(m.version))
     // write THROUGH the forcing channel (force is only specified for this
-    // channel's own writes — ADVICE r10) and force before close: a
-    // power-cut after "commit" must not lose the commit. An object store
-    // gives this durability on PUT acknowledgment.
-    val ch =
-      try
-        java.nio.channels.FileChannel.open(f.toPath,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflictException(
-            s"store $dir: version slot ${m.version} is occupied (a committed " +
-              "manifest, or a crashed writer's torn put) — re-read the " +
-              "current manifest and retry on top; torn slots burn their " +
-              "version number")
-      }
+    // channel's own writes — ADVICE r10) and force before the link makes
+    // it visible: a power-cut after "commit" must not lose the commit. An
+    // object store gives this durability on PUT acknowledgment.
+    val staging = new java.io.File(root,
+      s".staging-${java.util.UUID.randomUUID().toString}.json")
+    val ch = java.nio.channels.FileChannel.open(staging.toPath,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     try {
       val buf = java.nio.ByteBuffer.wrap(encodeManifest(m))
       while (buf.hasRemaining) ch.write(buf)
       ch.force(true)
     } finally ch.close()
+    val f = new java.io.File(root, manifestName(m.version))
+    try java.nio.file.Files.createLink(f.toPath, staging.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        staging.delete()
+        throw new CommitConflictException(
+          s"store $dir: version slot ${m.version} is occupied (a committed " +
+            "manifest, or a crashed writer's torn put) — re-read the " +
+            "current manifest and retry on top; torn slots burn their " +
+            "version number")
+    }
+    staging.delete()
     // ... and persist the manifest's DIRECTORY ENTRY: without this a crash
     // can lose the just-created name even with its bytes forced, silently
     // dropping a CDC window whose ledger already advanced (ADVICE r10)
@@ -396,6 +414,14 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     // concurrent writer's put still in flight)
     complete.drop(keepVersions).foreach(_._1.delete())
     decoded.collect { case (f, None) => f }
+      .filter(f => now - f.lastModified() >= orphanGraceMs)
+      .foreach(_.delete())
+    // staging debris: a crash between a putManifest's staged write and its
+    // link (or between link and unlink) leaves a .staging file — invisible
+    // to the manifest listing, swept once aged like other orphans
+    Option(root.listFiles((_: java.io.File, n: String) =>
+      n.startsWith(".staging-")))
+      .getOrElse(Array.empty[java.io.File])
       .filter(f => now - f.lastModified() >= orphanGraceMs)
       .foreach(_.delete())
   }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hm(pairs: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pairs.foreach { case (p, c) =>
+      m.put(p, java.lang.Long.valueOf(math.floor(1e6 * math.log(c.toDouble)).toLong))
+    }
+    m
+  }
+
+  private def sz(counts: Long*): Long =
+    math.floor(1e6 * math.log(counts.sum.toDouble)).toLong
+
+  test("viterbi picks the higher-likelihood segmentation") {
+    // model a=4, b=2, ab=2 (Z=8): [ab] = ln2 - ln8 beats
+    // [a,b] = ln4 + ln2 - 2 ln8
+    val (toks, _) = UnigramLm.viterbiWord("ab",
+      hm("a" -> 4L, "b" -> 2L, "ab" -> 2L), sz(4, 2, 2), 2)
+    assert(toks.toSeq == Seq("ab"))
+  }
+
+  test("score tie breaks on fewer pieces") {
+    // c_ab * Z == c_a * c_b (2*8 == 4*4) makes [ab] and [a,b] EXACTLY
+    // equal in quantized score (both sides quantize the same ln inputs);
+    // the 1-piece segmentation must win
+    val (toks, _) = UnigramLm.viterbiWord("ab",
+      hm("a" -> 4L, "b" -> 4L, "ab" -> 2L), sz(4, 4, 2), 2)
+    assert(toks.toSeq == Seq("ab"))
+  }
+
+  test("score+count tie breaks on the lexicographically smaller sequence") {
+    // c_ab * c_c == c_a * c_bc (2*6 == 3*4): [ab, c] and [a, bc] tie on
+    // score AND token count; ["a", "bc"] joins lex-smaller than
+    // ["ab", "c"] because the U+0001 separator sorts below 'b'
+    val (toks, _) = UnigramLm.viterbiWord("abc",
+      hm("a" -> 3L, "b" -> 1L, "c" -> 6L, "ab" -> 2L, "bc" -> 4L),
+      sz(3, 1, 6, 2, 4), 2)
+    assert(toks.toSeq == Seq("a", "bc"))
+  }
+
+  test("missing single-character coverage fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.viterbiWord("axb", hm("a" -> 2L, "b" -> 2L), sz(2, 2), 2)
+    }
+    assert(e.getMessage.contains("axb"))
+  }
+
+  test("DP equals exhaustive enumeration on random words and models") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    for (_ <- 1 to 200) {
+      val word = (1 to (1 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val maxLen = 1 + rnd.nextInt(3)
+      // all singles (coverage) + random multi pieces with random counts
+      val singles = alphabet.map(c => c.toString -> (1L + rnd.nextInt(50)))
+      val multis = (1 to 6).map { _ =>
+        val l = 2 + rnd.nextInt(math.max(1, maxLen - 1))
+        (1 to l).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString ->
+          (1L + rnd.nextInt(50))
+      }.filter(_._1.length <= maxLen).distinctBy(_._1)
+        .filterNot(p => alphabet.contains(p._1))
+      val model = (singles ++ multis).toSeq
+      val m = hm(model: _*)
+      val z = sz(model.map(_._2): _*)
+
+      // reference: enumerate every segmentation, pick by the documented
+      // comparator — an independent recursion, not the DP
+      def segs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(maxLen, w.length)).flatMap { l =>
+          val p = w.substring(0, l)
+          if (m.containsKey(p)) segs(w.substring(l)).map(p +: _) else Nil
+        }
+      val all = segs(word)
+      assert(all.nonEmpty)
+      val want = all.map { ts =>
+        val score = ts.map(p => m.get(p).longValue() - z).sum
+        (ts, score)
+      }.minBy { case (ts, score) =>
+        (-score, ts.length, ts.mkString(""))
+      }(Ordering.Tuple3(Ordering.Long, Ordering.Int, Ordering.String))
+      val (got, gotScore) = UnigramLm.viterbiWord(word, m, z, maxLen)
+      assert(got.toSeq == want._1, s"word=$word model=$model")
+      assert(gotScore == want._2)
+    }
+  }
+
+  test("seedVocab keeps every single char plus top multis with tie-breaks") {
+    val counts = Seq(("aab", 3L), ("ab", 2L), ("ba", 2L)).toDF("word", "cnt")
+    val seed = UnigramLm.seedVocab(counts, maxPieceLen = 2, seedSize = 2)
+      .as[(String, Long)].collect().toMap
+    // singles: a appears 2*3 + 1*2 + 1*2 = 10, b 3+2+2 = 7
+    assert(seed("a") == 10L && seed("b") == 7L)
+    // multis: ab = 3+2 = 5, aa = 3, ba = 2 — top 2 by (cnt desc, piece asc)
+    assert(seed.keySet == Set("a", "b", "ab", "aa"))
+    assert(seed("ab") == 5L && seed("aa") == 3L)
+  }
+
+  test("emStep returns word-count-weighted piece occurrence sums") {
+    val counts = Seq(("ab", 3L), ("b", 2L)).toDF("word", "cnt")
+    // model: ab strongly favored over a+b
+    val model = Seq("a" -> 2L, "b" -> 2L, "ab" -> 50L)
+    val est = UnigramLm.emStep(counts, model)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("ab" -> 3L, "b" -> 2L))
+  }
+
+  test("tokenCounts aggregates per document over word occurrences") {
+    val docs = Seq((1L, "ab ab b"), (2L, "b")).toDF("id", "text")
+    val model = Seq("a" -> 2L, "b" -> 2L, "ab" -> 50L)
+    val got = UnigramLm.tokenCounts(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L) // [ab][ab][b] and [b]
+    // score is additive over word occurrences: doc 1 = 2*score(ab) + score(b)
+    val z = sz(2, 2, 50)
+    val sAb = math.floor(1e6 * math.log(50.0)).toLong - z
+    val sB = math.floor(1e6 * math.log(2.0)).toLong - z
+    assert(got(1L)._2 == 2 * sAb + sB && got(2L)._2 == sB)
+  }
+
+  test("train is deterministic, respects vocabSize, and never drops singles") {
+    val docs = Seq(
+      "the cat sat on the mat", "the cat ran", "a cat and a mat",
+      "the the the cat cat mat").toDF("text")
+    val m1 = UnigramLm.train(docs, "text", vocabSize = 14,
+      maxPieceLen = 3, seedSize = 20, emIters = 3)
+    val m2 = UnigramLm.train(docs, "text", vocabSize = 14,
+      maxPieceLen = 3, seedSize = 20, emIters = 3)
+    assert(m1 == m2)
+    assert(m1.size <= 14)
+    val singles = "thecasonmrd".toSet.map((c: Char) => c.toString)
+    assert(singles.subsetOf(m1.map(_._1).toSet))
+    // the trained model must still cover serving end-to-end
+    val served = UnigramLm.tokenCounts(docs.withColumn("id",
+        monotonically_increasing_id()), "id", "text", m1)
+    assert(served.count() == 4)
+    // subword compression: trained tokens strictly fewer than characters
+    val nChars = docs.select(sum(length(regexp_replace(col("text"),
+      "\\s+", ""))).cast("long")).head().getLong(0)
+    val nToks = served.select(sum(col("n_tokens"))).head().getLong(0)
+    assert(nToks < nChars, s"$nToks tokens vs $nChars chars")
+  }
+
+  test("hard-EM does not decrease corpus likelihood on the fixed corpus") {
+    val docs = Seq(
+      "abab abab baba", "ab ab ab ba", "aabb abab", "baba baba abab"
+    ).toDF("text").withColumn("id", monotonically_increasing_id())
+    def corpusScore(model: Seq[(String, Long)]): Long =
+      UnigramLm.tokenCounts(docs, "id", "text", model)
+        .select(sum(col("score_micro"))).head().getLong(0)
+    val counts = BpeTrain.wordCounts(docs, "text")
+    val seed = UnigramLm.seedVocab(counts, maxPieceLen = 3, seedSize = 10)
+      .as[(String, Long)].collect().toSeq
+    val after = UnigramLm.train(docs, "text",
+      vocabSize = seed.size, maxPieceLen = 3, seedSize = 10, emIters = 2,
+      pruneFraction = 0.0)
+    assert(corpusScore(after) >= corpusScore(seed))
+  }
+
+  test("vocabSize below single-character coverage fails loudly") {
+    val docs = Seq("abcdefgh ijklmnop").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.train(docs, "text", vocabSize = 3, maxPieceLen = 2,
+        seedSize = 5)
+    }
+    assert(e.getMessage.contains("coverage"))
+  }
+}

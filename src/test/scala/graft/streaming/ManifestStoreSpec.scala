@@ -319,6 +319,63 @@ class ManifestStoreSpec extends SparkSpec {
     intercept[IllegalStateException](store.snapshotAt(v + 1))
   }
 
+  test("manifest publish is content-atomic: a listed slot never reads torn under concurrent commits (r14)") {
+    // Pre-r14, putManifest claimed the slot with CREATE_NEW and only then
+    // wrote the digest-sealed bytes into it. Any concurrent LISTER in that
+    // window saw the newest slot as a torn file, burned it, built its
+    // commit on the PREVIOUS manifest, and published one slot PAST the
+    // in-flight writer — both commits "succeeded", but the victim's delta
+    // was referenced by no retained manifest: a silent lost update (the
+    // three-writer stress caught it flaking — one writer's whole first
+    // batch vanished). The fix stages the forced bytes outside the
+    // listing namespace and claims the slot by atomic hard-link, so a
+    // manifest name, once visible, must ALWAYS decode complete. This
+    // poller is the property's direct observer; the three-writer stress
+    // remains the integration-level guard.
+    val dir = tmp("mfatomic")
+    val store = newStore(dir, keep = 50) // retention off: vanished ≠ torn
+    val root = new java.io.File(dir)
+    def decodes(bytes: Array[Byte]): Boolean = {
+      // the manifest completeness test, replicated: payload + "\n" +
+      // sha256(payload) + "\n"
+      val s = new String(bytes, "UTF-8")
+      val nl = s.lastIndexOf('\n', s.length - 2)
+      if (nl < 0) return false
+      val want = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.substring(0, nl).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      s.substring(nl + 1).trim == want
+    }
+    @volatile var writing = true
+    val torn = new java.util.concurrent.atomic.AtomicInteger
+    val seen = new java.util.concurrent.atomic.AtomicInteger
+    val poller = new Thread(() => while (writing) {
+      Option(root.listFiles((_: java.io.File, n: String) =>
+        n.matches("manifest-\\d{12}\\.json")))
+        .getOrElse(Array.empty[java.io.File]).foreach { f =>
+          try {
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            seen.incrementAndGet()
+            if (!decodes(bytes)) torn.incrementAndGet()
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+        }
+    })
+    poller.start()
+    (1 to 20).foreach { i =>
+      store.merge(batch((Cdc.Upsert, 100L + i, 1000L + i, s"row-$i")))
+    }
+    writing = false
+    poller.join(60000)
+    assert(!poller.isAlive, "poller hung")
+    assert(seen.get() > 0, "poller observed no manifests — vacuous run")
+    assert(torn.get() === 0,
+      s"observed ${torn.get()} torn-visible manifest reads (of ${seen.get()})" +
+        " — the publish is not content-atomic")
+    // and the store is intact: every merge's key present
+    assert(store.snapshot().count() === 3 + 20)
+    graft.util.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("CdcStreamJob drives the manifest store through the same interface (KeyedUpsertStore)") {
     // the identical loop the rename-based stores run — swapping the commit
     // protocol is a constructor argument, not a topology change
