@@ -1057,6 +1057,25 @@ object SparkEntry {
       UnigramLm.tokenCounts(docs, "doc_id", "text", model)
     }),
 
+    // ...and SUBWORD REGULARIZATION (Kudo 2018 §3.2, the unigram
+    // algorithm's headline): every word OCCURRENCE samples from the
+    // exact 4-best segmentations with P(seg) ∝ P(seg)^0.3 — the draw is
+    // integer inverse-CDF over quantized weights keyed by the
+    // engine-independent residue hash of (doc_id·4096 + position), so
+    // the oracle replays the whole pipeline: n-best ranking under the
+    // identical comparator, the same quantized weights, the same hash
+    // arithmetic, the same cumulative-weight pick. A beam that drops a
+    // candidate, a weight off by one quantum, or a draw keyed
+    // differently breaks the hash.
+    "q_unigram_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = UnigramLm.seedVocab(
+          BpeTrain.wordCounts(docs, "text"), maxPieceLen = 3, seedSize = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      UnigramLm.sampleTokenCounts(docs, "doc_id", "text", model,
+        nBest = 4, alpha = 0.3, seed = 5L)
+    }),
+
     // Gopher-style repetition filter: fraction of tokens covered by the
     // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
     // paragraph siblings are spec-pinned — the synthetic corpus is
@@ -4359,6 +4378,48 @@ object SparkEntry {
         |       sum(b.total)::BIGINT AS score_micro
         |FROM docw d JOIN best b USING (word) WHERE d.word <> ''
         |GROUP BY d.doc_id""".stripMargin),
+
+    // subword regularization: 4-best ranking under the shared comparator,
+    // quantized-exp weights, and the inverse-CDF draw keyed by the SAME
+    // residue hash as the sampling oracles (uniformU32Sql), per word
+    // occurrence (doc_id·4096 + 0-based position over the empty-filtered
+    // word list)
+    "q_unigram_sample" ->
+      (unigramOracleCtes(3, 40) + s""",
+        |nb AS MATERIALIZED (
+        |  SELECT word, total, ntok, rk FROM (
+        |    SELECT word, total, ntok, row_number() OVER (
+        |      PARTITION BY word ORDER BY total DESC, ntok ASC, toks ASC) AS rk
+        |    FROM segs) WHERE rk <= 4),
+        |cumw AS MATERIALIZED (
+        |  SELECT n.word, n.rk, n.ntok, n.total,
+        |    sum(CAST(floor(1e6 * exp(0.3 * (n.total - b.total) / 1e6))
+        |          AS BIGINT) + 1) OVER (PARTITION BY n.word ORDER BY n.rk)
+        |      AS cum,
+        |    sum(CAST(floor(1e6 * exp(0.3 * (n.total - b.total) / 1e6))
+        |          AS BIGINT) + 1) OVER (PARTITION BY n.word) AS w
+        |  FROM nb n JOIN (SELECT word, total FROM nb WHERE rk = 1) b
+        |    USING (word)),
+        |docw AS (
+        |  SELECT doc_id, i - 1 AS pos, ws[i::INT] AS word FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+        |      x -> x <> '') AS ws FROM documents),
+        |    (SELECT unnest(range(1, 4097)) AS i) n
+        |  WHERE i <= len(ws)),
+        |draw AS MATERIALIZED (
+        |  SELECT d.doc_id, d.pos, d.word,
+        |    CAST(floor((${uniformU32Sql("(d.doc_id * 4096 + d.pos)", 5L)}
+        |      / 4294967296.0) * t.w) AS BIGINT) AS r
+        |  FROM docw d JOIN (SELECT DISTINCT word, w FROM cumw) t
+        |    USING (word)),
+        |picked AS MATERIALIZED (
+        |  SELECT dr.doc_id, dr.pos, arg_min(c.ntok, c.rk) AS ntok,
+        |         arg_min(c.total, c.rk) AS total
+        |  FROM draw dr JOIN cumw c ON c.word = dr.word AND c.cum > dr.r
+        |  GROUP BY dr.doc_id, dr.pos)
+        |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens,
+        |       sum(total)::BIGINT AS score_micro
+        |FROM picked GROUP BY doc_id""".stripMargin),
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one

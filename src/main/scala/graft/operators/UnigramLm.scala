@@ -155,6 +155,147 @@ object UnigramLm {
     (joined(n).split('\u0001'), total(n))
   }
 
+  /** Exact top-`nBest` segmentations of one word under the same comparator
+    * as [[viterbiWord]] (score desc, fewer pieces, lex-smallest sequence),
+    * best first — the candidate lattice subword-regularization samples
+    * from (Kudo 2018 §3.2 keeps the n-best list; the full
+    * forward-filtering–backward-sampling lattice differs only in tail
+    * mass). Beam of `nBest` per position is EXACT for this DAG: any
+    * final top-n path's prefix at a position must itself rank top-n
+    * there, because the comparator is suffix-invariant (the [[viterbiWord]]
+    * argument, applied n-wide).
+    */
+  private[operators] def viterbiNBest(word: String,
+      s: java.util.HashMap[String, java.lang.Long], sz: Long,
+      maxPieceLen: Int, nBest: Int): Seq[(Array[String], Long, Long)] = {
+    require(nBest >= 1, s"nBest must be >= 1, got $nBest")
+    val n = word.length
+    val ord = Ordering.Tuple3(Ordering.Long.reverse, Ordering.Int,
+      Ordering.String) // (total desc, ntok asc, joined asc)
+    val beams = new Array[Seq[(Long, Int, String)]](n + 1)
+    beams(0) = Seq((0L, 0, ""))
+    var j = 1
+    while (j <= n) {
+      val cands = Seq.newBuilder[(Long, Int, String)]
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        if (beams(j - l) != null && beams(j - l).nonEmpty) {
+          val piece = word.substring(j - l, j)
+          val ps = s.get(piece)
+          if (ps != null) beams(j - l).foreach { case (t, k, cj) =>
+            cands += ((t + ps.longValue() - sz, k + 1,
+              if (j - l == 0) piece else cj + "\u0001" + piece))
+          }
+        }
+        l += 1
+      }
+      beams(j) = cands.result().sorted(ord).take(nBest)
+      j += 1
+    }
+    if (beams(n).isEmpty)
+      throw new IllegalArgumentException(
+        s"model does not cover word '$word' (missing single characters?)")
+    beams(n).map { case (t, k, cj) => (cj.split('\u0001'), k.toLong, t) }
+  }
+
+  /** `(word, cands)` for every DISTINCT word: the exact top-`nBest`
+    * segmentations, best first, each as `(toks, ntok, score_micro)` — the
+    * n-best twin of [[segmentWords]], same broadcast-model
+    * `mapPartitions` shape.
+    */
+  def segmentWordsNBest(words: DataFrame, model: Seq[(String, Long)],
+      nBest: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val modelB = spark.sparkContext.broadcast(model.toArray)
+    val maxLen = model.iterator.map(_._1.length).max
+    words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val (s, sz) = quantize(modelB.value.toSeq)
+        it.map(w => (w, viterbiNBest(w, s, sz, maxLen, nBest)))
+      }
+      .toDF("word", "cands")
+      .select(col("word"), transform(col("cands"),
+        c => struct(c.getField("_1").alias("toks"),
+          c.getField("_2").alias("ntok"),
+          c.getField("_3").alias("score_micro"))).alias("cands"))
+  }
+
+  /** Subword-REGULARIZATION serving (Kudo 2018 §3.2 — the algorithm's
+    * headline feature): instead of always emitting the Viterbi argmax,
+    * each word OCCURRENCE samples a segmentation from the n-best list
+    * with P(seg) ∝ P(seg)^alpha, so the same word tokenizes differently
+    * across (and within) documents — the stochastic augmentation unigram
+    * tokenizers were built to provide. Returns `(idCol, n_tokens,
+    * score_micro)` per document over the sampled segmentations.
+    *
+    * The sampling is DETERMINISTIC and engine-independent, which is what
+    * makes it oracle-gateable (`q_unigram_sample`): candidate weights are
+    * quantized integers `floor(1e6 · exp(alpha·(scoreᵢ − score₁)/1e6)) + 1`
+    * (one transcendental per candidate, the q_dsir_weights quantization
+    * pattern); the draw is inverse-CDF with `r = floor(u · W)` where `u`
+    * is [[Sampling.uniform]]'s integer-residue hash of the occurrence key
+    * `id·4096 + position` and `W` the integer weight total — every
+    * comparison after the two float steps is exact int64. alpha → ∞
+    * approaches the argmax ([[tokenCounts]]); alpha = 0 samples the
+    * n-best uniformly. Documents beyond 4096 words per row fail loudly
+    * (the occurrence key packs the position into 12 bits; chunk upstream
+    * — `TextAnalysis.chunkByTokens` — rather than silently reusing noise).
+    *
+    * Plan shape: the n-best lattice is computed once per DISTINCT word
+    * and broadcast; the per-occurrence draw is a map-side `aggregate`
+    * fold over the ≤ nBest candidates — no shuffle beyond the final
+    * per-document fold.
+    */
+  def sampleTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      model: Seq[(String, Long)], nBest: Int = 8, alpha: Double = 0.2,
+      seed: Long = 0L): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val occ = docs.select(col(idCol),
+        posexplode(filter(split(col(textCol), "\\s+"),
+          w => length(w) > 0)).as(Seq("pos", "word")))
+      .withColumn("pos",
+        when(col("pos") >= 4096, raise_error(concat(lit("document "),
+          col(idCol).cast("string"),
+          lit(" exceeds 4096 words — chunk before sampling"))))
+          .otherwise(col("pos")))
+    val nbest = segmentWordsNBest(occ.select("word"), model, nBest)
+      .select(col("word"),
+        transform(col("cands"), c =>
+          struct(c.getField("ntok").alias("ntok"),
+            c.getField("score_micro").alias("score_micro"))).alias("cands"))
+    val key = Sampling.idAsLong(occ, idCol) * 4096 + col("pos")
+    val weighted = occ.join(broadcast(nbest), Seq("word"))
+      .withColumn("_w", transform(col("cands"), c =>
+        struct(c.getField("ntok").alias("ntok"),
+          c.getField("score_micro").alias("score_micro"),
+          (floor(lit(1e6) * exp(lit(alpha) *
+            (c.getField("score_micro") -
+              element_at(col("cands"), 1).getField("score_micro"))
+              .cast("double") / lit(1e6))).cast(LongType) + 1L).alias("wq"))))
+      .withColumn("_r", floor(Sampling.uniform(key, seed) *
+        aggregate(col("_w"), lit(0L), (a, c) => a + c.getField("wq"))
+          .cast("double")).cast(LongType))
+    // first candidate (best-first order) whose cumulative weight exceeds
+    // r — r <= W-1, so one is always chosen (ntok = -1 never survives)
+    val chosen = weighted.withColumn("_c",
+      aggregate(col("_w"),
+        struct(lit(0L).alias("cum"), lit(-1L).alias("ntok"),
+          lit(0L).alias("score_micro")),
+        (acc, c) => when(acc.getField("ntok") >= 0, acc)
+          .otherwise(when(acc.getField("cum") + c.getField("wq") > col("_r"),
+            struct((acc.getField("cum") + c.getField("wq")).alias("cum"),
+              c.getField("ntok").alias("ntok"),
+              c.getField("score_micro").alias("score_micro")))
+            .otherwise(struct(
+              (acc.getField("cum") + c.getField("wq")).alias("cum"),
+              lit(-1L).alias("ntok"), lit(0L).alias("score_micro"))))))
+    chosen.groupBy(col(idCol))
+      .agg(sum(col("_c.ntok")).cast(LongType).alias("n_tokens"),
+        sum(col("_c.score_micro")).cast(LongType).alias("score_micro"))
+  }
+
   /** `(word, toks, ntok, score_micro)` for every DISTINCT word of `words`
     * (a one-column `word` frame), segmented by Viterbi under the model.
     * The model rides once as a task broadcast — the same justified

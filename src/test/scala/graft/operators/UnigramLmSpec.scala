@@ -126,6 +126,82 @@ class UnigramLmSpec extends SparkSpec {
     assert(got(1L)._2 == 2 * sAb + sB && got(2L)._2 == sB)
   }
 
+  test("viterbiNBest equals brute-force enumeration top-N on random draws") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc"
+    for (_ <- 1 to 120) {
+      val word = (1 to (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val maxLen = 1 + rnd.nextInt(3)
+      val nBest = 1 + rnd.nextInt(4)
+      val model = (alphabet.map(c => c.toString -> (1L + rnd.nextInt(40))) ++
+        (1 to 5).map { _ =>
+          val l = 2 + rnd.nextInt(math.max(1, maxLen - 1))
+          (1 to l).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString ->
+            (1L + rnd.nextInt(40))
+        }.filter(p => p._1.length <= maxLen && p._1.length >= 2))
+        .distinctBy(_._1).toSeq
+      val m = hm(model: _*)
+      val z = sz(model.map(_._2): _*)
+      def segs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(maxLen, w.length)).flatMap { l =>
+          val p = w.substring(0, l)
+          if (m.containsKey(p)) segs(w.substring(l)).map(p +: _) else Nil
+        }
+      val want = segs(word)
+        .map(ts => (ts, ts.map(p => m.get(p).longValue() - z).sum))
+        .sortBy { case (ts, sc) => (-sc, ts.length, ts.mkString("")) }(
+          Ordering.Tuple3(Ordering.Long, Ordering.Int, Ordering.String))
+        .take(nBest)
+      val got = UnigramLm.viterbiNBest(word, m, z, maxLen, nBest)
+      assert(got.map(_._1.toSeq) == want.map(_._1), s"word=$word")
+      assert(got.map(_._3) == want.map(_._2))
+      assert(got.head._1.toSeq ==
+        UnigramLm.viterbiWord(word, m, z, maxLen)._1.toSeq)
+    }
+  }
+
+  test("sampleTokenCounts with nBest=1 equals the Viterbi argmax exactly") {
+    val docs = Seq((1L, "abab ab ba"), (2L, "ba abab"), (3L, "ab"))
+      .toDF("id", "text")
+    val model = Seq("a" -> 6L, "b" -> 5L, "ab" -> 7L, "ba" -> 3L)
+    val argmax = UnigramLm.tokenCounts(docs, "id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sampled = UnigramLm
+      .sampleTokenCounts(docs, "id", "text", model, nBest = 1, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sampled == argmax)
+  }
+
+  test("sampling is seed-deterministic and seed-sensitive") {
+    val docs = (1L to 40L).map(i => (i, "abab baba abba baab abab ba ab"))
+      .toDF("id", "text")
+    val model = Seq("a" -> 6L, "b" -> 5L, "ab" -> 7L, "ba" -> 6L, "bb" -> 2L)
+    def run(seed: Long) = UnigramLm
+      .sampleTokenCounts(docs, "id", "text", model, nBest = 4,
+        alpha = 0.1, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1L) == run(1L))
+    assert(run(1L) != run(2L)) // 40 docs × 7 words: some draw must differ
+    // identical words in one doc draw independently by position: with a
+    // low alpha the repeated "abab" occurrences across 40 docs cannot all
+    // pick one candidate (4-best of abab has >= 2 distinct token counts)
+    val perDoc = run(1L).map(_._2)
+    assert(perDoc.size > 1, "every sampled doc scored identically — " +
+      "position is not entering the draw")
+  }
+
+  test("sampling rejects documents beyond the 4096-word position budget") {
+    val docs = Seq((1L, ("ab " * 5000).trim)).toDF("id", "text")
+    val model = Seq("a" -> 2L, "b" -> 2L, "ab" -> 3L)
+    val e = intercept[Exception] {
+      UnigramLm.sampleTokenCounts(docs, "id", "text", model, nBest = 2)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("train is deterministic, respects vocabSize, and never drops singles") {
     val docs = Seq(
       "the cat sat on the mat", "the cat ran", "a cat and a mat",
