@@ -1057,6 +1057,21 @@ object SparkEntry {
       UnigramLm.tokenCounts(docs, "doc_id", "text", model)
     }),
 
+    // THE FULL TRAINING LOOP UNDER THE ORACLE (r14): two complete hard-EM
+    // iterations — Viterbi E-step under the seed, M-step re-assembly
+    // (singles floored at 1, survivors at their expected counts), then
+    // the SAME cycle under the refit model — with the returned model
+    // hash-compared against the oracle's twice-chained enumeration
+    // (unigramOracleCtes emSteps=2). pruneFraction 0 and a vocabSize
+    // above the seed make the loop's arithmetic the whole story; the
+    // prune schedule itself is UnigramLmSpec's.
+    "q_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      UnigramLm.train(t(s, dir, "documents"), "text", vocabSize = 200,
+          maxPieceLen = 3, seedSize = 40, emIters = 2, pruneFraction = 0.0)
+        .toDF("piece", "cnt")
+    }),
+
     // ...and SUBWORD REGULARIZATION (Kudo 2018 §3.2, the unigram
     // algorithm's headline): every word OCCURRENCE samples from the
     // exact 4-best segmentations with P(seg) ∝ P(seg)^0.3 — the draw is
@@ -3401,9 +3416,65 @@ object SparkEntry {
     * every corpus character, so string order ≡ piece-sequence order).
     * Enumeration replaces the operator's linear DP on purpose: the oracle
     * must not share the implementation's shortcut to be evidence.
+    *
+    * `emSteps` > 0 chains full hard-EM rounds for the TRAIN gate: after
+    * round r's Viterbi block, `est{r}` folds the per-piece expected
+    * counts (word-count-weighted occurrences in the best segmentations)
+    * and `model{r+1}` re-assembles the next model exactly like
+    * `UnigramLm.train` at pruneFraction 0 — every seed single character
+    * floored at count 1, surviving multi-char pieces at their est
+    * counts — then round r+1's Viterbi block scores under `model{r+1}`.
+    * Round 1's CTE names stay unsuffixed so the serve/sample gates share
+    * one prefix text.
     */
-  private def unigramOracleCtes(maxPieceLen: Int, seedSize: Int): String =
-    s"""WITH RECURSIVE wcnt AS MATERIALIZED (
+  private def unigramOracleCtes(maxPieceLen: Int, seedSize: Int,
+      emSteps: Int = 0): String = {
+    def round(r: Int): String = {
+      val model = if (r == 1) "seed" else s"model$r"
+      val x = if (r == 1) "" else r.toString
+      s""",
+        |scored$x AS MATERIALIZED (
+        |  SELECT piece, cnt, CAST(floor(1e6 * ln(cnt::DOUBLE)) AS BIGINT) AS s,
+        |         length(piece) AS pl FROM $model),
+        |z$x AS MATERIALIZED (
+        |  SELECT CAST(floor(1e6 * ln(sum(cnt)::DOUBLE)) AS BIGINT) AS sz
+        |  FROM $model),
+        |paths$x(word, pos, score, ntok, toks) AS (
+        |  SELECT word, 1::BIGINT, 0::BIGINT, 0::BIGINT, '' FROM wcnt
+        |  UNION ALL
+        |  SELECT p.word, p.pos + v.pl, p.score + v.s, p.ntok + 1,
+        |         CASE WHEN p.toks = '' THEN v.piece
+        |              ELSE p.toks || chr(1) || v.piece END
+        |  FROM paths$x p JOIN scored$x v
+        |    ON substr(p.word, p.pos::INT, v.pl::INT) = v.piece
+        |  WHERE p.pos <= length(p.word)),
+        |segs$x AS MATERIALIZED (
+        |  SELECT word, score - ntok * (SELECT sz FROM z$x) AS total, ntok, toks
+        |  FROM paths$x WHERE pos = length(word) + 1),
+        |best$x AS MATERIALIZED (
+        |  SELECT word, total, ntok, toks FROM (
+        |    SELECT word, total, ntok, toks, row_number() OVER (
+        |      PARTITION BY word ORDER BY total DESC, ntok ASC, toks ASC) AS rn
+        |    FROM segs$x) WHERE rn = 1)""".stripMargin
+    }
+    def emFold(r: Int): String = {
+      val x = if (r == 1) "" else r.toString
+      s""",
+        |est$x AS MATERIALIZED (
+        |  SELECT piece, sum(cnt)::BIGINT AS est_cnt FROM (
+        |    SELECT w.cnt, unnest(string_split(b.toks, chr(1))) AS piece
+        |    FROM best$x b JOIN wcnt w USING (word))
+        |  GROUP BY piece),
+        |model${r + 1} AS MATERIALIZED (
+        |  SELECT s.piece, COALESCE(e.est_cnt, 1)::BIGINT AS cnt
+        |  FROM (SELECT piece FROM seed WHERE length(piece) = 1) s
+        |  LEFT JOIN est$x e USING (piece)
+        |  UNION ALL
+        |  SELECT piece, est_cnt AS cnt FROM est$x
+        |  WHERE length(piece) >= 2)""".stripMargin
+    }
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE wcnt AS MATERIALIZED (
       |  SELECT word, count(*)::BIGINT AS cnt FROM (
       |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
       |    FROM documents)
@@ -3421,30 +3492,13 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT piece, cnt FROM (
       |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
-      |    ORDER BY cnt DESC, piece LIMIT $seedSize)),
-      |scored AS MATERIALIZED (
-      |  SELECT piece, cnt, CAST(floor(1e6 * ln(cnt::DOUBLE)) AS BIGINT) AS s,
-      |         length(piece) AS pl FROM seed),
-      |z AS MATERIALIZED (
-      |  SELECT CAST(floor(1e6 * ln(sum(cnt)::DOUBLE)) AS BIGINT) AS sz
-      |  FROM seed),
-      |paths(word, pos, score, ntok, toks) AS (
-      |  SELECT word, 1::BIGINT, 0::BIGINT, 0::BIGINT, '' FROM wcnt
-      |  UNION ALL
-      |  SELECT p.word, p.pos + v.pl, p.score + v.s, p.ntok + 1,
-      |         CASE WHEN p.toks = '' THEN v.piece
-      |              ELSE p.toks || chr(1) || v.piece END
-      |  FROM paths p JOIN scored v
-      |    ON substr(p.word, p.pos::INT, v.pl::INT) = v.piece
-      |  WHERE p.pos <= length(p.word)),
-      |segs AS MATERIALIZED (
-      |  SELECT word, score - ntok * (SELECT sz FROM z) AS total, ntok, toks
-      |  FROM paths WHERE pos = length(word) + 1),
-      |best AS MATERIALIZED (
-      |  SELECT word, total, ntok, toks FROM (
-      |    SELECT word, total, ntok, toks, row_number() OVER (
-      |      PARTITION BY word ORDER BY total DESC, ntok ASC, toks ASC) AS rn
-      |    FROM segs) WHERE rn = 1)""".stripMargin
+      |    ORDER BY cnt DESC, piece LIMIT $seedSize))""".stripMargin
+    for (r <- 1 to math.max(emSteps, 1)) {
+      sb ++= round(r)
+      if (r <= emSteps) sb ++= emFold(r)
+    }
+    sb.toString
+  }
 
   private val TextRepetitionOracle =
     """WITH toks AS (
@@ -4378,6 +4432,12 @@ object SparkEntry {
         |       sum(b.total)::BIGINT AS score_micro
         |FROM docw d JOIN best b USING (word) WHERE d.word <> ''
         |GROUP BY d.doc_id""".stripMargin),
+
+    // the full 2-iteration training loop: the twice-chained E-step
+    // enumeration, each round's model re-assembled the train() way
+    "q_unigram_train" ->
+      (unigramOracleCtes(3, 40, emSteps = 2) +
+        "\nSELECT piece, cnt FROM model3"),
 
     // subword regularization: 4-best ranking under the shared comparator,
     // quantized-exp weights, and the inverse-CDF draw keyed by the SAME
