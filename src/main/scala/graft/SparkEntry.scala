@@ -1020,6 +1020,30 @@ object SparkEntry {
       BpeTrain.tokenCountsCompiled(docs, "doc_id", "text", merges)
     }),
 
+    // WordPiece TRAINING (r14) — the trainer triple completed (BPE:
+    // frequency argmax; unigram: EM+prune; WordPiece: Schuster-Nakajima
+    // likelihood argmax). Same loop as BPE with the pick maximizing the
+    // quantized ratio floor(c·1e12/(c_l·c_r)) — transcendental-free, so
+    // the oracle's replay is IEEE-exact, not within-1-ulp. The oracle
+    // unrolls 8 layers with per-layer symbol counts feeding the same
+    // quantized argmax.
+    "q_wordpiece_train" -> ((s, dir) =>
+      graft.operators.WordPieceTrain.train(
+        t(s, dir, "documents"), "text", numMerges = 8)),
+
+    // ...and serving under the likelihood-learned table: the merges apply
+    // through the SAME greedy fusion as BPE (marker-free family
+    // convention), so the fold oracle is the BPE tokenize tail over the
+    // wordpiece-argmax chain.
+    "q_wordpiece_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.WordPieceTrain
+        .train(docs, "text", numMerges = 8)
+        .orderBy("rank").select("l", "r").collect()
+        .map(m => (m.getString(0), m.getString(1))).toSeq
+      BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
+    }),
+
     // Unigram-LM tokenizer family (r14) — the THIRD tokenizer algorithm
     // (SentencePiece's default) next to BPE training and WordPiece
     // serving. Three gates cover seed → hard-EM step → Viterbi serving;
@@ -3356,6 +3380,15 @@ object SparkEntry {
         |  FROM documents)
         |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin
 
+  private lazy val WordPieceTokenizeOracle: String =
+    bpeOracleCtes(8, lastApply = true, wordpiece = true) +
+      """,
+        |wc AS (SELECT word, len(syms)::BIGINT AS ntok FROM w8)
+        |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents)
+        |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin
+
   /** Generated BPE oracle CTE chain, `w0 … w{k}` (see q_bpe_train): w0 =
     * char-symbolized word counts; each layer i computes pair counts over
     * w{i-1} (`p{i}`), picks the argmax under the trainer's exact
@@ -3364,7 +3397,8 @@ object SparkEntry {
     * whether the final layer also materializes w{k} (needed by the
     * tokenize gate, dead weight for the train gate).
     */
-  private def bpeOracleCtes(k: Int, lastApply: Boolean): String = {
+  private def bpeOracleCtes(k: Int, lastApply: Boolean,
+      wordpiece: Boolean = false): String = {
     // every non-recursive layer is MATERIALIZED: DuckDB inlines CTEs by
     // default, and a k-deep chain whose layers each reference the
     // previous one 2-3 times would otherwise expand to exponentially
@@ -3386,10 +3420,28 @@ object SparkEntry {
         |    SELECT cnt,
         |      unnest([{'l': syms[j], 'r': syms[j+1]} for j in range(1, len(syms))]) AS p
         |    FROM $w)
-        |  GROUP BY p.l, p.r),
-        |b$i AS MATERIALIZED (
-        |  SELECT $i::BIGINT AS rank, l, r, c FROM p$i
-        |  ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+        |  GROUP BY p.l, p.r)""".stripMargin
+      if (wordpiece)
+        // the likelihood argmax: per-layer symbol counts feed the
+        // quantized ratio q = floor((c·1e12)/(c_l·c_r)) — every step an
+        // exact-rounding IEEE op, no transcendental (see WordPieceTrain)
+        sb ++= s""",
+          |sy$i AS MATERIALIZED (
+          |  SELECT sym, sum(cnt)::BIGINT AS c FROM (
+          |    SELECT cnt, unnest(syms) AS sym FROM $w) GROUP BY sym),
+          |b$i AS MATERIALIZED (
+          |  SELECT $i::BIGINT AS rank, l, r, q, c FROM (
+          |    SELECT p.l AS l, p.r AS r, p.c AS c,
+          |      CAST(floor((p.c::DOUBLE * 1e12) /
+          |        (sl.c::DOUBLE * sr.c::DOUBLE)) AS BIGINT) AS q
+          |    FROM p$i p JOIN sy$i sl ON sl.sym = p.l
+          |    JOIN sy$i sr ON sr.sym = p.r)
+          |  ORDER BY q DESC, l, r LIMIT 1)""".stripMargin
+      else
+        sb ++= s""",
+          |b$i AS MATERIALIZED (
+          |  SELECT $i::BIGINT AS rank, l, r, c FROM p$i
+          |  ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
       if (i < k || lastApply) sb ++= s""",
         |a$i(word, cnt, syms, pos, acc) AS (
         |  SELECT word, cnt, syms, 1, []::VARCHAR[] FROM $w
@@ -4432,6 +4484,17 @@ object SparkEntry {
         |       sum(b.total)::BIGINT AS score_micro
         |FROM docw d JOIN best b USING (word) WHERE d.word <> ''
         |GROUP BY d.doc_id""".stripMargin),
+
+    // WordPiece training: 8 unrolled layers under the likelihood argmax
+    // (per-layer symbol counts + the quantized-ratio pick), and serving
+    // under the learned table via the shared fold tail
+    "q_wordpiece_train" ->
+      (bpeOracleCtes(8, lastApply = false, wordpiece = true) + "\n" +
+        (1 to 8).map(i =>
+          s"SELECT rank, l, r, q AS score_q, c AS pair_count FROM b$i")
+          .mkString("\nUNION ALL\n")),
+
+    "q_wordpiece_tokenize" -> WordPieceTokenizeOracle,
 
     // the full 2-iteration training loop: the twice-chained E-step
     // enumeration, each round's model re-assembled the train() way

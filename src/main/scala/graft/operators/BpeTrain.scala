@@ -55,7 +55,7 @@ object BpeTrain {
           .otherwise(concat(acc, array(x))))
 
   /** Adjacent symbol pairs of a symbol list (empty below length 2). */
-  private def adjacentPairs(syms: Column): Column =
+  private[operators] def adjacentPairs(syms: Column): Column =
     when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
       .otherwise(transform(sequence(lit(1), size(syms) - 1),
         i => struct(element_at(syms, i).alias("l"),
