@@ -122,7 +122,10 @@ object LmScore {
 
     // hold the tokenized TRAINING pass once: it feeds the pair counts
     // and the context fold, and re-tokenizing the corpus is the dominant
-    // cost at scale
+    // cost at scale. Like mmrRerank's final checkpoint, this model-sized
+    // block stays live for the returned lazy plan's lifetime (the caller
+    // consumes, then the engine-level cache sweep or GC reclaims) — the
+    // accepted trade for a lazily-returned plan that reads it twice
     val pairCounts = bigrams(trainDf, Nil)
       .groupBy(col("_w1"), col("_w2"))
       .agg(count(lit(1)).alias("_c12"))
