@@ -2925,6 +2925,19 @@ object SparkEntry {
         "text", col("source") === "src18", n = 2, alpha = 0.5)
     }),
 
+    // ...and the DSIR §2.3 sampler over them, GATED (r14 — previously
+    // spec-only): Gumbel-top-60 at temperature 0.7, the noise derived
+    // from the doc id's residue hash so the "random" sample is the same
+    // set in any engine — the oracle recomputes the weights, the key
+    // (lw/1e6/temp + standard Gumbel of the clamped uniform), and the
+    // (key desc, id) cut.
+    "q_dsir_resample" -> ((s, dir) => {
+      ImportanceResample.resampleGumbel(
+        ImportanceResample.logWeights(t(s, dir, "documents"), "doc_id",
+          "text", col("source") === "src18", n = 2, alpha = 0.5),
+        "doc_id", "lw_micro", k = 60, temperature = 0.7, seed = 3L)
+    }),
+
     // BM25 indexing pass (Robertson & Zaragoza 2009, Lucene idf variant):
     // the full (doc, term) weight table a lexical retrieval system
     // precomputes — tf/df/dl partial-aggregated, stats one broadcast row.
@@ -3249,6 +3262,39 @@ object SparkEntry {
   private lazy val deflateTemplateRatios: IndexedSeq[Double] =
     deflateTemplates.map(t => graft.functions.SketchOps.deflateRatio(
       org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+
+  /** The DSIR bag-of-bigrams statistics CTEs (through `sc`), shared by
+    * the weights gate and the Gumbel-resample gate so the model
+    * arithmetic cannot drift between them.
+    */
+  private val DsirWeightsCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, source,
+      |    unnest([array_to_string(ws[i:i+1], ' ')
+      |            for i in range(1, len(ws))]) AS g
+      |  FROM toks WHERE len(ws) >= 2),
+      |cnt AS (
+      |  SELECT g, count(*) AS cr,
+      |    CAST(sum(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM gr GROUP BY g),
+      |tot AS (
+      |  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
+      |    count(*) AS v
+      |  FROM cnt),
+      |c AS (
+      |  SELECT CAST(floor(1e6 * (ln(CAST(tr AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))
+      |                          - ln(CAST(tt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+      |    AS BIGINT) AS c_micro
+      |  FROM tot),
+      |sc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(CAST(floor(1e6 * (ln(CAST(ct AS DOUBLE) + 0.5)
+      |                             - ln(CAST(cr AS DOUBLE) + 0.5))) AS BIGINT))
+      |      AS BIGINT) AS gsum
+      |  FROM gr JOIN cnt USING (g) GROUP BY doc_id)""".stripMargin
 
   private def uniformU32Sql(idExpr: String, seed: Long): String =
     s"((xor((xor($idExpr, ${Sampling.seedA(seed)}) % 2147483629)" +
@@ -5945,37 +5991,30 @@ object SparkEntry {
         |  c_mktsegment, CAST(bal AS DOUBLE) AS bal
         |FROM ord_final JOIN cust_final ON o_custkey = c_custkey""".stripMargin,
 
-    "q_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-        |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, source,
-        |    unnest([array_to_string(ws[i:i+1], ' ')
-        |            for i in range(1, len(ws))]) AS g
-        |  FROM toks WHERE len(ws) >= 2),
-        |cnt AS (
-        |  SELECT g, count(*) AS cr,
-        |    CAST(sum(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-        |  FROM gr GROUP BY g),
-        |tot AS (
-        |  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
-        |    count(*) AS v
-        |  FROM cnt),
-        |c AS (
-        |  SELECT CAST(floor(1e6 * (ln(CAST(tr AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))
-        |                          - ln(CAST(tt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
-        |    AS BIGINT) AS c_micro
-        |  FROM tot),
-        |sc AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |    CAST(sum(CAST(floor(1e6 * (ln(CAST(ct AS DOUBLE) + 0.5)
-        |                             - ln(CAST(cr AS DOUBLE) + 0.5))) AS BIGINT))
-        |      AS BIGINT) AS gsum
-        |  FROM gr JOIN cnt USING (g) GROUP BY doc_id)
+    "q_dsir_weights" -> (DsirWeightsCtes + """
         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
         |  coalesce(gsum + n_grams * (SELECT c_micro FROM c), 0) AS lw_micro
-        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin),
+
+    // Gumbel-top-k over the DSIR weights: the weights CTEs (shared with
+    // q_dsir_weights via one definition) plus the exact key arithmetic —
+    // lw/1e6/temperature + (-ln(-ln(max(u, 1e-12)))) over the same
+    // residue-hash u — and the (key desc, id asc) top-60. Membership of
+    // the selected set is what the hash compares.
+    "q_dsir_resample" ->
+      (DsirWeightsCtes + s""",
+        |sel AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |    coalesce(gsum + n_grams * (SELECT c_micro FROM c), 0) AS lw_micro
+        |  FROM documents d LEFT JOIN sc USING (doc_id))
+        |SELECT doc_id, n_grams, lw_micro FROM (
+        |  SELECT doc_id, n_grams, lw_micro,
+        |    CAST(lw_micro AS DOUBLE) / 1e6 / 0.7 +
+        |      (- ln(- ln(greatest(
+        |        (${uniformU32Sql("doc_id", 3L)}) / 4294967296.0, 1e-12))))
+        |      AS k
+        |  FROM sel)
+        |ORDER BY k DESC, doc_id LIMIT 60""".stripMargin),
 
     "q_text_bm25_index" ->
       """WITH toks AS (
