@@ -1550,6 +1550,23 @@ object SparkEntry {
           round(col("cosine"), 6).alias("cosine_r"))
     }),
 
+    // int8 compressed-domain ANN, HASH-GATED via its degenerate-exact
+    // configuration (r14 — the last ladder rung still spec-only): a
+    // refineFactor covering the corpus makes the int8 candidate heap
+    // total, so the exact float refine equals brute force — the SAME
+    // quantize/int8_dot/bounded-heap/refine code the production config
+    // runs, oracled by the shared exact top-k SQL. Partial-refine recall
+    // stays SimilaritySpec's.
+    "q_sim_topk_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("query_id"), col("embedding"))
+      Similarity.int8TopK(emb, queries, "vec_id", "embedding", "query_id",
+          k = 10, refineFactor = 10000)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).alias("cosine_r"))
+    }),
+
     // LSH-bucketed ANN, HASH-GATED via its degenerate-exact configuration
     // (the wordpiece/simhash graduation trick, VERDICT r9 #6): at
     // numPlanes=1 the multi-probe set {b, b^1} covers BOTH buckets, so
@@ -4999,6 +5016,7 @@ object SparkEntry {
     // force (all buckets probed / all cells probed / all candidates
     // refined), so they share its oracle — the graduation trick
     "q_sim_topk_lsh" -> ExactTopKOracle,
+    "q_sim_topk_int8" -> ExactTopKOracle,
     "q_sim_topk_ivf" -> ExactTopKOracle,
     "q_sim_topk_pq" -> ExactTopKOracle,
     "q_sim_topk_ivfpq" -> ExactTopKOracle,
