@@ -1020,6 +1020,25 @@ object SparkEntry {
       BpeTrain.tokenCountsCompiled(docs, "doc_id", "text", merges)
     }),
 
+    // SERVED FROM DISK under the unchanged oracle (r15, VERDICT r14 #2):
+    // the same train→tokenize chain, but the merge table round-trips
+    // through the crash-safe TokenizerStore artifact between training and
+    // serving — "train once, serve for months" is only real if the
+    // persisted model reproduces the in-memory one bit for bit, and the
+    // unchanged BpeTokenizeOracle hash is that proof (a lost rank, a
+    // reordered row, or a mangled symbol string breaks it).
+    "q_bpe_tokenize_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft-tokstore")
+      try {
+        val path = work.resolve("bpe").toString
+        graft.operators.TokenizerStore.saveMerges(path,
+          BpeTrain.train(docs, "text", numMerges = 8))
+        BpeTrain.tokenCounts(docs, "doc_id", "text",
+          graft.operators.TokenizerStore.loadMerges(s, path))
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
     // WordPiece TRAINING (r14) — the trainer triple completed (BPE:
     // frequency argmax; unigram: EM+prune; WordPiece: Schuster-Nakajima
     // likelihood argmax). Same loop as BPE with the pick maximizing the
@@ -1113,6 +1132,83 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       UnigramLm.sampleTokenCounts(docs, "doc_id", "text", model,
         nBest = 4, alpha = 0.3, seed = 5L)
+    }),
+
+    // SOFT-EM training under the oracle (r15, VERDICT r14 #4): the
+    // forward-backward expected-count E-step — SentencePiece's actual
+    // default, where hard EM is the Viterbi approximation — driven
+    // through the full trainLoop at the degenerate maxPieceLen=1 config,
+    // where every word has exactly ONE admissible segmentation, every
+    // posterior is exactly 1, and soft ≡ hard ≡ weighted character
+    // frequency. The fixed point runs TWO full EM rounds (a posterior
+    // off by any factor, a mis-weighted word, or a drifted rounding
+    // breaks the integer counts). Lattice divergence from hard EM and
+    // EM-objective monotonicity are UnigramLmSpec's.
+    "q_unigram_train_soft" -> ((s, dir) => {
+      import s.implicits._
+      UnigramLm.trainSoft(t(s, dir, "documents"), "text", vocabSize = 200,
+          maxPieceLen = 1, seedSize = 1, emIters = 2, pruneFraction = 0.0)
+        .toDF("piece", "cnt")
+    }),
+
+    // ...and the REAL-LATTICE soft E-step under the oracle (r15, beyond
+    // the degenerate ask): per-(word, piece) posterior expected counts
+    // on the ACTUAL ambiguous corpus lattice, quantized half-up to
+    // micro-units. The oracle enumerates every segmentation (the shared
+    // recursive CTEs), weights each by exp((total − best)/1e6), and
+    // recomputes every posterior as a ratio of weight sums — a
+    // forward-backward bug, a dropped path, or a mis-shifted weight
+    // breaks the hash. Half-up quantization keeps exactly-integer
+    // posteriors (single-segmentation words) half a micro-unit from any
+    // boundary; the in-between values' margins are spec-scanned.
+    "q_unigram_soft_step" -> ((s, dir) => {
+      val counts = BpeTrain.wordCounts(t(s, dir, "documents"), "text")
+      val model = UnigramLm.seedVocab(counts, maxPieceLen = 3, seedSize = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      UnigramLm.softExpectedMicro(counts, model)
+    }),
+
+    // THE END-TO-END PRE-TRAINING MANIFEST (r15, VERDICT r14 #1): the
+    // artifact a 100 TB pipeline actually emits, as ONE gate crossing the
+    // tokenizer seam no prior composition crossed — curation gate (en
+    // language score + length) → exact dedup (min-id survivor per text)
+    // → unigram tokenizer TRAINED IN-GATE on the survivors (one hard-EM
+    // round, pruneFraction 0, the q_unigram_train arithmetic) and
+    // round-tripped through the crash-safe TokenizerStore → Viterbi
+    // tokenization of the survivor corpus under the loaded model →
+    // deterministic seeded shuffle → fixed-length 512-token span packing.
+    // The oracle replays every stage in one statement: the curation CTEs
+    // feed the unigram CTE family via its corpus-source seam, the
+    // serve-round Viterbi block tokenizes, and the shuffle/pack tail is
+    // the q_shuffled_shards + q_pack_spans window arithmetic. One flipped
+    // survivor, one mis-trained piece, one off-by-one span boundary —
+    // anywhere in the six stages — breaks the hash.
+    "q_pretrain_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = Dedup.widen(docs).select(col("doc_id"), col("text"))
+        .where(TextAnalysis.langScore(col("text"), "en") > 0.05 &&
+          TextAnalysis.tokenCount(col("text")).cast(DoubleType) >= 20)
+      val keep = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).alias("doc_id")).select(col("doc_id"))
+      val corpus = gated.join(keep, Seq("doc_id")).localCheckpoint(true)
+      try {
+        val work = java.nio.file.Files.createTempDirectory("graft-pretrain")
+        val served = try {
+          val model = UnigramLm.train(corpus, "text", vocabSize = 200,
+            maxPieceLen = 3, seedSize = 40, emIters = 1, pruneFraction = 0.0)
+          val path = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(path, model, s)
+          graft.operators.TokenizerStore.loadUnigram(s, path)
+        } finally graft.util.Fs.rmTree(work.toFile)
+        val toks = UnigramLm.tokenCounts(corpus, "doc_id", "text", served)
+          .select(col("doc_id"), col("n_tokens").alias("n_tok"))
+        val shuf = Sampling.shuffled(toks, "doc_id", seed = 11L)
+        Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget = 512L)
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tok"),
+            col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+            col("seq_offset"))
+          .localCheckpoint(true) // materialize before corpus unpersist
+      } finally corpus.unpersist()
     }),
 
     // Gopher-style repetition filter: fraction of tokens covered by the
@@ -1395,44 +1491,29 @@ object SparkEntry {
     // interval join in DuckDB. Cross-window matches (a click buffered
     // windows before its purchase arrives) are the semantics under test;
     // bounded-state eviction is StreamJoinSpec's.
-    "q_stream_interval_join" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val ev = t(s, dir, "events")
-        .withColumn("ts_t", col("ts").cast("timestamp"))
-      def side(tpe: String) = ev.where(col("event_type") === tpe)
-        .select(col("user_id"), col("event_id"), col("ts_t"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq
-      val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val joined = graft.streaming.StreamJoin.intervalJoin(
-        msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
-        msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"),
-        "user_id", "r_user_id", "l_ts", "r_ts",
-        leftDelay = "40 days", rightDelay = "40 days",
-        before = "1 hour", after = "0 seconds")
-      val q = joined.select(col("l_event_id"), col("r_event_id"))
-        .writeStream.format("memory").queryName("stream_interval_join")
-        .outputMode("append").start()
-      try {
-        val cuts = Seq(
-          java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
-          java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
-        val (purchases, clicks) = (side("purchase"), side("click"))
-        def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
-          rows.filter { case (_, _, ts) =>
-            (b == 0 || !ts.before(cuts(b - 1))) &&
-              (b == 2 || ts.before(cuts(b)))
-          }
-        (0 until 3).foreach { b =>
-          msR.addData(window(clicks, b): _*)
-          msL.addData(window(purchases, b): _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      s.table("stream_interval_join").localCheckpoint(true)
-    }),
+    "q_stream_interval_join" -> ((s, dir) =>
+      intervalJoinGate(s, dir, "stream_interval_join") { (l, r) =>
+        graft.streaming.StreamJoin.intervalJoin(l, r,
+          "user_id", "r_user_id", "l_ts", "r_ts",
+          leftDelay = "40 days", rightDelay = "40 days",
+          before = "1 hour", after = "0 seconds")
+      }),
+
+    // THE SALTED SKEW VARIANT UNDER THE SAME ORACLE (r15, VERDICT r14
+    // #5): identical three-window topology through
+    // StreamJoin.saltedIntervalJoin ×8 — the salt splits every (key,
+    // batch) across eight state-store partitions, and the result must
+    // still hash-equal the exact batch interval join, proving the salt
+    // is semantically invisible (each pair meets in exactly one bucket;
+    // no loss, no duplication). The concentration measurement lives in
+    // StreamJoinSpec + SCALING §25.
+    "q_stream_interval_join_salted" -> ((s, dir) =>
+      intervalJoinGate(s, dir, "stream_interval_join_salted") { (l, r) =>
+        graft.streaming.StreamJoin.saltedIntervalJoin(l, r,
+          "user_id", "r_user_id", "l_ts", "r_ts",
+          leftDelay = "40 days", rightDelay = "40 days",
+          before = "1 hour", after = "0 seconds", saltFactor = 8)
+      }),
 
     // STREAMING LEFT-OUTER INTERVAL JOIN UNDER THE ORACLE (r14): the
     // hardest streaming semantic in the family — an unmatched purchase's
@@ -2945,9 +3026,10 @@ object SparkEntry {
     // ...and the DSIR §2.3 sampler over them, GATED (r14 — previously
     // spec-only): Gumbel-top-60 at temperature 0.7, the noise derived
     // from the doc id's residue hash so the "random" sample is the same
-    // set in any engine — the oracle recomputes the weights, the key
-    // (lw/1e6/temp + standard Gumbel of the clamped uniform), and the
-    // (key desc, id) cut.
+    // set in any engine — the oracle recomputes the weights, the
+    // micro-unit integer key floor(1e6·(lw/1e6/temp + standard Gumbel of
+    // the clamped uniform)) (r15: quantized so within-ulp ln differences
+    // tie on id instead of flipping the cut), and the (key desc, id) cut.
     "q_dsir_resample" -> ((s, dir) => {
       ImportanceResample.resampleGumbel(
         ImportanceResample.logWeights(t(s, dir, "documents"), "doc_id",
@@ -3313,6 +3395,61 @@ object SparkEntry {
       |      AS BIGINT) AS gsum
       |  FROM gr JOIN cnt USING (g) GROUP BY doc_id)""".stripMargin
 
+  /** Shared three-window MemoryStream harness for the stream-stream
+    * interval-join gates: purchases (left) × clicks (right) from the
+    * events table, cut into three event-time windows, each trigger
+    * feeding both streams — `join` builds the joined frame from the
+    * (left, right) column-named inputs. The harness is gate scaffolding
+    * (the collect feeds MemoryStream), not an operator path.
+    */
+  private def intervalJoinGate(s: SparkSession, dir: String,
+      queryName: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ev = t(s, dir, "events")
+      .withColumn("ts_t", col("ts").cast("timestamp"))
+    def side(tpe: String) = ev.where(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"), col("ts_t"))
+      .as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq
+    val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = join(
+      msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
+      msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"))
+    val q = joined.select(col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try {
+      val cuts = Seq(
+        java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+      val (purchases, clicks) = (side("purchase"), side("click"))
+      def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
+        rows.filter { case (_, _, ts) =>
+          (b == 0 || !ts.before(cuts(b - 1))) &&
+            (b == 2 || ts.before(cuts(b)))
+        }
+      (0 until 3).foreach { b =>
+        msR.addData(window(clicks, b): _*)
+        msL.addData(window(purchases, b): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(queryName).localCheckpoint(true)
+  }
+
+  /** The exact batch interval join BOTH the plain and the salted
+    * streaming gate must reproduce (one definition — the salt must be
+    * semantically invisible).
+    */
+  private val IntervalJoinOracle: String =
+    """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+      |FROM events l JOIN events r ON l.user_id = r.user_id
+      |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+      |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts""".stripMargin
+
   private def uniformU32Sql(idExpr: String, seed: Long): String =
     s"((xor((xor($idExpr, ${Sampling.seedA(seed)}) % 2147483629)" +
       " * 2654435761 % 4294967296," +
@@ -3542,8 +3679,18 @@ object SparkEntry {
     * Round 1's CTE names stay unsuffixed so the serve/sample gates share
     * one prefix text.
     */
+  /** @param prelude    extra CTEs injected before `wcnt` (must end with
+    *                    a comma) — lets a composition gate train on a
+    *                    CURATED corpus CTE instead of raw `documents`
+    * @param source     the table/CTE the word counts fold over
+    * @param serveRound also emit the Viterbi block for the model AFTER
+    *                   the last EM fold (`best{emSteps+1}`) without a
+    *                   further fold — the serving stage of a
+    *                   train-then-tokenize composition
+    */
   private def unigramOracleCtes(maxPieceLen: Int, seedSize: Int,
-      emSteps: Int = 0): String = {
+      emSteps: Int = 0, prelude: String = "",
+      source: String = "documents", serveRound: Boolean = false): String = {
     def round(r: Int): String = {
       val model = if (r == 1) "seed" else s"model$r"
       val x = if (r == 1) "" else r.toString
@@ -3589,10 +3736,10 @@ object SparkEntry {
         |  WHERE length(piece) >= 2)""".stripMargin
     }
     val sb = new StringBuilder
-    sb ++= s"""WITH RECURSIVE wcnt AS MATERIALIZED (
+    sb ++= s"""WITH RECURSIVE ${prelude}wcnt AS MATERIALIZED (
       |  SELECT word, count(*)::BIGINT AS cnt FROM (
       |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
-      |    FROM documents)
+      |    FROM $source)
       |  WHERE word <> '' GROUP BY word),
       |s1 AS (SELECT cnt, word, unnest(range(1, length(word) + 1)) AS i
       |       FROM wcnt),
@@ -3608,7 +3755,10 @@ object SparkEntry {
       |  SELECT piece, cnt FROM (
       |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
       |    ORDER BY cnt DESC, piece LIMIT $seedSize))""".stripMargin
-    for (r <- 1 to math.max(emSteps, 1)) {
+    require(!serveRound || emSteps >= 1,
+      "serveRound needs at least one EM fold to produce the served model")
+    val rounds = math.max(emSteps, 1) + (if (serveRound) 1 else 0)
+    for (r <- 1 to rounds) {
       sb ++= round(r)
       if (r <= emSteps) sb ++= emFold(r)
     }
@@ -3993,11 +4143,10 @@ object SparkEntry {
 
     // the exact batch interval join the streaming state machine must
     // reproduce completely (no eviction at the gate's watermark delay)
-    "q_stream_interval_join" ->
-      """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
-        |FROM events l JOIN events r ON l.user_id = r.user_id
-        |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
-        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts""".stripMargin,
+    "q_stream_interval_join" -> IntervalJoinOracle,
+    // the salted variant must be INVISIBLE in the result — one shared
+    // oracle definition
+    "q_stream_interval_join_salted" -> IntervalJoinOracle,
 
     // the exact batch LEFT join: every purchase appears, the unmatched
     // ones with a NULL click — the watermark-flushed outer rows must
@@ -4523,6 +4672,8 @@ object SparkEntry {
     // definition — the serving paths cannot drift.
     "q_bpe_tokenize" -> BpeTokenizeOracle,
     "q_bpe_tokenize_compiled" -> BpeTokenizeOracle,
+    // disk round trip must be invisible: the UNCHANGED oracle
+    "q_bpe_tokenize_stored" -> BpeTokenizeOracle,
 
     // Unigram-LM tokenizer: seed statistics, one hard-EM step, and
     // Viterbi serving, all over one generated CTE prefix
@@ -4569,7 +4720,9 @@ object SparkEntry {
     // quantized-exp weights, and the inverse-CDF draw keyed by the SAME
     // residue hash as the sampling oracles (uniformU32Sql), per word
     // occurrence (doc_id·4096 + 0-based position over the empty-filtered
-    // word list)
+    // word list). A document beyond 4096 words errors HERE too (r15),
+    // mirroring the operator's raise_error — both sides fail the same
+    // way instead of the oracle silently truncating.
     "q_unigram_sample" ->
       (unigramOracleCtes(3, 40) + s""",
         |nb AS MATERIALIZED (
@@ -4588,8 +4741,11 @@ object SparkEntry {
         |    USING (word)),
         |docw AS (
         |  SELECT doc_id, i - 1 AS pos, ws[i::INT] AS word FROM (
-        |    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-        |      x -> x <> '') AS ws FROM documents),
+        |    SELECT doc_id, CASE WHEN len(ws) > 4096 THEN error(
+        |        'document exceeds 4096 words — chunk before sampling')
+        |      ELSE ws END AS ws FROM (
+        |      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+        |        x -> x <> '') AS ws FROM documents)),
         |    (SELECT unnest(range(1, 4097)) AS i) n
         |  WHERE i <= len(ws)),
         |draw AS MATERIALIZED (
@@ -4606,6 +4762,91 @@ object SparkEntry {
         |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens,
         |       sum(total)::BIGINT AS score_micro
         |FROM picked GROUP BY doc_id""".stripMargin),
+
+    // the real-lattice soft posteriors: per-path weights off the shared
+    // enumeration, shifted by the word's best total, per-piece occurrence
+    // sums over total weight, half-up micro quantization
+    "q_unigram_soft_step" ->
+      (unigramOracleCtes(3, 40) + """,
+        |segw AS MATERIALIZED (
+        |  SELECT word, toks,
+        |    exp((total - max(total) OVER (PARTITION BY word))::DOUBLE / 1e6)
+        |      AS w
+        |  FROM segs),
+        |segt AS MATERIALIZED (
+        |  SELECT word, sum(w) AS tw FROM segw GROUP BY word)
+        |SELECT o.word, o.piece,
+        |  CAST(floor(1e6 * (sum(o.w) / any_value(t.tw)) + 0.5) AS BIGINT)
+        |    AS e_micro
+        |FROM (SELECT word, w, unnest(string_split(toks, chr(1))) AS piece
+        |      FROM segw) o
+        |JOIN segt t USING (word)
+        |GROUP BY o.word, o.piece""".stripMargin),
+
+    // soft-EM at the single-segmentation degenerate config: the model's
+    // fixed point is the weighted character frequency table — two full
+    // EM rounds on the Spark side must land exactly here
+    "q_unigram_train_soft" ->
+      """WITH wcnt AS (
+        |  SELECT word, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word)
+        |SELECT substr(word, i::INT, 1) AS piece, sum(cnt)::BIGINT AS cnt
+        |FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i
+        |      FROM wcnt)
+        |GROUP BY 1""".stripMargin,
+
+    // The six-stage pre-training manifest, replayed in ONE statement:
+    // curation CTEs (the q_pipeline_compose language/length replay +
+    // min-id dedup) feed the unigram CTE family through its
+    // corpus-source seam; emSteps=1 + serveRound trains one hard-EM
+    // round and re-segments under the trained model2 (best2); the tail
+    // is the q_shuffled_shards permutation window over seed 11 plus the
+    // q_pack_spans generate_series span cut at budget 512.
+    "q_pretrain_manifest" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", prelude =
+        """gated AS MATERIALIZED (
+          |  SELECT doc_id, text FROM (
+          |    SELECT doc_id, text,
+          |      CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+          |        ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+          |        / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_en,
+          |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS ntoks
+          |    FROM documents)
+          |  WHERE s_en > 0.05 AND ntoks >= 20),
+          |corpus AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
+          |""".stripMargin) + s""",
+        |doctoks AS MATERIALIZED (
+        |  SELECT d.doc_id, sum(b.ntok)::BIGINT AS n_tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM corpus) d
+        |  JOIN best2 b USING (word) WHERE d.word <> ''
+        |  GROUP BY d.doc_id),
+        |shuf AS MATERIALIZED (
+        |  SELECT doc_id, n_tok,
+        |    CAST(row_number() OVER (
+        |      ORDER BY ${uniformU32Sql("doc_id", 11L)}, doc_id) - 1 AS BIGINT)
+        |      AS shuffle_pos
+        |  FROM doctoks),
+        |cumt AS (
+        |  SELECT doc_id, shuffle_pos, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY shuffle_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM shuf),
+        |spans AS (
+        |  SELECT doc_id, shuffle_pos, n_tok, cum_before,
+        |    unnest(generate_series(cum_before // 512,
+        |      (cum_before + n_tok - 1) // 512)) AS seq
+        |  FROM cumt WHERE n_tok > 0)
+        |SELECT doc_id, shuffle_pos, n_tok, cum_before, seq,
+        |  greatest(0, seq * 512 - cum_before) AS tok_start,
+        |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
+        |  greatest(0, cum_before - seq * 512) AS seq_offset
+        |FROM spans""".stripMargin),
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one
@@ -6016,9 +6257,11 @@ object SparkEntry {
 
     // Gumbel-top-k over the DSIR weights: the weights CTEs (shared with
     // q_dsir_weights via one definition) plus the exact key arithmetic —
-    // lw/1e6/temperature + (-ln(-ln(max(u, 1e-12)))) over the same
-    // residue-hash u — and the (key desc, id asc) top-60. Membership of
-    // the selected set is what the hash compares.
+    // floor(1e6 · (lw/1e6/temperature + (-ln(-ln(max(u, 1e-12)))))) over
+    // the same residue-hash u, quantized to an integer micro-unit key so
+    // a within-ulp ln difference cannot flip membership at the cut — and
+    // the (key desc, id asc) top-60. Membership of the selected set is
+    // what the hash compares.
     "q_dsir_resample" ->
       (DsirWeightsCtes + s""",
         |sel AS MATERIALIZED (
@@ -6027,10 +6270,10 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN sc USING (doc_id))
         |SELECT doc_id, n_grams, lw_micro FROM (
         |  SELECT doc_id, n_grams, lw_micro,
-        |    CAST(lw_micro AS DOUBLE) / 1e6 / 0.7 +
+        |    CAST(floor(1e6 * (CAST(lw_micro AS DOUBLE) / 1e6 / 0.7 +
         |      (- ln(- ln(greatest(
-        |        (${uniformU32Sql("doc_id", 3L)}) / 4294967296.0, 1e-12))))
-        |      AS k
+        |        (${uniformU32Sql("doc_id", 3L)}) / 4294967296.0, 1e-12))))))
+        |      AS BIGINT) AS k
         |  FROM sel)
         |ORDER BY k DESC, doc_id LIMIT 60""".stripMargin),
 

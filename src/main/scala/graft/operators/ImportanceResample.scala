@@ -95,6 +95,15 @@ object ImportanceResample {
     * across runs and cluster layouts. temperature → 0 approaches exact
     * top-k by weight; large temperature approaches uniform sampling.
     *
+    * The sort key is quantized to integer MICRO-units —
+    * `floor(1e6 · (lw/1e6/temperature + gumbel))`, the house micro-nat
+    * pattern — so a pair of docs whose raw double keys differ only in
+    * the last ulps of `ln` (within-1-ulp across libms) lands on the SAME
+    * integer and breaks the tie on id identically in every engine,
+    * instead of flipping top-k membership at the cut (`q_dsir_resample`
+    * replays the integer key). Quantization error is ≤ 1e-6 of a key
+    * unit — far below the nat-scale differences that drive selection.
+    *
     * k-sized `orderBy().limit(k)` → TakeOrderedAndProject (per-partition
     * heaps). For k beyond driver scale, compute a key threshold from
     * `approxQuantile` and filter instead — same key, map-side.
@@ -110,8 +119,9 @@ object ImportanceResample {
       lit(1e-12))
     val gumbel = -log(-log(u))
     weights
-      .withColumn("_key",
-        col(lwCol).cast(DoubleType) / lit(1e6) / lit(temperature) + gumbel)
+      .withColumn("_key", floor(lit(1e6) *
+          (col(lwCol).cast(DoubleType) / lit(1e6) / lit(temperature) + gumbel))
+        .cast(LongType))
       .orderBy(col("_key").desc, col(idCol).asc)
       .limit(k)
       .drop("_key")

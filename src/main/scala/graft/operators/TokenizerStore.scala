@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.util.Fs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable tokenizer-model artifacts — the missing "train once, serve for
+  * months" half of the trainer triple ([[BpeTrain]] merge table,
+  * [[WordPieceTrain]] ranked merges, [[UnigramLm]] `(piece, count)`
+  * model). A real pipeline fits the tokenizer on one corpus snapshot and
+  * then serves every later batch from the SAME artifact; holding the
+  * model as an in-memory `Seq` ties its lifetime to one driver. This
+  * store gives the model the [[AnnIndex]] treatment: a parquet payload
+  * (readable by any engine — the artifact doubles as the audit record of
+  * what the tokenizer IS) plus a `_meta.json` completeness marker,
+  * published by the same crash-safe retire-aside swap, so a reader
+  * NEVER observes a torn model and a crashed save is healed by the next
+  * writer or tolerated by the next reader.
+  *
+  * Layout (`<path>` is the live artifact):
+  * {{{
+  *   <path>/model/      parquet — merges: (rank, l, r, …extras);
+  *                                 unigram: (ord, piece, cnt)
+  *   <path>/_meta.json  kind + version — written LAST into the staged
+  *                      dir (the completeness marker the crash protocol
+  *                      keys on, as in AnnIndex)
+  *   <path>_tmp/        staged build (invisible to readers)
+  *   <path>_old/        retire-aside of the previous generation during a
+  *                      replace (recoverable if the final rename crashes)
+  * }}}
+  *
+  * Durability: the staged tree is fsynced bottom-up ([[Fs.fsyncTree]])
+  * BEFORE the publishing rename, so a power cut after publish cannot
+  * reveal a live model with torn parquet bytes (data-before-visibility,
+  * the `ManifestStore` ordering argument applied to a tiny artifact).
+  *
+  * Scale: every model here is vocabulary-bounded (merge tables = the
+  * learned ranks; unigram = singles + seed pieces) — the same
+  * bounded-collect class as the BPE argmax and KMeans centroids — so
+  * `save` collects nothing corpus-sized and `load` returns a driver-side
+  * `Seq` that rides into tasks as one broadcast, exactly like the
+  * in-memory serving paths (`BpeTrain.tokenCountsCompiled`,
+  * `UnigramLm.tokenCounts`).
+  *
+  * Reference analogy: rtdi's connector persists its schema mappings as
+  * JSON files next to the pipeline (`TableMapping` facet, SURVEY §2.9);
+  * the tokenizer model is this engine's equivalent long-lived artifact.
+  */
+object TokenizerStore {
+
+  /** Model kinds — recorded in meta and checked on load so a BPE serving
+    * path handed a unigram artifact fails loudly instead of
+    * mis-deserializing.
+    */
+  val KindBpe = "bpe"
+  val KindWordPiece = "wordpiece"
+  val KindUnigram = "unigram"
+
+  private def metaOf(dir: java.io.File) = new java.io.File(dir, "_meta.json")
+
+  private def writeMeta(dir: java.io.File, kind: String): Unit =
+    java.nio.file.Files.write(metaOf(dir).toPath,
+      s"""{"kind":"$kind","version":1}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readKind(dir: java.io.File): String = {
+    val txt = new String(java.nio.file.Files.readAllBytes(metaOf(dir).toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // one string field in a one-line file this module itself wrote —
+    // a regex pull keeps the store dependency-free
+    "\"kind\"\\s*:\\s*\"([a-z]+)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"tokenizer artifact meta at $dir has no kind: $txt"))
+  }
+
+  /** Writer-side crash healing + reader-side tolerance, the
+    * [[AnnIndex]] protocol verbatim: live missing + complete tmp → the
+    * crash hit inside the publish rename, finish it; live missing + aside
+    * present → the crash hit between retire and publish, restore the
+    * previous generation. Writers also clean debris.
+    */
+  private def recoverCrash(path: String, cleanDebris: Boolean): Unit = {
+    val live = new java.io.File(path)
+    val tmp = new java.io.File(path + "_tmp")
+    val aside = new java.io.File(path + "_old")
+    if (!live.exists()) {
+      if (metaOf(tmp).exists())
+        java.nio.file.Files.move(tmp.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else if (aside.exists())
+        java.nio.file.Files.move(aside.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (cleanDebris && live.exists()) { Fs.rmTree(tmp); Fs.rmTree(aside) }
+  }
+
+  /** Merge-table artifact ([[BpeTrain.train]] / [[WordPieceTrain.train]]
+    * output): any DataFrame with `rank`, `l`, `r` columns (extra columns —
+    * `pair_count`, `score_q` — ride along and survive the round trip).
+    * `kind` distinguishes how the ranks were learned; both serve through
+    * the same greedy fusion.
+    */
+  def saveMerges(path: String, merges: DataFrame,
+      kind: String = KindBpe): Unit = {
+    require(kind == KindBpe || kind == KindWordPiece,
+      s"merge-table kind must be $KindBpe or $KindWordPiece, got $kind")
+    val cols = merges.columns.toSet
+    require(Set("rank", "l", "r").subsetOf(cols),
+      s"merge table needs rank/l/r columns, got ${merges.columns.mkString(",")}")
+    publishModel(path, kind) { modelDir =>
+      // vocabulary-bounded rows → one file; readable by any engine
+      merges.coalesce(1).write.mode("overwrite").parquet(modelDir.getPath)
+    }
+  }
+
+  /** Unigram model artifact ([[UnigramLm.train]] output). The saved `ord`
+    * column restores the EXACT driver-side sequence order, making
+    * save→load an identity even where order is semantically irrelevant
+    * (the serving map is order-insensitive; the identity is what the spec
+    * pins).
+    */
+  def saveUnigram(path: String, model: Seq[(String, Long)],
+      spark: SparkSession): Unit = {
+    require(model.nonEmpty, "refusing to persist an empty unigram model")
+    import spark.implicits._
+    publishModel(path, KindUnigram) { modelDir =>
+      model.zipWithIndex
+        .map { case ((p, c), i) => (i.toLong, p, c) }
+        .toDF("ord", "piece", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(modelDir.getPath)
+    }
+  }
+
+  private def publishModel(path: String, kind: String)(
+      write: java.io.File => Unit): Unit = {
+    recoverCrash(path, cleanDebris = true)
+    val tmp = new java.io.File(path + "_tmp")
+    Fs.rmTree(tmp)
+    tmp.mkdirs()
+    write(new java.io.File(tmp, "model"))
+    writeMeta(tmp, kind) // completeness marker LAST
+    Fs.fsyncTree(tmp)    // data durable before visible
+    // retire-aside swap (AnnIndex.swapInto): old generation serves reads
+    // until the atomic publish rename
+    val live = new java.io.File(path)
+    val aside = new java.io.File(path + "_old")
+    Fs.rmTree(aside)
+    if (live.exists())
+      java.nio.file.Files.move(live.toPath, aside.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Fs.fsyncDir(live.getParentFile)
+    Fs.rmTree(aside)
+  }
+
+  /** The raw persisted merge table, rank-ordered — for audit/inspection
+    * and the gate's cross-engine read.
+    */
+  def loadMergeTable(spark: SparkSession, path: String): DataFrame = {
+    val kind = openKind(spark, path)
+    require(kind == KindBpe || kind == KindWordPiece,
+      s"artifact at $path is a '$kind' model, not a merge table")
+    spark.read.parquet(new java.io.File(path, "model").getPath)
+      .orderBy(col("rank"))
+  }
+
+  /** The merge rules in learned order — the exact `Seq` the in-memory
+    * serving paths take ([[BpeTrain.tokenCounts]] /
+    * [[BpeTrain.tokenCountsCompiled]]).
+    */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    loadMergeTable(spark, path)
+      .select("l", "r").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** The unigram model in its saved order — the exact `Seq`
+    * [[UnigramLm.tokenCounts]] / [[UnigramLm.sampleTokenCounts]] serve
+    * with.
+    */
+  def loadUnigram(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val kind = openKind(spark, path)
+    require(kind == KindUnigram,
+      s"artifact at $path is a '$kind' model, not a unigram model")
+    spark.read.parquet(new java.io.File(path, "model").getPath)
+      .orderBy(col("ord"))
+      .select("piece", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Reader-side open: tolerate a crashed writer WITHOUT healing in place
+    * (healing is the writer's job — a read-only consumer may lack write
+    * permission): if live is missing but a complete tmp or an aside
+    * exists, the writer crashed mid-publish; fail with a precise message
+    * telling the operator to re-run the save (which heals), exactly the
+    * [[AnnIndex]] reader contract.
+    */
+  private def openKind(spark: SparkSession, path: String): String = {
+    val live = new java.io.File(path)
+    if (!metaOf(live).exists()) {
+      val tmp = new java.io.File(path + "_tmp")
+      val aside = new java.io.File(path + "_old")
+      if (metaOf(tmp).exists() || aside.exists())
+        throw new IllegalStateException(
+          s"tokenizer artifact at $path has no live generation but a " +
+            "recoverable staged/retired one exists — a writer crashed " +
+            "mid-publish; re-run the save to heal")
+      throw new IllegalStateException(s"no tokenizer artifact at $path")
+    }
+    readKind(live)
+  }
+}

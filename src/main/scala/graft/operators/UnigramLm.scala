@@ -89,14 +89,42 @@ object UnigramLm {
     // boxed values: java.util.HashMap.get on a missing key returns null,
     // and a primitive-Long value type would silently unbox that to 0L
     val m = new java.util.HashMap[String, java.lang.Long]()
+    // the normalizer Z sums the SAME first occurrences the score map
+    // keeps — a duplicate piece must not deflate every piece's
+    // probability while its score rides the first count
+    var z = 0L
     model.foreach { case (p, c) =>
       require(c >= 1, s"piece '$p' has non-positive count $c")
+      require(p.forall(_ > '\u0001'),
+        s"piece ${p.map(ch => f"U+${ch.toInt}%04X").mkString("[", " ", "]")} " +
+          "contains a control character <= U+0001 — reserved as the " +
+          "piece-sequence tie-break separator")
       // first occurrence wins, like BpeTrain's duplicate-rule guard
-      if (!m.containsKey(p)) m.put(p, math.floor(1e6 * math.log(c.toDouble)).toLong)
+      if (!m.containsKey(p)) {
+        m.put(p, math.floor(1e6 * math.log(c.toDouble)).toLong)
+        z += c
+      }
     }
-    val z = model.map(_._2).sum
     (m, math.floor(1e6 * math.log(z.toDouble)).toLong)
   }
+
+  /** The DP's tie-break compares piece sequences as strings joined by
+    * U+0001, which equals element-wise sequence order ONLY when no piece
+    * character sorts at or below the separator: a word containing U+0001
+    * would fragment on the final `split('\u0001')` (inflating ntok), and
+    * U+0000 would sort below the separator and corrupt the tie-break.
+    * Both entry points fail loudly instead — strip control characters
+    * upstream (real tokenizer pipelines normalize them away; none of the
+    * word-splitting callers can produce one from whitespace-split text,
+    * but a hand-fed frame can).
+    */
+  private def requireNoControlChars(word: String): Unit =
+    if (!word.forall(_ > '\u0001'))
+      throw new IllegalArgumentException(
+        s"word ${word.map(ch => f"U+${ch.toInt}%04X").mkString("[", " ", "]")} " +
+          "contains a control character <= U+0001 — reserved as the " +
+          "piece-sequence tie-break separator; strip control characters " +
+          "upstream")
 
   /** Viterbi segmentation of one word under quantized piece scores:
     * maximize `Σ s(pieceᵢ) − n·sz`, ties → fewer pieces → lexicographically
@@ -117,6 +145,7 @@ object UnigramLm {
   private[operators] def viterbiWord(word: String,
       s: java.util.HashMap[String, java.lang.Long], sz: Long, maxPieceLen: Int)
       : (Array[String], Long) = {
+    requireNoControlChars(word)
     val n = word.length
     // per position: best (total, ntok, joined, backPos, backPiece)
     val total = new Array[Long](n + 1)
@@ -169,6 +198,7 @@ object UnigramLm {
       s: java.util.HashMap[String, java.lang.Long], sz: Long,
       maxPieceLen: Int, nBest: Int): Seq[(Array[String], Long, Long)] = {
     require(nBest >= 1, s"nBest must be >= 1, got $nBest")
+    requireNoControlChars(word)
     val n = word.length
     val ord = Ordering.Tuple3(Ordering.Long.reverse, Ordering.Int,
       Ordering.String) // (total desc, ntok asc, joined asc)
@@ -318,6 +348,183 @@ object UnigramLm {
       .toDF("word", "toks", "ntok", "score_micro")
   }
 
+  /** log(e^a + e^b) without overflow; -Inf is the additive identity. */
+  private def logSumExp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+
+  /** Forward-backward expected piece counts of ONE word under the
+    * quantized model — the soft-EM E-step kernel (Kudo 2018 §3.2's actual
+    * EM, where [[viterbiWord]] is the hard approximation). Log-domain:
+    * `logp(piece) = (s(piece) − sz)/1e6`; forward `α(j) = lse_l(α(j−l) +
+    * logp)`, backward symmetric; an occurrence (i, j)'s posterior is
+    * `exp(α(i) + logp + β(j) − α(n))`. Returns the per-piece expected
+    * counts and the word's log marginal likelihood `α(n)` (in nats, the
+    * EM objective's summand).
+    *
+    * Exactness note the degenerate oracle gate leans on: for a word with
+    * a SINGLE admissible segmentation every `lse` reduces to its one
+    * argument, so each posterior is `exp(δ)` for an association-order
+    * ulp `δ` — within 1e-12 of exactly 1 — and the M-step's
+    * `floor(x + 0.5)` integerization absorbs it.
+    */
+  private[operators] def softWordCounts(word: String,
+      s: java.util.HashMap[String, java.lang.Long], sz: Long,
+      maxPieceLen: Int): (Array[(String, Double)], Double) = {
+    requireNoControlChars(word)
+    val n = word.length
+    val fwd = Array.fill(n + 1)(Double.NegativeInfinity)
+    fwd(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        if (fwd(j - l) != Double.NegativeInfinity) {
+          val ps = s.get(word.substring(j - l, j))
+          if (ps != null)
+            fwd(j) = logSumExp(fwd(j), fwd(j - l) + (ps.longValue() - sz) / 1e6)
+        }
+        l += 1
+      }
+      j += 1
+    }
+    if (fwd(n) == Double.NegativeInfinity)
+      throw new IllegalArgumentException(
+        s"model does not cover word '$word' (missing single characters?)")
+    val bwd = Array.fill(n + 1)(Double.NegativeInfinity)
+    bwd(n) = 0.0
+    var i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        if (bwd(i + l) != Double.NegativeInfinity) {
+          val ps = s.get(word.substring(i, i + l))
+          if (ps != null)
+            bwd(i) = logSumExp(bwd(i), (ps.longValue() - sz) / 1e6 + bwd(i + l))
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    val acc = new java.util.HashMap[String, Double]()
+    i = 0
+    while (i < n) {
+      if (fwd(i) != Double.NegativeInfinity) {
+        var l = 1
+        val lMax = math.min(maxPieceLen, n - i)
+        while (l <= lMax) {
+          if (bwd(i + l) != Double.NegativeInfinity) {
+            val piece = word.substring(i, i + l)
+            val ps = s.get(piece)
+            if (ps != null) {
+              val post = math.exp(
+                fwd(i) + (ps.longValue() - sz) / 1e6 + bwd(i + l) - fwd(n))
+              acc.merge(piece, post, (a, b) => a + b)
+            }
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[(String, Double)](acc.size())
+    val it = acc.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) { val e = it.next(); out(k) = (e.getKey, e.getValue); k += 1 }
+    (out, fwd(n))
+  }
+
+  /** Per-(word, piece) soft posterior expected counts, quantized to
+    * integer micro-units `floor(1e6 · E + 0.5)` — the cross-engine-
+    * gateable face of the soft E-step (`q_unigram_soft_step`). Half-up
+    * rounding (not plain floor) is load-bearing: single-segmentation
+    * words have EXACTLY integer posteriors, which sit exactly ON a floor
+    * boundary — `+0.5` moves every integer-valued E half a micro-unit
+    * from the nearest boundary, so the two engines' ~1e-9 float-path
+    * differences cannot flip the quantum (the ratio-of-exp-sums values
+    * in between are transcendental and margin-scanned by
+    * `UnigramBoundaryMarginSpec`). Rides the same distinct-word ×
+    * broadcast-model `mapPartitions` shape as [[segmentWords]].
+    */
+  def softExpectedMicro(words: DataFrame, model: Seq[(String, Long)])
+      : DataFrame =
+    softExpectedRaw(words, model)
+      .select(col("word"), col("piece"),
+        floor(lit(1e6) * col("e") + lit(0.5)).cast(LongType).alias("e_micro"))
+
+  /** The raw doubles behind [[softExpectedMicro]] — exposed at package
+    * visibility so `UnigramBoundaryMarginSpec` can measure each value's
+    * distance from its quantization boundary on the actual gate corpus.
+    */
+  private[operators] def softExpectedRaw(words: DataFrame,
+      model: Seq[(String, Long)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val modelB = spark.sparkContext.broadcast(model.toArray)
+    val maxLen = model.iterator.map(_._1.length).max
+    words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val (s, sz) = quantize(modelB.value.toSeq)
+        it.flatMap { w =>
+          softWordCounts(w, s, sz, maxLen)._1.iterator.map { case (p, e) =>
+            (w, p, e)
+          }
+        }
+      }
+      .toDF("word", "piece", "e")
+  }
+
+  /** One SOFT-EM step (expected counts — the SentencePiece default this
+    * module's hard-EM scaladoc documents as the honest gap): every
+    * admissible segmentation of every distinct word contributes its
+    * posterior mass, so a piece hard-EM starves to zero (it wins no
+    * Viterbi argmax) retains fractional support here. Returns `(piece,
+    * est_cnt: Double)` — fractional by nature; [[trainSoft]] integerizes
+    * with `floor(x + 0.5)` (IEEE-exact, the house float rule) to stay in
+    * the hash-verifiable integer-count model domain.
+    *
+    * Same distributed shape as [[emStep]]: the corpus never re-enters —
+    * one `mapPartitions` over the DISTINCT-word table against the ONE
+    * broadcast model HashMap, then a piece-keyed fold.
+    */
+  def emStepSoft(counts: DataFrame, model: Seq[(String, Long)]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val modelB = spark.sparkContext.broadcast(model.toArray)
+    val maxLen = model.iterator.map(_._1.length).max
+    counts.select(col("word"), col("cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        val (s, sz) = quantize(modelB.value.toSeq)
+        it.flatMap { case (w, cnt) =>
+          softWordCounts(w, s, sz, maxLen)._1.iterator
+            .map { case (p, e) => (p, cnt * e) }
+        }
+      }
+      .toDF("piece", "est")
+      .groupBy("piece").agg(sum(col("est")).alias("est_cnt"))
+  }
+
+  /** The EM objective: corpus log marginal likelihood `Σ_w cnt_w ·
+    * log P(w | model)` in nats (under the micro-nat-quantized piece
+    * probabilities — the model actually served). Soft EM is
+    * guaranteed non-decreasing on this; the spec pins it.
+    */
+  def logLikelihood(counts: DataFrame, model: Seq[(String, Long)]): Double = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val modelB = spark.sparkContext.broadcast(model.toArray)
+    val maxLen = model.iterator.map(_._1.length).max
+    counts.select(col("word"), col("cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        val (s, sz) = quantize(modelB.value.toSeq)
+        it.map { case (w, cnt) => cnt * softWordCounts(w, s, sz, maxLen)._2 }
+      }
+      .toDF("ll").agg(sum(col("ll"))).head().getDouble(0)
+  }
+
   /** One hard-EM step: Viterbi-segment every distinct word under `model`,
     * return each piece's expected count `Σ word-count · occurrences` —
     * the M-step statistics the next model normalizes. Pieces that win no
@@ -371,6 +578,48 @@ object UnigramLm {
     require(emIters >= 0, s"emIters must be >= 0, got $emIters")
     require(pruneFraction >= 0 && pruneFraction < 1,
       s"pruneFraction must be in [0, 1), got $pruneFraction")
+    trainLoop(docs, textCol, vocabSize, maxPieceLen, seedSize, emIters,
+      pruneFraction, (counts, model) =>
+        emStep(counts, model)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+  }
+
+  /** [[train]] with the SOFT E-step ([[emStepSoft]]) — the actual
+    * SentencePiece default. Fractional expected counts are integerized
+    * per round by `floor(x + 0.5)` (pieces rounding to 0 drop, exactly
+    * like hard-EM pieces that win no segmentation), so both trainers
+    * share one model domain, one prune schedule, and one serving path.
+    * Degenerate configs where every word has a single admissible
+    * segmentation (e.g. maxPieceLen = 1) make soft ≡ hard — the
+    * cross-engine gate (`q_unigram_train_soft`) rides that identity; the
+    * divergence and EM-objective-monotonicity behavior is spec-pinned.
+    */
+  def trainSoft(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 1000, emIters: Int = 2,
+      pruneFraction: Double = 0.2): Seq[(String, Long)] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(emIters >= 0, s"emIters must be >= 0, got $emIters")
+    require(pruneFraction >= 0 && pruneFraction < 1,
+      s"pruneFraction must be in [0, 1), got $pruneFraction")
+    trainLoop(docs, textCol, vocabSize, maxPieceLen, seedSize, emIters,
+      pruneFraction, (counts, model) =>
+        emStepSoft(counts, model)
+          .collect().iterator
+          .map(r => (r.getString(0),
+            math.floor(r.getDouble(1) + 0.5).toLong))
+          .filter(_._2 >= 1L).toMap)
+  }
+
+  /** The shared seed → (E-step + prune) × iters → truncate loop behind
+    * [[train]] (hard/Viterbi counts) and [[trainSoft]] (expected counts):
+    * the estimator is the ONLY difference between the two trainers, so
+    * the prune schedule, coverage floor, and final truncation cannot
+    * drift apart.
+    */
+  private def trainLoop(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int, seedSize: Int, emIters: Int, pruneFraction: Double,
+      estimate: (DataFrame, Seq[(String, Long)]) => Map[String, Long])
+      : Seq[(String, Long)] = {
     val counts = BpeTrain.wordCounts(docs, textCol).localCheckpoint(true)
     try {
       val seed = seedVocab(counts, maxPieceLen, seedSize)
@@ -383,8 +632,7 @@ object UnigramLm {
       var model = seed
       var iter = 0
       while (iter < emIters) {
-        val est = emStep(counts, model)
-          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        val est = estimate(counts, model)
         val keptSingles = singles.toSeq.sorted
           .map(p => (p, math.max(est.getOrElse(p, 0L), 1L)))
         val survivors = model.iterator.map(_._1)

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.util.Fs
+
+class TokenizerStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withWork(f: java.nio.file.Path => Unit): Unit = {
+    val work = java.nio.file.Files.createTempDirectory("graft-tokstore")
+    try f(work) finally Fs.rmTree(work.toFile)
+  }
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log"),
+    (3L, "a cat and a dog and a log"),
+    (4L, "low lower lowest newer newest wide wider widest"),
+    (5L, "the the the cat cat dog")).toDF("doc_id", "text")
+
+  test("bpe merge table: save → load → tokenCounts is row-identical to in-memory serving") {
+    withWork { work =>
+      val path = work.resolve("bpe").toString
+      val trained = BpeTrain.train(docs, "text", numMerges = 6)
+      val inMem = trained.orderBy("rank").select("l", "r").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TokenizerStore.saveMerges(path, trained)
+      val loaded = TokenizerStore.loadMerges(spark, path)
+      assert(loaded == inMem)
+      val a = BpeTrain.tokenCounts(docs, "doc_id", "text", inMem)
+        .orderBy("doc_id").collect().toSeq
+      val b = BpeTrain.tokenCounts(docs, "doc_id", "text", loaded)
+        .orderBy("doc_id").collect().toSeq
+      assert(a == b)
+      // extras (pair_count) survive the round trip
+      assert(TokenizerStore.loadMergeTable(spark, path).columns.toSet ==
+        trained.columns.toSet)
+    }
+  }
+
+  test("wordpiece ranks round-trip under their own kind, including score_q") {
+    withWork { work =>
+      val path = work.resolve("wp").toString
+      val trained = WordPieceTrain.train(docs, "text", numMerges = 5)
+      TokenizerStore.saveMerges(path, trained, TokenizerStore.KindWordPiece)
+      val back = TokenizerStore.loadMergeTable(spark, path)
+        .orderBy("rank").collect().toSeq
+      assert(back == trained.orderBy("rank").collect().toSeq)
+      assert(TokenizerStore.loadMerges(spark, path) ==
+        trained.orderBy("rank").select("l", "r").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq)
+    }
+  }
+
+  test("unigram model: save → load is an exact sequence identity and serves identically") {
+    withWork { work =>
+      val path = work.resolve("uni").toString
+      val model = UnigramLm.train(docs, "text", vocabSize = 60,
+        maxPieceLen = 3, seedSize = 30, emIters = 1)
+      TokenizerStore.saveUnigram(path, model, spark)
+      val loaded = TokenizerStore.loadUnigram(spark, path)
+      assert(loaded == model) // exact order, not just set equality
+      val a = UnigramLm.tokenCounts(docs, "doc_id", "text", model)
+        .orderBy("doc_id").collect().toSeq
+      val b = UnigramLm.tokenCounts(docs, "doc_id", "text", loaded)
+        .orderBy("doc_id").collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("kind mismatch fails loudly in both directions") {
+    withWork { work =>
+      val mp = work.resolve("m").toString
+      val up = work.resolve("u").toString
+      TokenizerStore.saveMerges(mp, BpeTrain.train(docs, "text", 3))
+      TokenizerStore.saveUnigram(up, Seq(("a", 2L), ("b", 1L)), spark)
+      val e1 = intercept[IllegalArgumentException](
+        TokenizerStore.loadUnigram(spark, mp))
+      assert(e1.getMessage.contains("not a unigram model"))
+      val e2 = intercept[IllegalArgumentException](
+        TokenizerStore.loadMerges(spark, up))
+      assert(e2.getMessage.contains("not a merge table"))
+      intercept[IllegalArgumentException](
+        TokenizerStore.saveMerges(work.resolve("bad").toString,
+          BpeTrain.train(docs, "text", 3), TokenizerStore.KindUnigram))
+    }
+  }
+
+  test("replace is atomic: a crash between retire and publish is healed by the next save, and the old generation restores for readers' writers") {
+    withWork { work =>
+      val path = work.resolve("g").toString
+      TokenizerStore.saveMerges(path,
+        BpeTrain.train(docs, "text", 3))
+      val gen1 = TokenizerStore.loadMerges(spark, path)
+      // simulate the crash window: retire live to _old, no publish
+      val live = new java.io.File(path)
+      val aside = new java.io.File(path + "_old")
+      java.nio.file.Files.move(live.toPath, aside.toPath)
+      // reader: fails loudly, names the recovery
+      val e = intercept[IllegalStateException](
+        TokenizerStore.loadMerges(spark, path))
+      assert(e.getMessage.contains("crashed mid-publish"))
+      // next writer heals: recoverCrash restores _old as live before
+      // staging, so even if the new save ALSO crashed pre-publish the
+      // artifact would be gen1, never nothing
+      TokenizerStore.saveMerges(path,
+        BpeTrain.train(docs, "text", 5))
+      val gen2 = TokenizerStore.loadMerges(spark, path)
+      assert(gen2.size == 5 && gen2.take(3) == gen1)
+      assert(!aside.exists() && !new java.io.File(path + "_tmp").exists())
+    }
+  }
+
+  test("a crash after staging completes (before the swap) publishes on the next writer touch") {
+    withWork { work =>
+      val path = work.resolve("h").toString
+      // hand-build the post-crash state: complete _tmp, no live
+      val trained = WordPieceTrain.train(docs, "text", numMerges = 2)
+      TokenizerStore.saveMerges(path, trained)
+      val tmp = new java.io.File(path + "_tmp")
+      java.nio.file.Files.move(new java.io.File(path).toPath, tmp.toPath)
+      intercept[IllegalStateException](TokenizerStore.loadMerges(spark, path))
+      // any writer entry heals — saving something else first recovers tmp
+      // as live, then replaces it
+      TokenizerStore.saveMerges(path, trained)
+      assert(TokenizerStore.loadMergeTable(spark, path).count() == 2)
+      assert(!tmp.exists())
+    }
+  }
+
+  test("reading a missing artifact names the path") {
+    withWork { work =>
+      val e = intercept[IllegalStateException](
+        TokenizerStore.loadUnigram(spark, work.resolve("nope").toString))
+      assert(e.getMessage.contains("no tokenizer artifact"))
+    }
+  }
+
+  test("empty unigram model is refused") {
+    withWork { work =>
+      intercept[IllegalArgumentException](
+        TokenizerStore.saveUnigram(work.resolve("e").toString, Seq.empty, spark))
+    }
+  }
+}

@@ -249,4 +249,97 @@ class UnigramLmSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("coverage"))
   }
+
+  test("soft E-step equals hard E-step on a single-segmentation lattice") {
+    // model {ab, c} admits exactly one segmentation of 'abc' (no singles
+    // a/b, so nothing else parses): posterior mass 1 on every occurrence,
+    // soft expected counts = hard Viterbi counts exactly (after the ulp
+    // the scaladoc bounds)
+    val counts = Seq(("abc", 3L)).toDF("word", "cnt")
+    val model = Seq(("ab", 2L), ("c", 1L))
+    val hard = UnigramLm.emStep(counts, model)
+      .as[(String, Long)].collect().toMap
+    val soft = UnigramLm.emStepSoft(counts, model)
+      .as[(String, Double)].collect().toMap
+    assert(hard == Map("ab" -> 3L, "c" -> 3L))
+    assert(soft.keySet == hard.keySet)
+    soft.foreach { case (p, e) =>
+      assert(math.abs(e - hard(p)) < 1e-9, s"piece $p: soft $e vs hard ${hard(p)}")
+    }
+  }
+
+  test("soft E-step retains posterior mass hard EM starves to zero") {
+    // 'ab' under {a:4, b:4, ab:2} (Z=10): Viterbi picks [ab]
+    // (0.2 > 0.16), so hard EM gives a and b NOTHING; soft EM splits
+    // 0.2/0.36 vs 0.16/0.36 and keeps the singles alive — the exact
+    // behavioral difference that motivates expected-count EM
+    val counts = Seq(("ab", 9L)).toDF("word", "cnt")
+    val model = Seq(("a", 4L), ("b", 4L), ("ab", 2L))
+    val hard = UnigramLm.emStep(counts, model)
+      .as[(String, Long)].collect().toMap
+    val soft = UnigramLm.emStepSoft(counts, model)
+      .as[(String, Double)].collect().toMap
+    assert(hard == Map("ab" -> 9L))
+    // P([ab]) = 0.2/0.36, P([a,b]) = 0.16/0.36 (quantization shifts the
+    // ratio by < 1e-5)
+    assert(math.abs(soft("ab") - 9.0 * (0.2 / 0.36)) < 1e-3)
+    assert(math.abs(soft("a") - 9.0 * (0.16 / 0.36)) < 1e-3)
+    assert(soft("a") == soft("b"))
+  }
+
+  test("soft EM does not decrease the corpus log marginal likelihood") {
+    // counts in the hundreds so floor(x+0.5) integerization perturbs the
+    // exact-EM update only in the 4th digit — monotonicity survives
+    val docs = Seq(
+      (1L, ("abab " * 100).trim), (2L, ("abc " * 70).trim),
+      (3L, ("bcbc " * 50).trim), (4L, ("aab bba cab " * 30).trim)
+    ).toDF("id", "text")
+    val counts = BpeTrain.wordCounts(docs, "text").localCheckpoint(true)
+    try {
+      var model = UnigramLm.seedVocab(counts, maxPieceLen = 3, seedSize = 12)
+        .as[(String, Long)].collect().toSeq
+      val singles = model.filter(_._1.length == 1).map(_._1).toSet
+      var ll = UnigramLm.logLikelihood(counts, model)
+      for (_ <- 1 to 3) {
+        val est = UnigramLm.emStepSoft(counts, model)
+          .as[(String, Double)].collect()
+          .map { case (p, e) => (p, math.floor(e + 0.5).toLong) }
+          .filter(_._2 >= 1L).toMap
+        model = singles.toSeq.sorted.map(p => (p, math.max(est.getOrElse(p, 0L), 1L))) ++
+          model.filter(p => p._1.length >= 2 && est.contains(p._1))
+            .map(p => (p._1, est(p._1)))
+        val next = UnigramLm.logLikelihood(counts, model)
+        assert(next >= ll - 1e-3,
+          s"soft-EM objective decreased: $ll -> $next")
+        ll = next
+      }
+    } finally counts.unpersist()
+  }
+
+  test("trainSoft equals train at the single-segmentation degenerate config") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "a cat and a hat"), (3L, "the bat sat pat")
+    ).toDF("id", "text")
+    val hard = UnigramLm.train(docs, "text", vocabSize = 50,
+      maxPieceLen = 1, seedSize = 1, emIters = 2, pruneFraction = 0.0)
+    val soft = UnigramLm.trainSoft(docs, "text", vocabSize = 50,
+      maxPieceLen = 1, seedSize = 1, emIters = 2, pruneFraction = 0.0)
+    assert(soft == hard)
+    assert(soft.nonEmpty)
+  }
+
+  test("trainSoft diverges from train where the lattice is ambiguous") {
+    // the q_unigram gate config on an ambiguous corpus: soft EM keeps
+    // fractional support hard EM zeroes, so the fitted counts differ
+    val docs = Seq(
+      (1L, ("abab abab cab " * 20).trim), (2L, ("ab ab ba cabab " * 20).trim)
+    ).toDF("id", "text")
+    val hard = UnigramLm.train(docs, "text", vocabSize = 40,
+      maxPieceLen = 3, seedSize = 10, emIters = 2, pruneFraction = 0.0)
+    val soft = UnigramLm.trainSoft(docs, "text", vocabSize = 40,
+      maxPieceLen = 3, seedSize = 10, emIters = 2, pruneFraction = 0.0)
+    assert(hard != soft,
+      "soft and hard EM agreed on an ambiguous corpus — the soft E-step " +
+        "is not contributing fractional mass")
+  }
 }

@@ -266,6 +266,65 @@ class ManifestStoreSpec extends SparkSpec {
     assert(state(store).contains((4L, "FOUR")))
   }
 
+  test("staging debris: crashed puts accumulate invisibly, survive the grace, and sweep once aged — never an in-flight commit") {
+    // closes the last unpinned branch of the r14 content-atomic publish
+    // (VERDICT r14 #7): a crash between putManifest's staged write and
+    // its link leaves a .staging-*.json file OUTSIDE the manifest-*
+    // listing namespace
+    val dir = tmp("mfstaging")
+    val store = newStore(dir)
+    store.merge(batch((Cdc.Upsert, 10L, 2L, "TWO")))
+    val good = state(store)
+    val v = store.currentVersion
+    def stagingFiles() = Option(new java.io.File(dir).listFiles(
+      (_: java.io.File, n: String) => n.startsWith(".staging-")))
+      .getOrElse(Array.empty[java.io.File])
+    assert(stagingFiles().isEmpty, "clean store must hold no staging debris")
+
+    // N crashed write-phase puts: fully- and partially-written staging
+    // files that never got linked
+    val donor = new java.io.File(dir, f"manifest-$v%012d.json")
+    val bytes = java.nio.file.Files.readAllBytes(donor.toPath)
+    val debris = (1 to 5).map { i =>
+      val f = new java.io.File(dir, s".staging-crash$i.json")
+      java.nio.file.Files.write(f.toPath,
+        java.util.Arrays.copyOfRange(bytes, 0, bytes.length * i / 5))
+      f
+    }
+    assert(stagingFiles().length === 5)
+    // invisible to every read surface
+    assert(store.currentVersion === v && state(store) === good)
+
+    // a commit's GC runs — but the debris is YOUNG, i.e. indistinguishable
+    // from a concurrent writer's put in the write→link window, so it must
+    // survive (sweep-age safety: the grace is the in-flight protection)
+    store.merge(batch((Cdc.Upsert, 11L, 3L, "THREE")))
+    assert(stagingFiles().length === 5,
+      "young staging debris swept — a concurrent writer's in-flight put " +
+        "would be destroyed in the same window")
+
+    // aged past the grace, the next commit's GC reclaims all of it
+    debris.foreach(_.setLastModified(
+      System.currentTimeMillis() - 25 * 3600 * 1000L))
+    store.merge(batch((Cdc.Upsert, 12L, 4L, "FOUR")))
+    assert(stagingFiles().isEmpty, "aged staging debris survived GC")
+    assert(state(store).contains((4L, "FOUR")))
+
+    // the link→unlink crash variant: the staging name still shares its
+    // inode with a COMMITTED manifest; sweeping it must remove only the
+    // extra NAME, never the manifest or its contents
+    val committed = new java.io.File(dir,
+      f"manifest-${store.currentVersion}%012d.json")
+    val linked = new java.io.File(dir, ".staging-linkcrash.json")
+    java.nio.file.Files.createLink(linked.toPath, committed.toPath)
+    linked.setLastModified(System.currentTimeMillis() - 25 * 3600 * 1000L)
+    val before = state(store)
+    store.merge(batch((Cdc.Upsert, 13L, 5L, "FIVE")))
+    assert(!linked.exists(), "aged link-crash staging name survived GC")
+    assert(committed.exists(), "GC deleted a committed manifest's name")
+    assert(state(store) === before + ((5L, "FIVE")))
+  }
+
   test("changesBetween: LWW replay identity across versions, even across a compaction") {
     val dir = tmp("mfcdf")
     val store = newStore(dir, keep = 6)

@@ -95,5 +95,90 @@ class StreamJoinSpec extends SparkSpec {
       StreamJoin.intervalJoin(df, df, "k", "k2", "t", "t2", "1 second",
         "1 second", joinType = "fullOuter")
     }
+    intercept[IllegalArgumentException] {
+      StreamJoin.saltedIntervalJoin(df, df, "k", "k2", "t", "t2",
+        "1 second", "1 second", saltFactor = 1)
+    }
+  }
+
+  test("salted interval join is row-identical to the batch interval join under 90% hot-key skew") {
+    implicit val sqlCtx = spark.sqlContext
+    // 90 events on the hot user, 10 spread; dims for hot + a few others
+    val events = (0 until 90).map(i => (1L, 100L + i, s"e$i")) ++
+      (0 until 10).map(i => ((i + 2).toLong, 120L + i, s"s$i"))
+    // hot dims every 10 s so most hot events see an in-window dim change
+    val dims = (0 until 6).map(k => (1L, 95L + 10 * k, s"hot$k")) ++
+      Seq((3L, 118L, "d3"), (99L, 400L, "late"))
+    val ev = MemoryStream[(Long, Long, String)]
+    val dm = MemoryStream[(Long, Long, String)]
+    val left = ev.toDF().toDF("user_id", "sec", "action")
+      .select(col("user_id"), timestamp_seconds(col("sec")).alias("lts"),
+        col("action"))
+    val right = dm.toDF().toDF("d_user", "dsec", "segment")
+      .select(col("d_user"), timestamp_seconds(col("dsec")).alias("rts"),
+        col("segment"))
+    val q = StreamJoin.saltedIntervalJoin(left, right,
+        "user_id", "d_user", "lts", "rts",
+        leftDelay = "5 seconds", rightDelay = "5 seconds",
+        before = "10 seconds", after = "0 seconds", saltFactor = 8)
+      .writeStream.format("memory").queryName("sj_salted")
+      .outputMode("append").start()
+    try {
+      dm.addData(dims: _*)
+      ev.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("sj_salted")
+        .select(col("user_id"), col("action"), col("segment"))
+        .as[(Long, String, String)].collect().toSeq
+      // the oracle is the BATCH join under the identical condition — the
+      // salt must be invisible in the result (each pair meets in exactly
+      // one bucket: no loss, no duplication, hot key included)
+      val lb = events.toDF("user_id", "sec", "action")
+        .select(col("user_id"), timestamp_seconds(col("sec")).alias("lts"),
+          col("action"))
+      val rb = dims.toDF("d_user", "dsec", "segment")
+        .select(col("d_user"), timestamp_seconds(col("dsec")).alias("rts"),
+          col("segment"))
+      val want = lb.join(rb, col("user_id") === col("d_user") &&
+          col("rts") >= col("lts") - expr("interval 10 seconds") &&
+          col("rts") <= col("lts"), "inner")
+        .select(col("user_id"), col("action"), col("segment"))
+        .as[(Long, String, String)].collect().toSeq
+      assert(got.sorted == want.sorted)
+      assert(want.count(_._1 == 1L) >= 40,
+        "fixture regression: the hot key no longer dominates the matches")
+    } finally q.stop()
+  }
+
+  test("salting bounds the per-partition key concentration the unsalted join pins to one state store") {
+    // Structured Streaming hash-clusters stream-stream join state on the
+    // join keys — the same HashPartitioning family as repartition(n, keys)
+    // — so the batch partition histogram IS the state/processing
+    // concentration measure. 90% of rows on one key, 32 partitions (the
+    // production shuffle-partition setting): unsalted, the hot key's rows
+    // land in ONE partition; salted ×8, the max partition holds ~1/8.
+    val n = 10000L
+    val df = spark.range(n).select(
+      when(col("id") % 10 === 0, col("id") / 10 + 2).otherwise(1L)
+        .cast("long").alias("k"),
+      col("id"))
+    def maxPart(parted: org.apache.spark.sql.DataFrame): Long =
+      parted.groupBy(spark_partition_id()).count()
+        .agg(max("count")).head().getLong(0)
+    val hot = df.where(col("k") === 1L).count() // 9000
+    val unsalted = maxPart(df.repartition(32, col("k")))
+    val salted = maxPart(df
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("id")), lit(8))
+        .cast("int"))
+      .repartition(32, col("k"), col("_salt")))
+    assert(unsalted >= hot,
+      s"expected the hot key ($hot rows) to pin one partition, got $unsalted")
+    // 8 salt buckets hashed into 32 partitions collide (birthday) — two
+    // hot-key buckets can share a partition, so the honest bound is ~2/8
+    // of the hot key plus small-key noise, still a ≥3× spread
+    assert(salted <= unsalted / 3,
+      s"salting failed to spread the hot key: max partition $salted vs " +
+        s"unsalted $unsalted")
+    info(s"hot=$hot unsaltedMaxPartition=$unsalted saltedMaxPartition=$salted")
   }
 }
