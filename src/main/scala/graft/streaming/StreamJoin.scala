@@ -98,6 +98,9 @@ object StreamJoin {
       "key/ts column names must differ between sides (rename upstream); " +
         "ambiguous names make the interval condition unresolvable")
     require(saltFactor > 1, s"saltFactor must be > 1, got $saltFactor")
+    require(!left.columns.contains("_salt_l") &&
+      !right.columns.contains("_salt_r"),
+      "inputs already carry a _salt_l/_salt_r column — rename it upstream")
     val l = left.withWatermark(leftTs, leftDelay)
       .withColumn("_salt_l",
         pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))

@@ -150,6 +150,50 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("salted leftOuter: the unreplicated left side emits unmatched rows exactly once, null-extended") {
+    // the replication-safety claim made concrete: the RIGHT side exists
+    // saltFactor times, so an outer row emitted per replica would show up
+    // 8×; the LEFT side is never replicated, so its unmatched rows must
+    // appear exactly once after the watermark proves no match
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Long, Long, String)]
+    val dm = MemoryStream[(Long, Long, String)]
+    val left = ev.toDF().toDF("user_id", "sec", "action")
+      .select(col("user_id"), timestamp_seconds(col("sec")).alias("lts"),
+        col("action"))
+    val right = dm.toDF().toDF("d_user", "dsec", "segment")
+      .select(col("d_user"), timestamp_seconds(col("dsec")).alias("rts"),
+        col("segment"))
+    val q = StreamJoin.saltedIntervalJoin(left, right,
+        "user_id", "d_user", "lts", "rts",
+        leftDelay = "5 seconds", rightDelay = "5 seconds",
+        before = "10 seconds", after = "0 seconds",
+        joinType = "leftOuter", saltFactor = 8)
+      .writeStream.format("memory").queryName("sj_salted_outer")
+      .outputMode("append").start()
+    try {
+      ev.addData((3L, 50L, "orphan"), (5L, 50L, "matched"))
+      dm.addData((5L, 45L, "seg5"))
+      q.processAllAvailable()
+      // flush both watermarks far past the interval, twice (watermark is
+      // computed from the PREVIOUS batch's max event time)
+      Seq(300L, 310L).foreach { t =>
+        ev.addData((99L, t, "tick")); dm.addData((98L, t, "tick"))
+        q.processAllAvailable()
+      }
+      val matched = spark.table("sj_salted_outer")
+        .where(col("action") === "matched").select(col("segment"))
+        .as[String].collect().toSeq
+      assert(matched == Seq("seg5"),
+        s"matched row must join exactly once across replicas, got $matched")
+      val orphan = spark.table("sj_salted_outer")
+        .where(col("action") === "orphan").select(col("segment")).collect()
+      assert(orphan.length == 1 && orphan.head.isNullAt(0),
+        s"unmatched left row must emit exactly once null-extended, got " +
+          s"${orphan.length} rows")
+    } finally q.stop()
+  }
+
   test("salting bounds the per-partition key concentration the unsalted join pins to one state store") {
     // Structured Streaming hash-clusters stream-stream join state on the
     // join keys — the same HashPartitioning family as repartition(n, keys)

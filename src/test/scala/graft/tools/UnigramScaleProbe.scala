@@ -65,6 +65,10 @@ object UnigramScaleProbe {
       println(f"seed_$label=$sv%.3f")
       val em = time { UnigramLm.emStep(counts, model).count() }
       println(f"emstep_$label=$em%.3f")
+      // soft E-step (r15): same distinct-word × broadcast-model shape,
+      // forward-backward instead of Viterbi — must stay equally flat
+      val ems = time { UnigramLm.emStepSoft(counts, model).count() }
+      println(f"emstepsoft_$label=$ems%.3f")
       counts.unpersist()
     }
 
@@ -86,6 +90,8 @@ object UnigramScaleProbe {
         UnigramLm.seedVocab(counts, maxPieceLen = 4, seedSize = 2000))
       val em = time { UnigramLm.emStep(counts, model).count() }
       println(f"emstep_vocab_$label=$em%.3f")
+      val ems = time { UnigramLm.emStepSoft(counts, model).count() }
+      println(f"emstepsoft_vocab_$label=$ems%.3f")
       counts.unpersist()
     }
 
