@@ -1063,6 +1063,23 @@ object SparkEntry {
       BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
+    // ...and the SECOND family served from disk (r15): the
+    // likelihood-learned WordPiece ranks through the same store, under
+    // the unchanged oracle — the store is kind-tagged, so this also
+    // exercises the wordpiece meta path end to end.
+    "q_wordpiece_tokenize_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft-tokstore")
+      try {
+        val path = work.resolve("wp").toString
+        graft.operators.TokenizerStore.saveMerges(path,
+          graft.operators.WordPieceTrain.train(docs, "text", numMerges = 8),
+          graft.operators.TokenizerStore.KindWordPiece)
+        BpeTrain.tokenCounts(docs, "doc_id", "text",
+          graft.operators.TokenizerStore.loadMerges(s, path))
+      } finally graft.util.Fs.rmTree(work.toFile)
+    }),
+
     // Unigram-LM tokenizer family (r14) — the THIRD tokenizer algorithm
     // (SentencePiece's default) next to BPE training and WordPiece
     // serving. Three gates cover seed → hard-EM step → Viterbi serving;
@@ -1149,6 +1166,23 @@ object SparkEntry {
       UnigramLm.trainSoft(t(s, dir, "documents"), "text", vocabSize = 200,
           maxPieceLen = 1, seedSize = 1, emIters = 2, pruneFraction = 0.0)
         .toDF("piece", "cnt")
+    }),
+
+    // ...and the THIRD family from disk (r15): the unigram seed model
+    // through saveUnigram/loadUnigram (exact sequence order restored),
+    // served under the unchanged q_unigram_tokenize oracle.
+    "q_unigram_tokenize_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = UnigramLm.seedVocab(
+          BpeTrain.wordCounts(docs, "text"), maxPieceLen = 3, seedSize = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val work = java.nio.file.Files.createTempDirectory("graft-tokstore")
+      try {
+        val path = work.resolve("uni").toString
+        graft.operators.TokenizerStore.saveUnigram(path, model, s)
+        UnigramLm.tokenCounts(docs, "doc_id", "text",
+          graft.operators.TokenizerStore.loadUnigram(s, path))
+      } finally graft.util.Fs.rmTree(work.toFile)
     }),
 
     // ...and the REAL-LATTICE soft E-step under the oracle (r15, beyond
@@ -1324,6 +1358,19 @@ object SparkEntry {
       Sampling.mixByBudget(t(s, dir, "documents"), "doc_id", "source",
           "n_chars", budgets = Map("src0" -> 4000L, "src1" -> 100000L),
           defaultRate = 0.5, seed = 13L)
+        .select(col("doc_id"), col("source"))),
+
+    // Temperature-based corpus mixing (r15 — the XLM-R/mT5 multilingual
+    // upsampling law): stratum share p sampled ∝ p^alpha, realized as
+    // keep rate maxRate·p^(alpha−1)/max(p^(alpha−1)), quantized to
+    // micro-units per STRATUM so the per-row keep test is exact. alpha
+    // 0.5 halves the head/tail imbalance in log space; the oracle
+    // re-derives every rate from the same totals (pow + floor — the
+    // within-ulp class, margins spec-scanned) and replays the residue
+    // draw.
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.mixByTemperature(t(s, dir, "documents"), "doc_id", "source",
+          "n_chars", alpha = 0.5, maxRate = 1.0, seed = 17L)
         .select(col("doc_id"), col("source"))),
 
     // Language ID over the documents table (heuristic; deterministic).
@@ -3440,6 +3487,20 @@ object SparkEntry {
     s.table(queryName).localCheckpoint(true)
   }
 
+  /** Viterbi serving under the seed model — shared by the in-memory and
+    * the TokenizerStore-served gate (the disk round trip must be
+    * invisible).
+    */
+  private lazy val UnigramTokenizeOracle: String =
+    unigramOracleCtes(3, 40) + """,
+      |docw AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+      |  FROM documents)
+      |SELECT d.doc_id, sum(b.ntok)::BIGINT AS n_tokens,
+      |       sum(b.total)::BIGINT AS score_micro
+      |FROM docw d JOIN best b USING (word) WHERE d.word <> ''
+      |GROUP BY d.doc_id""".stripMargin
+
   /** The exact batch interval join BOTH the plain and the salted
     * streaming gate must reproduce (one definition — the salt must be
     * semantically invisible).
@@ -4571,6 +4632,30 @@ object SparkEntry {
         |      WHEN 'src1' THEN least(1.0, CAST(100000 AS DOUBLE) / CAST(t AS DOUBLE))
         |      ELSE 0.5 END""".stripMargin,
 
+    // temperature rates re-derived IN SQL from the same totals: one
+    // division for p, pow(p, -0.5), 1e6·(raw/mx) floored — the ratio
+    // first, the exact association order the operator computes, so the
+    // normalizing stratum is exactly 1e6 in both engines (maxRate = 1.0
+    // folds into the 1e6 literal exactly) — then the identical
+    // micro/1e6 keep test
+    "q_sample_temperature" ->
+      s"""WITH tot AS (
+        |  SELECT source, sum(n_chars)::BIGINT AS t FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |n AS (SELECT sum(t)::BIGINT AS nn FROM tot),
+        |r AS (SELECT source,
+        |        pow(CAST(t AS DOUBLE) / CAST((SELECT nn FROM n) AS DOUBLE),
+        |            -0.5) AS raw
+        |      FROM tot),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(floor(1e6 * (raw / (SELECT max(raw) FROM r))) AS BIGINT)
+        |      AS rq
+        |  FROM r)
+        |SELECT doc_id, source FROM documents JOIN rates USING (source)
+        |WHERE ${uniformU32Sql("doc_id", 17L)} / 4294967296.0
+        |  < CAST(rq AS DOUBLE) / 1e6""".stripMargin,
+
     "q_split_assign" -> {
       val bounds = graft.operators.Splits.cumulativeBounds(
         Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
@@ -4689,15 +4774,9 @@ object SparkEntry {
         |  FROM best b JOIN wcnt w USING (word))
         |GROUP BY piece""".stripMargin),
 
-    "q_unigram_tokenize" ->
-      (unigramOracleCtes(3, 40) + """,
-        |docw AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
-        |  FROM documents)
-        |SELECT d.doc_id, sum(b.ntok)::BIGINT AS n_tokens,
-        |       sum(b.total)::BIGINT AS score_micro
-        |FROM docw d JOIN best b USING (word) WHERE d.word <> ''
-        |GROUP BY d.doc_id""".stripMargin),
+    "q_unigram_tokenize" -> UnigramTokenizeOracle,
+    // disk round trip must be invisible: the UNCHANGED oracle
+    "q_unigram_tokenize_stored" -> UnigramTokenizeOracle,
 
     // WordPiece training: 8 unrolled layers under the likelihood argmax
     // (per-layer symbol counts + the quantized-ratio pick), and serving
@@ -4709,6 +4788,8 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")),
 
     "q_wordpiece_tokenize" -> WordPieceTokenizeOracle,
+    // disk round trip must be invisible: the UNCHANGED oracle
+    "q_wordpiece_tokenize_stored" -> WordPieceTokenizeOracle,
 
     // the full 2-iteration training loop: the twice-chained E-step
     // enumeration, each round's model re-assembled the train() way

@@ -249,6 +249,76 @@ object Sampling {
     mix(df, idCol, stratumCol, ratesForBudget(df, stratumCol, weightCol, budgets),
       defaultRate, seed)
 
+  /** Temperature-based mixing rates — the multilingual-upsampling recipe
+    * (XLM-R, Conneau et al. 2020 §3.1; mT5, Xue et al. 2021 §3.2): a
+    * stratum holding share `p_s = t_s / N` of the corpus weight is
+    * sampled with probability ∝ `p_s^alpha`, which per-ROW Bernoulli
+    * realizes as keep rate `r_s ∝ p_s^(alpha−1)` — alpha = 1 keeps every
+    * stratum untouched, alpha → 0 equalizes strata (rare languages
+    * upsampled relative to the head). Subsampling cannot exceed 1, so
+    * rates normalize to the LARGEST raw rate (for alpha < 1 that is the
+    * smallest stratum): `r_s = maxRate · p_s^(alpha−1) / max_t
+    * p_t^(alpha−1)` — the rarest stratum keeps `maxRate`, the head
+    * downsamples toward it.
+    *
+    * Returned in integer MICRO-UNITS `floor(1e6 · r_s)` (the DSIR
+    * quantization pattern): the one transcendental (`pow`, within-1-ulp
+    * across engines) is floored into an integer per STRATUM — a handful
+    * of values whose boundary margins a spec can scan — and the
+    * downstream keep test `uniform(id) < r/1e6` is then one identical
+    * IEEE division + compare in any engine (`q_sample_temperature`
+    * re-derives the rates in SQL from the same totals). Quantization
+    * error ≤ 1e-6 of a rate — far below sampling noise.
+    *
+    * One stratum-count-bounded aggregate; null strata are absent from
+    * the map (dropped by [[mixByTemperature]], loudly documented there).
+    */
+  def ratesForTemperature(df: DataFrame, stratumCol: String,
+      weightCol: String, alpha: Double, maxRate: Double = 1.0)
+      : Map[String, Long] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(maxRate > 0 && maxRate <= 1,
+      s"maxRate must be in (0, 1], got $maxRate")
+    val totals = df
+      .where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").alias("_s"))
+      .agg(sum(col(weightCol).cast("long")).alias("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(totals.nonEmpty, "no non-null strata to mix")
+    require(totals.values.forall(_ > 0),
+      s"non-positive stratum weight in $totals")
+    val n = totals.values.sum.toDouble
+    // p as ONE division, pow, then 1e6·maxRate·(raw/mx) — the ratio
+    // FIRST, so the normalizing stratum computes x/x = 1.0 exactly and
+    // lands on precisely maxRate·1e6 (the (1e6·raw)/mx order rounds
+    // 1e6·raw before dividing and can come out one micro-unit short);
+    // the oracle replays the identical association order
+    val raw = totals.map { case (s, t) =>
+      s -> math.pow(t.toDouble / n, alpha - 1)
+    }
+    val mx = raw.values.max
+    raw.map { case (s, r) =>
+      s -> math.floor(1e6 * maxRate * (r / mx)).toLong
+    }
+  }
+
+  /** [[mix]] at [[ratesForTemperature]]'s rates: one measurement
+    * aggregate + one map-side filter scan. Rows with a NULL stratum are
+    * DROPPED (they belong to no stratum and a silent default would skew
+    * the temperature law — assign a stratum upstream).
+    */
+  def mixByTemperature(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, alpha: Double, maxRate: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    val micro = ratesForTemperature(df, stratumCol, weightCol, alpha, maxRate)
+    val rate = micro.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol).cast("string") === k,
+          lit(v).cast("double") / lit(1e6)).otherwise(acc)
+    }
+    df.where(uniform(idAsLong(df, idCol), seed) < rate)
+  }
+
   /** Weighted corpus mixing: per-stratum keep rates (downsample web,
     * keep books, …). Strata absent from `rates` use `defaultRate`.
     * Map-side only — the rate lookup folds into one CASE expression, so

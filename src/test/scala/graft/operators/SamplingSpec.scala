@@ -288,4 +288,86 @@ class SamplingSpec extends SparkSpec {
     assert(!qPlan.contains("Window"), qPlan)
     assert(qPlan.contains("ObjectHashAggregate") || qPlan.contains("SortAggregate"), qPlan)
   }
+
+  test("ratesForTemperature: alpha=1 keeps everything, smaller strata get higher rates, rarest keeps maxRate") {
+    // strata with weights 1000 / 300 / 100 (weight = 1 per row here)
+    val skewed = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1300L).map(i => (i, "mid")) ++
+      (1300L until 1400L).map(i => (i, "rare")))
+      .toDF("id", "stratum").withColumn("w", lit(1L))
+    // alpha = 1: p^0 = 1 exactly for every stratum → every rate is
+    // exactly maxRate (1e6 micro-units; no float hazard at this config)
+    val flat = Sampling.ratesForTemperature(skewed, "stratum", "w", alpha = 1.0)
+    assert(flat.values.toSet == Set(1000000L), flat)
+    // alpha = 0.5: rate order inverts the size order; the rarest stratum
+    // keeps maxRate (up to the 1-micro floor), and the closed form
+    // maxRate·sqrt(p_rare/p_s) matches to within the quantization
+    val half = Sampling.ratesForTemperature(skewed, "stratum", "w", alpha = 0.5)
+    assert(half("rare") > half("mid") && half("mid") > half("big"), half)
+    assert(half("rare") == 1000000L, half)
+    def want(t: Double) = math.floor(1e6 * math.sqrt(100.0 / t)).toLong
+    assert(math.abs(half("big") - want(1000.0)) <= 1, half)
+    assert(math.abs(half("mid") - want(300.0)) <= 1, half)
+    // maxRate caps the rarest; the law is scale-invariant below it
+    val capped = Sampling.ratesForTemperature(skewed, "stratum", "w",
+      alpha = 0.5, maxRate = 0.5)
+    assert(capped("rare") == 500000L)
+    assert(math.abs(capped("big") * 2 - half("big")) <= 2, (capped, half))
+    // guard rails
+    intercept[IllegalArgumentException](
+      Sampling.ratesForTemperature(skewed, "stratum", "w", alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.ratesForTemperature(skewed, "stratum", "w", alpha = 0.5,
+        maxRate = 1.5))
+  }
+
+  test("mixByTemperature: deterministic, partition-invariant, realized shares follow the p^alpha law, null strata drop") {
+    val skewed = ((0L until 1600L).map(i => (i, "big")) ++
+      (1600L until 1800L).map(i => (i, "rare")) ++
+      Seq((9999L, null.asInstanceOf[String])))
+      .toDF("id", "stratum").withColumn("w", lit(1L))
+    val a = Sampling.mixByTemperature(skewed, "id", "stratum", "w",
+      alpha = 0.5, seed = 17L).select("id").as[Long].collect().toSet
+    val b = Sampling.mixByTemperature(skewed.repartition(7), "id",
+      "stratum", "w", alpha = 0.5, seed = 17L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(!a.contains(9999L), "null-stratum row survived the mix")
+    // expected kept: rare = 200·1.0, big = 1600·sqrt(200/1600) ≈ 566 —
+    // post-mix shares move from 8:1 toward sqrt(8):1 ≈ 2.83:1
+    val kept = Sampling.mixByTemperature(skewed, "id", "stratum", "w",
+        alpha = 0.5, seed = 17L)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 200L, kept) // rate exactly 1.0 keeps all
+    assert(math.abs(kept("big") - 566L) < 60, kept) // Bernoulli noise
+  }
+
+  test("q_sample_temperature gate rates sit far from their floor boundaries on the actual corpus") {
+    // the one transcendental (pow, within-1-ulp across libms) is floored
+    // into a per-STRATUM micro-unit integer — scan the actual gate
+    // corpus' handful of rate values for boundary margin, the
+    // UnigramBoundaryMarginSpec discipline (the corpus is fixed, so a
+    // pass is a permanent stability proof for the hash gate)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val totals = docs.where(col("source").isNotNull)
+      .groupBy(col("source")).agg(sum(col("n_chars").cast("long")).alias("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = totals.values.sum.toDouble
+    val raw = totals.map { case (s, t) => s -> math.pow(t.toDouble / n, -0.5) }
+    val mx = raw.values.max
+    var worst = Double.MaxValue
+    raw.foreach { case (s, r) =>
+      val v = 1e6 * (r / mx)
+      val frac = v - math.floor(v)
+      val m = math.min(frac, 1 - frac)
+      // the stratum at the max normalizes to exactly 1e6 (x/x = 1.0) —
+      // margin 0 ON the boundary but EXACT in both engines, like ln(1)
+      if (r != mx) {
+        assert(m >= 4e-8, s"stratum $s rate $v margin $m")
+        worst = math.min(worst, m)
+      }
+    }
+    info(f"${raw.size} strata; worst pow-rate boundary margin $worst%.3e")
+  }
 }
