@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
   * reveal a live model with torn parquet bytes (data-before-visibility,
   * the `ManifestStore` ordering argument applied to a tiny artifact).
   *
+  * SINGLE-WRITER contract (as [[AnnIndex]], which shares this protocol):
+  * the staging path `<path>_tmp` is well-known — that is what lets
+  * [[recoverCrash]] finish a crashed publish without any registry — so
+  * two CONCURRENT saves to the same artifact race it (writer B's
+  * entry-point debris sweep can delete writer A's half-staged tree;
+  * the failure is loud, not silent — A's write or swap throws — but the
+  * winner is arbitrary). Tokenizer training is a single-job artifact:
+  * serialize retrains externally, and use the
+  * [[graft.streaming.ManifestStore]] protocol where genuinely
+  * concurrent committers are the requirement. Readers are always safe:
+  * they only ever observe a complete live generation or fail loudly.
+  *
   * Scale: every model here is vocabulary-bounded (merge tables = the
   * learned ranks; unigram = singles + seed pieces) — the same
   * bounded-collect class as the BPE argmax and KMeans centroids — so
