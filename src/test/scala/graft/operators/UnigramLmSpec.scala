@@ -93,6 +93,63 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("soft forward-backward equals exhaustive posterior enumeration on random words and models") {
+    // the q_unigram_soft_step oracle's arithmetic as an independent
+    // in-Scala reference: enumerate EVERY segmentation, weight by
+    // exp((total − best)/1e6), per-piece posterior = occurrence-weighted
+    // mass over total mass — compare against the forward-backward kernel
+    // to 1e-9 (the float-path bound the margin spec leans on), plus the
+    // log marginal via direct summation
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abcd"
+    for (_ <- 1 to 200) {
+      val word = (1 to (1 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val maxLen = 1 + rnd.nextInt(3)
+      val singles = alphabet.map(c => c.toString -> (1L + rnd.nextInt(50)))
+      val multis = (1 to 6).map { _ =>
+        val l = 2 + rnd.nextInt(math.max(1, maxLen - 1))
+        (1 to l).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString ->
+          (1L + rnd.nextInt(50))
+      }.filter(_._1.length <= maxLen).distinctBy(_._1)
+        .filterNot(p => alphabet.contains(p._1))
+      val model = (singles ++ multis).toSeq
+      val m = hm(model: _*)
+      val z = sz(model.map(_._2): _*)
+
+      def segs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(maxLen, w.length)).flatMap { l =>
+          val p = w.substring(0, l)
+          if (m.containsKey(p)) segs(w.substring(l)).map(p +: _) else Nil
+        }
+      val all = segs(word)
+      assert(all.nonEmpty)
+      val totals = all.map(ts => ts.map(p => m.get(p).longValue() - z).sum)
+      val best = totals.max
+      val weights = totals.map(t => math.exp((t - best).toDouble / 1e6))
+      val wsum = weights.sum
+      val want = all.zip(weights)
+        .flatMap { case (ts, w) => ts.map(_ -> w) }
+        .groupBy(_._1).map { case (p, ws) => p -> ws.map(_._2).sum / wsum }
+      val wantLl = math.log(wsum) + best.toDouble / 1e6
+
+      val (got, gotLl) = UnigramLm.softWordCounts(word, m, z, maxLen)
+      val gotMap = got.toMap
+      assert(gotMap.keySet == want.keySet, s"word=$word model=$model")
+      want.foreach { case (p, e) =>
+        assert(math.abs(gotMap(p) - e) < 1e-9,
+          s"word=$word piece=$p soft=${gotMap(p)} enum=$e model=$model")
+      }
+      assert(math.abs(gotLl - wantLl) < 1e-9,
+        s"word=$word ll=$gotLl enum=$wantLl")
+      // posterior-mass conservation: per-position occupancy sums to 1,
+      // so Σ_piece E·len(piece) = |word| exactly (up to float path)
+      val mass = got.map { case (p, e) => e * p.length }.sum
+      assert(math.abs(mass - word.length) < 1e-9, s"word=$word mass=$mass")
+    }
+  }
+
   test("seedVocab keeps every single char plus top multis with tie-breaks") {
     val counts = Seq(("aab", 3L), ("ab", 2L), ("ba", 2L)).toDF("word", "cnt")
     val seed = UnigramLm.seedVocab(counts, maxPieceLen = 2, seedSize = 2)
