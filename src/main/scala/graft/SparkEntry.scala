@@ -1421,6 +1421,17 @@ object SparkEntry {
           round(col("avg_nll"), 6).alias("avg_nll_r"))
     }),
 
+    // ...and the step the scores exist for (r15): CCNet's perplexity
+    // TERCILES — head/middle/tail by exact interpolated percentile cuts
+    // over the per-doc avg nll, "head" = most fluent. The oracle
+    // recomputes the whole model, every score, the quantile_cont cuts
+    // (same double literals), and every assignment; a document near a
+    // cut is separated from it by a real fraction of the gap between
+    // adjacent scores, so within-ulp ln spread cannot flip a bucket.
+    "q_lm_ppl_buckets" -> ((s, dir) =>
+      graft.operators.LmScore.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3487,6 +3498,33 @@ object SparkEntry {
     s.table(queryName).localCheckpoint(true)
   }
 
+  /** The bigram-LM scoring CTEs (model fit + per-bigram nll) shared by
+    * the perplexity gate and its CCNet tercile-bucket composition.
+    */
+  private val LmPerplexityCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id,
+      |    [{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))] AS ps
+      |  FROM tok WHERE len(ws) >= 2),
+      |bg AS (
+      |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+      |  FROM (SELECT doc_id, unnest(ps) AS p FROM bg0)),
+      |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS nv
+      |      FROM (SELECT unnest(ws) AS w FROM tok)),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    -ln((COALESCE(pc.c12, 0) + 1)::DOUBLE /
+      |        (COALESCE(cc.c1, 0) + v.nv)::DOUBLE) AS nll
+      |  FROM bg b
+      |  LEFT JOIN pc ON b.w1 = pc.w1 AND b.w2 = pc.w2
+      |  LEFT JOIN cc ON b.w1 = cc.w1
+      |  CROSS JOIN v)""".stripMargin
+
   /** Viterbi serving under the seed model — shared by the in-memory and
     * the TokenizerStore-served gate (the disk round trip must be
     * invisible).
@@ -5072,30 +5110,25 @@ object SparkEntry {
     // counts derived from them, the vocab size, and every per-doc
     // average — add-one smoothing included
     "q_lm_perplexity" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-        |  FROM documents),
-        |bg0 AS (
-        |  SELECT doc_id,
-        |    [{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))] AS ps
-        |  FROM tok WHERE len(ws) >= 2),
-        |bg AS (
-        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
-        |  FROM (SELECT doc_id, unnest(ps) AS p FROM bg0)),
-        |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |cc AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w) AS nv
-        |      FROM (SELECT unnest(ws) AS w FROM tok)),
-        |scored AS (
-        |  SELECT b.doc_id,
-        |    -ln((COALESCE(pc.c12, 0) + 1)::DOUBLE /
-        |        (COALESCE(cc.c1, 0) + v.nv)::DOUBLE) AS nll
-        |  FROM bg b
-        |  LEFT JOIN pc ON b.w1 = pc.w1 AND b.w2 = pc.w2
-        |  LEFT JOIN cc ON b.w1 = cc.w1
-        |  CROSS JOIN v)
+      (LmPerplexityCtes + """
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll_r
-        |FROM scored GROUP BY doc_id""".stripMargin,
+        |FROM scored GROUP BY doc_id""".stripMargin),
+
+    // the tercile cut over the shared scoring CTEs: quantile_cont at the
+    // SAME double literals the operator interpolates into percentile()
+    // (1.0/3 prints as the shortest round-tripping repr in both texts)
+    "q_lm_ppl_buckets" ->
+      (LmPerplexityCtes + s""",
+        |perdoc AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS a
+        |  FROM scored GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT quantile_cont(a, ${1.0 / 3}) AS c1,
+        |         quantile_cont(a, ${2.0 / 3}) AS c2 FROM perdoc)
+        |SELECT doc_id, n_bigrams, round(a, 6) AS avg_nll_r,
+        |  CASE WHEN a <= c1 THEN 'head'
+        |       WHEN a <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM perdoc CROSS JOIN cuts""".stripMargin),
 
     // token's code points in wrap-around 2^64 arithmetic, replayed here
     // exactly via HUGEINT mod 2^64 (r9 graduation — the r8 xxhash64 token

@@ -149,4 +149,67 @@ object LmScore {
       .agg(count(lit(1)).alias("n_bigrams"),
         avg(col("_nll")).alias("avg_nll"))
   }
+
+  /** CCNet's perplexity BUCKETS (Wenzek et al. 2020 §4.3 — the step the
+    * scores exist for): rank every document by its [[scoreByBigramLm]]
+    * `avg_nll` and split at exact interpolated quantiles into labeled
+    * buckets — the canonical config is head/middle/tail terciles, where
+    * "head" is the LOWEST perplexity (most fluent under the model) and a
+    * curation pipeline keeps head+middle or reweights by bucket.
+    *
+    * Cross-engine determinism of the assignment (the gate hashes
+    * (doc, bucket) rows): the cuts are exact percentiles of the scores —
+    * each engine computes them from ITS OWN score values, so a document
+    * AT a cut compares its own value to itself (consistent by identity),
+    * and a document NEAR a cut is separated from it by a real fraction
+    * of the gap between adjacent distinct scores, orders of magnitude
+    * above the within-ulp cross-libm spread of the `ln` sums (the
+    * q_a5_percentile gate pins Spark `percentile` ≡ DuckDB
+    * `quantile_cont` interpolation). Documents with fewer than two
+    * tokens have no bigram evidence and are ABSENT, as in
+    * [[scoreByBigramLm]] — chunk or pass them through upstream.
+    *
+    * Scale shape: the scoring plan unchanged; the cuts are ONE percentile
+    * aggregate collected as `fractions.size` doubles; the assignment is
+    * a map-side CASE. The EXACT percentile buffers distinct scores —
+    * doc-count-sized at worst, fine to hundreds of millions of docs but
+    * not to billions — so `approxCutsAccuracy` switches the cut
+    * derivation to `approx_percentile` at that accuracy (rank error ≤
+    * 1/accuracy, GK-sketch memory) with the assignment logic unchanged:
+    * the hatch is real code, not advice (the r13/r14 filtered-ANN
+    * lesson). Default exact — the gate wants cross-engine exactness, and
+    * bucket boundaries move by at most the rank error when approximated.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      train: Option[DataFrame] = None, broadcastModel: Boolean = true,
+      fractions: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      approxCutsAccuracy: Int = 0): DataFrame = {
+    require(labels.size == fractions.size + 1,
+      s"need ${fractions.size + 1} labels for ${fractions.size} cuts, " +
+        s"got ${labels.size}")
+    require(fractions.nonEmpty && fractions == fractions.sorted &&
+      fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be sorted within (0, 1), got $fractions")
+    require(approxCutsAccuracy >= 0,
+      s"approxCutsAccuracy must be >= 0 (0 = exact), got $approxCutsAccuracy")
+    val scored = scoreByBigramLm(docs, idCol, textCol, train, broadcastModel)
+      .localCheckpoint(true) // feeds the cuts AND the assignment once
+    try {
+      val cutExpr =
+        if (approxCutsAccuracy == 0)
+          s"percentile(avg_nll, array(${fractions.mkString(", ")}))"
+        else s"approx_percentile(avg_nll, array(${fractions.mkString(", ")})," +
+          s" $approxCutsAccuracy)"
+      val cuts = scored.agg(expr(cutExpr)).head().getSeq[Double](0)
+      val bucket = cuts.zip(labels.init).reverse
+        .foldLeft(lit(labels.last)) { case (acc, (c, lab)) =>
+          when(col("avg_nll") <= c, lab).otherwise(acc)
+        }
+      scored.select(col(idCol), col("n_bigrams"),
+        round(col("avg_nll"), 6).alias("avg_nll_r"),
+        bucket.alias("bucket"))
+        .localCheckpoint(true) // survive the scored block's unpersist
+    } finally scored.unpersist()
+  }
 }

@@ -60,4 +60,72 @@ class LmScoreSpec extends SparkSpec {
       broadcastModel = false))
     assert(b === s)
   }
+
+  test("perplexityBuckets: head is the most fluent tercile, sizes balance, scoreless docs are absent") {
+    // 9 scoreable docs with clearly separated fluency bands: three
+    // in-domain repeats (low nll under the self-trained model), three
+    // mixed, three with rare transitions (high nll) — plus a 1-token doc
+    // that must be absent
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b"), (3L, "a b a b a b a b"),
+      (4L, "a b c a b"), (5L, "a b c"), (6L, "c a b"),
+      (7L, "x c b a"), (8L, "b c x a"), (9L, "c x b a"),
+      (10L, "solo")
+    ).toDF("doc_id", "text")
+    val got = LmScore.perplexityBuckets(docs, "doc_id", "text")
+      .as[(Long, Long, Double, String)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got.keySet == (1L to 9L).toSet, "scoreless doc leaked in or a scored one vanished")
+    val byBucket = got.values.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").size == 3 && byBucket("tail").size == 3,
+      s"terciles did not balance on 9 separated scores: ${byBucket.view.mapValues(_.size).toMap}")
+    // every head score strictly below every middle, every middle below tail
+    assert(byBucket("head").max < byBucket("middle").min)
+    assert(byBucket("middle").max < byBucket("tail").min)
+    // the in-domain repeats land in head
+    Seq(1L, 2L, 3L).foreach(id => assert(got(id)._2 == "head", s"doc $id: ${got(id)}"))
+    // guard rails
+    intercept[IllegalArgumentException](
+      LmScore.perplexityBuckets(docs, "doc_id", "text",
+        fractions = Seq(0.5), labels = Seq("a", "b", "c")))
+    intercept[IllegalArgumentException](
+      LmScore.perplexityBuckets(docs, "doc_id", "text",
+        fractions = Seq(0.7, 0.3), labels = Seq("a", "b", "c")))
+  }
+
+  test("perplexityBuckets: custom fractions/labels and a separate train corpus compose") {
+    val train = Seq((100L, "a b a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "a x"), (4L, "x b"))
+      .toDF("doc_id", "text")
+    val got = LmScore.perplexityBuckets(docs, "doc_id", "text",
+        train = Some(train), fractions = Seq(0.5),
+        labels = Seq("keep", "drop"))
+      .as[(Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == "keep", got) // the train-domain doc is most fluent
+    assert(got.values.count(_ == "keep") == 2 &&
+      got.values.count(_ == "drop") == 2)
+  }
+
+  test("perplexityBuckets: the approx-cuts hatch assigns identically on well-separated scores") {
+    // at accuracy 10000 over 9 docs the GK sketch is exact — the hatch
+    // must produce the same buckets as the exact path (the scale seam is
+    // memory, not semantics)
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b"), (3L, "a b a b a b a b"),
+      (4L, "a b c a b"), (5L, "a b c"), (6L, "c a b"),
+      (7L, "x c b a"), (8L, "b c x a"), (9L, "c x b a")
+    ).toDF("doc_id", "text")
+    def buckets(acc: Int) =
+      LmScore.perplexityBuckets(docs, "doc_id", "text",
+          approxCutsAccuracy = acc)
+        .as[(Long, Long, Double, String)].collect()
+        .map(r => r._1 -> r._4).toMap
+    assert(buckets(10000) == buckets(0))
+    intercept[IllegalArgumentException](
+      LmScore.perplexityBuckets(docs, "doc_id", "text",
+        approxCutsAccuracy = -1))
+  }
 }
