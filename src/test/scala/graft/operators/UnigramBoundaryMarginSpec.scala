@@ -125,6 +125,21 @@ class UnigramBoundaryMarginSpec extends SparkSpec {
         w
       }
       worst = math.min(worst, softWorst)
+      // q_unigram_train_soft_lattice's M-step sums: est = Σ_w cnt·E_w,
+      // half-up floored ONCE per piece. The cross-engine spread scales
+      // with the count magnitudes (~1e-7 absolute at this corpus), so
+      // the bar here is 1e-5 — still 100× the spread, and the
+      // exact-integer sums (all-unambiguous pieces) sit at margin 0.5
+      locally {
+        var n = 0L
+        UnigramLm.emStepSoft(counts, seed)
+          .as[(String, Double)].collect().foreach { case (p, e) =>
+            val m = margin(e + 0.5)
+            assert(m >= 1e-5, s"$sfDir est: piece '$p' sum $e margin $m")
+            n += 1
+          }
+        info(s"$sfDir est: $n M-step sums scanned (bar 1e-5)")
+      }
       info(f"$sfDir worst boundary margin: $worst%.3e (floor flips need < ~1e-8)")
     } finally counts.unpersist()
   }
