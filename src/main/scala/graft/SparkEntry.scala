@@ -3512,6 +3512,24 @@ object SparkEntry {
     s.table(queryName).localCheckpoint(true)
   }
 
+  /** The soft-posterior weight CTEs over the unigram enumeration —
+    * per-segmentation weights shifted by the word's best total, plus the
+    * per-word weight totals — shared by the per-posterior gate
+    * (`q_unigram_soft_step`) and the full training round
+    * (`q_unigram_train_soft_lattice`): one definition, so the weight
+    * arithmetic cannot drift between them. Appended AFTER
+    * `unigramOracleCtes(...)` (consumes its `segs`).
+    */
+  private val SoftPosteriorCtes: String =
+    """,
+      |segw AS MATERIALIZED (
+      |  SELECT word, toks,
+      |    exp((total - max(total) OVER (PARTITION BY word))::DOUBLE / 1e6)
+      |      AS w
+      |  FROM segs),
+      |segt AS MATERIALIZED (
+      |  SELECT word, sum(w) AS tw FROM segw GROUP BY word)""".stripMargin
+
   /** The bigram-LM scoring CTEs (model fit + per-bigram nll) shared by
     * the perplexity gate and its CCNet tercile-bucket composition.
     */
@@ -4900,14 +4918,7 @@ object SparkEntry {
     // enumeration, shifted by the word's best total, per-piece occurrence
     // sums over total weight, half-up micro quantization
     "q_unigram_soft_step" ->
-      (unigramOracleCtes(3, 40) + """,
-        |segw AS MATERIALIZED (
-        |  SELECT word, toks,
-        |    exp((total - max(total) OVER (PARTITION BY word))::DOUBLE / 1e6)
-        |      AS w
-        |  FROM segs),
-        |segt AS MATERIALIZED (
-        |  SELECT word, sum(w) AS tw FROM segw GROUP BY word)
+      (unigramOracleCtes(3, 40) + SoftPosteriorCtes + """
         |SELECT o.word, o.piece,
         |  CAST(floor(1e6 * (sum(o.w) / any_value(t.tw)) + 0.5) AS BIGINT)
         |    AS e_micro
@@ -4921,14 +4932,7 @@ object SparkEntry {
     // half-up integerized, reassembled the trainSoft way (singles
     // floored at 1, multi survivors at est ≥ 1)
     "q_unigram_train_soft_lattice" ->
-      (unigramOracleCtes(3, 40) + """,
-        |segw AS MATERIALIZED (
-        |  SELECT word, toks,
-        |    exp((total - max(total) OVER (PARTITION BY word))::DOUBLE / 1e6)
-        |      AS w
-        |  FROM segs),
-        |segt AS MATERIALIZED (
-        |  SELECT word, sum(w) AS tw FROM segw GROUP BY word),
+      (unigramOracleCtes(3, 40) + SoftPosteriorCtes + """,
         |este AS MATERIALIZED (
         |  SELECT piece,
         |    CAST(floor(sum(cnt * (w / tw)) + 0.5) AS BIGINT) AS est
