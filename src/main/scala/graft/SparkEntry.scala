@@ -1216,6 +1216,48 @@ object SparkEntry {
         .toDF("piece", "cnt")
     }),
 
+    // THE MIXED MANIFEST (r15): the pre-training manifest chain with a
+    // TEMPERATURE MIX between dedup and training — the multilingual
+    // pipeline shape, where the tokenizer is fit on the rebalanced
+    // corpus so rare sources get vocabulary representation — crossing
+    // the sampling → tokenizer seam no prior composition crossed. The
+    // survivor row carries its source/n_chars; rates derive from the
+    // SURVIVORS' totals (mix after dedup, the order that keeps dup
+    // mass from distorting the temperature law); everything downstream
+    // (train → store round-trip → tokenize → shuffle → pack) is the
+    // q_pretrain_manifest machinery over the mixed corpus.
+    "q_pretrain_manifest_mixed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = Dedup.widen(docs)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .where(TextAnalysis.langScore(col("text"), "en") > 0.05 &&
+          TextAnalysis.tokenCount(col("text")).cast(DoubleType) >= 20)
+      val keep = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).alias("doc_id")).select(col("doc_id"))
+      val dedup = gated.join(keep, Seq("doc_id"))
+      val corpus = Sampling.mixByTemperature(dedup, "doc_id", "source",
+          "n_chars", alpha = 0.5, maxRate = 1.0, seed = 23L)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val work = java.nio.file.Files.createTempDirectory("graft-pretrainmix")
+        val served = try {
+          val model = UnigramLm.train(corpus, "text", vocabSize = 200,
+            maxPieceLen = 3, seedSize = 40, emIters = 1, pruneFraction = 0.0)
+          val path = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(path, model, s)
+          graft.operators.TokenizerStore.loadUnigram(s, path)
+        } finally graft.util.Fs.rmTree(work.toFile)
+        val toks = UnigramLm.tokenCounts(corpus, "doc_id", "text", served)
+          .select(col("doc_id"), col("n_tokens").alias("n_tok"))
+        val shuf = Sampling.shuffled(toks, "doc_id", seed = 29L)
+        Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget = 512L)
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tok"),
+            col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+            col("seq_offset"))
+          .localCheckpoint(true)
+      } finally corpus.unpersist()
+    }),
+
     // THE END-TO-END PRE-TRAINING MANIFEST (r15, VERDICT r14 #1): the
     // artifact a 100 TB pipeline actually emits, as ONE gate crossing the
     // tokenizer seam no prior composition crossed — curation gate (en
@@ -3512,6 +3554,57 @@ object SparkEntry {
     s.table(queryName).localCheckpoint(true)
   }
 
+  /** The curation-gate CTE (language score + length, survivor attributes
+    * carried) shared by both pre-training manifest oracles. Ends with a
+    * comma — a `corpus` CTE follows in each.
+    */
+  private val ManifestGatedCte: String =
+    """gated AS MATERIALIZED (
+      |  SELECT doc_id, text, source, n_chars FROM (
+      |    SELECT doc_id, text, source, n_chars,
+      |      CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+      |        ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+      |        / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_en,
+      |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS ntoks
+      |    FROM documents)
+      |  WHERE s_en > 0.05 AND ntoks >= 20),
+      |""".stripMargin
+
+  /** The manifest replay tail shared by both pre-training manifest
+    * oracles: Viterbi token counts under the trained `best2` model, the
+    * seeded shuffle permutation, the running-sum window, and the
+    * 512-token span cut. Consumes the `corpus` CTE.
+    */
+  private def manifestTailSql(shuffleSeed: Long): String = s""",
+    |doctoks AS MATERIALIZED (
+    |  SELECT d.doc_id, sum(b.ntok)::BIGINT AS n_tok FROM (
+    |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+    |    FROM corpus) d
+    |  JOIN best2 b USING (word) WHERE d.word <> ''
+    |  GROUP BY d.doc_id),
+    |shuf AS MATERIALIZED (
+    |  SELECT doc_id, n_tok,
+    |    CAST(row_number() OVER (
+    |      ORDER BY ${uniformU32Sql("doc_id", shuffleSeed)}, doc_id) - 1
+    |      AS BIGINT) AS shuffle_pos
+    |  FROM doctoks),
+    |cumt AS (
+    |  SELECT doc_id, shuffle_pos, n_tok,
+    |    CAST(coalesce(sum(n_tok) OVER (ORDER BY shuffle_pos
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    |      AS cum_before
+    |  FROM shuf),
+    |spans AS (
+    |  SELECT doc_id, shuffle_pos, n_tok, cum_before,
+    |    unnest(generate_series(cum_before // 512,
+    |      (cum_before + n_tok - 1) // 512)) AS seq
+    |  FROM cumt WHERE n_tok > 0)
+    |SELECT doc_id, shuffle_pos, n_tok, cum_before, seq,
+    |  greatest(0, seq * 512 - cum_before) AS tok_start,
+    |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
+    |  greatest(0, cum_before - seq * 512) AS seq_offset
+    |FROM spans""".stripMargin
+
   /** The soft-posterior weight CTEs over the unigram enumeration —
     * per-segmentation weights shifted by the word's best total, plus the
     * per-word weight totals — shared by the per-posterior gate
@@ -4971,47 +5064,42 @@ object SparkEntry {
     // q_pack_spans generate_series span cut at budget 512.
     "q_pretrain_manifest" ->
       (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
-        source = "corpus", prelude =
-        """gated AS MATERIALIZED (
-          |  SELECT doc_id, text FROM (
-          |    SELECT doc_id, text,
-          |      CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
-          |        ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
-          |        / CAST(greatest(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), 1) AS DOUBLE) AS s_en,
-          |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS ntoks
-          |    FROM documents)
-          |  WHERE s_en > 0.05 AND ntoks >= 20),
-          |corpus AS MATERIALIZED (
+        source = "corpus", prelude = ManifestGatedCte +
+        """corpus AS MATERIALIZED (
           |  SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
-          |""".stripMargin) + s""",
-        |doctoks AS MATERIALIZED (
-        |  SELECT d.doc_id, sum(b.ntok)::BIGINT AS n_tok FROM (
-        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
-        |    FROM corpus) d
-        |  JOIN best2 b USING (word) WHERE d.word <> ''
-        |  GROUP BY d.doc_id),
-        |shuf AS MATERIALIZED (
-        |  SELECT doc_id, n_tok,
-        |    CAST(row_number() OVER (
-        |      ORDER BY ${uniformU32Sql("doc_id", 11L)}, doc_id) - 1 AS BIGINT)
-        |      AS shuffle_pos
-        |  FROM doctoks),
-        |cumt AS (
-        |  SELECT doc_id, shuffle_pos, n_tok,
-        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY shuffle_pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS cum_before
-        |  FROM shuf),
-        |spans AS (
-        |  SELECT doc_id, shuffle_pos, n_tok, cum_before,
-        |    unnest(generate_series(cum_before // 512,
-        |      (cum_before + n_tok - 1) // 512)) AS seq
-        |  FROM cumt WHERE n_tok > 0)
-        |SELECT doc_id, shuffle_pos, n_tok, cum_before, seq,
-        |  greatest(0, seq * 512 - cum_before) AS tok_start,
-        |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
-        |  greatest(0, cum_before - seq * 512) AS seq_offset
-        |FROM spans""".stripMargin),
+          |""".stripMargin) + manifestTailSql(shuffleSeed = 11L)),
+
+    // the mixed variant: the survivor row keeps its source/n_chars
+    // (arg_min by doc_id ≡ the min-id row's attributes), the temperature
+    // rates re-derive from the SURVIVORS' totals exactly like
+    // q_sample_temperature, the mixed set becomes the training corpus,
+    // and the tail is the shared manifest replay under its own shuffle
+    // seed
+    "q_pretrain_manifest_mixed" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", prelude = ManifestGatedCte + s"""corpus0 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text,
+          |    arg_min(source, doc_id) AS source,
+          |    arg_min(n_chars, doc_id) AS n_chars
+          |  FROM gated GROUP BY text),
+          |tot AS (
+          |  SELECT source, sum(n_chars)::BIGINT AS t FROM corpus0
+          |  WHERE source IS NOT NULL GROUP BY source),
+          |ntot AS (SELECT sum(t)::BIGINT AS nn FROM tot),
+          |rraw AS (SELECT source,
+          |           pow(CAST(t AS DOUBLE) / CAST((SELECT nn FROM ntot) AS DOUBLE),
+          |               -0.5) AS raw
+          |         FROM tot),
+          |mrates AS (
+          |  SELECT source,
+          |    CAST(floor(1e6 * (raw / (SELECT max(raw) FROM rraw))) AS BIGINT)
+          |      AS rq
+          |  FROM rraw),
+          |corpus AS MATERIALIZED (
+          |  SELECT c.doc_id, c.text FROM corpus0 c JOIN mrates USING (source)
+          |  WHERE ${uniformU32Sql("c.doc_id", 23L)} / 4294967296.0
+          |    < CAST(rq AS DOUBLE) / 1e6),
+          |""".stripMargin) + manifestTailSql(shuffleSeed = 29L)),
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one
