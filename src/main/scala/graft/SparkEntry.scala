@@ -1227,17 +1227,8 @@ object SparkEntry {
     // (train → store round-trip → tokenize → shuffle → pack) is the
     // q_pretrain_manifest machinery over the mixed corpus.
     "q_pretrain_manifest_mixed" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val gated = Dedup.widen(docs)
-        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-        .where(TextAnalysis.langScore(col("text"), "en") > 0.05 &&
-          TextAnalysis.tokenCount(col("text")).cast(DoubleType) >= 20)
-      val keep = gated.groupBy(col("text"))
-        .agg(min(col("doc_id")).alias("doc_id")).select(col("doc_id"))
-      val dedup = gated.join(keep, Seq("doc_id"))
-      val corpus = Sampling.mixByTemperature(dedup, "doc_id", "source",
-          "n_chars", alpha = 0.5, maxRate = 1.0, seed = 23L)
-        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val corpus = manifestMixedCorpus(t(s, dir, "documents"))
+        .localCheckpoint(true)
       try {
         val work = java.nio.file.Files.createTempDirectory("graft-pretrainmix")
         val served = try {
@@ -1274,13 +1265,7 @@ object SparkEntry {
     // survivor, one mis-trained piece, one off-by-one span boundary —
     // anywhere in the six stages — breaks the hash.
     "q_pretrain_manifest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val gated = Dedup.widen(docs).select(col("doc_id"), col("text"))
-        .where(TextAnalysis.langScore(col("text"), "en") > 0.05 &&
-          TextAnalysis.tokenCount(col("text")).cast(DoubleType) >= 20)
-      val keep = gated.groupBy(col("text"))
-        .agg(min(col("doc_id")).alias("doc_id")).select(col("doc_id"))
-      val corpus = gated.join(keep, Seq("doc_id")).localCheckpoint(true)
+      val corpus = manifestCorpus(t(s, dir, "documents")).localCheckpoint(true)
       try {
         val work = java.nio.file.Files.createTempDirectory("graft-pretrain")
         val served = try {
@@ -1299,6 +1284,64 @@ object SparkEntry {
             col("seq_offset"))
           .localCheckpoint(true) // materialize before corpus unpersist
       } finally corpus.unpersist()
+    }),
+
+    // INCREMENTAL MANIFEST MAINTENANCE (r16, VERDICT r15 #1): the
+    // monthly-crawl composition — window 1 (doc_id < 250) bootstraps the
+    // survivor UpsertStore, trains the tokenizer, and packs its spans;
+    // window 2's delta batch flows curation → within-batch dedup →
+    // ANTI-JOIN against the STORE's existing hashes (the CDC fold — no
+    // recompute of window 1) → tokenize under the STORED tokenizer (no
+    // retrain) → append its spans; then window 2 REPLAYS verbatim and
+    // must contribute nothing (idempotence — the oracle has exactly two
+    // windows, so one replay-surviving row breaks the hash). Each span
+    // row carries its survivor's content_hash read back FROM THE STORE,
+    // so the persisted dedup state is inside the hash proof too. The
+    // oracle recomputes both windows from raw documents in one statement:
+    // w1/w2 survivor CTEs (batch-2 texts already in w1 excluded), the
+    // unigram family trained on w1 and SERVED over the union (the
+    // serveSource seam), and the per-window shuffle/pack tail.
+    "q_pretrain_manifest_incremental" -> ((s, dir) => {
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val batch1 = gated.where(col("doc_id") < IncrementalSplitId)
+        val batch2 = gated.where(col("doc_id") >= IncrementalSplitId)
+        val work = java.nio.file.Files.createTempDirectory("graft-incrman")
+        try {
+          val store = new graft.streaming.UpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8, mergeOnRead = true)
+          val surv1 = graft.operators.ManifestPipeline
+            .initializeSurvivors(store, batch1, "doc_id", "text")
+            .localCheckpoint(true)
+          val tokPath = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(tokPath,
+            UnigramLm.train(surv1, "text", vocabSize = 200,
+              maxPieceLen = 3, seedSize = 40, emIters = 1,
+              pruneFraction = 0.0), s)
+          val served = graft.operators.TokenizerStore.loadUnigram(s, tokPath)
+          val m1 = graft.operators.ManifestPipeline
+            .packWindow(surv1, "doc_id", "text", served, 1L, 41L)
+          val fresh2 = graft.operators.ManifestPipeline
+            .foldDelta(store, batch2, "doc_id", "text", txnId = 2L)
+          val m2 = graft.operators.ManifestPipeline
+            .packWindow(fresh2, "doc_id", "text", served, 2L, 43L)
+          val replay = graft.operators.ManifestPipeline
+            .foldDelta(store, batch2, "doc_id", "text", txnId = 3L)
+          val mr = graft.operators.ManifestPipeline
+            .packWindow(replay, "doc_id", "text", served, 2L, 43L)
+          val storedKeys = store.snapshot()
+            .select(col("content_hash"), col("doc_id"))
+          m1.unionByName(m2).unionByName(mr)
+            .join(storedKeys, Seq("doc_id"))
+            .select(col("window"), col("doc_id"), col("content_hash"),
+              col("shuffle_pos"), col("n_tok"), col("cum_before"),
+              col("seq"), col("tok_start"), col("tok_end"),
+              col("seq_offset"))
+            .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
     }),
 
     // Gopher-style repetition filter: fraction of tokens covered by the
@@ -3554,6 +3597,50 @@ object SparkEntry {
     s.table(queryName).localCheckpoint(true)
   }
 
+  /** The pre-training-manifest curation gate (language score + length,
+    * survivor attributes carried) — ONE builder shared by every manifest
+    * gate AND by `UnigramBoundaryMarginSpec`, so the margin scan provably
+    * covers the exact corpora the gates train on instead of a hand-kept
+    * copy (VERDICT r15 #4).
+    */
+  private[graft] def manifestGated(docs: DataFrame): DataFrame =
+    Dedup.widen(docs)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .where(TextAnalysis.langScore(col("text"), "en") > 0.05 &&
+        TextAnalysis.tokenCount(col("text")).cast(DoubleType) >= 20)
+
+  /** Min-id exact-dedup survivor rows of a curated batch — the
+    * [[graft.operators.Dedup.exact]] operator (md5 shuffle keys, VERDICT
+    * r15 #2), joined back to the full row so survivor attributes ride
+    * along.
+    */
+  private[graft] def manifestSurvivors(gated: DataFrame): DataFrame =
+    gated.join(
+      Dedup.exact(gated, "doc_id", "text").select(col("keep_id").alias("doc_id")),
+      Seq("doc_id"))
+
+  /** The plain manifest training corpus: curation → exact dedup. */
+  private[graft] def manifestCorpus(docs: DataFrame): DataFrame =
+    manifestSurvivors(manifestGated(docs)).select(col("doc_id"), col("text"))
+
+  /** The incremental manifest gate's batch boundary: documents with
+    * `doc_id < IncrementalSplitId` are the initial crawl (window 1, the
+    * batch the tokenizer trains on), the rest arrive as the delta batch
+    * (window 2). An id THRESHOLD — not a parity — so min-id survivor
+    * semantics over the union coincide with first-batch-wins incremental
+    * folding: any text present in both batches has its union-minimum id
+    * in window 1, exactly the row the store already holds.
+    */
+  private[graft] val IncrementalSplitId = 250L
+
+  /** The temperature-mixed manifest training corpus: curation → exact
+    * dedup → p^0.5 source rebalancing at the mixed gate's pinned seed.
+    */
+  private[graft] def manifestMixedCorpus(docs: DataFrame): DataFrame =
+    Sampling.mixByTemperature(manifestSurvivors(manifestGated(docs)),
+        "doc_id", "source", "n_chars", alpha = 0.5, maxRate = 1.0, seed = 23L)
+      .select(col("doc_id"), col("text"))
+
   /** The curation-gate CTE (language score + length, survivor attributes
     * carried) shared by both pre-training manifest oracles. Ends with a
     * comma — a `corpus` CTE follows in each.
@@ -3600,6 +3687,53 @@ object SparkEntry {
     |      (cum_before + n_tok - 1) // 512)) AS seq
     |  FROM cumt WHERE n_tok > 0)
     |SELECT doc_id, shuffle_pos, n_tok, cum_before, seq,
+    |  greatest(0, seq * 512 - cum_before) AS tok_start,
+    |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
+    |  greatest(0, cum_before - seq * 512) AS seq_offset
+    |FROM spans""".stripMargin
+
+  /** The incremental-manifest replay tail: the two windows' survivors
+    * (`w1`, `w2` with their content hashes) tokenize under the serve
+    * round's `best2` (trained on window 1, enumerated over the union via
+    * the `serveSource` seam), then shuffle/cum/pack PER WINDOW — each
+    * window at its own seed, positions and token budgets restarting at
+    * zero, because appended windows never re-shuffle history. The
+    * replayed window contributes nothing by construction: the oracle has
+    * exactly two windows, so any replay-produced Spark row breaks the
+    * hash.
+    */
+  private def incrementalTailSql(seed1: Long, seed2: Long): String = s""",
+    |docw AS (
+    |  SELECT 1::BIGINT AS win, doc_id, content_hash,
+    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w1
+    |  UNION ALL
+    |  SELECT 2::BIGINT, doc_id, content_hash,
+    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w2),
+    |doctoks AS MATERIALIZED (
+    |  SELECT d.win, d.doc_id, any_value(d.content_hash) AS content_hash,
+    |    sum(b.ntok)::BIGINT AS n_tok
+    |  FROM docw d JOIN best2 b USING (word) WHERE d.word <> ''
+    |  GROUP BY d.win, d.doc_id),
+    |shuf AS MATERIALIZED (
+    |  SELECT win, doc_id, content_hash, n_tok,
+    |    CAST(row_number() OVER (PARTITION BY win ORDER BY
+    |      CASE WHEN win = 1 THEN ${uniformU32Sql("doc_id", seed1)}
+    |           ELSE ${uniformU32Sql("doc_id", seed2)} END, doc_id) - 1
+    |      AS BIGINT) AS shuffle_pos
+    |  FROM doctoks),
+    |cumt AS (
+    |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok,
+    |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY win ORDER BY shuffle_pos
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    |      AS cum_before
+    |  FROM shuf),
+    |spans AS (
+    |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok, cum_before,
+    |    unnest(generate_series(cum_before // 512,
+    |      (cum_before + n_tok - 1) // 512)) AS seq
+    |  FROM cumt WHERE n_tok > 0)
+    |SELECT win AS window, doc_id, content_hash, shuffle_pos, n_tok,
+    |  cum_before, seq,
     |  greatest(0, seq * 512 - cum_before) AS tok_start,
     |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
     |  greatest(0, cum_before - seq * 512) AS seq_offset
@@ -3914,8 +4048,14 @@ object SparkEntry {
     */
   private def unigramOracleCtes(maxPieceLen: Int, seedSize: Int,
       emSteps: Int = 0, prelude: String = "",
-      source: String = "documents", serveRound: Boolean = false): String = {
-    def round(r: Int): String = {
+      source: String = "documents", serveRound: Boolean = false,
+      serveSource: Option[String] = None): String = {
+    // serveSource: when set, the FINAL (serve) round's Viterbi enumerates
+    // the words of THIS relation instead of the training corpus — the
+    // train-on-window-1 / serve-the-union seam the incremental manifest
+    // oracle needs. Training rounds (and their EM folds) always run over
+    // `wcnt`.
+    def round(r: Int, words: String): String = {
       val model = if (r == 1) "seed" else s"model$r"
       val x = if (r == 1) "" else r.toString
       s""",
@@ -3926,7 +4066,7 @@ object SparkEntry {
         |  SELECT CAST(floor(1e6 * ln(sum(cnt)::DOUBLE)) AS BIGINT) AS sz
         |  FROM $model),
         |paths$x(word, pos, score, ntok, toks) AS (
-        |  SELECT word, 1::BIGINT, 0::BIGINT, 0::BIGINT, '' FROM wcnt
+        |  SELECT word, 1::BIGINT, 0::BIGINT, 0::BIGINT, '' FROM $words
         |  UNION ALL
         |  SELECT p.word, p.pos + v.pl, p.score + v.s, p.ntok + 1,
         |         CASE WHEN p.toks = '' THEN v.piece
@@ -3981,9 +4121,21 @@ object SparkEntry {
       |    ORDER BY cnt DESC, piece LIMIT $seedSize))""".stripMargin
     require(!serveRound || emSteps >= 1,
       "serveRound needs at least one EM fold to produce the served model")
+    require(serveSource.isEmpty || serveRound,
+      "serveSource only applies to a serve round")
+    serveSource.foreach { rel =>
+      sb ++= s""",
+        |swcnt AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM $rel)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+    }
     val rounds = math.max(emSteps, 1) + (if (serveRound) 1 else 0)
     for (r <- 1 to rounds) {
-      sb ++= round(r)
+      val words =
+        if (r == rounds && serveSource.isDefined) "swcnt" else "wcnt"
+      sb ++= round(r, words)
       if (r <= emSteps) sb ++= emFold(r)
     }
     sb.toString
@@ -5100,6 +5252,29 @@ object SparkEntry {
           |  WHERE ${uniformU32Sql("c.doc_id", 23L)} / 4294967296.0
           |    < CAST(rq AS DOUBLE) / 1e6),
           |""".stripMargin) + manifestTailSql(shuffleSeed = 29L)),
+
+    // the incremental manifest: window survivors as CTEs (w2 excludes
+    // texts already surviving in w1 — first-batch-wins ≡ union min-id
+    // because the split is an id THRESHOLD), the unigram family trained
+    // on w1 and served over the union via the serveSource seam, and the
+    // per-window shuffle/pack tail. One statement recomputes from raw
+    // documents everything the Spark side produced through the store
+    // fold, the stored tokenizer, and the replayed window.
+    "q_pretrain_manifest_incremental" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < $IncrementalSplitId GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= $IncrementalSplitId
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2),
+          |""".stripMargin) + incrementalTailSql(seed1 = 41L, seed2 = 43L)),
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one

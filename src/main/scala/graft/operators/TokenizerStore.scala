@@ -90,7 +90,10 @@ object TokenizerStore {
     * [[AnnIndex]] protocol verbatim: live missing + complete tmp → the
     * crash hit inside the publish rename, finish it; live missing + aside
     * present → the crash hit between retire and publish, restore the
-    * previous generation. Writers also clean debris.
+    * previous generation. Writers also clean debris. Promoting on
+    * `_meta.json` presence is sound because [[publishModel]] fsyncs the
+    * payload tree BEFORE writing the marker: a durable meta implies a
+    * durable, un-torn payload (ADVICE r15).
     */
   private def recoverCrash(path: String, cleanDebris: Boolean): Unit = {
     val live = new java.io.File(path)
@@ -151,8 +154,16 @@ object TokenizerStore {
     Fs.rmTree(tmp)
     tmp.mkdirs()
     write(new java.io.File(tmp, "model"))
-    writeMeta(tmp, kind) // completeness marker LAST
-    Fs.fsyncTree(tmp)    // data durable before visible
+    // DATA-DURABLE-BEFORE-MARKER (ADVICE r15): the payload tree is
+    // fsynced BEFORE _meta.json exists, so a durable meta file PROVES a
+    // durable payload — recoverCrash promotes a staged tree on meta
+    // presence alone, and the old order (meta written in program order
+    // before the tree fsync) let a power cut persist the marker over
+    // torn parquet bytes
+    Fs.fsyncTree(tmp)
+    writeMeta(tmp, kind) // completeness marker LAST, after payload durability
+    Fs.fsyncFile(metaOf(tmp))
+    Fs.fsyncDir(tmp)
     // retire-aside swap (AnnIndex.swapInto): old generation serves reads
     // until the atomic publish rename
     val live = new java.io.File(path)

@@ -74,4 +74,37 @@ class ImportanceResampleSpec extends SparkSpec {
     assert(s3.exists(_ >= 50L), "huge temperature ≈ uniform — raw docs appear")
     assert(s3 !== s1)
   }
+
+  /** Boundary-margin scan of the ACTUAL `q_dsir_resample` gate keys
+    * (ADVICE r15): the gate floors `1e6·(lw/1e6/0.7 + gumbel)` on both
+    * engines, and the only cross-engine spread is the `ln` ulps inside
+    * the Gumbel transform (the lw micro-nats are integers, the uniform
+    * residue is exact rational arithmetic) — error-propagated, that
+    * spread is ≲ 1e-7 in key units at these magnitudes. This scans every
+    * key the fixed gate corpora produce (same discipline as
+    * `UnigramBoundaryMarginSpec`) and asserts a ≥ 1e-5 floor margin,
+    * ~100× the spread — a permanent stability proof for the gate, since
+    * corpus, seed, k, and temperature are all pinned.
+    */
+  test("q_dsir_resample gate keys sit >= 1e-5 from every floor boundary (sf0.001 + sf0.01)") {
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val w = ImportanceResample.logWeights(docs, "doc_id", "text",
+        col("source") === "src18", n = 2, alpha = 0.5)
+      val u = greatest(Sampling.uniform(col("doc_id"), 3L), lit(1e-12))
+      val keys = w.select(col("doc_id"),
+          (lit(1e6) * (col("lw_micro").cast("double") / lit(1e6) / lit(0.7) +
+            (-log(-log(u))))).alias("k"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      var worst = Double.MaxValue
+      keys.foreach { case (id, k) =>
+        val f = k - math.floor(k)
+        val m = math.min(f, 1.0 - f)
+        assert(m >= 1e-5, s"$sfDir doc $id key $k has floor margin $m")
+        worst = math.min(worst, m)
+      }
+      info(f"$sfDir: ${keys.length} gumbel keys scanned, worst margin $worst%.3e")
+    }
+  }
 }
