@@ -1531,6 +1531,19 @@ object SparkEntry {
       graft.operators.LmScore.perplexityBuckets(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // ...and the APPROX-CUTS HATCH through its own oracle (r16, VERDICT
+    // r15 #6): `approxCutsAccuracy = 10000` is the code path a beyond-
+    // exact-agg corpus actually runs — previously spec-only. At any
+    // accuracy whose rank error `n/accuracy` is below 1 the GK sketch is
+    // degenerate-exact and returns the VALUE AT RANK ceil(p·n) (not the
+    // interpolated quantile the exact gate uses), so the oracle replays
+    // that rank arithmetic directly — a different cut rule than
+    // q_lm_ppl_buckets, gated on its own.
+    "q_lm_ppl_buckets_approx" -> ((s, dir) =>
+      graft.operators.LmScore.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text",
+        approxCutsAccuracy = 10000)),
+
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -5434,6 +5447,29 @@ object SparkEntry {
         |cuts AS (
         |  SELECT quantile_cont(a, ${1.0 / 3}) AS c1,
         |         quantile_cont(a, ${2.0 / 3}) AS c2 FROM perdoc)
+        |SELECT doc_id, n_bigrams, round(a, 6) AS avg_nll_r,
+        |  CASE WHEN a <= c1 THEN 'head'
+        |       WHEN a <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM perdoc CROSS JOIN cuts""".stripMargin),
+
+    // the approx hatch replayed by RANK: Spark's degenerate-exact GK
+    // query returns the element at rank ceil(p·n) over the sorted
+    // scores — re-derived here with row_number, the same double literals,
+    // and one IEEE multiply+ceiling per cut
+    "q_lm_ppl_buckets_approx" ->
+      (LmPerplexityCtes + s""",
+        |perdoc AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS a
+        |  FROM scored GROUP BY doc_id),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM perdoc),
+        |ranked AS (SELECT a, row_number() OVER (ORDER BY a) AS rk
+        |           FROM perdoc),
+        |cuts AS (
+        |  SELECT
+        |    (SELECT a FROM ranked WHERE rk =
+        |       CAST(ceiling(${1.0 / 3} * (SELECT n FROM nn)) AS BIGINT)) AS c1,
+        |    (SELECT a FROM ranked WHERE rk =
+        |       CAST(ceiling(${2.0 / 3} * (SELECT n FROM nn)) AS BIGINT)) AS c2)
         |SELECT doc_id, n_bigrams, round(a, 6) AS avg_nll_r,
         |  CASE WHEN a <= c1 THEN 'head'
         |       WHEN a <= c2 THEN 'middle' ELSE 'tail' END AS bucket
