@@ -1216,6 +1216,59 @@ object SparkEntry {
         .toDF("piece", "cnt")
     }),
 
+    // BYTE-LEVEL PRE-TOKENIZATION (r16, VERDICT r15 #5): the published
+    // GPT-2 pattern as a codegen'd regex kernel, gated over documents
+    // AUGMENTED with CJK/emoji/Cyrillic/accents (the suffix the serve
+    // gates below also use) — the oracle replays the alternation as a
+    // positional recursive CTE because RE2 lacks the lookahead, so the
+    // two engines agree only if every branch (contractions, space-glued
+    // runs, the whitespace release rule) matches at every position.
+    "q_pretokenize_gpt2" -> ((s, dir) => {
+      Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          byteGateAugment(col("doc_id"), col("text")).alias("_t"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.preTokenizeGpt2(col("_t"))))
+        .select(col("doc_id"), col("pos").cast(LongType).alias("idx"),
+          col("col").alias("tok"))
+    }),
+
+    // ...the byte-level unigram model with BYTE FALLBACK: trained on the
+    // plain corpus' byte text, seed = corpus substrings ∪ ALL 256
+    // single-byte pieces at count 1 — the oracle re-derives the
+    // byte-visible alphabet arithmetically and replays the full train
+    // round over the byte words.
+    "q_unigram_train_bytes" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.ByteLevel.trainUnigramBytes(t(s, dir, "documents"),
+          "text", vocabSize = 400, maxPieceLen = 3, seedSize = 40,
+          emIters = 1, pruneFraction = 0.0)
+        .toDF("piece", "cnt")
+    }),
+
+    // ...and SERVING under it where the char-level path provably throws:
+    // the byte model (stored + reloaded through TokenizerStore — the
+    // disk round trip must be invisible) tokenizes the AUGMENTED corpus,
+    // whose CJK/emoji/Cyrillic suffixes appear in no training document —
+    // coverage holds because every byte is a piece (ByteLevelSpec pins
+    // the char-level throw on the same input).
+    "q_unigram_tokenize_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.ByteLevel.trainUnigramBytes(docs, "text",
+        vocabSize = 400, maxPieceLen = 3, seedSize = 40, emIters = 1,
+        pruneFraction = 0.0)
+      val work = java.nio.file.Files.createTempDirectory("graft-bytes")
+      val served = try {
+        val p = work.resolve("tok").toString
+        graft.operators.TokenizerStore.saveUnigram(p, model, s)
+        graft.operators.TokenizerStore.loadUnigram(s, p)
+      } finally graft.util.Fs.rmTree(work.toFile)
+      graft.operators.ByteLevel.tokenCountsBytes(
+        docs.select(col("doc_id"),
+          byteGateAugment(col("doc_id"), col("text")).alias("text")),
+        "doc_id", "text", served)
+    }),
+
     // THE MIXED MANIFEST (r15): the pre-training manifest chain with a
     // TEMPERATURE MIX between dedup and training — the multilingual
     // pipeline shape, where the tokenizer is fit on the rebalanced
@@ -3752,6 +3805,99 @@ object SparkEntry {
     |  greatest(0, cum_before - seq * 512) AS seq_offset
     |FROM spans""".stripMargin
 
+  /** The GPT-2 pre-tokenizer replayed as a positional recursive CTE
+    * (RE2 has no lookahead, so the oracle walks the alternation
+    * explicitly): at each position — contraction literals first (2-char
+    * before 3-char; their first letters are disjoint so order within
+    * each group is free), then the space-glued letter/number/punct runs,
+    * then the whitespace rule (`\s+(?!\S)` releases the run's LAST char
+    * to glue to the next word unless the run ends the string). Emits
+    * `($name: doc_id, pos, tok)` over relation `$rel(doc_id, text)`;
+    * the seed row (`tok = ''`) must be filtered by consumers.
+    */
+  private def preTokenizeCte(name: String, rel: String): String = s"""
+    |$name(doc_id, pos, tok) AS (
+    |  SELECT doc_id, 1::BIGINT, '' FROM $rel
+    |  UNION ALL
+    |  SELECT p.doc_id, p.pos + length(p.t), p.t FROM (
+    |    SELECT x.doc_id, x.pos,
+    |      CASE
+    |        WHEN substr(rest,1,1) = chr(39)
+    |          AND substr(rest,2,1) IN ('s','t','m','d')
+    |          THEN substr(rest,1,2)
+    |        WHEN substr(rest,1,1) = chr(39)
+    |          AND substr(rest,2,2) IN ('re','ve','ll')
+    |          THEN substr(rest,1,3)
+    |        WHEN regexp_extract(rest, '^ ?\\p{L}+') <> ''
+    |          THEN regexp_extract(rest, '^ ?\\p{L}+')
+    |        WHEN regexp_extract(rest, '^ ?\\p{N}+') <> ''
+    |          THEN regexp_extract(rest, '^ ?\\p{N}+')
+    |        WHEN regexp_extract(rest, '^ ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+') <> ''
+    |          THEN regexp_extract(rest, '^ ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+')
+    |        ELSE CASE
+    |          WHEN length(regexp_extract(rest, '^[ \\t\\n\\r\\f]+')) = length(rest)
+    |            THEN regexp_extract(rest, '^[ \\t\\n\\r\\f]+')
+    |          WHEN length(regexp_extract(rest, '^[ \\t\\n\\r\\f]+')) >= 2
+    |            THEN substr(regexp_extract(rest, '^[ \\t\\n\\r\\f]+'), 1,
+    |                   length(regexp_extract(rest, '^[ \\t\\n\\r\\f]+')) - 1)
+    |          ELSE regexp_extract(rest, '^[ \\t\\n\\r\\f]+') END
+    |      END AS t
+    |    FROM (SELECT doc_id, pos, substr(text, pos::INT) AS rest
+    |          FROM $name JOIN $rel USING (doc_id)
+    |          WHERE pos <= length(text)) x) p),""".stripMargin
+
+  /** Byte-encoding of a pre-token stream: each token's chars become
+    * UTF-8 bytes by pure arithmetic (no engine encode() trusted), each
+    * byte becomes its byte-visible char via [[byteVisibleSql]], and the
+    * per-document byte TEXT re-joins the byte words with single spaces —
+    * exactly `ByteLevel.byteText`. Emits `${name}_w(doc_id, pos, bword)`
+    * and `$name(doc_id, text)`.
+    */
+  private def byteTextCte(name: String, pretok: String): String = s"""
+    |${name}_w AS MATERIALIZED (
+    |  SELECT doc_id, pos,
+    |    list_aggregate(list_transform(
+    |      flatten([CASE
+    |          WHEN cp < 128 THEN [cp]
+    |          WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+    |          WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+    |                                128 + cp % 64]
+    |          ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+    |                128 + (cp // 64) % 64, 128 + cp % 64] END
+    |        for cp in [unicode(tok[i]) for i in range(1, length(tok) + 1)]]),
+    |      b -> chr(${byteVisibleSql("b")})),
+    |      'string_agg', '') AS bword
+    |  FROM $pretok WHERE tok <> ''),
+    |$name AS MATERIALIZED (
+    |  SELECT doc_id, string_agg(bword, ' ' ORDER BY pos) AS text
+    |  FROM ${name}_w GROUP BY doc_id),""".stripMargin
+
+  /** The byte-gate serve corpus: every document suffixed (by `doc_id % 4`)
+    * with text the char-level tokenizer provably cannot serve — CJK,
+    * non-BMP emoji, Cyrillic, Latin accents — none of it present in the
+    * training corpus. Shared verbatim between the Spark gates and the
+    * oracles below.
+    */
+  private[graft] val ByteGateSuffixes: Seq[String] =
+    Seq("世界 你好", "😀🚀", "мир Привет", "café naïve")
+
+  /** `text || ' ' || suffix(doc_id % 4)` — the augmented serve corpus of
+    * the byte gates, as a column (the oracle replays it as a CASE).
+    */
+  private[graft] def byteGateAugment(docId: Column, text: Column): Column =
+    concat(text, lit(" "),
+      element_at(array(ByteGateSuffixes.map(lit): _*),
+        (docId % 4).cast(IntegerType) + 1))
+
+  /** The same suffix dispatch as SQL. */
+  private def byteGateAugmentSql(rel: String): String = {
+    val cases = ByteGateSuffixes.zipWithIndex
+      .map { case (sfx, i) => s"WHEN $i THEN '$sfx'" }.mkString(" ")
+    s"""aug AS MATERIALIZED (
+      |  SELECT doc_id, text || ' ' || CASE doc_id % 4 $cases END AS text
+      |  FROM $rel),""".stripMargin
+  }
+
   /** The soft-posterior weight CTEs over the unigram enumeration —
     * per-segmentation weights shifted by the word's best total, plus the
     * per-word weight totals — shared by the per-posterior gate
@@ -4059,10 +4205,21 @@ object SparkEntry {
     *                   further fold — the serving stage of a
     *                   train-then-tokenize composition
     */
+  /** The GPT-2 `bytes_to_unicode` closed form as a SQL scalar over `b`
+    * (0–255) — the SAME arithmetic as `SketchOps.byteVisible`, so the
+    * byte-level oracles re-derive the alphabet rather than trusting the
+    * Spark side's table.
+    */
+  private def byteVisibleSql(b: String): String =
+    s"CAST(CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172)" +
+      s" OR $b >= 174 THEN $b WHEN $b <= 32 THEN 256 + $b" +
+      s" WHEN $b <= 160 THEN 289 + ($b - 127) ELSE 323 END AS INTEGER)"
+
   private def unigramOracleCtes(maxPieceLen: Int, seedSize: Int,
       emSteps: Int = 0, prelude: String = "",
       source: String = "documents", serveRound: Boolean = false,
-      serveSource: Option[String] = None): String = {
+      serveSource: Option[String] = None,
+      byteFallbackSeed: Boolean = false): String = {
     // serveSource: when set, the FINAL (serve) round's Viterbi enumerates
     // the words of THIS relation instead of the training corpus — the
     // train-on-window-1 / serve-the-union seam the incremental manifest
@@ -4128,7 +4285,16 @@ object SparkEntry {
       |  FROM s2 GROUP BY 1),
       |seed AS MATERIALIZED (
       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
-      |  UNION ALL
+      |${
+        if (byteFallbackSeed)
+          s"""  UNION ALL
+          |  SELECT piece, 1::BIGINT AS cnt FROM (
+          |    SELECT chr(${byteVisibleSql("b")}) AS piece
+          |    FROM range(0, 256) t(b))
+          |  WHERE piece NOT IN (SELECT piece FROM sub WHERE length(piece) = 1)
+          |""".stripMargin
+        else ""
+      }  UNION ALL
       |  SELECT piece, cnt FROM (
       |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
       |    ORDER BY cnt DESC, piece LIMIT $seedSize))""".stripMargin
@@ -5288,6 +5454,44 @@ object SparkEntry {
           |corpusu AS (SELECT doc_id, text FROM w1
           |            UNION ALL SELECT doc_id, text FROM w2),
           |""".stripMargin) + incrementalTailSql(seed1 = 41L, seed2 = 43L)),
+
+    // the GPT-2 pre-tokenizer, position by position
+    "q_pretokenize_gpt2" ->
+      (("WITH RECURSIVE " + byteGateAugmentSql("documents") +
+        preTokenizeCte("pt", "aug")).stripSuffix(",") + """
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+        |    AS BIGINT) AS idx,
+        |  tok
+        |FROM pt WHERE tok <> ''""".stripMargin),
+
+    // the byte-level train round: pre-tokenize → arithmetic UTF-8 bytes
+    // → byte-visible chars → the unigram family over byte words, seeded
+    // with the 256-byte fallback
+    "q_unigram_train_bytes" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, source = "btrain",
+        byteFallbackSeed = true,
+        prelude = (preTokenizeCte("ptr", "documents") +
+          byteTextCte("btrain", "ptr")).stripPrefix("\n") + "\n") + """
+        |SELECT piece, cnt FROM model2""".stripMargin),
+
+    // byte-level serving on the augmented corpus: trained on the plain
+    // byte corpus, Viterbi-enumerated over the UNION serve words via the
+    // serveSource seam — every suffix word segments through fallback
+    // single-byte pieces, which is the entire point
+    "q_unigram_tokenize_bytes" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "btrain", serveSource = Some("bserve"),
+        byteFallbackSeed = true,
+        prelude = (preTokenizeCte("ptr", "documents") +
+          byteTextCte("btrain", "ptr") + "\n" +
+          byteGateAugmentSql("documents") +
+          preTokenizeCte("pts", "aug") +
+          byteTextCte("bserve", "pts")).stripPrefix("\n") + "\n") + """
+        |SELECT d.doc_id, sum(b.ntok)::BIGINT AS n_tokens,
+        |       sum(b.total)::BIGINT AS score_micro
+        |FROM bserve_w d JOIN best2 b ON d.bword = b.word
+        |GROUP BY d.doc_id""".stripMargin),
 
     // Fingerprint + SimHash: the token hash is FNV-1a/64 folded over each
     // both engines run their own real NFC implementation — the one

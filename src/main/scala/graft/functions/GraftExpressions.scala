@@ -239,6 +239,38 @@ object GraftExpressions {
       copy(child = c)
   }
 
+  /** `byte_encode(string)` — UTF-8 bytes as GPT-2 byte-visible chars
+    * ([[SketchOps.byteEncode]]): the byte-level tokenizer alphabet.
+    */
+  case class ByteEncode(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.byteEncode(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.byteEncode($c)")
+    override protected def withNewChildInternal(c: Expression): ByteEncode =
+      copy(child = c)
+  }
+
+  /** `byte_decode(string)` — inverse of [[ByteEncode]], loud on
+    * non-alphabet chars.
+    */
+  case class ByteDecode(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      SketchOps.byteDecode(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.byteDecode($c)")
+    override protected def withNewChildInternal(c: Expression): ByteDecode =
+      copy(child = c)
+  }
+
   /** `hashed_bow_score(string)` — fastText-style hashed bag-of-words
     * linear score under plan-static integer milli-weights (see
     * [[SketchOps.hashedBowScore]]).
@@ -739,6 +771,8 @@ object GraftExpressions {
   def int8_codes(col: Column): Column = c(Int8Codes(e(col)))
   def int8_dot(a: Column, b: Column): Column = c(Int8Dot(e(a), e(b)))
   def nfc_norm(col: Column): Column = c(NfcNorm(e(col)))
+  def byte_encode(col: Column): Column = c(ByteEncode(e(col)))
+  def byte_decode(col: Column): Column = c(ByteDecode(e(col)))
   def hashed_bow_score(col: Column, weights: Seq[Int]): Column =
     c(HashedBowScore(e(col), weights))
   def wordpiece_tokens(col: Column, vocab: Seq[String]): Column =

@@ -915,6 +915,66 @@ object SketchOps {
     else s
   }
 
+  /** GPT-2 `bytes_to_unicode` (Radford et al. 2019, encoder.py — public):
+    * every byte maps to a VISIBLE BMP character so byte sequences can
+    * ride through string machinery that splits on whitespace and
+    * compares lexicographically. Printable bytes map to themselves; the
+    * control/whitespace/latin-1 gaps map to 256+n in ascending byte
+    * order. The published algorithm is a loop; this is its closed form
+    * (the gap runs are 0–32 → 256–288, 127–160 → 289–322, 173 → 323),
+    * proven equal entry-by-entry in `ByteLevelSpec` — and the same
+    * arithmetic is what the DuckDB oracles replay.
+    */
+  def byteVisible(b: Int): Int =
+    if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+      (b >= 174 && b <= 255)) b
+    else if (b <= 32) 256 + b
+    else if (b <= 160) 289 + (b - 127)
+    else 323 // b == 173
+
+  private val visibleByte: Array[Int] = {
+    val m = Array.fill(324)(-1)
+    var b = 0
+    while (b < 256) { m(byteVisible(b)) = b; b += 1 }
+    m
+  }
+
+  /** Text → its UTF-8 bytes as byte-visible characters (the GPT-2
+    * byte-level alphabet): arbitrary Unicode — CJK, emoji, non-BMP,
+    * broken surrogates-as-bytes — becomes a string over 256 known
+    * characters, so a tokenizer whose vocabulary includes all 256
+    * single-byte pieces can NEVER hit an uncovered input. One pass over
+    * the raw UTF-8 bytes; every mapped char is BMP and non-whitespace.
+    */
+  def byteEncode(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(byteVisible(bytes(i) & 0xff).toChar)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Inverse of [[byteEncode]] — fails loudly on a char outside the
+    * byte-visible alphabet (the input wasn't an encode output).
+    */
+  def byteDecode(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = new Array[Byte](str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.charAt(i).toInt
+      val b = if (cp < visibleByte.length) visibleByte(cp) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        s"byte_decode: U+${cp.toHexString} is not a byte-visible char")
+      out(i) = b.toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** UTF8String character n-grams → FNV-hashed longs, distinct and SORTED
     * (sortedness lets [[jaccardSorted]] merge-count in O(n+m)). Kernel for
     * the shingle stage of MinHash dedup.

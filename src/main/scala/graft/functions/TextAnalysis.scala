@@ -355,4 +355,26 @@ object TextAnalysis {
   /** 64-bit SimHash of the document's token set. */
   def simhash(text: Column): Column =
     GraftExpressions.simhash64(tokenHashes(text))
+
+  /** The GPT-2 pre-tokenizer pattern (Radford et al. 2019, encoder.py —
+    * the published regex), with ONE house adaptation: the whitespace
+    * class is EXPLICIT (` \t\n\r\f`) instead of `\s`, because Java's
+    * `\s` includes vertical tab while RE2-family engines' does not —
+    * the same shared-regex contract [[graft.operators.Dedup.normalizedText]]
+    * documents. Alternation order is semantic (contractions before
+    * runs); the lookahead branch releases the LAST whitespace char of a
+    * run so it glues to the following word (` world`), the byte-level
+    * convention every deployed GPT-family tokenizer uses.
+    */
+  val Gpt2PreTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|" +
+      "[ \\t\\n\\r\\f]+(?![^ \\t\\n\\r\\f])|[ \\t\\n\\r\\f]+"
+
+  /** GPT-2 pre-tokenization: the text as its ordered array of pattern
+    * matches (every char lands in exactly one token). Codegen'd regex —
+    * one map-side pass; the DuckDB oracle replays the alternation as a
+    * positional recursive CTE because RE2 lacks the lookahead.
+    */
+  def preTokenizeGpt2(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2PreTokenPattern), lit(0))
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, SketchOps, TextAnalysis}
+
+/** Byte-level tokenization (VERDICT r15 #5): the operational hardening
+  * every deployed tokenizer ships — GPT-2 byte-level BPE (Radford et al.
+  * 2019) and SentencePiece byte-fallback (Kudo & Richardson 2018 §3.2) —
+  * so arbitrary Unicode from a 100-language crawl NEVER hits an
+  * uncovered-input throw or an [UNK] collapse.
+  *
+  * Two public ingredients compose with the EXISTING char-level
+  * machinery instead of forking it:
+  *
+  *   - [[TextAnalysis.preTokenizeGpt2]] splits text with the published
+  *     GPT-2 pattern (contractions, space-glued word/number/punct runs,
+  *     whitespace runs);
+  *   - [[graft.functions.SketchOps.byteEncode]] maps each pre-token's
+  *     UTF-8 bytes to the GPT-2 byte-visible alphabet — 256 known BMP
+  *     characters, none of them whitespace.
+  *
+  * Joining the encoded pre-tokens with single spaces yields a "byte
+  * text" whose whitespace-split words ARE the pre-tokens in byte form,
+  * so [[UnigramLm]]'s trainers and Viterbi serving run UNCHANGED over
+  * it — the same distinct-word × broadcast-model plans, the same
+  * [[TokenizerStore]] persistence. Coverage becomes a THEOREM rather
+  * than a corpus property: [[UnigramLm.train]]'s `extraSingles` hook
+  * injects all 256 single-byte pieces into the seed (count 1, the
+  * singles floor), so every servable model contains every byte and
+  * Viterbi always has the byte-by-byte decomposition as a path.
+  *
+  * Scale shape: pre-tokenize + byte-encode are codegen'd map-side
+  * kernels fused into the scan; everything downstream is the measured
+  * char-level machinery (SCALING §24/§25).
+  */
+object ByteLevel {
+
+  /** All 256 single-byte pieces in the byte-visible alphabet — the
+    * fallback vocabulary, in byte order.
+    */
+  val byteFallbackPieces: Seq[String] =
+    (0 until 256).map(b => SketchOps.byteVisible(b).toChar.toString)
+
+  /** Text → whitespace-joined byte-encoded GPT-2 pre-tokens: the "byte
+    * text" whose `\s+`-split words are exactly the byte-level tokenizer
+    * units. Pure codegen'd column — no shuffle, no UDF.
+    */
+  def byteText(text: Column): Column =
+    array_join(
+      transform(TextAnalysis.preTokenizeGpt2(text),
+        t => GraftExpressions.byte_encode(t)),
+      " ")
+
+  /** [[UnigramLm.train]] over the byte text with the 256-byte fallback
+    * seed: the returned model serves ANY input — an unseen script, an
+    * emoji, a lone continuation byte — via single-byte pieces where no
+    * learned piece applies. `vocabSize` must cover the 256 fallback
+    * singles plus the corpus' own byte chars (they coincide: fallback
+    * spans every byte).
+    */
+  def trainUnigramBytes(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 1000, emIters: Int = 2,
+      pruneFraction: Double = 0.2): Seq[(String, Long)] =
+    UnigramLm.train(
+      docs.select(byteText(col(textCol)).alias("_btext")), "_btext",
+      vocabSize, maxPieceLen, seedSize, emIters, pruneFraction,
+      extraSingles = byteFallbackPieces)
+
+  /** Per-document byte-level serving: `(idCol, n_tokens, score_micro)`
+    * under a byte model — [[UnigramLm.tokenCounts]] over the byte text.
+    */
+  def tokenCountsBytes(docs: DataFrame, idCol: String, textCol: String,
+      model: Seq[(String, Long)]): DataFrame =
+    UnigramLm.tokenCounts(
+      docs.select(col(idCol), byteText(col(textCol)).alias("_btext")),
+      idCol, "_btext", model)
+}

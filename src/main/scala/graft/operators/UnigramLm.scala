@@ -573,7 +573,8 @@ object UnigramLm {
     */
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4, seedSize: Int = 1000, emIters: Int = 2,
-      pruneFraction: Double = 0.2): Seq[(String, Long)] = {
+      pruneFraction: Double = 0.2,
+      extraSingles: Seq[String] = Nil): Seq[(String, Long)] = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(emIters >= 0, s"emIters must be >= 0, got $emIters")
     require(pruneFraction >= 0 && pruneFraction < 1,
@@ -581,7 +582,8 @@ object UnigramLm {
     trainLoop(docs, textCol, vocabSize, maxPieceLen, seedSize, emIters,
       pruneFraction, (counts, model) =>
         emStep(counts, model)
-          .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap,
+      extraSingles)
   }
 
   /** [[train]] with the SOFT E-step ([[emStepSoft]]) — the actual
@@ -618,12 +620,22 @@ object UnigramLm {
     */
   private def trainLoop(docs: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int, seedSize: Int, emIters: Int, pruneFraction: Double,
-      estimate: (DataFrame, Seq[(String, Long)]) => Map[String, Long])
-      : Seq[(String, Long)] = {
+      estimate: (DataFrame, Seq[(String, Long)]) => Map[String, Long],
+      extraSingles: Seq[String] = Nil): Seq[(String, Long)] = {
+    require(extraSingles.forall(_.length == 1),
+      "extraSingles must be single characters (fallback coverage pieces)")
     val counts = BpeTrain.wordCounts(docs, textCol).localCheckpoint(true)
     try {
-      val seed = seedVocab(counts, maxPieceLen, seedSize)
+      val corpusSeed = seedVocab(counts, maxPieceLen, seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // fallback singles absent from the corpus enter the seed at count 1
+      // (the singles floor): they survive every EM round — singles are
+      // never pruned — so the trained model provably covers them
+      // (byte-fallback, ByteLevel.scala)
+      val present = corpusSeed.iterator
+        .filter(_._1.length == 1).map(_._1).toSet
+      val seed = corpusSeed ++ extraSingles.distinct.sorted
+        .filterNot(present).map((_, 1L))
       val singles = seed.filter(_._1.length == 1).map(_._1).toSet
       require(singles.size <= vocabSize,
         s"vocabSize $vocabSize below the ${singles.size} single characters " +

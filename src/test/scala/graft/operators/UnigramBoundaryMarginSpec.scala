@@ -166,6 +166,30 @@ class UnigramBoundaryMarginSpec extends SparkSpec {
         docs.where(col("doc_id") < graft.SparkEntry.IncrementalSplitId)))
   }
 
+  test("byte-level gate model arguments sit >= 4e-8 from every floor boundary (sf0.001 + sf0.01)") {
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      // the exact model q_unigram_train_bytes / q_unigram_tokenize_bytes
+      // hash (seed margins are inside the train round; fallback singles
+      // enter at cnt 1 — ln(1)=0 exact — but shift the normalizer)
+      val byteModel = ByteLevel.trainUnigramBytes(docs, "text",
+        vocabSize = 400, maxPieceLen = 3, seedSize = 40, emIters = 1,
+        pruneFraction = 0.0)
+      val seedCounts = BpeTrain.wordCounts(
+        docs.select(ByteLevel.byteText(col("text")).alias("_b")), "_b")
+      val seed = UnigramLm.seedVocab(seedCounts, maxPieceLen = 3,
+          seedSize = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val present = seed.filter(_._1.length == 1).map(_._1).toSet
+      val fullSeed = seed ++ ByteLevel.byteFallbackPieces
+        .filterNot(present).map((_, 1L))
+      val worst = math.min(checkModel(s"$sfDir byte seed", fullSeed),
+        checkModel(s"$sfDir byte model(em=1)", byteModel))
+      info(f"$sfDir byte-gate worst boundary margin: $worst%.3e")
+    }
+  }
+
   test("every in-gate-trained manifest corpus' arguments sit >= 4e-8 from every floor boundary (sf0.01)") {
     manifestTrainingCorpora("/root/testdata/sf0.01").foreach {
       case (label, corpusDf) =>
