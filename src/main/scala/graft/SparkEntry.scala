@@ -1246,6 +1246,14 @@ object SparkEntry {
         .toDF("piece", "cnt")
     }),
 
+    // ...the byte-level BPE twin (the literal GPT-2 construction): the
+    // same 8-merge trainer over byte words — merges learned on byte
+    // symbols never need a coverage throw, the unmerged alphabet IS the
+    // fallback.
+    "q_bpe_train_bytes" -> ((s, dir) =>
+      graft.operators.ByteLevel.trainBpeBytes(t(s, dir, "documents"),
+        "text", numMerges = 8)),
+
     // ...and SERVING under it where the char-level path provably throws:
     // the byte model (stored + reloaded through TokenizerStore — the
     // disk round trip must be invisible) tokenizes the AUGMENTED corpus,
@@ -4115,19 +4123,20 @@ object SparkEntry {
     * tokenize gate, dead weight for the train gate).
     */
   private def bpeOracleCtes(k: Int, lastApply: Boolean,
-      wordpiece: Boolean = false): String = {
+      wordpiece: Boolean = false, prelude: String = "",
+      source: String = "documents"): String = {
     // every non-recursive layer is MATERIALIZED: DuckDB inlines CTEs by
     // default, and a k-deep chain whose layers each reference the
     // previous one 2-3 times would otherwise expand to exponentially
     // many base-table scans (observed as fd exhaustion at k=8)
     val sb = new StringBuilder
-    sb ++= """WITH RECURSIVE w0 AS MATERIALIZED (
+    sb ++= s"""WITH RECURSIVE ${prelude}w0 AS MATERIALIZED (
       |  SELECT word, cnt,
       |    [substr(word, i, 1) for i in range(1, length(word) + 1)] AS syms
       |  FROM (
       |    SELECT word, count(*)::BIGINT AS cnt FROM (
-      |      SELECT unnest(string_split_regex(text, '\s+')) AS word
-      |      FROM documents)
+      |      SELECT unnest(string_split_regex(text, '\\s+')) AS word
+      |      FROM $source)
       |    WHERE word <> '' GROUP BY word))""".stripMargin
     for (i <- 1 to k) {
       val w = s"w${i - 1}"
@@ -5474,6 +5483,16 @@ object SparkEntry {
         prelude = (preTokenizeCte("ptr", "documents") +
           byteTextCte("btrain", "ptr")).stripPrefix("\n") + "\n") + """
         |SELECT piece, cnt FROM model2""".stripMargin),
+
+    // byte-level BPE: the identical 8-layer unrolled replay over the
+    // byte words (pre-tokenize → arithmetic UTF-8 → byte-visible chars)
+    "q_bpe_train_bytes" ->
+      (bpeOracleCtes(8, lastApply = false,
+        prelude = (preTokenizeCte("ptr", "documents") +
+          byteTextCte("btrain", "ptr")).stripPrefix("\n") + "\n",
+        source = "btrain") + "\n" +
+        (1 to 8).map(i => s"SELECT rank, l, r, c AS pair_count FROM b$i")
+          .mkString("\nUNION ALL\n")),
 
     // byte-level serving on the augmented corpus: trained on the plain
     // byte corpus, Viterbi-enumerated over the UNION serve words via the

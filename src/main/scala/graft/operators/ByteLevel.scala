@@ -68,6 +68,18 @@ object ByteLevel {
       vocabSize, maxPieceLen, seedSize, emIters, pruneFraction,
       extraSingles = byteFallbackPieces)
 
+  /** Byte-level BPE (the literal GPT-2 construction): [[BpeTrain.train]]
+    * over the byte text — merges learned over byte symbols, so the merge
+    * table plus the 256 byte alphabet serves anything. BPE needs no
+    * explicit fallback injection: serving falls back to the unmerged
+    * byte symbols wherever no merge applies.
+    */
+  def trainBpeBytes(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame =
+    BpeTrain.train(
+      docs.select(byteText(col(textCol)).alias("_btext")), "_btext",
+      numMerges)
+
   /** Per-document byte-level serving: `(idCol, n_tokens, score_micro)`
     * under a byte model — [[UnigramLm.tokenCounts]] over the byte text.
     */
