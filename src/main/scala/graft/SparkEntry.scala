@@ -1347,6 +1347,37 @@ object SparkEntry {
       } finally corpus.unpersist()
     }),
 
+    // THE BYTE-LEVEL MANIFEST (r16): the full pre-training manifest
+    // chain under the BYTE tokenizer — curation → exact dedup → byte
+    // pre-tokenize/encode → unigram-with-fallback trained in-gate →
+    // TokenizerStore round trip → byte Viterbi tokenize → seeded shuffle
+    // → 512-token span packing. Crosses the byte-level ↔ manifest seam:
+    // the span budget now counts BYTE-LEVEL tokens, which is what an
+    // actual GPT-family data pipeline packs.
+    "q_pretrain_manifest_bytes" -> ((s, dir) => {
+      val corpus = manifestCorpus(t(s, dir, "documents")).localCheckpoint(true)
+      try {
+        val work = java.nio.file.Files.createTempDirectory("graft-pretrainb")
+        val served = try {
+          val model = graft.operators.ByteLevel.trainUnigramBytes(corpus,
+            "text", vocabSize = 400, maxPieceLen = 3, seedSize = 40,
+            emIters = 1, pruneFraction = 0.0)
+          val path = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(path, model, s)
+          graft.operators.TokenizerStore.loadUnigram(s, path)
+        } finally graft.util.Fs.rmTree(work.toFile)
+        val toks = graft.operators.ByteLevel
+          .tokenCountsBytes(corpus, "doc_id", "text", served)
+          .select(col("doc_id"), col("n_tokens").alias("n_tok"))
+        val shuf = Sampling.shuffled(toks, "doc_id", seed = 47L)
+        Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget = 512L)
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tok"),
+            col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+            col("seq_offset"))
+          .localCheckpoint(true)
+      } finally corpus.unpersist()
+    }),
+
     // INCREMENTAL MANIFEST MAINTENANCE (r16, VERDICT r15 #1): the
     // monthly-crawl composition — window 1 (doc_id < 250) bootstraps the
     // survivor UpsertStore, trains the tokenizer, and packs its spans;
@@ -1600,10 +1631,19 @@ object SparkEntry {
     // interpolated quantile the exact gate uses), so the oracle replays
     // that rank arithmetic directly — a different cut rule than
     // q_lm_ppl_buckets, gated on its own.
-    "q_lm_ppl_buckets_approx" -> ((s, dir) =>
-      graft.operators.LmScore.perplexityBuckets(
-        t(s, dir, "documents"), "doc_id", "text",
-        approxCutsAccuracy = 10000)),
+    "q_lm_ppl_buckets_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // the rank-exact oracle replay holds only while the GK sketch is
+      // degenerate (scoreable docs < accuracy); if a testdata refresh
+      // outgrows the bound, fail with a diagnosis, not a hash mismatch
+      val n = docs.count()
+      require(n < 10000,
+        s"q_lm_ppl_buckets_approx: $n documents >= accuracy 10000 — the " +
+          "degenerate-exact rank oracle no longer holds; raise the " +
+          "gate's accuracy above the corpus size")
+      graft.operators.LmScore.perplexityBuckets(docs, "doc_id", "text",
+        approxCutsAccuracy = 10000)
+    }),
 
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -3683,15 +3723,14 @@ object SparkEntry {
       .where(TextAnalysis.langScore(col("text"), "en") > 0.05 &&
         TextAnalysis.tokenCount(col("text")).cast(DoubleType) >= 20)
 
-  /** Min-id exact-dedup survivor rows of a curated batch — the
-    * [[graft.operators.Dedup.exact]] operator (md5 shuffle keys, VERDICT
-    * r15 #2), joined back to the full row so survivor attributes ride
-    * along.
+  /** Min-id exact-dedup survivor rows of a curated batch — ONE source of
+    * truth: [[graft.operators.ManifestPipeline.survivorRows]] (the same
+    * join the incremental fold uses), with the pipeline's content_hash
+    * column dropped where the batch gates don't need it.
     */
   private[graft] def manifestSurvivors(gated: DataFrame): DataFrame =
-    gated.join(
-      Dedup.exact(gated, "doc_id", "text").select(col("keep_id").alias("doc_id")),
-      Seq("doc_id"))
+    graft.operators.ManifestPipeline.survivorRows(gated, "doc_id", "text")
+      .drop("content_hash")
 
   /** The plain manifest training corpus: curation → exact dedup. */
   private[graft] def manifestCorpus(docs: DataFrame): DataFrame =
@@ -5463,6 +5502,20 @@ object SparkEntry {
           |corpusu AS (SELECT doc_id, text FROM w1
           |            UNION ALL SELECT doc_id, text FROM w2),
           |""".stripMargin) + incrementalTailSql(seed1 = 41L, seed2 = 43L)),
+
+    // the byte-level manifest: curation + min-id dedup feed the byte
+    // pre-tokenize/encode CTEs, whose output relation IS the unigram
+    // family's corpus (byte words split on the spaces byteText inserts),
+    // fallback-seeded; the serve round's best2 feeds the UNCHANGED
+    // manifest shuffle/pack tail at this gate's seed
+    "q_pretrain_manifest_bytes" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", byteFallbackSeed = true,
+        prelude = (ManifestGatedCte + """corpus0 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),""".stripMargin +
+          preTokenizeCte("ptm", "corpus0") +
+          byteTextCte("corpus", "ptm")).stripSuffix(",") + ",\n") +
+        manifestTailSql(shuffleSeed = 47L)),
 
     // the GPT-2 pre-tokenizer, position by position
     "q_pretokenize_gpt2" ->

@@ -618,24 +618,32 @@ object UnigramLm {
     * the prune schedule, coverage floor, and final truncation cannot
     * drift apart.
     */
+  /** The EXACT seed [[trainLoop]] starts from: the corpus substring seed
+    * plus any missing fallback singles at count 1 (the singles floor —
+    * they survive every EM round since singles are never pruned, so the
+    * trained model provably covers them; byte-fallback, ByteLevel.scala).
+    * Exposed `private[graft]` so the boundary-margin specs scan the seed
+    * the gates ACTUALLY train with, not a hand-kept copy.
+    */
+  private[graft] def trainSeed(counts: DataFrame, maxPieceLen: Int,
+      seedSize: Int, extraSingles: Seq[String]): Seq[(String, Long)] = {
+    require(extraSingles.forall(_.length == 1),
+      "extraSingles must be single characters (fallback coverage pieces)")
+    val corpusSeed = seedVocab(counts, maxPieceLen, seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val present = corpusSeed.iterator
+      .filter(_._1.length == 1).map(_._1).toSet
+    corpusSeed ++ extraSingles.distinct.sorted
+      .filterNot(present).map((_, 1L))
+  }
+
   private def trainLoop(docs: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int, seedSize: Int, emIters: Int, pruneFraction: Double,
       estimate: (DataFrame, Seq[(String, Long)]) => Map[String, Long],
       extraSingles: Seq[String] = Nil): Seq[(String, Long)] = {
-    require(extraSingles.forall(_.length == 1),
-      "extraSingles must be single characters (fallback coverage pieces)")
     val counts = BpeTrain.wordCounts(docs, textCol).localCheckpoint(true)
     try {
-      val corpusSeed = seedVocab(counts, maxPieceLen, seedSize)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      // fallback singles absent from the corpus enter the seed at count 1
-      // (the singles floor): they survive every EM round — singles are
-      // never pruned — so the trained model provably covers them
-      // (byte-fallback, ByteLevel.scala)
-      val present = corpusSeed.iterator
-        .filter(_._1.length == 1).map(_._1).toSet
-      val seed = corpusSeed ++ extraSingles.distinct.sorted
-        .filterNot(present).map((_, 1L))
+      val seed = trainSeed(counts, maxPieceLen, seedSize, extraSingles)
       val singles = seed.filter(_._1.length == 1).map(_._1).toSet
       require(singles.size <= vocabSize,
         s"vocabSize $vocabSize below the ${singles.size} single characters " +

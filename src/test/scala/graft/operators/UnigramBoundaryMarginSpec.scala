@@ -166,27 +166,36 @@ class UnigramBoundaryMarginSpec extends SparkSpec {
         docs.where(col("doc_id") < graft.SparkEntry.IncrementalSplitId)))
   }
 
+  /** One byte-corpus scan: the model the gate trains, plus THE seed it
+    * trains from — via `UnigramLm.trainSeed`, the trainer's own builder,
+    * so the scan cannot drift from the injection rule (r16 self-review
+    * finding: the first version hand-rebuilt the fallback union here).
+    */
+  private def scanByteCorpus(label: String, corpus: DataFrame): Double = {
+    val byteModel = ByteLevel.trainUnigramBytes(corpus, "text",
+      vocabSize = 400, maxPieceLen = 3, seedSize = 40, emIters = 1,
+      pruneFraction = 0.0)
+    val counts = BpeTrain.wordCounts(
+      corpus.select(ByteLevel.byteText(col("text")).alias("_b")), "_b")
+    val seed = UnigramLm.trainSeed(counts, maxPieceLen = 3, seedSize = 40,
+      extraSingles = ByteLevel.byteFallbackPieces)
+    val worst = math.min(checkModel(s"$label byte seed", seed),
+      checkModel(s"$label byte model(em=1)", byteModel))
+    info(f"$label byte-gate worst boundary margin: $worst%.3e")
+    worst
+  }
+
   test("byte-level gate model arguments sit >= 4e-8 from every floor boundary (sf0.001 + sf0.01)") {
     for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = Tables.load(spark, sfDir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      // the exact model q_unigram_train_bytes / q_unigram_tokenize_bytes
-      // hash (seed margins are inside the train round; fallback singles
-      // enter at cnt 1 — ln(1)=0 exact — but shift the normalizer)
-      val byteModel = ByteLevel.trainUnigramBytes(docs, "text",
-        vocabSize = 400, maxPieceLen = 3, seedSize = 40, emIters = 1,
-        pruneFraction = 0.0)
-      val seedCounts = BpeTrain.wordCounts(
-        docs.select(ByteLevel.byteText(col("text")).alias("_b")), "_b")
-      val seed = UnigramLm.seedVocab(seedCounts, maxPieceLen = 3,
-          seedSize = 40)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val present = seed.filter(_._1.length == 1).map(_._1).toSet
-      val fullSeed = seed ++ ByteLevel.byteFallbackPieces
-        .filterNot(present).map((_, 1L))
-      val worst = math.min(checkModel(s"$sfDir byte seed", fullSeed),
-        checkModel(s"$sfDir byte model(em=1)", byteModel))
-      info(f"$sfDir byte-gate worst boundary margin: $worst%.3e")
+      // q_unigram_train_bytes / q_unigram_tokenize_bytes train on raw
+      // documents; q_pretrain_manifest_bytes trains on the CURATED
+      // corpus — both scanned (every in-gate-trained corpus, the r15 #4
+      // discipline)
+      scanByteCorpus(s"$sfDir raw", docs)
+      scanByteCorpus(s"$sfDir manifest",
+        graft.SparkEntry.manifestCorpus(docs))
     }
   }
 
