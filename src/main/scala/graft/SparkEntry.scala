@@ -1436,6 +1436,69 @@ object SparkEntry {
       } finally gated.unpersist()
     }),
 
+    // THE STREAMING MANIFEST MAINTAINER (r16): the incremental fold as a
+    // LIVE foreachBatch loop — window 1 bootstraps store + tokenizer in
+    // batch; two delta batches then arrive as REAL micro-batches through
+    // a MemoryStream and ManifestMaintainer's crash-ordered protocol
+    // (spans durable before the store merge, marker after), and batch 2
+    // REPLAYS through processBatch (the at-least-once case) where the
+    // committed-window marker must no-op it. Output = window-1 spans ∪
+    // the manifest directory's committed windows, each span joined to
+    // its survivor's content_hash FROM THE STORE; the oracle recomputes
+    // all three windows from raw documents in one statement.
+    "q_manifest_stream_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val b0 = gated.where(col("doc_id") < 150)
+        val b1 = gated.where(col("doc_id") >= 150 && col("doc_id") < 300)
+        val b2 = gated.where(col("doc_id") >= 300)
+        val work = java.nio.file.Files.createTempDirectory("graft-maniflow")
+        try {
+          val store = new graft.streaming.UpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8, mergeOnRead = true)
+          val surv0 = graft.operators.ManifestPipeline
+            .initializeSurvivors(store, b0, "doc_id", "text")
+            .localCheckpoint(true)
+          val tokPath = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(tokPath,
+            UnigramLm.train(surv0, "text", vocabSize = 200,
+              maxPieceLen = 3, seedSize = 40, emIters = 1,
+              pruneFraction = 0.0), s)
+          val served = graft.operators.TokenizerStore.loadUnigram(s, tokPath)
+          val m1 = graft.operators.ManifestPipeline
+            .packWindow(surv0, "doc_id", "text", served, 1L, 53L)
+          val maint = new graft.streaming.ManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 2L, seedOf = bid => Seq(59L, 61L)(bid.toInt))
+          val ms = MemoryStream[(Long, String)]
+          val q = ms.toDF().toDF("doc_id", "text")
+            .writeStream.foreachBatch(maint.processBatch _).start()
+          try {
+            ms.addData(b1.as[(Long, String)].collect().toIndexedSeq: _*)
+            q.processAllAvailable()
+            ms.addData(b2.as[(Long, String)].collect().toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          // at-least-once: batch 1 redelivered — the marker must no-op it
+          maint.processBatch(b2, batchId = 1L)
+          val storedKeys = store.snapshot()
+            .select(col("content_hash"), col("doc_id"))
+          m1.unionByName(maint.readManifest(s))
+            .join(storedKeys, Seq("doc_id"))
+            .select(col("window"), col("doc_id"), col("content_hash"),
+              col("shuffle_pos"), col("n_tok"), col("cum_before"),
+              col("seq"), col("tok_start"), col("tok_end"),
+              col("seq_offset"))
+            .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
+    }),
+
     // Gopher-style repetition filter: fraction of tokens covered by the
     // most frequent 2-/3-gram (boilerplate detector; the duplicate-line/
     // paragraph siblings are spec-pinned — the synthetic corpus is
@@ -3815,13 +3878,18 @@ object SparkEntry {
     * exactly two windows, so any replay-produced Spark row breaks the
     * hash.
     */
-  private def incrementalTailSql(seed1: Long, seed2: Long): String = s""",
+  private def incrementalTailSql(seeds: Seq[Long]): String = {
+    val unions = seeds.indices.map { i =>
+      s"""  SELECT ${i + 1}::BIGINT AS win, doc_id, content_hash,
+        |    unnest(string_split_regex(text, '\\s+')) AS word FROM w${i + 1}"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val seedCase = "CASE " + seeds.zipWithIndex.map { case (sd, i) =>
+      s"WHEN win = ${i + 1} THEN ${uniformU32Sql("doc_id", sd)}"
+    }.mkString("\n           ") + "\n           END"
+    s""",
     |docw AS (
-    |  SELECT 1::BIGINT AS win, doc_id, content_hash,
-    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w1
-    |  UNION ALL
-    |  SELECT 2::BIGINT, doc_id, content_hash,
-    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w2),
+    |$unions),
     |doctoks AS MATERIALIZED (
     |  SELECT d.win, d.doc_id, any_value(d.content_hash) AS content_hash,
     |    sum(b.ntok)::BIGINT AS n_tok
@@ -3830,8 +3898,7 @@ object SparkEntry {
     |shuf AS MATERIALIZED (
     |  SELECT win, doc_id, content_hash, n_tok,
     |    CAST(row_number() OVER (PARTITION BY win ORDER BY
-    |      CASE WHEN win = 1 THEN ${uniformU32Sql("doc_id", seed1)}
-    |           ELSE ${uniformU32Sql("doc_id", seed2)} END, doc_id) - 1
+    |      $seedCase, doc_id) - 1
     |      AS BIGINT) AS shuffle_pos
     |  FROM doctoks),
     |cumt AS (
@@ -3851,6 +3918,7 @@ object SparkEntry {
     |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
     |  greatest(0, cum_before - seq * 512) AS seq_offset
     |FROM spans""".stripMargin
+  }
 
   /** The GPT-2 pre-tokenizer replayed as a positional recursive CTE
     * (RE2 has no lookahead, so the oracle walks the alternation
@@ -5501,7 +5569,34 @@ object SparkEntry {
           |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
           |corpusu AS (SELECT doc_id, text FROM w1
           |            UNION ALL SELECT doc_id, text FROM w2),
-          |""".stripMargin) + incrementalTailSql(seed1 = 41L, seed2 = 43L)),
+          |""".stripMargin) + incrementalTailSql(Seq(41L, 43L))),
+
+    // the streaming maintainer: the same replay generalized to THREE
+    // windows at the stream gate's thresholds and seeds — the fold
+    // protocol, the marker no-op, and the store reads all have to agree
+    // with one batch recompute of raw documents
+    "q_manifest_stream_maintain" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < 150 GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= 150 AND doc_id < 300
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |w3 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= 300
+          |    AND text NOT IN (SELECT text FROM w1)
+          |    AND text NOT IN (SELECT text FROM w2)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2
+          |            UNION ALL SELECT doc_id, text FROM w3),
+          |""".stripMargin) + incrementalTailSql(Seq(53L, 59L, 61L))),
 
     // the byte-level manifest: curation + min-id dedup feed the byte
     // pre-tokenize/encode CTEs, whose output relation IS the unigram

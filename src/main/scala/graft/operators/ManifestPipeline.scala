@@ -70,6 +70,30 @@ object ManifestPipeline {
     surv
   }
 
+  /** The merge-free half of [[foldDelta]]: the batch's within-batch
+    * survivors anti-joined against the store's EXISTING keys,
+    * materialized (so later store writes cannot retroactively change the
+    * frame). Exposed separately because crash-safe maintainers
+    * ([[graft.streaming.ManifestMaintainer]]) must write the window's
+    * spans BEFORE the store merge — replay-forward ordering.
+    */
+  def freshSurvivors(store: UpsertStore, gatedBatch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    survivorRows(gatedBatch, idCol, textCol)
+      .join(store.snapshot().select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .localCheckpoint(true)
+
+  /** Record a fold's new survivors in the store (no-op on an empty
+    * fold — an all-duplicate batch writes nothing).
+    */
+  def mergeSurvivors(store: UpsertStore, fresh: DataFrame,
+      idCol: String, txnId: Long): Unit =
+    if (!fresh.isEmpty)
+      store.merge(fresh.select(col("content_hash"), col(idCol))
+        .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+        .withColumn(Cdc.TransactionId, lit(txnId)))
+
   /** Fold one delta batch against the existing survivor state: dedup
     * within the batch, anti-join the store's keys, upsert only the
     * genuinely new hashes, return the new survivor rows (empty on a
@@ -79,14 +103,8 @@ object ManifestPipeline {
     */
   def foldDelta(store: UpsertStore, gatedBatch: DataFrame,
       idCol: String, textCol: String, txnId: Long): DataFrame = {
-    val fresh = survivorRows(gatedBatch, idCol, textCol)
-      .join(store.snapshot().select(col("content_hash")),
-        Seq("content_hash"), "left_anti")
-      .localCheckpoint(true)
-    if (!fresh.isEmpty)
-      store.merge(fresh.select(col("content_hash"), col(idCol))
-        .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
-        .withColumn(Cdc.TransactionId, lit(txnId)))
+    val fresh = freshSurvivors(store, gatedBatch, idCol, textCol)
+    mergeSurvivors(store, fresh, idCol, txnId)
     fresh
   }
 

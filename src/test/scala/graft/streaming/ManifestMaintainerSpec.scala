@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{ManifestPipeline, TokenizerStore, UnigramLm}
+
+/** Pins [[ManifestMaintainer]]'s crash/replay protocol — each ambiguous
+  * interruption point is staged explicitly and the replay must complete
+  * FORWARD to the identical manifest.
+  */
+class ManifestMaintainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(work: java.nio.file.Path) = {
+    val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val store = new UpsertStore(spark, work.resolve("surv").toString,
+      pkCols = Seq("content_hash"), numBuckets = 4, mergeOnRead = true)
+    val surv0 = ManifestPipeline
+      .initializeSurvivors(store, batch0, "doc_id", "text")
+    val tokPath = work.resolve("tok").toString
+    TokenizerStore.saveUnigram(tokPath,
+      UnigramLm.train(surv0, "text", vocabSize = 50, maxPieceLen = 3,
+        seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+    val maint = new ManifestMaintainer(store, tokPath,
+      work.resolve("manifest").toString,
+      windowOf = _ + 1L, seedOf = 100L + _)
+    (store, maint)
+  }
+
+  private def spanSet(maint: ManifestMaintainer) =
+    maint.readManifest(spark)
+      .select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+      .collect().map(_.toSeq).toSet
+
+  test("committed-marker replay is a no-op and the manifest is unchanged") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec1")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (11L, "aa bb")).toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      val before = spanSet(maint)
+      val seqBefore = store.currentSeq
+      maint.processBatch(batch1, 0L) // redelivery of a committed batch
+      assert(spanSet(maint) === before)
+      assert(store.currentSeq === seqBefore)
+      // the later-duplicate's id (11) never entered the span set
+      assert(!before.exists(_(1) == 11L))
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("crash between store merge and marker completes forward on replay") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec2")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba")).toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      val before = spanSet(maint)
+      // stage the crash: spans written, store merged, marker LOST
+      val marker = new java.io.File(
+        work.resolve("manifest").toString + "/window-1/_WINDOW_COMMITTED")
+      assert(marker.delete())
+      // fresh now folds to empty while the dir holds spans — the one
+      // ambiguous state; replay must restore the marker, not wipe spans
+      maint.processBatch(batch1, 0L)
+      assert(marker.exists(), "replay re-commits the window")
+      assert(spanSet(maint) === before, "spans survive the completion")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("crash before the store merge overwrites stale spans on replay") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec3")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba")).toDF("doc_id", "text")
+      // stage the crash: a half-written (WRONG) span file exists, no
+      // marker, store NOT merged — replay must rebuild from scratch
+      val dir = new java.io.File(
+        work.resolve("manifest").toString + "/window-1")
+      Seq((1L, 99L, 0L, 1L, 0L, 0L, 0L, 1L, 0L))
+        .toDF("window", "doc_id", "shuffle_pos", "n_tok", "cum_before",
+          "seq", "tok_start", "tok_end", "seq_offset")
+        .write.mode("overwrite").parquet(dir.getPath)
+      maint.processBatch(batch1, 0L)
+      val spans = spanSet(maint)
+      assert(spans.nonEmpty && spans.forall(_(1) == 10L),
+        s"garbage spans must be overwritten, got $spans")
+      assert(store.snapshot().where(col("doc_id") === 10L).count() === 1,
+        "the replayed fold reaches the store")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("an all-duplicate batch commits an empty window readers never see") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec4")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      // batch 1 duplicates window 0's content entirely
+      maint.processBatch(Seq((20L, "ab ba")).toDF("doc_id", "text"), 1L)
+      val marker2 = new java.io.File(
+        work.resolve("manifest").toString + "/window-2/_WINDOW_COMMITTED")
+      assert(marker2.exists(), "the empty window still commits (replay-stable)")
+      assert(spanSet(maint).forall(_(0) == 1L),
+        "readManifest serves only windows with spans")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+}
