@@ -3371,6 +3371,18 @@ object SparkEntry {
         "doc_id", "lw_micro", k = 60, temperature = 0.7, seed = 3L)
     }),
 
+    // ...and the beyond-driver-scale path (r16 — the scaladoc's promised
+    // threshold hatch as real code): one exact-quantile key threshold,
+    // a map-side stratum filter, then the exact top-k inside the
+    // stratum. Gated against the IDENTICAL oracle as q_dsir_resample —
+    // the hatch's whole contract is that the selected set cannot differ.
+    "q_dsir_resample_threshold" -> ((s, dir) => {
+      ImportanceResample.resampleGumbelThreshold(
+        ImportanceResample.logWeights(t(s, dir, "documents"), "doc_id",
+          "text", col("source") === "src18", n = 2, alpha = 0.5),
+        "doc_id", "lw_micro", k = 60, temperature = 0.7, seed = 3L)
+    }),
+
     // BM25 indexing pass (Robertson & Zaragoza 2009, Lucene idf variant):
     // the full (doc, term) weight table a lexical retrieval system
     // precomputes — tf/df/dl partial-aggregated, stats one broadcast row.
@@ -3695,6 +3707,26 @@ object SparkEntry {
   private lazy val deflateTemplateRatios: IndexedSeq[Double] =
     deflateTemplates.map(t => graft.functions.SketchOps.deflateRatio(
       org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+
+  /** The Gumbel-top-60 resample replay — ONE definition gating BOTH the
+    * k-heap path (`q_dsir_resample`) and the exact-quantile threshold
+    * hatch (`q_dsir_resample_threshold`): the hatch's whole claim is
+    * selection identity, so it must face the identical oracle.
+    */
+  private lazy val DsirResampleOracle: String =
+    DsirWeightsCtes + s""",
+      |sel AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+      |    coalesce(gsum + n_grams * (SELECT c_micro FROM c), 0) AS lw_micro
+      |  FROM documents d LEFT JOIN sc USING (doc_id))
+      |SELECT doc_id, n_grams, lw_micro FROM (
+      |  SELECT doc_id, n_grams, lw_micro,
+      |    CAST(floor(1e6 * (CAST(lw_micro AS DOUBLE) / 1e6 / 0.7 +
+      |      (- ln(- ln(greatest(
+      |        (${uniformU32Sql("doc_id", 3L)}) / 4294967296.0, 1e-12))))))
+      |      AS BIGINT) AS k
+      |  FROM sel)
+      |ORDER BY k DESC, doc_id LIMIT 60""".stripMargin
 
   /** The DSIR bag-of-bigrams statistics CTEs (through `sc`), shared by
     * the weights gate and the Gumbel-resample gate so the model
@@ -7092,20 +7124,12 @@ object SparkEntry {
     // a within-ulp ln difference cannot flip membership at the cut — and
     // the (key desc, id asc) top-60. Membership of the selected set is
     // what the hash compares.
-    "q_dsir_resample" ->
-      (DsirWeightsCtes + s""",
-        |sel AS MATERIALIZED (
-        |  SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
-        |    coalesce(gsum + n_grams * (SELECT c_micro FROM c), 0) AS lw_micro
-        |  FROM documents d LEFT JOIN sc USING (doc_id))
-        |SELECT doc_id, n_grams, lw_micro FROM (
-        |  SELECT doc_id, n_grams, lw_micro,
-        |    CAST(floor(1e6 * (CAST(lw_micro AS DOUBLE) / 1e6 / 0.7 +
-        |      (- ln(- ln(greatest(
-        |        (${uniformU32Sql("doc_id", 3L)}) / 4294967296.0, 1e-12))))))
-        |      AS BIGINT) AS k
-        |  FROM sel)
-        |ORDER BY k DESC, doc_id LIMIT 60""".stripMargin),
+    "q_dsir_resample" -> DsirResampleOracle,
+
+    // the threshold hatch must select the IDENTICAL set — same oracle,
+    // different physical path (exact-quantile stratum filter vs global
+    // k-heap)
+    "q_dsir_resample_threshold" -> DsirResampleOracle,
 
     "q_text_bm25_index" ->
       """WITH toks AS (

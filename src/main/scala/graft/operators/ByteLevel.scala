@@ -68,6 +68,19 @@ object ByteLevel {
       vocabSize, maxPieceLen, seedSize, emIters, pruneFraction,
       extraSingles = byteFallbackPieces)
 
+  /** The soft-EM (forward-backward) twin of [[trainUnigramBytes]] — the
+    * SentencePiece-default estimator over the byte text, same fallback
+    * guarantee (singles are never pruned; soft expected counts floor at
+    * 1 like the hard path's).
+    */
+  def trainUnigramBytesSoft(docs: DataFrame, textCol: String,
+      vocabSize: Int, maxPieceLen: Int = 4, seedSize: Int = 1000,
+      emIters: Int = 2, pruneFraction: Double = 0.2): Seq[(String, Long)] =
+    UnigramLm.trainSoft(
+      docs.select(byteText(col(textCol)).alias("_btext")), "_btext",
+      vocabSize, maxPieceLen, seedSize, emIters, pruneFraction,
+      extraSingles = byteFallbackPieces)
+
   /** Byte-level BPE (the literal GPT-2 construction): [[BpeTrain.train]]
     * over the byte text — merges learned over byte symbols, so the merge
     * table plus the 256 byte alphabet serves anything. BPE needs no

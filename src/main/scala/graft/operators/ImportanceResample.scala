@@ -113,17 +113,74 @@ object ImportanceResample {
       seed: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(temperature > 0, s"temperature must be > 0, got $temperature")
-    // [0,1) deterministic in id via the fail-loud id dispatch; clamped away
-    // from 0 so -log(-log u) stays finite
-    val u = greatest(Sampling.uniform(Sampling.idAsLong(weights, idCol), seed),
-      lit(1e-12))
-    val gumbel = -log(-log(u))
     weights
-      .withColumn("_key", floor(lit(1e6) *
-          (col(lwCol).cast(DoubleType) / lit(1e6) / lit(temperature) + gumbel))
-        .cast(LongType))
+      .withColumn("_key", gumbelKey(weights, idCol, lwCol, temperature, seed))
       .orderBy(col("_key").desc, col(idCol).asc)
       .limit(k)
       .drop("_key")
+  }
+
+  /** The quantized Gumbel sort key shared by both resample paths —
+    * `floor(1e6 · (lw/1e6/temperature + gumbel(id)))`, one definition so
+    * the threshold hatch provably selects by the same order. The uniform
+    * is [0,1) deterministic in id via the fail-loud dispatch, clamped
+    * away from 0 so `-log(-log u)` stays finite.
+    */
+  private def gumbelKey(weights: DataFrame, idCol: String, lwCol: String,
+      temperature: Double, seed: Long): Column = {
+    val u = greatest(Sampling.uniform(Sampling.idAsLong(weights, idCol), seed),
+      lit(1e-12))
+    val gumbel = -log(-log(u))
+    floor(lit(1e6) *
+        (col(lwCol).cast(DoubleType) / lit(1e6) / lit(temperature) + gumbel))
+      .cast(LongType)
+  }
+
+  /** [[resampleGumbel]] for k BEYOND TakeOrderedAndProject scale — the
+    * hatch the scaladoc above promises, as real code (the r13–r15
+    * "hatch is real code, not advice" discipline): instead of a global
+    * k-heap, compute a conservative key THRESHOLD from one exact
+    * (`relativeError = 0`) quantile over the integer keys, keep only the
+    * candidate stratum `key >= threshold` with a map-side filter, and
+    * take the final exact top-k inside that stratum. The threshold's
+    * ascending rank sits at-or-below `n − k`, so the stratum provably
+    * contains the true top-k (asserted loudly, never assumed) while the
+    * driver-side sort shrinks from n to |stratum| ≈ k + quantile slack.
+    * Selection is IDENTICAL to [[resampleGumbel]] — same key, same
+    * (key desc, id) cut — which `q_dsir_resample_threshold` proves by
+    * gating this path against the very same oracle.
+    *
+    * Scale: the quantile is one `approxQuantile` aggregate over longs;
+    * the filter is map-side; only the candidate stratum is sorted. For
+    * corpus-scale k, follow with a distributed write of the stratum
+    * instead of the final limit.
+    */
+  def resampleGumbelThreshold(weights: DataFrame, idCol: String,
+      lwCol: String, k: Int, temperature: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val keyed = weights
+      .withColumn("_key", gumbelKey(weights, idCol, lwCol, temperature, seed))
+      .localCheckpoint(true) // keys feed the quantile AND the filter once
+    try {
+      val n = keyed.count()
+      if (n <= k) keyed.drop("_key")
+      else {
+        // one rank of slack below (n-k)/n so interpolation can never
+        // land the threshold ABOVE the k-th largest key
+        val p = math.max(0.0, (n - k - 1).toDouble / n)
+        val thr = keyed.stat
+          .approxQuantile("_key", Array(p), 0.0).head.toLong
+        val stratum = keyed.where(col("_key") >= thr)
+        val found = stratum.count()
+        require(found >= k,
+          s"threshold stratum holds $found < k=$k keys — quantile rank " +
+            "slipped above the cut; this is a bug, not data skew")
+        stratum.orderBy(col("_key").desc, col(idCol).asc).limit(k)
+          .drop("_key")
+          .localCheckpoint(true) // survive the keyed unpersist
+      }
+    } finally keyed.unpersist()
   }
 }

@@ -598,7 +598,8 @@ object UnigramLm {
     */
   def trainSoft(docs: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4, seedSize: Int = 1000, emIters: Int = 2,
-      pruneFraction: Double = 0.2): Seq[(String, Long)] = {
+      pruneFraction: Double = 0.2,
+      extraSingles: Seq[String] = Nil): Seq[(String, Long)] = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(emIters >= 0, s"emIters must be >= 0, got $emIters")
     require(pruneFraction >= 0 && pruneFraction < 1,
@@ -609,7 +610,8 @@ object UnigramLm {
           .collect().iterator
           .map(r => (r.getString(0),
             math.floor(r.getDouble(1) + 0.5).toLong))
-          .filter(_._2 >= 1L).toMap)
+          .filter(_._2 >= 1L).toMap,
+      extraSingles)
   }
 
   /** The shared seed → (E-step + prune) × iters → truncate loop behind

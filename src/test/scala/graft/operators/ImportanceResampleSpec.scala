@@ -75,6 +75,24 @@ class ImportanceResampleSpec extends SparkSpec {
     assert(s3 !== s1)
   }
 
+  test("threshold hatch selects the identical set as the k-heap at every k") {
+    val docs = (0L until 300L).map { i =>
+      (i, if (i < 80) "a b a b c" else "x y z w v", i < 80)
+    }.toDF("doc_id", "text", "is_target")
+    val w = ImportanceResample.logWeights(docs, "doc_id", "text",
+      col("is_target"), n = 2, alpha = 0.5).localCheckpoint(true)
+    // only two distinct lw values → heavy quantized-key tie pressure at
+    // the cut, the hardest case for a threshold selection
+    for (k <- Seq(1, 10, 59, 60, 61, 150, 299, 300, 500)) {
+      val heap = ImportanceResample.resampleGumbel(w, "doc_id", "lw_micro",
+        k, temperature = 0.7, seed = 11L).collect().map(_.getLong(0)).toSet
+      val thr = ImportanceResample.resampleGumbelThreshold(w, "doc_id",
+        "lw_micro", k, temperature = 0.7, seed = 11L)
+        .collect().map(_.getLong(0)).toSet
+      assert(thr === heap, s"k=$k: threshold path diverged from the heap")
+    }
+  }
+
   /** Boundary-margin scan of the ACTUAL `q_dsir_resample` gate keys
     * (ADVICE r15): the gate floors `1e6·(lw/1e6/0.7 + gumbel)` on both
     * engines, and the only cross-engine spread is the `ln` ulps inside
