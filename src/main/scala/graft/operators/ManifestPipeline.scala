@@ -111,13 +111,19 @@ object ManifestPipeline {
   /** One manifest window over its survivors: Viterbi token counts under
     * the SERVED model, a within-window seeded shuffle, 512-token span
     * packing, and the window stamp. Prior windows are untouched — the
-    * manifest grows append-only.
+    * manifest grows append-only. `byteLevel = true` serves through
+    * [[ByteLevel.tokenCountsBytes]] (GPT-2 pre-tokenize + byte-visible
+    * encoding) so a window carrying a script the model never saw packs
+    * through the 256-single-byte fallback instead of throwing — the
+    * model must then be a byte model ([[ByteLevel.trainUnigramBytes]]).
     */
   def packWindow(survivors: DataFrame, idCol: String, textCol: String,
       model: Seq[(String, Long)], window: Long, shuffleSeed: Long,
-      budget: Long = 512L): DataFrame = {
-    val toks = UnigramLm.tokenCounts(survivors, idCol, textCol, model)
-      .select(col(idCol), col("n_tokens").alias("n_tok"))
+      budget: Long = 512L, byteLevel: Boolean = false): DataFrame = {
+    val counts =
+      if (byteLevel) ByteLevel.tokenCountsBytes(survivors, idCol, textCol, model)
+      else UnigramLm.tokenCounts(survivors, idCol, textCol, model)
+    val toks = counts.select(col(idCol), col("n_tokens").alias("n_tok"))
     val shuf = Sampling.shuffled(toks, idCol, seed = shuffleSeed)
     Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget)
       .withColumn("window", lit(window).cast(LongType))

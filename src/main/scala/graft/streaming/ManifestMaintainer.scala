@@ -48,7 +48,7 @@ import graft.util.Fs
 class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     manifestDir: String, windowOf: Long => Long, seedOf: Long => Long,
     idCol: String = "doc_id", textCol: String = "text",
-    budget: Long = 512L) extends Logging {
+    budget: Long = 512L, byteLevel: Boolean = false) extends Logging {
 
   @volatile private var cachedModel: Seq[(String, Long)] = null
 
@@ -85,7 +85,7 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     } else {
       ManifestPipeline
         .packWindow(fresh, idCol, textCol, model(spark), window,
-          seedOf(batchId), budget)
+          seedOf(batchId), budget, byteLevel)
         .write.mode("overwrite").parquet(dir.getPath)
       Fs.fsyncTree(dir) // spans durable BEFORE the store learns the keys
       ManifestPipeline.mergeSurvivors(store, fresh, idCol, txnId = batchId)

@@ -90,6 +90,33 @@ class ManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("a byte-level maintainer packs a window carrying a script the model never saw") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec5")
+    try {
+      val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+      val store = new UpsertStore(spark, work.resolve("surv").toString,
+        pkCols = Seq("content_hash"), numBuckets = 4, mergeOnRead = true)
+      val surv0 = ManifestPipeline
+        .initializeSurvivors(store, batch0, "doc_id", "text")
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveUnigram(tokPath,
+        graft.operators.ByteLevel.trainUnigramBytes(surv0, "text",
+          vocabSize = 400, maxPieceLen = 3, seedSize = 10, emIters = 1,
+          pruneFraction = 0.0), spark)
+      val maint = new ManifestMaintainer(store, tokPath,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, byteLevel = true)
+      // the operational case byteLevel exists for: a crawl window brings
+      // CJK + emoji the window-0 tokenizer never trained on — the char
+      // maintainer would kill the stream; the byte one packs it
+      maint.processBatch(Seq((10L, "世界 😀 привет")).toDF("doc_id", "text"), 0L)
+      val spans = spanSet(maint)
+      assert(spans.nonEmpty && spans.forall(_(1) == 10L))
+      // byte token counts: at least one token per suffix word's bytes
+      assert(spans.head(3).asInstanceOf[Long] > 0L)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("an all-duplicate batch commits an empty window readers never see") {
     val work = java.nio.file.Files.createTempDirectory("graft-mmspec4")
     try {
