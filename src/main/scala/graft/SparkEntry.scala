@@ -1436,6 +1436,59 @@ object SparkEntry {
       } finally gated.unpersist()
     }),
 
+    // MANIFEST RETRACTION (r16 — the takedown path): documents leave the
+    // manifest in two stages, exactly the MOR store's lifecycle applied
+    // to training data — a durable retraction LEDGER makes them invisible
+    // to every reader immediately (logical delete: window 2 below), and
+    // window COMPACTION re-packs the remaining docs at the window's own
+    // seed to restore the 512-dense span invariant (physical rewrite
+    // under the retire-aside crash protocol: window 1 below). The store
+    // keeps retracted hashes — banned content cannot re-enter under a new
+    // id. The oracle replays both stages: window 1 packed over the
+    // remaining docs, window 2 packed over ALL docs then filtered.
+    "q_manifest_retract" -> ((s, dir) => {
+      import s.implicits._
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val batch1 = gated.where(col("doc_id") < IncrementalSplitId)
+        val batch2 = gated.where(col("doc_id") >= IncrementalSplitId)
+        val work = java.nio.file.Files.createTempDirectory("graft-retract")
+        try {
+          val store = new graft.streaming.UpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8, mergeOnRead = true)
+          // empty bootstrap: EVERY window (including the first) flows
+          // through the same fold — the maintainer's uniform path
+          store.initialize(Cdc.initialLoad(
+            Seq.empty[(String, Long)].toDF("content_hash", "doc_id")))
+          val tokPath = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(tokPath,
+            UnigramLm.train(
+              graft.operators.ManifestPipeline
+                .survivorRows(batch1, "doc_id", "text"),
+              "text", vocabSize = 200, maxPieceLen = 3, seedSize = 40,
+              emIters = 1, pruneFraction = 0.0), s)
+          val maint = new graft.streaming.ManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 1L, seedOf = bid => Seq(67L, 71L)(bid.toInt))
+          maint.processBatch(batch1, 0L)
+          maint.processBatch(batch2, 1L)
+          maint.retract(gated.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id")))
+          maint.compactWindow(s, 1L, seed = 67L)
+          maint.readManifest(s)
+            .join(store.snapshot().select(col("content_hash"),
+              col("doc_id")), Seq("doc_id"))
+            .select(col("window"), col("doc_id"), col("content_hash"),
+              col("shuffle_pos"), col("n_tok"), col("cum_before"),
+              col("seq"), col("tok_start"), col("tok_end"),
+              col("seq_offset"))
+            .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
+    }),
+
     // THE STREAMING MANIFEST MAINTAINER (r16): the incremental fold as a
     // LIVE foreachBatch loop — window 1 bootstraps store + tokenizer in
     // batch; two delta batches then arrive as REAL micro-batches through
@@ -3952,6 +4005,50 @@ object SparkEntry {
     |FROM spans""".stripMargin
   }
 
+  /** The retraction replay tail: window 1 re-packs over the REMAINING
+    * docs (the compacted state), window 2 packs over ALL its docs then
+    * filters retracted rows out (the logical read-time state) — the two
+    * halves of the MOR-style takedown lifecycle in one statement.
+    */
+  private def retractTailSql(seed1: Long, seed2: Long,
+      retractPred: String): String = s""",
+    |docw AS (
+    |  SELECT 1::BIGINT AS win, doc_id, content_hash,
+    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w1
+    |  UNION ALL
+    |  SELECT 2::BIGINT, doc_id, content_hash,
+    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w2),
+    |doctoks AS MATERIALIZED (
+    |  SELECT d.win, d.doc_id, any_value(d.content_hash) AS content_hash,
+    |    sum(b.ntok)::BIGINT AS n_tok
+    |  FROM docw d JOIN best2 b USING (word) WHERE d.word <> ''
+    |  GROUP BY d.win, d.doc_id),
+    |shuf AS MATERIALIZED (
+    |  SELECT win, doc_id, content_hash, n_tok,
+    |    CAST(row_number() OVER (PARTITION BY win ORDER BY
+    |      CASE WHEN win = 1 THEN ${uniformU32Sql("doc_id", seed1)}
+    |           ELSE ${uniformU32Sql("doc_id", seed2)} END, doc_id) - 1
+    |      AS BIGINT) AS shuffle_pos
+    |  FROM doctoks
+    |  WHERE win = 2 OR NOT ($retractPred)),
+    |cumt AS (
+    |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok,
+    |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY win ORDER BY shuffle_pos
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    |      AS cum_before
+    |  FROM shuf),
+    |spans AS (
+    |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok, cum_before,
+    |    unnest(generate_series(cum_before // 512,
+    |      (cum_before + n_tok - 1) // 512)) AS seq
+    |  FROM cumt WHERE n_tok > 0)
+    |SELECT win AS window, doc_id, content_hash, shuffle_pos, n_tok,
+    |  cum_before, seq,
+    |  greatest(0, seq * 512 - cum_before) AS tok_start,
+    |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
+    |  greatest(0, cum_before - seq * 512) AS seq_offset
+    |FROM spans WHERE NOT (win = 2 AND ($retractPred))""".stripMargin
+
   /** The GPT-2 pre-tokenizer replayed as a positional recursive CTE
     * (RE2 has no lookahead, so the oracle walks the alternation
     * explicitly): at each position — contraction literals first (2-char
@@ -5602,6 +5699,27 @@ object SparkEntry {
           |corpusu AS (SELECT doc_id, text FROM w1
           |            UNION ALL SELECT doc_id, text FROM w2),
           |""".stripMargin) + incrementalTailSql(Seq(41L, 43L))),
+
+    // the retraction lifecycle: the incremental two-window prelude at
+    // its own seeds, window 1 re-packed over remaining docs (compacted),
+    // window 2 packed over all docs then filtered (logical)
+    "q_manifest_retract" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < $IncrementalSplitId GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= $IncrementalSplitId
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2),
+          |""".stripMargin) +
+        retractTailSql(seed1 = 67L, seed2 = 71L,
+          retractPred = "doc_id % 7 = 0")),
 
     // the streaming maintainer: the same replay generalized to THREE
     // windows at the stream gate's thresholds and seeds — the fold

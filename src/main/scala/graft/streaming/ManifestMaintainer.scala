@@ -96,15 +96,142 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
   }
 
   /** All committed windows' spans (uncommitted window dirs are excluded —
-    * a reader never observes a half-delivered window).
+    * a reader never observes a half-delivered window), with RETRACTED
+    * documents filtered out: the manifest's merge-on-read rule. A
+    * retraction is visible to every reader the moment its ledger entry
+    * is durable; [[compactWindow]] later restores the packing invariant
+    * physically.
     */
   def readManifest(spark: SparkSession): DataFrame = {
-    val dirs = Option(new java.io.File(manifestDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && markerOf(d).exists() &&
+    val all = Option(new java.io.File(manifestDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    // reader contract (the TokenizerStore shape): a window whose live dir
+    // is gone while its staged/retired compaction twin survives is a
+    // crashed writer — fail LOUD instead of silently training without
+    // that window; the next compactWindow (the writer) heals it
+    all.filter(d => d.getName.endsWith("_tmp") || d.getName.endsWith("_old"))
+      .foreach { d =>
+        val liveName = d.getName.stripSuffix("_tmp").stripSuffix("_old")
+        if (!all.exists(_.getName == liveName))
+          throw new IllegalStateException(
+            s"manifest window $liveName has no live generation but a " +
+              "recoverable staged/retired one exists — a compaction " +
+              "crashed mid-publish; re-run compactWindow to heal")
+      }
+    val dirs = all
+      .filter(d => !d.getName.startsWith("_") &&
+        !d.getName.endsWith("_tmp") && !d.getName.endsWith("_old") &&
+        markerOf(d).exists() &&
         d.listFiles().exists(_.getName.endsWith(".parquet")))
       .map(_.getPath)
     require(dirs.nonEmpty, s"no committed manifest windows under $manifestDir")
-    spark.read.parquet(dirs: _*)
+    val spans = spark.read.parquet(dirs: _*)
+    retractedIds(spark) match {
+      case Some(ids) =>
+        spans.join(org.apache.spark.sql.functions.broadcast(ids),
+          Seq(idCol), "left_anti")
+      case None => spans
+    }
+  }
+
+  // ── Retraction (takedowns / right-to-be-forgotten) ──────────────────────
+
+  private def retractionsDir = new java.io.File(manifestDir, "_retractions")
+
+  private def retractedIds(spark: SparkSession): Option[DataFrame] = {
+    val files = Option(retractionsDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(retractionsDir.getPath)
+      .select(idCol).distinct())
+  }
+
+  /** Retract documents from the manifest: their ids enter an append-only
+    * ledger (fsync-durable before return), [[readManifest]] filters them
+    * from every window immediately, and the survivor STORE keeps their
+    * content hashes — retracted content is BANNED, so a later re-crawl of
+    * the same bytes cannot re-enter under a new id. Spans already emitted
+    * stay on disk until [[compactWindow]] rewrites the window — exactly
+    * the MOR store's logical-delete-then-compact lifecycle, applied to
+    * training data.
+    */
+  def retract(ids: DataFrame): Unit = {
+    retractionsDir.mkdirs()
+    ids.select(idCol).distinct()
+      .coalesce(1) // ledger entries are takedown-batch-sized
+      .write.mode("append").parquet(retractionsDir.getPath)
+    Fs.fsyncTree(retractionsDir)
+    Fs.fsyncDir(retractionsDir.getParentFile)
+  }
+
+  /** Physically rewrite one window without its retracted documents,
+    * re-packing the REMAINING docs at the window's own seed so the
+    * 512-dense span invariant holds again (read-time filtering leaves
+    * holes; training wants dense sequences). The rewrite is the
+    * TokenizerStore retire-aside protocol: staged tmp (payload fsynced
+    * BEFORE its marker), retire live, atomic publish, debris cleared —
+    * and [[compactWindow]] heals a crashed predecessor on entry. The
+    * doc set and token counts come from the window's own span rows, so
+    * compaction never re-reads corpus text or re-tokenizes.
+    */
+  def compactWindow(spark: SparkSession, windowId: Long, seed: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val live = windowDir(windowId)
+    recoverWindowCrash(live)
+    require(markerOf(live).exists(), s"window $windowId is not committed")
+    val retracted = retractedIds(spark)
+    if (retracted.isEmpty) return
+    val current = spark.read.parquet(live.getPath)
+      .select(col(idCol), col("n_tok")).distinct()
+      .localCheckpoint(true) // decouple from the files the swap replaces
+    // physical no-op when the window holds none of the retracted docs —
+    // re-running compaction after a takedown elsewhere must not churn
+    // this window's files (idempotence is a no-op, not a re-publish)
+    if (current.join(broadcast(retracted.get), Seq(idCol), "left_semi")
+        .isEmpty) return
+    val remaining = current
+      .join(broadcast(retracted.get), Seq(idCol), "left_anti")
+    val repacked = graft.operators.Shards.packSpans(
+        graft.operators.Sampling.shuffled(remaining, idCol, seed),
+        "shuffle_pos", "n_tok", budget)
+      .withColumn("window", lit(windowId))
+      .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
+        col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+        col("seq_offset"))
+      .localCheckpoint(true)
+    val tmp = new java.io.File(live.getPath + "_tmp")
+    Fs.rmTree(tmp)
+    repacked.write.mode("overwrite").parquet(tmp.getPath)
+    Fs.fsyncTree(tmp)
+    java.nio.file.Files.write(markerOf(tmp).toPath, Array.emptyByteArray)
+    Fs.fsyncFile(markerOf(tmp)); Fs.fsyncDir(tmp)
+    val aside = new java.io.File(live.getPath + "_old")
+    Fs.rmTree(aside)
+    java.nio.file.Files.move(live.toPath, aside.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Fs.fsyncDir(live.getParentFile)
+    Fs.rmTree(aside)
+  }
+
+  /** Writer-side healing for a compaction crash (the TokenizerStore
+    * recoverCrash shape): live missing + complete (marker-bearing) tmp →
+    * finish the publish; live missing + aside → restore the previous
+    * generation. Marker-gated promotion is sound because the tmp payload
+    * is fsynced before its marker exists.
+    */
+  private def recoverWindowCrash(live: java.io.File): Unit = {
+    val tmp = new java.io.File(live.getPath + "_tmp")
+    val aside = new java.io.File(live.getPath + "_old")
+    if (!live.exists()) {
+      if (markerOf(tmp).exists())
+        java.nio.file.Files.move(tmp.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else if (aside.exists())
+        java.nio.file.Files.move(aside.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (live.exists()) { Fs.rmTree(tmp); Fs.rmTree(aside) }
   }
 }

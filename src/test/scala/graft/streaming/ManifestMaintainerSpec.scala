@@ -90,6 +90,66 @@ class ManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("retraction hides spans immediately, bans re-crawled content, and compaction re-packs dense") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec6")
+    try {
+      val (store, maint) = fixture(work)
+      maint.processBatch(
+        Seq((10L, "ab ba"), (11L, "ba ab"), (12L, "aa cc")).toDF("doc_id", "text"), 0L)
+      assert(spanSet(maint).map(_(1)).toSet === Set(10L, 11L, 12L))
+      // takedown doc 11: logically gone from every read at once
+      maint.retract(Seq(11L).toDF("doc_id"))
+      val logical = maint.readManifest(spark)
+      assert(logical.select("doc_id").as[Long].collect().toSet === Set(10L, 12L))
+      // ...but its positions still show the hole (pre-compaction MOR read)
+      val posBefore = logical.select("shuffle_pos").as[Long].collect().toSet
+      // banned content cannot re-enter under a new id
+      val replayDup = ManifestPipeline.freshSurvivors(store,
+        Seq((99L, "ba ab")).toDF("doc_id", "text"), "doc_id", "text")
+      assert(replayDup.isEmpty, "retracted content stays banned in the store")
+      // physical compaction: remaining docs re-pack densely at the seed
+      maint.compactWindow(spark, 1L, seed = 100L)
+      val dense = maint.readManifest(spark)
+        .select("doc_id", "shuffle_pos").collect()
+      assert(dense.map(_.getLong(0)).toSet === Set(10L, 12L))
+      val pos = dense.map(_.getLong(1)).distinct.sorted
+      assert(pos.toSeq === Seq(0L, 1L), s"positions re-packed dense, got $pos")
+      assert(posBefore.max >= 1L, "pre-compaction read kept original positions")
+      // compaction is idempotent — AND a physical no-op (the window's
+      // files are not re-published when it holds no retracted doc)
+      val fileBefore = new java.io.File(
+        work.resolve("manifest").toString + "/window-1").listFiles()
+        .map(_.getName).toSet
+      maint.compactWindow(spark, 1L, seed = 100L)
+      val fileAfter = new java.io.File(
+        work.resolve("manifest").toString + "/window-1").listFiles()
+        .map(_.getName).toSet
+      assert(fileAfter === fileBefore, "no-op compaction must not re-publish")
+      assert(maint.readManifest(spark).select("doc_id", "shuffle_pos")
+        .collect().toSet === dense.toSet)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("a crashed compaction fails readers loud and heals on the next writer pass") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec7")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba"), (12L, "aa cc"))
+        .toDF("doc_id", "text"), 0L)
+      maint.retract(Seq(12L).toDF("doc_id"))
+      maint.compactWindow(spark, 1L, seed = 100L)
+      val expect = maint.readManifest(spark).collect().toSet
+      // stage the crash: live retired to _old, publish never happened
+      val live = new java.io.File(work.resolve("manifest").toString, "window-1")
+      val aside = new java.io.File(live.getPath + "_old")
+      java.nio.file.Files.move(live.toPath, aside.toPath)
+      val ex = intercept[IllegalStateException](maint.readManifest(spark))
+      assert(ex.getMessage.contains("compaction crashed mid-publish"))
+      maint.compactWindow(spark, 1L, seed = 100L) // the writer heals
+      assert(maint.readManifest(spark).collect().toSet === expect)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("a byte-level maintainer packs a window carrying a script the model never saw") {
     val work = java.nio.file.Files.createTempDirectory("graft-mmspec5")
     try {
