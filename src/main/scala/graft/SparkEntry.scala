@@ -3963,7 +3963,9 @@ object SparkEntry {
     * exactly two windows, so any replay-produced Spark row breaks the
     * hash.
     */
-  private def incrementalTailSql(seeds: Seq[Long]): String = {
+  private def incrementalTailSql(seeds: Seq[Long],
+      shufWhere: Option[String] = None,
+      finalWhere: Option[String] = None): String = {
     val unions = seeds.indices.map { i =>
       s"""  SELECT ${i + 1}::BIGINT AS win, doc_id, content_hash,
         |    unnest(string_split_regex(text, '\\s+')) AS word FROM w${i + 1}"""
@@ -3972,6 +3974,11 @@ object SparkEntry {
     val seedCase = "CASE " + seeds.zipWithIndex.map { case (sd, i) =>
       s"WHEN win = ${i + 1} THEN ${uniformU32Sql("doc_id", sd)}"
     }.mkString("\n           ") + "\n           END"
+    // optional retraction seams: shufWhere drops docs BEFORE positions
+    // are assigned (a compacted window's re-pack), finalWhere drops span
+    // ROWS after packing (a logically-filtered window's read)
+    val shufPred = shufWhere.map(w => s"\n  WHERE $w").getOrElse("")
+    val finalPred = finalWhere.map(w => s" WHERE $w").getOrElse("")
     s""",
     |docw AS (
     |$unions),
@@ -3985,7 +3992,7 @@ object SparkEntry {
     |    CAST(row_number() OVER (PARTITION BY win ORDER BY
     |      $seedCase, doc_id) - 1
     |      AS BIGINT) AS shuffle_pos
-    |  FROM doctoks),
+    |  FROM doctoks$shufPred),
     |cumt AS (
     |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok,
     |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY win ORDER BY shuffle_pos
@@ -4002,52 +4009,22 @@ object SparkEntry {
     |  greatest(0, seq * 512 - cum_before) AS tok_start,
     |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
     |  greatest(0, cum_before - seq * 512) AS seq_offset
-    |FROM spans""".stripMargin
+    |FROM spans$finalPred""".stripMargin
   }
 
   /** The retraction replay tail: window 1 re-packs over the REMAINING
     * docs (the compacted state), window 2 packs over ALL its docs then
     * filters retracted rows out (the logical read-time state) — the two
-    * halves of the MOR-style takedown lifecycle in one statement.
+    * halves of the MOR-style takedown lifecycle as the generalized
+    * incremental tail's two filter seams (ONE span-arithmetic builder,
+    * r16 self-review #5).
     */
   private def retractTailSql(seed1: Long, seed2: Long,
-      retractPred: String): String = s""",
-    |docw AS (
-    |  SELECT 1::BIGINT AS win, doc_id, content_hash,
-    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w1
-    |  UNION ALL
-    |  SELECT 2::BIGINT, doc_id, content_hash,
-    |    unnest(string_split_regex(text, '\\s+')) AS word FROM w2),
-    |doctoks AS MATERIALIZED (
-    |  SELECT d.win, d.doc_id, any_value(d.content_hash) AS content_hash,
-    |    sum(b.ntok)::BIGINT AS n_tok
-    |  FROM docw d JOIN best2 b USING (word) WHERE d.word <> ''
-    |  GROUP BY d.win, d.doc_id),
-    |shuf AS MATERIALIZED (
-    |  SELECT win, doc_id, content_hash, n_tok,
-    |    CAST(row_number() OVER (PARTITION BY win ORDER BY
-    |      CASE WHEN win = 1 THEN ${uniformU32Sql("doc_id", seed1)}
-    |           ELSE ${uniformU32Sql("doc_id", seed2)} END, doc_id) - 1
-    |      AS BIGINT) AS shuffle_pos
-    |  FROM doctoks
-    |  WHERE win = 2 OR NOT ($retractPred)),
-    |cumt AS (
-    |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok,
-    |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY win ORDER BY shuffle_pos
-    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-    |      AS cum_before
-    |  FROM shuf),
-    |spans AS (
-    |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok, cum_before,
-    |    unnest(generate_series(cum_before // 512,
-    |      (cum_before + n_tok - 1) // 512)) AS seq
-    |  FROM cumt WHERE n_tok > 0)
-    |SELECT win AS window, doc_id, content_hash, shuffle_pos, n_tok,
-    |  cum_before, seq,
-    |  greatest(0, seq * 512 - cum_before) AS tok_start,
-    |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
-    |  greatest(0, cum_before - seq * 512) AS seq_offset
-    |FROM spans WHERE NOT (win = 2 AND ($retractPred))""".stripMargin
+      retractPred: String): String =
+    incrementalTailSql(Seq(seed1, seed2),
+      shufWhere = Some(s"win = 2 OR NOT ($retractPred)"),
+      finalWhere = Some(s"NOT (win = 2 AND ($retractPred))"))
+
 
   /** The GPT-2 pre-tokenizer replayed as a positional recursive CTE
     * (RE2 has no lookahead, so the oracle walks the alternation

@@ -160,27 +160,29 @@ object ImportanceResample {
       seed: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(temperature > 0, s"temperature must be > 0, got $temperature")
+    // localCheckpoint: keys feed the quantile AND the filter once; the
+    // checkpoint blocks free on driver GC (Dataset.unpersist is a cache-
+    // manager call and does not apply to local checkpoints, so both
+    // branches may safely return frames derived from `keyed` — r16
+    // self-review #6 fixed the two branches disagreeing about this)
     val keyed = weights
       .withColumn("_key", gumbelKey(weights, idCol, lwCol, temperature, seed))
-      .localCheckpoint(true) // keys feed the quantile AND the filter once
-    try {
-      val n = keyed.count()
-      if (n <= k) keyed.drop("_key")
-      else {
-        // one rank of slack below (n-k)/n so interpolation can never
-        // land the threshold ABOVE the k-th largest key
-        val p = math.max(0.0, (n - k - 1).toDouble / n)
-        val thr = keyed.stat
-          .approxQuantile("_key", Array(p), 0.0).head.toLong
-        val stratum = keyed.where(col("_key") >= thr)
-        val found = stratum.count()
-        require(found >= k,
-          s"threshold stratum holds $found < k=$k keys — quantile rank " +
-            "slipped above the cut; this is a bug, not data skew")
-        stratum.orderBy(col("_key").desc, col(idCol).asc).limit(k)
-          .drop("_key")
-          .localCheckpoint(true) // survive the keyed unpersist
-      }
-    } finally keyed.unpersist()
+      .localCheckpoint(true)
+    val n = keyed.count()
+    if (n <= k) keyed.orderBy(col("_key").desc, col(idCol).asc).drop("_key")
+    else {
+      // one rank of slack below (n-k)/n so interpolation can never
+      // land the threshold ABOVE the k-th largest key
+      val p = math.max(0.0, (n - k - 1).toDouble / n)
+      val thr = keyed.stat
+        .approxQuantile("_key", Array(p), 0.0).head.toLong
+      val stratum = keyed.where(col("_key") >= thr)
+      val found = stratum.count()
+      require(found >= k,
+        s"threshold stratum holds $found < k=$k keys — quantile rank " +
+          "slipped above the cut; this is a bug, not data skew")
+      stratum.orderBy(col("_key").desc, col(idCol).asc).limit(k)
+        .drop("_key")
+    }
   }
 }

@@ -71,28 +71,37 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     val spark = batch.sparkSession
     val window = windowOf(batchId)
     val dir = windowDir(window)
+    // heal a crashed COMPACTION of this window before anything else: a
+    // backfill replay hitting the live-retired/publish-pending state
+    // would otherwise see no marker, fold to empty fresh, and commit a
+    // NEW empty live dir — after which the next healer's debris sweep
+    // would destroy both surviving generations (r16 self-review #2)
+    recoverWindowCrash(dir)
     val marker = markerOf(dir)
     if (marker.exists()) {
       logInfo(s"batch $batchId: window $window already committed, skipping")
       return
     }
     val fresh = ManifestPipeline.freshSurvivors(store, batch, idCol, textCol)
-    if (fresh.isEmpty) {
-      // either a legitimately all-duplicate batch (no dir ever written)
-      // or a crash between merge and marker (dir holds the spans):
-      // both complete by committing the window as-is
-      dir.mkdirs()
-    } else {
-      ManifestPipeline
-        .packWindow(fresh, idCol, textCol, model(spark), window,
-          seedOf(batchId), budget, byteLevel)
-        .write.mode("overwrite").parquet(dir.getPath)
-      Fs.fsyncTree(dir) // spans durable BEFORE the store learns the keys
-      ManifestPipeline.mergeSurvivors(store, fresh, idCol, txnId = batchId)
-    }
-    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
-    Fs.fsyncFile(marker)
-    Fs.fsyncDir(dir)
+    try {
+      if (fresh.isEmpty) {
+        // either a legitimately all-duplicate batch (no dir ever written)
+        // or a crash between merge and marker (dir holds the spans):
+        // both complete by committing the window as-is
+        dir.mkdirs()
+      } else {
+        ManifestPipeline
+          .packWindow(fresh, idCol, textCol, model(spark), window,
+            seedOf(batchId), budget, byteLevel)
+          .write.mode("overwrite").parquet(dir.getPath)
+        Fs.fsyncTree(dir) // spans durable BEFORE the store learns the keys
+        ManifestPipeline.mergeSurvivors(store, fresh, idCol, txnId = batchId)
+      }
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      Fs.fsyncFile(marker)
+      Fs.fsyncDir(dir)
+    } finally fresh.unpersist() // a long stream must not pin every batch's
+                                // checkpoint blocks until a driver GC
   }
 
   /** All committed windows' spans (uncommitted window dirs are excluded —
@@ -118,13 +127,18 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
               "recoverable staged/retired one exists — a compaction " +
               "crashed mid-publish; re-run compactWindow to heal")
       }
-    val dirs = all
-      .filter(d => !d.getName.startsWith("_") &&
-        !d.getName.endsWith("_tmp") && !d.getName.endsWith("_old") &&
-        markerOf(d).exists() &&
-        d.listFiles().exists(_.getName.endsWith(".parquet")))
+    val committed = all.filter(d => !d.getName.startsWith("_") &&
+      !d.getName.endsWith("_tmp") && !d.getName.endsWith("_old") &&
+      markerOf(d).exists())
+    require(committed.nonEmpty,
+      s"no committed manifest windows under $manifestDir")
+    val dirs = committed
+      .filter(_.listFiles().exists(_.getName.endsWith(".parquet")))
       .map(_.getPath)
-    require(dirs.nonEmpty, s"no committed manifest windows under $manifestDir")
+    // every committed window may legitimately be empty (all-duplicate
+    // batches): a healthy-but-spanless manifest reads as zero rows, not
+    // an error (r16 self-review #3)
+    if (dirs.isEmpty) return emptySpans(spark)
     val spans = spark.read.parquet(dirs: _*)
     retractedIds(spark) match {
       case Some(ids) =>
@@ -132,6 +146,18 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
           Seq(idCol), "left_anti")
       case None => spans
     }
+  }
+
+  /** The manifest's canonical span schema, empty — what a committed but
+    * spanless manifest reads as.
+    */
+  private def emptySpans(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("window", idCol, "shuffle_pos", "n_tok", "cum_before",
+        "seq", "tok_start", "tok_end", "seq_offset")
+        .map(StructField(_, LongType, nullable = false))))
   }
 
   // ── Retraction (takedowns / right-to-be-forgotten) ──────────────────────
@@ -181,38 +207,43 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     require(markerOf(live).exists(), s"window $windowId is not committed")
     val retracted = retractedIds(spark)
     if (retracted.isEmpty) return
+    // a committed all-duplicate window holds only its marker — nothing to
+    // compact, and spark.read.parquet over zero data files would throw
+    // (r16 self-review #1)
+    if (!live.listFiles().exists(_.getName.endsWith(".parquet"))) return
     val current = spark.read.parquet(live.getPath)
       .select(col(idCol), col("n_tok")).distinct()
       .localCheckpoint(true) // decouple from the files the swap replaces
-    // physical no-op when the window holds none of the retracted docs —
-    // re-running compaction after a takedown elsewhere must not churn
-    // this window's files (idempotence is a no-op, not a re-publish)
-    if (current.join(broadcast(retracted.get), Seq(idCol), "left_semi")
-        .isEmpty) return
-    val remaining = current
-      .join(broadcast(retracted.get), Seq(idCol), "left_anti")
-    val repacked = graft.operators.Shards.packSpans(
-        graft.operators.Sampling.shuffled(remaining, idCol, seed),
-        "shuffle_pos", "n_tok", budget)
-      .withColumn("window", lit(windowId))
-      .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
-        col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
-        col("seq_offset"))
-      .localCheckpoint(true)
-    val tmp = new java.io.File(live.getPath + "_tmp")
-    Fs.rmTree(tmp)
-    repacked.write.mode("overwrite").parquet(tmp.getPath)
-    Fs.fsyncTree(tmp)
-    java.nio.file.Files.write(markerOf(tmp).toPath, Array.emptyByteArray)
-    Fs.fsyncFile(markerOf(tmp)); Fs.fsyncDir(tmp)
-    val aside = new java.io.File(live.getPath + "_old")
-    Fs.rmTree(aside)
-    java.nio.file.Files.move(live.toPath, aside.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(tmp.toPath, live.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    Fs.fsyncDir(live.getParentFile)
-    Fs.rmTree(aside)
+    try {
+      // physical no-op when the window holds none of the retracted docs —
+      // re-running compaction after a takedown elsewhere must not churn
+      // this window's files (idempotence is a no-op, not a re-publish)
+      if (current.join(broadcast(retracted.get), Seq(idCol), "left_semi")
+          .isEmpty) return
+      val remaining = current
+        .join(broadcast(retracted.get), Seq(idCol), "left_anti")
+      val repacked = graft.operators.Shards.packSpans(
+          graft.operators.Sampling.shuffled(remaining, idCol, seed),
+          "shuffle_pos", "n_tok", budget)
+        .withColumn("window", lit(windowId))
+        .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
+          col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+          col("seq_offset"))
+      val tmp = new java.io.File(live.getPath + "_tmp")
+      Fs.rmTree(tmp)
+      repacked.write.mode("overwrite").parquet(tmp.getPath)
+      Fs.fsyncTree(tmp)
+      java.nio.file.Files.write(markerOf(tmp).toPath, Array.emptyByteArray)
+      Fs.fsyncFile(markerOf(tmp)); Fs.fsyncDir(tmp)
+      val aside = new java.io.File(live.getPath + "_old")
+      Fs.rmTree(aside)
+      java.nio.file.Files.move(live.toPath, aside.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(tmp.toPath, live.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Fs.fsyncDir(live.getParentFile)
+      Fs.rmTree(aside)
+    } finally current.unpersist()
   }
 
   /** Writer-side healing for a compaction crash (the TokenizerStore

@@ -150,6 +150,54 @@ class ManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("a takedown sweep no-ops over empty committed windows, and an all-empty manifest reads as zero rows") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec8")
+    try {
+      val (_, maint) = fixture(work)
+      // first batch fully duplicates the bootstrap content → the ONLY
+      // committed window is empty; a healthy pipeline must read as empty
+      maint.processBatch(Seq((30L, "aa bb")).toDF("doc_id", "text"), 0L)
+      assert(maint.readManifest(spark).isEmpty,
+        "all-empty manifest reads as zero rows, not an error")
+      // a real window, a retraction, then the operator's sweep over ALL
+      // committed windows — the empty one must not kill the sweep
+      maint.processBatch(Seq((31L, "ab ba")).toDF("doc_id", "text"), 1L)
+      maint.retract(Seq(31L).toDF("doc_id"))
+      maint.compactWindow(spark, 1L, seed = 100L) // the empty window
+      maint.compactWindow(spark, 2L, seed = 101L) // the retracted one
+      assert(maint.readManifest(spark).isEmpty)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("a backfill replay over a crashed compaction heals forward instead of resurrecting an empty window") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec9")
+    try {
+      val (_, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      maint.retract(Seq(12L).toDF("doc_id"))
+      maint.compactWindow(spark, 1L, seed = 100L)
+      val expect = maint.readManifest(spark)
+        .select("doc_id", "shuffle_pos").collect().toSet
+      // stage the worst crash point: live retired AND the compacted tmp
+      // fully staged (marker-bearing) — the publish rename never ran
+      val live = new java.io.File(work.resolve("manifest").toString, "window-1")
+      val aside = new java.io.File(live.getPath + "_old")
+      val tmp = new java.io.File(live.getPath + "_tmp")
+      java.nio.file.Files.move(live.toPath, tmp.toPath)
+      // (the spec reuses the compacted dir as the staged tmp — same shape)
+      assert(!live.exists() && tmp.exists())
+      // the at-least-once REPLAY of the window's batch arrives first:
+      // it must heal the publish, see the marker, and no-op — NOT create
+      // a new empty live dir over the recoverable generations
+      maint.processBatch(batch1, 0L)
+      assert(live.exists() && !tmp.exists() && !aside.exists())
+      assert(maint.readManifest(spark)
+        .select("doc_id", "shuffle_pos").collect().toSet === expect,
+        "the staged compaction survives the replay")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("a byte-level maintainer packs a window carrying a script the model never saw") {
     val work = java.nio.file.Files.createTempDirectory("graft-mmspec5")
     try {
