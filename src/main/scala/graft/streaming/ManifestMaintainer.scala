@@ -180,6 +180,13 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     * stay on disk until [[compactWindow]] rewrites the window — exactly
     * the MOR store's logical-delete-then-compact lifecycle, applied to
     * training data.
+    *
+    * Scale: the ledger holds every id EVER retracted — takedown-sized
+    * (thousands), not corpus-sized — and the read-time filter broadcasts
+    * it once per read; it is intentionally never pruned, because a
+    * pruned id arriving again via an at-least-once replay of an OLD
+    * window's batch would resurrect its spans. The ban-on-recrawl
+    * guarantee lives in the survivor STORE's kept hashes, not here.
     */
   def retract(ids: DataFrame): Unit = {
     retractionsDir.mkdirs()
