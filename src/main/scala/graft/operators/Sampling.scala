@@ -151,6 +151,14 @@ object Sampling {
     * is already integral — a DOUBLE weight would truncate per-row here
     * and round once there, silently diverging every rate (ADVICE r15).
     * Same fail-loud dispatch discipline as [[idAsLong]].
+    *
+    * Float/double columns are accepted when every VALUE is provably
+    * integral (the per-row round-trip check `w = floor(w)`, compiled into
+    * the plan); the first fractional value raises at runtime with the
+    * offending value in the message. This keeps the r15 fail-loud
+    * contract — silent per-row truncation stays impossible — without
+    * breaking callers whose double-typed weights are integers in disguise
+    * (a parquet writer that widened an int column, ADVICE r16).
     */
   private def weightAsLong(df: DataFrame, weightCol: String): Column = {
     import org.apache.spark.sql.types._
@@ -159,11 +167,20 @@ object Sampling {
         col(weightCol).cast("long")
       case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
         col(weightCol).cast("long")
+      case FloatType | DoubleType =>
+        val c = col(weightCol).cast(DoubleType)
+        when(c.isNull || c === floor(c), c.cast(LongType))
+          .otherwise(raise_error(format_string(
+            s"fractional weight in '$weightCol': %s — pre-round to an " +
+              "integer unit (chars, tokens, bytes) upstream, or keep an " +
+              "integral-valued column", c)))
+          .cast(LongType)
       case dt => throw new IllegalArgumentException(
-        s"Sampling weight column '$weightCol' must be an integral or " +
-          s"long-ranged scale-0 decimal type, got $dt — fractional weights " +
-          "would truncate per-row before the sum; pre-round them to an " +
-          "integer unit (chars, tokens, bytes) upstream")
+        s"Sampling weight column '$weightCol' must be an integral, " +
+          s"long-ranged scale-0 decimal, or integral-valued float/double " +
+          s"type, got $dt — fractional weights would truncate per-row " +
+          "before the sum; pre-round them to an integer unit (chars, " +
+          "tokens, bytes) upstream")
     }
   }
 

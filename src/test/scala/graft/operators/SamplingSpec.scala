@@ -370,4 +370,32 @@ class SamplingSpec extends SparkSpec {
     }
     info(f"${raw.size} strata; worst pow-rate boundary margin $worst%.3e")
   }
+
+  test("double weights: provably-integral values pass, fractional values raise loudly") {
+    // ADVICE r16: a double-typed weight column whose values are integers
+    // (a parquet writer that widened an int) must behave exactly like the
+    // long column — same totals, same rates, same kept rows
+    val longW = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "rare")))
+      .toDF("id", "stratum").withColumn("w", (col("id") % 7 + 1).cast("long"))
+    val dblW = longW.withColumn("w", col("w").cast("double"))
+    val a = Sampling.mixByTemperature(longW, "id", "stratum", "w",
+      alpha = 0.5, seed = 17L).select("id").as[Long].collect().toSet
+    val b = Sampling.mixByTemperature(dblW, "id", "stratum", "w",
+      alpha = 0.5, seed = 17L).select("id").as[Long].collect().toSet
+    assert(a === b, "integral doubles diverged from the long fast path")
+    // the first genuinely fractional value raises AT RUNTIME with the
+    // value in the message — never silent truncation (the r15 contract)
+    val frac = longW.withColumn("w",
+      when(col("id") === 500L, lit(2.5)).otherwise(col("w").cast("double")))
+    val err = intercept[Exception] {
+      Sampling.mixByTemperature(frac, "id", "stratum", "w",
+        alpha = 0.5, seed = 17L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("fractional weight")),
+      s"expected the raise_error message, got: ${messages(err)}")
+  }
 }
