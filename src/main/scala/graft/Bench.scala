@@ -39,6 +39,7 @@ object Bench {
     // warmup: JIT + codegen + filesystem metadata
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    val env = new BenchEnv()
 
     /** Drop every block a query left cached (dataset cache entries plus the
       * lazy `localCheckpoint` RDDs the dedup kernels materialize). Without
@@ -145,8 +146,9 @@ object Bench {
       import scala.jdk.CollectionConverters._
       retriedNames.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
+    val envJson = env.closeJson()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retried":$retried,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retried":$retried,"env":$envJson,"sf":"$sfDir"}"""
     // The full line lands in a file and early on stdout; the LAST stdout
     // line is a compact variant that fits the driver's 2000-char tail
     // capture (measured from BENCH_r08: the full ~4.5KB line can never
@@ -179,12 +181,90 @@ object Bench {
       val kept = failed ++ stream ++ batchOk.take(n).sortBy(_._1)
       val qs35 = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs35,"elided":${all.size - kept.size},"full":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs35,"elided":${all.size - kept.size},"full":"target/bench.json","env":$envJson,"sf":"$sfDir"}"""
     }
     val compact = Iterator.range(35, -1, -5).map(line35)
       .find(_.length <= 1800).getOrElse(line35(0))
     println(compact)
     spark.stop()
+  }
+}
+
+/** Environment self-dispositioning for the bench record (VERDICT r16 #4):
+  * two consecutive rounds needed manual forensics to tell a session-level
+  * slowdown from a code regression. The constructor snapshots the sweep's
+  * starting conditions — including a 1-second single-thread CPU-spin
+  * CALIBRATION (a fixed deterministic arithmetic loop; its measured ops/s
+  * moves with CPU contention/thermal state and is independent of any
+  * Spark code) — and [[closeJson]] captures the deltas at sweep end.
+  * Reading rule (SCALING §27): an entry that moved TOGETHER with the COW
+  * control AND with a degraded calibration/loadavg is a session shift,
+  * not a regression; an entry that moved alone under a clean calibration
+  * is code.
+  */
+class BenchEnv {
+  private def loadAvg: Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Sectors read/written summed over physical block devices (parents
+    * only — partitions would double-count), from /proc/diskstats fields
+    * 6/10; -1 when unreadable (non-Linux).
+    */
+  private def diskSectors: (Long, Long) =
+    try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/diskstats"))
+      var rd = 0L; var wr = 0L
+      lines.forEach { l =>
+        val f = l.trim.split("\\s+")
+        // parent devices only (sda, vda, nvme0n1, dm-0, md0) — the
+        // per-partition rows would double-count their parent's sectors
+        if (f.length >= 11 &&
+            f(2).matches("^(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+|dm-\\d+|md\\d+)$")) {
+          rd += f(5).toLong; wr += f(9).toLong
+        }
+      }
+      (rd, wr)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** ~1 s of a fixed xorshift spin; returns mega-ops/s. Deterministic
+    * work unit, so the number is comparable across sessions: a contended
+    * or thermally-throttled box calibrates measurably lower.
+    */
+  private def calibrate(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var ops = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 1000000000L) {
+      var i = 0
+      while (i < 1000000) { // 1M-op chunks between clock reads
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      ops += 1000000L
+    }
+    if (x == 42L) System.err.println("") // keep the spin un-eliminable
+    ops / ((System.nanoTime() - t0) / 1e3)
+  }
+
+  private val calibMops = calibrate()
+  private val load0 = loadAvg
+  private val (rd0, wr0) = diskSectors
+  private val gc0 = gcMillis
+
+  def closeJson(): String = {
+    val (rd1, wr1) = diskSectors
+    def mb(a: Long, b: Long): String =
+      if (a < 0 || b < 0) "-1" else ((b - a) * 512 / 1048576).toString
+    f"""{"calib_mops":$calibMops%.1f,"load_before":$load0%.2f,"load_after":$loadAvg%.2f,"gc_sec":${(gcMillis - gc0) / 1000.0}%.1f,"disk_rd_mb":${mb(rd0, rd1)},"disk_wr_mb":${mb(wr0, wr1)}}"""
   }
 }
 
