@@ -101,4 +101,17 @@ object ByteLevel {
     UnigramLm.tokenCounts(
       docs.select(col(idCol), byteText(col(textCol)).alias("_btext")),
       idCol, "_btext", model)
+
+  /** Per-document byte-level BPE serving: `(idCol, n_tokens)` under a
+    * merge table learned by [[trainBpeBytes]] —
+    * [[BpeTrain.tokenCountsCompiled]] over the byte text, so the serving
+    * automaton sees exactly the byte words the trainer saw. No fallback
+    * injection needed: the unmerged single byte symbols ARE the
+    * fallback wherever no merge applies.
+    */
+  def tokenCountsBpeBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    BpeTrain.tokenCountsCompiled(
+      docs.select(col(idCol), byteText(col(textCol)).alias("_btext")),
+      idCol, "_btext", merges)
 }

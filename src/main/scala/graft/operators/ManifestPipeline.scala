@@ -5,7 +5,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.cdc.Cdc
-import graft.streaming.UpsertStore
+import graft.streaming.KeyedUpsertStore
+
+/** A tokenizer model as the manifest family SERVES it — the model-kind
+  * seam (VERDICT r16 #2): real GPT-family pipelines pack byte-level BPE
+  * tokens, not only unigram counts, so the packing stages dispatch on
+  * this ADT instead of hard-wiring `Seq[(String, Long)]`. Constructed
+  * directly after training, or loaded from a persisted artifact with
+  * [[TokenizerStore.loadServed]] (which dispatches on the artifact's
+  * own `_meta.json` kind).
+  */
+sealed trait ServedModel
+
+/** [[UnigramLm]] `(piece, count)` model — Viterbi serving. */
+final case class ServedUnigram(pieces: Seq[(String, Long)]) extends ServedModel
+
+/** [[BpeTrain]] / [[WordPieceTrain]] ranked merges — greedy-fusion
+  * serving through the compiled rank-priority automaton
+  * ([[BpeTrain.tokenCountsCompiled]]), the vocabulary-scale path.
+  */
+final case class ServedBpe(merges: Seq[(String, String)]) extends ServedModel
 
 /** Incremental pre-training-manifest maintenance — the composition the
   * engine exists for (VERDICT r15 #1): a real pipeline receives a NEW
@@ -62,7 +81,7 @@ object ManifestPipeline {
     * fold needs is the key set, and a 100 TB corpus does not belong in
     * its own dedup index.
     */
-  def initializeSurvivors(store: UpsertStore, gatedBatch: DataFrame,
+  def initializeSurvivors(store: KeyedUpsertStore, gatedBatch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val surv = survivorRows(gatedBatch, idCol, textCol)
     store.initialize(Cdc.initialLoad(
@@ -77,7 +96,7 @@ object ManifestPipeline {
     * ([[graft.streaming.ManifestMaintainer]]) must write the window's
     * spans BEFORE the store merge — replay-forward ordering.
     */
-  def freshSurvivors(store: UpsertStore, gatedBatch: DataFrame,
+  def freshSurvivors(store: KeyedUpsertStore, gatedBatch: DataFrame,
       idCol: String, textCol: String): DataFrame =
     survivorRows(gatedBatch, idCol, textCol)
       .join(store.snapshot().select(col("content_hash")),
@@ -87,7 +106,7 @@ object ManifestPipeline {
   /** Record a fold's new survivors in the store (no-op on an empty
     * fold — an all-duplicate batch writes nothing).
     */
-  def mergeSurvivors(store: UpsertStore, fresh: DataFrame,
+  def mergeSurvivors(store: KeyedUpsertStore, fresh: DataFrame,
       idCol: String, txnId: Long): Unit =
     if (!fresh.isEmpty)
       store.merge(fresh.select(col("content_hash"), col(idCol))
@@ -101,7 +120,7 @@ object ManifestPipeline {
     * BEFORE the merge so the returned frame cannot observe the store
     * state its own upsert created.
     */
-  def foldDelta(store: UpsertStore, gatedBatch: DataFrame,
+  def foldDelta(store: KeyedUpsertStore, gatedBatch: DataFrame,
       idCol: String, textCol: String, txnId: Long): DataFrame = {
     val fresh = freshSurvivors(store, gatedBatch, idCol, textCol)
     mergeSurvivors(store, fresh, idCol, txnId)
@@ -119,10 +138,29 @@ object ManifestPipeline {
     */
   def packWindow(survivors: DataFrame, idCol: String, textCol: String,
       model: Seq[(String, Long)], window: Long, shuffleSeed: Long,
-      budget: Long = 512L, byteLevel: Boolean = false): DataFrame = {
-    val counts =
-      if (byteLevel) ByteLevel.tokenCountsBytes(survivors, idCol, textCol, model)
-      else UnigramLm.tokenCounts(survivors, idCol, textCol, model)
+      budget: Long = 512L, byteLevel: Boolean = false): DataFrame =
+    packWindow(survivors, idCol, textCol, ServedUnigram(model), window,
+      shuffleSeed, budget, byteLevel)
+
+  /** [[packWindow]] over the model-kind seam: unigram models serve
+    * Viterbi ([[UnigramLm.tokenCounts]]), merge tables serve the
+    * compiled greedy fusion ([[BpeTrain.tokenCountsCompiled]]); either
+    * kind composes with the byte-level pre-tokenize/encode front
+    * ([[ByteLevel]]) — `ServedBpe + byteLevel` is the literal GPT-family
+    * packing unit. Every branch is the distinct-word × broadcast-model
+    * plan; the span arithmetic downstream is kind-blind.
+    */
+  def packWindow(survivors: DataFrame, idCol: String, textCol: String,
+      model: ServedModel, window: Long, shuffleSeed: Long,
+      budget: Long, byteLevel: Boolean): DataFrame = {
+    val counts = model match {
+      case ServedUnigram(pieces) =>
+        if (byteLevel) ByteLevel.tokenCountsBytes(survivors, idCol, textCol, pieces)
+        else UnigramLm.tokenCounts(survivors, idCol, textCol, pieces)
+      case ServedBpe(merges) =>
+        if (byteLevel) ByteLevel.tokenCountsBpeBytes(survivors, idCol, textCol, merges)
+        else BpeTrain.tokenCountsCompiled(survivors, idCol, textCol, merges)
+    }
     val toks = counts.select(col(idCol), col("n_tokens").alias("n_tok"))
     val shuf = Sampling.shuffled(toks, idCol, seed = shuffleSeed)
     Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget)

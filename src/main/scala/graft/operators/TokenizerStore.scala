@@ -212,6 +212,48 @@ object TokenizerStore {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
+  /** Load whatever model kind the artifact holds, as the manifest
+    * family's serving ADT (the VERDICT r16 #2 seam): a unigram artifact
+    * serves Viterbi, a merge-table artifact (BPE or WordPiece) serves
+    * the compiled greedy fusion. This is what lets a
+    * [[graft.streaming.ManifestMaintainer]] pack windows under ANY
+    * stored tokenizer kind instead of unigram-only.
+    */
+  def loadServed(spark: SparkSession, path: String): ServedModel =
+    openKind(spark, path) match {
+      case KindUnigram => ServedUnigram(loadUnigram(spark, path))
+      case _ => ServedBpe(loadMerges(spark, path))
+    }
+
+  /** The artifact's model kind ([[KindBpe]]/[[KindWordPiece]]/
+    * [[KindUnigram]]) — reader-side, crash-tolerant like every load.
+    */
+  def kindOf(spark: SparkSession, path: String): String = openKind(spark, path)
+
+  /** Content hash of the model's LOGICAL content (kind + ordered rows),
+    * not its parquet bytes — two engines (or two parquet writer configs)
+    * serializing the same model must hash equal, because the hash's job
+    * is to answer "is this the same tokenizer?" for the manifest's
+    * model-versioning stamp (VERDICT r16 #6). Vocabulary-bounded
+    * driver-side work, like every load here.
+    */
+  def contentHash(spark: SparkSession, path: String): String = {
+    val kind = openKind(spark, path)
+    // length-prefixed fields: pieces may contain ANY non-whitespace char,
+    // so no separator character is collision-safe — the length prefix is
+    val canon = kind match {
+      case KindUnigram => loadUnigram(spark, path)
+        .map { case (p, c) => s"${p.length}:$p:$c;" }.mkString
+      case _ => loadMerges(spark, path)
+        .map { case (l, r) => s"${l.length}:$l:${r.length}:$r;" }.mkString
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Reader-side open: tolerate a crashed writer WITHOUT healing in place
     * (healing is the writer's job — a read-only consumer may lack write
     * permission): if live is missing but a complete tmp or an aside

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ManifestPipeline, TokenizerStore}
+import graft.operators.{ManifestPipeline, ServedModel, TokenizerStore}
 import graft.util.Fs
 
 /** Streaming maintenance loop for the incremental pre-training manifest
@@ -39,23 +39,130 @@ import graft.util.Fs
   * distinct-word × broadcast-model, packing is window-local. History is
   * touched only as the store's bucketed key set.
   *
+  * MULTI-WRITER (r17, VERDICT r16 #5): a backfill maintainer and a live
+  * tailer may share one manifest when (a) their `windowOf` functions map
+  * into DISJOINT window spaces, (b) the shared survivor store absorbs
+  * concurrent merges (the [[ManifestUpsertStore]] rebase protocol — a
+  * rename-based [[UpsertStore]] is single-process-only), and (c) their
+  * FEEDS are content-disjoint (e.g. split by crawl shard): two writers
+  * folding the SAME new content concurrently each see it absent from
+  * their store snapshot and both pack a copy — the store still converges
+  * to one key, but both windows carry spans; content-disjoint feeds make
+  * the fold exact, not just convergent. A create-exclusive per-window
+  * claim (`_claims/window-N`) makes a window-space overlap loud BEFORE
+  * spans are written; the committed marker's stamped batchId catches the
+  * same violation after commit.
+  *
+  * MODEL VERSIONING (r17, VERDICT r16 #6): every committed window's
+  * marker stamps the content hash of the tokenizer it was packed under;
+  * `_MODEL_CURRENT` pins the hash new windows must match, a silent
+  * retrain fails loudly, [[adoptModel]] versions the change explicitly,
+  * and [[retokenizeWindow]] restores uniform token units per window
+  * (from the window's source batch — spans store offsets, not text).
+  *
   * {{{
   * val maint = new ManifestMaintainer(store, tokPath, dir,
   *   windowOf = _ + 2, seedOf = bid => 1000L + bid)
   * docs.writeStream.foreachBatch(maint.processBatch _).start()
   * }}}
   */
-class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
+class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     manifestDir: String, windowOf: Long => Long, seedOf: Long => Long,
     idCol: String = "doc_id", textCol: String = "text",
     budget: Long = 512L, byteLevel: Boolean = false) extends Logging {
 
-  @volatile private var cachedModel: Seq[(String, Long)] = null
+  @volatile private var cachedModel: ServedModel = null
+  @volatile private var cachedHash: String = null
 
-  private def model(spark: SparkSession): Seq[(String, Long)] = {
+  /** The stored model, whatever kind the artifact holds (r17 — the
+    * VERDICT r16 #2 seam): unigram serves Viterbi, a BPE/WordPiece merge
+    * table serves the compiled greedy fusion; `byteLevel` composes with
+    * either, and `ServedBpe + byteLevel` is the literal GPT-family
+    * packing unit.
+    */
+  private def model(spark: SparkSession): ServedModel = {
     if (cachedModel == null)
-      cachedModel = TokenizerStore.loadUnigram(spark, tokenizerPath)
+      cachedModel = TokenizerStore.loadServed(spark, tokenizerPath)
     cachedModel
+  }
+
+  private def modelHash(spark: SparkSession): String = {
+    if (cachedHash == null)
+      cachedHash = TokenizerStore.contentHash(spark, tokenizerPath)
+    cachedHash
+  }
+
+  // ── Tokenizer model versioning (VERDICT r16 #6) ─────────────────────────
+
+  private def modelCurrentFile = new java.io.File(manifestDir, "_MODEL_CURRENT")
+  private def modelHistoryFile = new java.io.File(manifestDir, "_MODEL_HISTORY")
+
+  /** Refuse to pack under a model the manifest was not versioned to: a
+    * silent retrain of the artifact at `tokenizerPath` would mix TOKEN
+    * UNITS across windows — window 1 packed under v1 budgets, window 9
+    * under v2, span lengths no longer comparable — with no record that
+    * it happened. `_MODEL_CURRENT` pins the content hash of the model
+    * every new window must be packed under (written with the first
+    * batch); a mismatch fails loudly and names the explicit escape
+    * hatch, [[adoptModel]].
+    */
+  private def ensureModelCurrent(spark: SparkSession): Unit = {
+    val h = modelHash(spark)
+    new java.io.File(manifestDir).mkdirs()
+    if (modelCurrentFile.exists()) {
+      val cur = java.nio.file.Files.readString(modelCurrentFile.toPath).trim
+      if (cur != h) throw new IllegalStateException(
+        s"tokenizer artifact at $tokenizerPath (content $h) is not the " +
+          s"model this manifest is packed under ($cur) — a silent retrain " +
+          "would mix token units across windows; call adoptModel() to " +
+          "version the change explicitly (and retokenizeWindow(...) per " +
+          "window if uniform units are required)")
+    } else {
+      val tmp = new java.io.File(manifestDir,
+        s"_MODEL_CURRENT_tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp.toPath, h)
+      Fs.fsyncFile(tmp)
+      java.nio.file.Files.move(tmp.toPath, modelCurrentFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Fs.fsyncDir(new java.io.File(manifestDir))
+    }
+  }
+
+  /** Explicitly version the manifest onto the artifact's CURRENT model:
+    * the previous hash is appended to `_MODEL_HISTORY` (fsync-durable,
+    * the audit trail), `_MODEL_CURRENT` is atomically replaced, and the
+    * in-memory caches drop so the next pack serves the new model. Every
+    * window keeps the model stamp it was packed under (in its marker),
+    * so a mixed-version manifest is a RECORDED state, not a silent one;
+    * [[retokenizeWindow]] restores uniform units window by window.
+    * Idempotent: adopting the already-current model is a no-op. A crash
+    * between the history append and the current replace replays to a
+    * duplicate history line — harmless.
+    */
+  def adoptModel(spark: SparkSession): Unit = {
+    cachedModel = null; cachedHash = null
+    val h = modelHash(spark)
+    new java.io.File(manifestDir).mkdirs()
+    val prev =
+      if (modelCurrentFile.exists())
+        Some(java.nio.file.Files.readString(modelCurrentFile.toPath).trim)
+      else None
+    if (prev.contains(h)) return
+    prev.foreach { p =>
+      java.nio.file.Files.writeString(modelHistoryFile.toPath, p + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      Fs.fsyncFile(modelHistoryFile)
+    }
+    val tmp = new java.io.File(manifestDir,
+      s"_MODEL_CURRENT_tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp.toPath, h)
+    Fs.fsyncFile(tmp)
+    java.nio.file.Files.move(tmp.toPath, modelCurrentFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Fs.fsyncDir(new java.io.File(manifestDir))
   }
 
   private def windowDir(window: Long) =
@@ -64,8 +171,87 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
   private def markerOf(dir: java.io.File) =
     new java.io.File(dir, "_WINDOW_COMMITTED")
 
+  // ── Multi-writer window claims (VERDICT r16 #5) ─────────────────────────
+
+  private def claimsDir = new java.io.File(manifestDir, "_claims")
+  private def claimOf(window: Long) =
+    new java.io.File(claimsDir, s"window-$window")
+
+  /** Create-exclusive window claim, so a backfill maintainer and a live
+    * tailer can share one manifest: each writer's `windowOf` must map its
+    * batch ids into a DISJOINT window space, and the claim makes a
+    * violation LOUD before any spans are written (the committed marker's
+    * batchId guard catches the same violation after commit). Claims live
+    * OUTSIDE the window dir — the span overwrite would wipe anything
+    * inside it.
+    *
+    * A claim whose content is OUR batchId is a crashed predecessor of
+    * this very batch: within one batch-id space the caller (the
+    * streaming engine) serializes batches, so taking it over and
+    * replaying forward is safe — the crash protocol's existing steps do
+    * the rest. A claim with a DIFFERENT batchId is either overlapping
+    * window spaces (misconfiguration) or a foreign writer racing this
+    * window right now; both throw.
+    */
+  private def acquireClaim(window: Long, batchId: Long): Unit = {
+    claimsDir.mkdirs()
+    val claim = claimOf(window)
+    try {
+      java.nio.file.Files.write(claim.toPath,
+        batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      Fs.fsyncFile(claim)
+      Fs.fsyncDir(claimsDir)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val owner = java.nio.file.Files.readString(claim.toPath).trim
+        if (owner != batchId.toString)
+          throw new IllegalStateException(
+            s"window $window is claimed by batch $owner while batch " +
+              s"$batchId is trying to pack it — two maintainers' windowOf " +
+              "spaces overlap (multi-writer maintenance requires windows " +
+              "from DISJOINT batch-id spaces) or a foreign writer is " +
+              "racing this window")
+      // same batchId: our crashed predecessor — take over, replay forward
+    }
+  }
+
+  /** The batchId recorded inside a committed window's marker, or None for
+    * a marker that records none (a pre-r17 window). Marker format:
+    * line 1 = committing batchId, line 2 = content hash of the tokenizer
+    * model the window's spans were packed under (the version stamp).
+    */
+  private def markerBatchId(marker: java.io.File): Option[Long] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    if (txt.isEmpty) None
+    else Some(txt.linesIterator.next().trim.toLong)
+  }
+
+  /** The model stamp of a committed window — which tokenizer version its
+    * spans count tokens under. None for a pre-r17 marker.
+    */
+  def windowModelStamp(windowId: Long): Option[String] = {
+    val marker = markerOf(windowDir(windowId))
+    require(marker.exists(), s"window $windowId is not committed")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Apply one micro-batch of raw (curated) documents. Also usable
     * un-streamed (backfills, replays, tests).
+    *
+    * The committed-window short-circuit is keyed on the COMMITTING
+    * batchId, stamped into the marker — not on the window id alone: if
+    * `windowOf` maps two distinct batch ids to one window (nothing can
+    * enforce injectivity on a constructor function), the second batch
+    * must fail LOUDLY rather than be silently dropped with its documents
+    * never reaching the store or the manifest (ADVICE r16). A replay of
+    * the SAME batchId still no-ops.
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -79,9 +265,18 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     recoverWindowCrash(dir)
     val marker = markerOf(dir)
     if (marker.exists()) {
+      markerBatchId(marker).filter(_ != batchId).foreach { committed =>
+        throw new IllegalStateException(
+          s"batch $batchId maps to window $window, already committed by " +
+            s"batch $committed — windowOf is not injective; this batch's " +
+            "documents would be silently lost")
+      }
       logInfo(s"batch $batchId: window $window already committed, skipping")
+      claimOf(window).delete() // sweep a claim a crash left behind
       return
     }
+    ensureModelCurrent(spark) // refuse a silently-retrained tokenizer
+    acquireClaim(window, batchId) // one writer per window, loudly
     val fresh = ManifestPipeline.freshSurvivors(store, batch, idCol, textCol)
     try {
       if (fresh.isEmpty) {
@@ -97,11 +292,17 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
         Fs.fsyncTree(dir) // spans durable BEFORE the store learns the keys
         ManifestPipeline.mergeSurvivors(store, fresh, idCol, txnId = batchId)
       }
-      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      java.nio.file.Files.write(marker.toPath,
+        s"$batchId\n${modelHash(spark)}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Fs.fsyncFile(marker)
       Fs.fsyncDir(dir)
-    } finally fresh.unpersist() // a long stream must not pin every batch's
-                                // checkpoint blocks until a driver GC
+      claimOf(window).delete() // marker now guards; the claim is done
+    } finally graft.util.Checkpoints.release(fresh)
+    // ^ actually frees the checkpoint blocks: Dataset.unpersist is a
+    //   cache-manager call and is a NO-OP on a localCheckpoint'd frame
+    //   (ADVICE r16) — a long stream must not pin every batch's blocks
+    //   until a driver GC happens to run
   }
 
   /** All committed windows' spans (uncommitted window dirs are excluded —
@@ -112,6 +313,20 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     * physically.
     */
   def readManifest(spark: SparkSession): DataFrame = {
+    val spans = rawCommittedSpans(spark)
+    retractedIds(spark) match {
+      case Some(ids) =>
+        spans.join(org.apache.spark.sql.functions.broadcast(ids),
+          Seq(idCol), "left_anti")
+      case None => spans
+    }
+  }
+
+  /** Committed spans WITHOUT the retraction filter — the writer-side
+    * view [[compactRetracted]] sweeps over (a reader wanting the logical
+    * manifest uses [[readManifest]]). Same crash checks as the reader.
+    */
+  private def rawCommittedSpans(spark: SparkSession): DataFrame = {
     val all = Option(new java.io.File(manifestDir).listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
     // reader contract (the TokenizerStore shape): a window whose live dir
@@ -138,14 +353,8 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     // every committed window may legitimately be empty (all-duplicate
     // batches): a healthy-but-spanless manifest reads as zero rows, not
     // an error (r16 self-review #3)
-    if (dirs.isEmpty) return emptySpans(spark)
-    val spans = spark.read.parquet(dirs: _*)
-    retractedIds(spark) match {
-      case Some(ids) =>
-        spans.join(org.apache.spark.sql.functions.broadcast(ids),
-          Seq(idCol), "left_anti")
-      case None => spans
-    }
+    if (dirs.isEmpty) emptySpans(spark)
+    else spark.read.parquet(dirs: _*)
   }
 
   /** The manifest's canonical span schema, empty — what a committed but
@@ -190,10 +399,37 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
     */
   def retract(ids: DataFrame): Unit = {
     retractionsDir.mkdirs()
+    // STAGE-THEN-PUBLISH (ADVICE r16): a bare append into the live ledger
+    // dir could crash mid-write and leave a torn parquet part that makes
+    // every later readManifest/compactWindow throw until manual cleanup.
+    // Spark writes the entry into a staging dir readers never list
+    // (underscore-prefixed, so the committed-window scan skips it), the
+    // payload is fsynced THERE, and each part file enters the live dir by
+    // atomic rename — the same data-durable-before-visibility ordering as
+    // the window commit. A crash mid-stage leaves only ignorable debris
+    // (swept on the next retract); a crash between renames leaves a
+    // PREFIX of the entry's parts visible, and the caller re-runs
+    // retract — retraction is an idempotent set-union, so re-adding ids
+    // is harmless.
+    Option(new java.io.File(manifestDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_retractions_stage"))
+      .foreach(Fs.rmTree)
+    val stage = new java.io.File(manifestDir,
+      s"_retractions_stage-${java.util.UUID.randomUUID()}")
     ids.select(idCol).distinct()
       .coalesce(1) // ledger entries are takedown-batch-sized
-      .write.mode("append").parquet(retractionsDir.getPath)
-    Fs.fsyncTree(retractionsDir)
+      .write.mode("overwrite").parquet(stage.getPath)
+    Fs.fsyncTree(stage)
+    Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (p, i) =>
+        java.nio.file.Files.move(p.toPath,
+          new java.io.File(retractionsDir,
+            s"retract-${stage.getName.stripPrefix("_retractions_stage-")}-$i.parquet").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    Fs.fsyncDir(retractionsDir)
+    Fs.rmTree(stage)
     Fs.fsyncDir(retractionsDir.getParentFile)
   }
 
@@ -236,21 +472,121 @@ class ManifestMaintainer(store: UpsertStore, tokenizerPath: String,
         .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
           col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
           col("seq_offset"))
-      val tmp = new java.io.File(live.getPath + "_tmp")
-      Fs.rmTree(tmp)
-      repacked.write.mode("overwrite").parquet(tmp.getPath)
-      Fs.fsyncTree(tmp)
-      java.nio.file.Files.write(markerOf(tmp).toPath, Array.emptyByteArray)
-      Fs.fsyncFile(markerOf(tmp)); Fs.fsyncDir(tmp)
-      val aside = new java.io.File(live.getPath + "_old")
-      Fs.rmTree(aside)
-      java.nio.file.Files.move(live.toPath, aside.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      java.nio.file.Files.move(tmp.toPath, live.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Fs.fsyncDir(live.getParentFile)
-      Fs.rmTree(aside)
-    } finally current.unpersist()
+      // the compacted generation keeps the ORIGINAL marker content
+      // (committing batchId + model stamp) — compaction rewrites spans,
+      // it does not re-deliver a batch or change token units, and the
+      // non-injectivity guard in processBatch keys on this content
+      publishWindow(live, repacked,
+        java.nio.file.Files.readAllBytes(markerOf(live).toPath))
+    } finally graft.util.Checkpoints.release(current) // see processBatch
+  }
+
+  /** Stage-and-swap publish of a window REWRITE ([[compactWindow]] /
+    * [[retokenizeWindow]]): staged tmp with the payload fsynced BEFORE
+    * its marker exists, retire live aside, atomic publish, debris
+    * cleared — the TokenizerStore retire-aside protocol;
+    * [[recoverWindowCrash]] heals any interruption point.
+    */
+  private def publishWindow(live: java.io.File, repacked: DataFrame,
+      markerBytes: Array[Byte]): Unit = {
+    val tmp = new java.io.File(live.getPath + "_tmp")
+    Fs.rmTree(tmp)
+    repacked.write.mode("overwrite").parquet(tmp.getPath)
+    Fs.fsyncTree(tmp)
+    java.nio.file.Files.write(markerOf(tmp).toPath, markerBytes)
+    Fs.fsyncFile(markerOf(tmp)); Fs.fsyncDir(tmp)
+    val aside = new java.io.File(live.getPath + "_old")
+    Fs.rmTree(aside)
+    java.nio.file.Files.move(live.toPath, aside.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Fs.fsyncDir(live.getParentFile)
+    Fs.rmTree(aside)
+  }
+
+  /** Physically re-pack one committed window under the manifest's
+    * CURRENT model — the uniform-units restore after [[adoptModel]].
+    * Stored spans hold token OFFSETS, not text, so re-tokenization
+    * structurally requires the window's source batch: the caller
+    * supplies it, and any window document missing from it fails loudly.
+    * (The alternative — packing a per-model-version n_tok into every
+    * span row — would tax every window of every manifest for a rare
+    * event; requiring the source batch at the rare event is the
+    * documented trade.) Retracted documents drop during the rewrite,
+    * like compaction; the rewrite keeps the window's original committing
+    * batchId and stamps the NEW model hash; the publish is the same
+    * retire-aside crash protocol as [[compactWindow]].
+    */
+  def retokenizeWindow(spark: SparkSession, windowId: Long,
+      sourceBatch: DataFrame, seed: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val live = windowDir(windowId)
+    recoverWindowCrash(live)
+    require(markerOf(live).exists(), s"window $windowId is not committed")
+    ensureModelCurrent(spark)
+    if (!live.listFiles().exists(_.getName.endsWith(".parquet"))) return
+    val ids = spark.read.parquet(live.getPath)
+      .select(col(idCol)).distinct()
+      .localCheckpoint(true) // decouple from the files the swap replaces
+    try {
+      val present = sourceBatch.select(col(idCol), col(textCol))
+        .dropDuplicates(Seq(idCol))
+        .join(ids, Seq(idCol))
+      val missing = ids
+        .join(present.select(col(idCol)), Seq(idCol), "left_anti").count()
+      require(missing == 0L,
+        s"$missing of window $windowId's documents are missing from the " +
+          "supplied source batch — spans store token offsets, not text; " +
+          "re-tokenization needs the window's original batch")
+      val kept = retractedIds(spark) match {
+        case Some(r) => present.join(broadcast(r), Seq(idCol), "left_anti")
+        case None => present
+      }
+      val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
+        model(spark), windowId, seed, budget, byteLevel)
+      val batchStamp = markerBatchId(markerOf(live))
+        .map(_.toString).getOrElse("")
+      publishWindow(live, repacked,
+        s"$batchStamp\n${modelHash(spark)}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally graft.util.Checkpoints.release(ids)
+  }
+
+  /** The takedown SWEEP (VERDICT r16 #3): one pass over the committed
+    * spans finds every window still physically holding a retracted
+    * document, then compacts each — [[retract]] writes the ledger once,
+    * this restores the packing invariant across the WHOLE manifest
+    * instead of asking the operator to name windows by hand. `seedOf`
+    * maps each affected window to its re-pack shuffle seed (a real
+    * deployment keeps the window's original seed so the re-pack is the
+    * deterministic dense order the window would have had). Idempotent
+    * and crash-forward: each window's compaction is its own retire-aside
+    * publish ([[compactWindow]] heals a crashed predecessor on entry and
+    * no-ops a clean window), so a sweep that dies mid-way simply re-runs.
+    * Returns the window ids it compacted. The driver-side collect is the
+    * AFFECTED WINDOW ID list — takedown-sized, like the ledger itself.
+    */
+  def compactRetracted(spark: SparkSession,
+      seedOf: Long => Long): Seq[Long] = {
+    import org.apache.spark.sql.functions._
+    // heal crashed compactions FIRST: a sweep that died mid-publish must
+    // replay forward from its own debris, not fail the committed-spans
+    // read the way a plain reader (correctly) does
+    Option(new java.io.File(manifestDir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        (d.getName.endsWith("_tmp") || d.getName.endsWith("_old")))
+      .map(_.getName.stripSuffix("_tmp").stripSuffix("_old"))
+      .distinct.filter(_.startsWith("window-"))
+      .foreach(n => recoverWindowCrash(new java.io.File(manifestDir, n)))
+    val retracted = retractedIds(spark)
+    if (retracted.isEmpty) return Seq.empty
+    val affected = rawCommittedSpans(spark)
+      .join(broadcast(retracted.get), Seq(idCol), "left_semi")
+      .select(col("window")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    affected.foreach(w => compactWindow(spark, w, seedOf(w)))
+    affected
   }
 
   /** Writer-side healing for a compaction crash (the TokenizerStore

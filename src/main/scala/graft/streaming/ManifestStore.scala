@@ -22,6 +22,8 @@ class CommitConflictException(msg: String) extends IllegalStateException(msg)
   * topology change.
   */
 trait KeyedUpsertStore {
+  /** Replace the store's contents with an initial load (bootstrap). */
+  def initialize(initialLoad: DataFrame): Unit
   /** Apply one folded CDC batch (idempotent, last-write-wins by PK). */
   def merge(folded: DataFrame): Unit
   /** Current store contents (no envelope columns). */

@@ -1406,6 +1406,7 @@ class CdcStreamSpec extends SparkSpec {
     var merges = 0
     var compactChecks = 0
     import org.apache.spark.sql.DataFrame
+    def initialize(initialLoad: DataFrame): Unit = ()
     def merge(folded: DataFrame): Unit = {
       folded.count() // consume, like a real sink
       if (mergeFails) throw new CommitConflictException("merge rebase exhausted")

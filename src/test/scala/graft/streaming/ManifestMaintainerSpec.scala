@@ -225,6 +225,255 @@ class ManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("a DIFFERENT batch mapping to a committed window fails loudly instead of dropping its documents") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec10")
+    try {
+      val (store, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      // a mis-configured windowOf collapsing every batch onto window 1:
+      // batch 5's documents would previously vanish with only a log line
+      // (ADVICE r16 medium) — now the marker's stamped batchId trips
+      val bad = new ManifestMaintainer(store, work.resolve("tok").toString,
+        work.resolve("manifest").toString,
+        windowOf = _ => 1L, seedOf = 100L + _)
+      val ex = intercept[IllegalStateException](
+        bad.processBatch(Seq((50L, "zz qq")).toDF("doc_id", "text"), 5L))
+      assert(ex.getMessage.contains("not injective"), ex.getMessage)
+      // the SAME batchId is an at-least-once replay and still no-ops
+      val before = spanSet(maint)
+      bad.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      assert(spanSet(maint) === before)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("retraction-ledger staging: torn stage debris never reaches readers and is swept") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec11")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(
+        Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text"), 0L)
+      // stage the crash a bare append could not survive: a torn parquet
+      // part — but in the STAGING dir, where no reader ever lists it
+      val stage = new java.io.File(work.resolve("manifest").toFile,
+        "_retractions_stage-deadbeef")
+      stage.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(stage, "part-torn.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      assert(maint.readManifest(spark).select("doc_id").as[Long]
+        .collect().toSet === Set(10L, 12L),
+        "readers are blind to staged ledger debris")
+      // the next retract sweeps the debris and publishes atomically
+      maint.retract(Seq(12L).toDF("doc_id"))
+      assert(!stage.exists(), "stage debris swept on the next retract")
+      assert(maint.readManifest(spark).select("doc_id").as[Long]
+        .collect().toSet === Set(10L))
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("a BPE merge-table artifact serves the maintainer through the model-kind seam") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec12")
+    try {
+      val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+      val store = new UpsertStore(spark, work.resolve("surv").toString,
+        pkCols = Seq("content_hash"), numBuckets = 4, mergeOnRead = true)
+      val surv0 = ManifestPipeline
+        .initializeSurvivors(store, batch0, "doc_id", "text")
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveMerges(tokPath,
+        graft.operators.ByteLevel.trainBpeBytes(surv0, "text", numMerges = 4))
+      // the maintainer loads whatever KIND the artifact holds — a BPE
+      // merge table serves the compiled greedy fusion (VERDICT r16 #2),
+      // byte-level, so unseen scripts pack through unmerged byte symbols
+      val maint = new ManifestMaintainer(store, tokPath,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, byteLevel = true)
+      maint.processBatch(
+        Seq((10L, "ab ba"), (11L, "世界 😀")).toDF("doc_id", "text"), 0L)
+      val spans = spanSet(maint)
+      assert(spans.map(_(1)).toSet === Set(10L, 11L))
+      // the packed n_tok equals the direct compiled-serving count
+      val direct = graft.operators.ByteLevel.tokenCountsBpeBytes(
+        Seq((10L, "ab ba"), (11L, "世界 😀")).toDF("doc_id", "text"),
+        "doc_id", "text", TokenizerStore.loadMerges(spark, tokPath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spans.foreach(s =>
+        assert(s(3) === direct(s(1).asInstanceOf[Long]),
+          s"span n_tok diverged from direct serving for doc ${s(1)}"))
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("append under a silently swapped tokenizer model fails loudly; versioned adoption round-trips") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec13")
+    try {
+      val (store, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      val v1 = maint.windowModelStamp(1L)
+      assert(v1.nonEmpty, "window 1 carries its model stamp")
+      // a RETRAIN lands at the same artifact path (different corpus →
+      // different content hash); a fresh maintainer process picks it up
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(Seq((1L, "xx yy zz ww")).toDF("doc_id", "text"),
+          "text", vocabSize = 50, maxPieceLen = 2, seedSize = 10,
+          emIters = 1, pruneFraction = 0.0), spark)
+      val maint2 = new ManifestMaintainer(store, tokPath,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _)
+      val ex = intercept[IllegalStateException](
+        maint2.processBatch(Seq((20L, "xx yy")).toDF("doc_id", "text"), 1L))
+      assert(ex.getMessage.contains("adoptModel"), ex.getMessage)
+      // explicit versioning: adoption records the old hash and appends
+      // proceed under the new model, each window stamped with ITS model
+      maint2.adoptModel(spark)
+      maint2.processBatch(Seq((20L, "xx yy")).toDF("doc_id", "text"), 1L)
+      val v2 = maint2.windowModelStamp(2L)
+      assert(v2.nonEmpty && v2 != v1, "window 2 is stamped with the new model")
+      assert(maint2.windowModelStamp(1L) === v1, "window 1 keeps its stamp")
+      val hist = java.nio.file.Files.readString(
+        work.resolve("manifest").resolve("_MODEL_HISTORY"))
+      assert(hist.trim === v1.get, "the previous hash is the audit record")
+      // adopting the already-current model is a no-op
+      maint2.adoptModel(spark)
+      assert(java.nio.file.Files.readString(
+        work.resolve("manifest").resolve("_MODEL_HISTORY")).trim === v1.get)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("retokenizeWindow re-packs a window under the adopted model from its source batch") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec14")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      val v1 = maint.windowModelStamp(1L)
+      // retrain + adopt; the old window's units are now a recorded
+      // mixed-version state until the operator re-tokenizes it
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(batch1, "text", vocabSize = 50, maxPieceLen = 2,
+          seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+      maint.adoptModel(spark)
+      // the source batch is REQUIRED: a batch missing a window doc fails
+      val ex = intercept[IllegalArgumentException](
+        maint.retokenizeWindow(spark, 1L,
+          Seq((10L, "ab ba")).toDF("doc_id", "text"), seed = 100L))
+      assert(ex.getMessage.contains("source batch"), ex.getMessage)
+      maint.retokenizeWindow(spark, 1L, batch1, seed = 100L)
+      assert(maint.windowModelStamp(1L) !== v1, "window re-stamped")
+      // spans now equal a direct pack of the same docs under the new model
+      val direct = ManifestPipeline.packWindow(
+        ManifestPipeline.survivorRows(batch1, "doc_id", "text"),
+        "doc_id", "text", TokenizerStore.loadUnigram(spark, tokPath),
+        window = 1L, shuffleSeed = 100L)
+        .select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+        .collect().map(_.toSeq).toSet
+      assert(spanSet(maint) === direct)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("two writers with disjoint window spaces share one manifest: zero lost, zero double-packed windows") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec15")
+    try {
+      val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+      // the rebase-capable store: two writers' merges must both land
+      val store = new ManifestUpsertStore(spark,
+        work.resolve("surv").toString, pkCols = Seq("content_hash"),
+        numBuckets = 4)
+      val surv0 = ManifestPipeline
+        .initializeSurvivors(store, batch0, "doc_id", "text")
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(surv0, "text", vocabSize = 50, maxPieceLen = 3,
+          seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+      // backfill owns windows 1-4, tailer windows 5-8; feeds are
+      // content-disjoint by construction (texts encode writer+batch+doc)
+      def maintFor(base: Long) = new ManifestMaintainer(store, tokPath,
+        work.resolve("manifest").toString,
+        windowOf = bid => base + bid, seedOf = 200L + _)
+      def batchFor(w: Int, b: Int) = (0 until 3).map { i =>
+        (1000L + w * 100 + b * 10 + i,
+          ("a" * (1 + i)) + " " + ("b" * (1 + b)) + " " + ("c" * (1 + w)))
+      }.toDF("doc_id", "text")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(w: Int, base: Long): Thread = new Thread(() => try {
+        val m = maintFor(base)
+        (0 until 4).foreach(b => m.processBatch(batchFor(w, b), b.toLong))
+      } catch { case t: Throwable => errs.add(t) })
+      val ta = writer(0, 1L)
+      val tb = writer(1, 5L)
+      ta.start(); tb.start(); ta.join(300000); tb.join(300000)
+      assert(!ta.isAlive && !tb.isAlive, "a writer hung")
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+      val spans = maintFor(1L).readManifest(spark)
+        .select("window", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // zero lost: all 8 windows committed with their 3 docs each
+      assert(spans.map(_._1).toSet === (1L to 8L).toSet)
+      assert(spans.length === 24, s"expected 24 spans, got ${spans.length}")
+      // zero double-packed: every doc appears in exactly one window
+      assert(spans.map(_._2).distinct.length === 24)
+      // and the shared store converged to every content hash exactly once
+      assert(store.snapshot().count() === 2 + 24)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("a window claimed by a foreign batch fails loudly; our own crashed claim is taken over") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec16")
+    try {
+      val (_, maint) = fixture(work) // windowOf = _ + 1
+      val claims = new java.io.File(work.resolve("manifest").toFile, "_claims")
+      claims.mkdirs()
+      // a FOREIGN writer's claim on our window: loud, before any write
+      java.nio.file.Files.writeString(
+        new java.io.File(claims, "window-1").toPath, "99")
+      val ex = intercept[IllegalStateException](
+        maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L))
+      assert(ex.getMessage.contains("claimed by batch 99"), ex.getMessage)
+      // OUR crashed predecessor's claim (same batchId): take over, commit
+      java.nio.file.Files.writeString(
+        new java.io.File(claims, "window-1").toPath, "0")
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      assert(spanSet(maint).nonEmpty)
+      assert(!new java.io.File(claims, "window-1").exists(),
+        "the claim is released once the marker guards")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("compactRetracted sweeps every affected window, self-heals a crashed predecessor, and is idempotent") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec17")
+    try {
+      val (_, maint) = fixture(work)
+      // two windows, the takedown doc set hitting both
+      maint.processBatch(
+        Seq((10L, "ab ba"), (11L, "ba ab"), (12L, "aa cc"))
+          .toDF("doc_id", "text"), 0L)
+      maint.processBatch(
+        Seq((20L, "ca bc"), (21L, "ad da")).toDF("doc_id", "text"), 1L)
+      maint.retract(Seq(11L, 20L).toDF("doc_id"))
+      // simulate a sweep that died after compacting window 2: window 2 is
+      // compacted but its publish "crashed" — the compacted generation
+      // sits as a marker-bearing staged tmp, live missing (mmspec9 shape)
+      maint.compactWindow(spark, 2L, seed = 101L)
+      val live2 = new java.io.File(work.resolve("manifest").toString, "window-2")
+      java.nio.file.Files.move(live2.toPath,
+        new java.io.File(live2.getPath + "_tmp").toPath)
+      // the re-run sweep must self-heal window 2, then compact the still-
+      // dirty window 1 — and report exactly the windows it compacted
+      val swept = maint.compactRetracted(spark, w => 100L + (w - 1))
+      assert(swept === Seq(1L), s"expected only window 1 left to compact, got $swept")
+      assert(live2.exists(), "the crashed publish healed forward")
+      val spans = spanSet(maint)
+      assert(spans.map(_(1)).toSet === Set(10L, 12L, 21L))
+      // dense re-pack in BOTH windows (positions restart at 0 per window)
+      assert(spans.filter(_(0) == 1L).map(_(2)).toSet === Set(0L, 1L))
+      assert(spans.filter(_(0) == 2L).map(_(2)).toSet === Set(0L))
+      // idempotent: nothing left to sweep, nothing re-published
+      assert(maint.compactRetracted(spark, w => 100L + (w - 1)).isEmpty)
+      assert(spanSet(maint) === spans)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("an all-duplicate batch commits an empty window readers never see") {
     val work = java.nio.file.Files.createTempDirectory("graft-mmspec4")
     try {
