@@ -1378,6 +1378,37 @@ object SparkEntry {
       } finally corpus.unpersist()
     }),
 
+    // THE BPE-PACKED MANIFEST (r17, VERDICT r16 #2): the manifest chain
+    // under a byte-level BPE tokenizer — what GPT-family pipelines
+    // actually pack. Curation → exact dedup → byte pre-tokenize/encode →
+    // BPE merge table trained in-gate (8 merges) → TokenizerStore
+    // saveMerges/loadServed round trip (the model-KIND seam: the store
+    // hands back a ServedBpe and packWindow dispatches on it) → compiled
+    // greedy-fusion token counts → seeded shuffle → 512-token span
+    // packing. The oracle replays the full unrolled 8-layer BPE fold
+    // over the byte words and feeds the fused w8 vocabulary into the
+    // shared pack tail.
+    "q_pretrain_manifest_bpe" -> ((s, dir) => {
+      val corpus = manifestCorpus(t(s, dir, "documents")).localCheckpoint(true)
+      try {
+        val work = java.nio.file.Files.createTempDirectory("graft-pretrbpe")
+        val served = try {
+          val merges = graft.operators.ByteLevel
+            .trainBpeBytes(corpus, "text", numMerges = 8)
+          val path = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveMerges(path, merges)
+          graft.operators.TokenizerStore.loadServed(s, path)
+        } finally graft.util.Fs.rmTree(work.toFile)
+        graft.operators.ManifestPipeline
+          .packWindow(corpus, "doc_id", "text", served, window = 1L,
+            shuffleSeed = 83L, budget = 512L, byteLevel = true)
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tok"),
+            col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+            col("seq_offset"))
+          .localCheckpoint(true)
+      } finally corpus.unpersist()
+    }),
+
     // INCREMENTAL MANIFEST MAINTENANCE (r16, VERDICT r15 #1): the
     // monthly-crawl composition — window 1 (doc_id < 250) bootstraps the
     // survivor UpsertStore, trains the tokenizer, and packs its spans;
@@ -1548,6 +1579,164 @@ object SparkEntry {
               col("seq"), col("tok_start"), col("tok_end"),
               col("seq_offset"))
             .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
+    }),
+
+    // TWO-WRITER MANIFEST MAINTENANCE (r17, VERDICT r16 #5): a backfill
+    // maintainer and a tailer maintainer — REAL concurrent threads —
+    // share one manifest directory and one REBASE-CAPABLE survivor store
+    // (ManifestUpsertStore), with disjoint window spaces (the windowOf
+    // seam), per-window create-exclusive claims, and content-disjoint
+    // feeds (the deployment contract; the tailer's feed anti-joins the
+    // backfill range's texts). Any interleaving must produce the same
+    // manifest; the oracle recomputes the SERIAL three-window fold from
+    // raw documents in one statement — hash equality IS the concurrency
+    // proof.
+    "q_manifest_2writer" -> ((s, dir) => {
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val b0 = gated.where(col("doc_id") < 150)
+        val range2 = gated.where(col("doc_id") >= 150 && col("doc_id") < 300)
+        val b2 = gated.where(col("doc_id") >= 300)
+          .join(range2.select(col("text")).distinct(), Seq("text"),
+            "left_anti")
+          .select(col("doc_id"), col("text"))
+        val work = java.nio.file.Files.createTempDirectory("graft-man2w")
+        try {
+          val store = new graft.streaming.ManifestUpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8)
+          val surv0 = graft.operators.ManifestPipeline
+            .initializeSurvivors(store, b0, "doc_id", "text")
+            .localCheckpoint(true)
+          val tokPath = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(tokPath,
+            UnigramLm.train(surv0, "text", vocabSize = 200,
+              maxPieceLen = 3, seedSize = 40, emIters = 1,
+              pruneFraction = 0.0), s)
+          val served = graft.operators.TokenizerStore.loadUnigram(s, tokPath)
+          val m1 = graft.operators.ManifestPipeline
+            .packWindow(surv0, "doc_id", "text", served, 1L, 79L)
+          val backfill = new graft.streaming.ManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 2L, seedOf = _ => 89L)
+          val tailer = new graft.streaming.ManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 3L, seedOf = _ => 97L)
+          val errs =
+            new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val ta = new Thread(() =>
+            try backfill.processBatch(range2, 0L)
+            catch { case t: Throwable => errs.add(t) })
+          val tb = new Thread(() =>
+            try tailer.processBatch(b2, 0L)
+            catch { case t: Throwable => errs.add(t) })
+          ta.start(); tb.start(); ta.join(600000); tb.join(600000)
+          require(!ta.isAlive && !tb.isAlive, "a manifest writer hung")
+          require(errs.isEmpty, s"manifest writer failed: ${errs.peek()}")
+          val storedKeys = store.snapshot()
+            .select(col("content_hash"), col("doc_id"))
+          m1.unionByName(backfill.readManifest(s))
+            .join(storedKeys, Seq("doc_id"))
+            .select(col("window"), col("doc_id"), col("content_hash"),
+              col("shuffle_pos"), col("n_tok"), col("cum_before"),
+              col("seq"), col("tok_start"), col("tok_end"),
+              col("seq_offset"))
+            .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
+    }),
+
+    // THE TAKEDOWN SWEEP (r17, VERDICT r16 #3): one retraction, EVERY
+    // surface — the whole-pipeline right-to-be-forgotten composition. A
+    // doc set (doc_id % 9 = 4) is retracted from a two-window manifest
+    // (ledger → compactRetracted sweeps every affected window
+    // physically), deleted from the persisted IVF index
+    // (AnnIndex.deleteIvf tombstones), and stays BANNED in the survivor
+    // store (a re-crawl of the same texts under new ids folds to an
+    // empty window; a replay of the original batch no-ops on its
+    // marker). Output = manifest spans ∪ ANN top-k as one null-padded
+    // union; the oracle recomputes both surfaces minus the retracted
+    // docs in one statement, so a single leaked span OR a single
+    // tombstone-escaping neighbor breaks the hash.
+    "q_takedown_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val batch1 = gated.where(col("doc_id") < IncrementalSplitId)
+        val batch2 = gated.where(col("doc_id") >= IncrementalSplitId)
+        val work = java.nio.file.Files.createTempDirectory("graft-takedown")
+        try {
+          val store = new graft.streaming.UpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8, mergeOnRead = true)
+          store.initialize(Cdc.initialLoad(
+            Seq.empty[(String, Long)].toDF("content_hash", "doc_id")))
+          val tokPath = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(tokPath,
+            UnigramLm.train(
+              graft.operators.ManifestPipeline
+                .survivorRows(batch1, "doc_id", "text"),
+              "text", vocabSize = 200, maxPieceLen = 3, seedSize = 40,
+              emIters = 1, pruneFraction = 0.0), s)
+          val seeds = Seq(101L, 103L)
+          val maint = new graft.streaming.ManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 1L, seedOf = bid => seeds(bid.toInt))
+          maint.processBatch(batch1, 0L)
+          maint.processBatch(batch2, 1L)
+          val emb = t(s, dir, "embeddings")
+          val ix = work.resolve("ix").toString
+          graft.operators.AnnIndex.buildIvf(ix, emb, "vec_id", "embedding",
+            numCells = 8, fitSampleSize = 2000)
+          // THE takedown: one doc set leaves every surface
+          val takedown = gated.where(col("doc_id") % 9 === 4)
+          maint.retract(takedown.select(col("doc_id")))
+          val swept = maint.compactRetracted(s,
+            w => seeds((w - 1).toInt))
+          require(swept.nonEmpty, "the sweep found no affected windows — " +
+            "the takedown predicate selects none at this sf")
+          graft.operators.AnnIndex.deleteIvf(ix,
+            emb.where(pmod(col("vec_id"), lit(9)) === 4)
+              .select(col("vec_id")))
+          // ban-on-recrawl: the same texts under NEW ids fold to an
+          // all-duplicate batch → window 3 commits EMPTY (the oracle has
+          // exactly two windows, so any leaked span breaks the hash)...
+          maint.processBatch(
+            takedown.select((col("doc_id") + 1000000L).alias("doc_id"),
+              col("text")), 2L)
+          // ...and the original batch's redelivery no-ops on its marker
+          maint.processBatch(batch2, 1L)
+          val storedKeys = store.snapshot()
+            .select(col("content_hash"), col("doc_id"))
+          val nullL = lit(null).cast(LongType)
+          val manifestSec = maint.readManifest(s)
+            .join(storedKeys, Seq("doc_id"))
+            .select(lit("manifest").alias("section"), col("window"),
+              col("doc_id"), col("content_hash"), col("shuffle_pos"),
+              col("n_tok"), col("cum_before"), col("seq"),
+              col("tok_start"), col("tok_end"), col("seq_offset"),
+              nullL.alias("query_id"), nullL.alias("neighbor_id"),
+              nullL.alias("rank"),
+              lit(null).cast(DoubleType).alias("cosine_r"))
+          val annSec = graft.operators.AnnIndex.searchIvf(ix,
+              emb.where(col("vec_id") < 4)
+                .select(col("vec_id").alias("query_id"), col("embedding")),
+              "query_id", k = 10, nprobe = 8)
+            .select(lit("ann").alias("section"), nullL.alias("window"),
+              nullL.alias("doc_id"),
+              lit(null).cast(StringType).alias("content_hash"),
+              nullL.alias("shuffle_pos"), nullL.alias("n_tok"),
+              nullL.alias("cum_before"), nullL.alias("seq"),
+              nullL.alias("tok_start"), nullL.alias("tok_end"),
+              nullL.alias("seq_offset"), col("query_id"),
+              col("neighbor_id").cast(LongType).alias("neighbor_id"),
+              col("rank").cast(LongType).alias("rank"),
+              round(col("cosine"), 6).alias("cosine_r"))
+          manifestSec.unionByName(annSec).localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
       } finally gated.unpersist()
     }),
@@ -3762,9 +3951,10 @@ object SparkEntry {
       org.apache.spark.unsafe.types.UTF8String.fromString(t)))
 
   /** The Gumbel-top-60 resample replay — ONE definition gating BOTH the
-    * k-heap path (`q_dsir_resample`) and the exact-quantile threshold
-    * hatch (`q_dsir_resample_threshold`): the hatch's whole claim is
-    * selection identity, so it must face the identical oracle.
+    * k-heap path (`q_dsir_resample`) and the rank-slack-compensated
+    * quantile threshold hatch (`q_dsir_resample_threshold`): the hatch's
+    * whole claim is selection identity, so it must face the identical
+    * oracle.
     */
   private lazy val DsirResampleOracle: String =
     DsirWeightsCtes + s""",
@@ -3929,7 +4119,15 @@ object SparkEntry {
     |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
     |    FROM corpus) d
     |  JOIN best2 b USING (word) WHERE d.word <> ''
-    |  GROUP BY d.doc_id),
+    |  GROUP BY d.doc_id)""".stripMargin + manifestPackTailSql(shuffleSeed)
+
+  /** The kind-blind half of the manifest replay tail — seeded shuffle
+    * permutation, running-sum window, 512-token span cut — consuming a
+    * `doctoks(doc_id, n_tok)` CTE whatever model kind produced it (the
+    * unigram tail above, or the BPE `w8` fusion the BPE manifest oracle
+    * builds its own head from).
+    */
+  private def manifestPackTailSql(shuffleSeed: Long): String = s""",
     |shuf AS MATERIALIZED (
     |  SELECT doc_id, n_tok,
     |    CAST(row_number() OVER (
@@ -3965,7 +4163,11 @@ object SparkEntry {
     */
   private def incrementalTailSql(seeds: Seq[Long],
       shufWhere: Option[String] = None,
-      finalWhere: Option[String] = None): String = {
+      finalWhere: Option[String] = None,
+      asCte: Option[String] = None): String = {
+    // asCte: wrap the final span select as a named CTE and leave the
+    // statement OPEN — for composition gates (q_takedown_sweep) whose
+    // final statement unions the manifest rows with other surfaces
     val unions = seeds.indices.map { i =>
       s"""  SELECT ${i + 1}::BIGINT AS win, doc_id, content_hash,
         |    unnest(string_split_regex(text, '\\s+')) AS word FROM w${i + 1}"""
@@ -4004,12 +4206,12 @@ object SparkEntry {
     |    unnest(generate_series(cum_before // 512,
     |      (cum_before + n_tok - 1) // 512)) AS seq
     |  FROM cumt WHERE n_tok > 0)
-    |SELECT win AS window, doc_id, content_hash, shuffle_pos, n_tok,
+    |${asCte.map(n => s",\n$n AS (").getOrElse("")}SELECT win AS window, doc_id, content_hash, shuffle_pos, n_tok,
     |  cum_before, seq,
     |  greatest(0, seq * 512 - cum_before) AS tok_start,
     |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
     |  greatest(0, cum_before - seq * 512) AS seq_offset
-    |FROM spans$finalPred""".stripMargin
+    |FROM spans$finalPred${asCte.map(_ => ")").getOrElse("")}""".stripMargin
   }
 
   /** The retraction replay tail: window 1 re-packs over the REMAINING
@@ -5725,6 +5927,82 @@ object SparkEntry {
           |            UNION ALL SELECT doc_id, text FROM w3),
           |""".stripMargin) + incrementalTailSql(Seq(53L, 59L, 61L))),
 
+    // the takedown sweep: the two-window manifest recomputed over the
+    // non-retracted docs with BOTH windows re-packed dense (the swept
+    // physical state), unioned with exact top-k over the embeddings
+    // minus the deleted ids — one statement, two surfaces, one hash
+    "q_takedown_sweep" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < $IncrementalSplitId GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= $IncrementalSplitId
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2),
+          |""".stripMargin) +
+        incrementalTailSql(Seq(101L, 103L),
+          shufWhere = Some("NOT (doc_id % 9 = 4)"),
+          asCte = Some("mrows")) + """
+        |SELECT 'manifest' AS section, "window", doc_id, content_hash,
+        |  shuffle_pos, n_tok, cum_before, seq, tok_start, tok_end,
+        |  seq_offset, NULL::BIGINT AS query_id,
+        |  NULL::BIGINT AS neighbor_id, NULL::BIGINT AS rank,
+        |  NULL::DOUBLE AS cosine_r
+        |FROM mrows
+        |UNION ALL
+        |SELECT 'ann', NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR,
+        |  NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |  NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |  query_id, neighbor_id, rank, cosine_r
+        |FROM (
+        |  SELECT query_id, neighbor_id, rank,
+        |    round(cosine, 6) AS cosine_r FROM (
+        |    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |      list_cosine_similarity(d.embedding::DOUBLE[],
+        |        q.embedding::DOUBLE[]) AS cosine,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(d.embedding::DOUBLE[],
+        |          q.embedding::DOUBLE[]) DESC, d.vec_id) AS rank
+        |    FROM embeddings d, embeddings q
+        |    WHERE q.vec_id < 4 AND d.vec_id <> q.vec_id
+        |      AND d.vec_id % 9 <> 4)
+        |  WHERE rank <= 10)""".stripMargin),
+
+    // the two-writer manifest: the SERIAL three-window fold — whatever
+    // interleaving the two live threads actually ran, the result must
+    // hash-equal this one-statement recompute; w3's feed is
+    // content-disjoint from the backfill RANGE (not just its survivors),
+    // exactly the Spark side's anti-join
+    "q_manifest_2writer" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < 150 GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= 150 AND doc_id < 300
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |w3 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= 300
+          |    AND text NOT IN (SELECT text FROM w1)
+          |    AND text NOT IN (SELECT text FROM gated
+          |                     WHERE doc_id >= 150 AND doc_id < 300)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2
+          |            UNION ALL SELECT doc_id, text FROM w3),
+          |""".stripMargin) + incrementalTailSql(Seq(79L, 89L, 97L))),
+
     // the byte-level manifest: curation + min-id dedup feed the byte
     // pre-tokenize/encode CTEs, whose output relation IS the unigram
     // family's corpus (byte words split on the spaces byteText inserts),
@@ -5738,6 +6016,24 @@ object SparkEntry {
           preTokenizeCte("ptm", "corpus0") +
           byteTextCte("corpus", "ptm")).stripSuffix(",") + ",\n") +
         manifestTailSql(shuffleSeed = 47L)),
+
+    // the BPE-packed manifest (r17): curation + min-id dedup feed the
+    // byte pre-tokenize/encode CTEs, the 8-layer unrolled BPE fold
+    // learns the merge table over the byte words and w8 holds every
+    // word's fused symbols; per-doc n_tok = Σ len(syms) over the byte
+    // words, then the kind-blind shuffle/pack tail at this gate's seed
+    "q_pretrain_manifest_bpe" ->
+      (bpeOracleCtes(8, lastApply = true,
+        prelude = (ManifestGatedCte + """corpus0 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),""".stripMargin +
+          preTokenizeCte("ptm", "corpus0") +
+          byteTextCte("corpus", "ptm")).stripSuffix(",") + ",\n",
+        source = "corpus") + s""",
+        |doctoks AS MATERIALIZED (
+        |  SELECT d.doc_id, sum(len(w.syms))::BIGINT AS n_tok
+        |  FROM corpus_w d JOIN w8 w ON d.bword = w.word
+        |  GROUP BY d.doc_id)""".stripMargin +
+        manifestPackTailSql(shuffleSeed = 83L)),
 
     // the GPT-2 pre-tokenizer, position by position
     "q_pretokenize_gpt2" ->
