@@ -1649,6 +1649,68 @@ object SparkEntry {
       } finally gated.unpersist()
     }),
 
+    // MODEL-VERSIONED RE-TOKENIZATION (r17, VERDICT r16 #6): two windows
+    // pack under tokenizer A; the artifact is RETRAINED in place
+    // (seedSize 40 → 60 — a different model, same path); a fresh
+    // maintainer refuses to append until adoptModel() versions the
+    // change, then retokenizeWindow() re-packs BOTH windows from their
+    // source batches under model B. The oracle recomputes the manifest
+    // from raw documents under model B ONLY — hash equality proves the
+    // restore left no window (and no single span) on model A's units.
+    "q_manifest_retokenize" -> ((s, dir) => {
+      import s.implicits._
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val batch1 = gated.where(col("doc_id") < IncrementalSplitId)
+        val batch2 = gated.where(col("doc_id") >= IncrementalSplitId)
+        val work = java.nio.file.Files.createTempDirectory("graft-retok")
+        try {
+          val store = new graft.streaming.UpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8, mergeOnRead = true)
+          store.initialize(Cdc.initialLoad(
+            Seq.empty[(String, Long)].toDF("content_hash", "doc_id")))
+          val tokPath = work.resolve("tok").toString
+          def trainA = UnigramLm.train(
+            graft.operators.ManifestPipeline
+              .survivorRows(batch1, "doc_id", "text"),
+            "text", vocabSize = 200, maxPieceLen = 3, seedSize = 40,
+            emIters = 1, pruneFraction = 0.0)
+          def trainB = UnigramLm.train(
+            graft.operators.ManifestPipeline
+              .survivorRows(batch1, "doc_id", "text"),
+            "text", vocabSize = 200, maxPieceLen = 3, seedSize = 60,
+            emIters = 1, pruneFraction = 0.0)
+          graft.operators.TokenizerStore.saveUnigram(tokPath, trainA, s)
+          val seeds = Seq(107L, 109L)
+          val maint = new graft.streaming.ManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 1L, seedOf = bid => seeds(bid.toInt))
+          maint.processBatch(batch1, 0L)
+          maint.processBatch(batch2, 1L)
+          // the retrain lands at the same artifact path; a fresh
+          // maintainer process MUST refuse to pack under it unversioned
+          graft.operators.TokenizerStore.saveUnigram(tokPath, trainB, s)
+          val maint2 = new graft.streaming.ManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 1L, seedOf = bid => seeds(bid.toInt))
+          maint2.adoptModel(s)
+          maint2.retokenizeWindow(s, 1L, batch1, seeds(0))
+          maint2.retokenizeWindow(s, 2L, batch2, seeds(1))
+          val storedKeys = store.snapshot()
+            .select(col("content_hash"), col("doc_id"))
+          maint2.readManifest(s)
+            .join(storedKeys, Seq("doc_id"))
+            .select(col("window"), col("doc_id"), col("content_hash"),
+              col("shuffle_pos"), col("n_tok"), col("cum_before"),
+              col("seq"), col("tok_start"), col("tok_end"),
+              col("seq_offset"))
+            .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
+    }),
+
     // THE TAKEDOWN SWEEP (r17, VERDICT r16 #3): one retraction, EVERY
     // surface — the whole-pipeline right-to-be-forgotten composition. A
     // doc set (doc_id % 9 = 4) is retracted from a two-window manifest
@@ -5926,6 +5988,25 @@ object SparkEntry {
           |            UNION ALL SELECT doc_id, text FROM w2
           |            UNION ALL SELECT doc_id, text FROM w3),
           |""".stripMargin) + incrementalTailSql(Seq(53L, 59L, 61L))),
+
+    // versioned re-tokenization: the manifest recomputed from raw
+    // documents under model B ONLY (the seedSize-60 retrain) — model A
+    // never appears, which is the uniform-units restore claim itself
+    "q_manifest_retokenize" ->
+      (unigramOracleCtes(3, 60, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < $IncrementalSplitId GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= $IncrementalSplitId
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2),
+          |""".stripMargin) + incrementalTailSql(Seq(107L, 109L))),
 
     // the takedown sweep: the two-window manifest recomputed over the
     // non-retracted docs with BOTH windows re-packed dense (the swept
