@@ -169,9 +169,15 @@ object Sampling {
         col(weightCol).cast("long")
       case FloatType | DoubleType =>
         val c = col(weightCol).cast(DoubleType)
-        when(c.isNull || c === floor(c), c.cast(LongType))
+        // provably-integral only: the round-trip check, bounded to the
+        // 2^53 range where a double can represent an exact integer at
+        // all (beyond it the long cast is silently lossy, and NaN/Inf —
+        // which compare equal to their own floor under Spark's NaN
+        // semantics — fall to the loud branch via the bound)
+        val exact = c === floor(c) && abs(c) <= lit(9007199254740992.0)
+        when(c.isNull || exact, c.cast(LongType))
           .otherwise(raise_error(format_string(
-            s"fractional weight in '$weightCol': %s — pre-round to an " +
+            s"non-integral weight in '$weightCol': %s — pre-round to an " +
               "integer unit (chars, tokens, bytes) upstream, or keep an " +
               "integral-valued column", c)))
           .cast(LongType)

@@ -225,9 +225,13 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
   private def markerBatchId(marker: java.io.File): Option[Long] = {
     val txt = new String(
       java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    if (txt.isEmpty) None
-    else Some(txt.linesIterator.next().trim.toLong)
+      java.nio.charset.StandardCharsets.UTF_8)
+    // parse the RAW first line, not the trimmed content: a marker whose
+    // first line is empty (a pre-r17 window later rewritten with a model
+    // stamp) must read as "no recorded batchId", not as an attempt to
+    // parse the second line's hash as a number
+    txt.linesIterator.toSeq.headOption.map(_.trim)
+      .filter(_.matches("-?\\d+")).map(_.toLong)
   }
 
   /** The model stamp of a committed window — which tokenizer version its

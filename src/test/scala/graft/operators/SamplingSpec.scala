@@ -395,7 +395,18 @@ class SamplingSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(err).exists(_.contains("fractional weight")),
+    assert(messages(err).exists(_.contains("non-integral weight")),
       s"expected the raise_error message, got: ${messages(err)}")
+    // NaN and Infinity are non-integral too (Spark's NaN compares equal
+    // to its own floor — the 2^53 bound routes them to the loud branch)
+    val nan = longW.withColumn("w",
+      when(col("id") === 7L, lit(Double.NaN))
+        .otherwise(col("w").cast("double")))
+    val err2 = intercept[Exception] {
+      Sampling.mixByTemperature(nan, "id", "stratum", "w",
+        alpha = 0.5, seed = 17L).count()
+    }
+    assert(messages(err2).exists(_.contains("non-integral weight")),
+      s"NaN weight must raise, got: ${messages(err2)}")
   }
 }

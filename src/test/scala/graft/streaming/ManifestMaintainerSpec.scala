@@ -474,6 +474,23 @@ class ManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("a stamp-only marker (empty batchId line) reads as unrecorded, never as a parse crash") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec18")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      // a pre-r17 window later rewritten with only a model stamp: first
+      // marker line empty, second line the hash — replays must treat the
+      // batchId as unrecorded (tolerant skip), not parse the hash
+      val marker = new java.io.File(
+        work.resolve("manifest").toString + "/window-1/_WINDOW_COMMITTED")
+      java.nio.file.Files.writeString(marker.toPath, "\ndeadbeefcafe")
+      val before = spanSet(maint)
+      maint.processBatch(Seq((99L, "zz")).toDF("doc_id", "text"), 0L)
+      assert(spanSet(maint) === before, "the committed window stays as-is")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("an all-duplicate batch commits an empty window readers never see") {
     val work = java.nio.file.Files.createTempDirectory("graft-mmspec4")
     try {
