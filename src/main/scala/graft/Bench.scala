@@ -219,10 +219,12 @@ class BenchEnv {
       var rd = 0L; var wr = 0L
       lines.forEach { l =>
         val f = l.trim.split("\\s+")
-        // parent devices only (sda, vda, nvme0n1, dm-0, md0) — the
-        // per-partition rows would double-count their parent's sectors
+        // physical parent devices only (sda, vda, nvme0n1): partition
+        // rows would double-count their parent, and dm-*/md* stacked
+        // devices would double-count the physical disks beneath them —
+        // every dm/md sector reappears in its backing device's row
         if (f.length >= 11 &&
-            f(2).matches("^(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+|dm-\\d+|md\\d+)$")) {
+            f(2).matches("^(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+)$")) {
           rd += f(5).toLong; wr += f(9).toLong
         }
       }

@@ -220,10 +220,38 @@ object TokenizerStore {
     * stored tokenizer kind instead of unigram-only.
     */
   def loadServed(spark: SparkSession, path: String): ServedModel =
-    openKind(spark, path) match {
-      case KindUnigram => ServedUnigram(loadUnigram(spark, path))
-      case _ => ServedBpe(loadMerges(spark, path))
+    loadServedWithHash(spark, path)._1
+
+  /** [[loadServed]] plus the [[contentHash]] of the SAME loaded rows —
+    * one artifact read, so a retrain racing two separate load calls can
+    * never hand a maintainer model B with hash A (the silent token-unit
+    * mix the versioning stamp exists to prevent).
+    */
+  def loadServedWithHash(spark: SparkSession,
+      path: String): (ServedModel, String) = {
+    val kind = openKind(spark, path)
+    // length-prefixed hash fields: pieces may contain ANY non-whitespace
+    // char, so no separator character is collision-safe — a length prefix is
+    kind match {
+      case KindUnigram =>
+        val pieces = loadUnigram(spark, path)
+        (ServedUnigram(pieces), hashOf(kind,
+          pieces.map { case (p, c) => s"${p.length}:$p:$c;" }.mkString))
+      case _ =>
+        val merges = loadMerges(spark, path)
+        (ServedBpe(merges), hashOf(kind,
+          merges.map { case (l, r) => s"${l.length}:$l:${r.length}:$r;" }
+            .mkString))
     }
+  }
+
+  private def hashOf(kind: String, canon: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
 
   /** The artifact's model kind ([[KindBpe]]/[[KindWordPiece]]/
     * [[KindUnigram]]) — reader-side, crash-tolerant like every load.
@@ -237,22 +265,8 @@ object TokenizerStore {
     * model-versioning stamp (VERDICT r16 #6). Vocabulary-bounded
     * driver-side work, like every load here.
     */
-  def contentHash(spark: SparkSession, path: String): String = {
-    val kind = openKind(spark, path)
-    // length-prefixed fields: pieces may contain ANY non-whitespace char,
-    // so no separator character is collision-safe — the length prefix is
-    val canon = kind match {
-      case KindUnigram => loadUnigram(spark, path)
-        .map { case (p, c) => s"${p.length}:$p:$c;" }.mkString
-      case _ => loadMerges(spark, path)
-        .map { case (l, r) => s"${l.length}:$l:${r.length}:$r;" }.mkString
-    }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.update(0.toByte)
-    md.digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-  }
+  def contentHash(spark: SparkSession, path: String): String =
+    loadServedWithHash(spark, path)._2
 
   /** Reader-side open: tolerate a crashed writer WITHOUT healing in place
     * (healing is the writer's job — a read-only consumer may lack write

@@ -69,10 +69,23 @@ import graft.util.Fs
 class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     manifestDir: String, windowOf: Long => Long, seedOf: Long => Long,
     idCol: String = "doc_id", textCol: String = "text",
-    budget: Long = 512L, byteLevel: Boolean = false) extends Logging {
+    budget: Long = 512L, byteLevel: Boolean = false,
+    writerId: String = "writer-0") extends Logging {
 
-  @volatile private var cachedModel: ServedModel = null
-  @volatile private var cachedHash: String = null
+  require(writerId.nonEmpty && !writerId.exists(c => c == '\n' || c == '\r'),
+    s"writerId must be a non-empty single-line token, got '$writerId'")
+
+  // model + hash are ONE cached artifact read (review r17 #3): two
+  // independent loads could straddle a racing retrain and pack spans
+  // under model B while pinning/stamping hash A — the silent token-unit
+  // mix the versioning stamp exists to prevent
+  @volatile private var cached: (ServedModel, String) = null
+
+  private def loaded(spark: SparkSession): (ServedModel, String) = {
+    if (cached == null)
+      cached = TokenizerStore.loadServedWithHash(spark, tokenizerPath)
+    cached
+  }
 
   /** The stored model, whatever kind the artifact holds (r17 — the
     * VERDICT r16 #2 seam): unigram serves Viterbi, a BPE/WordPiece merge
@@ -80,17 +93,9 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     * either, and `ServedBpe + byteLevel` is the literal GPT-family
     * packing unit.
     */
-  private def model(spark: SparkSession): ServedModel = {
-    if (cachedModel == null)
-      cachedModel = TokenizerStore.loadServed(spark, tokenizerPath)
-    cachedModel
-  }
+  private def model(spark: SparkSession): ServedModel = loaded(spark)._1
 
-  private def modelHash(spark: SparkSession): String = {
-    if (cachedHash == null)
-      cachedHash = TokenizerStore.contentHash(spark, tokenizerPath)
-    cachedHash
-  }
+  private def modelHash(spark: SparkSession): String = loaded(spark)._2
 
   // ── Tokenizer model versioning (VERDICT r16 #6) ─────────────────────────
 
@@ -109,24 +114,48 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
   private def ensureModelCurrent(spark: SparkSession): Unit = {
     val h = modelHash(spark)
     new java.io.File(manifestDir).mkdirs()
-    if (modelCurrentFile.exists()) {
-      val cur = java.nio.file.Files.readString(modelCurrentFile.toPath).trim
-      if (cur != h) throw new IllegalStateException(
-        s"tokenizer artifact at $tokenizerPath (content $h) is not the " +
-          s"model this manifest is packed under ($cur) — a silent retrain " +
-          "would mix token units across windows; call adoptModel() to " +
-          "version the change explicitly (and retokenizeWindow(...) per " +
-          "window if uniform units are required)")
-    } else {
-      val tmp = new java.io.File(manifestDir,
-        s"_MODEL_CURRENT_tmp-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.writeString(tmp.toPath, h)
-      Fs.fsyncFile(tmp)
-      java.nio.file.Files.move(tmp.toPath, modelCurrentFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Fs.fsyncDir(new java.io.File(manifestDir))
+    def mismatch(cur: String): Nothing = throw new IllegalStateException(
+      s"tokenizer artifact at $tokenizerPath (content $h) is not the " +
+        s"model this manifest is packed under ($cur) — a silent retrain " +
+        "would mix token units across windows; call adoptModel() to " +
+        "version the change explicitly (and retokenizeWindow(...) per " +
+        "window if uniform units are required)")
+    if (!modelCurrentFile.exists()) {
+      // FIRST-PIN with create-exclusive semantics (review r17 #6): a
+      // check-then-replace here would let two writers' first batches pin
+      // DIFFERENT models last-wins with no error on either batch
+      try {
+        java.nio.file.Files.write(modelCurrentFile.toPath,
+          h.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        Fs.fsyncFile(modelCurrentFile)
+        Fs.fsyncDir(new java.io.File(manifestDir))
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost: compare
+      }
     }
+    val cur = java.nio.file.Files.readString(modelCurrentFile.toPath).trim
+    // a pin whose content is EMPTY is our own crashed first-pin (the
+    // dirent survived a power cut, the bytes did not): re-pin explicitly
+    if (cur.isEmpty) writeModelCurrent(h)
+    else if (cur != h) mismatch(cur)
+  }
+
+  /** Replace `_MODEL_CURRENT` via staged-tmp + atomic rename — the
+    * EXPLICIT pin replacement ([[adoptModel]], crashed-pin repair); the
+    * first pin uses create-exclusive semantics instead.
+    */
+  private def writeModelCurrent(h: String): Unit = {
+    val tmp = new java.io.File(manifestDir,
+      s"_MODEL_CURRENT_tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp.toPath, h)
+    Fs.fsyncFile(tmp)
+    java.nio.file.Files.move(tmp.toPath, modelCurrentFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Fs.fsyncDir(new java.io.File(manifestDir))
   }
 
   /** Explicitly version the manifest onto the artifact's CURRENT model:
@@ -141,7 +170,7 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     * duplicate history line — harmless.
     */
   def adoptModel(spark: SparkSession): Unit = {
-    cachedModel = null; cachedHash = null
+    cached = null
     val h = modelHash(spark)
     new java.io.File(manifestDir).mkdirs()
     val prev =
@@ -149,20 +178,13 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
         Some(java.nio.file.Files.readString(modelCurrentFile.toPath).trim)
       else None
     if (prev.contains(h)) return
-    prev.foreach { p =>
+    prev.filter(_.nonEmpty).foreach { p =>
       java.nio.file.Files.writeString(modelHistoryFile.toPath, p + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       Fs.fsyncFile(modelHistoryFile)
     }
-    val tmp = new java.io.File(manifestDir,
-      s"_MODEL_CURRENT_tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.writeString(tmp.toPath, h)
-    Fs.fsyncFile(tmp)
-    java.nio.file.Files.move(tmp.toPath, modelCurrentFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Fs.fsyncDir(new java.io.File(manifestDir))
+    writeModelCurrent(h)
   }
 
   private def windowDir(window: Long) =
@@ -181,39 +203,51 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     * tailer can share one manifest: each writer's `windowOf` must map its
     * batch ids into a DISJOINT window space, and the claim makes a
     * violation LOUD before any spans are written (the committed marker's
-    * batchId guard catches the same violation after commit). Claims live
-    * OUTSIDE the window dir — the span overwrite would wipe anything
+    * stamped identity catches the same violation after commit). Claims
+    * live OUTSIDE the window dir — the span overwrite would wipe anything
     * inside it.
     *
-    * A claim whose content is OUR batchId is a crashed predecessor of
-    * this very batch: within one batch-id space the caller (the
-    * streaming engine) serializes batches, so taking it over and
-    * replaying forward is safe — the crash protocol's existing steps do
-    * the rest. A claim with a DIFFERENT batchId is either overlapping
-    * window spaces (misconfiguration) or a foreign writer racing this
-    * window right now; both throw.
+    * The claim records `writerId\nbatchId` — batchId ALONE is not
+    * writer-unique (two misconfigured writers both start at batch 0, and
+    * a batchId-only guard would wave the second one through into a
+    * concurrent overwrite of the same window dir; review r17 #1). A
+    * claim carrying OUR writerId and OUR batchId is our own crashed
+    * predecessor (within one writer, the caller — the streaming engine —
+    * serializes batches): take over and replay forward. An EMPTY claim
+    * is our own crashed claim CREATION (the dirent survived a power cut,
+    * the content bytes did not — content from a live foreign writer is
+    * visible the instant its write() returns): also take over, the
+    * marker/store steps are all replay-safe. Anything else throws.
     */
   private def acquireClaim(window: Long, batchId: Long): Unit = {
     claimsDir.mkdirs()
     val claim = claimOf(window)
     try {
       java.nio.file.Files.write(claim.toPath,
-        batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        s"$writerId\n$batchId"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
       Fs.fsyncFile(claim)
       Fs.fsyncDir(claimsDir)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val owner = java.nio.file.Files.readString(claim.toPath).trim
-        if (owner != batchId.toString)
+        val lines = java.nio.file.Files.readString(claim.toPath)
+          .linesIterator.map(_.trim).toSeq
+        val ours = lines.isEmpty ||
+          (lines.headOption.contains(writerId) &&
+            lines.drop(1).headOption.contains(batchId.toString))
+        if (!ours)
           throw new IllegalStateException(
-            s"window $window is claimed by batch $owner while batch " +
-              s"$batchId is trying to pack it — two maintainers' windowOf " +
-              "spaces overlap (multi-writer maintenance requires windows " +
-              "from DISJOINT batch-id spaces) or a foreign writer is " +
-              "racing this window")
-      // same batchId: our crashed predecessor — take over, replay forward
+            s"window $window is claimed by writer " +
+              s"'${lines.headOption.getOrElse("")}' batch " +
+              s"${lines.drop(1).headOption.getOrElse("?")} while writer " +
+              s"'$writerId' batch $batchId is trying to pack it — two " +
+              "maintainers' windowOf spaces overlap (multi-writer " +
+              "maintenance requires windows from DISJOINT batch-id " +
+              "spaces) or a foreign writer is racing this window; if the " +
+              "owner is dead, remove its claim file to release the window")
+      // ours (or crashed-empty): our predecessor — take over, replay forward
     }
   }
 
@@ -246,6 +280,16 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** The writer that committed a window (marker line 3), None when
+    * unrecorded (an older marker).
+    */
+  private def markerWriter(marker: java.io.File): Option[String] = {
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    lines.drop(2).headOption.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Apply one micro-batch of raw (curated) documents. Also usable
     * un-streamed (backfills, replays, tests).
     *
@@ -275,6 +319,16 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
             s"batch $committed — windowOf is not injective; this batch's " +
             "documents would be silently lost")
       }
+      // batchId matches, but batchId alone is not writer-unique: two
+      // misaligned writers both start at batch 0, and the second one's
+      // DIFFERENT documents must not silently skip (review r17 #1)
+      markerWriter(marker).filter(_ != writerId).foreach { committer =>
+        throw new IllegalStateException(
+          s"window $window was committed by writer '$committer' at the " +
+            s"same batch id $batchId that writer '$writerId' now maps " +
+            "there — two maintainers' windowOf spaces overlap; this " +
+            "batch's documents would be silently lost")
+      }
       logInfo(s"batch $batchId: window $window already committed, skipping")
       claimOf(window).delete() // sweep a claim a crash left behind
       return
@@ -297,7 +351,7 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
         ManifestPipeline.mergeSurvivors(store, fresh, idCol, txnId = batchId)
       }
       java.nio.file.Files.write(marker.toPath,
-        s"$batchId\n${modelHash(spark)}"
+        s"$batchId\n${modelHash(spark)}\n$writerId"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Fs.fsyncFile(marker)
       Fs.fsyncDir(dir)
@@ -410,30 +464,35 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     // (underscore-prefixed, so the committed-window scan skips it), the
     // payload is fsynced THERE, and each part file enters the live dir by
     // atomic rename — the same data-durable-before-visibility ordering as
-    // the window commit. A crash mid-stage leaves only ignorable debris
-    // (swept on the next retract); a crash between renames leaves a
-    // PREFIX of the entry's parts visible, and the caller re-runs
-    // retract — retraction is an idempotent set-union, so re-adding ids
-    // is harmless.
-    Option(new java.io.File(manifestDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("_retractions_stage"))
-      .foreach(Fs.rmTree)
+    // the window commit. A crash between renames leaves a PREFIX of the
+    // entry's parts visible, and the caller re-runs retract — retraction
+    // is an idempotent set-union, so re-adding ids is harmless. A crashed
+    // call's stage dir is IGNORABLE debris (no reader lists it) and is
+    // deliberately NOT swept here: a blanket sweep would delete a
+    // CONCURRENT retract's in-flight stage and let that call return
+    // success having published nothing — a silently lost takedown
+    // (review r17 #2); the loud guard below is the backstop.
     val stage = new java.io.File(manifestDir,
       s"_retractions_stage-${java.util.UUID.randomUUID()}")
-    ids.select(idCol).distinct()
-      .coalesce(1) // ledger entries are takedown-batch-sized
-      .write.mode("overwrite").parquet(stage.getPath)
-    Fs.fsyncTree(stage)
-    Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).zipWithIndex
-      .foreach { case (p, i) =>
+    try {
+      ids.select(idCol).distinct()
+        .coalesce(1) // ledger entries are takedown-batch-sized
+        .write.mode("overwrite").parquet(stage.getPath)
+      Fs.fsyncTree(stage)
+      val parts = Option(stage.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      if (parts.isEmpty) throw new IllegalStateException(
+        s"retraction stage $stage produced no parquet part — the stage " +
+          "was removed out from under this call (or the write failed); " +
+          "the ledger entry was NOT published, re-run retract")
+      parts.zipWithIndex.foreach { case (p, i) =>
         java.nio.file.Files.move(p.toPath,
           new java.io.File(retractionsDir,
             s"retract-${stage.getName.stripPrefix("_retractions_stage-")}-$i.parquet").toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-    Fs.fsyncDir(retractionsDir)
-    Fs.rmTree(stage)
+      Fs.fsyncDir(retractionsDir)
+    } finally Fs.rmTree(stage) // our OWN stage only
     Fs.fsyncDir(retractionsDir.getParentFile)
   }
 
@@ -489,7 +548,12 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     * [[retokenizeWindow]]): staged tmp with the payload fsynced BEFORE
     * its marker exists, retire live aside, atomic publish, debris
     * cleared — the TokenizerStore retire-aside protocol;
-    * [[recoverWindowCrash]] heals any interruption point.
+    * [[recoverWindowCrash]] heals any interruption point. Rewrites are
+    * SINGLE-OPERATOR operations (the TokenizerStore contract): two
+    * concurrent rewrites of the same window race the well-known `_tmp`
+    * path — the loser's write or swap throws (loud, never silent), and
+    * the winner's generation is intact. The per-window claims guard
+    * `processBatch` appends only; serialize maintenance externally.
     */
   private def publishWindow(live: java.io.File, repacked: DataFrame,
       markerBytes: Array[Byte]): Unit = {
@@ -530,31 +594,37 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     require(markerOf(live).exists(), s"window $windowId is not committed")
     ensureModelCurrent(spark)
     if (!live.listFiles().exists(_.getName.endsWith(".parquet"))) return
-    val ids = spark.read.parquet(live.getPath)
+    val idsAll = spark.read.parquet(live.getPath)
       .select(col(idCol)).distinct()
       .localCheckpoint(true) // decouple from the files the swap replaces
     try {
-      val present = sourceBatch.select(col(idCol), col(textCol))
+      // retracted docs are dropped by the rewrite anyway, so they must
+      // not count as "missing" — a caller who legally DELETED a
+      // taken-down text cannot be required to supply it (review r17 #4)
+      val ids = retractedIds(spark) match {
+        case Some(r) => idsAll.join(broadcast(r), Seq(idCol), "left_anti")
+        case None => idsAll
+      }
+      val kept = sourceBatch.select(col(idCol), col(textCol))
         .dropDuplicates(Seq(idCol))
         .join(ids, Seq(idCol))
       val missing = ids
-        .join(present.select(col(idCol)), Seq(idCol), "left_anti").count()
+        .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
       require(missing == 0L,
         s"$missing of window $windowId's documents are missing from the " +
           "supplied source batch — spans store token offsets, not text; " +
           "re-tokenization needs the window's original batch")
-      val kept = retractedIds(spark) match {
-        case Some(r) => present.join(broadcast(r), Seq(idCol), "left_anti")
-        case None => present
-      }
       val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
         model(spark), windowId, seed, budget, byteLevel)
       val batchStamp = markerBatchId(markerOf(live))
         .map(_.toString).getOrElse("")
+      // the window keeps its original committing writer (line 3): a
+      // rewrite changes token units, not ownership
+      val writerStamp = markerWriter(markerOf(live)).getOrElse(writerId)
       publishWindow(live, repacked,
-        s"$batchStamp\n${modelHash(spark)}"
+        s"$batchStamp\n${modelHash(spark)}\n$writerStamp"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally graft.util.Checkpoints.release(ids)
+    } finally graft.util.Checkpoints.release(idsAll)
   }
 
   /** The takedown SWEEP (VERDICT r16 #3): one pass over the committed
@@ -585,6 +655,13 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
       .foreach(n => recoverWindowCrash(new java.io.File(manifestDir, n)))
     val retracted = retractedIds(spark)
     if (retracted.isEmpty) return Seq.empty
+    // "nothing committed yet" means nothing to sweep, not an error —
+    // retract() has no committed-window precondition (review r17 #7)
+    if (!Option(new java.io.File(manifestDir).listFiles())
+        .getOrElse(Array.empty)
+        .exists(d => d.isDirectory && !d.getName.startsWith("_") &&
+          !d.getName.endsWith("_tmp") && !d.getName.endsWith("_old") &&
+          markerOf(d).exists())) return Seq.empty
     val affected = rawCommittedSpans(spark)
       .join(broadcast(retracted.get), Seq(idCol), "left_semi")
       .select(col("window")).distinct()

@@ -246,7 +246,7 @@ class ManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
-  test("retraction-ledger staging: torn stage debris never reaches readers and is swept") {
+  test("retraction-ledger staging: torn stage debris never reaches readers and is never swept by others") {
     val work = java.nio.file.Files.createTempDirectory("graft-mmspec11")
     try {
       val (_, maint) = fixture(work)
@@ -263,9 +263,11 @@ class ManifestMaintainerSpec extends SparkSpec {
       assert(maint.readManifest(spark).select("doc_id").as[Long]
         .collect().toSet === Set(10L, 12L),
         "readers are blind to staged ledger debris")
-      // the next retract sweeps the debris and publishes atomically
+      // the next retract publishes atomically and leaves FOREIGN stage
+      // debris alone — sweeping it could delete a concurrent retract's
+      // in-flight stage and silently lose that takedown (review r17 #2)
       maint.retract(Seq(12L).toDF("doc_id"))
-      assert(!stage.exists(), "stage debris swept on the next retract")
+      assert(stage.exists(), "foreign stage debris is never swept")
       assert(maint.readManifest(spark).select("doc_id").as[Long]
         .collect().toSet === Set(10L))
     } finally graft.util.Fs.rmTree(work.toFile)
@@ -424,19 +426,47 @@ class ManifestMaintainerSpec extends SparkSpec {
       val (_, maint) = fixture(work) // windowOf = _ + 1
       val claims = new java.io.File(work.resolve("manifest").toFile, "_claims")
       claims.mkdirs()
-      // a FOREIGN writer's claim on our window: loud, before any write
+      // a FOREIGN writer's claim on our window: loud, before any write —
+      // even at the SAME batch id (batchId alone is not writer-unique)
       java.nio.file.Files.writeString(
-        new java.io.File(claims, "window-1").toPath, "99")
+        new java.io.File(claims, "window-1").toPath, "tailer\n0")
       val ex = intercept[IllegalStateException](
         maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L))
-      assert(ex.getMessage.contains("claimed by batch 99"), ex.getMessage)
-      // OUR crashed predecessor's claim (same batchId): take over, commit
+      assert(ex.getMessage.contains("claimed by writer 'tailer'"),
+        ex.getMessage)
+      // OUR crashed predecessor's claim (same writer + batch): take over
       java.nio.file.Files.writeString(
-        new java.io.File(claims, "window-1").toPath, "0")
+        new java.io.File(claims, "window-1").toPath, "writer-0\n0")
       maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
       assert(spanSet(maint).nonEmpty)
       assert(!new java.io.File(claims, "window-1").exists(),
         "the claim is released once the marker guards")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("aligned batch ids from a second writer are loud at the claim AND at the committed marker; an empty claim is takeover-able debris") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec19")
+    try {
+      val (store, maint) = fixture(work) // writerId = "writer-0"
+      // a crashed claim CREATION: dirent survived, content did not —
+      // must be treated as our own debris, not a permanent brick
+      val claims = new java.io.File(work.resolve("manifest").toFile, "_claims")
+      claims.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(claims, "window-1").toPath, "")
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      assert(spanSet(maint).nonEmpty, "empty claim debris is taken over")
+      // a SECOND writer whose windowOf accidentally equals ours delivers
+      // ITS batch 0 — same batchId, different documents: the committed
+      // marker's writer stamp must refuse (a batchId-only guard would
+      // silently skip this batch and lose its documents)
+      val twin = new ManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "tailer")
+      val ex = intercept[IllegalStateException](
+        twin.processBatch(Seq((50L, "zz qq")).toDF("doc_id", "text"), 0L))
+      assert(ex.getMessage.contains("committed by writer 'writer-0'"),
+        ex.getMessage)
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
@@ -488,6 +518,33 @@ class ManifestMaintainerSpec extends SparkSpec {
       val before = spanSet(maint)
       maint.processBatch(Seq((99L, "zz")).toDF("doc_id", "text"), 0L)
       assert(spanSet(maint) === before, "the committed window stays as-is")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("retokenizeWindow accepts a source batch that legally omits retracted texts; a pre-commit sweep is a no-op") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec20")
+    try {
+      val (_, maint) = fixture(work)
+      // a retraction BEFORE any window commits: the sweep must answer
+      // "nothing to sweep", not throw (retract has no such precondition)
+      maint.retract(Seq(999L).toDF("doc_id"))
+      assert(maint.compactRetracted(spark, _ => 0L) === Seq.empty)
+      val batch1 = Seq((10L, "ab ba"), (11L, "ba ab"), (12L, "aa cc"))
+        .toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      maint.retract(Seq(11L).toDF("doc_id"))
+      // the caller may be legally REQUIRED to have deleted doc 11's text:
+      // a source batch without it must still re-tokenize the window
+      // (the retracted doc is dropped by the rewrite anyway)
+      maint.adoptModel(spark)
+      maint.retokenizeWindow(spark, 1L,
+        batch1.where($"doc_id" =!= 11L), seed = 100L)
+      assert(spanSet(maint).map(_(1)).toSet === Set(10L, 12L))
+      // a genuinely-missing LIVE doc still fails loudly
+      val ex = intercept[IllegalArgumentException](
+        maint.retokenizeWindow(spark, 1L,
+          Seq((10L, "ab ba")).toDF("doc_id", "text"), seed = 100L))
+      assert(ex.getMessage.contains("source batch"), ex.getMessage)
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
