@@ -1020,6 +1020,24 @@ object SparkEntry {
       BpeTrain.tokenCountsCompiled(docs, "doc_id", "text", merges)
     }),
 
+    // SERVING ON UNSEEN WORDS under the oracle (r17): the augmented
+    // corpus (CJK/emoji/Cyrillic/accent suffixes — none of it in the
+    // training corpus) tokenized by the COMPILED automaton under the
+    // table learned from the PLAIN corpus. The oracle folds the 8
+    // learned rules per layer over the augmented corpus' distinct words;
+    // unseen symbols never match a rule and survive as singles — BPE's
+    // fallback, hash-verified cross-engine instead of spec-only.
+    "q_bpe_tokenize_unseen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = BpeTrain.train(docs, "text", numMerges = 8)
+        .orderBy("rank")
+        .select("l", "r").collect().map(m => (m.getString(0), m.getString(1)))
+        .toSeq
+      val aug = docs.select(col("doc_id"),
+        byteGateAugment(col("doc_id"), col("text")).alias("text"))
+      BpeTrain.tokenCountsCompiled(aug, "doc_id", "text", merges)
+    }),
+
     // SERVED FROM DISK under the unchanged oracle (r15, VERDICT r14 #2):
     // the same train→tokenize chain, but the merge table round-trips
     // through the crash-safe TokenizerStore artifact between training and
@@ -1621,10 +1639,10 @@ object SparkEntry {
             .packWindow(surv0, "doc_id", "text", served, 1L, 79L)
           val backfill = new graft.streaming.ManifestMaintainer(store,
             tokPath, work.resolve("manifest").toString,
-            windowOf = _ + 2L, seedOf = _ => 89L)
+            windowOf = _ + 2L, seedOf = _ => 89L, writerId = "backfill")
           val tailer = new graft.streaming.ManifestMaintainer(store,
             tokPath, work.resolve("manifest").toString,
-            windowOf = _ + 3L, seedOf = _ => 97L)
+            windowOf = _ + 3L, seedOf = _ => 97L, writerId = "tailer")
           val errs =
             new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
           val ta = new Thread(() =>
@@ -4599,9 +4617,18 @@ object SparkEntry {
     * whether the final layer also materializes w{k} (needed by the
     * tokenize gate, dead weight for the train gate).
     */
+  /** @param serveSource when set, ALSO fold the learned rules over this
+    *                     relation's distinct words (`u0 … u{k}` chains —
+    *                     the same per-layer greedy fusion the training
+    *                     replay uses, applied to words the trainer never
+    *                     saw): the serve-on-unseen-words seam. Unseen
+    *                     symbols simply never match a rule and survive
+    *                     as singles — the BPE fallback, replayed.
+    */
   private def bpeOracleCtes(k: Int, lastApply: Boolean,
       wordpiece: Boolean = false, prelude: String = "",
-      source: String = "documents"): String = {
+      source: String = "documents",
+      serveSource: Option[String] = None): String = {
     // every non-recursive layer is MATERIALIZED: DuckDB inlines CTEs by
     // default, and a k-deep chain whose layers each reference the
     // previous one 2-3 times would otherwise expand to exponentially
@@ -4657,6 +4684,28 @@ object SparkEntry {
         |  FROM a$i WHERE pos <= len(syms)),
         |w$i AS MATERIALIZED (
         |  SELECT word, cnt, acc AS syms FROM a$i WHERE pos = len(syms) + 1)""".stripMargin
+    }
+    serveSource.foreach { rel =>
+      sb ++= s""",
+        |u0 AS MATERIALIZED (
+        |  SELECT word,
+        |    [substr(word, i, 1) for i in range(1, length(word) + 1)] AS syms
+        |  FROM (
+        |    SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM $rel)
+        |  WHERE word <> '')""".stripMargin
+      for (i <- 1 to k) sb ++= s""",
+        |ua$i(word, syms, pos, acc) AS (
+        |  SELECT word, syms, 1, []::VARCHAR[] FROM u${i - 1}
+        |  UNION ALL
+        |  SELECT word, syms, pos + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT l FROM b$i)
+        |              AND syms[pos] = (SELECT r FROM b$i)
+        |         THEN acc[1:len(acc)-1] || [(SELECT l || r FROM b$i)]
+        |         ELSE acc || [syms[pos]] END
+        |  FROM ua$i WHERE pos <= len(syms)),
+        |u$i AS MATERIALIZED (
+        |  SELECT word, acc AS syms FROM ua$i WHERE pos = len(syms) + 1)""".stripMargin
     }
     sb.toString
   }
@@ -5739,6 +5788,16 @@ object SparkEntry {
     "q_bpe_tokenize_compiled" -> BpeTokenizeOracle,
     // disk round trip must be invisible: the UNCHANGED oracle
     "q_bpe_tokenize_stored" -> BpeTokenizeOracle,
+    // serving on words the trainer never saw: rules learned on the plain
+    // corpus, folded per layer over the AUGMENTED corpus' words (u8)
+    "q_bpe_tokenize_unseen" ->
+      (bpeOracleCtes(8, lastApply = false, serveSource = Some("aug"),
+        prelude = byteGateAugmentSql("documents") + "\n") + s""",
+        |wc AS (SELECT word, len(syms)::BIGINT AS ntok FROM u8)
+        |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        |  FROM aug)
+        |JOIN wc USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin),
 
     // Unigram-LM tokenizer: seed statistics, one hard-EM step, and
     // Viterbi serving, all over one generated CTE prefix

@@ -228,10 +228,20 @@ object BpeTrain {
   private[operators] def applyWordCompiled(word: String,
       rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
     var syms: Array[String] = {
-      val out = new Array[String](word.length)
+      // initial symbols are CODE POINTS, not UTF-16 units: the trainer
+      // and the literal fold symbolize through Spark's UTF8String substr
+      // (code-point indexed), and a UTF-16 split here would break a
+      // non-BMP word (an emoji) into unmatched surrogate halves —
+      // diverging from both the trainer and any code-point engine
+      // (caught by q_bpe_tokenize_unseen's cross-engine hash, r17)
+      val out = Array.newBuilder[String]
       var i = 0
-      while (i < word.length) { out(i) = word.substring(i, i + 1); i += 1 }
-      out
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        out += word.substring(i, i + n)
+        i += n
+      }
+      out.result()
     }
     var done = syms.length < 2
     while (!done) {

@@ -237,4 +237,26 @@ class BpeTrainSpec extends SparkSpec {
       }.alias("s")).as[Seq[String]].head()
     assert(fold == Seq("ab", "c"))
   }
+
+  test("compiled symbolization is code points, matching charSyms on non-BMP words (r17)") {
+    // the trainer and literal fold symbolize through Spark's UTF8String
+    // substr (code-point indexed); the compiled automaton used to split
+    // UTF-16 units, breaking an emoji into unmatched surrogate halves
+    // and over-counting its tokens by one per non-BMP char
+    val word = "a😀b🚀" // 4 code points, 6 UTF-16 units
+    val compiled = BpeTrain.applyWordCompiled(word, rankMap(Seq())).toSeq
+    assert(compiled == Seq("a", "😀", "b", "🚀"))
+    val exprSyms = Seq(word).toDF("w")
+      .select(BpeTrain.charSyms(col("w")).alias("s"))
+      .as[Seq[String]].head()
+    assert(compiled == exprSyms, "compiled and expression symbolization agree")
+    // and a merge over a non-BMP pair applies identically in both paths
+    val rules = Seq(("😀", "b"))
+    val c2 = BpeTrain.applyWordCompiled(word, rankMap(rules)).toSeq
+    val f2 = Seq(word).toDF("w")
+      .select(rules.foldLeft(BpeTrain.charSyms(col("w"))) {
+        case (s, (l, r)) => BpeTrain.fuse(s, l, r)
+      }.alias("s")).as[Seq[String]].head()
+    assert(c2 == Seq("a", "😀b", "🚀") && c2 == f2)
+  }
 }

@@ -392,7 +392,8 @@ class ManifestMaintainerSpec extends SparkSpec {
       // content-disjoint by construction (texts encode writer+batch+doc)
       def maintFor(base: Long) = new ManifestMaintainer(store, tokPath,
         work.resolve("manifest").toString,
-        windowOf = bid => base + bid, seedOf = 200L + _)
+        windowOf = bid => base + bid, seedOf = 200L + _,
+        writerId = s"writer-$base")
       def batchFor(w: Int, b: Int) = (0 until 3).map { i =>
         (1000L + w * 100 + b * 10 + i,
           ("a" * (1 + i)) + " " + ("b" * (1 + b)) + " " + ("c" * (1 + w)))
