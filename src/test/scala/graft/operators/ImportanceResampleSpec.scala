@@ -91,6 +91,19 @@ class ImportanceResampleSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(thr === heap, s"k=$k: threshold path diverged from the heap")
     }
+    // the quantile's relativeError only WIDENS the candidate stratum —
+    // the selection inside it is the same exact (key desc, id) cut, so
+    // any ε must produce the identical sample (r17: the bounded-memory
+    // ε>0 form replaced the O(n)-driver ε=0 form on this contract)
+    val heap60 = ImportanceResample.resampleGumbel(w, "doc_id", "lw_micro",
+      60, temperature = 0.7, seed = 11L).collect().map(_.getLong(0)).toSet
+    for (eps <- Seq(1e-4, 1e-2, 0.2)) {
+      val thr = ImportanceResample.resampleGumbelThreshold(w, "doc_id",
+        "lw_micro", 60, temperature = 0.7, seed = 11L,
+        relativeError = eps)
+        .collect().map(_.getLong(0)).toSet
+      assert(thr === heap60, s"eps=$eps: selection changed with stratum width")
+    }
   }
 
   /** Boundary-margin scan of the ACTUAL `q_dsir_resample` gate keys
