@@ -981,13 +981,22 @@ object SketchOps {
     */
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    if (s.length < n) return new GenericArrayData(Array.empty[Long])
-    val buf = new Array[Long](s.length - n + 1)
+    // windows and folds run over CODE POINTS, matching the SQL oracle's
+    // substr(text, i, n) character semantics: the old UTF-16-unit loop
+    // silently shifted every window near a non-BMP char (an emoji split
+    // into surrogate halves), so Spark's shingle set disagreed with any
+    // code-point engine on astral text (same defect class as the r17
+    // compiled-BPE symbolization fix). BMP text hashes identically either
+    // way (charAt value == code point), so every existing gate is
+    // unchanged.
+    val cps = s.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Long])
+    val buf = new Array[Long](cps.length - n + 1)
     var i = 0
-    while (i + n <= s.length) {
-      var h = 0xcbf29ce484222325L // FNV-1a 64 over the n chars
+    while (i + n <= cps.length) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 over the n code points
       var j = i
-      while (j < i + n) { h ^= s.charAt(j); h *= 1099511628211L; j += 1 }
+      while (j < i + n) { h ^= cps(j); h *= 1099511628211L; j += 1 }
       buf(i) = h
       i += 1
     }

@@ -83,6 +83,29 @@ class SketchOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("shingleHashes windows run over code points, not UTF-16 units (r17)") {
+    // "a😀bc" = 4 code points (5 UTF-16 units): exactly 3 bigram windows
+    // [a😀][😀b][bc], matching SQL substr(text, i, 2) semantics — the
+    // unit-based loop produced 4 windows, two of them surrogate halves
+    def hashes(s: String, n: Int): Set[Long] = {
+      val out = SketchOps.shingleHashes(UTF8String.fromString(s), n)
+      (0 until out.numElements()).map(out.getLong).toSet
+    }
+    def ref(s: String, n: Int): Set[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - n).map { i =>
+        var h = 0xcbf29ce484222325L
+        (i until i + n).foreach { j => h ^= cps(j); h *= 1099511628211L }
+        h
+      }.toSet
+    }
+    assert(hashes("a😀bc", 2).size === 3)
+    assert(hashes("a😀bc", 2) === ref("a😀bc", 2))
+    // BMP text is bit-identical to the historical unit-based fold
+    // (charAt value == code point), so every existing gate is unchanged
+    assert(hashes("hello", 3) === ref("hello", 3))
+  }
+
   test("fnvTokenHashes equals a per-token big-integer FNV reference (property)") {
     // the reference folds over CODE POINTS with BigInt arithmetic, so any
     // wrap/overflow shortcut in the kernel that diverges from true
