@@ -989,11 +989,19 @@ object SketchOps {
     // compiled-BPE symbolization fix). BMP text hashes identically either
     // way (charAt value == code point), so every existing gate is
     // unchanged.
-    val cps = s.codePoints().toArray
-    if (cps.length < n) return new GenericArrayData(Array.empty[Long])
-    val buf = new Array[Long](cps.length - n + 1)
+    val cps = new Array[Int](s.length) // unit count is an upper bound
+    var m = 0
+    var idx = 0
+    while (idx < s.length) { // hand-rolled scan: this is the dedup hot path
+      val cp = s.codePointAt(idx)
+      cps(m) = cp
+      m += 1
+      idx += Character.charCount(cp)
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val buf = new Array[Long](m - n + 1)
     var i = 0
-    while (i + n <= cps.length) {
+    while (i + n <= m) {
       var h = 0xcbf29ce484222325L // FNV-1a 64 over the n code points
       var j = i
       while (j < i + n) { h ^= cps(j); h *= 1099511628211L; j += 1 }
