@@ -14,6 +14,16 @@ import graft.util.Fs
   * new survivors under the STORED tokenizer, and appends their packed
   * spans as an immutable window directory.
   *
+  * STORAGE CONTRACT — ATOMIC-RENAME FILESYSTEMS ONLY (local POSIX,
+  * HDFS): every crash-ordering argument below leans on `ATOMIC_MOVE`
+  * renames (the `_tmp`/`_old` publish swap, marker restamps, retraction-
+  * ledger part publication) and on create-exclusive file semantics. An
+  * object store renames by copy+delete, which TEARS those arguments —
+  * use [[VersionedManifestMaintainer]] there: the same maintenance
+  * surface committed the way the survivor store's own
+  * [[ManifestUpsertStore]] commits (immutable generations + one
+  * digest-validated conditional-PUT manifest, zero renames).
+  *
   * Crash/replay protocol (at-least-once upstream is assumed; every step
   * is ordered so a replayed batch id completes forward):
   *
@@ -136,11 +146,65 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
         case _: java.nio.file.FileAlreadyExistsException => // lost: compare
       }
     }
-    val cur = java.nio.file.Files.readString(modelCurrentFile.toPath).trim
-    // a pin whose content is EMPTY is our own crashed first-pin (the
-    // dirent survived a power cut, the bytes did not): re-pin explicitly
-    if (cur.isEmpty) writeModelCurrent(h)
-    else if (cur != h) mismatch(cur)
+    // EMPTY pin = a crashed first-pin (the dirent survived a power cut,
+    // the bytes did not). Repairing it with an atomic REPLACE would let
+    // two writers racing the repair with DIFFERENT models pin last-wins
+    // silently — the exact failure the CREATE_NEW first-pin exists to
+    // prevent (ADVICE r17). Instead the debris is GRABBED (rename-to-
+    // unique: exactly one racer's ATOMIC_MOVE succeeds) and the winner
+    // retries the create-exclusive path; the loser loops and reads the
+    // winner's pin like any late writer.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new IllegalStateException(
+        s"_MODEL_CURRENT pin under $manifestDir stayed contended across " +
+          "5 repair attempts — a writer is flapping the pin; inspect " +
+          "manually")
+      val cur =
+        try java.nio.file.Files.readString(modelCurrentFile.toPath).trim
+        catch {
+          case _: java.nio.file.NoSuchFileException |
+               _: java.io.FileNotFoundException => null // grabbed: re-create
+        }
+      if (cur == h) return
+      if (cur != null && cur.nonEmpty) mismatch(cur)
+      if (cur != null) grabDebris(modelCurrentFile) // win or lose: retry
+      try {
+        java.nio.file.Files.write(modelCurrentFile.toPath,
+          h.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        Fs.fsyncFile(modelCurrentFile)
+        Fs.fsyncDir(new java.io.File(manifestDir))
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost: re-read
+      }
+    }
+  }
+
+  /** Atomically remove a DEBRIS file so exactly one racer wins the right
+    * to re-create it: rename-to-unique is the one primitive where two
+    * concurrent callers cannot both succeed (the loser's ATOMIC_MOVE
+    * throws NoSuchFile), unlike delete-then-create, where racer B's
+    * delete can silently destroy racer A's just-created replacement.
+    * Returns whether WE grabbed it. A crash between the move and the
+    * delete leaves a `.grab-*` file no lookup ever resolves — ignorable
+    * debris.
+    */
+  private def grabDebris(f: java.io.File): Boolean = {
+    val grabbed = new java.io.File(f.getParentFile,
+      s".grab-${java.util.UUID.randomUUID()}")
+    try {
+      java.nio.file.Files.move(f.toPath, grabbed.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      grabbed.delete()
+      true
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException => false
+    }
   }
 
   /** Replace `_MODEL_CURRENT` via staged-tmp + atomic rename — the
@@ -213,31 +277,57 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     * concurrent overwrite of the same window dir; review r17 #1). A
     * claim carrying OUR writerId and OUR batchId is our own crashed
     * predecessor (within one writer, the caller — the streaming engine —
-    * serializes batches): take over and replay forward. An EMPTY claim
-    * is our own crashed claim CREATION (the dirent survived a power cut,
-    * the content bytes did not — content from a live foreign writer is
-    * visible the instant its write() returns): also take over, the
-    * marker/store steps are all replay-safe. Anything else throws.
+    * serializes batches): take over and replay forward. CRASHED-CREATION
+    * debris — an EMPTY claim, or a torn one holding only OUR writerId
+    * line (the dirent survived a power cut, the content bytes only
+    * partially; content from a live foreign writer is visible the
+    * instant its write() returns) — is NOT taken over in place (ADVICE
+    * r17: two writers racing the same debris would both classify it as
+    * 'ours' and pack concurrently, defeating the mutual exclusion):
+    * it is atomically GRABBED ([[grabDebris]] — exactly one racer's
+    * rename succeeds) and the winner re-runs the create-exclusive path,
+    * so ownership is RE-ASSERTED with full content before any pack; the
+    * loser re-reads the winner's claim and fails loud like any foreign
+    * writer. A torn claim holding only a FOREIGN writerId line is
+    * foreign. Anything else throws; [[reclaimWindow]] is the admin
+    * release for a dead owner's claim.
     */
   private def acquireClaim(window: Long, batchId: Long): Unit = {
     claimsDir.mkdirs()
     val claim = claimOf(window)
-    try {
-      java.nio.file.Files.write(claim.toPath,
-        s"$writerId\n$batchId"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      Fs.fsyncFile(claim)
-      Fs.fsyncDir(claimsDir)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val lines = java.nio.file.Files.readString(claim.toPath)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new IllegalStateException(
+        s"window $window claim stayed contended across 5 acquisition " +
+          s"attempts by writer '$writerId' batch $batchId — a writer is " +
+          "flapping the claim; inspect _claims manually")
+      try {
+        java.nio.file.Files.write(claim.toPath,
+          s"$writerId\n$batchId"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        Fs.fsyncFile(claim)
+        Fs.fsyncDir(claimsDir)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+      }
+      val lines =
+        try java.nio.file.Files.readString(claim.toPath)
           .linesIterator.map(_.trim).toSeq
-        val ours = lines.isEmpty ||
-          (lines.headOption.contains(writerId) &&
+        catch {
+          case _: java.nio.file.NoSuchFileException |
+               _: java.io.FileNotFoundException => null // grabbed: retry
+        }
+      if (lines != null) {
+        if (lines.headOption.contains(writerId) &&
             lines.drop(1).headOption.contains(batchId.toString))
-        if (!ours)
+          return // our crashed predecessor, full content: take over as-is
+        val debris = lines.isEmpty ||
+          (lines.size == 1 && lines.headOption.contains(writerId))
+        if (!debris)
           throw new IllegalStateException(
             s"window $window is claimed by writer " +
               s"'${lines.headOption.getOrElse("")}' batch " +
@@ -246,10 +336,46 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
               "maintainers' windowOf spaces overlap (multi-writer " +
               "maintenance requires windows from DISJOINT batch-id " +
               "spaces) or a foreign writer is racing this window; if the " +
-              "owner is dead, remove its claim file to release the window")
-      // ours (or crashed-empty): our predecessor — take over, replay forward
+              "owner is dead, call reclaimWindow(window, force = true) " +
+              "to release it")
+        grabDebris(claim) // win or lose, the loop re-asserts from scratch
+      }
     }
   }
+
+  /** Admin release of a DEAD writer's claim (VERDICT r17 #4 — the manual
+    * "remove its claim file" step, made safe): a maintainer that crashed
+    * mid-pack leaves its claim blocking every other writer's replay of
+    * that window. Reclaiming a claim on an already-COMMITTED window needs
+    * no force (the marker guards it — the claim is spent debris); an
+    * UNCOMMITTED claim requires `force = true`, because a LIVE owner
+    * mid-pack would race the reclaim — the caller asserts the owner is
+    * dead. The removal is the atomic [[grabDebris]] rename, so two
+    * concurrent reclaims cannot both "succeed" into re-creating state.
+    * After the reclaim, a replacement writer replaying the window's batch
+    * completes it without double-packing: spans land at the window's
+    * deterministic dir (overwritten if the dead writer half-wrote them),
+    * and an already-merged store folds the replay's fresh set to empty —
+    * the standard crash-forward path. Returns whether a claim was
+    * removed.
+    */
+  def reclaimWindow(window: Long, force: Boolean = false): Boolean = {
+    val claim = claimOf(window)
+    if (!claim.exists()) return false
+    if (markerOf(windowDir(window)).exists()) return grabDebris(claim)
+    require(force,
+      s"window $window has an UNCOMMITTED claim — reclaiming it while " +
+        "its owner is alive would let two writers pack the window " +
+        "concurrently; pass force = true only after confirming the " +
+        "owner is dead")
+    grabDebris(claim)
+  }
+
+  /** Test seam: runs after [[acquireClaim]] succeeds and before any span
+    * write — the window a concurrent writer must land in to exercise the
+    * claim fence deterministically. No-op in production.
+    */
+  protected def afterClaim(): Unit = {}
 
   /** The batchId recorded inside a committed window's marker, or None for
     * a marker that records none (a pre-r17 window). Marker format:
@@ -335,6 +461,7 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     }
     ensureModelCurrent(spark) // refuse a silently-retrained tokenizer
     acquireClaim(window, batchId) // one writer per window, loudly
+    afterClaim()
     val fresh = ManifestPipeline.freshSurvivors(store, batch, idCol, textCol)
     try {
       if (fresh.isEmpty) {
@@ -593,7 +720,15 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     recoverWindowCrash(live)
     require(markerOf(live).exists(), s"window $windowId is not committed")
     ensureModelCurrent(spark)
-    if (!live.listFiles().exists(_.getName.endsWith(".parquet"))) return
+    if (!live.listFiles().exists(_.getName.endsWith(".parquet"))) {
+      // a committed-but-spanless window (an all-duplicate batch) has no
+      // spans to re-pack, but its marker must still RESTAMP the adopted
+      // model (ADVICE r17): a silent early return here would leave
+      // windowModelStamp reporting the old hash after a full retokenize
+      // pass, contradicting the uniform-units-restored record
+      restampMarker(spark, live)
+      return
+    }
     val idsAll = spark.read.parquet(live.getPath)
       .select(col(idCol)).distinct()
       .localCheckpoint(true) // decouple from the files the swap replaces
@@ -616,15 +751,42 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
           "re-tokenization needs the window's original batch")
       val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
         model(spark), windowId, seed, budget, byteLevel)
-      val batchStamp = markerBatchId(markerOf(live))
-        .map(_.toString).getOrElse("")
-      // the window keeps its original committing writer (line 3): a
-      // rewrite changes token units, not ownership
-      val writerStamp = markerWriter(markerOf(live)).getOrElse(writerId)
-      publishWindow(live, repacked,
-        s"$batchStamp\n${modelHash(spark)}\n$writerStamp"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      publishWindow(live, repacked, restampedMarker(spark, live))
     } finally graft.util.Checkpoints.release(idsAll)
+  }
+
+  /** The window's marker content with line 2 replaced by the CURRENT
+    * model hash — the re-tokenize restamp. Lines 1 and 3 are preserved
+    * verbatim: a rewrite changes token units, not the committing batch or
+    * its ownership — and an UNRECORDED writer (a pre-r17 marker's absent
+    * third line) stays unrecorded (ADVICE r17: adopting the
+    * re-tokenizer's writerId would make a later legitimate at-least-once
+    * replay of that window's batch by a differently-named maintainer
+    * throw instead of no-op).
+    */
+  private def restampedMarker(spark: SparkSession,
+      live: java.io.File): Array[Byte] = {
+    val marker = markerOf(live)
+    val batchStamp = markerBatchId(marker).map(_.toString).getOrElse("")
+    val writerStamp = markerWriter(marker).getOrElse("")
+    s"$batchStamp\n${modelHash(spark)}\n$writerStamp"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Rewrite a committed window's marker in place with the current model
+    * stamp (staged tmp + atomic rename — a torn in-place write could
+    * momentarily lose the marker and de-commit the window to readers).
+    */
+  private def restampMarker(spark: SparkSession, live: java.io.File): Unit = {
+    val bytes = restampedMarker(spark, live)
+    val tmp = new java.io.File(live,
+      s".marker-tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath, bytes)
+    Fs.fsyncFile(tmp)
+    java.nio.file.Files.move(tmp.toPath, markerOf(live).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Fs.fsyncDir(live)
   }
 
   /** The takedown SWEEP (VERDICT r16 #3): one pass over the committed

@@ -549,6 +549,171 @@ class ManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("empty-claim takeover RE-ASSERTS ownership: a second writer racing the debris fails loud while the winner is mid-pack") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec21")
+    try {
+      val (store, _) = fixture(work)
+      val claims = new java.io.File(work.resolve("manifest").toFile, "_claims")
+      claims.mkdirs()
+      // crashed claim CREATION debris: the dirent exists, the bytes do not
+      java.nio.file.Files.writeString(
+        new java.io.File(claims, "window-1").toPath, "")
+      // writer A takes the debris over and PAUSES mid-pack (the seam);
+      // pre-fix, the claim file stayed EMPTY at this point, so writer B
+      // would also classify it as 'ours' and pack the window concurrently
+      val packing = new java.util.concurrent.CountDownLatch(1)
+      val resume = new java.util.concurrent.CountDownLatch(1)
+      val a = new ManifestMaintainer(store, work.resolve("tok").toString,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "writer-a") {
+        override protected def afterClaim(): Unit = {
+          packing.countDown(); resume.await()
+        }
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ta = new Thread(() => try a.processBatch(
+        Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      catch { case t: Throwable => errs.add(t) })
+      ta.start()
+      assert(packing.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      val b = new ManifestMaintainer(store, work.resolve("tok").toString,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "writer-b")
+      val ex = intercept[IllegalStateException](
+        b.processBatch(Seq((20L, "zz qq")).toDF("doc_id", "text"), 0L))
+      assert(ex.getMessage.contains("claimed by writer 'writer-a'"),
+        ex.getMessage)
+      resume.countDown(); ta.join(300000)
+      assert(!ta.isAlive && errs.isEmpty, s"writer A failed: ${Option(errs.peek())}")
+      assert(spanSet(a).map(_(1)).toSet === Set(10L))
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("a torn one-line claim: OUR writerId is crash debris taken over, a FOREIGN one stays loud") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec22")
+    try {
+      val (_, maint) = fixture(work) // writerId = "writer-0"
+      val claims = new java.io.File(work.resolve("manifest").toFile, "_claims")
+      claims.mkdirs()
+      val claim = new java.io.File(claims, "window-1")
+      // power-cut-torn claim that kept only OUR writerId line: pre-fix
+      // this was classified FOREIGN and permanently bricked our replay
+      java.nio.file.Files.writeString(claim.toPath, "writer-0")
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      assert(spanSet(maint).map(_(1)).toSet === Set(10L))
+      // a torn FOREIGN single-line claim is still a foreign fence
+      java.nio.file.Files.writeString(
+        new java.io.File(claims, "window-2").toPath, "tailer")
+      val ex = intercept[IllegalStateException](
+        maint.processBatch(Seq((20L, "cc aa")).toDF("doc_id", "text"), 1L))
+      assert(ex.getMessage.contains("claimed by writer 'tailer'"),
+        ex.getMessage)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("reclaimWindow releases a dead writer's claim so a replacement completes the window without double-packing") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec23")
+    try {
+      val (store, maint) = fixture(work) // writer-0
+      val batch1 = Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text")
+      // stage writer-0's WORST mid-pack crash: spans written AND store
+      // merged, marker never written, claim never released
+      maint.processBatch(batch1, 0L)
+      val manifest = work.resolve("manifest").toString
+      val marker = new java.io.File(manifest + "/window-1/_WINDOW_COMMITTED")
+      assert(marker.delete())
+      val claims = new java.io.File(manifest, "_claims"); claims.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(claims, "window-1").toPath, "writer-0\n0")
+      // the replacement writer is fenced by the dead owner's claim
+      val b = new ManifestMaintainer(store, work.resolve("tok").toString,
+        manifest, windowOf = _ + 1L, seedOf = 100L + _,
+        writerId = "writer-b")
+      intercept[IllegalStateException](b.processBatch(batch1, 0L))
+      // reclaim refuses without force (the owner COULD be alive)...
+      val ex = intercept[IllegalArgumentException](b.reclaimWindow(1L))
+      assert(ex.getMessage.contains("force"), ex.getMessage)
+      // ...and releases with it; the replacement replay completes forward
+      assert(b.reclaimWindow(1L, force = true))
+      val seqBefore = store.currentSeq
+      b.processBatch(batch1, 0L)
+      assert(marker.exists(), "the replacement committed the window")
+      assert(store.currentSeq === seqBefore, "no double store merge")
+      val spans = spanSet(b)
+      assert(spans.map(_(1)).toSet === Set(10L, 12L) && spans.size === 2,
+        s"no double-packed spans, got $spans")
+      // a spent claim on a COMMITTED window reclaims without force
+      java.nio.file.Files.writeString(
+        new java.io.File(claims, "window-1").toPath, "writer-0\n0")
+      assert(b.reclaimWindow(1L))
+      assert(!new java.io.File(claims, "window-1").exists())
+      assert(!b.reclaimWindow(1L), "nothing left to reclaim")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("retokenizeWindow restamps a SPANLESS window's marker with the adopted model") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec24")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      // batch 1 fully duplicates window 1's content → window 2 commits
+      // spanless, stamped with model v1
+      maint.processBatch(Seq((20L, "ab ba")).toDF("doc_id", "text"), 1L)
+      val v1 = maint.windowModelStamp(2L)
+      val tokPath = work.resolve("tok").toString
+      graft.operators.TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(Seq((1L, "xx yy zz")).toDF("doc_id", "text"),
+          "text", vocabSize = 50, maxPieceLen = 2, seedSize = 10,
+          emIters = 1, pruneFraction = 0.0), spark)
+      maint.adoptModel(spark)
+      // the uniform-units-restored pass: the spanless window must carry
+      // the adopted stamp afterwards, not silently keep v1 (ADVICE r17)
+      maint.retokenizeWindow(spark, 2L,
+        Seq((20L, "ab ba")).toDF("doc_id", "text"), seed = 101L)
+      val v2 = maint.windowModelStamp(2L)
+      assert(v2.nonEmpty && v2 != v1, s"spanless window restamped, got $v2")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("retokenizeWindow preserves an UNRECORDED writer stamp so a renamed maintainer's replay still no-ops") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec25")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba")).toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      // a pre-r17 window: marker carries batchId + stamp but NO writer
+      val marker = new java.io.File(
+        work.resolve("manifest").toString + "/window-1/_WINDOW_COMMITTED")
+      val stamp = maint.windowModelStamp(1L).get
+      java.nio.file.Files.writeString(marker.toPath, s"0\n$stamp")
+      maint.retokenizeWindow(spark, 1L, batch1, seed = 100L)
+      // pre-fix the rewrite adopted the re-tokenizer's writerId, making
+      // this legitimate replay (same batch, differently-named maintainer)
+      // throw 'committed by writer' instead of no-opping
+      val renamed = new ManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "writer-renamed")
+      val before = spanSet(maint)
+      renamed.processBatch(batch1, 0L)
+      assert(spanSet(renamed) === before, "the replay no-ops")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("an empty _MODEL_CURRENT pin is repaired create-exclusively") {
+    val work = java.nio.file.Files.createTempDirectory("graft-mmspec26")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      val pin = work.resolve("manifest").resolve("_MODEL_CURRENT")
+      val h = java.nio.file.Files.readString(pin).trim
+      // crashed first-pin: dirent survived, bytes did not
+      java.nio.file.Files.writeString(pin, "")
+      maint.processBatch(Seq((11L, "ba ab")).toDF("doc_id", "text"), 1L)
+      assert(java.nio.file.Files.readString(pin).trim === h,
+        "the repair re-pins the same model hash")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("an all-duplicate batch commits an empty window readers never see") {
     val work = java.nio.file.Files.createTempDirectory("graft-mmspec4")
     try {
