@@ -1,0 +1,830 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{ManifestPipeline, ServedModel, TokenizerStore}
+import graft.util.Fs
+
+/** OBJECT-STORE-SEMANTICS sibling of [[ManifestMaintainer]] (VERDICT r17
+  * #1): the same incremental pre-training-manifest maintenance — feed-
+  * driven window packing over a survivor [[KeyedUpsertStore]], takedown
+  * retraction, physical compaction, tokenizer model versioning and
+  * re-tokenization, multi-writer disjoint window spaces — committed
+  * WITHOUT a single rename.
+  *
+  * [[ManifestMaintainer]]'s protocol is correct on filesystems where
+  * rename is atomic (local POSIX, HDFS) and carries that contract in its
+  * scaladoc; an object store renames by copy+delete, which tears its
+  * `_tmp`/`_old` publish swap, its marker rewrites, and its retraction-
+  * ledger part renames. This class commits the way the survivor store's
+  * own [[ManifestUpsertStore]] does — the Iceberg/Delta shape, so the
+  * flagship GPT-family manifest can run against the SAME object store as
+  * the survivor store it feeds:
+  *
+  *  - SPAN DATA is immutable: each window's spans land in a generation
+  *    dir no committed state ever mutates. Append generations use the
+  *    DETERMINISTIC name `wgen-<window>-b<batchId>`, so an at-least-once
+  *    replay converges on the same dir (overwriting it is safe — a dir is
+  *    only ever written while UNREFERENCED; it becomes immutable at the
+  *    instant a manifest references it, and the committed-window guard
+  *    keeps every later replay away from it). Rewrite generations
+  *    (compaction / re-tokenization) use a fresh nonce name; the replaced
+  *    generation stays byte-identical for older retained versions.
+  *  - RETRACTION ledger entries are immutable `rgen-<nonce>` dirs; the
+  *    ledger IS the ordered list the manifest carries (the rename-based
+  *    part-file shuffle and its staging-sweep hazards are gone).
+  *  - VISIBILITY is one small file: `manifest-<v%012d>.json` holds every
+  *    committed window's (generation, batchId, model stamp, writer), the
+  *    pinned tokenizer model + adoption history, and the retraction list,
+  *    with an embedded SHA-256 so a torn newest manifest degrades to
+  *    "commit never happened" (the previous version serves). Publishing
+  *    any state change = ONE conditional PUT (emulated locally by
+  *    staged-write + create-exclusive hard link, exactly
+  *    [[ManifestUpsertStore.putManifest]]'s content-atomic primitive; on
+  *    S3 it is the `If-None-Match` PUT). Two writers racing a slot
+  *    produce exactly one winner; the loser rebases its entry onto the
+  *    winner's manifest and retries — disjoint windows always merge.
+  *  - CLAIMS are conditional PUTs too: `claim-<window>` objects created
+  *    create-exclusive with their full `writerId\nbatchId` content
+  *    atomic, so the torn/empty-claim debris class the rename protocol
+  *    must grab-and-re-assert CANNOT EXIST here — a visible claim always
+  *    carries its owner. The claim is the EARLY fence (loud before any
+  *    span write); the manifest PUT is the real mutual exclusion: even a
+  *    mistaken [[reclaimWindow]] of a live owner ends in one winner and
+  *    one loud commit-time error, never silent double-packing.
+  *  - NO HEALING EXISTS because no state needs it: every crash point
+  *    leaves either an unreferenced generation (invisible; aged GC
+  *    reclaims it), an un-deleted claim (its owner's replay takes over),
+  *    or a torn manifest (readers skip it; the slot number burns, the
+  *    version-gap contract of [[ManifestUpsertStore.putManifest]]). The
+  *    rename protocol's `recoverWindowCrash` / reader-side loud-torn-
+  *    generation checks have no analog — there is nothing to recover.
+  *
+  * Crash/replay ordering per batch (at-least-once upstream assumed):
+  * claim → pack spans into the deterministic gen (fsynced) → store merge
+  * → manifest PUT → claim delete. A replay resolves the one ambiguous
+  * state exactly like the rename protocol: `fresh folds EMPTY while the
+  * gen dir holds spans` can only mean the merge ran (spans are fsynced
+  * strictly before the merge, and an empty fresh set never writes a gen
+  * dir), so the replay completes by committing the existing generation;
+  * a legitimately all-duplicate batch has no gen dir and commits a
+  * spanless window entry.
+  *
+  * Scale shape: identical to [[ManifestMaintainer]] — curation upstream,
+  * delta-sized md5-key fold, distinct-word × broadcast-model
+  * tokenization, window-local packing. The manifest file grows one JSON
+  * entry (~120 bytes) per window: ~10 MB at 100k macro-batch windows,
+  * read once per maintenance call — the Iceberg single-manifest regime;
+  * sharding into a manifest list is the documented growth path beyond
+  * that. GC lists the root once per commit.
+  *
+  * Reference lineage: the window/batch semantics mirror the reference's
+  * transactional topic producer (`S4HanaProducer.java:392-469` — one
+  * commit per polled batch, replay-safe by transaction id); the commit
+  * protocol itself is the public Iceberg/Delta optimistic-concurrency
+  * model, shared with [[ManifestUpsertStore]].
+  *
+  * @param keepVersions  retained manifest versions (the time-travel /
+  *   concurrent-reader horizon, exactly [[ManifestUpsertStore]]'s)
+  * @param orphanGraceMs unreferenced generation dirs younger than this
+  *   are not GC'd: they may be a concurrent writer's in-flight pack
+  *   (same defense, same default rationale as [[ManifestUpsertStore]])
+  */
+class VersionedManifestMaintainer(store: KeyedUpsertStore,
+    tokenizerPath: String, manifestDir: String, windowOf: Long => Long,
+    seedOf: Long => Long, idCol: String = "doc_id",
+    textCol: String = "text", budget: Long = 512L,
+    byteLevel: Boolean = false, writerId: String = "writer-0",
+    keepVersions: Int = 3, orphanGraceMs: Long = 24 * 3600 * 1000L)
+    extends Logging {
+
+  require(writerId.nonEmpty && !writerId.exists(c => c == '\n' || c == '\r'),
+    s"writerId must be a non-empty single-line token, got '$writerId'")
+  require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
+
+  private def root = new java.io.File(manifestDir)
+
+  // model + hash are ONE cached artifact read (the ManifestMaintainer
+  // r17 invariant): two independent loads could straddle a racing
+  // retrain and pack spans under model B while stamping hash A
+  @volatile private var cached: (ServedModel, String) = null
+
+  private def loaded(spark: SparkSession): (ServedModel, String) = {
+    if (cached == null)
+      cached = TokenizerStore.loadServedWithHash(spark, tokenizerPath)
+    cached
+  }
+
+  private def model(spark: SparkSession): ServedModel = loaded(spark)._1
+  private def modelHash(spark: SparkSession): String = loaded(spark)._2
+
+  // ── Manifest encoding ────────────────────────────────────────────────────
+
+  /** One committed window: its span generation (None = committed
+    * spanless, the all-duplicate batch), the committing batchId, the
+    * tokenizer-model content hash its spans count tokens under, and the
+    * committing writer.
+    */
+  private case class WindowEntry(gen: Option[String], batchId: Long,
+      model: String, writer: String)
+
+  /** @param model       the pinned tokenizer hash new windows must match
+    * @param history     previously adopted hashes, oldest first
+    * @param windows     committed windows by id
+    * @param retractions ordered immutable retraction-ledger generations
+    */
+  private case class VManifest(version: Long, model: String,
+      history: Seq[String], windows: Map[Long, WindowEntry],
+      retractions: Seq[String])
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def manifestName(v: Long): String = f"manifest-$v%012d.json"
+
+  /** Digest appended LAST, so any torn prefix fails validation — the
+    * [[ManifestUpsertStore]] torn-write defense verbatim.
+    */
+  private def encodeManifest(m: VManifest): Array[Byte] = {
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    node.put("model", m.model)
+    val h = node.putArray("history")
+    m.history.foreach(h.add)
+    val w = node.putArray("windows")
+    m.windows.toSeq.sortBy(_._1).foreach { case (id, e) =>
+      val o = w.addObject()
+      o.put("w", id); o.put("batch", e.batchId)
+      o.put("model", e.model); o.put("writer", e.writer)
+      e.gen.foreach(o.put("gen", _))
+    }
+    val r = node.putArray("retractions")
+    m.retractions.foreach(r.add)
+    val payload = mapper.writeValueAsString(node)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"$payload\n$digest\n".getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** None when torn/corrupt — the reader's skip signal. */
+  private def decodeManifest(bytes: Array[Byte]): Option[VManifest] =
+    try {
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      val nl = s.lastIndexOf('\n', s.length - 2)
+      if (nl < 0) return None
+      val payload = s.substring(0, nl)
+      val digest = s.substring(nl + 1).trim
+      val want = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      if (digest != want) return None
+      val n = mapper.readTree(payload)
+      val history = (0 until n.get("history").size())
+        .map(n.get("history").get(_).asText())
+      val windows = (0 until n.get("windows").size()).map { i =>
+        val e = n.get("windows").get(i)
+        e.get("w").asLong() -> WindowEntry(
+          Option(e.get("gen")).map(_.asText()),
+          e.get("batch").asLong(), e.get("model").asText(),
+          e.get("writer").asText())
+      }.toMap
+      val retractions = (0 until n.get("retractions").size())
+        .map(n.get("retractions").get(_).asText())
+      Some(VManifest(n.get("version").asLong(), n.get("model").asText(),
+        history, windows, retractions))
+    } catch { case _: Exception => None }
+
+  private def manifestFiles(): Seq[java.io.File] =
+    Option(root.listFiles((_: java.io.File, n: String) =>
+      n.matches("manifest-\\d{12}\\.json")))
+      .getOrElse(Array.empty[java.io.File]).sortBy(_.getName).reverse.toSeq
+
+  private def tryReadManifest(f: java.io.File): Option[VManifest] =
+    try decodeManifest(java.nio.file.Files.readAllBytes(f.toPath))
+    catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException => None
+    }
+
+  /** ONE list pass → (newest complete manifest or None pre-bootstrap,
+    * next free slot) — the pair MUST come from a single listing, for the
+    * same interleaved-commit reason as [[ManifestUpsertStore
+    * .currentState]].
+    */
+  private def currentState(): (Option[VManifest], Long) = {
+    val files = manifestFiles()
+    val next = files.headOption
+      .map(_.getName.stripPrefix("manifest-").stripSuffix(".json").toLong + 1)
+      .getOrElse(1L)
+    (files.iterator.flatMap(tryReadManifest).nextOption(), next)
+  }
+
+  private def currentManifest(): VManifest =
+    currentState()._1.getOrElse(throw new IllegalStateException(
+      s"no committed manifest windows under $manifestDir"))
+
+  /** Conditional PUT: content-atomic via staged write + create-exclusive
+    * hard link; an occupied slot — even a torn occupant — conflicts and
+    * burns its number (torn debris is skipped by digest and GC'd aged).
+    * Identical protocol to [[ManifestUpsertStore.putManifest]].
+    */
+  private def putManifest(m: VManifest): Unit = {
+    val staging = new java.io.File(root,
+      s".staging-${java.util.UUID.randomUUID()}.json")
+    val ch = java.nio.channels.FileChannel.open(staging.toPath,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(encodeManifest(m))
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+    val f = new java.io.File(root, manifestName(m.version))
+    try java.nio.file.Files.createLink(f.toPath, staging.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        staging.delete()
+        throw new CommitConflictException(
+          s"manifest $manifestDir: version slot ${m.version} is occupied " +
+            "— re-read the current manifest and retry on top")
+    }
+    staging.delete()
+    Fs.fsyncDir(root)
+  }
+
+  /** Bounded optimistic-commit loop (the Iceberg retry model): `attempt`
+    * re-runs its own guards against each re-read state, PUTs at the free
+    * slot, and may return WITHOUT putting (a replay no-op).
+    */
+  private def commitWithRetry[A](what: String, maxRetries: Int = 100)(
+      attempt: (Option[VManifest], Long) => A): A = {
+    var (m, slot) = currentState()
+    var retries = 0
+    while (true) {
+      try return attempt(m, slot)
+      catch {
+        case e: CommitConflictException =>
+          UpsertStore.addCount("commit_conflicts") // bench contention signal
+          retries += 1
+          if (retries > maxRetries) throw new IllegalStateException(
+            s"$what under $manifestDir lost the commit race $maxRetries " +
+              "times — pathological contention", e)
+          Thread.sleep(1L + scala.util.Random.nextInt(8))
+          val (nm, ns) = currentState(); m = nm; slot = ns
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ── Claims (conditional-PUT objects) ─────────────────────────────────────
+
+  private def claimOf(window: Long) =
+    new java.io.File(root, s"claim-$window")
+
+  /** Create-exclusive, CONTENT-ATOMIC claim (staged write + hard link):
+    * a visible claim always carries its full `writerId\nbatchId`, so the
+    * rename protocol's torn/empty-claim debris class cannot exist. Our
+    * own (writer+batch match) surviving claim is a crashed predecessor —
+    * take over, replay forward. A foreign claim is loud.
+    */
+  private def acquireClaim(window: Long, batchId: Long): Unit = {
+    root.mkdirs()
+    val claim = claimOf(window)
+    val staging = new java.io.File(root,
+      s".staging-claim-${java.util.UUID.randomUUID()}")
+    val ch = java.nio.channels.FileChannel.open(staging.toPath,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(
+        s"$writerId\n$batchId".getBytes(StandardCharsets.UTF_8))
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+    try {
+      java.nio.file.Files.createLink(claim.toPath, staging.toPath)
+      staging.delete()
+      Fs.fsyncDir(root)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        staging.delete()
+        val lines =
+          try java.nio.file.Files.readString(claim.toPath)
+            .linesIterator.map(_.trim).toSeq
+          catch {
+            case _: java.nio.file.NoSuchFileException |
+                 _: java.io.FileNotFoundException =>
+              // vanished between link failure and read (a racing
+              // reclaim): one bounded retry from scratch
+              acquireClaim(window, batchId); return
+          }
+        val ours = lines.headOption.contains(writerId) &&
+          lines.drop(1).headOption.contains(batchId.toString)
+        if (!ours)
+          throw new IllegalStateException(
+            s"window $window is claimed by writer " +
+              s"'${lines.headOption.getOrElse("")}' batch " +
+              s"${lines.drop(1).headOption.getOrElse("?")} while writer " +
+              s"'$writerId' batch $batchId is trying to pack it — two " +
+              "maintainers' windowOf spaces overlap (multi-writer " +
+              "maintenance requires windows from DISJOINT batch-id " +
+              "spaces) or a foreign writer is racing this window; if the " +
+              "owner is dead, call reclaimWindow(window, force = true) " +
+              "to release it")
+      // ours: our crashed predecessor — take over, replay forward
+    }
+  }
+
+  /** Admin release of a DEAD writer's claim. A claim on an already-
+    * committed window is spent debris (no force needed); an uncommitted
+    * one requires `force = true` — and even a mistaken reclaim of a LIVE
+    * owner cannot corrupt the manifest here: the conditional manifest
+    * PUT serializes the two packers into one winner and one loud
+    * commit-time error (the claim is the early fence, not the only one).
+    * Returns whether a claim was removed.
+    */
+  def reclaimWindow(window: Long, force: Boolean = false): Boolean = {
+    val claim = claimOf(window)
+    if (!claim.exists()) return false
+    val committed = currentState()._1.exists(_.windows.contains(window))
+    if (!committed) require(force,
+      s"window $window has an UNCOMMITTED claim — reclaiming it while " +
+        "its owner is alive would let two writers pack the window " +
+        "concurrently; pass force = true only after confirming the " +
+        "owner is dead")
+    claim.delete()
+  }
+
+  /** Test seam: after the claim, before any span write. */
+  protected def afterClaim(): Unit = {}
+
+  /** Test seam: between the store merge and the window's manifest PUT —
+    * the crash window that produces the `fresh empty + gen exists`
+    * replay state, and the race window a concurrent commit must land in
+    * to force the rebase path deterministically.
+    */
+  protected def beforeWindowCommit(): Unit = {}
+
+  // ── Guards ───────────────────────────────────────────────────────────────
+
+  /** True = window already committed by US at this batchId (replay
+    * no-op); throws on a non-injective windowOf or a foreign writer's
+    * aligned batchId; false = not committed. Runs against EVERY re-read
+    * manifest inside the commit loop, so a rebase re-checks.
+    */
+  private def checkCommitted(m: Option[VManifest], window: Long,
+      batchId: Long): Boolean =
+    m.flatMap(_.windows.get(window)) match {
+      case None => false
+      case Some(e) =>
+        if (e.batchId != batchId)
+          throw new IllegalStateException(
+            s"batch $batchId maps to window $window, already committed " +
+              s"by batch ${e.batchId} — windowOf is not injective; this " +
+              "batch's documents would be silently lost")
+        if (e.writer != writerId)
+          throw new IllegalStateException(
+            s"window $window was committed by writer '${e.writer}' at " +
+              s"the same batch id $batchId that writer '$writerId' now " +
+              "maps there — two maintainers' windowOf spaces overlap; " +
+              "this batch's documents would be silently lost")
+        true
+    }
+
+  /** Refuse to pack under a model the manifest is not versioned to —
+    * same loudness contract as [[ManifestMaintainer]], but the pin is a
+    * manifest FIELD, committed atomically with the first window: the
+    * crashed-empty-pin and racing-repair states of a standalone pin file
+    * cannot exist.
+    */
+  private def checkModel(m: Option[VManifest], h: String): Unit =
+    m.filter(_.model != h).foreach { cur =>
+      throw new IllegalStateException(
+        s"tokenizer artifact at $tokenizerPath (content $h) is not the " +
+          s"model this manifest is packed under (${cur.model}) — a " +
+          "silent retrain would mix token units across windows; call " +
+          "adoptModel() to version the change explicitly (and " +
+          "retokenizeWindow(...) per window if uniform units are " +
+          "required)")
+    }
+
+  // ── Generations ──────────────────────────────────────────────────────────
+
+  /** Deterministic append-generation dir: replays converge on it, and it
+    * is only ever written while unreferenced (see class scaladoc).
+    */
+  private def appendGen(window: Long, batchId: Long): String =
+    s"wgen-$window-b$batchId"
+
+  private def genDir(name: String) = new java.io.File(root, name)
+
+  private def hasSpans(gen: String): Boolean = {
+    val d = genDir(gen)
+    d.isDirectory &&
+      d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  // ── Batch maintenance ────────────────────────────────────────────────────
+
+  /** Apply one micro-batch of raw (curated) documents — the
+    * `foreachBatch` entry point, also usable un-streamed (backfills,
+    * replays, tests). Same semantics as [[ManifestMaintainer
+    * .processBatch]]; see the class scaladoc for the rename-free
+    * crash/replay ordering.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val window = windowOf(batchId)
+    val h = modelHash(spark)
+    val (m0, _) = currentState()
+    if (checkCommitted(m0, window, batchId)) {
+      logInfo(s"batch $batchId: window $window already committed, skipping")
+      claimOf(window).delete() // sweep a claim a crash left behind
+      return
+    }
+    checkModel(m0, h)
+    acquireClaim(window, batchId)
+    afterClaim()
+    val gen = appendGen(window, batchId)
+    val fresh = ManifestPipeline.freshSurvivors(store, batch, idCol, textCol)
+    try {
+      val committedGen: Option[String] =
+        if (fresh.isEmpty) {
+          // `fresh empty + gen holds spans` can only be a crash between
+          // the store merge and the manifest PUT (spans fsync strictly
+          // before the merge; an empty fresh never writes a gen dir):
+          // complete by committing the existing generation. Otherwise a
+          // legitimately all-duplicate batch commits a spanless entry.
+          if (hasSpans(gen)) Some(gen) else None
+        } else {
+          ManifestPipeline
+            .packWindow(fresh, idCol, textCol, model(spark), window,
+              seedOf(batchId), budget, byteLevel)
+            .write.mode("overwrite").parquet(genDir(gen).getPath)
+          Fs.fsyncTree(genDir(gen)) // durable BEFORE the store learns keys
+          ManifestPipeline.mergeSurvivors(store, fresh, idCol,
+            txnId = batchId)
+          Some(gen)
+        }
+      beforeWindowCommit()
+      commitWithRetry(s"window $window commit") { (m, slot) =>
+        if (!checkCommitted(m, window, batchId)) {
+          checkModel(m, h)
+          val base = m.getOrElse(
+            VManifest(0L, h, Seq.empty, Map.empty, Seq.empty))
+          putManifest(base.copy(version = slot,
+            windows = base.windows +
+              (window -> WindowEntry(committedGen, batchId, h, writerId))))
+        }
+      }
+      claimOf(window).delete() // the manifest entry now guards
+      gc()
+    } finally graft.util.Checkpoints.release(fresh)
+  }
+
+  // ── Reads ────────────────────────────────────────────────────────────────
+
+  /** All committed windows' spans with retracted documents filtered out
+    * — the manifest's merge-on-read rule, same as [[ManifestMaintainer
+    * .readManifest]]. No reader-side crash checks exist because no
+    * readable state is ever torn: the manifest is digest-validated and
+    * every generation it references was fsynced before the PUT.
+    */
+  def readManifest(spark: SparkSession): DataFrame = {
+    val m = currentManifest()
+    val spans = rawCommittedSpans(spark, m)
+    retractedIds(spark, m) match {
+      case Some(ids) =>
+        spans.join(org.apache.spark.sql.functions.broadcast(ids),
+          Seq(idCol), "left_anti")
+      case None => spans
+    }
+  }
+
+  private def rawCommittedSpans(spark: SparkSession,
+      m: VManifest): DataFrame = {
+    require(m.windows.nonEmpty,
+      s"no committed manifest windows under $manifestDir")
+    val dirs = m.windows.values.flatMap(_.gen).filter(hasSpans)
+      .map(genDir(_).getPath).toSeq.sorted
+    if (dirs.isEmpty) emptySpans(spark)
+    else spark.read.parquet(dirs: _*)
+  }
+
+  private def emptySpans(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("window", idCol, "shuffle_pos", "n_tok", "cum_before",
+        "seq", "tok_start", "tok_end", "seq_offset")
+        .map(StructField(_, LongType, nullable = false))))
+  }
+
+  /** The serving manifest version — advances by one per committed state
+    * change (window commit, retraction, rewrite, adoption), with torn
+    * slots burning numbers (gaps are part of the format).
+    */
+  def currentVersion: Long = currentManifest().version
+
+  /** TIME TRAVEL across retained manifest versions — the training-
+    * reproducibility read ("the manifest exactly as a run trained on it
+    * last week"): committed windows, retraction visibility, and rewrites
+    * all resolve AS OF that version, because each manifest names the
+    * immutable generations that served it and GC keeps every generation
+    * alive exactly as long as a retained manifest references it
+    * (`keepVersions` is the horizon; beyond it this refuses loudly) —
+    * [[ManifestUpsertStore.snapshotAt]]'s contract applied to windows.
+    */
+  def readManifestAt(spark: SparkSession, version: Long): DataFrame = {
+    val m = manifestFiles().iterator.flatMap(tryReadManifest)
+      .find(_.version == version)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest $manifestDir: version $version is not retained " +
+          s"(keepVersions=$keepVersions) or never committed"))
+    val spans = rawCommittedSpans(spark, m)
+    retractedIds(spark, m) match {
+      case Some(ids) =>
+        spans.join(org.apache.spark.sql.functions.broadcast(ids),
+          Seq(idCol), "left_anti")
+      case None => spans
+    }
+  }
+
+  /** The model stamp of a committed window — which tokenizer version its
+    * spans count tokens under.
+    */
+  def windowModelStamp(windowId: Long): Option[String] = {
+    val m = currentManifest()
+    require(m.windows.contains(windowId),
+      s"window $windowId is not committed")
+    Some(m.windows(windowId).model)
+  }
+
+  // ── Retraction (takedowns / right-to-be-forgotten) ───────────────────────
+
+  private def retractedIds(spark: SparkSession,
+      m: VManifest): Option[DataFrame] = {
+    val dirs = m.retractions.filter(hasSpans).map(genDir(_).getPath)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select(idCol).distinct())
+  }
+
+  /** Retract documents: ids land in an immutable `rgen` generation, and
+    * ONE manifest PUT makes them visible to every reader at once. A
+    * crash before the PUT leaves an unreferenced dir (aged GC) and the
+    * caller re-runs — retraction is an idempotent set union. The ledger
+    * is takedown-sized and intentionally never pruned; the ban-on-
+    * recrawl guarantee lives in the survivor STORE's kept hashes (same
+    * contract as [[ManifestMaintainer.retract]]).
+    */
+  def retract(ids: DataFrame): Unit = {
+    root.mkdirs()
+    val gen = s"rgen-${java.util.UUID.randomUUID()}"
+    ids.select(idCol).distinct()
+      .coalesce(1) // ledger entries are takedown-batch-sized
+      .write.mode("overwrite").parquet(genDir(gen).getPath)
+    Fs.fsyncTree(genDir(gen))
+    if (!hasSpans(gen)) { Fs.rmTree(genDir(gen)); return }
+    commitWithRetry("retraction commit") { (m, slot) =>
+      val base = m.getOrElse(VManifest(0L, modelHash(ids.sparkSession),
+        Seq.empty, Map.empty, Seq.empty))
+      putManifest(base.copy(version = slot,
+        retractions = base.retractions :+ gen))
+    }
+    gc()
+  }
+
+  // ── Window rewrites (compaction / re-tokenization) ───────────────────────
+
+  /** Physically rewrite one window without its retracted documents,
+    * re-packing the remaining docs dense at the window's own seed. The
+    * rewrite is a fresh nonce generation + one manifest PUT whose rebase
+    * VALIDATES the window's generation is still the one it read (a
+    * concurrent rewrite of the same window loses loudly with its staged
+    * generation reclaimed — the [[ManifestUpsertStore.compact]] rebase
+    * rule); a crash before the PUT changes nothing for readers. Never
+    * re-reads corpus text or re-tokenizes.
+    */
+  def compactWindow(spark: SparkSession, windowId: Long, seed: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val m0 = currentManifest()
+    require(m0.windows.contains(windowId),
+      s"window $windowId is not committed")
+    val entry = m0.windows(windowId)
+    val retracted = retractedIds(spark, m0)
+    if (retracted.isEmpty || entry.gen.isEmpty ||
+      !hasSpans(entry.gen.get)) return
+    val current = spark.read.parquet(genDir(entry.gen.get).getPath)
+      .select(col(idCol), col("n_tok")).distinct()
+      .localCheckpoint(true)
+    try {
+      // physical no-op when the window holds none of the retracted docs
+      if (current.join(broadcast(retracted.get), Seq(idCol), "left_semi")
+          .isEmpty) return
+      val remaining = current
+        .join(broadcast(retracted.get), Seq(idCol), "left_anti")
+      val repacked = graft.operators.Shards.packSpans(
+          graft.operators.Sampling.shuffled(remaining, idCol, seed),
+          "shuffle_pos", "n_tok", budget)
+        .withColumn("window", lit(windowId))
+        .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
+          col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+          col("seq_offset"))
+      // the compacted entry keeps its batchId/model/writer stamps —
+      // compaction rewrites spans, not delivery or token units
+      rewriteWindow(spark, windowId, repacked, entry)(identity)
+    } finally graft.util.Checkpoints.release(current)
+  }
+
+  /** Shared rewrite commit: write `repacked` to a fresh nonce gen, then
+    * PUT a manifest whose entry for `windowId` is `stamp(oldEntry)` with
+    * the new gen — validating on every (re-)read that the window still
+    * serves `readEntry.gen` (else the fold inputs were replaced by a
+    * concurrent rewrite: abort loudly, reclaim the staged gen).
+    */
+  private def rewriteWindow(spark: SparkSession, windowId: Long,
+      repacked: DataFrame, readEntry: WindowEntry)(
+      stamp: WindowEntry => WindowEntry): Unit = {
+    val gen = s"wgen-$windowId-rw-${java.util.UUID.randomUUID()}"
+    repacked.write.mode("overwrite").parquet(genDir(gen).getPath)
+    Fs.fsyncTree(genDir(gen))
+    val newGen = if (hasSpans(gen)) Some(gen) else { // emptied entirely
+      Fs.rmTree(genDir(gen)); None
+    }
+    try commitWithRetry(s"window $windowId rewrite") { (m, slot) =>
+      val cur = m.flatMap(_.windows.get(windowId)).getOrElse(
+        throw new IllegalStateException(
+          s"window $windowId vanished from the manifest mid-rewrite"))
+      if (cur.gen != readEntry.gen)
+        throw new IllegalStateException(
+          s"window $windowId was rewritten concurrently (generation " +
+            s"${cur.gen} != ${readEntry.gen}) — rewrite inputs were " +
+            "replaced; re-read and re-run")
+      val base = m.get
+      putManifest(base.copy(version = slot,
+        windows = base.windows +
+          (windowId -> stamp(cur).copy(gen = newGen))))
+    } catch {
+      case e: Throwable =>
+        newGen.foreach(g => Fs.rmTree(genDir(g))); throw e
+    }
+    gc()
+  }
+
+  /** Physically re-pack one committed window under the manifest's
+    * CURRENT model — the uniform-units restore after [[adoptModel]],
+    * same source-batch contract as [[ManifestMaintainer
+    * .retokenizeWindow]] (spans store offsets, not text). A spanless
+    * window RESTAMPS its manifest entry with the adopted model (one
+    * PUT, no data write). The rewrite keeps the original batchId and
+    * writer; retracted documents drop.
+    */
+  def retokenizeWindow(spark: SparkSession, windowId: Long,
+      sourceBatch: DataFrame, seed: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val h = modelHash(spark)
+    val m0 = currentManifest()
+    require(m0.windows.contains(windowId),
+      s"window $windowId is not committed")
+    checkModel(Some(m0), h)
+    val entry = m0.windows(windowId)
+    if (entry.gen.isEmpty || !hasSpans(entry.gen.get)) {
+      // spanless: restamp the adopted model so the uniform-units-restored
+      // record holds (the ManifestMaintainer ADVICE-r17 contract)
+      if (entry.model != h) commitWithRetry(s"window $windowId restamp") {
+        (m, slot) =>
+          val base = m.getOrElse(m0)
+          val cur = base.windows.getOrElse(windowId, entry)
+          putManifest(base.copy(version = slot,
+            windows = base.windows + (windowId -> cur.copy(model = h))))
+      }
+      return
+    }
+    val idsAll = spark.read.parquet(genDir(entry.gen.get).getPath)
+      .select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    try {
+      // retracted docs drop during the rewrite, so a caller who legally
+      // deleted a taken-down text is not required to supply it
+      val ids = retractedIds(spark, m0) match {
+        case Some(r) => idsAll.join(broadcast(r), Seq(idCol), "left_anti")
+        case None => idsAll
+      }
+      val kept = sourceBatch.select(col(idCol), col(textCol))
+        .dropDuplicates(Seq(idCol))
+        .join(ids, Seq(idCol))
+      val missing = ids
+        .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
+      require(missing == 0L,
+        s"$missing of window $windowId's documents are missing from the " +
+          "supplied source batch — spans store token offsets, not text; " +
+          "re-tokenization needs the window's original batch")
+      val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
+        model(spark), windowId, seed, budget, byteLevel)
+      rewriteWindow(spark, windowId, repacked, entry)(e => e.copy(model = h))
+    } finally graft.util.Checkpoints.release(idsAll)
+  }
+
+  /** Explicitly version the manifest onto the artifact's CURRENT model:
+    * one PUT replaces the pin and appends the previous hash to the
+    * embedded history — atomic together, unlike the rename protocol's
+    * separate `_MODEL_HISTORY` append. Idempotent; legal pre-bootstrap
+    * (pins the model for the first window).
+    */
+  def adoptModel(spark: SparkSession): Unit = {
+    cached = null
+    val h = modelHash(spark)
+    root.mkdirs()
+    commitWithRetry("model adoption") { (m, slot) =>
+      val base = m.getOrElse(VManifest(0L, h, Seq.empty, Map.empty,
+        Seq.empty))
+      if (base.model != h)
+        putManifest(base.copy(version = slot, model = h,
+          history = base.history :+ base.model))
+      else if (m.isEmpty)
+        putManifest(base.copy(version = slot))
+    }
+    gc()
+  }
+
+  /** Adopted-model audit trail, oldest first (the `_MODEL_HISTORY`
+    * equivalent, read from the manifest).
+    */
+  def modelHistory(): Seq[String] =
+    currentState()._1.map(_.history).getOrElse(Seq.empty)
+
+  /** The takedown SWEEP: find every window still physically holding a
+    * retracted document (broadcast semi-join vs the ledger), compact
+    * each. Idempotent and trivially crash-forward — an interrupted sweep
+    * left either nothing or complete per-window commits; there is no
+    * mid-publish debris to heal. The collect is the affected-window-id
+    * list, takedown-sized.
+    */
+  def compactRetracted(spark: SparkSession,
+      seedOf: Long => Long): Seq[Long] = {
+    import org.apache.spark.sql.functions._
+    val m = currentState()._1.getOrElse(return Seq.empty)
+    if (m.windows.isEmpty) return Seq.empty
+    val retracted = retractedIds(spark, m)
+    if (retracted.isEmpty) return Seq.empty
+    val affected = rawCommittedSpans(spark, m)
+      .join(broadcast(retracted.get), Seq(idCol), "left_semi")
+      .select(col("window")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    affected.foreach(w => compactWindow(spark, w, seedOf(w)))
+    affected
+  }
+
+  // ── GC ───────────────────────────────────────────────────────────────────
+
+  /** Drop generation dirs referenced by NO retained manifest (aged past
+    * the orphan grace — a young unreferenced dir may be a concurrent
+    * writer's in-flight pack), retired manifests beyond `keepVersions`,
+    * aged torn manifest debris, aged staging files, and claims whose
+    * window is committed. Safe-by-construction: deletion happens
+    * strictly after the serving manifest is readable, so a crash
+    * anywhere in GC leaves retryable garbage, never a dangling
+    * reference. Exactly [[ManifestUpsertStore]]'s gc, over window/
+    * retraction generations.
+    */
+  private def gc(): Unit = {
+    val decoded = manifestFiles().map(f => f -> tryReadManifest(f))
+    val complete = decoded.collect { case (f, Some(m)) => (f, m) }
+    val retained = complete.take(keepVersions)
+    val referenced: Set[String] = retained.flatMap { case (_, m) =>
+      m.windows.values.flatMap(_.gen) ++ m.retractions
+    }.toSet
+    val committedWindows: Set[Long] =
+      retained.headOption.map(_._2.windows.keySet).getOrElse(Set.empty)
+    val now = System.currentTimeMillis()
+    def newestMtime(f: java.io.File): Long =
+      math.max(f.lastModified(),
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(newestMtime).maxOption.getOrElse(0L))
+    Option(root.listFiles((f: java.io.File) => f.isDirectory &&
+      (f.getName.startsWith("wgen-") || f.getName.startsWith("rgen-"))))
+      .getOrElse(Array.empty[java.io.File])
+      .filterNot(d => referenced.contains(d.getName))
+      .filter(d => now - newestMtime(d) >= orphanGraceMs)
+      .foreach(Fs.rmTree)
+    complete.drop(keepVersions).foreach(_._1.delete())
+    decoded.collect { case (f, None) => f }
+      .filter(f => now - f.lastModified() >= orphanGraceMs)
+      .foreach(_.delete())
+    Option(root.listFiles((_: java.io.File, n: String) =>
+      n.startsWith(".staging-")))
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => now - f.lastModified() >= orphanGraceMs)
+      .foreach(_.delete())
+    Option(root.listFiles((_: java.io.File, n: String) =>
+      n.startsWith("claim-")))
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => scala.util.Try(
+        f.getName.stripPrefix("claim-").toLong).toOption
+        .exists(committedWindows.contains))
+      .foreach(_.delete())
+  }
+}

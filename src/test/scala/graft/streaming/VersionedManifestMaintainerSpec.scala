@@ -1,0 +1,448 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{ManifestPipeline, TokenizerStore, UnigramLm}
+
+/** Pins [[VersionedManifestMaintainer]]'s rename-free commit protocol —
+  * the [[ManifestStoreSpec]] discipline applied to manifest windows
+  * (VERDICT r17 #1): torn manifest PUTs at every prefix, a staged crash
+  * at every ordering point of the batch protocol, claim fencing and
+  * reclaim, concurrent two-writer maintenance, rewrites, retraction, and
+  * GC — all without a single rename existing to tear.
+  */
+class VersionedManifestMaintainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(work: java.nio.file.Path,
+      grace: Long = 24 * 3600 * 1000L) = {
+    val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val store = new ManifestUpsertStore(spark, work.resolve("surv").toString,
+      pkCols = Seq("content_hash"), numBuckets = 4)
+    val surv0 = ManifestPipeline
+      .initializeSurvivors(store, batch0, "doc_id", "text")
+    val tokPath = work.resolve("tok").toString
+    TokenizerStore.saveUnigram(tokPath,
+      UnigramLm.train(surv0, "text", vocabSize = 50, maxPieceLen = 3,
+        seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+    val maint = new VersionedManifestMaintainer(store, tokPath,
+      work.resolve("manifest").toString,
+      windowOf = _ + 1L, seedOf = 100L + _, orphanGraceMs = grace)
+    (store, maint)
+  }
+
+  private def spanSet(maint: VersionedManifestMaintainer) =
+    maint.readManifest(spark)
+      .select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+      .collect().map(_.toSeq).toSet
+
+  private def manifestFilesIn(work: java.nio.file.Path) =
+    new java.io.File(work.resolve("manifest").toString).listFiles(
+      (_: java.io.File, n: String) => n.matches("manifest-\\d{12}\\.json"))
+      .sortBy(_.getName)
+
+  test("append, replay no-op, and the later-duplicate never enters") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm1")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (11L, "aa bb")).toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      val before = spanSet(maint)
+      val verBefore = store.feedVersion
+      maint.processBatch(batch1, 0L) // redelivery of a committed batch
+      assert(spanSet(maint) === before)
+      assert(store.feedVersion === verBefore)
+      assert(!before.exists(_(1) == 11L), "bootstrap duplicate stays out")
+      assert(manifestFilesIn(work).length === 1,
+        "a replay no-op publishes nothing")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("torn manifest PUT at every prefix: previous version serves, the slot burns, the next commit lands past it") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm2")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      maint.processBatch(Seq((11L, "cc aa")).toDF("doc_id", "text"), 1L)
+      val good = spanSet(maint)
+      val stamp = maint.windowModelStamp(2L)
+      val donor = manifestFilesIn(work).last
+      val v = donor.getName.stripPrefix("manifest-")
+        .stripSuffix(".json").toLong
+      val next = new java.io.File(donor.getParentFile,
+        f"manifest-${v + 1}%012d.json")
+      val bytes = java.nio.file.Files.readAllBytes(donor.toPath)
+      // a crashed/partial PUT at EVERY prefix stride (the copy+delete
+      // world's torn write): readers must keep serving version v
+      (0 until bytes.length by math.max(1, bytes.length / 17)).foreach { n =>
+        java.nio.file.Files.write(next.toPath,
+          java.util.Arrays.copyOfRange(bytes, 0, n))
+        assert(maint.windowModelStamp(2L) === stamp,
+          s"torn manifest of $n bytes served")
+      }
+      // full span read against a representative torn slot
+      java.nio.file.Files.write(next.toPath,
+        java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2))
+      assert(spanSet(maint) === good)
+      // byte-complete but corrupted payload is equally torn
+      val evil = bytes.clone(); evil(20) = (evil(20) ^ 1).toByte
+      java.nio.file.Files.write(next.toPath, evil)
+      assert(spanSet(maint) === good)
+      // the torn occupant burns its slot: the next commit lands past it
+      maint.processBatch(Seq((12L, "dd bb")).toDF("doc_id", "text"), 2L)
+      assert(spanSet(maint).map(_(1)).toSet === Set(10L, 11L, 12L))
+      val newest = manifestFilesIn(work).last.getName
+      assert(newest > next.getName, s"commit after a torn slot: $newest")
+      assert(next.exists(), "young torn debris is left for aged GC")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("staged crash at every ordering point replays forward to the identical manifest") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm3")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba")).toDF("doc_id", "text")
+      // --- crash AFTER claim, BEFORE span write: claim survives, our
+      // replay takes it over (conditional-PUT claims are content-atomic,
+      // so no torn/empty claim class exists to classify)
+      val claim = new java.io.File(work.resolve("manifest").toFile, "claim-1")
+      work.resolve("manifest").toFile.mkdirs()
+      java.nio.file.Files.writeString(claim.toPath, "writer-0\n0")
+      maint.processBatch(batch1, 0L)
+      val committed = spanSet(maint)
+      assert(committed.nonEmpty && !claim.exists())
+
+      // --- crash AFTER span write, BEFORE store merge (batch 1): the gen
+      // dir holds spans, nothing references it, fresh is still non-empty
+      // on replay → the replay overwrites the SAME deterministic dir
+      val batch2 = Seq((20L, "cc aa")).toDF("doc_id", "text")
+      val crashed = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _) {
+        override protected def afterClaim(): Unit =
+          throw new RuntimeException("crash-before-pack")
+      }
+      intercept[RuntimeException](crashed.processBatch(batch2, 1L))
+      // stage garbage at the deterministic gen to prove the overwrite
+      val gen2 = new java.io.File(work.resolve("manifest").toFile, "wgen-2-b1")
+      Seq((2L, 99L, 0L, 1L, 0L, 0L, 0L, 1L, 0L))
+        .toDF("window", "doc_id", "shuffle_pos", "n_tok", "cum_before",
+          "seq", "tok_start", "tok_end", "seq_offset")
+        .write.mode("overwrite").parquet(gen2.getPath)
+      assert(spanSet(maint) === committed, "unreferenced gen is invisible")
+      maint.processBatch(batch2, 1L)
+      val spans2 = spanSet(maint)
+      assert(spans2.map(_(1)).toSet === Set(10L, 20L),
+        s"garbage spans must be overwritten, got $spans2")
+
+      // --- crash AFTER store merge, BEFORE the manifest PUT (batch 2):
+      // the one ambiguous state — fresh folds empty while the gen holds
+      // spans; the replay must commit the EXISTING generation
+      val batch3 = Seq((30L, "dd bb")).toDF("doc_id", "text")
+      val crashed2 = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _) {
+        override protected def beforeWindowCommit(): Unit =
+          throw new RuntimeException("crash-before-commit")
+      }
+      intercept[RuntimeException](crashed2.processBatch(batch3, 2L))
+      assert(spanSet(maint) === spans2, "no commit happened yet")
+      maint.processBatch(batch3, 2L)
+      assert(spanSet(maint).map(_(1)).toSet === Set(10L, 20L, 30L))
+      assert(maint.readManifest(spark).where(col("doc_id") === 30L).count() > 0)
+
+      // --- crash AFTER the PUT, BEFORE the claim delete (batch 3): the
+      // replay sees the committed window, no-ops, sweeps the claim
+      java.nio.file.Files.writeString(
+        new java.io.File(work.resolve("manifest").toFile, "claim-3").toPath,
+        "writer-0\n2")
+      val before = spanSet(maint)
+      maint.processBatch(batch3, 2L)
+      assert(spanSet(maint) === before)
+      assert(!new java.io.File(work.resolve("manifest").toFile, "claim-3")
+        .exists(), "spent claim swept on the no-op replay")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("claim fence: foreign claim loud before any write; reclaim completes a dead writer's window without double-packing") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm4")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text")
+      // a foreign writer's claim on our window — loud, names reclaim
+      val claim = new java.io.File(work.resolve("manifest").toFile, "claim-1")
+      work.resolve("manifest").toFile.mkdirs()
+      java.nio.file.Files.writeString(claim.toPath, "tailer\n0")
+      val ex = intercept[IllegalStateException](maint.processBatch(batch1, 0L))
+      assert(ex.getMessage.contains("claimed by writer 'tailer'") &&
+        ex.getMessage.contains("reclaimWindow"), ex.getMessage)
+      // reclaim refuses an uncommitted claim without force
+      val ex2 = intercept[IllegalArgumentException](maint.reclaimWindow(1L))
+      assert(ex2.getMessage.contains("force"), ex2.getMessage)
+      assert(maint.reclaimWindow(1L, force = true))
+      // stage the dead writer's WORST crash: spans + merge done, no PUT
+      val crashed = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "tailer") {
+        override protected def beforeWindowCommit(): Unit =
+          throw new RuntimeException("dead")
+      }
+      intercept[RuntimeException](crashed.processBatch(batch1, 0L))
+      intercept[IllegalStateException](maint.processBatch(batch1, 0L))
+      assert(maint.reclaimWindow(1L, force = true))
+      val verBefore = store.feedVersion
+      maint.processBatch(batch1, 0L) // replacement completes forward
+      assert(store.feedVersion === verBefore, "no double store merge")
+      val spans = spanSet(maint)
+      assert(spans.map(_(1)).toSet === Set(10L, 12L) && spans.size === 2,
+        s"no double-packed spans, got $spans")
+      // a spent claim on a committed window reclaims without force
+      java.nio.file.Files.writeString(claim.toPath, "tailer\n0")
+      assert(maint.reclaimWindow(1L))
+      assert(!maint.reclaimWindow(1L), "nothing left to reclaim")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("two writers with disjoint window spaces race one manifest: zero lost, zero double-packed, rebased commits") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm5")
+    try {
+      val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+      val store = new ManifestUpsertStore(spark,
+        work.resolve("surv").toString, pkCols = Seq("content_hash"),
+        numBuckets = 4)
+      val surv0 = ManifestPipeline
+        .initializeSurvivors(store, batch0, "doc_id", "text")
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(surv0, "text", vocabSize = 50, maxPieceLen = 3,
+          seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+      def maintFor(base: Long) = new VersionedManifestMaintainer(store,
+        tokPath, work.resolve("manifest").toString,
+        windowOf = bid => base + bid, seedOf = 200L + _,
+        writerId = s"writer-$base")
+      def batchFor(w: Int, b: Int) = (0 until 3).map { i =>
+        (1000L + w * 100 + b * 10 + i,
+          ("a" * (1 + i)) + " " + ("b" * (1 + b)) + " " + ("c" * (1 + w)))
+      }.toDF("doc_id", "text")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(w: Int, base: Long): Thread = new Thread(() => try {
+        val m = maintFor(base)
+        (0 until 4).foreach(b => m.processBatch(batchFor(w, b), b.toLong))
+      } catch { case t: Throwable => errs.add(t) })
+      val ta = writer(0, 1L)
+      val tb = writer(1, 5L)
+      ta.start(); tb.start(); ta.join(300000); tb.join(300000)
+      assert(!ta.isAlive && !tb.isAlive, "a writer hung")
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+      val spans = maintFor(1L).readManifest(spark)
+        .select("window", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(spans.map(_._1).toSet === (1L to 8L).toSet, "zero lost windows")
+      assert(spans.length === 24, s"expected 24 spans, got ${spans.length}")
+      assert(spans.map(_._2).distinct.length === 24, "zero double-packed")
+      assert(store.snapshot().count() === 2 + 24)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("retraction hides spans at once, bans re-crawls, compacts dense, and the sweep is idempotent") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm6")
+    try {
+      val (store, maint) = fixture(work)
+      // a retraction BEFORE any window commits: nothing to sweep
+      maint.retract(Seq(999L).toDF("doc_id"))
+      assert(maint.compactRetracted(spark, _ => 0L) === Seq.empty)
+      maint.processBatch(
+        Seq((10L, "ab ba"), (11L, "ba ab"), (12L, "aa cc"))
+          .toDF("doc_id", "text"), 0L)
+      maint.processBatch(
+        Seq((20L, "ca bc"), (21L, "ad da")).toDF("doc_id", "text"), 1L)
+      maint.retract(Seq(11L, 20L).toDF("doc_id"))
+      assert(maint.readManifest(spark).select("doc_id").as[Long]
+        .collect().toSet === Set(10L, 12L, 21L), "logical hide is immediate")
+      // banned content cannot re-enter under a new id
+      assert(ManifestPipeline.freshSurvivors(store,
+        Seq((99L, "ba ab")).toDF("doc_id", "text"), "doc_id", "text")
+        .isEmpty, "retracted content stays banned in the store")
+      val swept = maint.compactRetracted(spark, w => 100L + (w - 1))
+      assert(swept === Seq(1L, 2L), s"both affected windows, got $swept")
+      val spans = spanSet(maint)
+      assert(spans.map(_(1)).toSet === Set(10L, 12L, 21L))
+      assert(spans.filter(_(0) == 1L).map(_(2)).toSet === Set(0L, 1L),
+        "window 1 re-packed dense")
+      assert(spans.filter(_(0) == 2L).map(_(2)).toSet === Set(0L))
+      // idempotent: nothing left, nothing re-published
+      val vBefore = manifestFilesIn(work).last.getName
+      assert(maint.compactRetracted(spark, w => 100L + (w - 1)).isEmpty)
+      assert(manifestFilesIn(work).last.getName === vBefore)
+      assert(spanSet(maint) === spans)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("a crashed rewrite changes NOTHING for readers — no healing protocol exists because no state needs healing") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm7")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(
+        Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text"), 0L)
+      maint.retract(Seq(12L).toDF("doc_id"))
+      val logical = maint.readManifest(spark).select("doc_id").as[Long]
+        .collect().toSet
+      // a rewrite that died after writing its generation but before its
+      // PUT is just an unreferenced dir: readers are oblivious, no loud
+      // reader-side crash state exists (contrast ManifestMaintainer's
+      // torn _tmp/_old generations), and the re-run compacts cleanly
+      val orphan = new java.io.File(work.resolve("manifest").toFile,
+        "wgen-1-rw-deadbeef")
+      Seq((1L, 10L, 0L, 1L, 0L, 0L, 0L, 1L, 0L))
+        .toDF("window", "doc_id", "shuffle_pos", "n_tok", "cum_before",
+          "seq", "tok_start", "tok_end", "seq_offset")
+        .write.mode("overwrite").parquet(orphan.getPath)
+      assert(maint.readManifest(spark).select("doc_id").as[Long]
+        .collect().toSet === logical)
+      maint.compactWindow(spark, 1L, seed = 100L)
+      assert(maint.readManifest(spark).select("doc_id").as[Long]
+        .collect().toSet === Set(10L))
+      assert(orphan.exists(), "young orphan waits out the grace")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("model versioning: silent retrain loud, adoption pins + records history, retokenize re-packs and restamps spanless windows") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm8")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text")
+      maint.processBatch(batch1, 0L)
+      // an all-duplicate batch commits a SPANLESS window entry
+      maint.processBatch(Seq((20L, "ab ba")).toDF("doc_id", "text"), 1L)
+      val v1 = maint.windowModelStamp(1L)
+      assert(v1.nonEmpty && maint.windowModelStamp(2L) === v1)
+      // retrain lands at the same artifact path; a fresh maintainer is loud
+      val tokPath = work.resolve("tok").toString
+      // the retrain corpus covers BOTH the committed windows' chars and
+      // the next batch's (Viterbi coverage is a corpus property here)
+      TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(
+          batch1.union(Seq((99L, "dd bc")).toDF("doc_id", "text")),
+          "text", vocabSize = 50, maxPieceLen = 2,
+          seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+      val maint2 = new VersionedManifestMaintainer(store, tokPath,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _)
+      val ex = intercept[IllegalStateException](
+        maint2.processBatch(Seq((30L, "dd bc")).toDF("doc_id", "text"), 2L))
+      assert(ex.getMessage.contains("adoptModel"), ex.getMessage)
+      maint2.adoptModel(spark)
+      assert(maint2.modelHistory() === Seq(v1.get), "audit trail records v1")
+      maint2.adoptModel(spark) // idempotent
+      assert(maint2.modelHistory() === Seq(v1.get))
+      maint2.processBatch(Seq((30L, "dd bc")).toDF("doc_id", "text"), 2L)
+      val v2 = maint2.windowModelStamp(3L)
+      assert(v2.nonEmpty && v2 != v1)
+      assert(maint2.windowModelStamp(1L) === v1, "window 1 keeps its stamp")
+      // source batch required; one legally omitting retracted docs is fine
+      val ex2 = intercept[IllegalArgumentException](
+        maint2.retokenizeWindow(spark, 1L,
+          Seq((10L, "ab ba")).toDF("doc_id", "text"), seed = 100L))
+      assert(ex2.getMessage.contains("source batch"), ex2.getMessage)
+      maint2.retokenizeWindow(spark, 1L, batch1, seed = 100L)
+      assert(maint2.windowModelStamp(1L) === v2, "window 1 re-stamped")
+      val direct = ManifestPipeline.packWindow(
+        ManifestPipeline.survivorRows(batch1, "doc_id", "text"),
+        "doc_id", "text", TokenizerStore.loadUnigram(spark, tokPath),
+        window = 1L, shuffleSeed = 100L)
+        .select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+        .collect().map(_.toSeq).toSet
+      assert(spanSet(maint2).filter(_(0) == 1L) === direct)
+      // the SPANLESS window restamps via one PUT — uniform units restored
+      maint2.retokenizeWindow(spark, 2L,
+        Seq((20L, "ab ba")).toDF("doc_id", "text"), seed = 101L)
+      assert(maint2.windowModelStamp(2L) === v2, "spanless window restamped")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("non-injective windowOf and aligned foreign batch ids fail loudly at the committed entry") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm9")
+    try {
+      val (store, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      val bad = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ => 1L, seedOf = 100L + _)
+      val ex = intercept[IllegalStateException](
+        bad.processBatch(Seq((50L, "zz qq")).toDF("doc_id", "text"), 5L))
+      assert(ex.getMessage.contains("not injective"), ex.getMessage)
+      val twin = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "tailer")
+      val ex2 = intercept[IllegalStateException](
+        twin.processBatch(Seq((50L, "zz qq")).toDF("doc_id", "text"), 0L))
+      assert(ex2.getMessage.contains("committed by writer 'writer-0'"),
+        ex2.getMessage)
+      // the SAME batchId from the SAME writer still no-ops
+      val before = spanSet(maint)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      assert(spanSet(maint) === before)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("time travel: a retained version serves its exact historical state — pre-retraction, pre-rewrite") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm11")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(
+        Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text"), 0L)
+      val v1 = maint.currentVersion
+      val at1 = spanSet(maint)
+      maint.retract(Seq(12L).toDF("doc_id")) // v2: logical hide
+      val v2 = maint.currentVersion
+      assert(v2 > v1)
+      maint.compactWindow(spark, 1L, seed = 100L) // v3: physical rewrite
+      assert(spanSet(maint).map(_(1)).toSet === Set(10L))
+      // v1 reads the pre-retraction spans from the ORIGINAL generation
+      // (still on disk — a retained manifest references it)
+      assert(maint.readManifestAt(spark, v1)
+        .select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+        .collect().map(_.toSeq).toSet === at1)
+      // v2 reads the retraction-filtered view over the original spans
+      assert(maint.readManifestAt(spark, v2).select("doc_id").as[Long]
+        .collect().toSet === Set(10L))
+      // beyond retention (or never committed) refuses loudly
+      val ex = intercept[IllegalStateException](
+        maint.readManifestAt(spark, 999L))
+      assert(ex.getMessage.contains("not retained"), ex.getMessage)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("GC: retention bounds manifests, aged unreferenced generations sweep, serving generations never do") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm10")
+    try {
+      val (_, maint) = fixture(work, grace = 0L) // sweep orphans instantly
+      (0 until 5).foreach { b => // a/b-only texts: the fixture model covers them
+        maint.processBatch(
+          Seq((10L + b, s"${"a" * (b + 1)} ${"b" * (b + 2)}"))
+            .toDF("doc_id", "text"), b.toLong)
+      }
+      assert(manifestFilesIn(work).length === 3,
+        "keepVersions bounds the manifest history")
+      // every serving generation survived GC
+      assert(spanSet(maint).map(_(1)).toSet ===
+        (10L until 15L).toSet)
+      // a rewrite replaces window 1's gen; once the old gen falls out of
+      // every retained manifest, instant-grace GC reclaims it
+      maint.retract(Seq(10L).toDF("doc_id"))
+      val oldGen = new java.io.File(work.resolve("manifest").toFile,
+        "wgen-1-b0")
+      assert(oldGen.exists())
+      maint.compactWindow(spark, 1L, seed = 100L)
+      (5 until 8).foreach { b => // roll retention past the rewrite
+        maint.processBatch(
+          Seq((10L + b, s"${"c" * (b + 1)} ${"d" * (b + 2)}"))
+            .toDF("doc_id", "text"), b.toLong)
+      }
+      assert(!oldGen.exists(), "the replaced generation is reclaimed")
+      assert(maint.readManifest(spark).where(col("window") === 1L).count()
+        === 0L, "window 1 is empty after its only doc retracted")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+}
