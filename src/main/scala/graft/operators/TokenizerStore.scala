@@ -268,6 +268,97 @@ object TokenizerStore {
   def contentHash(spark: SparkSession, path: String): String =
     loadServedWithHash(spark, path)._2
 
+  // ── GPT-2 artifact interop (r18, VERDICT r17 #3) ─────────────────────────
+
+  /** Export a stored merge-table artifact as the published GPT-2 pair —
+    * `encoder.json` (token → id) + `vocab.bpe` (one `l r` merge per line,
+    * in RANK order, under the `#version: 0.2` header) — so a model
+    * trained here serves OUTSIDE the engine (any GPT-2-compatible
+    * tokenizer loader reads this pair; Radford et al. 2019's released
+    * format). The vocabulary is the standard construction: the 256
+    * byte-visible alphabet symbols at ids 0–255 (byte order — the
+    * [[ByteLevel]] alphabet), then one id per merge in rank order for the
+    * fused symbol `l + r` (first-wins when two merges fuse to the same
+    * string). Line order in `vocab.bpe` IS the serving automaton's rank
+    * priority — the r13 trainer-consistency condition made portable: a
+    * loader that applies lines in file order reproduces
+    * [[BpeTrain.tokenCountsCompiled]] exactly.
+    *
+    * The format is only faithful for models whose symbols contain no
+    * whitespace — true by construction for anything trained over
+    * whitespace-split words, and byte-level models additionally cover
+    * every input (the GPT-2 deployment shape); refuses symbols with
+    * whitespace rather than writing an ambiguous line.
+    */
+  def exportGpt2(spark: SparkSession, path: String,
+      exportDir: String): Unit = {
+    val kind = openKind(spark, path)
+    require(kind == KindBpe || kind == KindWordPiece,
+      s"artifact at $path is a '$kind' model; the GPT-2 pair encodes a " +
+        "merge table")
+    val merges = loadMerges(spark, path)
+    merges.foreach { case (l, r) =>
+      require(!(l + r).exists(_.isWhitespace),
+        s"merge ('$l','$r') contains whitespace — not representable in " +
+          "the space-separated vocab.bpe line format (byte-level models " +
+          "never are; see ByteLevel)")
+    }
+    val dir = new java.io.File(exportDir)
+    dir.mkdirs()
+    val bpe = new java.io.File(dir, "vocab.bpe")
+    java.nio.file.Files.write(bpe.toPath,
+      ("#version: 0.2\n" +
+        merges.map { case (l, r) => s"$l $r" }.mkString("", "\n", "\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    var id = 0
+    def add(tok: String): Unit =
+      if (!node.has(tok)) { node.put(tok, id); id += 1 }
+    graft.operators.ByteLevel.byteFallbackPieces.foreach(add)
+    merges.foreach { case (l, r) => add(l + r) }
+    val enc = new java.io.File(dir, "encoder.json")
+    java.nio.file.Files.write(enc.toPath,
+      mapper.writeValueAsBytes(node))
+    Fs.fsyncFile(bpe); Fs.fsyncFile(enc); Fs.fsyncDir(dir)
+  }
+
+  /** Import a GPT-2 artifact pair back into a stored merge-table
+    * artifact ([[saveMerges]], kind `bpe`): `vocab.bpe` line order
+    * becomes the rank order, and `encoder.json` cross-checks the pair's
+    * integrity — every merge's `l`, `r`, and fused `l + r` must be in
+    * the encoder's vocabulary (a pair whose halves the encoder never
+    * assigned an id is torn or mismatched), refusing loudly rather than
+    * importing a table that cannot reproduce the exporter's serving.
+    */
+  def importGpt2(spark: SparkSession, exportDir: String,
+      path: String): Unit = {
+    import spark.implicits._
+    val dir = new java.io.File(exportDir)
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "vocab.bpe").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.toSeq
+    val merges = lines
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .zipWithIndex.map { case (line, i) =>
+        val sp = line.indexOf(' ')
+        require(sp > 0 && line.indexOf(' ', sp + 1) < 0,
+          s"vocab.bpe line ${i + 1} is not 'l r': '$line'")
+        (i + 1L, line.substring(0, sp), line.substring(sp + 1))
+      }
+    require(merges.nonEmpty, s"no merges in $exportDir/vocab.bpe")
+    val encNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "encoder.json").toPath))
+    merges.foreach { case (rank, l, r) =>
+      require(encNode.has(l) && encNode.has(r) && encNode.has(l + r),
+        s"merge #$rank ('$l','$r') names tokens absent from " +
+          "encoder.json — the artifact pair is torn or mismatched")
+    }
+    saveMerges(path, merges.toDF("rank", "l", "r"))
+  }
+
   /** Reader-side open: tolerate a crashed writer WITHOUT healing in place
     * (healing is the writer's job — a read-only consumer may lack write
     * permission): if live is missing but a complete tmp or an aside

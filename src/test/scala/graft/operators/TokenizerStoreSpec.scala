@@ -70,6 +70,70 @@ class TokenizerStoreSpec extends SparkSpec {
     }
   }
 
+  test("GPT-2 export: vocab.bpe line order IS the automaton's rank order, and the re-import serves bit-identically") {
+    withWork { work =>
+      val path = work.resolve("bpe").toString
+      val trained = ByteLevel.trainBpeBytes(docs, "text", numMerges = 6)
+      TokenizerStore.saveMerges(path, trained)
+      val exp = work.resolve("gpt2").toString
+      TokenizerStore.exportGpt2(spark, path, exp)
+      // the exported vocab.bpe lines, in file order, ARE the stored
+      // table's rank order — the r13 trainer-consistency condition made
+      // portable (a loader applying lines in order reproduces serving)
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(exp, "vocab.bpe"))
+      assert(lines.get(0).startsWith("#version"))
+      val fileMerges = (1 until lines.size).map { i =>
+        val Array(l, r) = lines.get(i).split(" ", 2); (l, r)
+      }
+      assert(fileMerges == TokenizerStore.loadMerges(spark, path))
+      // encoder.json: the 256 byte-visible alphabet at ids 0–255 (byte
+      // order), then one id per merge's fused symbol in rank order
+      val enc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(exp, "encoder.json")))
+      ByteLevel.byteFallbackPieces.zipWithIndex.foreach { case (p, i) =>
+        assert(enc.get(p).asInt() === i, s"alphabet symbol $i")
+      }
+      fileMerges.foreach { case (l, r) =>
+        assert(enc.has(l + r), s"fused symbol for ('$l','$r')")
+      }
+      // re-import → identical table → identical serving
+      val back = work.resolve("bpe2").toString
+      TokenizerStore.importGpt2(spark, exp, back)
+      val reloaded = TokenizerStore.loadMerges(spark, back)
+      assert(reloaded == TokenizerStore.loadMerges(spark, path))
+      val a = ByteLevel.tokenCountsBpeBytes(docs, "doc_id", "text",
+        TokenizerStore.loadMerges(spark, path)).orderBy("doc_id").collect().toSeq
+      val b = ByteLevel.tokenCountsBpeBytes(docs, "doc_id", "text", reloaded)
+        .orderBy("doc_id").collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("GPT-2 import refuses a torn pair: a merge absent from encoder.json is loud") {
+    withWork { work =>
+      val path = work.resolve("bpe").toString
+      TokenizerStore.saveMerges(path,
+        ByteLevel.trainBpeBytes(docs, "text", numMerges = 4))
+      val exp = work.resolve("gpt2").toString
+      TokenizerStore.exportGpt2(spark, path, exp)
+      // tear the pair: append a merge line the encoder never assigned
+      val bpe = java.nio.file.Paths.get(exp, "vocab.bpe")
+      java.nio.file.Files.writeString(bpe,
+        java.nio.file.Files.readString(bpe) + "zz qq\n")
+      val ex = intercept[IllegalArgumentException](
+        TokenizerStore.importGpt2(spark, exp, work.resolve("b2").toString))
+      assert(ex.getMessage.contains("encoder.json"), ex.getMessage)
+      // a unigram artifact has no merge-table pair to export
+      val uni = work.resolve("uni").toString
+      TokenizerStore.saveUnigram(uni, Seq(("a", 1L), ("b", 2L)), spark)
+      val ex2 = intercept[IllegalArgumentException](
+        TokenizerStore.exportGpt2(spark, uni, work.resolve("x").toString))
+      assert(ex2.getMessage.contains("merge table"), ex2.getMessage)
+    }
+  }
+
   test("kind mismatch fails loudly in both directions") {
     withWork { work =>
       val mp = work.resolve("m").toString
