@@ -1057,6 +1057,34 @@ object SparkEntry {
       } finally graft.util.Fs.rmTree(work.toFile)
     }),
 
+    // GPT-2 ARTIFACT INTEROP (r18, VERDICT r17 #3): the byte-level merge
+    // table round-trips through the PUBLISHED artifact pair —
+    // encoder.json + vocab.bpe (rank-ordered merge lines) — between
+    // training and serving: save → export → re-import → tokenize the
+    // corpus under the re-imported model. The oracle is the byte-BPE
+    // fold replay over the same corpus, so a lost rank, a reordered
+    // vocab.bpe line, or a mangled byte-visible symbol in either file
+    // breaks the hash — "a model trained here serves outside the
+    // engine" made cross-engine-verifiable.
+    "q_bpe_export_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft-gpt2io")
+      val merges = try {
+        val path = work.resolve("bpe").toString
+        graft.operators.TokenizerStore.saveMerges(path,
+          graft.operators.ByteLevel.trainBpeBytes(docs, "text",
+            numMerges = 8))
+        graft.operators.TokenizerStore.exportGpt2(s, path,
+          work.resolve("gpt2").toString)
+        val reimported = work.resolve("bpe2").toString
+        graft.operators.TokenizerStore.importGpt2(s,
+          work.resolve("gpt2").toString, reimported)
+        graft.operators.TokenizerStore.loadMerges(s, reimported)
+      } finally graft.util.Fs.rmTree(work.toFile)
+      graft.operators.ByteLevel.tokenCountsBpeBytes(docs, "doc_id", "text",
+        merges)
+    }),
+
     // WordPiece TRAINING (r14) — the trainer triple completed (BPE:
     // frequency argmax; unigram: EM+prune; WordPiece: Schuster-Nakajima
     // likelihood argmax). Same loop as BPE with the pick maximizing the
@@ -1574,7 +1602,11 @@ object SparkEntry {
           val served = graft.operators.TokenizerStore.loadUnigram(s, tokPath)
           val m1 = graft.operators.ManifestPipeline
             .packWindow(surv0, "doc_id", "text", served, 1L, 53L)
-          val maint = new graft.streaming.ManifestMaintainer(store,
+          // the OBJECT-STORE-SAFE maintainer (r18, VERDICT r17 #1): the
+          // flagship maintenance gates run over the rename-free
+          // conditional-PUT protocol; the rename-based sibling keeps its
+          // own spec suite + q_manifest_retract/q_manifest_retokenize
+          val maint = new graft.streaming.VersionedManifestMaintainer(store,
             tokPath, work.resolve("manifest").toString,
             windowOf = _ + 2L, seedOf = bid => Seq(59L, 61L)(bid.toInt))
           val ms = MemoryStream[(Long, String)]
@@ -1637,11 +1669,14 @@ object SparkEntry {
           val served = graft.operators.TokenizerStore.loadUnigram(s, tokPath)
           val m1 = graft.operators.ManifestPipeline
             .packWindow(surv0, "doc_id", "text", served, 1L, 79L)
-          val backfill = new graft.streaming.ManifestMaintainer(store,
-            tokPath, work.resolve("manifest").toString,
+          // both writers on the object-store-safe protocol (r18): their
+          // racing window commits rebase through the conditional-PUT
+          // manifest slot exactly like the survivor store's merges
+          val backfill = new graft.streaming.VersionedManifestMaintainer(
+            store, tokPath, work.resolve("manifest").toString,
             windowOf = _ + 2L, seedOf = _ => 89L, writerId = "backfill")
-          val tailer = new graft.streaming.ManifestMaintainer(store,
-            tokPath, work.resolve("manifest").toString,
+          val tailer = new graft.streaming.VersionedManifestMaintainer(
+            store, tokPath, work.resolve("manifest").toString,
             windowOf = _ + 3L, seedOf = _ => 97L, writerId = "tailer")
           val errs =
             new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -1763,7 +1798,9 @@ object SparkEntry {
               "text", vocabSize = 200, maxPieceLen = 3, seedSize = 40,
               emIters = 1, pruneFraction = 0.0), s)
           val seeds = Seq(101L, 103L)
-          val maint = new graft.streaming.ManifestMaintainer(store,
+          // the takedown composition runs over the object-store-safe
+          // maintainer (r18): retraction = immutable rgen + one PUT
+          val maint = new graft.streaming.VersionedManifestMaintainer(store,
             tokPath, work.resolve("manifest").toString,
             windowOf = _ + 1L, seedOf = bid => seeds(bid.toInt))
           maint.processBatch(batch1, 0L)
@@ -6204,6 +6241,19 @@ object SparkEntry {
         source = "btrain") + "\n" +
         (1 to 8).map(i => s"SELECT rank, l, r, c AS pair_count FROM b$i")
           .mkString("\nUNION ALL\n")),
+
+    // GPT-2 export round trip: the byte-BPE fold replay — identical
+    // serving to an in-memory model, which is exactly the claim (the
+    // exported pair loses nothing)
+    "q_bpe_export_roundtrip" ->
+      (bpeOracleCtes(8, lastApply = true,
+        prelude = (preTokenizeCte("ptr", "documents") +
+          byteTextCte("btrain", "ptr")).stripPrefix("\n") + "\n",
+        source = "btrain") + """,
+        |wc AS (SELECT word, len(syms)::BIGINT AS ntok FROM w8)
+        |SELECT d.doc_id, sum(wc.ntok)::BIGINT AS n_tokens
+        |FROM btrain_w d JOIN wc ON d.bword = wc.word
+        |GROUP BY d.doc_id""".stripMargin),
 
     // byte-level serving on the augmented corpus: trained on the plain
     // byte corpus, Viterbi-enumerated over the UNION serve words via the
