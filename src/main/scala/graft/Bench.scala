@@ -518,6 +518,13 @@ object StreamBench {
       } catch { case t: Throwable => errors.add(t) })
       val expectKeys = master.count() // feed only upserts existing keys
       UpsertStore.drainPhases()
+      UpsertStore.drainCounts()
+      def gcMillis: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+      }
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val backfill = writer("backfill", 0)
       val tailer = writer("tailer", 1)
@@ -547,10 +554,22 @@ object StreamBench {
         s"two-writer fold lost updates: $finalKeys of $expectKeys keys")
       val total = (System.nanoTime() - t0) / 1e9
       val merged = UpsertStore.drainPhases()
+      // contention self-disposition (r18, VERDICT r17 #2): the stores
+      // absorb rebase conflicts and lost maintenance races silently —
+      // reporting the counts plus this entry's own GC seconds lets the
+      // round read a slow 2w entry without an isolated re-run: the entry
+      // moved alone + conflicts elevated + per-entry gc high → in-sweep
+      // contention, not a protocol regression (SCALING §27). The control
+      // (`concurrent = false`) reports the same counters; its conflicts
+      // are structurally ~0, which is the calibration line.
+      val counts = UpsertStore.drainCounts()
       Seq(q -> total,
         s"$q.merge_write" -> merged.getOrElse("merge_write", 0.0),
         s"$q.swap" -> merged.getOrElse("swap", 0.0),
-        s"$q.compact" -> merged.getOrElse("compact", 0.0))
+        s"$q.compact" -> merged.getOrElse("compact", 0.0),
+        s"$q.conflicts" -> counts.getOrElse("commit_conflicts", 0L).toDouble,
+        s"$q.policy_noops" -> counts.getOrElse("policy_noops", 0L).toDouble,
+        s"$q.gc_sec" -> (gcMillis - gc0) / 1000.0)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $q failed: ${e.getMessage}")

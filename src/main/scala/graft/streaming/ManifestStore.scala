@@ -513,6 +513,9 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
       try { attempt(m, slot); return }
       catch {
         case e: CommitConflictException =>
+          // absorbed-and-rebased conflicts are counted (r18, VERDICT r17
+          // #2) so the bench can report contention per entry
+          UpsertStore.addCount("commit_conflicts")
           retries += 1
           if (retries > maxRetries) { onAbort; throw e }
           // brief jittered backoff so lockstep racers desynchronize

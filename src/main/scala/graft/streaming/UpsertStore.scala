@@ -1204,4 +1204,24 @@ object UpsertStore {
     phaseSeconds.clear()
     out
   }
+
+  /** Cumulative CONTENTION counters (r18, VERDICT r17 #2): commit-slot
+    * conflicts absorbed by [[ManifestUpsertStore]]'s optimistic retry and
+    * maintenance races the [[CdcStreamJob]] policy path turns into
+    * no-ops. The stores absorb both silently by design — counting them
+    * lets a bench entry SELF-DISPOSITION a slow run (elevated conflicts →
+    * in-sweep contention, not a code regression) instead of needing an
+    * isolated re-run for forensics.
+    */
+  private val eventCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[streaming] def addCount(name: String, n: Long = 1L): Unit =
+    eventCounts.merge(name, n, (a, b) => a + b)
+  /** Snapshot and reset the accumulated contention counters. */
+  def drainCounts(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val out = eventCounts.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    eventCounts.clear()
+    out
+  }
 }
