@@ -290,7 +290,8 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     * own (writer+batch match) surviving claim is a crashed predecessor —
     * take over, replay forward. A foreign claim is loud.
     */
-  private def acquireClaim(window: Long, batchId: Long): Unit = {
+  private def acquireClaim(window: Long, batchId: Long,
+      attempt: Int = 1): Unit = {
     root.mkdirs()
     val claim = claimOf(window)
     val staging = new java.io.File(root,
@@ -318,8 +319,13 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
             case _: java.nio.file.NoSuchFileException |
                  _: java.io.FileNotFoundException =>
               // vanished between link failure and read (a racing
-              // reclaim): one bounded retry from scratch
-              acquireClaim(window, batchId); return
+              // reclaim): bounded retry from scratch — a claim flapping
+              // across 5 attempts is contention to inspect, not to spin on
+              if (attempt >= 5) throw new IllegalStateException(
+                s"window $window claim kept vanishing across $attempt " +
+                  s"acquisition attempts by writer '$writerId' — racing " +
+                  "reclaims are flapping the claim; inspect manually")
+              acquireClaim(window, batchId, attempt + 1); return
           }
         val ours = lines.headOption.contains(writerId) &&
           lines.drop(1).headOption.contains(batchId.toString)
@@ -421,11 +427,9 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
 
   private def genDir(name: String) = new java.io.File(root, name)
 
-  private def hasSpans(gen: String): Boolean = {
-    val d = genDir(gen)
-    d.isDirectory &&
-      d.listFiles().exists(_.getName.endsWith(".parquet"))
-  }
+  private def hasSpans(gen: String): Boolean =
+    Option(genDir(gen).listFiles()) // null when the dir vanished mid-check
+      .exists(_.exists(_.getName.endsWith(".parquet")))
 
   // ── Batch maintenance ────────────────────────────────────────────────────
 
@@ -546,6 +550,54 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
           s"(keepVersions=$keepVersions) or never committed"))
     val spans = rawCommittedSpans(spark, m)
     retractedIds(spark, m) match {
+      case Some(ids) =>
+        spans.join(org.apache.spark.sql.functions.broadcast(ids),
+          Seq(idCol), "left_anti")
+      case None => spans
+    }
+  }
+
+  /** CHANGE FEED over manifest versions — the training consumer's tail
+    * ("give me the windows that committed or were rewritten since the
+    * version my last run trained at"), the [[StoreChangeFeed]] idea
+    * applied to the manifest: spans of every window that is NEW or whose
+    * generation CHANGED in `(fromVersion, toVersion]`, each row tagged
+    * `change` = `new` | `rewritten`, retraction-filtered as of
+    * `toVersion`. A spanless commit (all-duplicate batch) and a
+    * stamp-only restamp contribute no rows — the feed reports span
+    * changes, not bookkeeping. Both endpoints must be retained
+    * (`keepVersions` is the feed horizon; beyond it this refuses
+    * loudly, like [[ManifestUpsertStore.changesBetween]]).
+    */
+  def windowsBetween(spark: SparkSession, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"empty range: $fromVersion > $toVersion")
+    val retained = manifestFiles().flatMap(tryReadManifest)
+    def at(v: Long): VManifest = retained.find(_.version == v)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest $manifestDir: version $v is not retained " +
+          s"(keepVersions=$keepVersions) or never committed"))
+    val mTo = at(toVersion)
+    val mFrom = at(fromVersion)
+    val groups = mTo.windows.toSeq.flatMap { case (w, e) =>
+      mFrom.windows.get(w) match {
+        case None => e.gen.filter(hasSpans).map(g => ("new", g))
+        case Some(old) if old.gen != e.gen =>
+          e.gen.filter(hasSpans).map(g => ("rewritten", g))
+        case _ => None
+      }
+    }
+    val schema = emptySpans(spark)
+      .withColumn("change", lit("").cast("string"))
+    if (groups.isEmpty) return schema
+    val spans = groups.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (change, gens) =>
+        spark.read.parquet(gens.map(g => genDir(g._2).getPath): _*)
+          .withColumn("change", lit(change))
+    }.reduce(_.unionByName(_))
+    retractedIds(spark, mTo) match {
       case Some(ids) =>
         spans.join(org.apache.spark.sql.functions.broadcast(ids),
           Seq(idCol), "left_anti")

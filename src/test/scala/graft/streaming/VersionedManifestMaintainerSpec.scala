@@ -414,6 +414,37 @@ class VersionedManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("change feed: windowsBetween tails new and rewritten windows by manifest version") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm12")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(
+        Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text"), 0L)
+      val v1 = maint.currentVersion
+      maint.processBatch(Seq((20L, "ca bc")).toDF("doc_id", "text"), 1L)
+      val v2 = maint.currentVersion
+      // the consumer trained at v1 tails: exactly window 2, tagged new
+      val feed = maint.windowsBetween(spark, v1, v2)
+        .select("window", "doc_id", "change").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(feed.toSet === Set((2L, 20L, "new")), feed.mkString(","))
+      // retract + compact window 1: the next tail reports it rewritten,
+      // retraction-filtered as of the newest version
+      maint.retract(Seq(12L).toDF("doc_id"))
+      maint.compactWindow(spark, 1L, seed = 100L)
+      val v4 = maint.currentVersion
+      val feed2 = maint.windowsBetween(spark, v2, v4)
+        .select("window", "doc_id", "change").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(feed2.toSet === Set((1L, 10L, "rewritten")), feed2.mkString(","))
+      // an empty range is empty; beyond retention refuses loudly
+      assert(maint.windowsBetween(spark, v4, v4).isEmpty)
+      val ex = intercept[IllegalStateException](
+        maint.windowsBetween(spark, 0L, v4))
+      assert(ex.getMessage.contains("not retained"), ex.getMessage)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("GC: retention bounds manifests, aged unreferenced generations sweep, serving generations never do") {
     val work = java.nio.file.Files.createTempDirectory("graft-vmm10")
     try {
