@@ -316,7 +316,15 @@ object TokenizerStore {
     def add(tok: String): Unit =
       if (!node.has(tok)) { node.put(tok, id); id += 1 }
     graft.operators.ByteLevel.byteFallbackPieces.foreach(add)
-    merges.foreach { case (l, r) => add(l + r) }
+    // each merge's LEAF symbols enter the vocabulary before the fused
+    // symbol (r18 review #4): a char-level model over non-byte-visible
+    // characters (Cyrillic, CJK) has leaves outside the 256-byte
+    // alphabet, and without them the exported encoder could not encode
+    // the model's own text — and importGpt2's integrity cross-check
+    // would reject the pair this engine itself just exported. For a
+    // byte-level model every leaf is already present (alphabet or an
+    // earlier fused symbol), so its ids are unchanged.
+    merges.foreach { case (l, r) => add(l); add(r); add(l + r) }
     val enc = new java.io.File(dir, "encoder.json")
     java.nio.file.Files.write(enc.toPath,
       mapper.writeValueAsBytes(node))
@@ -331,20 +339,31 @@ object TokenizerStore {
     * assigned an id is torn or mismatched), refusing loudly rather than
     * importing a table that cannot reproduce the exporter's serving.
     */
+  /** @param kind kind tag for the re-imported artifact — the published
+    *   pair carries none (GPT-2's format is BPE-shaped regardless of how
+    *   the ranks were learned), so a WordPiece export re-imports as
+    *   `bpe` unless the caller says otherwise (r18 review #6); serving
+    *   is identical either way (one greedy fusion family).
+    */
   def importGpt2(spark: SparkSession, exportDir: String,
-      path: String): Unit = {
+      path: String, kind: String = KindBpe): Unit = {
     import spark.implicits._
     val dir = new java.io.File(exportDir)
     val lines = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "vocab.bpe").toPath),
       java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.toSeq
-    val merges = lines
-      .filterNot(l => l.startsWith("#") || l.isEmpty)
-      .zipWithIndex.map { case (line, i) =>
+    // ONLY the first line is a header, and only when it says so: byte-
+    // visible symbols can legitimately start with '#' (byte 0x23 maps to
+    // itself), so a blanket '#'-comment filter would silently drop real
+    // merges and shift every later rank with no error (r18 review #3)
+    val body = lines.zipWithIndex
+      .drop(if (lines.headOption.exists(_.startsWith("#version"))) 1 else 0)
+      .filterNot(_._1.isEmpty)
+    val merges = body.zipWithIndex.map { case ((line, fileIdx), i) =>
         val sp = line.indexOf(' ')
         require(sp > 0 && line.indexOf(' ', sp + 1) < 0,
-          s"vocab.bpe line ${i + 1} is not 'l r': '$line'")
+          s"vocab.bpe line ${fileIdx + 1} is not 'l r': '$line'")
         (i + 1L, line.substring(0, sp), line.substring(sp + 1))
       }
     require(merges.nonEmpty, s"no merges in $exportDir/vocab.bpe")
@@ -356,7 +375,7 @@ object TokenizerStore {
         s"merge #$rank ('$l','$r') names tokens absent from " +
           "encoder.json — the artifact pair is torn or mismatched")
     }
-    saveMerges(path, merges.toDF("rank", "l", "r"))
+    saveMerges(path, merges.toDF("rank", "l", "r"), kind)
   }
 
   /** Reader-side open: tolerate a crashed writer WITHOUT healing in place

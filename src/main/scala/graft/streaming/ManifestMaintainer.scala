@@ -169,7 +169,9 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
         }
       if (cur == h) return
       if (cur != null && cur.nonEmpty) mismatch(cur)
-      if (cur != null) grabDebris(modelCurrentFile) // win or lose: retry
+      // win or lose, the loop retries; the verified grab cannot remove a
+      // pin another racer just re-asserted (it restores it instead)
+      if (cur != null) grabDebris(modelCurrentFile)(_.trim.isEmpty)
       try {
         java.nio.file.Files.write(modelCurrentFile.toPath,
           h.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -189,21 +191,43 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     * concurrent callers cannot both succeed (the loser's ATOMIC_MOVE
     * throws NoSuchFile), unlike delete-then-create, where racer B's
     * delete can silently destroy racer A's just-created replacement.
-    * Returns whether WE grabbed it. A crash between the move and the
-    * delete leaves a `.grab-*` file no lookup ever resolves — ignorable
-    * debris.
+    *
+    * The grabbed BYTES are re-verified against `isDebris` after the
+    * move: the caller classified the file BEFORE grabbing, and in that
+    * window another racer may have grabbed the same debris and
+    * re-asserted LIVE content at the path — a blind grab would rename
+    * that live claim/pin away and re-open the both-writers-pack race the
+    * grab exists to close (r18 review). A grab that caught live content
+    * is undone by re-linking the grabbed file into the (momentarily
+    * empty) slot create-exclusively; if a third racer claimed the slot
+    * inside that window, the undo fails LOUDLY with both files named —
+    * never a silent double-owner. Returns whether debris was removed.
+    * A crash between move and delete leaves a `.grab-*` file no lookup
+    * ever resolves — ignorable debris.
     */
-  private def grabDebris(f: java.io.File): Boolean = {
+  private def grabDebris(f: java.io.File)(
+      isDebris: String => Boolean): Boolean = {
     val grabbed = new java.io.File(f.getParentFile,
       s".grab-${java.util.UUID.randomUUID()}")
-    try {
-      java.nio.file.Files.move(f.toPath, grabbed.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      grabbed.delete()
-      true
-    } catch {
+    try java.nio.file.Files.move(f.toPath, grabbed.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
       case _: java.nio.file.NoSuchFileException |
-           _: java.io.FileNotFoundException => false
+           _: java.io.FileNotFoundException => return false
+    }
+    val content = java.nio.file.Files.readString(grabbed.toPath)
+    if (isDebris(content)) { grabbed.delete(); return true }
+    try {
+      java.nio.file.Files.createLink(f.toPath, grabbed.toPath)
+      grabbed.delete()
+      false
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"grabbed LIVE content of $f while a third writer re-claimed " +
+            s"the slot — the displaced content is preserved at $grabbed; " +
+            "reconcile manually (three writers are racing one window/pin, " +
+            "which the disjoint-window contract forbids)")
     }
   }
 
@@ -338,7 +362,13 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
               "spaces) or a foreign writer is racing this window; if the " +
               "owner is dead, call reclaimWindow(window, force = true) " +
               "to release it")
-        grabDebris(claim) // win or lose, the loop re-asserts from scratch
+        // win or lose, the loop re-asserts from scratch; the verified
+        // grab restores (rather than removes) a claim that a racing
+        // writer re-asserted between our read and our grab
+        grabDebris(claim) { c =>
+          val ls = c.linesIterator.map(_.trim).toSeq
+          ls.isEmpty || (ls.size == 1 && ls.headOption.contains(writerId))
+        }
       }
     }
   }
@@ -362,13 +392,16 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
   def reclaimWindow(window: Long, force: Boolean = false): Boolean = {
     val claim = claimOf(window)
     if (!claim.exists()) return false
-    if (markerOf(windowDir(window)).exists()) return grabDebris(claim)
+    // the admin asserts the claim is releasable whatever it holds — the
+    // verified-grab restore path does not apply to an explicit reclaim
+    if (markerOf(windowDir(window)).exists())
+      return grabDebris(claim)(_ => true)
     require(force,
       s"window $window has an UNCOMMITTED claim — reclaiming it while " +
         "its owner is alive would let two writers pack the window " +
         "concurrently; pass force = true only after confirming the " +
         "owner is dead")
-    grabDebris(claim)
+    grabDebris(claim)(_ => true)
   }
 
   /** Test seam: runs after [[acquireClaim]] succeeds and before any span

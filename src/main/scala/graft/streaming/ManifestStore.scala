@@ -267,32 +267,16 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     * sweeps it aged); a crash after link is a completed commit.
     */
   private def putManifest(m: Manifest): Unit = {
-    // write THROUGH the forcing channel (force is only specified for this
-    // channel's own writes — ADVICE r10) and force before the link makes
-    // it visible: a power-cut after "commit" must not lose the commit. An
-    // object store gives this durability on PUT acknowledgment.
-    val staging = new java.io.File(root,
-      s".staging-${java.util.UUID.randomUUID().toString}.json")
-    val ch = java.nio.channels.FileChannel.open(staging.toPath,
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val buf = java.nio.ByteBuffer.wrap(encodeManifest(m))
-      while (buf.hasRemaining) ch.write(buf)
-      ch.force(true)
-    } finally ch.close()
+    // the shared content-atomic conditional-create (graft.util
+    // .ConditionalPut, extracted r18): staged forced write + create-
+    // exclusive hard link, durability-before-visibility (ADVICE r10)
     val f = new java.io.File(root, manifestName(m.version))
-    try java.nio.file.Files.createLink(f.toPath, staging.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        staging.delete()
-        throw new CommitConflictException(
-          s"store $dir: version slot ${m.version} is occupied (a committed " +
-            "manifest, or a crashed writer's torn put) — re-read the " +
-            "current manifest and retry on top; torn slots burn their " +
-            "version number")
-    }
-    staging.delete()
+    if (!graft.util.ConditionalPut.claim(f, encodeManifest(m)))
+      throw new CommitConflictException(
+        s"store $dir: version slot ${m.version} is occupied (a committed " +
+          "manifest, or a crashed writer's torn put) — re-read the " +
+          "current manifest and retry on top; torn slots burn their " +
+          "version number")
     // ... and persist the manifest's DIRECTORY ENTRY: without this a crash
     // can lose the just-created name even with its bytes forced, silently
     // dropping a CDC window whose ledger already advanced (ADVICE r10)

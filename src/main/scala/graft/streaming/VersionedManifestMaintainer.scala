@@ -232,26 +232,11 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     * Identical protocol to [[ManifestUpsertStore.putManifest]].
     */
   private def putManifest(m: VManifest): Unit = {
-    val staging = new java.io.File(root,
-      s".staging-${java.util.UUID.randomUUID()}.json")
-    val ch = java.nio.channels.FileChannel.open(staging.toPath,
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val buf = java.nio.ByteBuffer.wrap(encodeManifest(m))
-      while (buf.hasRemaining) ch.write(buf)
-      ch.force(true)
-    } finally ch.close()
     val f = new java.io.File(root, manifestName(m.version))
-    try java.nio.file.Files.createLink(f.toPath, staging.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        staging.delete()
-        throw new CommitConflictException(
-          s"manifest $manifestDir: version slot ${m.version} is occupied " +
-            "— re-read the current manifest and retry on top")
-    }
-    staging.delete()
+    if (!graft.util.ConditionalPut.claim(f, encodeManifest(m)))
+      throw new CommitConflictException(
+        s"manifest $manifestDir: version slot ${m.version} is occupied " +
+          "— re-read the current manifest and retry on top")
     Fs.fsyncDir(root)
   }
 
@@ -294,24 +279,11 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       attempt: Int = 1): Unit = {
     root.mkdirs()
     val claim = claimOf(window)
-    val staging = new java.io.File(root,
-      s".staging-claim-${java.util.UUID.randomUUID()}")
-    val ch = java.nio.channels.FileChannel.open(staging.toPath,
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val buf = java.nio.ByteBuffer.wrap(
-        s"$writerId\n$batchId".getBytes(StandardCharsets.UTF_8))
-      while (buf.hasRemaining) ch.write(buf)
-      ch.force(true)
-    } finally ch.close()
-    try {
-      java.nio.file.Files.createLink(claim.toPath, staging.toPath)
-      staging.delete()
+    if (graft.util.ConditionalPut.claim(claim,
+        s"$writerId\n$batchId".getBytes(StandardCharsets.UTF_8),
+        stagingPrefix = ".staging-claim-")) {
       Fs.fsyncDir(root)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        staging.delete()
+    } else {
         val lines =
           try java.nio.file.Files.readString(claim.toPath)
             .linesIterator.map(_.trim).toSeq
@@ -706,12 +678,20 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     val newGen = if (hasSpans(gen)) Some(gen) else { // emptied entirely
       Fs.rmTree(genDir(gen)); None
     }
+    // staged-generation cleanup happens ONLY on the paths where the PUT
+    // provably never published (validation abort, conflict retries
+    // exceeded) — a blanket catch-all would also fire when putManifest
+    // failed AFTER its createLink (e.g. a transient fsync error), i.e.
+    // after the new manifest became visible, and would delete a
+    // generation a committed manifest references: silent data loss on
+    // read (r18 review #5). Any other failure leaves the dir for aged
+    // GC, which never sweeps a referenced generation.
     try commitWithRetry(s"window $windowId rewrite") { (m, slot) =>
       val cur = m.flatMap(_.windows.get(windowId)).getOrElse(
-        throw new IllegalStateException(
+        throw new RewriteAbort(
           s"window $windowId vanished from the manifest mid-rewrite"))
       if (cur.gen != readEntry.gen)
-        throw new IllegalStateException(
+        throw new RewriteAbort(
           s"window $windowId was rewritten concurrently (generation " +
             s"${cur.gen} != ${readEntry.gen}) — rewrite inputs were " +
             "replaced; re-read and re-run")
@@ -720,11 +700,20 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
         windows = base.windows +
           (windowId -> stamp(cur).copy(gen = newGen))))
     } catch {
-      case e: Throwable =>
+      case e: RewriteAbort =>
+        newGen.foreach(g => Fs.rmTree(genDir(g))); throw e
+      case e: IllegalStateException
+          if e.getCause.isInstanceOf[CommitConflictException] =>
         newGen.foreach(g => Fs.rmTree(genDir(g))); throw e
     }
     gc()
   }
+
+  /** A rewrite whose fold inputs were replaced by a concurrent commit —
+    * the one abort class where the staged generation is provably
+    * unpublished and safe to reclaim.
+    */
+  private class RewriteAbort(msg: String) extends IllegalStateException(msg)
 
   /** Physically re-pack one committed window under the manifest's
     * CURRENT model — the uniform-units restore after [[adoptModel]],
@@ -856,10 +845,27 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       math.max(f.lastModified(),
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
           .map(newestMtime).maxOption.getOrElse(0L))
+    // an APPEND generation whose window has NO committed entry is never
+    // age-swept: it may hold the ONLY packed copy of a batch whose store
+    // merge already ran (the crash-between-merge-and-PUT state) — the
+    // survivor store has banned the content as duplicate, so if GC ate
+    // the dir, the dead writer's replay would fold to empty fresh, find
+    // no spans, and commit the window SPANLESS: silent permanent loss of
+    // the batch's documents (r18 review #1). Such a dir becomes
+    // sweepable only once its window commits (then it is either the
+    // referenced generation, or a superseded predecessor). Rewrite
+    // (`-rw-`) and retraction generations carry no such liability —
+    // their data exists elsewhere until the PUT references them.
+    val appendGen = "wgen-(-?\\d+)-b-?\\d+".r // window ids may be negative
+    def holdsUncommittedBatch(name: String): Boolean = name match {
+      case appendGen(w) => !committedWindows.contains(w.toLong)
+      case _ => false
+    }
     Option(root.listFiles((f: java.io.File) => f.isDirectory &&
       (f.getName.startsWith("wgen-") || f.getName.startsWith("rgen-"))))
       .getOrElse(Array.empty[java.io.File])
       .filterNot(d => referenced.contains(d.getName))
+      .filterNot(d => holdsUncommittedBatch(d.getName))
       .filter(d => now - newestMtime(d) >= orphanGraceMs)
       .foreach(Fs.rmTree)
     complete.drop(keepVersions).foreach(_._1.delete())

@@ -134,6 +134,35 @@ class TokenizerStoreSpec extends SparkSpec {
     }
   }
 
+  test("GPT-2 round trip preserves '#'-leading merges, non-byte leaf symbols, and a caller-stated kind") {
+    withWork { work =>
+      // '#' is byte 0x23 (maps to itself in the byte-visible alphabet) —
+      // a code/markdown corpus legitimately learns '#'-leading merges; a
+      // blanket '#'-comment filter on import would silently drop them
+      // and shift every later rank. Cyrillic leaves sit OUTSIDE the
+      // 256-byte alphabet — the exported encoder must carry them or the
+      // import integrity check rejects the engine's own export.
+      val path = work.resolve("wp").toString
+      val table = Seq(
+        (1L, "#", "#"), (2L, "##", "#"), (3L, "п", "р"), (4L, "пр", "#"))
+        .toDF("rank", "l", "r")
+      TokenizerStore.saveMerges(path, table, TokenizerStore.KindWordPiece)
+      val exp = work.resolve("gpt2").toString
+      TokenizerStore.exportGpt2(spark, path, exp)
+      val back = work.resolve("wp2").toString
+      TokenizerStore.importGpt2(spark, exp, back,
+        kind = TokenizerStore.KindWordPiece)
+      assert(TokenizerStore.loadMerges(spark, back) ===
+        Seq(("#", "#"), ("##", "#"), ("п", "р"), ("пр", "#")))
+      assert(TokenizerStore.kindOf(spark, back) ===
+        TokenizerStore.KindWordPiece, "the caller-stated kind survives")
+      // the pair-less default re-imports as bpe (the format carries none)
+      TokenizerStore.importGpt2(spark, exp, work.resolve("b3").toString)
+      assert(TokenizerStore.kindOf(spark, work.resolve("b3").toString) ===
+        TokenizerStore.KindBpe)
+    }
+  }
+
   test("kind mismatch fails loudly in both directions") {
     withWork { work =>
       val mp = work.resolve("m").toString

@@ -386,6 +386,36 @@ class VersionedManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("GC never sweeps a merged-but-uncommitted append generation, even past the grace") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm13")
+    try {
+      val (store, maint) = fixture(work, grace = 0L) // sweep aged instantly
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      // the one ambiguous crash: batch 1's spans written AND store
+      // merged, manifest PUT never ran — the gen dir holds the ONLY
+      // packed copy (the store has banned the content as duplicate)
+      val crashed = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, orphanGraceMs = 0L) {
+        override protected def beforeWindowCommit(): Unit =
+          throw new RuntimeException("dead")
+      }
+      intercept[RuntimeException](crashed.processBatch(
+        Seq((20L, "cc aa")).toDF("doc_id", "text"), 1L))
+      val gen = new java.io.File(work.resolve("manifest").toFile, "wgen-2-b1")
+      assert(gen.exists())
+      // another batch commits (its gc sweeps aged orphans at grace 0):
+      // the uncommitted-window append gen MUST survive — sweeping it
+      // would make batch 1's replay commit the window SPANLESS and lose
+      // its documents forever (r18 review #1)
+      maint.processBatch(Seq((30L, "dd bb")).toDF("doc_id", "text"), 2L)
+      assert(gen.exists(), "merged-but-uncommitted generation survives GC")
+      maint.processBatch(Seq((20L, "cc aa")).toDF("doc_id", "text"), 1L)
+      assert(spanSet(maint).map(_(1)).toSet === Set(10L, 20L, 30L),
+        "the replay completes the window with its spans")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("time travel: a retained version serves its exact historical state — pre-retraction, pre-rewrite") {
     val work = java.nio.file.Files.createTempDirectory("graft-vmm11")
     try {
