@@ -1566,6 +1566,68 @@ object SparkEntry {
       } finally gated.unpersist()
     }),
 
+    // MANIFEST TIME TRAVEL (r18): the takedown lifecycle REPLAYED
+    // THROUGH THE VERSION HISTORY — the object-store maintainer commits
+    // two windows (version A), retracts a doc set (version B), and
+    // physically compacts window 1; the gate reads THREE states from ONE
+    // directory: readManifestAt(A) = both windows' original spans,
+    // readManifestAt(B) = the same spans logically filtered (retraction
+    // is visible, positions untouched), and the current read = window 1
+    // re-packed dense + window 2 still filtered. The oracle recomputes
+    // all three sections from raw documents in one statement (the full
+    // pack tail + the retract tail, namespaced), so a generation GC'd
+    // too early, a version serving the wrong ledger state, or a
+    // retention bug all break the hash — training reproducibility
+    // ("the manifest exactly as last month's run trained on it") under
+    // the cross-engine proof.
+    "q_manifest_timetravel" -> ((s, dir) => {
+      import s.implicits._
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val batch1 = gated.where(col("doc_id") < IncrementalSplitId)
+        val batch2 = gated.where(col("doc_id") >= IncrementalSplitId)
+        val work = java.nio.file.Files.createTempDirectory("graft-ttrav")
+        try {
+          val store = new graft.streaming.UpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8, mergeOnRead = true)
+          store.initialize(Cdc.initialLoad(
+            Seq.empty[(String, Long)].toDF("content_hash", "doc_id")))
+          val tokPath = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(tokPath,
+            UnigramLm.train(
+              graft.operators.ManifestPipeline
+                .survivorRows(batch1, "doc_id", "text"),
+              "text", vocabSize = 200, maxPieceLen = 3, seedSize = 40,
+              emIters = 1, pruneFraction = 0.0), s)
+          val maint = new graft.streaming.VersionedManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 1L, seedOf = bid => Seq(113L, 127L)(bid.toInt))
+          maint.processBatch(batch1, 0L)
+          maint.processBatch(batch2, 1L)
+          val vFull = maint.currentVersion // both windows, pre-retraction
+          maint.retract(gated.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id")))
+          val vRetract = maint.currentVersion // logical hide, same spans
+          maint.compactWindow(s, 1L, seed = 113L)
+          val storedKeys = store.snapshot()
+            .select(col("content_hash"), col("doc_id"))
+          def section(name: String, spans: DataFrame): DataFrame =
+            spans.join(storedKeys, Seq("doc_id"))
+              .select(lit(name).alias("section"), col("window"),
+                col("doc_id"), col("content_hash"), col("shuffle_pos"),
+                col("n_tok"), col("cum_before"), col("seq"),
+                col("tok_start"), col("tok_end"), col("seq_offset"))
+          section("full", maint.readManifestAt(s, vFull))
+            .unionByName(section("retracted",
+              maint.readManifestAt(s, vRetract)))
+            .unionByName(section("now", maint.readManifest(s)))
+            .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
+    }),
+
     // THE STREAMING MANIFEST MAINTAINER (r16): the incremental fold as a
     // LIVE foreachBatch loop — window 1 bootstraps store + tokenizer in
     // batch; two delta batches then arrive as REAL micro-batches through
@@ -4281,10 +4343,15 @@ object SparkEntry {
   private def incrementalTailSql(seeds: Seq[Long],
       shufWhere: Option[String] = None,
       finalWhere: Option[String] = None,
-      asCte: Option[String] = None): String = {
+      asCte: Option[String] = None,
+      prefix: String = ""): String = {
     // asCte: wrap the final span select as a named CTE and leave the
     // statement OPEN — for composition gates (q_takedown_sweep) whose
-    // final statement unions the manifest rows with other surfaces
+    // final statement unions the manifest rows with other surfaces.
+    // prefix: namespace the internal CTEs so TWO tails (e.g. the full
+    // pack and the swept pack of the time-travel gate) compose in one
+    // statement (r18)
+    val p = prefix
     val unions = seeds.indices.map { i =>
       s"""  SELECT ${i + 1}::BIGINT AS win, doc_id, content_hash,
         |    unnest(string_split_regex(text, '\\s+')) AS word FROM w${i + 1}"""
@@ -4299,36 +4366,36 @@ object SparkEntry {
     val shufPred = shufWhere.map(w => s"\n  WHERE $w").getOrElse("")
     val finalPred = finalWhere.map(w => s" WHERE $w").getOrElse("")
     s""",
-    |docw AS (
+    |${p}docw AS (
     |$unions),
-    |doctoks AS MATERIALIZED (
+    |${p}doctoks AS MATERIALIZED (
     |  SELECT d.win, d.doc_id, any_value(d.content_hash) AS content_hash,
     |    sum(b.ntok)::BIGINT AS n_tok
-    |  FROM docw d JOIN best2 b USING (word) WHERE d.word <> ''
+    |  FROM ${p}docw d JOIN best2 b USING (word) WHERE d.word <> ''
     |  GROUP BY d.win, d.doc_id),
-    |shuf AS MATERIALIZED (
+    |${p}shuf AS MATERIALIZED (
     |  SELECT win, doc_id, content_hash, n_tok,
     |    CAST(row_number() OVER (PARTITION BY win ORDER BY
     |      $seedCase, doc_id) - 1
     |      AS BIGINT) AS shuffle_pos
-    |  FROM doctoks$shufPred),
-    |cumt AS (
+    |  FROM ${p}doctoks$shufPred),
+    |${p}cumt AS (
     |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok,
     |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY win ORDER BY shuffle_pos
     |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
     |      AS cum_before
-    |  FROM shuf),
-    |spans AS (
+    |  FROM ${p}shuf),
+    |${p}spans AS (
     |  SELECT win, doc_id, content_hash, shuffle_pos, n_tok, cum_before,
     |    unnest(generate_series(cum_before // 512,
     |      (cum_before + n_tok - 1) // 512)) AS seq
-    |  FROM cumt WHERE n_tok > 0)
+    |  FROM ${p}cumt WHERE n_tok > 0)
     |${asCte.map(n => s",\n$n AS (").getOrElse("")}SELECT win AS window, doc_id, content_hash, shuffle_pos, n_tok,
     |  cum_before, seq,
     |  greatest(0, seq * 512 - cum_before) AS tok_start,
     |  least(n_tok, (seq + 1) * 512 - cum_before) AS tok_end,
     |  greatest(0, cum_before - seq * 512) AS seq_offset
-    |FROM spans$finalPred${asCte.map(_ => ")").getOrElse("")}""".stripMargin
+    |FROM ${p}spans$finalPred${asCte.map(_ => ")").getOrElse("")}""".stripMargin
   }
 
   /** The retraction replay tail: window 1 re-packs over the REMAINING
@@ -4339,10 +4406,12 @@ object SparkEntry {
     * r16 self-review #5).
     */
   private def retractTailSql(seed1: Long, seed2: Long,
-      retractPred: String): String =
+      retractPred: String, asCte: Option[String] = None,
+      prefix: String = ""): String =
     incrementalTailSql(Seq(seed1, seed2),
       shufWhere = Some(s"win = 2 OR NOT ($retractPred)"),
-      finalWhere = Some(s"NOT (win = 2 AND ($retractPred))"))
+      finalWhere = Some(s"NOT (win = 2 AND ($retractPred))"),
+      asCte = asCte, prefix = prefix)
 
 
   /** The GPT-2 pre-tokenizer replayed as a positional recursive CTE
@@ -6057,6 +6126,43 @@ object SparkEntry {
           |""".stripMargin) +
         retractTailSql(seed1 = 67L, seed2 = 71L,
           retractPred = "doc_id % 7 = 0")),
+
+    // time travel: three states of one manifest recomputed in one
+    // statement — the full two-window pack ('full' = the pre-retraction
+    // version), the same spans logically filtered ('retracted' = the
+    // post-ledger version, positions untouched), and the swept state
+    // ('now' = window 1 re-packed dense, window 2 still filtered) — the
+    // two pack tails composed via the CTE namespace
+    "q_manifest_timetravel" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < $IncrementalSplitId GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= $IncrementalSplitId
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2),
+          |""".stripMargin) +
+        incrementalTailSql(Seq(113L, 127L), asCte = Some("fullsp"),
+          prefix = "f") +
+        retractTailSql(113L, 127L, "doc_id % 7 = 0",
+          asCte = Some("nowsp")) + """
+        |SELECT 'full' AS section, "window", doc_id, content_hash,
+        |  shuffle_pos, n_tok, cum_before, seq, tok_start, tok_end,
+        |  seq_offset FROM fullsp
+        |UNION ALL
+        |SELECT 'retracted', "window", doc_id, content_hash,
+        |  shuffle_pos, n_tok, cum_before, seq, tok_start, tok_end,
+        |  seq_offset FROM fullsp WHERE NOT (doc_id % 7 = 0)
+        |UNION ALL
+        |SELECT 'now', "window", doc_id, content_hash,
+        |  shuffle_pos, n_tok, cum_before, seq, tok_start, tok_end,
+        |  seq_offset FROM nowsp""".stripMargin),
 
     // the streaming maintainer: the same replay generalized to THREE
     // windows at the stream gate's thresholds and seeds — the fold
