@@ -192,43 +192,65 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
     * throws NoSuchFile), unlike delete-then-create, where racer B's
     * delete can silently destroy racer A's just-created replacement.
     *
-    * The grabbed BYTES are re-verified against `isDebris` after the
-    * move: the caller classified the file BEFORE grabbing, and in that
-    * window another racer may have grabbed the same debris and
-    * re-asserted LIVE content at the path — a blind grab would rename
-    * that live claim/pin away and re-open the both-writers-pack race the
-    * grab exists to close (r18 review). A grab that caught live content
-    * is undone by re-linking the grabbed file into the (momentarily
-    * empty) slot create-exclusively; if a third racer claimed the slot
-    * inside that window, the undo fails LOUDLY with both files named —
-    * never a silent double-owner. Returns whether debris was removed.
-    * A crash between move and delete leaves a `.grab-*` file no lookup
-    * ever resolves — ignorable debris.
+    * Classification happens on a hard-link SNAPSHOT taken BEFORE the
+    * move (ADVICE r18): the pre-r19 shape moved first and re-verified
+    * the grabbed bytes after, so a crash between the move and the
+    * restore lost a racer's just-re-asserted LIVE content from the slot
+    * (the both-writers-pack race re-opened). Linking the candidate's
+    * inode aside, verifying the snapshot, and only then moving means a
+    * crash anywhere BEFORE the move leaves the slot untouched. The move
+    * may still catch content a racer re-created between snapshot and
+    * move (a different inode — `isSameFile` detects it); that content is
+    * restored into the momentarily-empty slot create-exclusively, and a
+    * third racer claiming the slot inside that window fails LOUDLY with
+    * both files named — never a silent double-owner. Returns whether
+    * debris was removed.
+    *
+    * ACKNOWLEDGED residual crash window (rename protocol; the versioned
+    * sibling has no analog): a crash between the move and the
+    * isSameFile check leaves the slot empty with the displaced bytes
+    * preserved at `.grab-*` — if those bytes were a racer's live
+    * re-assert (a two-syscall-wide coincidence, vs. the pre-r19 window
+    * spanning a full read-classify cycle), the racer must re-assert;
+    * its content is never silently destroyed. `.grab-*`/`.grab-snap-*`
+    * files resolve from no lookup — ignorable debris.
     */
   private def grabDebris(f: java.io.File)(
       isDebris: String => Boolean): Boolean = {
-    val grabbed = new java.io.File(f.getParentFile,
-      s".grab-${java.util.UUID.randomUUID()}")
-    try java.nio.file.Files.move(f.toPath, grabbed.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val snap = new java.io.File(f.getParentFile,
+      s".grab-snap-${java.util.UUID.randomUUID()}")
+    try java.nio.file.Files.createLink(snap.toPath, f.toPath)
     catch {
       case _: java.nio.file.NoSuchFileException |
-           _: java.io.FileNotFoundException => return false
+           _: java.io.FileNotFoundException => return false // already grabbed
     }
-    val content = java.nio.file.Files.readString(grabbed.toPath)
-    if (isDebris(content)) { grabbed.delete(); return true }
     try {
-      java.nio.file.Files.createLink(f.toPath, grabbed.toPath)
-      grabbed.delete()
-      false
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"grabbed LIVE content of $f while a third writer re-claimed " +
-            s"the slot — the displaced content is preserved at $grabbed; " +
-            "reconcile manually (three writers are racing one window/pin, " +
-            "which the disjoint-window contract forbids)")
-    }
+      if (!isDebris(java.nio.file.Files.readString(snap.toPath)))
+        return false // live content, slot never touched
+      val grabbed = new java.io.File(f.getParentFile,
+        s".grab-${java.util.UUID.randomUUID()}")
+      try java.nio.file.Files.move(f.toPath, grabbed.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException => return false // lost the grab
+      }
+      if (java.nio.file.Files.isSameFile(snap.toPath, grabbed.toPath)) {
+        grabbed.delete(); return true // exactly the debris we verified
+      }
+      try {
+        java.nio.file.Files.createLink(f.toPath, grabbed.toPath)
+        grabbed.delete()
+        false
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"grabbed LIVE content of $f while a third writer re-claimed " +
+              s"the slot — the displaced content is preserved at $grabbed; " +
+              "reconcile manually (three writers are racing one window/pin, " +
+              "which the disjoint-window contract forbids)")
+      }
+    } finally snap.delete()
   }
 
   /** Replace `_MODEL_CURRENT` via staged-tmp + atomic rename — the

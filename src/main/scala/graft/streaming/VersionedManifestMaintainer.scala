@@ -54,7 +54,10 @@ import graft.util.Fs
   *    carries its owner. The claim is the EARLY fence (loud before any
   *    span write); the manifest PUT is the real mutual exclusion: even a
   *    mistaken [[reclaimWindow]] of a live owner ends in one winner and
-  *    one loud commit-time error, never silent double-packing.
+  *    one loud commit-time error, never silent double-packing (though
+  *    the loser's in-flight pack can transiently overwrite the winner's
+  *    just-committed generation — see [[reclaimWindow]]; force-reclaim
+  *    is strictly for dead owners).
   *  - NO HEALING EXISTS because no state needs it: every crash point
   *    leaves either an unreferenced generation (invisible; aged GC
   *    reclaims it), an un-deleted claim (its owner's replay takes over),
@@ -92,13 +95,23 @@ import graft.util.Fs
   * @param orphanGraceMs unreferenced generation dirs younger than this
   *   are not GC'd: they may be a concurrent writer's in-flight pack
   *   (same defense, same default rationale as [[ManifestUpsertStore]])
+  * @param autoReclaimAfterMs when set, a FOREIGN claim older than this
+  *   lease on an UNCOMMITTED window is auto-reclaimed instead of loud —
+  *   the dead-writer recovery without [[reclaimWindow]]'s human step.
+  *   Safe because the manifest PUT is the real mutual exclusion: a
+  *   mistakenly-reclaimed LIVE owner still ends in one committed winner
+  *   and one loud commit error (never silent double-packing), but its
+  *   replacement's replay can transiently overwrite the owner's
+  *   just-committed generation (see [[reclaimWindow]]) — so set the
+  *   lease well past the worst-case pack duration. Default off.
   */
 class VersionedManifestMaintainer(store: KeyedUpsertStore,
     tokenizerPath: String, manifestDir: String, windowOf: Long => Long,
     seedOf: Long => Long, idCol: String = "doc_id",
     textCol: String = "text", budget: Long = 512L,
     byteLevel: Boolean = false, writerId: String = "writer-0",
-    keepVersions: Int = 3, orphanGraceMs: Long = 24 * 3600 * 1000L)
+    keepVersions: Int = 3, orphanGraceMs: Long = 24 * 3600 * 1000L,
+    autoReclaimAfterMs: Option[Long] = None)
     extends Logging {
 
   require(writerId.nonEmpty && !writerId.exists(c => c == '\n' || c == '\r'),
@@ -301,7 +314,28 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
           }
         val ours = lines.headOption.contains(writerId) &&
           lines.drop(1).headOption.contains(batchId.toString)
-        if (!ours)
+        if (!ours) {
+          // lease-based auto-recovery (r19): a stale foreign claim on an
+          // UNCOMMITTED window whose age exceeds the configured lease is
+          // dead-writer debris — reclaim it and retry, bounded by the
+          // same flap counter as the vanished-claim race. The committed
+          // check re-reads the manifest here (not a cached state): a
+          // claim the owner is about to delete post-commit must not be
+          // treated as abandoned work.
+          val age = System.currentTimeMillis() - claim.lastModified()
+          val committed = currentState()._1.exists(_.windows.contains(window))
+          if (!committed && autoReclaimAfterMs.exists(age >= _)) {
+            logWarning(s"window $window: auto-reclaiming stale claim by " +
+              s"writer '${lines.headOption.getOrElse("")}' (age ${age}ms " +
+              s">= lease ${autoReclaimAfterMs.get}ms)")
+            claim.delete()
+            if (attempt >= 5) throw new IllegalStateException(
+              s"window $window claim kept flapping across $attempt " +
+                s"auto-reclaim attempts by writer '$writerId' — a live " +
+                "writer is re-claiming faster than the lease; raise " +
+                "autoReclaimAfterMs or inspect manually")
+            acquireClaim(window, batchId, attempt + 1); return
+          }
           throw new IllegalStateException(
             s"window $window is claimed by writer " +
               s"'${lines.headOption.getOrElse("")}' batch " +
@@ -311,18 +345,26 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
               "maintenance requires windows from DISJOINT batch-id " +
               "spaces) or a foreign writer is racing this window; if the " +
               "owner is dead, call reclaimWindow(window, force = true) " +
-              "to release it")
+              "to release it (or configure autoReclaimAfterMs)")
+        }
       // ours: our crashed predecessor — take over, replay forward
     }
   }
 
   /** Admin release of a DEAD writer's claim. A claim on an already-
     * committed window is spent debris (no force needed); an uncommitted
-    * one requires `force = true` — and even a mistaken reclaim of a LIVE
-    * owner cannot corrupt the manifest here: the conditional manifest
+    * one requires `force = true`. A mistaken reclaim of a LIVE owner
+    * cannot corrupt the COMMITTED manifest — the conditional manifest
     * PUT serializes the two packers into one winner and one loud
-    * commit-time error (the claim is the early fence, not the only one).
-    * Returns whether a claim was removed.
+    * commit-time error (the claim is the early fence, not the only one)
+    * — but it CAN transiently violate generation immutability: the
+    * replacement's replay packs into the same deterministic
+    * `wgen-<w>-b<batch>` dir, so if the live owner's PUT lands first,
+    * the replacement's in-flight mode(overwrite) write deletes/replaces
+    * files of a now-referenced generation before its own commit fails
+    * loudly, and a reader folding that generation in exactly that window
+    * can observe missing spans. Force-reclaim is strictly for owners
+    * confirmed dead. Returns whether a claim was removed.
     */
   def reclaimWindow(window: Long, force: Boolean = false): Boolean = {
     val claim = claimOf(window)
@@ -338,6 +380,13 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
 
   /** Test seam: after the claim, before any span write. */
   protected def afterClaim(): Unit = {}
+
+  /** Test seam: after the pack fsync, before the store merge — the crash
+    * window whose replay must distinguish "our merge ran" from "a foreign
+    * writer merged the same content" (see the replay note in
+    * [[processBatch]]).
+    */
+  protected def beforeStoreMerge(): Unit = {}
 
   /** Test seam: between the store merge and the window's manifest PUT —
     * the crash window that produces the `fresh empty + gen exists`
@@ -403,6 +452,40 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     Option(genDir(gen).listFiles()) // null when the dir vanished mid-check
       .exists(_.exists(_.getName.endsWith(".parquet")))
 
+  /** Referenced-generation read path: a generation a manifest references
+    * was fsynced strictly before the PUT and GC keeps it alive as long
+    * as any retained manifest names it — so a missing/empty dir is NEVER
+    * a legitimate state for one. Refusing loudly here (instead of the
+    * pre-r19 silent filter) keeps the retention contract honest: a
+    * violated read serves an error, not silently PARTIAL spans
+    * (ADVICE r18).
+    */
+  private def servingDir(gen: String, version: Long): String = {
+    if (!hasSpans(gen)) throw new IllegalStateException(
+      s"generation $gen is referenced by manifest version $version under " +
+        s"$manifestDir but its directory is missing or empty — the " +
+        "retention contract was violated (external deletion, or GC raced " +
+        "a crashed sibling); refusing to serve a silently partial manifest")
+    genDir(gen).getPath
+  }
+
+  /** Replay disambiguation for the `fresh empty + gen holds spans` state
+    * (ADVICE r18): our merge recorded OUR survivor ids against the
+    * batch's content hashes, and once a hash is merged no later fold
+    * re-merges it — so every packed id being present in the store means
+    * our merge ran (commit the generation); any packed id missing means
+    * a foreign writer merged the same content under ITS ids and our merge
+    * never ran (commit spanless — the documents already serve from the
+    * foreign window). Runs only on the rare ambiguous replay; the check
+    * is one broadcast-sized anti-join over the window's own ids.
+    */
+  private def packedIdsAreOurs(spark: SparkSession, gen: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(genDir(gen).getPath).select(col(idCol)).distinct()
+      .join(store.snapshot().select(col(idCol)), Seq(idCol), "left_anti")
+      .isEmpty
+  }
+
   // ── Batch maintenance ────────────────────────────────────────────────────
 
   /** Apply one micro-batch of raw (curated) documents — the
@@ -429,18 +512,30 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     try {
       val committedGen: Option[String] =
         if (fresh.isEmpty) {
-          // `fresh empty + gen holds spans` can only be a crash between
-          // the store merge and the manifest PUT (spans fsync strictly
-          // before the merge; an empty fresh never writes a gen dir):
-          // complete by committing the existing generation. Otherwise a
-          // legitimately all-duplicate batch commits a spanless entry.
-          if (hasSpans(gen)) Some(gen) else None
+          // `fresh empty + gen holds spans` is ALMOST always a crash
+          // between the store merge and the manifest PUT (spans fsync
+          // strictly before the merge; an empty fresh never writes a gen
+          // dir): complete by committing the existing generation. In a
+          // multi-writer deployment one other cause exists (ADVICE r18):
+          // a crash between the pack and OUR merge, after which a FOREIGN
+          // writer merged the same content-hash keys — committing our gen
+          // then would serve the same documents from two windows. The two
+          // resolve by id attribution: our merge records OUR survivor ids
+          // against those hashes, and once merged no later fold re-merges
+          // them (freshSurvivors anti-joins existing keys), so the ids
+          // are ours iff our merge ran. The residual assumption is only
+          // that two feeds never deliver the SAME (id, text) rows — far
+          // weaker than content-disjointness. Otherwise a legitimately
+          // all-duplicate batch commits a spanless entry.
+          if (hasSpans(gen) && packedIdsAreOurs(spark, gen)) Some(gen)
+          else None
         } else {
           ManifestPipeline
             .packWindow(fresh, idCol, textCol, model(spark), window,
               seedOf(batchId), budget, byteLevel)
             .write.mode("overwrite").parquet(genDir(gen).getPath)
           Fs.fsyncTree(genDir(gen)) // durable BEFORE the store learns keys
+          beforeStoreMerge()
           ManifestPipeline.mergeSurvivors(store, fresh, idCol,
             txnId = batchId)
           Some(gen)
@@ -484,8 +579,11 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       m: VManifest): DataFrame = {
     require(m.windows.nonEmpty,
       s"no committed manifest windows under $manifestDir")
-    val dirs = m.windows.values.flatMap(_.gen).filter(hasSpans)
-      .map(genDir(_).getPath).toSeq.sorted
+    // gen = None already encodes the legitimate spanless window; a NAMED
+    // generation must exist and hold spans, or the read refuses loudly
+    // (servingDir) instead of serving a silently partial manifest
+    val dirs = m.windows.values.flatMap(_.gen)
+      .map(servingDir(_, m.version)).toSeq.sorted
     if (dirs.isEmpty) emptySpans(spark)
     else spark.read.parquet(dirs: _*)
   }
@@ -530,16 +628,38 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
   }
 
   /** CHANGE FEED over manifest versions — the training consumer's tail
-    * ("give me the windows that committed or were rewritten since the
-    * version my last run trained at"), the [[StoreChangeFeed]] idea
-    * applied to the manifest: spans of every window that is NEW or whose
-    * generation CHANGED in `(fromVersion, toVersion]`, each row tagged
-    * `change` = `new` | `rewritten`, retraction-filtered as of
-    * `toVersion`. A spanless commit (all-duplicate batch) and a
-    * stamp-only restamp contribute no rows — the feed reports span
-    * changes, not bookkeeping. Both endpoints must be retained
-    * (`keepVersions` is the feed horizon; beyond it this refuses
-    * loudly, like [[ManifestUpsertStore.changesBetween]]).
+    * ("give me everything that changed since the version my last run
+    * trained at"), the [[StoreChangeFeed]] idea applied to the manifest.
+    * Since r19 the feed carries the DELETION delta too (VERDICT r18 #1):
+    * the pre-r19 feed reported only new/rewritten span sets, so a
+    * replica materialized at `fromVersion` and patched with the feed
+    * kept serving retracted spans — the exact leak the takedown
+    * machinery exists to prevent. Row kinds, by the `change` column:
+    *
+    *  - `new`: full span set of a window committed in
+    *    `(fromVersion, toVersion]`, retraction-filtered as of `toVersion`
+    *  - `rewritten`: the FULL new span set of a window whose generation
+    *    changed in the range — window-scoped REPLACE semantics (the
+    *    consumer deletes the window's rows, then inserts these)
+    *  - `emptied`: one sentinel row (`window` set, every span column
+    *    null) for a window rewritten to ZERO spans — a takedown sweep
+    *    that erased the whole window, which emits no span rows and was
+    *    therefore invisible to pre-r19 consumers
+    *  - `retracted`: one row per document id whose retraction committed
+    *    in the range (`window` null — retraction is by id across
+    *    windows), covering retractions over windows that were NOT
+    *    physically rewritten
+    *
+    * Applying a poll with [[VersionedManifestMaintainer.applyFeed]]
+    * holds the replica identity
+    * `applyFeed(readManifestAt(from), feed) == readManifestAt(to)`, and
+    * a replayed poll converges (replace-then-delete is idempotent) —
+    * gated end-to-end by `q_manifest_feed_replica`. A spanless commit
+    * (all-duplicate batch) and a stamp-only restamp contribute no rows —
+    * the feed reports span and retraction changes, not bookkeeping.
+    * Both endpoints must be retained (`keepVersions` is the feed
+    * horizon; beyond it this refuses loudly, like
+    * [[ManifestUpsertStore.changesBetween]]).
     */
   def windowsBetween(spark: SparkSession, fromVersion: Long,
       toVersion: Long): DataFrame = {
@@ -553,28 +673,71 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
           s"(keepVersions=$keepVersions) or never committed"))
     val mTo = at(toVersion)
     val mFrom = at(fromVersion)
-    val groups = mTo.windows.toSeq.flatMap { case (w, e) =>
+    val spanCols = Seq("window", idCol, "shuffle_pos", "n_tok",
+      "cum_before", "seq", "tok_start", "tok_end", "seq_offset")
+    val nullL = lit(null).cast(
+      org.apache.spark.sql.types.LongType)
+    val retractedTo = retractedIds(spark, mTo)
+    def tagged(gens: Seq[String], change: String): Option[DataFrame] =
+      if (gens.isEmpty) None
+      else {
+        val spans = spark.read
+          .parquet(gens.map(servingDir(_, toVersion)): _*)
+        val filtered = retractedTo match {
+          case Some(ids) =>
+            spans.join(broadcast(ids), Seq(idCol), "left_anti")
+          case None => spans
+        }
+        Some(filtered.select(spanCols.map(col): _*)
+          .withColumn("change", lit(change)))
+      }
+    val newGens = mTo.windows.toSeq.collect {
+      case (w, e) if !mFrom.windows.contains(w) => e.gen
+    }.flatten.sorted
+    val rwPairs = mTo.windows.toSeq.flatMap { case (w, e) =>
       mFrom.windows.get(w) match {
-        case None => e.gen.filter(hasSpans).map(g => ("new", g))
-        case Some(old) if old.gen != e.gen =>
-          e.gen.filter(hasSpans).map(g => ("rewritten", g))
+        case Some(old) if old.gen != e.gen => Some((w, e.gen))
         case _ => None
       }
     }
-    val schema = emptySpans(spark)
-      .withColumn("change", lit("").cast("string"))
-    if (groups.isEmpty) return schema
-    val spans = groups.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (change, gens) =>
-        spark.read.parquet(gens.map(g => genDir(g._2).getPath): _*)
-          .withColumn("change", lit(change))
-    }.reduce(_.unionByName(_))
-    retractedIds(spark, mTo) match {
-      case Some(ids) =>
-        spans.join(org.apache.spark.sql.functions.broadcast(ids),
-          Seq(idCol), "left_anti")
-      case None => spans
+    val emptiedPart = {
+      val ws = rwPairs.collect { case (w, None) => w }.sorted
+      if (ws.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(ws.toDF("window").select(col("window") +:
+          spanCols.tail.map(nullL.as(_)): _*)
+          .withColumn("change", lit("emptied")))
+      }
     }
+    val retractedPart = {
+      val newRgens = mTo.retractions
+        .filterNot(mFrom.retractions.toSet).sorted
+      if (newRgens.isEmpty) None
+      else Some(spark.read
+        .parquet(newRgens.map(servingDir(_, toVersion)): _*)
+        .select(col(idCol)).distinct()
+        .select(nullL.as("window") +: (col(idCol) +:
+          spanCols.drop(2).map(nullL.as(_))): _*)
+        .withColumn("change", lit("retracted")))
+    }
+    val parts = Seq(tagged(newGens, "new"),
+      tagged(rwPairs.collect { case (_, Some(g)) => g }.sorted, "rewritten"),
+      emptiedPart, retractedPart).flatten
+    parts.foldLeft(feedSchema(spark))(_ unionByName _)
+  }
+
+  /** The empty change-feed frame: the span schema with every column
+    * nullable (sentinel and retraction rows carry nulls) plus `change`.
+    */
+  private def feedSchema(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("window", idCol, "shuffle_pos", "n_tok", "cum_before",
+        "seq", "tok_start", "tok_end", "seq_offset")
+        .map(StructField(_, LongType, nullable = true)) :+
+        StructField("change", StringType, nullable = false)))
   }
 
   /** The model stamp of a committed window — which tokenizer version its
@@ -591,7 +754,9 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
 
   private def retractedIds(spark: SparkSession,
       m: VManifest): Option[DataFrame] = {
-    val dirs = m.retractions.filter(hasSpans).map(genDir(_).getPath)
+    // same loud contract as rawCommittedSpans: a referenced retraction
+    // generation silently skipped would RESURRECT taken-down documents
+    val dirs = m.retractions.map(servingDir(_, m.version))
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs: _*).select(idCol).distinct())
   }
@@ -639,9 +804,8 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       s"window $windowId is not committed")
     val entry = m0.windows(windowId)
     val retracted = retractedIds(spark, m0)
-    if (retracted.isEmpty || entry.gen.isEmpty ||
-      !hasSpans(entry.gen.get)) return
-    val current = spark.read.parquet(genDir(entry.gen.get).getPath)
+    if (retracted.isEmpty || entry.gen.isEmpty) return
+    val current = spark.read.parquet(servingDir(entry.gen.get, m0.version))
       .select(col(idCol), col("n_tok")).distinct()
       .localCheckpoint(true)
     try {
@@ -675,9 +839,15 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     val gen = s"wgen-$windowId-rw-${java.util.UUID.randomUUID()}"
     repacked.write.mode("overwrite").parquet(genDir(gen).getPath)
     Fs.fsyncTree(genDir(gen))
-    val newGen = if (hasSpans(gen)) Some(gen) else { // emptied entirely
-      Fs.rmTree(genDir(gen)); None
-    }
+    // emptiness is a ROW property, not a file property: Spark may write a
+    // zero-row part file for an empty frame, and a window emptied by a
+    // takedown must commit gen = None (the spanless encoding readers and
+    // the change feed's `emptied` signal key on), never a zero-row gen
+    val newGen = if (hasSpans(gen) &&
+        !spark.read.parquet(genDir(gen).getPath).isEmpty) Some(gen)
+      else { // emptied entirely
+        Fs.rmTree(genDir(gen)); None
+      }
     // staged-generation cleanup happens ONLY on the paths where the PUT
     // provably never published (validation abort, conflict retries
     // exceeded) — a blanket catch-all would also fire when putManifest
@@ -732,7 +902,7 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       s"window $windowId is not committed")
     checkModel(Some(m0), h)
     val entry = m0.windows(windowId)
-    if (entry.gen.isEmpty || !hasSpans(entry.gen.get)) {
+    if (entry.gen.isEmpty) {
       // spanless: restamp the adopted model so the uniform-units-restored
       // record holds (the ManifestMaintainer ADVICE-r17 contract)
       if (entry.model != h) commitWithRetry(s"window $windowId restamp") {
@@ -744,7 +914,7 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       }
       return
     }
-    val idsAll = spark.read.parquet(genDir(entry.gen.get).getPath)
+    val idsAll = spark.read.parquet(servingDir(entry.gen.get, m0.version))
       .select(col(idCol)).distinct()
       .localCheckpoint(true)
     try {
@@ -861,6 +1031,14 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       case appendGen(w) => !committedWindows.contains(w.toLong)
       case _ => false
     }
+    // over-retention manifests delete BEFORE their generations sweep
+    // (ADVICE r18): the reverse order crashed between the two steps
+    // leaves a READABLE stale manifest whose generations are gone — a
+    // time-travel read of that version would hit servingDir's loud
+    // refusal for a state that was merely retired, not violated. This
+    // order crashed between the two leaves unreferenced generations,
+    // which the next gc re-sweeps.
+    complete.drop(keepVersions).foreach(_._1.delete())
     Option(root.listFiles((f: java.io.File) => f.isDirectory &&
       (f.getName.startsWith("wgen-") || f.getName.startsWith("rgen-"))))
       .getOrElse(Array.empty[java.io.File])
@@ -868,7 +1046,6 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       .filterNot(d => holdsUncommittedBatch(d.getName))
       .filter(d => now - newestMtime(d) >= orphanGraceMs)
       .foreach(Fs.rmTree)
-    complete.drop(keepVersions).foreach(_._1.delete())
     decoded.collect { case (f, None) => f }
       .filter(f => now - f.lastModified() >= orphanGraceMs)
       .foreach(_.delete())
@@ -884,5 +1061,35 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
         f.getName.stripPrefix("claim-").toLong).toOption
         .exists(committedWindows.contains))
       .foreach(_.delete())
+  }
+}
+
+object VersionedManifestMaintainer {
+  /** Apply one [[VersionedManifestMaintainer.windowsBetween]] poll to a
+    * replica materialized at the poll's `fromVersion` (the span schema —
+    * exactly what `readManifestAt` serves): REPLACE every changed window
+    * (`new` / `rewritten` / `emptied` — delete the window's rows, insert
+    * the poll's span rows), then DELETE every `retracted` id. The replica
+    * identity `applyFeed(readManifestAt(from), feed) == readManifestAt(to)`
+    * holds, and a replayed poll converges (replace-then-delete applied
+    * twice is the same state) — both gated by `q_manifest_feed_replica`.
+    *
+    * Scale shape: the changed-window and retracted-id sets are
+    * takedown/delta-sized and broadcast, so the replica is never
+    * shuffled — two broadcast anti-joins plus an O(delta) union.
+    */
+  def applyFeed(replica: DataFrame, feed: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val changed = feed
+      .where(col("change").isin("new", "rewritten", "emptied"))
+      .select(col("window")).distinct()
+    val inserts = feed.where(col("change").isin("new", "rewritten"))
+      .select(replica.columns.map(col).toSeq: _*)
+    val dels = feed.where(col("change") === "retracted")
+      .select(col(idCol)).distinct()
+    replica.join(broadcast(changed), Seq("window"), "left_anti")
+      .unionByName(inserts)
+      .join(broadcast(dels), Seq(idCol), "left_anti")
   }
 }

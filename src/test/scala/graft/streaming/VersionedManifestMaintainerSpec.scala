@@ -458,20 +458,211 @@ class VersionedManifestMaintainerSpec extends SparkSpec {
         .select("window", "doc_id", "change").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       assert(feed.toSet === Set((2L, 20L, "new")), feed.mkString(","))
-      // retract + compact window 1: the next tail reports it rewritten,
-      // retraction-filtered as of the newest version
+      // retract + compact window 1: the next tail reports the window
+      // rewritten (retraction-filtered as of the newest version) AND the
+      // retraction itself as a delete-by-id row (r19 — the deletion
+      // delta; window is null on retraction rows)
       maint.retract(Seq(12L).toDF("doc_id"))
       maint.compactWindow(spark, 1L, seed = 100L)
       val v4 = maint.currentVersion
       val feed2 = maint.windowsBetween(spark, v2, v4)
         .select("window", "doc_id", "change").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-      assert(feed2.toSet === Set((1L, 10L, "rewritten")), feed2.mkString(","))
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getLong(1), r.getString(2)))
+      assert(feed2.toSet ===
+        Set((1L, 10L, "rewritten"), (-1L, 12L, "retracted")),
+        feed2.mkString(","))
       // an empty range is empty; beyond retention refuses loudly
       assert(maint.windowsBetween(spark, v4, v4).isEmpty)
       val ex = intercept[IllegalStateException](
         maint.windowsBetween(spark, 0L, v4))
       assert(ex.getMessage.contains("not retained"), ex.getMessage)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("deletion-propagating feed: replica identity across retraction-without-compaction, an emptied window, and a replayed poll — where the span-only feed provably diverged") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm14")
+    try {
+      val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+      val store = new ManifestUpsertStore(spark,
+        work.resolve("surv").toString, pkCols = Seq("content_hash"),
+        numBuckets = 4)
+      val surv0 = ManifestPipeline
+        .initializeSurvivors(store, batch0, "doc_id", "text")
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(surv0, "text", vocabSize = 50, maxPieceLen = 3,
+          seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+      // every poll endpoint must stay retained across the whole lifecycle
+      val maint = new VersionedManifestMaintainer(store, tokPath,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, keepVersions = 8)
+      maint.processBatch(Seq((10L, "ab ba"), (11L, "aa cc"), (12L, "ad da"))
+        .toDF("doc_id", "text"), 0L)
+      maint.processBatch(Seq((20L, "ca bc"), (21L, "bd db"))
+        .toDF("doc_id", "text"), 1L)
+      val v0 = maint.currentVersion
+      def spansOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+          .collect().map(_.toSeq).toSet
+      val replica0 = maint.readManifestAt(spark, v0).localCheckpoint(true)
+      // ── poll 1: a retraction with NO physical rewrite — the pre-r19
+      // feed emitted zero rows here (no gen changed), so a mirror kept
+      // serving the retracted spans
+      maint.retract(Seq(12L).toDF("doc_id"))
+      val v1 = maint.currentVersion
+      val feed1 = maint.windowsBetween(spark, v0, v1).localCheckpoint(true)
+      assert(feed1.select("change").as[String].collect().toSet ===
+        Set("retracted"))
+      val replica1 = VersionedManifestMaintainer
+        .applyFeed(replica0, feed1).localCheckpoint(true)
+      assert(spansOf(replica1) === spansOf(maint.readManifestAt(spark, v1)))
+      // the old span-only mirror provably diverges: nothing to patch, the
+      // taken-down doc keeps serving
+      val oldMirror1 = replica0.unionByName(
+        feed1.where(col("change").isin("new", "rewritten")).drop("change"))
+      assert(oldMirror1.where(col("doc_id") === 12L).count() > 0,
+        "span-only feed left the retracted doc serving — the r18 leak")
+      // ── poll 2: retract ALL of window 2, then sweep — window 1
+      // compacts dense, window 2 is rewritten to EMPTY
+      maint.retract(Seq(20L, 21L).toDF("doc_id"))
+      assert(maint.compactRetracted(spark, w => 100L + (w - 1))
+        === Seq(1L, 2L))
+      val v2 = maint.currentVersion
+      val feed2 = maint.windowsBetween(spark, v1, v2).localCheckpoint(true)
+      assert(feed2.select("change").as[String].collect().toSet ===
+        Set("rewritten", "emptied", "retracted"))
+      assert(feed2.where(col("change") === "emptied")
+        .select("window").as[Long].collect().toSeq === Seq(2L),
+        "the emptied window surfaces as a sentinel, not silence")
+      val replica2 = VersionedManifestMaintainer
+        .applyFeed(replica1, feed2).localCheckpoint(true)
+      val truth = spansOf(maint.readManifestAt(spark, v2))
+      assert(spansOf(replica2) === truth)
+      assert(!truth.exists(_(0) == 2L), "window 2 really is empty")
+      // a REPLAYED poll (crash between apply and ack) converges
+      val replayed = VersionedManifestMaintainer.applyFeed(replica2, feed2)
+      assert(spansOf(replayed) === truth, "replay must be idempotent")
+      // the old semantics also diverge on the EMPTIED window (ADVICE r18):
+      // replace-rewritten-only keeps window 2's taken-down spans forever
+      val oldChanged = feed2.where(col("change") === "rewritten")
+        .select("window").distinct()
+      val oldMirror2 = replica1
+        .join(broadcast(oldChanged), Seq("window"), "left_anti")
+        .unionByName(
+          feed2.where(col("change") === "rewritten").drop("change"))
+      assert(oldMirror2.where(col("doc_id").isin(20L, 21L)).count() > 0,
+        "span-only feed kept serving the emptied window's spans")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("replay after a crash before the store merge must not duplicate content a foreign writer merged meanwhile") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm15")
+    try {
+      val (store, maint) = fixture(work)
+      // writer A packs window 1 (gen fsynced) but dies BEFORE its merge
+      val crashed = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _) {
+        override protected def beforeStoreMerge(): Unit =
+          throw new RuntimeException("dead-before-merge")
+      }
+      intercept[RuntimeException](crashed.processBatch(
+        Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L))
+      assert(new java.io.File(work.resolve("manifest").toFile, "wgen-1-b0")
+        .exists(), "the pack landed before the crash")
+      // a FOREIGN writer (disjoint window space) merges the SAME TEXT
+      // under ITS OWN id — the content-hash is now banned in the store
+      val foreign = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = bid => 5L + bid, seedOf = 200L + _, writerId = "tailer")
+      foreign.processBatch(Seq((77L, "ab ba")).toDF("doc_id", "text"), 0L)
+      // writer A's replay folds fresh EMPTY while its gen holds spans —
+      // the pre-r19 inference would commit the gen and serve the same
+      // document from two windows; the id-attribution check sees the
+      // store's ids are NOT ours and commits the window SPANLESS
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      val spans = spanSet(maint)
+      assert(spans.count(_(1) == 77L) === 1,
+        "the foreign window serves the content exactly once")
+      assert(!spans.exists(_(1) == 10L),
+        "the crashed writer's gen must NOT commit — its content already " +
+          s"serves from the foreign window, got $spans")
+      assert(maint.windowModelStamp(1L).nonEmpty,
+        "window 1 committed (spanless), so the batch replays never re-run")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("a generation a retained manifest references but missing on disk refuses loudly instead of serving partial spans") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm16")
+    try {
+      val (_, maint) = fixture(work)
+      maint.processBatch(Seq((10L, "ab ba")).toDF("doc_id", "text"), 0L)
+      maint.processBatch(Seq((11L, "cc aa")).toDF("doc_id", "text"), 1L)
+      // the retraction ledger carries the contract too — a silently
+      // skipped rgen would RESURRECT taken-down documents
+      maint.retract(Seq(11L).toDF("doc_id"))
+      val rgen = work.resolve("manifest").toFile
+        .listFiles((_: java.io.File, n: String) => n.startsWith("rgen-"))
+        .head
+      graft.util.Fs.rmTree(rgen)
+      val ex = intercept[IllegalStateException](
+        maint.readManifest(spark))
+      assert(ex.getMessage.contains("refusing to serve") &&
+        ex.getMessage.contains("rgen-"), ex.getMessage)
+      // simulate the retention violation (external deletion / a GC race
+      // from a crashed sibling): a REFERENCED window generation vanishes
+      graft.util.Fs.rmTree(
+        new java.io.File(work.resolve("manifest").toFile, "wgen-1-b0"))
+      val ex2 = intercept[IllegalStateException](
+        maint.readManifest(spark))
+      assert(ex2.getMessage.contains("refusing to serve") &&
+        ex2.getMessage.contains("wgen-1-b0"), ex2.getMessage)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("lease-based auto-reclaim: a replacement completes a dead writer's window with zero double-packing and no manual force step") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm17")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text")
+      // writer A dies holding the claim, nothing durable yet
+      val dead = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "dead-writer") {
+        override protected def afterClaim(): Unit =
+          throw new RuntimeException("dead")
+      }
+      intercept[RuntimeException](dead.processBatch(batch1, 0L))
+      // without a lease the replacement stays loud (and now names the
+      // automatic option alongside the manual one)
+      val ex = intercept[IllegalStateException](maint.processBatch(batch1, 0L))
+      assert(ex.getMessage.contains("autoReclaimAfterMs"), ex.getMessage)
+      // with a lease (0 ms: instantly stale) the taker reclaims, packs,
+      // and commits — exactly once
+      val taker = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "taker",
+        autoReclaimAfterMs = Some(0L))
+      taker.processBatch(batch1, 0L)
+      val spans = spanSet(taker)
+      assert(spans.map(_(1)).toSet === Set(10L, 12L) && spans.size === 2,
+        s"zero double-packed spans, got $spans")
+      // the WORST crash (spans + merge done, no PUT): the taker reclaims
+      // the stale claim, the replay completes the existing generation
+      // without a second store merge
+      val batch2 = Seq((20L, "ca bc")).toDF("doc_id", "text")
+      val dead2 = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "dead-writer") {
+        override protected def beforeWindowCommit(): Unit =
+          throw new RuntimeException("dead")
+      }
+      intercept[RuntimeException](dead2.processBatch(batch2, 1L))
+      val verBefore = store.feedVersion
+      taker.processBatch(batch2, 1L)
+      assert(store.feedVersion === verBefore, "no double store merge")
+      assert(spanSet(taker).map(_(1)).toSet === Set(10L, 12L, 20L))
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
