@@ -82,7 +82,7 @@ object Bench {
     val retriedNames = new java.util.concurrent.ConcurrentSkipListSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets the optimizer prune every
@@ -106,6 +106,10 @@ object Bench {
       // both attempts and still reports -1. The retry is recorded in the
       // bench line (`"retried":[...]`) so a ~50%-flaky query stays
       // visible even when its retry succeeds (ADVICE r11).
+      // reset the contention counters so whatever drains after the runs
+      // is attributable strictly to THIS entry
+      graft.streaming.UpsertStore.drainCounts()
+      val gcEntry0 = env.gcMillis
       val firstTry = once()
       val first = if (firstTry < 0) once() else firstTry
       // recorded only when the retry SUCCEEDED: a query that fails both
@@ -120,8 +124,25 @@ object Bench {
         if (ok.size % 2 == 1) ok(ok.size / 2)
         else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
       }
+      // per-entry self-disposition for BATCH gates (r19, VERDICT r18 #2):
+      // the r18 counters covered only the stream entries, so a batch gate
+      // that moved alone (q_takedown_sweep 53 s in-sweep vs 22 s
+      // isolated, r18) still needed a judge re-run for forensics. The
+      // contention counters and this entry's OWN GC seconds, measured
+      // strictly around its runs, land as dotted entries whenever they
+      // carry signal — SCALING §27's entry-level clause now reads:
+      // moved alone + own gc_sec elevated → in-sweep pressure, not code.
+      val gcSec = (env.gcMillis - gcEntry0) / 1000.0
+      val counts = graft.streaming.UpsertStore.drainCounts()
       sweepState()
-      name -> t
+      Seq(name -> t) ++
+        counts.get("commit_conflicts").filter(_ > 0L)
+          .map(c => s"$name.conflicts" -> c.toDouble) ++
+        counts.get("policy_noops").filter(_ > 0L)
+          .map(c => s"$name.policy_noops" -> c.toDouble) ++
+        (if (gcSec >= 1.0)
+          Seq(s"$name.gc_sec" -> math.rint(gcSec * 1000) / 1000.0)
+        else Nil)
     }
     // Store read-path isolation (VERDICT r9 #7): the top-level q_store_*
     // entries time in-query store CONSTRUCTION plus the read; these dotted
@@ -178,7 +199,15 @@ object Bench {
     val batchOk = all.filter { case (k, v) =>
       !stream.exists(_._1 == k) && v >= 0 }.sortBy(-_._2)
     def line35(n: Int): String = {
-      val kept = failed ++ stream ++ batchOk.take(n).sortBy(_._1)
+      // a batch entry's dotted self-disposition entries (.gc_sec,
+      // .conflicts — r19) ride the line ONLY alongside their parent:
+      // they explain a slow entry, so they must not displace an
+      // independent query from the budget when their parent was cut
+      val parents = batchOk.filterNot(_._1.contains(".")).take(n)
+      val parentNames = parents.map(_._1).toSet
+      val dotted = batchOk.filter { case (k, _) =>
+        k.contains(".") && parentNames.contains(k.takeWhile(_ != '.')) }
+      val kept = failed ++ stream ++ (parents ++ dotted).sortBy(_._1)
       val qs35 = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs35,"elided":${all.size - kept.size},"full":"target/bench.json","env":$envJson,"sf":"$sfDir"}"""
@@ -231,7 +260,7 @@ class BenchEnv {
       (rd, wr)
     } catch { case _: Throwable => (-1L, -1L) }
 
-  private def gcMillis: Long = {
+  private[graft] def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum

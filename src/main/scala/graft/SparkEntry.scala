@@ -1628,6 +1628,96 @@ object SparkEntry {
       } finally gated.unpersist()
     }),
 
+    // THE FEED-MAINTAINED MANIFEST REPLICA (r19, VERDICT r18 #1): a
+    // training-serving replica materialized at one manifest version and
+    // brought current by windowsBetween polls ALONE — which since r19
+    // carry the DELETION delta (retracted ids, emptied-window sentinels,
+    // window-replace semantics) the r18 feed silently dropped. Poll A
+    // covers a retraction with NO physical rewrite (the r18 feed emitted
+    // zero rows there, so a replica kept serving taken-down spans); poll
+    // B covers a takedown sweep that compacts window 1 dense and EMPTIES
+    // window 2 entirely, and is applied TWICE (the crash-replay before
+    // the ack — replace-then-delete must converge). Output = the
+    // replica's final spans AND readManifestAt(final) under two section
+    // tags; the oracle recomputes the final state ONCE from raw
+    // documents and emits it under both tags, so replica ≡ as-of ≡
+    // recompute in a single hash.
+    "q_manifest_feed_replica" -> ((s, dir) => {
+      import s.implicits._
+      val gated = manifestGated(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      try {
+        val batch1 = gated.where(col("doc_id") < IncrementalSplitId)
+        val batch2 = gated.where(col("doc_id") >= IncrementalSplitId)
+        val work = java.nio.file.Files.createTempDirectory("graft-feedman")
+        try {
+          val store = new graft.streaming.UpsertStore(s,
+            work.resolve("surv").toString, pkCols = Seq("content_hash"),
+            numBuckets = 8, mergeOnRead = true)
+          store.initialize(Cdc.initialLoad(
+            Seq.empty[(String, Long)].toDF("content_hash", "doc_id")))
+          val tokPath = work.resolve("tok").toString
+          graft.operators.TokenizerStore.saveUnigram(tokPath,
+            UnigramLm.train(
+              graft.operators.ManifestPipeline
+                .survivorRows(batch1, "doc_id", "text"),
+              "text", vocabSize = 200, maxPieceLen = 3, seedSize = 40,
+              emIters = 1, pruneFraction = 0.0), s)
+          val seeds = Seq(131L, 137L)
+          // keepVersions must retain every poll endpoint across the
+          // 6-version lifecycle (2 commits, 2 retractions, 2 rewrites)
+          val maint = new graft.streaming.VersionedManifestMaintainer(store,
+            tokPath, work.resolve("manifest").toString,
+            windowOf = _ + 1L, seedOf = bid => seeds(bid.toInt),
+            keepVersions = 8)
+          maint.processBatch(batch1, 0L)
+          maint.processBatch(batch2, 1L)
+          // attach BEFORE materializing: a commit landing in between
+          // would be ahead of the cursor and replay (at-least-once)
+          val feed = new graft.streaming.ManifestChangeFeed(maint,
+            work.resolve("cursor").toString)
+          var replica = maint.readManifest(s).localCheckpoint(true)
+          def drain(): Unit = {
+            val (changes, to) = feed.poll(s)
+            if (feed.cursor < to) {
+              val w = changes.localCheckpoint(true)
+              // each poll applied TWICE before its ack — the crash-replay
+              // between effect and commit must converge
+              replica = graft.streaming.VersionedManifestMaintainer
+                .applyFeed(replica, w).localCheckpoint(true)
+              replica = graft.streaming.VersionedManifestMaintainer
+                .applyFeed(replica, w).localCheckpoint(true)
+              feed.commit(to)
+              w.unpersist()
+            }
+          }
+          // poll A: retraction WITHOUT compaction — pure deletion delta
+          maint.retract(gated.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id")))
+          drain()
+          // poll B: retract ALL of window 2, then sweep — window 1
+          // compacts dense, window 2 rewrites to EMPTY
+          maint.retract(batch2.select(col("doc_id")))
+          val swept = maint.compactRetracted(s, w => seeds((w - 1).toInt))
+          require(swept == Seq(1L, 2L),
+            s"expected both windows swept (window 2 to empty), got $swept")
+          drain()
+          val v2 = maint.currentVersion
+          val storedKeys = store.snapshot()
+            .select(col("content_hash"), col("doc_id"))
+          def section(name: String, spans: DataFrame): DataFrame =
+            spans.join(storedKeys, Seq("doc_id"))
+              .select(lit(name).alias("section"), col("window"),
+                col("doc_id"), col("content_hash"), col("shuffle_pos"),
+                col("n_tok"), col("cum_before"), col("seq"),
+                col("tok_start"), col("tok_end"), col("seq_offset"))
+          section("replica", replica)
+            .unionByName(section("asof", maint.readManifestAt(s, v2)))
+            .localCheckpoint(true)
+        } finally graft.util.Fs.rmTree(work.toFile)
+      } finally gated.unpersist()
+    }),
+
     // THE STREAMING MANIFEST MAINTAINER (r16): the incremental fold as a
     // LIVE foreachBatch loop — window 1 bootstraps store + tokenizer in
     // batch; two delta batches then arrive as REAL micro-batches through
@@ -6163,6 +6253,38 @@ object SparkEntry {
         |SELECT 'now', "window", doc_id, content_hash,
         |  shuffle_pos, n_tok, cum_before, seq, tok_start, tok_end,
         |  seq_offset FROM nowsp""".stripMargin),
+
+    // the feed-maintained replica: the FINAL swept state — window 1
+    // re-packed dense over the non-retracted docs, window 2 emptied
+    // entirely — recomputed once from raw documents and emitted under
+    // BOTH section tags, because the gate's replica (feed-applied) and
+    // its readManifestAt(final) must be byte-identical to it and to each
+    // other
+    "q_manifest_feed_replica" ->
+      (unigramOracleCtes(3, 40, emSteps = 1, serveRound = true,
+        source = "corpus", serveSource = Some("corpusu"),
+        prelude = ManifestGatedCte + s"""w1 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id < $IncrementalSplitId GROUP BY text),
+          |w2 AS MATERIALIZED (
+          |  SELECT min(doc_id) AS doc_id, text, md5(text) AS content_hash
+          |  FROM gated WHERE doc_id >= $IncrementalSplitId
+          |    AND text NOT IN (SELECT text FROM w1)
+          |  GROUP BY text),
+          |corpus AS MATERIALIZED (SELECT doc_id, text FROM w1),
+          |corpusu AS (SELECT doc_id, text FROM w1
+          |            UNION ALL SELECT doc_id, text FROM w2),
+          |""".stripMargin) +
+        incrementalTailSql(Seq(131L, 137L),
+          shufWhere = Some("win = 1 AND NOT (doc_id % 7 = 0)"),
+          asCte = Some("finalsp")) + """
+        |SELECT 'replica' AS section, "window", doc_id, content_hash,
+        |  shuffle_pos, n_tok, cum_before, seq, tok_start, tok_end,
+        |  seq_offset FROM finalsp
+        |UNION ALL
+        |SELECT 'asof', "window", doc_id, content_hash,
+        |  shuffle_pos, n_tok, cum_before, seq, tok_start, tok_end,
+        |  seq_offset FROM finalsp""".stripMargin),
 
     // the streaming maintainer: the same replay generalized to THREE
     // windows at the stream gate's thresholds and seeds — the fold

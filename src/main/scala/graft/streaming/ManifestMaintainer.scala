@@ -396,7 +396,17 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
   }
 
   /** Admin release of a DEAD writer's claim (VERDICT r17 #4 — the manual
-    * "remove its claim file" step, made safe): a maintainer that crashed
+    * "remove its claim file" step, made safe). No `autoReclaimAfterMs`
+    * lease exists here DELIBERATELY (contrast
+    * [[VersionedManifestMaintainer]], r19): the versioned sibling's
+    * conditional manifest PUT is a second, commit-time mutual exclusion
+    * that turns a mistaken auto-reclaim of a live owner into one loud
+    * commit error — in this rename protocol the claim is the ONLY fence,
+    * so an automated reclaim of a slow-but-live owner would let two
+    * writers overwrite one window dir concurrently with no commit-time
+    * backstop. The human `force = true` assertion IS the safety here.
+    *
+    * A maintainer that crashed
     * mid-pack leaves its claim blocking every other writer's replay of
     * that window. Reclaiming a claim on an already-COMMITTED window needs
     * no force (the marker guards it — the claim is spent debris); an

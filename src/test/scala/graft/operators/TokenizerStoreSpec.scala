@@ -163,6 +163,67 @@ class TokenizerStoreSpec extends SparkSpec {
     }
   }
 
+  test("a FOREIGN hand-constructed GPT-2 pair imports and serves its documented semantics: hand-computed tokenizations, Ġ-marker merge chain, multi-byte UTF-8 leaf") {
+    withWork { work =>
+      // the pair below is hand-constructed IN the published format
+      // (Radford et al. 2019): a first-merges-style vocab.bpe whose
+      // early lines mirror the documented released table ('Ġ t', 'Ġ a',
+      // 'h e', 'i n', 'r e', 'o n', 'Ġt he' — Ġ is byteVisible(space) =
+      // U+0120, the byte-marker), plus a multi-byte UTF-8 leaf merge
+      // 'Ã ©' (é = bytes 0xC3 0xA9 → byte-visible 'Ã','©'). This proves
+      // the OTHER direction of q_bpe_export_roundtrip: our automaton
+      // reproduces a foreign table's documented semantics, not just our
+      // own export.
+      val exp = work.resolve("gpt2").toFile
+      exp.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(exp, "vocab.bpe").toPath,
+        ("#version: 0.2\nĠ t\nĠ a\nh e\ni n\nr e\no n\n" +
+          "Ġt he\nÃ ©\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // encoder.json in the published construction: the 256 byte-visible
+      // alphabet at ids 0–255, then one id per fused symbol in rank order
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      var id = 0
+      (ByteLevel.byteFallbackPieces ++ Seq("Ġt", "Ġa", "he",
+        "in", "re", "on", "Ġthe", "Ã©")).foreach { t =>
+        node.put(t, id); id += 1
+      }
+      java.nio.file.Files.write(
+        new java.io.File(exp, "encoder.json").toPath,
+        mapper.writeValueAsBytes(node))
+      val path = work.resolve("foreign").toString
+      TokenizerStore.importGpt2(spark, exp.getPath, path)
+      val merges = TokenizerStore.loadMerges(spark, path)
+      assert(merges === Seq(("Ġ", "t"), ("Ġ", "a"), ("h", "e"),
+        ("i", "n"), ("r", "e"), ("o", "n"), ("Ġt", "he"),
+        ("Ã", "©")), "file line order IS the rank order")
+      // hand-computed tokenizations under the documented rank-order
+      // application (GPT-2 pre-tokenize → byte-encode → merge by rank):
+      //   "the the" → [t,he] ["Ġthe"]   (the Ġ-marker chain: Ġ+t → Ġt,
+      //                                  h+e → he, Ġt+he → Ġthe)
+      //   "in on"   → [in] [Ġ,on]       (no Ġo merge exists)
+      //   "café"    → [c,a,f,Ã©]        (the multi-byte leaf fuses; c/a/f
+      //                                  stay single — no merge applies)
+      val fdocs = Seq((1L, "the the"), (2L, "in on"), (3L, "café"))
+        .toDF("doc_id", "text")
+      val got = fdocs.select(col("doc_id"),
+          BpeTrain.tokens(ByteLevel.byteText(col("text")), merges)
+            .alias("toks"))
+        .orderBy("doc_id").collect()
+        .map(_.getSeq[scala.collection.Seq[String]](1).map(_.toSeq).toSeq)
+      assert(got(0) === Seq(Seq("t", "he"), Seq("Ġthe")))
+      assert(got(1) === Seq(Seq("in"), Seq("Ġ", "on")))
+      assert(got(2) === Seq(Seq("c", "a", "f", "Ã©")))
+      // and the corpus-scale compiled automaton agrees with the counts
+      val counts = ByteLevel.tokenCountsBpeBytes(fdocs, "doc_id", "text",
+          merges)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(counts.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 4L)))
+    }
+  }
+
   test("kind mismatch fails loudly in both directions") {
     withWork { work =>
       val mp = work.resolve("m").toString

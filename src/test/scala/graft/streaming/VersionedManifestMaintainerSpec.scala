@@ -556,6 +556,71 @@ class VersionedManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("ManifestChangeFeed: the cursor is durable across restarts, a replayed poll converges, and falling behind retention is loud") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm18")
+    try {
+      val (_, maint) = fixture(work) // keepVersions = 3 default
+      maint.processBatch(
+        Seq((10L, "ab ba"), (11L, "aa cc")).toDF("doc_id", "text"), 0L)
+      val feed = new ManifestChangeFeed(maint,
+        work.resolve("cursor").toString)
+      var replica = maint.readManifest(spark).localCheckpoint(true)
+      assert(feed.cursor === maint.currentVersion,
+        "the cursor baselines at the attach-time version")
+      val (c0, t0) = feed.poll(spark)
+      assert(feed.cursor === t0 && c0.isEmpty, "nothing to poll yet")
+      // a window commit AND a retraction land; the consumer restarts
+      // (same cursor path) before draining — the cursor must persist
+      maint.processBatch(Seq((20L, "ca bc")).toDF("doc_id", "text"), 1L)
+      maint.retract(Seq(11L).toDF("doc_id"))
+      val feed2 = new ManifestChangeFeed(maint,
+        work.resolve("cursor").toString)
+      assert(feed2.cursor === feed.cursor, "cursor survives the restart")
+      val (c1, t1) = feed2.poll(spark)
+      val w = c1.localCheckpoint(true)
+      assert(w.select("change").as[String].collect().toSet ===
+        Set("new", "retracted"))
+      replica = VersionedManifestMaintainer.applyFeed(replica, w)
+      replica = VersionedManifestMaintainer.applyFeed(replica, w) // replay
+      feed2.commit(t1)
+      def spansOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+          .collect().map(_.toSeq).toSet
+      assert(spansOf(replica) === spansOf(maint.readManifest(spark)))
+      // fall behind retention: versions roll past keepVersions without a
+      // poll — the next poll must refuse, not silently skip the gap
+      (2 to 6).foreach { b =>
+        maint.processBatch(
+          Seq((30L + b, s"${"a" * (b + 1)} ${"b" * (b + 2)}"))
+            .toDF("doc_id", "text"), b.toLong)
+      }
+      val ex = intercept[IllegalStateException](feed2.poll(spark))
+      assert(ex.getMessage.contains("not retained"), ex.getMessage)
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("applyFeed never shuffles the replica: the changed-window and retracted-id joins broadcast (scale plan shape)") {
+    val spanCols = Seq("window", "doc_id", "shuffle_pos", "n_tok",
+      "cum_before", "seq", "tok_start", "tok_end", "seq_offset")
+    val replica = Seq((1L, 10L, 0L, 1L, 0L, 0L, 0L, 1L, 0L))
+      .toDF(spanCols: _*)
+    val feed = Seq(
+      (Option(2L), Option(20L), Option(0L), Option(1L), Option(0L),
+        Option(0L), Option(0L), Option(1L), Option(0L), "new"),
+      (Option.empty[Long], Option(11L), Option.empty[Long],
+        Option.empty[Long], Option.empty[Long], Option.empty[Long],
+        Option.empty[Long], Option.empty[Long], Option.empty[Long],
+        "retracted"))
+      .toDF(spanCols :+ "change": _*)
+    val plan = VersionedManifestMaintainer.applyFeed(replica, feed)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"the replica must never shuffle for a delta-sized feed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in:\n$plan")
+  }
+
   test("replay after a crash before the store merge must not duplicate content a foreign writer merged meanwhile") {
     val work = java.nio.file.Files.createTempDirectory("graft-vmm15")
     try {
