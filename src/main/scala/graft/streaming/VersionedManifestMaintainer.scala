@@ -69,12 +69,20 @@ import graft.util.Fs
   * Crash/replay ordering per batch (at-least-once upstream assumed):
   * claim → pack spans into the deterministic gen (fsynced) → store merge
   * → manifest PUT → claim delete. A replay resolves the one ambiguous
-  * state exactly like the rename protocol: `fresh folds EMPTY while the
-  * gen dir holds spans` can only mean the merge ran (spans are fsynced
-  * strictly before the merge, and an empty fresh set never writes a gen
-  * dir), so the replay completes by committing the existing generation;
-  * a legitimately all-duplicate batch has no gen dir and commits a
-  * spanless window entry.
+  * state — `fresh folds EMPTY while the gen dir holds spans` — by ID
+  * ATTRIBUTION (r19, ADVICE r18): the state means either OUR merge ran
+  * (commit the generation) or a FOREIGN writer merged the same
+  * content-hash keys after our crash (commit spanless — the documents
+  * already serve from the foreign window), and the two are told apart by
+  * whether the store holds the packed ids, because a merged hash is
+  * never re-merged (freshSurvivors anti-joins existing keys). A
+  * legitimately all-duplicate batch has no gen dir and commits a
+  * spanless entry. Multi-writer contract: windows come from DISJOINT
+  * batch-id spaces, plus the one residual assumption the attribution
+  * check cannot see through — two feeds never deliver the SAME
+  * `(id, text)` rows to two writers (far weaker than
+  * content-disjointness; identical ids AND identical content in two
+  * feeds is a routing misdeployment).
   *
   * Scale shape: identical to [[ManifestMaintainer]] — curation upstream,
   * delta-sized md5-key fold, distinct-word × broadcast-model
