@@ -731,6 +731,102 @@ class VersionedManifestMaintainerSpec extends SparkSpec {
     } finally graft.util.Fs.rmTree(work.toFile)
   }
 
+  test("auto-reclaim of a LIVE owner (seam-paused race): one winner, one loud commit error, never a silent double-pack") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm19")
+    try {
+      val (store, maint) = fixture(work)
+      val batch1 = Seq((10L, "ab ba"), (12L, "aa cc")).toDF("doc_id", "text")
+      val aPacked = new java.util.concurrent.CountDownLatch(1)
+      val aGo = new java.util.concurrent.CountDownLatch(1)
+      // writer A packs window 1, then pauses BEFORE its store merge —
+      // alive but slow, the exact state a too-short lease mistakes for
+      // dead
+      val slow = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "slow") {
+        override protected def beforeStoreMerge(): Unit = {
+          aPacked.countDown()
+          aGo.await()
+        }
+      }
+      val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val a = new Thread(() =>
+        try slow.processBatch(batch1, 0L)
+        catch { case t: Throwable => aErr.set(t) })
+      a.start()
+      assert(aPacked.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      // the replacement (lease 0) mistakes the LIVE claim for dead,
+      // reclaims, re-packs the window, and commits — the winner
+      val taker = new VersionedManifestMaintainer(store,
+        work.resolve("tok").toString, work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, writerId = "taker",
+        autoReclaimAfterMs = Some(0L))
+      try taker.processBatch(batch1, 0L)
+      finally aGo.countDown() // never leave thread A parked
+      // A resumes: its merge is an idempotent no-op on the same keys,
+      // and its commit must fail LOUDLY at the committed entry — the
+      // manifest PUT is the real mutual exclusion (class scaladoc's
+      // one-winner-one-loud-error claim, now spec-pinned)
+      a.join(120000)
+      assert(!a.isAlive, "writer A hung")
+      val err = aErr.get()
+      assert(err != null, "the live owner's commit must fail, not succeed")
+      assert(err.getMessage.contains("committed by writer 'taker'"),
+        err.getMessage)
+      // the manifest serves ONE pack of the window — zero duplicates
+      val spans = spanSet(taker)
+      assert(spans.map(_(1)).toSet === Set(10L, 12L) && spans.size === 2,
+        s"exactly one committed pack, got $spans")
+      assert(store.snapshot().count() === 2 + 2,
+        "the double merge folded idempotently")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
+  test("poll-boundary invariance: one big poll and per-version polls converge a replica to the same state") {
+    val work = java.nio.file.Files.createTempDirectory("graft-vmm20")
+    try {
+      val batch0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+      val store = new ManifestUpsertStore(spark,
+        work.resolve("surv").toString, pkCols = Seq("content_hash"),
+        numBuckets = 4)
+      val surv0 = ManifestPipeline
+        .initializeSurvivors(store, batch0, "doc_id", "text")
+      val tokPath = work.resolve("tok").toString
+      TokenizerStore.saveUnigram(tokPath,
+        UnigramLm.train(surv0, "text", vocabSize = 50, maxPieceLen = 3,
+          seedSize = 10, emIters = 1, pruneFraction = 0.0), spark)
+      val maint = new VersionedManifestMaintainer(store, tokPath,
+        work.resolve("manifest").toString,
+        windowOf = _ + 1L, seedOf = 100L + _, keepVersions = 10)
+      maint.processBatch(Seq((10L, "ab ba"), (11L, "aa cc"), (12L, "ad da"))
+        .toDF("doc_id", "text"), 0L)
+      val v0 = maint.currentVersion
+      val replica0 = maint.readManifestAt(spark, v0).localCheckpoint(true)
+      // a mixed lifecycle: commit, retract, compact, commit — 4 versions
+      maint.processBatch(Seq((20L, "ca bc")).toDF("doc_id", "text"), 1L)
+      maint.retract(Seq(11L).toDF("doc_id"))
+      maint.compactWindow(spark, 1L, seed = 100L)
+      maint.processBatch(Seq((30L, "bd db")).toDF("doc_id", "text"), 2L)
+      val vEnd = maint.currentVersion
+      def spansOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("window", "doc_id", "shuffle_pos", "n_tok", "seq")
+          .collect().map(_.toSeq).toSet
+      // path 1: ONE poll spanning everything
+      val big = VersionedManifestMaintainer.applyFeed(replica0,
+        maint.windowsBetween(spark, v0, vEnd))
+      // path 2: a poll per committed version — every intermediate
+      // boundary exercised (spanless/no-op versions produce empty polls)
+      var stepped = replica0
+      (v0 until vEnd).foreach { v =>
+        stepped = VersionedManifestMaintainer.applyFeed(stepped,
+          maint.windowsBetween(spark, v, v + 1)).localCheckpoint(true)
+      }
+      val truth = spansOf(maint.readManifestAt(spark, vEnd))
+      assert(spansOf(big) === truth, "single-poll replica diverged")
+      assert(spansOf(stepped) === truth, "per-version replica diverged")
+    } finally graft.util.Fs.rmTree(work.toFile)
+  }
+
   test("GC: retention bounds manifests, aged unreferenced generations sweep, serving generations never do") {
     val work = java.nio.file.Files.createTempDirectory("graft-vmm10")
     try {
