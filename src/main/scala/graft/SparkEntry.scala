@@ -2257,6 +2257,14 @@ object SparkEntry {
       implicit val sqlCtx = s.sqlContext
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("long").alias("doc_id"), col("text"))
+      // one collect, split driver-side (same pmod batches as before).
+      // NOT wrapped in withStreamStatePartitions: this stream's cost is
+      // per-row minhash COMPUTE (shingle + 128 hashes per doc), not state
+      // commits — measured 7.7 s at 32 partitions vs 23.0 s serialized
+      // onto 1, the opposite sign of the interval joins
+      val all = docs.as[(Long, String)].collect().toIndexedSeq
+      val batches = (0 until 3)
+        .map(b => all.filter { case (id, _) => ((id % 3) + 3) % 3 == b })
       val ms = MemoryStream[(Long, String)]
       val hits = graft.streaming.StreamingNearDup.pairs(
         ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
@@ -2265,9 +2273,8 @@ object SparkEntry {
       val q = hits.writeStream.format("memory")
         .queryName("stream_neardup_hits").outputMode("append").start()
       try {
-        (0 until 3).foreach { b =>
-          ms.addData(docs.where(pmod(col("doc_id"), lit(3)) === b)
-            .as[(Long, String)].collect().toIndexedSeq: _*)
+        batches.foreach { rows =>
+          ms.addData(rows: _*)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -2304,20 +2311,24 @@ object SparkEntry {
       // are non-trivial at every SF (event_id is a dense 0..N sequence)
       val mid = feed.agg((min(col("event_id")) + max(col("event_id"))) / 2)
         .head().getDouble(0).toLong
-      val ms = MemoryStream[(Long, Long)]
-      val emissions = graft.streaming.StatefulDedup.latestPerKeyRows(
-        ms.toDF().toDF("user_id", Cdc.TransactionId), Seq("user_id"))
-      val q = emissions.writeStream.format("memory")
-        .queryName("stream_latest_per_key").outputMode("update").start()
-      try {
-        val upper = feed.where(col("event_id") > mid)
-          .as[(Long, Long)].collect().toIndexedSeq
-        val lower = feed.where(col("event_id") <= mid)
-          .as[(Long, Long)].collect().toIndexedSeq
-        ms.addData(upper: _*); q.processAllAvailable()
-        ms.addData(lower: _*); q.processAllAvailable()
-        ms.addData(upper: _*); q.processAllAvailable() // full replay
-      } finally q.stop()
+      // collected BEFORE the query starts so the state partitioning can
+      // derive from the stream's actual size (withStreamStatePartitions)
+      val upper = feed.where(col("event_id") > mid)
+        .as[(Long, Long)].collect().toIndexedSeq
+      val lower = feed.where(col("event_id") <= mid)
+        .as[(Long, Long)].collect().toIndexedSeq
+      withStreamStatePartitions(s, upper.size.toLong + lower.size) {
+        val ms = MemoryStream[(Long, Long)]
+        val emissions = graft.streaming.StatefulDedup.latestPerKeyRows(
+          ms.toDF().toDF("user_id", Cdc.TransactionId), Seq("user_id"))
+        val q = emissions.writeStream.format("memory")
+          .queryName("stream_latest_per_key").outputMode("update").start()
+        try {
+          ms.addData(upper: _*); q.processAllAvailable()
+          ms.addData(lower: _*); q.processAllAvailable()
+          ms.addData(upper: _*); q.processAllAvailable() // full replay
+        } finally q.stop()
+      }
       val out = s.table("stream_latest_per_key").localCheckpoint(true)
       val keys = feed.select(col("user_id")).distinct().count()
       require(out.count() == keys,
@@ -2380,40 +2391,44 @@ object SparkEntry {
       def side(tpe: String) = ev.where(col("event_type") === tpe)
         .select(col("user_id"), col("event_id"), col("ts_t"))
         .as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq
-      val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val joined = graft.streaming.StreamJoin.intervalJoin(
-        msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
-        msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"),
-        "user_id", "r_user_id", "l_ts", "r_ts",
-        leftDelay = "40 days", rightDelay = "40 days",
-        before = "1 hour", after = "0 seconds", joinType = "leftOuter")
-      val q = joined.select(col("l_event_id"), col("r_event_id"))
-        .writeStream.format("memory")
-        .queryName("stream_interval_join_outer")
-        .outputMode("append").start()
-      try {
-        val cuts = Seq(
-          java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
-          java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
-        val (purchases, clicks) = (side("purchase"), side("click"))
-        def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
-          rows.filter { case (_, _, ts) =>
-            (b == 0 || !ts.before(cuts(b - 1))) &&
-              (b == 2 || ts.before(cuts(b)))
+      // collected BEFORE the query starts so the state partitioning can
+      // derive from the stream's actual size (withStreamStatePartitions)
+      val (purchases, clicks) = (side("purchase"), side("click"))
+      withStreamStatePartitions(s, purchases.size.toLong + clicks.size) {
+        val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val joined = graft.streaming.StreamJoin.intervalJoin(
+          msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
+          msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"),
+          "user_id", "r_user_id", "l_ts", "r_ts",
+          leftDelay = "40 days", rightDelay = "40 days",
+          before = "1 hour", after = "0 seconds", joinType = "leftOuter")
+        val q = joined.select(col("l_event_id"), col("r_event_id"))
+          .writeStream.format("memory")
+          .queryName("stream_interval_join_outer")
+          .outputMode("append").start()
+        try {
+          val cuts = Seq(
+            java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
+            java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+          def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
+            rows.filter { case (_, _, ts) =>
+              (b == 0 || !ts.before(cuts(b - 1))) &&
+                (b == 2 || ts.before(cuts(b)))
+            }
+          (0 until 3).foreach { b =>
+            msR.addData(window(clicks, b): _*)
+            msL.addData(window(purchases, b): _*)
+            q.processAllAvailable()
           }
-        (0 until 3).foreach { b =>
-          msR.addData(window(clicks, b): _*)
-          msL.addData(window(purchases, b): _*)
-          q.processAllAvailable()
-        }
-        val sentinel = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
-        (0 until 2).foreach { i =>
-          msL.addData((-1L, -1L - i, sentinel))
-          msR.addData((-1L, -1L - i, sentinel))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+          val sentinel = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+          (0 until 2).foreach { i =>
+            msL.addData((-1L, -1L - i, sentinel))
+            msR.addData((-1L, -1L - i, sentinel))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table("stream_interval_join_outer")
         .where(col("l_event_id") >= 0) // the sentinel rows are harness
         .localCheckpoint(true)
@@ -4291,31 +4306,64 @@ object SparkEntry {
     def side(tpe: String) = ev.where(col("event_type") === tpe)
       .select(col("user_id"), col("event_id"), col("ts_t"))
       .as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq
-    val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val joined = join(
-      msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
-      msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"))
-    val q = joined.select(col("l_event_id"), col("r_event_id"))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append").start()
-    try {
-      val cuts = Seq(
-        java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
-      val (purchases, clicks) = (side("purchase"), side("click"))
-      def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
-        rows.filter { case (_, _, ts) =>
-          (b == 0 || !ts.before(cuts(b - 1))) &&
-            (b == 2 || ts.before(cuts(b)))
+    // collected BEFORE the query starts so the state partitioning can
+    // derive from the stream's actual size (withStreamStatePartitions)
+    val (purchases, clicks) = (side("purchase"), side("click"))
+    withStreamStatePartitions(s, purchases.size.toLong + clicks.size) {
+      val msL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val msR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val joined = join(
+        msL.toDF().toDF("user_id", "l_event_id", "l_ts"),
+        msR.toDF().toDF("r_user_id", "r_event_id", "r_ts"))
+      val q = joined.select(col("l_event_id"), col("r_event_id"))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try {
+        val cuts = Seq(
+          java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+        def window(rows: IndexedSeq[(Long, Long, java.sql.Timestamp)], b: Int) =
+          rows.filter { case (_, _, ts) =>
+            (b == 0 || !ts.before(cuts(b - 1))) &&
+              (b == 2 || ts.before(cuts(b)))
+          }
+        (0 until 3).foreach { b =>
+          msR.addData(window(clicks, b): _*)
+          msL.addData(window(purchases, b): _*)
+          q.processAllAvailable()
         }
-      (0 until 3).foreach { b =>
-        msR.addData(window(clicks, b): _*)
-        msL.addData(window(purchases, b): _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      } finally q.stop()
+    }
     s.table(queryName).localCheckpoint(true)
+  }
+
+  /** Scale-adaptive state-store partitioning for the stateful streaming
+    * gates (guide §2: derive the partitioning from input size instead of
+    * a constant tuned to either local mode or the cluster). A stateful
+    * streaming query pays a FIXED per-trigger commit (delta file write +
+    * fsync, ×4 internal stores for a stream-stream join) per state
+    * partition, so at gate scale (tens of thousands of rows) the session
+    * default of one partition per core is nearly pure overhead —
+    * measured same-JVM: `q_stream_interval_join` 22.7 s → 9.1 s when the
+    * 32 state partitions drop to 4. The count derives from the stream's
+    * actual row volume at ~16k rows per state partition and is CAPPED by
+    * the session's configured `spark.sql.shuffle.partitions`, so a
+    * production deployment sized for its cluster keeps its setting —
+    * the derivation only ever shrinks tiny-state queries, it never
+    * second-guesses a real load. Set for the query's whole lifetime
+    * (Structured Streaming fixes state partitioning at the first batch)
+    * and restored after.
+    */
+  private val RowsPerStatePartition = 16384L
+
+  private def withStreamStatePartitions[A](s: SparkSession, rows: Long)(
+      body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val derived = math.max(1L,
+      (rows + RowsPerStatePartition - 1) / RowsPerStatePartition)
+    s.conf.set(key, math.min(prev.toLong, derived).toString)
+    try body finally s.conf.set(key, prev)
   }
 
   /** The pre-training-manifest curation gate (language score + length,
