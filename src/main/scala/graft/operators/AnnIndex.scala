@@ -54,6 +54,45 @@ object AnnIndex {
 
   private def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
 
+  /** GENERATION-KEYED immutable-artifact cache (r19, optimization round —
+    * guide §1.2 "per-task work": cut redundant driver actions). The
+    * quantizer model, PQ codebooks, and base-layout column list of a
+    * persisted index are IMMUTABLE for the lifetime of one index
+    * generation: appends/tombstones never touch them, and every operation
+    * that can change them ([[buildIvf]]/[[buildIvfPq]]/[[compactIvf]])
+    * publishes a WHOLE new directory via [[swapInto]], whose `_meta.json`
+    * is freshly created — so (canonical path, `_meta.json` mtime+size) is
+    * a sound generation key. Before this cache, EVERY per-batch append
+    * re-ran `KMeansModel.load` (several driver actions through the ML
+    * reader), re-collected the codebooks parquet, and re-read the base
+    * footer schema — measured as ~35 of the 146 jobs in one
+    * `q_ann_stream_maintain_pq` run, pure fixed overhead at any scale
+    * (the artifacts are KB-sized; the reload tax is per-BATCH, so it
+    * also rides every production micro-batch). Entries are dropped
+    * wholesale past a small cap — correctness never depends on a hit.
+    */
+  private class IndexArtifacts(spark: SparkSession, path: String) {
+    lazy val model: org.apache.spark.ml.clustering.KMeansModel =
+      org.apache.spark.ml.clustering.KMeansModel
+        .load(new java.io.File(path, "model").getPath)
+    lazy val codebooks: Array[Array[Array[Float]]] =
+      readCodebooksUncached(spark, path)
+    lazy val dataColumns: Seq[String] =
+      spark.read.parquet(new java.io.File(path, "assignments").getPath)
+        .schema.fieldNames.toSeq.filterNot(n => n == "_cell" || n == "_code")
+  }
+
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), IndexArtifacts]()
+
+  private def artifacts(spark: SparkSession, path: String): IndexArtifacts = {
+    val meta = new java.io.File(path, "_meta.json")
+    val key = (new java.io.File(path).getCanonicalPath,
+      meta.lastModified(), meta.length())
+    if (artifactCache.size > 16) artifactCache.clear()
+    artifactCache.computeIfAbsent(key, _ => new IndexArtifacts(spark, path))
+  }
+
   /** Heal a crashed [[buildIvf]]/[[compactIvf]] swap. Branches, derived
     * from the strict artifact order (tmp completed → live retired aside →
     * tmp promoted → aside dropped):
@@ -220,7 +259,7 @@ object AnnIndex {
       .parquet(new java.io.File(indexDir, "codebooks").getPath)
   }
 
-  private def readCodebooks(spark: SparkSession,
+  private def readCodebooksUncached(spark: SparkSession,
       path: String): Array[Array[Array[Float]]] = {
     import spark.implicits._
     val rows = spark.read
@@ -257,7 +296,7 @@ object AnnIndex {
       case Some(exact) => return exact
       case None =>
     }
-    val codebooks = readCodebooks(spark, path)
+    val codebooks = artifacts(spark, path).codebooks
     val cellDf = broadcast(
       spark.read.parquet(new java.io.File(path, "centroids").getPath)
         .select(col("_cell"), col("_centroid")))
@@ -511,23 +550,24 @@ object AnnIndex {
 
   private def appendDelta(path: String, newData: DataFrame,
       dirName: String): Unit = {
-    import org.apache.spark.ml.clustering.KMeansModel
     val spark = newData.sparkSession
     val meta = readMeta(spark, path)
-    val model = KMeansModel.load(new java.io.File(path, "model").getPath)
+    // model/codebooks/base-columns are generation-immutable: served from
+    // the artifact cache instead of re-loaded per batch (r19)
+    val arts = artifacts(spark, path)
     val tmp = new java.io.File(path, s"${dirName}_tmp")
     rmTree(tmp)
     // appends persist EXACTLY the base layout's data columns (the schema
     // is the record of build-time attrCols) — a batch missing one fails
     // the select loudly instead of forking the layout
-    val assigned = assign(model,
-      newData.select(indexDataColumns(spark, path).map(col): _*),
+    val assigned = assign(arts.model,
+      newData.select(arts.dataColumns.map(col): _*),
       meta.idCol, meta.vecCol)
     // a PQ index encodes appends with its PERSISTED codebooks — codes stay
     // comparable to the base's forever (no refit, same as the cells)
     val encoded =
       if (meta.pqM > 0) assigned.withColumn("_code",
-        pq_encode(col(meta.vecCol), readCodebooks(spark, path)))
+        pq_encode(col(meta.vecCol), arts.codebooks))
       else assigned
     encoded
       .write.partitionBy("_cell").mode("overwrite").parquet(tmp.getPath)
@@ -555,7 +595,7 @@ object AnnIndex {
     val meta = readMeta(SparkSession.active, path)
     if (deltaDirs(path).isEmpty && tombDirs(path).isEmpty) return
     val spark = SparkSession.active
-    val model = KMeansModel.load(new java.io.File(path, "model").getPath)
+    val model = artifacts(spark, path).model
     val tmp = new java.io.File(path + "_tmp")
     rmTree(tmp)
     // tombstones FOLD here: the new base holds only visible rows, and the
@@ -578,7 +618,10 @@ object AnnIndex {
     if (emittedCells.isEmpty)
       visible.repartition(1).write.mode("overwrite")
         .parquet(stagedAssign.getPath)
-    model.write.overwrite().save(new java.io.File(tmp, "model").getPath)
+    // the quantizer model is immutable across a compact: copy the bytes
+    // instead of an ML-reader load + writer save round trip (r19)
+    graft.util.Fs.copyTree(new java.io.File(path, "model"),
+      new java.io.File(tmp, "model"))
     writeCentroids(spark, tmp, model,
       new java.io.File(tmp, "assignments").getPath)
     // replay high-water: the batch-named deltas AND batch-named tombstones
