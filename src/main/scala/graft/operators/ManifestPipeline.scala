@@ -161,8 +161,25 @@ object ManifestPipeline {
         if (byteLevel) ByteLevel.tokenCountsBpeBytes(survivors, idCol, textCol, merges)
         else BpeTrain.tokenCountsCompiled(survivors, idCol, textCol, merges)
     }
+    // Materialize the narrow (id, n_tok) frame ONCE before the shuffle/
+    // pack arithmetic (r19, guide §1.2): downstream, [[Shards
+    // .assignByTokenBudget]] runs an EAGER approxQuantile pass and bakes
+    // two more references to its input into the plan (the per-bucket
+    // offsets broadcast + the main window pass), and [[Sampling.shuffled]]
+    // adds its own offsets subtree — without this checkpoint the whole
+    // tokenization upstream (Viterbi/BPE over the window's words) executed
+    // THREE times per packed window (measured: 42 approxQuantile jobs,
+    // 5-7 s of one q_manifest_retokenize run, re-running tokenization).
+    // The frame is two longs per window document — delta-sized at any
+    // corpus scale; blocks are reclaimed by the ContextCleaner when the
+    // returned frame goes out of scope, like every other kernel
+    // checkpoint in this codebase.
     val toks = counts.select(col(idCol), col("n_tokens").alias("n_tok"))
+      .localCheckpoint(true)
+    // second pin, same reasoning: shuffled()'s own offsets subtree plus
+    // packSpans' quantile/offsets/main passes reference THIS frame 4×
     val shuf = Sampling.shuffled(toks, idCol, seed = shuffleSeed)
+      .localCheckpoint(true)
     Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget)
       .withColumn("window", lit(window).cast(LongType))
       .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),

@@ -535,10 +535,13 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
         // both complete by committing the window as-is
         dir.mkdirs()
       } else {
-        ManifestPipeline
+        val packed = ManifestPipeline
           .packWindow(fresh, idCol, textCol, model(spark), window,
             seedOf(batchId), budget, byteLevel)
-          .write.mode("overwrite").parquet(dir.getPath)
+        packed.write.mode("overwrite").parquet(dir.getPath)
+        // free the pack kernel's internal checkpoint blocks promptly —
+        // a long-running stream must not wait for a driver GC (r19)
+        graft.util.Checkpoints.release(packed)
         Fs.fsyncTree(dir) // spans durable BEFORE the store learns the keys
         ManifestPipeline.mergeSurvivors(store, fresh, idCol, txnId = batchId)
       }
@@ -805,9 +808,13 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
         case Some(r) => idsAll.join(broadcast(r), Seq(idCol), "left_anti")
         case None => idsAll
       }
+      // pinned: the missing-count action below AND packWindow's
+      // tokenization both read this frame — without the checkpoint the
+      // source batch's scan+dedup+join executed twice (r19)
       val kept = sourceBatch.select(col(idCol), col(textCol))
         .dropDuplicates(Seq(idCol))
         .join(ids, Seq(idCol))
+        .localCheckpoint(true)
       val missing = ids
         .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
       require(missing == 0L,
@@ -817,6 +824,7 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
       val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
         model(spark), windowId, seed, budget, byteLevel)
       publishWindow(live, repacked, restampedMarker(spark, live))
+      graft.util.Checkpoints.release(kept)
     } finally graft.util.Checkpoints.release(idsAll)
   }
 

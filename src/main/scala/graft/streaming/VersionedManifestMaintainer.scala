@@ -538,10 +538,13 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
           if (hasSpans(gen) && packedIdsAreOurs(spark, gen)) Some(gen)
           else None
         } else {
-          ManifestPipeline
+          val packed = ManifestPipeline
             .packWindow(fresh, idCol, textCol, model(spark), window,
               seedOf(batchId), budget, byteLevel)
-            .write.mode("overwrite").parquet(genDir(gen).getPath)
+          packed.write.mode("overwrite").parquet(genDir(gen).getPath)
+          // free the pack kernel's internal checkpoint blocks promptly —
+          // a long-running stream must not wait for a driver GC (r19)
+          graft.util.Checkpoints.release(packed)
           Fs.fsyncTree(genDir(gen)) // durable BEFORE the store learns keys
           beforeStoreMerge()
           ManifestPipeline.mergeSurvivors(store, fresh, idCol,
@@ -932,9 +935,13 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
         case Some(r) => idsAll.join(broadcast(r), Seq(idCol), "left_anti")
         case None => idsAll
       }
+      // pinned: the missing-count action below AND packWindow's
+      // tokenization both read this frame — without the checkpoint the
+      // source batch's scan+dedup+join executed twice (r19)
       val kept = sourceBatch.select(col(idCol), col(textCol))
         .dropDuplicates(Seq(idCol))
         .join(ids, Seq(idCol))
+        .localCheckpoint(true)
       val missing = ids
         .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
       require(missing == 0L,
@@ -944,6 +951,7 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
         model(spark), windowId, seed, budget, byteLevel)
       rewriteWindow(spark, windowId, repacked, entry)(e => e.copy(model = h))
+      graft.util.Checkpoints.release(kept)
     } finally graft.util.Checkpoints.release(idsAll)
   }
 

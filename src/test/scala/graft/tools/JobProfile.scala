@@ -39,10 +39,25 @@ object JobProfile {
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    // SQL executionId → the ROOT action's description (the user call site)
+    // — broadcast/subquery jobs run in the SQL thread pool where the job's
+    // own callSite is useless, but they carry the execution id property
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val listener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execDesc.put(s.executionId,
+              Option(s.description).getOrElse("?").takeWhile(_ != '\n'))
+          case _ =>
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+        val p = Option(js.properties)
+        def prop(k: String) = p.flatMap(x => Option(x.getProperty(k)))
+        val site = prop("spark.sql.execution.root.id")
+          .orElse(prop("spark.sql.execution.id"))
+          .flatMap(id => Option(execDesc.get(id.toLong)))
+          .orElse(prop("callSite.short"))
           .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
