@@ -55,7 +55,11 @@ class TxidLedger(path: String) {
   *                  skipped batch is gone forever: txids are assigned at
   *                  transaction START but delivered at COMMIT, so a batch
   *                  can carry a late-committing txn with txid ≤ a
-  *                  previously-seen maximum.
+  *                  previously-seen maximum. Since r19 the pinned-
+  *                  watermark no-op poll costs the latest-per-key
+  *                  SHUFFLE (the statistics ride the fold's keyed pass)
+  *                  instead of a plain aggregation — same O(window),
+  *                  one scan instead of two on the non-skip path.
   * @param autoCompactDeltas when set, run [[UpsertStore.compactIfNeeded]]
   *                  with this threshold after each batch's ledger advance —
   *                  the MOR maintenance policy driven from INSIDE the loop
@@ -121,35 +125,51 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     // fires before any early-exit
     Watermark.latencyAlert(open, now)
       .foreach(msg => spark.sparkContext.setJobDescription(msg))
-    // one aggregate pass: max txid beyond the watermark + count of stale
-    // rows (txid ≤ from) that the window filter below would silently drop
-    val stats = changeFeed.agg(
-      max(when(col(Cdc.TransactionId) > from, col(Cdc.TransactionId)))
-        .alias("_max_tx"),
-      count(when(col(Cdc.TransactionId) <= from, lit(1))).alias("_stale"))
-      .head()
-    val stale = stats.getLong(1)
-    if (stale > 0) {
-      staleRowsSeen += stale
-      log.warn(s"batch $batchId: $stale change rows with txid <= committed " +
-        s"watermark $from — EXCLUDED from the fold. Wire a complete openTxns " +
-        "supplier (or make the feed a re-readable log) for at-least-once.")
-    }
-    if (stats.isNullAt(0)) return // nothing beyond the watermark → skip
-    val maxLogged = stats.getLong(0)
-    val safe = Watermark.maxSafe(maxLogged, open, from, now)
-    // PULL MODE ONLY: early-exit when the watermark is pinned AND everything
-    // delivered has already been folded by this instance (each trigger
-    // re-reads the same window; without this a 2h-stuck txn means 7200
-    // no-op bucket rewrites at a 1s trigger). NEVER valid on a push feed:
-    // maxLogged ≤ appliedHi does not imply "no unseen rows" there — a
-    // late-committing transaction delivers txids below the seen maximum,
-    // and push micro-batches are not re-delivered.
-    if (pullMode && maxLogged <= appliedHi && safe <= from) return
-    val folded = Cdc.delta(changeFeed, source(), keyJoin, lo = from, hi = maxLogged)
-    store.merge(folded)
-    appliedHi = math.max(appliedHi, maxLogged)
-    if (safe > from) ledger.commit(safe) // advances only after sink commit
+    val keyCols = keyJoin.map(_._1)
+    // ONE pass over the feed (r19, guide §1.2): the batch statistics (max
+    // txid beyond the watermark, stale-row count) and the fold's
+    // latest-per-key dedup used to be two separate scans of the window —
+    // and the latest-per-key shuffle re-ran a THIRD time inside the
+    // merge's write. They now ride one keyed aggregation, materialized
+    // once (poll-window-keys-sized — the loop's standing contract) and
+    // released after the merge. A key whose rows are ALL stale folds to
+    // a null max and drops below, exactly like the former window filter.
+    val keyed = changeFeed.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(when(col(Cdc.TransactionId) > from, col(Cdc.TransactionId)))
+          .alias(Cdc.TransactionId),
+        count(when(col(Cdc.TransactionId) <= from, lit(1))).alias("_stale"))
+      .localCheckpoint(true)
+    try {
+      val stats = keyed
+        .agg(max(col(Cdc.TransactionId)).alias("_max_tx"),
+          sum(col("_stale")).alias("_stale"))
+        .head()
+      val stale = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      if (stale > 0) {
+        staleRowsSeen += stale
+        log.warn(s"batch $batchId: $stale change rows with txid <= committed " +
+          s"watermark $from — EXCLUDED from the fold. Wire a complete openTxns " +
+          "supplier (or make the feed a re-readable log) for at-least-once.")
+      }
+      if (stats.isNullAt(0)) return // nothing beyond the watermark → skip
+      val maxLogged = stats.getLong(0)
+      val safe = Watermark.maxSafe(maxLogged, open, from, now)
+      // PULL MODE ONLY: early-exit when the watermark is pinned AND everything
+      // delivered has already been folded by this instance (each trigger
+      // re-reads the same window; without this a 2h-stuck txn means 7200
+      // no-op bucket rewrites at a 1s trigger). NEVER valid on a push feed:
+      // maxLogged ≤ appliedHi does not imply "no unseen rows" there — a
+      // late-committing transaction delivers txids below the seen maximum,
+      // and push micro-batches are not re-delivered.
+      if (pullMode && maxLogged <= appliedHi && safe <= from) return
+      val latest = keyed.where(col(Cdc.TransactionId).isNotNull)
+        .select(keyCols.map(col) :+ col(Cdc.TransactionId): _*)
+      val folded = Cdc.foldChanges(latest, source(), keyJoin)
+      store.merge(folded)
+      appliedHi = math.max(appliedHi, maxLogged)
+      if (safe > from) ledger.commit(safe) // advances only after sink commit
+    } finally graft.util.Checkpoints.release(keyed)
     // maintenance AFTER the commit: a compaction crash must replay the
     // window (deltas re-fold idempotently), never lose it. A compaction
     // that LOSES a concurrent-maintenance race (manifest store: another
