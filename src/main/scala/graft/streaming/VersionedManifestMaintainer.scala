@@ -460,6 +460,24 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     Option(genDir(gen).listFiles()) // null when the dir vanished mid-check
       .exists(_.exists(_.getName.endsWith(".parquet")))
 
+  /** Total row count of a generation dir from the parquet FOOTERS — a
+    * driver-side metadata read (KBs), replacing the one read-back Spark
+    * job per rewritten window the r19 emptiness check used to schedule.
+    * Footer counts are authoritative: a parquet file's record count is
+    * part of its committed metadata.
+    */
+  private def parquetRowCount(dir: java.io.File): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Option(dir.listFiles((_: java.io.File, n: String) =>
+      n.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
+      .iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Referenced-generation read path: a generation a manifest references
     * was fsynced strictly before the PUT and GC keeps it alive as long
     * as any retained manifest names it — so a missing/empty dir is NEVER
@@ -853,9 +871,12 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
     // emptiness is a ROW property, not a file property: Spark may write a
     // zero-row part file for an empty frame, and a window emptied by a
     // takedown must commit gen = None (the spanless encoding readers and
-    // the change feed's `emptied` signal key on), never a zero-row gen
-    val newGen = if (hasSpans(gen) &&
-        !spark.read.parquet(genDir(gen).getPath).isEmpty) Some(gen)
+    // the change feed's `emptied` signal key on), never a zero-row gen.
+    // Read from the parquet FOOTERS driver-side (r19): the row count is
+    // authoritative metadata, and the former read-back was one Spark job
+    // per rewritten window (priced in SCALING's r19 protocol-delta note).
+    val newGen = if (hasSpans(gen) && parquetRowCount(genDir(gen)) > 0L)
+        Some(gen)
       else { // emptied entirely
         Fs.rmTree(genDir(gen)); None
       }
