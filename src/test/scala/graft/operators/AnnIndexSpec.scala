@@ -557,6 +557,45 @@ class AnnIndexSpec extends SparkSpec {
     Option(new java.io.File(dir).listFiles((f: java.io.File) =>
       f.getName.startsWith("assignments_delta_"))).map(_.length).getOrElse(0)
 
+  test("artifact cache invalidates per generation: append + search after a " +
+      "rebuild use the NEW model (r19)") {
+    // The r19 generation-keyed artifact cache serves the quantizer model /
+    // codebooks / base columns across per-batch appends. This pins its
+    // invalidation seam: WARM the cache on generation A, rebuild the same
+    // path with a different quantizer (different numCells/seed — a stale
+    // model would assign appended vectors to cells the new index does not
+    // have), then prove the append and the exact-identity search both see
+    // generation B.
+    val dir = Files.createTempDirectory("graft-anncache").resolve("ix").toString
+    AnnIndex.buildIvf(dir, emb.where(col("vec_id") < 300), "vec_id",
+      "embedding", numCells = 3, seed = 7L, fitSampleSize = 500)
+    AnnIndex.appendIvf(dir,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 320)) // warm cache
+    AnnIndex.searchIvf(dir, queries, "qid", k = 3).count()
+    // generation B: different quantizer at the SAME path
+    AnnIndex.buildIvf(dir, emb.where(col("vec_id") < 400), "vec_id",
+      "embedding", numCells = 8, seed = 42L, fitSampleSize = 2000)
+    AnnIndex.appendIvf(dir, emb.where(col("vec_id") >= 400))
+    // the post-rebuild append must be assigned by the NEW 8-cell
+    // quantizer: a stale cached generation-A model can place rows in at
+    // most its 3 cells, so the delta spreading over >3 distinct cells is
+    // the stale-model detector (deterministic data, deterministic fit)
+    val deltas = Option(new java.io.File(dir).listFiles(
+      (f: java.io.File) => f.getName.startsWith("assignments_delta_")))
+      .getOrElse(Array.empty[java.io.File])
+    assert(deltas.nonEmpty)
+    val deltaCells = deltas.flatMap(d => spark.read.parquet(d.getPath)
+      .select(col("_cell")).distinct().collect().map(_.getInt(0))).toSet
+    assert(deltaCells.size > 3,
+      s"appended rows landed in only ${deltaCells.size} cells — the " +
+        "generation-A quantizer (3 cells) leaked through the cache")
+    assert(deltaCells.subsetOf((0 until 8).toSet))
+    // and the rebuilt+appended index still serves: exhaustive probe over
+    // the 8 cells returns k neighbors per query
+    assert(AnnIndex.searchIvf(dir, queries, "qid", k = 3, nprobe = 8)
+      .count() === queries.count() * 3)
+  }
+
   test("rebuild is atomic and a missing index fails loudly") {
     val dir = Files.createTempDirectory("graft-annrx").resolve("ix").toString
     intercept[IllegalStateException] {
