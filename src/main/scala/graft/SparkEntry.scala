@@ -1353,7 +1353,7 @@ object SparkEntry {
             col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
             col("seq_offset"))
           .localCheckpoint(true)
-      } finally corpus.unpersist()
+      } finally graft.util.Checkpoints.release(corpus)
     }),
 
     // THE END-TO-END PRE-TRAINING MANIFEST (r15, VERDICT r14 #1): the
@@ -1390,7 +1390,7 @@ object SparkEntry {
             col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
             col("seq_offset"))
           .localCheckpoint(true) // materialize before corpus unpersist
-      } finally corpus.unpersist()
+      } finally graft.util.Checkpoints.release(corpus)
     }),
 
     // THE BYTE-LEVEL MANIFEST (r16): the full pre-training manifest
@@ -1421,7 +1421,7 @@ object SparkEntry {
             col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
             col("seq_offset"))
           .localCheckpoint(true)
-      } finally corpus.unpersist()
+      } finally graft.util.Checkpoints.release(corpus)
     }),
 
     // THE BPE-PACKED MANIFEST (r17, VERDICT r16 #2): the manifest chain
@@ -1452,7 +1452,7 @@ object SparkEntry {
             col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
             col("seq_offset"))
           .localCheckpoint(true)
-      } finally corpus.unpersist()
+      } finally graft.util.Checkpoints.release(corpus)
     }),
 
     // INCREMENTAL MANIFEST MAINTENANCE (r16, VERDICT r15 #1): the
@@ -1510,7 +1510,7 @@ object SparkEntry {
               col("seq_offset"))
             .localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // MANIFEST RETRACTION (r16 — the takedown path): documents leave the
@@ -1563,7 +1563,7 @@ object SparkEntry {
               col("seq_offset"))
             .localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // MANIFEST TIME TRAVEL (r18): the takedown lifecycle REPLAYED
@@ -1625,7 +1625,7 @@ object SparkEntry {
             .unionByName(section("now", maint.readManifest(s)))
             .localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // THE FEED-MAINTAINED MANIFEST REPLICA (r19, VERDICT r18 #1): a
@@ -1682,13 +1682,19 @@ object SparkEntry {
             if (feed.cursor < to) {
               val w = changes.localCheckpoint(true)
               // each poll applied TWICE before its ack — the crash-replay
-              // between effect and commit must converge
+              // between effect and commit must converge. Superseded
+              // replica checkpoints release promptly (r20, guide §5 —
+              // Dataset.unpersist was a no-op on checkpoint blocks)
+              val prev0 = replica
               replica = graft.streaming.VersionedManifestMaintainer
                 .applyFeed(replica, w).localCheckpoint(true)
+              graft.util.Checkpoints.release(prev0)
+              val prev1 = replica
               replica = graft.streaming.VersionedManifestMaintainer
                 .applyFeed(replica, w).localCheckpoint(true)
+              graft.util.Checkpoints.release(prev1)
               feed.commit(to)
-              w.unpersist()
+              graft.util.Checkpoints.release(w)
             }
           }
           // poll A: retraction WITHOUT compaction — pure deletion delta
@@ -1715,7 +1721,7 @@ object SparkEntry {
             .unionByName(section("asof", maint.readManifestAt(s, v2)))
             .localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // THE STREAMING MANIFEST MAINTAINER (r16): the incremental fold as a
@@ -1782,7 +1788,7 @@ object SparkEntry {
               col("seq_offset"))
             .localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // TWO-WRITER MANIFEST MAINTENANCE (r17, VERDICT r16 #5): a backfill
@@ -1851,7 +1857,7 @@ object SparkEntry {
               col("seq_offset"))
             .localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // MODEL-VERSIONED RE-TOKENIZATION (r17, VERDICT r16 #6): two windows
@@ -1913,7 +1919,7 @@ object SparkEntry {
               col("seq_offset"))
             .localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // THE TAKEDOWN SWEEP (r17, VERDICT r16 #3): one retraction, EVERY
@@ -2007,7 +2013,7 @@ object SparkEntry {
               round(col("cosine"), 6).alias("cosine_r"))
           manifestSec.unionByName(annSec).localCheckpoint(true)
         } finally graft.util.Fs.rmTree(work.toFile)
-      } finally gated.unpersist()
+      } finally graft.util.Checkpoints.release(gated)
     }),
 
     // Gopher-style repetition filter: fraction of tokens covered by the
@@ -3142,7 +3148,7 @@ object SparkEntry {
             replica.merge(w)
             replica.merge(w) // crash-replay before the ack: must be a no-op
             feed.commit(to)
-            w.unpersist()
+            graft.util.Checkpoints.release(w) // unpersist was a no-op (r20)
           }
         }
         source.merge(cust
@@ -3205,7 +3211,7 @@ object SparkEntry {
             maint.processBatch(w, to)
             maint.processBatch(w, to) // crash-replay before ack: no-op
             feed.commit(to)
-            w.unpersist()
+            graft.util.Checkpoints.release(w) // unpersist was a no-op (r20)
           }
         }
         source.merge(emb

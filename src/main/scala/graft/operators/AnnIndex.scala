@@ -71,26 +71,37 @@ object AnnIndex {
     * also rides every production micro-batch). Entries are dropped
     * wholesale past a small cap — correctness never depends on a hit.
     */
-  private class IndexArtifacts(spark: SparkSession, path: String) {
+  private class IndexArtifacts(path: String) {
+    // resolve the ACTIVE session at read time, never capture one (r20,
+    // ADVICE r19 #1): the cache is JVM-global, so a cached entry whose
+    // lazy member is first forced after its creating session was stopped
+    // (driver reuse, test suites) must read through the session that is
+    // live NOW — the on-disk artifacts are the same either way
     lazy val model: org.apache.spark.ml.clustering.KMeansModel =
       org.apache.spark.ml.clustering.KMeansModel
         .load(new java.io.File(path, "model").getPath)
     lazy val codebooks: Array[Array[Array[Float]]] =
-      readCodebooksUncached(spark, path)
+      readCodebooksUncached(SparkSession.active, path)
     lazy val dataColumns: Seq[String] =
-      spark.read.parquet(new java.io.File(path, "assignments").getPath)
+      SparkSession.active.read
+        .parquet(new java.io.File(path, "assignments").getPath)
         .schema.fieldNames.toSeq.filterNot(n => n == "_cell" || n == "_code")
   }
 
   private val artifactCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), IndexArtifacts]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), IndexArtifacts]()
 
   private def artifacts(spark: SparkSession, path: String): IndexArtifacts = {
+    // generation key: the monotonic token [[writeMeta]] embeds (r20,
+    // ADVICE r19 #2 — filesystem mtime has 1s resolution on some FSes,
+    // so a rebuild inside the granularity window could serve the stale
+    // quantizer); legacy metas without a token fall back to mtime+size
     val meta = new java.io.File(path, "_meta.json")
-    val key = (new java.io.File(path).getCanonicalPath,
-      meta.lastModified(), meta.length())
+    val gen = Option(jsonMapper.readTree(meta).get("gen")).map(_.asText())
+      .getOrElse(s"legacy:${meta.lastModified()}:${meta.length()}")
+    val key = (new java.io.File(path).getCanonicalPath, gen)
     if (artifactCache.size > 16) artifactCache.clear()
-    artifactCache.computeIfAbsent(key, _ => new IndexArtifacts(spark, path))
+    artifactCache.computeIfAbsent(key, _ => new IndexArtifacts(path))
   }
 
   /** Heal a crashed [[buildIvf]]/[[compactIvf]] swap. Branches, derived
@@ -773,13 +784,17 @@ object AnnIndex {
 
   private def publishTombstone(path: String, ids: DataFrame,
       dirName: String): Unit = {
-    // an empty delete batch must not publish (schema-less dir)
-    if (ids.isEmpty) return
     val meta = readMeta(ids.sparkSession, path)
     val tmp = new java.io.File(path, s"${dirName}_tmp")
     rmTree(tmp)
     ids.select(col(meta.idCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(tmp.getPath)
+    // an EMPTY delete batch must not publish (it would add one dir read
+    // per search and one debt unit for nothing). Emptiness is read from
+    // the written part's parquet FOOTER — driver-side metadata — instead
+    // of the r19 pre-write isEmpty, which was a Spark job per micro-batch
+    // over the very frame the write then re-ran (r20, guide §1.2/§6).
+    if (graft.util.Fs.parquetRowCount(tmp) == 0L) { rmTree(tmp); return }
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(path, dirName).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -793,6 +808,13 @@ object AnnIndex {
 
   private def writeMeta(indexDir: java.io.File, m: Meta): Unit = {
     val node = jsonMapper.createObjectNode()
+    // monotonic generation token for the artifact cache (r20, ADVICE r19
+    // #2): a fresh UUID per meta write, so two builds at the same path
+    // can never alias — unlike filesystem mtime, whose resolution can be
+    // 1s. compactIvf COPIES the meta byte-for-byte, which is correct:
+    // the quantizer/codebooks it serves are byte-identical across a
+    // compaction, so the cached artifacts stay valid.
+    node.put("gen", java.util.UUID.randomUUID().toString)
     node.put("idCol", m.idCol)
     node.put("vecCol", m.vecCol)
     node.put("numCells", m.numCells)

@@ -84,80 +84,114 @@ object BpeTrain {
     * DISTINCT-WORD table alone, not on corpus size (measured flat across
     * 40× corpus growth, SCALING §21).
     */
+  /** Metric name of the argmax riding each round's checkpoint action. */
+  private val ArgmaxMetric = "bpe_argmax"
+
+  /** The argmax pair as an OBSERVED aggregate — `min(struct(-c, l, r))`
+    * over the retained pair rows is exactly the old
+    * `orderBy(c desc, l, r).limit(1)` (struct ordering is field-major:
+    * -c asc ≡ count desc, then pair lexicographically) — so the argmax
+    * rides the SAME action that materializes the round's tables instead
+    * of being its own job. Null over an empty pair table = exhausted.
+    */
+  private def observedArgmax(pairs: DataFrame): DataFrame =
+    pairs.observe(ArgmaxMetric,
+      min(struct((-col("c")).alias("nc"), col("l"), col("r"))).alias("top"))
+
+  /** Read the observed argmax back from an EXECUTED query (the eager
+    * checkpoint is the action). `queryExecution.observedMetrics` is
+    * populated from the plan's own metric accumulators — no listener,
+    * no extra job. Spec-pinned against the collect-based argmax.
+    */
+  private def argmaxOf(executed: DataFrame): Option[(String, String, Long)] =
+    executed.queryExecution.observedMetrics.get(ArgmaxMetric).flatMap { row =>
+      if (row.isNullAt(0)) None
+      else {
+        val t = row.getStruct(0)
+        Some((t.getString(1), t.getString(2), -t.getLong(0)))
+      }
+    }
+
   def trainFromCounts(counts: DataFrame, numMerges: Int): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    // vocab table: compact by construction; checkpoint per iteration cuts
-    // the k-deep lineage (k re-plans, not k corpus scans). The previous
-    // iteration's checkpoint is unpersisted once the new one has
-    // materialized (localCheckpoint(true) is eager), so executor storage
-    // holds TWO vocab copies at the handoff instant, never one per
-    // learned merge (ADVICE r12).
-    var vocab = counts
+    // ONE Spark job per merge round (r20, VERDICT r19 #6 — the per-round
+    // cost of this loop is per-action planning floor, not compute): the
+    // vocab table and the maintained pair table ride ONE tagged union,
+    // eagerly checkpointed once per round, and the next round's argmax
+    // rides that same action as an observed metric ([[observedArgmax]]).
+    // The r19 shape ran 3 jobs per round (argmax collect + two separate
+    // checkpoints). Each table is a lazy tag-filter over the shared
+    // blocks; the previous round's blocks are released explicitly
+    // (Checkpoints.release — Dataset.unpersist is a no-op on checkpoint
+    // blocks), so executor storage holds two rounds' tables only at the
+    // handoff instant.
+    //
+    // Incremental pair statistics (VERDICT r12 #4) are unchanged: fusing
+    // (l, r) only changes the statistics of words that CONTAIN (l, r)
+    // adjacently, so the per-round delta aggregates over the affected
+    // subset alone and the maintained counts equal the full recompute by
+    // arithmetic — the argmax, the (count desc, pair asc) tie-break, and
+    // the learned table stay bit-identical (oracle-gated). The merged
+    // pair's own net delta is exactly -count, so the `c > 0` retention
+    // drops it without a special case.
+    def tagged(vocabRows: DataFrame, pairRows: DataFrame): DataFrame =
+      vocabRows.select(lit("v").alias("_t"), col("cnt"), col("syms"))
+        .unionByName(
+          observedArgmax(pairRows)
+            .select(lit("p").alias("_t"), col("l"), col("r"), col("c")),
+          allowMissingColumns = true)
+    def vocabOf(combined: DataFrame): DataFrame =
+      combined.where(col("_t") === "v").select(col("cnt"), col("syms"))
+    def pairsOf(combined: DataFrame): DataFrame =
+      combined.where(col("_t") === "p").select(col("l"), col("r"), col("c"))
+
+    val vocab0 = counts
       .select(col("cnt"), charSyms(col("word")).alias("syms"))
-      .localCheckpoint(true)
-    // Incremental pair statistics (VERDICT r12 #4): real trainers never
-    // re-count every adjacent pair per merge — fusing (l, r) only changes
-    // the statistics of words that CONTAIN (l, r) adjacently. Maintain the
-    // (l, r) -> count table once from the full vocab, then per merge fold
-    // in a delta aggregated over the affected-word subset alone: each
-    // affected word retracts its pre-fuse pairs and asserts its post-fuse
-    // pairs. The maintained counts equal the full recompute by arithmetic
-    // (sum of per-word deltas == recount), so the argmax, the
-    // (count desc, pair asc) tie-break, and the learned table are
-    // bit-identical to the pre-r13 full re-aggregation — the oracle gates
-    // that. The merged pair's own net delta is exactly -count, so the
-    // `c > 0` retention drops it without a special case.
-    var pairCounts = vocab
+    val pairs0 = vocab0
       .select(col("cnt"), explode(adjacentPairs(col("syms"))).alias("p"))
       .groupBy(col("p.l").alias("l"), col("p.r").alias("r"))
       .agg(sum(col("cnt")).alias("c"))
-      .localCheckpoint(true)
+    var plan = tagged(vocab0, pairs0)
+    var combined = plan.localCheckpoint(true) // round-0 job
+    var top = argmaxOf(plan)
     val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var rank = 1L
-    var exhausted = false
-    while (rank <= numMerges && !exhausted) {
-      val top = pairCounts
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect() // the argmax alone — 1 row, never the stats
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += ((rank, l, r, c))
-        val hit = hasAdjacentPair(col("syms"), l, r)
-        // retract old pairs / assert post-fuse pairs, affected words only;
-        // the explode+shuffle volume is O(affected), not O(vocab)
-        val delta = vocab.where(hit)
-          .select(col("cnt"), col("syms"), fuse(col("syms"), l, r).alias("fused"))
-          .select(explode(concat(
-            transform(adjacentPairs(col("syms")),
-              p => struct(p.getField("l").alias("l"), p.getField("r").alias("r"),
-                (-col("cnt")).alias("d"))),
-            transform(adjacentPairs(col("fused")),
-              p => struct(p.getField("l").alias("l"), p.getField("r").alias("r"),
-                col("cnt").alias("d"))))).alias("e"))
-          .groupBy(col("e.l").alias("l"), col("e.r").alias("r"))
-          .agg(sum(col("e.d")).alias("c"))
-        val prevPairs = pairCounts
-        pairCounts = pairCounts.unionByName(delta)
-          .groupBy(col("l"), col("r")).agg(sum(col("c")).alias("c"))
-          .where(col("c") > 0)
-          .localCheckpoint(true)
-        prevPairs.unpersist()
-        // untouched words pass through verbatim — a map-side conditional,
-        // no shuffle; the checkpoint write is the honest per-merge floor
-        // (O(vocab) bytes, zero aggregation)
-        val prevVocab = vocab
-        vocab = vocab.select(col("cnt"),
-          when(hit, fuse(col("syms"), l, r)).otherwise(col("syms")).alias("syms"))
-          .localCheckpoint(true)
-        prevVocab.unpersist()
-        rank += 1
-      }
+    while (rank <= numMerges && top.isDefined) {
+      val (l, r, c) = top.get
+      learned += ((rank, l, r, c))
+      val vocab = vocabOf(combined)
+      val hit = hasAdjacentPair(col("syms"), l, r)
+      // retract old pairs / assert post-fuse pairs, affected words only;
+      // the explode+shuffle volume is O(affected), not O(vocab)
+      val delta = vocab.where(hit)
+        .select(col("cnt"), col("syms"), fuse(col("syms"), l, r).alias("fused"))
+        .select(explode(concat(
+          transform(adjacentPairs(col("syms")),
+            p => struct(p.getField("l").alias("l"), p.getField("r").alias("r"),
+              (-col("cnt")).alias("d"))),
+          transform(adjacentPairs(col("fused")),
+            p => struct(p.getField("l").alias("l"), p.getField("r").alias("r"),
+              col("cnt").alias("d"))))).alias("e"))
+        .groupBy(col("e.l").alias("l"), col("e.r").alias("r"))
+        .agg(sum(col("e.d")).alias("c"))
+      val newPairs = pairsOf(combined).unionByName(delta)
+        .groupBy(col("l"), col("r")).agg(sum(col("c")).alias("c"))
+        .where(col("c") > 0)
+      // untouched words pass through verbatim — a map-side conditional,
+      // no shuffle; the checkpoint write is the honest per-merge floor
+      // (O(vocab) bytes, zero aggregation)
+      val newVocab = vocab.select(col("cnt"),
+        when(hit, fuse(col("syms"), l, r)).otherwise(col("syms")).alias("syms"))
+      val prev = combined
+      plan = tagged(newVocab, newPairs)
+      combined = plan.localCheckpoint(true) // the round's ONE job
+      top = argmaxOf(plan)
+      graft.util.Checkpoints.release(prev)
+      rank += 1
     }
-    vocab.unpersist()
-    pairCounts.unpersist()
+    graft.util.Checkpoints.release(combined)
     learned.toSeq.toDF("rank", "l", "r", "pair_count")
   }
 

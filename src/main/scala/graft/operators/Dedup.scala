@@ -488,6 +488,10 @@ object Dedup {
         .localCheckpoint(true)
       changed = jumped.join(labels.withColumnRenamed("component", "_old"), "id")
         .where(col("component") =!= col("_old")).count()
+      // the superseded label table's checkpoint blocks are freed NOW —
+      // Dataset.unpersist would be a no-op, and without the release every
+      // iteration's table stayed pinned until a driver GC (r20, guide §5)
+      graft.util.Checkpoints.release(labels)
       labels = jumped
       i += 1
     }

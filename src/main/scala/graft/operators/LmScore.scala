@@ -215,7 +215,7 @@ object LmScore {
       scored.select(col(idCol), col("n_bigrams"),
         round(col("avg_nll"), 6).alias("avg_nll_r"),
         bucket.alias("bucket"))
-        .localCheckpoint(true) // survive the scored block's unpersist
-    } finally scored.unpersist()
+        .localCheckpoint(true) // survive the scored block's release
+    } finally graft.util.Checkpoints.release(scored) // unpersist was a no-op (r20)
   }
 }

@@ -108,10 +108,18 @@ object ManifestPipeline {
     */
   def mergeSurvivors(store: KeyedUpsertStore, fresh: DataFrame,
       idCol: String, txnId: Long): Unit =
-    if (!fresh.isEmpty)
-      store.merge(fresh.select(col("content_hash"), col(idCol))
-        .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
-        .withColumn(Cdc.TransactionId, lit(txnId)))
+    if (!fresh.isEmpty) mergeSurvivorsNonEmpty(store, fresh, idCol, txnId)
+
+  /** [[mergeSurvivors]] for a fold the caller has ALREADY probed
+    * non-empty (the maintainers branch on `fresh.isEmpty` to pick their
+    * commit path first) — skips the redundant second emptiness job over
+    * the same materialized frame (r20, guide §1.2).
+    */
+  def mergeSurvivorsNonEmpty(store: KeyedUpsertStore, fresh: DataFrame,
+      idCol: String, txnId: Long): Unit =
+    store.merge(fresh.select(col("content_hash"), col(idCol))
+      .withColumn(Cdc.ChangeType, lit(Cdc.Upsert))
+      .withColumn(Cdc.TransactionId, lit(txnId)))
 
   /** Fold one delta batch against the existing survivor state: dedup
     * within the batch, anti-join the store's keys, upsert only the
@@ -180,6 +188,11 @@ object ManifestPipeline {
     // packSpans' quantile/offsets/main passes reference THIS frame 4×
     val shuf = Sampling.shuffled(toks, idCol, seed = shuffleSeed)
       .localCheckpoint(true)
+    // shuf's EAGER checkpoint was the last reader of toks: release its
+    // blocks here instead of waiting on driver GC (r20, ADVICE r19 #4 —
+    // the callers' release(packed) reaches only the shuf leaf, because
+    // shuf's checkpoint truncated toks out of the returned plan)
+    graft.util.Checkpoints.release(toks)
     Shards.packSpans(shuf, "shuffle_pos", "n_tok", budget)
       .withColumn("window", lit(window).cast(LongType))
       .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),

@@ -201,14 +201,14 @@ object Retrieval {
       // storage holds one trajectory, not one copy per step (ADVICE r12).
       val prev = selected
       selected = selected.unionByName(next).localCheckpoint(true)
-      prev.unpersist()
+      graft.util.Checkpoints.release(prev) // unpersist was a no-op here (r20)
     }
     val out = selected.select(col("query_id"), col("_id").alias("neighbor_id"),
       col("mmr_rank"), col("mmr_score"))
     // the result no longer references cand's blocks (every `selected` is
     // a materialized checkpoint); the final checkpoint stays live because
     // `out` is computed from it lazily
-    cand.unpersist()
+    graft.util.Checkpoints.release(cand) // ditto — free the probe blocks now
     out
   }
 }

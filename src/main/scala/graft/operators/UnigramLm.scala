@@ -670,6 +670,8 @@ object UnigramLm {
         model.filter(_._1.length >= 2).sortBy { case (p, c) => (-c, p) }
           .take(multiBudget))
         .sortBy { case (p, c) => (-c, p) }
-    } finally counts.unpersist()
+    } finally graft.util.Checkpoints.release(counts)
+    // ^ actually frees the checkpoint blocks — Dataset.unpersist is a
+    //   cache-manager call and a no-op on a localCheckpoint'd frame (r20)
   }
 }

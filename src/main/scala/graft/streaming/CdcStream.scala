@@ -55,11 +55,11 @@ class TxidLedger(path: String) {
   *                  skipped batch is gone forever: txids are assigned at
   *                  transaction START but delivered at COMMIT, so a batch
   *                  can carry a late-committing txn with txid ≤ a
-  *                  previously-seen maximum. Since r19 the pinned-
-  *                  watermark no-op poll costs the latest-per-key
-  *                  SHUFFLE (the statistics ride the fold's keyed pass)
-  *                  instead of a plain aggregation — same O(window),
-  *                  one scan instead of two on the non-skip path.
+  *                  previously-seen maximum. Since r20 the pinned-
+  *                  watermark no-op poll is back to ONE scalar
+  *                  aggregation scan with zero materialization (ADVICE
+  *                  r19 #5); the non-skip poll pays that scan plus the
+  *                  fold's single keyed shuffle.
   * @param autoCompactDeltas when set, run [[UpsertStore.compactIfNeeded]]
   *                  with this threshold after each batch's ledger advance —
   *                  the MOR maintenance policy driven from INSIDE the loop
@@ -126,50 +126,79 @@ class CdcStreamJob(spark: SparkSession, source: () => DataFrame,
     Watermark.latencyAlert(open, now)
       .foreach(msg => spark.sparkContext.setJobDescription(msg))
     val keyCols = keyJoin.map(_._1)
-    // ONE pass over the feed (r19, guide §1.2): the batch statistics (max
-    // txid beyond the watermark, stale-row count) and the fold's
-    // latest-per-key dedup used to be two separate scans of the window —
-    // and the latest-per-key shuffle re-ran a THIRD time inside the
-    // merge's write. They now ride one keyed aggregation, materialized
-    // once (poll-window-keys-sized — the loop's standing contract) and
-    // released after the merge. A key whose rows are ALL stale folds to
-    // a null max and drops below, exactly like the former window filter.
-    val keyed = changeFeed.groupBy(keyCols.map(col): _*)
-      .agg(
-        max(when(col(Cdc.TransactionId) > from, col(Cdc.TransactionId)))
-          .alias(Cdc.TransactionId),
-        count(when(col(Cdc.TransactionId) <= from, lit(1))).alias("_stale"))
-      .localCheckpoint(true)
-    try {
-      val stats = keyed
-        .agg(max(col(Cdc.TransactionId)).alias("_max_tx"),
-          sum(col("_stale")).alias("_stale"))
-        .head()
-      val stale = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    def warnStale(stale: Long): Unit =
       if (stale > 0) {
         staleRowsSeen += stale
         log.warn(s"batch $batchId: $stale change rows with txid <= committed " +
           s"watermark $from — EXCLUDED from the fold. Wire a complete openTxns " +
           "supplier (or make the feed a re-readable log) for at-least-once.")
       }
+    if (pullMode) {
+      // PULL MODE: a cheap SCALAR pre-scan (one aggregation pass, no keyed
+      // shuffle) decides the early exits BEFORE any keyed work (r20,
+      // ADVICE r19 #5). Each trigger re-reads the same window above the
+      // ledger, so a stuck open transaction pinning the watermark at a 1s
+      // trigger means thousands of no-op polls — they now cost one scan
+      // and zero materialization, where the r19 shape paid the full
+      // latest-per-key shuffle plus block materialization per no-op.
+      val stats = changeFeed.agg(
+        max(when(col(Cdc.TransactionId) > from, col(Cdc.TransactionId)))
+          .alias("_max_tx"),
+        count(when(col(Cdc.TransactionId) <= from, lit(1))).alias("_stale"))
+        .head()
+      warnStale(stats.getLong(1))
       if (stats.isNullAt(0)) return // nothing beyond the watermark → skip
       val maxLogged = stats.getLong(0)
       val safe = Watermark.maxSafe(maxLogged, open, from, now)
-      // PULL MODE ONLY: early-exit when the watermark is pinned AND everything
-      // delivered has already been folded by this instance (each trigger
-      // re-reads the same window; without this a 2h-stuck txn means 7200
-      // no-op bucket rewrites at a 1s trigger). NEVER valid on a push feed:
-      // maxLogged ≤ appliedHi does not imply "no unseen rows" there — a
-      // late-committing transaction delivers txids below the seen maximum,
-      // and push micro-batches are not re-delivered.
-      if (pullMode && maxLogged <= appliedHi && safe <= from) return
-      val latest = keyed.where(col(Cdc.TransactionId).isNotNull)
-        .select(keyCols.map(col) :+ col(Cdc.TransactionId): _*)
-      val folded = Cdc.foldChanges(latest, source(), keyJoin)
-      store.merge(folded)
-      appliedHi = math.max(appliedHi, maxLogged)
-      if (safe > from) ledger.commit(safe) // advances only after sink commit
-    } finally graft.util.Checkpoints.release(keyed)
+      // early-exit when the watermark is pinned AND everything delivered
+      // has already been folded by this instance (each trigger re-reads
+      // the same window). Safe only here — the next poll re-delivers.
+      if (maxLogged <= appliedHi && safe <= from) return
+      // non-skip: the statistics are known, so the fold takes the plain
+      // latest-per-key frame. The lazy local checkpoint materializes it
+      // inside the merge's first action, and both of the fold's
+      // references (the broadcast upsert side and the delete candidates)
+      // read the same blocks — one keyed shuffle per poll, total.
+      val latest = Cdc.latestPerKey(
+        changeFeed.where(col(Cdc.TransactionId) > from), keyCols)
+        .localCheckpoint(false)
+      try {
+        store.merge(Cdc.foldChanges(latest, source(), keyJoin))
+        appliedHi = math.max(appliedHi, maxLogged)
+        if (safe > from) ledger.commit(safe) // only after sink commit
+      } finally graft.util.Checkpoints.release(latest)
+    } else {
+      // PUSH MODE: ONE keyed pass carries both the latest-per-key dedup
+      // and the batch statistics (max txid beyond the watermark,
+      // stale-row count) — a key whose rows are ALL stale folds to a
+      // null max and drops before the fold, exactly like a window
+      // filter. The LAZY local checkpoint materializes the keyed frame
+      // under the statistics action, and the merge replays the same
+      // blocks — two actions per batch instead of the r19 three (r20,
+      // guide §1.2: the eager checkpoint and the stats head were
+      // separate jobs over the same materialized data).
+      val keyed = changeFeed.groupBy(keyCols.map(col): _*)
+        .agg(
+          max(when(col(Cdc.TransactionId) > from, col(Cdc.TransactionId)))
+            .alias(Cdc.TransactionId),
+          count(when(col(Cdc.TransactionId) <= from, lit(1))).alias("_stale"))
+        .localCheckpoint(false)
+      try {
+        val stats = keyed
+          .agg(max(col(Cdc.TransactionId)).alias("_max_tx"),
+            sum(col("_stale")).alias("_stale"))
+          .head()
+        warnStale(if (stats.isNullAt(1)) 0L else stats.getLong(1))
+        if (stats.isNullAt(0)) return // nothing beyond the watermark → skip
+        val maxLogged = stats.getLong(0)
+        val safe = Watermark.maxSafe(maxLogged, open, from, now)
+        val latest = keyed.where(col(Cdc.TransactionId).isNotNull)
+          .select(keyCols.map(col) :+ col(Cdc.TransactionId): _*)
+        store.merge(Cdc.foldChanges(latest, source(), keyJoin))
+        appliedHi = math.max(appliedHi, maxLogged)
+        if (safe > from) ledger.commit(safe) // only after sink commit
+      } finally graft.util.Checkpoints.release(keyed)
+    }
     // maintenance AFTER the commit: a compaction crash must replay the
     // window (deltas re-fold idempotently), never lose it. A compaction
     // that LOSES a concurrent-maintenance race (manifest store: another

@@ -543,7 +543,10 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
         // a long-running stream must not wait for a driver GC (r19)
         graft.util.Checkpoints.release(packed)
         Fs.fsyncTree(dir) // spans durable BEFORE the store learns the keys
-        ManifestPipeline.mergeSurvivors(store, fresh, idCol, txnId = batchId)
+        // non-empty was already probed above — skip the second emptiness
+        // job over the same checkpointed frame (r20)
+        ManifestPipeline.mergeSurvivorsNonEmpty(store, fresh, idCol,
+          txnId = batchId)
       }
       java.nio.file.Files.write(marker.toPath,
         s"$batchId\n${modelHash(spark)}\n$writerId"
@@ -723,19 +726,26 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
           .isEmpty) return
       val remaining = current
         .join(broadcast(retracted.get), Seq(idCol), "left_anti")
-      val repacked = graft.operators.Shards.packSpans(
-          graft.operators.Sampling.shuffled(remaining, idCol, seed),
-          "shuffle_pos", "n_tok", budget)
-        .withColumn("window", lit(windowId))
-        .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
-          col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
-          col("seq_offset"))
-      // the compacted generation keeps the ORIGINAL marker content
-      // (committing batchId + model stamp) — compaction rewrites spans,
-      // it does not re-deliver a batch or change token units, and the
-      // non-injectivity guard in processBatch keys on this content
-      publishWindow(live, repacked,
-        java.nio.file.Files.readAllBytes(markerOf(live).toPath))
+      // pinned like packWindow's shuffled frame (r20, VERDICT r19 #7):
+      // packSpans references its input across TWO actions (the eager
+      // approxQuantile at plan construction plus the publish write), and
+      // each re-ran the shuffle + anti-join subtree from current's blocks
+      val shuf = graft.operators.Sampling.shuffled(remaining, idCol, seed)
+        .localCheckpoint(true)
+      try {
+        val repacked = graft.operators.Shards.packSpans(shuf,
+            "shuffle_pos", "n_tok", budget)
+          .withColumn("window", lit(windowId))
+          .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
+            col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+            col("seq_offset"))
+        // the compacted generation keeps the ORIGINAL marker content
+        // (committing batchId + model stamp) — compaction rewrites spans,
+        // it does not re-deliver a batch or change token units, and the
+        // non-injectivity guard in processBatch keys on this content
+        publishWindow(live, repacked,
+          java.nio.file.Files.readAllBytes(markerOf(live).toPath))
+      } finally graft.util.Checkpoints.release(shuf)
     } finally graft.util.Checkpoints.release(current) // see processBatch
   }
 
@@ -810,21 +820,24 @@ class ManifestMaintainer(store: KeyedUpsertStore, tokenizerPath: String,
       }
       // pinned: the missing-count action below AND packWindow's
       // tokenization both read this frame — without the checkpoint the
-      // source batch's scan+dedup+join executed twice (r19)
+      // source batch's scan+dedup+join executed twice (r19). Released in
+      // a finally (r20, ADVICE r19 #3): a failed require/publish must
+      // not leak the blocks until a driver GC.
       val kept = sourceBatch.select(col(idCol), col(textCol))
         .dropDuplicates(Seq(idCol))
         .join(ids, Seq(idCol))
         .localCheckpoint(true)
-      val missing = ids
-        .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
-      require(missing == 0L,
-        s"$missing of window $windowId's documents are missing from the " +
-          "supplied source batch — spans store token offsets, not text; " +
-          "re-tokenization needs the window's original batch")
-      val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
-        model(spark), windowId, seed, budget, byteLevel)
-      publishWindow(live, repacked, restampedMarker(spark, live))
-      graft.util.Checkpoints.release(kept)
+      try {
+        val missing = ids
+          .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
+        require(missing == 0L,
+          s"$missing of window $windowId's documents are missing from the " +
+            "supplied source batch — spans store token offsets, not text; " +
+            "re-tokenization needs the window's original batch")
+        val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
+          model(spark), windowId, seed, budget, byteLevel)
+        publishWindow(live, repacked, restampedMarker(spark, live))
+      } finally graft.util.Checkpoints.release(kept)
     } finally graft.util.Checkpoints.release(idsAll)
   }
 

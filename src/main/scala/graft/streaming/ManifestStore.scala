@@ -744,9 +744,8 @@ class ManifestUpsertStore(spark: SparkSession, dir: String,
     val typedKey = pkCols.zip(key).map { case (c, v) =>
       lit(v).cast(schema(schema.fieldIndex(c)).dataType)
     }
-    val b = spark.range(1)
-      .select(pmod(hash(typedKey: _*), lit(numBuckets)).cast("int"))
-      .head().getInt(0)
+    // job-free driver-side bucket probe (r20) — see UpsertStore.bucketOf
+    val b = UpsertStore.bucketOf(spark, typedKey, numBuckets)
     val pred = pkCols.zip(typedKey)
       .map { case (c, v) => col(c) === v }.reduce(_ && _)
     folded(m, bucket = Some(b)).where(pred).drop(bucketCol)

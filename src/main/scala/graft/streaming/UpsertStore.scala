@@ -257,9 +257,7 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     val typedKey = pkCols.zip(key).map { case (c, v) =>
       lit(v).cast(schema(schema.fieldIndex(c)).dataType)
     }
-    val b = spark.range(1)
-      .select(pmod(hash(typedKey: _*), lit(numBuckets)).cast("int"))
-      .head().getInt(0)
+    val b = UpsertStore.bucketOf(spark, typedKey, numBuckets)
     val pred = pkCols.zip(typedKey)
       .map { case (c, v) => col(c) === v }.reduce(_ && _)
     val view =
@@ -542,10 +540,14 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     // DATA durability first: Spark's local-FS write never fsyncs, so the
     // staged parquet bytes must reach disk before the marker commits to
     // them — otherwise recovery could promote a torn staged dir and then
-    // drop the retired copy, destroying both versions of a bucket
-    staged.foreach { d =>
-      Option(d.listFiles()).foreach(_.filter(_.isFile).foreach(fsyncFile))
-      fsyncDir(d)
+    // drop the retired copy, destroying both versions of a bucket.
+    // File and dir fsyncs run as parallel batches (r20): the per-file
+    // loop was serial driver wall time, invariant in core count — see
+    // Fs.fsyncFiles; contents-before-dirent ordering is preserved.
+    locally {
+      graft.util.Fs.fsyncFiles(staged.toSeq.flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty).filter(_.isFile)))
+      graft.util.Fs.fsyncDirs(staged.toSeq)
     }
     fsyncDir(staging)
     // commit point: recovery now promotes, not discards. The marker (file
@@ -794,10 +796,15 @@ class UpsertStore(spark: SparkSession, dir: String, pkCols: Seq[String],
     // write free of charge (no bucket subdirs); the burned seq is a gap,
     // which the ordering tolerates.
     if (stagedBuckets(tmp).isEmpty) { rmTree(tmp); return }
-    // data durability before the publish rename (Spark never fsyncs)
-    stagedBuckets(tmp).foreach { d =>
-      Option(d.listFiles()).foreach(_.filter(_.isFile).foreach(fsyncFile))
-      fsyncDir(d)
+    // data durability before the publish rename (Spark never fsyncs);
+    // all files then all bucket dirs, each batch in parallel (r20 — the
+    // serial per-file loop was the core-count-invariant wall time of
+    // every small delta publish); contents-before-dirent order holds
+    locally {
+      val bucketDirs = stagedBuckets(tmp).toSeq
+      graft.util.Fs.fsyncFiles(bucketDirs.flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty).filter(_.isFile)))
+      graft.util.Fs.fsyncDirs(bucketDirs)
     }
     fsyncDir(tmp)
     java.nio.file.Files.move(tmp.toPath,
@@ -1188,6 +1195,26 @@ class StoreChangeFeed(store: KeyedUpsertStore, cursorPath: String) {
 }
 
 object UpsertStore {
+  /** The bucket of one typed probe key, evaluated WITHOUT a Spark job
+    * (r20, VERDICT r19 #3): the expression runs over a one-row
+    * LocalRelation, which the optimizer's ConvertToLocalRelation rule
+    * folds at planning time, so `head()` serves from LocalTableScanExec's
+    * driver-side rows — a point lookup no longer schedules a 1-row
+    * cluster job just to learn which bucket to prune to (the serving
+    * path paid one such job PER PROBE KEY; `q_store_lookup.read` spent
+    * most of its wall there). Still evaluated by Spark's own expression
+    * engine end to end, so the hash semantics can never drift from the
+    * write path's `pmod(hash(pk...))`. Job-freeness is spec-pinned
+    * (StoreLookupSpec counts jobs under a listener).
+    */
+  private[streaming] def bucketOf(spark: SparkSession,
+      typedKey: Seq[org.apache.spark.sql.Column], numBuckets: Int): Int = {
+    import spark.implicits._
+    Seq(0).toDF("_probe")
+      .select(pmod(hash(typedKey: _*), lit(numBuckets)).cast("int"))
+      .head().getInt(0)
+  }
+
   /** Cumulative per-phase seconds (merge_write = fold compute + staging
     * IO, swap = commit renames/fsyncs, compact) — nearly-free counters the
     * stream benchmark drains so a regression in the 100 TB-critical loop

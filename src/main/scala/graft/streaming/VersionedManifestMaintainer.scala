@@ -463,20 +463,10 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
   /** Total row count of a generation dir from the parquet FOOTERS — a
     * driver-side metadata read (KBs), replacing the one read-back Spark
     * job per rewritten window the r19 emptiness check used to schedule.
-    * Footer counts are authoritative: a parquet file's record count is
-    * part of its committed metadata.
+    * Shared definition since r20: [[graft.util.Fs.parquetRowCount]].
     */
-  private def parquetRowCount(dir: java.io.File): Long = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    Option(dir.listFiles((_: java.io.File, n: String) =>
-      n.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
-      .iterator.map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
-  }
+  private def parquetRowCount(dir: java.io.File): Long =
+    Fs.parquetRowCount(dir)
 
   /** Referenced-generation read path: a generation a manifest references
     * was fsynced strictly before the PUT and GC keeps it alive as long
@@ -565,7 +555,9 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
           graft.util.Checkpoints.release(packed)
           Fs.fsyncTree(genDir(gen)) // durable BEFORE the store learns keys
           beforeStoreMerge()
-          ManifestPipeline.mergeSurvivors(store, fresh, idCol,
+          // non-empty was already probed above — skip the second
+          // emptiness job over the same checkpointed frame (r20)
+          ManifestPipeline.mergeSurvivorsNonEmpty(store, fresh, idCol,
             txnId = batchId)
           Some(gen)
         }
@@ -843,16 +835,23 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
           .isEmpty) return
       val remaining = current
         .join(broadcast(retracted.get), Seq(idCol), "left_anti")
-      val repacked = graft.operators.Shards.packSpans(
-          graft.operators.Sampling.shuffled(remaining, idCol, seed),
-          "shuffle_pos", "n_tok", budget)
-        .withColumn("window", lit(windowId))
-        .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
-          col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
-          col("seq_offset"))
-      // the compacted entry keeps its batchId/model/writer stamps —
-      // compaction rewrites spans, not delivery or token units
-      rewriteWindow(spark, windowId, repacked, entry)(identity)
+      // pinned like packWindow's shuffled frame (r20, VERDICT r19 #7):
+      // packSpans references its input across TWO actions (the eager
+      // approxQuantile at plan construction plus the rewrite write), and
+      // each re-ran the shuffle + anti-join subtree from current's blocks
+      val shuf = graft.operators.Sampling.shuffled(remaining, idCol, seed)
+        .localCheckpoint(true)
+      try {
+        val repacked = graft.operators.Shards.packSpans(shuf,
+            "shuffle_pos", "n_tok", budget)
+          .withColumn("window", lit(windowId))
+          .select(col("window"), col(idCol), col("shuffle_pos"), col("n_tok"),
+            col("cum_before"), col("seq"), col("tok_start"), col("tok_end"),
+            col("seq_offset"))
+        // the compacted entry keeps its batchId/model/writer stamps —
+        // compaction rewrites spans, not delivery or token units
+        rewriteWindow(spark, windowId, repacked, entry)(identity)
+      } finally graft.util.Checkpoints.release(shuf)
     } finally graft.util.Checkpoints.release(current)
   }
 
@@ -958,21 +957,24 @@ class VersionedManifestMaintainer(store: KeyedUpsertStore,
       }
       // pinned: the missing-count action below AND packWindow's
       // tokenization both read this frame — without the checkpoint the
-      // source batch's scan+dedup+join executed twice (r19)
+      // source batch's scan+dedup+join executed twice (r19). Released in
+      // a finally (r20, ADVICE r19 #3): a failed require/rewrite must
+      // not leak the blocks until a driver GC.
       val kept = sourceBatch.select(col(idCol), col(textCol))
         .dropDuplicates(Seq(idCol))
         .join(ids, Seq(idCol))
         .localCheckpoint(true)
-      val missing = ids
-        .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
-      require(missing == 0L,
-        s"$missing of window $windowId's documents are missing from the " +
-          "supplied source batch — spans store token offsets, not text; " +
-          "re-tokenization needs the window's original batch")
-      val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
-        model(spark), windowId, seed, budget, byteLevel)
-      rewriteWindow(spark, windowId, repacked, entry)(e => e.copy(model = h))
-      graft.util.Checkpoints.release(kept)
+      try {
+        val missing = ids
+          .join(kept.select(col(idCol)), Seq(idCol), "left_anti").count()
+        require(missing == 0L,
+          s"$missing of window $windowId's documents are missing from the " +
+            "supplied source batch — spans store token offsets, not text; " +
+            "re-tokenization needs the window's original batch")
+        val repacked = ManifestPipeline.packWindow(kept, idCol, textCol,
+          model(spark), windowId, seed, budget, byteLevel)
+        rewriteWindow(spark, windowId, repacked, entry)(e => e.copy(model = h))
+      } finally graft.util.Checkpoints.release(kept)
     } finally graft.util.Checkpoints.release(idsAll)
   }
 

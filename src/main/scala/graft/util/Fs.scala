@@ -100,16 +100,111 @@ object Fs {
               "directory-entry durability are best-effort here", e)
     }
 
+  /** Bounded pool for PARALLEL file fsyncs (r20, guide §2.2/§2.6 —
+    * shorten the serial region). A bucket-partitioned commit stages one
+    * file per touched bucket, and the pre-r20 tree walk fdatasync'd them
+    * one at a time on the driver thread: at 32 buckets × fsync latency
+    * that serial wall time is the dominant cost of small protocol
+    * commits and is core-count-invariant (the r19 scaling block measured
+    * the 2-writer merge path at a 0.94 ratio from 8→32 cores — the
+    * writers were queueing on this loop, not on compute). fdatasync is
+    * pure IO wait, so overlapping requests lets the device coalesce
+    * flushes. Sized by `SPARK_GRAFT_FSYNC_THREADS` (a deployment tunes it
+    * to its storage: object stores never reach here, NVMe likes more,
+    * a single spinning disk wants 1); default 8. Daemon threads — the
+    * pool must never block JVM exit.
+    */
+  private lazy val fsyncPool: java.util.concurrent.ExecutorService = {
+    val n = sys.env.get("SPARK_GRAFT_FSYNC_THREADS").map(_.toInt)
+      .getOrElse(math.min(8, Runtime.getRuntime.availableProcessors()))
+    java.util.concurrent.Executors.newFixedThreadPool(math.max(1, n),
+      r => { val t = new Thread(r, "graft-fsync"); t.setDaemon(true); t })
+  }
+
+  /** fsync a batch of regular files in parallel, propagating the FIRST
+    * failure (a durability failure must fail the commit that depends on
+    * it — same contract as [[fsyncFile]]). Order within the batch is
+    * irrelevant: callers only need ALL files durable before the next
+    * protocol step, which the join guarantees.
+    */
+  def fsyncFiles(files: Seq[java.io.File]): Unit =
+    if (files.size <= 1) files.foreach(fsyncFile)
+    else {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+        files.map(f => (() => fsyncFile(f)): java.util.concurrent.Callable[Unit])
+      // invokeAll waits for every task; failures surface at .get —
+      // unwrapped so callers still see the original IOException
+      fsyncPool.invokeAll(tasks.asJava).asScala.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    }
+
+  /** Total row count of a directory's parquet part files from their
+    * FOOTERS — a driver-side metadata read (KBs of IO, no Spark job).
+    * Footer counts are authoritative: a parquet file's record count is
+    * part of its committed metadata. Shared by the versioned maintainer's
+    * rewrite-emptiness probe (r19) and the ANN tombstone publish (r20).
+    */
+  def parquetRowCount(dir: java.io.File): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Option(dir.listFiles((_: java.io.File, n: String) =>
+      n.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
+      .iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** fsync a batch of directory entry tables in parallel. [[fsyncDir]]
+    * handles (and latches) unsupported-FS errors itself, so the parallel
+    * form is behaviorally identical to the serial loop it replaces.
+    */
+  def fsyncDirs(dirs: Seq[java.io.File]): Unit =
+    if (dirs.size <= 1) dirs.foreach(fsyncDir)
+    else {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+        dirs.map(d => (() => fsyncDir(d)): java.util.concurrent.Callable[Unit])
+      fsyncPool.invokeAll(tasks.asJava).asScala.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    }
+
   /** fsync every regular file and directory under `root` (bottom-up), so
     * a commit record published AFTER this call can never reference torn
     * data on a power cut — the data-before-manifest ordering the
     * object-store commit protocol needs on a local filesystem
-    * (ADVICE r10). Cost is one fdatasync per file; commit-sized
-    * generation dirs make that cheap relative to the write itself.
+    * (ADVICE r10). Since r20 the walk is two-phase and PARALLEL: every
+    * file in the tree fsyncs first (one parallel batch), then directory
+    * entries deepest-first (one parallel batch per depth) — which
+    * preserves the only ordering the crash arguments need, contents
+    * durable before the directory entry that names them.
     */
   def fsyncTree(root: java.io.File): Unit =
-    if (root.isDirectory) {
-      Option(root.listFiles()).foreach(_.foreach(fsyncTree))
-      fsyncDir(root)
-    } else if (root.isFile) fsyncFile(root)
+    if (root.isFile) fsyncFile(root)
+    else if (root.isDirectory) {
+      val files = Seq.newBuilder[java.io.File]
+      val dirsByDepth =
+        scala.collection.mutable.Map.empty[Int, List[java.io.File]]
+      def walk(f: java.io.File, depth: Int): Unit =
+        if (f.isDirectory) {
+          dirsByDepth(depth) = f :: dirsByDepth.getOrElse(depth, Nil)
+          Option(f.listFiles()).foreach(_.foreach(walk(_, depth + 1)))
+        } else if (f.isFile) files += f
+      walk(root, 0)
+      fsyncFiles(files.result())
+      dirsByDepth.keys.toSeq.sorted.reverse
+        .foreach(d => fsyncDirs(dirsByDepth(d)))
+    }
 }

@@ -28,6 +28,44 @@ class BpeTrainSpec extends SparkSpec {
       (3L, "l", "o", 7L)))
   }
 
+  test("trainFromCounts runs ONE Spark ACTION per merge round (r20)") {
+    // the per-round cost of the trainer is per-action planning floor, not
+    // compute (VERDICT r19 #6): the vocab+pair tables ride one tagged
+    // checkpoint per round and the argmax rides that same action as an
+    // observed metric — so a full k-merge train is k+1 actions (round 0's
+    // initial checkpoint plus one per learned merge) plus the final
+    // learned-table collect, where the r19 shape ran 3 actions per round.
+    // Counted as SQL EXECUTIONS, not scheduler jobs: AQE legitimately
+    // materializes one action as several stage-jobs. The count also
+    // proves the observed-metrics argmax fired (a silent metrics failure
+    // would learn zero merges and fail the hand-traced test above first).
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          actions.incrementAndGet(); ()
+        case _ =>
+      }
+    }
+    // wordCounts materializes OUTSIDE the counted window so the count is
+    // the loop's own (the trainFromCounts contract takes a counts table)
+    val counts = BpeTrain.wordCounts(corpus, "text").localCheckpoint(true)
+    try {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val got = BpeTrain.trainFromCounts(counts, numMerges = 3)
+          .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+        assert(got.map(x => (x._2, x._3)) == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+        Thread.sleep(1500) // listener bus is async; drain before asserting
+        // 3 merge rounds + round 0 + the final learned-table collect
+        assert(actions.get() <= 5,
+          s"expected <= 5 actions for a 3-merge train (1 checkpoint per " +
+            s"round + the result collect), saw ${actions.get()}")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally graft.util.Checkpoints.release(counts)
+  }
+
   test("fuse is greedy left-to-right non-overlapping") {
     val got = Seq("aaaa", "aaa", "baab").toDF("w")
       .select(BpeTrain.fuse(BpeTrain.charSyms(col("w")), "a", "a").alias("s"))

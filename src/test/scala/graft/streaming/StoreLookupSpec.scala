@@ -52,6 +52,35 @@ class StoreLookupSpec extends SparkSpec {
     } finally store.releaseLease()
   }
 
+  test("lookup: bucket probe schedules no Spark job (r20)") {
+    val dir = Files.createTempDirectory("graft-lookup-nojob").toString
+    val store = new UpsertStore(spark, dir, pkCols = Seq("id"), numBuckets = 8)
+    store.initialize(Cdc.initialLoad(
+      spark.range(100).toDF("id").withColumn("v", col("id") * 3)))
+    try {
+      store.lookup(1L).collect() // warm listings/codegen caches
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // plan construction only: the bucket probe inside lookup() must
+        // resolve driver-side (ConvertToLocalRelation folds the one-row
+        // probe; LocalTableScan serves head() without a job) — the r19
+        // shape scheduled a 1-row cluster job PER PROBE KEY here
+        store.lookup(77L)
+        Thread.sleep(1500) // listener bus is async; drain before asserting
+        assert(jobs.get() === 0,
+          s"lookup() plan construction scheduled ${jobs.get()} Spark " +
+            "job(s) — the bucket probe must evaluate driver-side")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally store.releaseLease()
+  }
+
   test("lookup: MOR sees latest delta, deletes, and prunes deltas by listing") {
     val dir = Files.createTempDirectory("graft-lookup-mor").toString
     val store = new UpsertStore(spark, dir, pkCols = Seq("id"),
