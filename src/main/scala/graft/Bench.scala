@@ -224,7 +224,21 @@ object Bench {
         k.endsWith(".build")) && v >= 0 }
     val batchOk = all.filter { case (k, v) =>
       !stream.exists(_._1 == k) && v >= 0 }.sortBy(-_._2)
-    def line35(n: Int): String = {
+    // r20: the median-of-3 `.spread` additions pushed even the
+    // zero-batch-entry line past the tail window, so the stream PHASE
+    // detail now shrinks in tiers too — the parents, the dominant
+    // merge_write/compact phases, and the self-disposition entries
+    // (.spread/.conflicts/.policy_noops/.gc_sec) are the last to go;
+    // every elided value stays in target/bench.json.
+    val streamDetailTiers: Seq[String => Boolean] = Seq(
+      _ => true, // tier 0: every stream dotted entry
+      k => !(k.endsWith(".compact_swap") || k.endsWith(".swap") ||
+        k.endsWith(".compact_write") || k.endsWith(".merge_fold") ||
+        k.endsWith(".other")),
+      k => !k.contains(".") || k.endsWith(".spread"))
+    def lineAt(n: Int, streamKeep: String => Boolean): String = {
+      val streamKept = stream.filter { case (k, _) =>
+        !k.startsWith("stream_") || streamKeep(k) }
       // a batch entry's dotted self-disposition entries (.gc_sec,
       // .conflicts — r19) ride the line ONLY alongside their parent:
       // they explain a slow entry, so they must not displace an
@@ -233,13 +247,15 @@ object Bench {
       val parentNames = parents.map(_._1).toSet
       val dotted = batchOk.filter { case (k, _) =>
         k.contains(".") && parentNames.contains(k.takeWhile(_ != '.')) }
-      val kept = failed ++ stream ++ (parents ++ dotted).sortBy(_._1)
+      val kept = failed ++ streamKept ++ (parents ++ dotted).sortBy(_._1)
       val qs35 = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs35,"elided":${all.size - kept.size},"full":"target/bench.json","env":$envJson,"sf":"$sfDir"}"""
     }
-    val compact = Iterator.range(35, -1, -5).map(line35)
-      .find(_.length <= 1800).getOrElse(line35(0))
+    val compact = streamDetailTiers.iterator.flatMap(tier =>
+        Iterator.range(35, -1, -5).map(lineAt(_, tier)))
+      .find(_.length <= 1800)
+      .getOrElse(lineAt(0, streamDetailTiers.last))
     println(compact)
     spark.stop()
   }

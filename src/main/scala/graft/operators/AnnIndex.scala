@@ -402,9 +402,21 @@ object AnnIndex {
       model: org.apache.spark.ml.clustering.KMeansModel,
       assignmentsPath: String): Unit = {
     import spark.implicits._
-    val counts = spark.read.parquet(assignmentsPath)
-      .groupBy(col("_cell")).agg(count(lit(1)).alias("n_vectors"))
-      .as[(Int, Long)].collect().toMap
+    // per-cell row counts from the parquet FOOTERS — driver-side metadata
+    // (r20, guide §6): the pre-r20 groupBy-count scheduled a Spark job
+    // that re-read the ENTIRE just-written layout once per build and once
+    // per compaction. Footer record counts are authoritative committed
+    // metadata, and the cell is the partition dir, so the per-cell sums
+    // are exactly the old aggregation. The all-deleted compact writes an
+    // unpartitioned empty file (no _cell dirs) → empty map → zeros, the
+    // same rows the empty scan produced.
+    val counts: Map[Int, Long] =
+      Option(new java.io.File(assignmentsPath).listFiles((f: java.io.File) =>
+        f.isDirectory && f.getName.startsWith("_cell=")))
+        .getOrElse(Array.empty[java.io.File])
+        .map(d => d.getName.stripPrefix("_cell=").toInt ->
+          graft.util.Fs.parquetRowCount(d))
+        .toMap
     model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         (i, c.toArray.map(_.toFloat), counts.getOrElse(i, 0L))
